@@ -1,13 +1,597 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.builder.StarGraph
+import graft.algos.Traversals
+import graft.ext.{Dedup, Similarity, TextOps, Multimodal}
+import graft.model.OnionGraph
+import graft.props.PropertyOps
+import graft.streaming.EventStreams
+import graft.views.Filters
+import graft.viz.VizData
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver contract: the t2 correctness corpus. Every entry pairs a
+ * Spark implementation (via the graft library) with a DuckDB oracle
+ * SQL formulation over the same parquet tables (SURVEY §5.2).
+ *
+ * Conventions keeping the hash-compare deterministic:
+ *  - every query ends in a total ORDER BY over non-null columns;
+ *  - aggregated doubles are round()ed (2dp for money sums, 4dp for
+ *    ratios) on BOTH sides;
+ *  - integer outputs are cast to BIGINT on both sides (DuckDB SUM on
+ *    int is HUGEINT otherwise);
+ *  - column names match exactly between Spark and SQL.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  final case class QueryDef(name: String,
+                            fn: (SparkSession, String) => DataFrame,
+                            oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def graph(s: SparkSession, dir: String): OnionGraph =
+    StarGraph.graph(s, dir)
+
+  private val W = StarGraph.withSql // shared WITH vertices/edges prelude
+
+  /** Order-independent double sum: cast to decimal (exact integer
+    * arithmetic, any summation order) then back to double. Both Spark
+    * and DuckDB then emit the bit-identical double, so outputs need NO
+    * rounding — plain `round(sum(double))` is a hash hazard because
+    * partial-sum order differs between engines. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(38,6)")).cast("double")
+  /** The DuckDB spelling of [[dsum]]. */
+  private def dsumSql(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(38,6))) AS DOUBLE)"
+
+  // ================================================================ corpus
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------- relational core
+    QueryDef("q01_pricing_summary",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+             | ${dsumSql("l_quantity")} AS sum_qty,
+             | ${dsumSql("l_extendedprice")} AS sum_base_price,
+             | ${dsumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+             | ${dsumSql("l_quantity")} / COUNT(*) AS avg_qty,
+             | ${dsumSql("l_discount")} / COUNT(*) AS avg_disc,
+             | COUNT(*) AS count_order
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    QueryDef("q02_topk_orders",
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").as("price"))
+        .orderBy(col("price").desc, col("o_orderkey"))
+        .limit(10),
+      Some("""SELECT o_orderkey, o_totalprice AS price
+             |FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    QueryDef("q03_segment_revenue",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(dsum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment"),
+      Some(s"""SELECT c_mktsegment, ${dsumSql("o_totalprice")} AS revenue,
+             | COUNT(*) AS n_orders
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    QueryDef("q04_nation_revenue",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+          .orderBy("r_name", "n_name")
+      },
+      Some(s"""SELECT r_name, n_name,
+             | ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+             |FROM lineitem
+             | JOIN orders ON l_orderkey = o_orderkey
+             | JOIN customer ON o_custkey = c_custkey
+             | JOIN nation ON c_nationkey = n_nationkey
+             | JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    QueryDef("q05_window_top_orders",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_totalprice").as("price"), col("rnk"))
+          .orderBy("o_custkey", "rnk", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice AS price, rnk
+             |FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |   ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk FROM orders)
+             |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin)),
+
+    QueryDef("q06_setops_nations",
+      (s, dir) => {
+        val custN = t(s, dir, "customer")
+          .select(col("c_nationkey").cast("long").as("nationkey")).distinct()
+        val suppN = t(s, dir, "supplier")
+          .select(col("s_nationkey").cast("long").as("nationkey")).distinct()
+        custN.intersect(suppN).withColumn("which", lit("both"))
+          .unionByName(custN.except(suppN).withColumn("which", lit("cust_only")))
+          .orderBy("which", "nationkey")
+      },
+      Some("""WITH custN AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer),
+             | suppN AS (SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier)
+             |SELECT nationkey, 'both' AS which FROM (SELECT nationkey FROM custN INTERSECT SELECT nationkey FROM suppN)
+             |UNION ALL
+             |SELECT nationkey, 'cust_only' AS which FROM (SELECT nationkey FROM custN EXCEPT SELECT nationkey FROM suppN)
+             |ORDER BY which, nationkey""".stripMargin)),
+
+    QueryDef("q07_distinct_agg",
+      (s, dir) => t(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(countDistinct("c_nationkey").as("n_nations"),
+          count(lit(1)).as("n_customers"),
+          (dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+        .orderBy("c_mktsegment"),
+      Some(s"""SELECT c_mktsegment,
+             | COUNT(DISTINCT c_nationkey) AS n_nations,
+             | COUNT(*) AS n_customers, ${dsumSql("c_acctbal")} / COUNT(*) AS avg_bal
+             |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    QueryDef("q08_filter_pushdown",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_extendedprice").as("price"),
+          col("l_returnflag"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             | l_extendedprice AS price, l_returnflag
+             |FROM lineitem
+             |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 10
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    QueryDef("q09_events_json",
+      (s, dir) => EventStreams.withProps(EventStreams.readEvents(s, dir), "k")
+        .filter(col("prop_k").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("prop_k").as("sum_k"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("event_type"),
+      Some(s"""SELECT event_type, COUNT(*) AS n,
+             | CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             | ${dsumSql("value")} AS sum_value
+             |FROM events WHERE json_extract_string(props, '$$.k') IS NOT NULL
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef("q10_events_window",
+      (s, dir) => EventStreams.tumblingAgg(EventStreams.readEvents(s, dir), "1 hour")
+        .orderBy("window_start", "event_type"),
+      Some(s"""SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             | event_type, COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+
+    // ------------------------------------------------------- graph: build
+    QueryDef("g01_vertices",
+      (s, dir) => graph(s, dir).vertices
+        .select(col("layer"), col("nodeId").as("node_id"), col("name"))
+        .orderBy("layer", "node_id"),
+      Some(s"""$W SELECT layer, node_id, name FROM vertices
+              |ORDER BY layer, node_id""".stripMargin)),
+
+    QueryDef("g02_edge_summary",
+      (s, dir) => graph(s, dir).edges
+        .groupBy(col("srcLayer").as("source_layer"),
+          col("dstLayer").as("target_layer"), col("relation"))
+        .agg(count(lit(1)).as("n_edges"), dsum(col("qty")).as("sum_qty"))
+        .orderBy("source_layer", "target_layer", "relation"),
+      Some(s"""$W SELECT source_layer, target_layer, relation,
+              | COUNT(*) AS n_edges, ${dsumSql("qty")} AS sum_qty
+              |FROM edges GROUP BY 1, 2, 3
+              |ORDER BY source_layer, target_layer, relation""".stripMargin)),
+
+    QueryDef("g03_degrees",
+      (s, dir) => graph(s, dir).degreeTable
+        .select(col("layer"), col("nodeId").as("node_id"),
+          col("out_degree"), col("in_degree"), col("degree"))
+        .orderBy("layer", "node_id"),
+      Some(s"""$W, outd AS (SELECT source_layer, source_id, COUNT(*) AS od
+              |  FROM edges GROUP BY 1, 2),
+              | ind AS (SELECT target_layer, target_id, COUNT(*) AS id_
+              |  FROM edges GROUP BY 1, 2)
+              |SELECT v.layer, v.node_id,
+              | COALESCE(od, 0) AS out_degree, COALESCE(id_, 0) AS in_degree,
+              | COALESCE(od, 0) + COALESCE(id_, 0) AS degree
+              |FROM vertices v
+              | LEFT JOIN outd ON v.layer = outd.source_layer AND v.node_id = outd.source_id
+              | LEFT JOIN ind ON v.layer = ind.target_layer AND v.node_id = ind.target_id
+              |ORDER BY v.layer, v.node_id""".stripMargin)),
+
+    // -------------------------------------------------- graph: traversals
+    QueryDef("g04_khop_downstream",
+      (s, dir) => {
+        val g = graph(s, dir)
+        val seed = t(s, dir, "orders").agg(min("o_orderkey")).head.getLong(0).toString
+        Traversals.search(g, "order", seed, 3, Traversals.Downstream)
+          .join(g.vertices, Seq("vid"))
+          .select(col("layer"), col("nodeId").as("node_id"), col("dist"))
+          .orderBy("layer", "node_id")
+      },
+      Some(s"""$W, walk(layer, node_id, dist) AS (
+              | SELECT 'order', CAST((SELECT MIN(o_orderkey) FROM orders) AS VARCHAR), 0
+              | UNION ALL
+              | SELECT e.target_layer, e.target_id, w.dist + 1
+              | FROM walk w JOIN edges e
+              |   ON e.source_layer = w.layer AND e.source_id = w.node_id
+              | WHERE w.dist < 3)
+              |SELECT layer, node_id, CAST(MIN(dist) AS INT) AS dist
+              |FROM walk GROUP BY layer, node_id
+              |ORDER BY layer, node_id""".stripMargin)),
+
+    QueryDef("g05_reachability",
+      (s, dir) => {
+        val g = graph(s, dir)
+        val seed = t(s, dir, "customer").agg(min("c_custkey")).head.getLong(0).toString
+        Traversals.search(g, "customer", seed, -1, Traversals.Bi)
+          .join(g.vertices, Seq("vid"))
+          .select(col("layer"), col("nodeId").as("node_id"), col("dist"))
+          .orderBy("layer", "node_id")
+      },
+      // Bi = union of downstream closure and upstream closure, min dist
+      // (searcher.py:222-223). Two bounded recursions over the DAG.
+      Some(s"""$W, seed AS (SELECT CAST(MIN(c_custkey) AS VARCHAR) AS id FROM customer),
+              | down(layer, node_id, dist) AS (
+              |  SELECT 'customer', (SELECT id FROM seed), 0
+              |  UNION ALL
+              |  SELECT e.target_layer, e.target_id, w.dist + 1
+              |  FROM down w JOIN edges e
+              |    ON e.source_layer = w.layer AND e.source_id = w.node_id
+              |  WHERE w.dist < 10),
+              | up(layer, node_id, dist) AS (
+              |  SELECT 'customer', (SELECT id FROM seed), 0
+              |  UNION ALL
+              |  SELECT e.source_layer, e.source_id, w.dist + 1
+              |  FROM up w JOIN edges e
+              |    ON e.target_layer = w.layer AND e.target_id = w.node_id
+              |  WHERE w.dist < 10)
+              |SELECT layer, node_id, CAST(MIN(dist) AS INT) AS dist
+              |FROM (SELECT * FROM down UNION ALL SELECT * FROM up)
+              |GROUP BY layer, node_id ORDER BY layer, node_id""".stripMargin)),
+
+    QueryDef("g06_upstream_khop",
+      (s, dir) => {
+        val g = graph(s, dir)
+        val seed = t(s, dir, "region").agg(min("r_regionkey")).head.getInt(0).toString
+        Traversals.search(g, "region", seed, 2, Traversals.Upstream)
+          .join(g.vertices, Seq("vid"))
+          .select(col("layer"), col("nodeId").as("node_id"), col("dist"))
+          .orderBy("layer", "node_id")
+      },
+      Some(s"""$W, walk(layer, node_id, dist) AS (
+              | SELECT 'region', CAST((SELECT MIN(r_regionkey) FROM region) AS VARCHAR), 0
+              | UNION ALL
+              | SELECT e.source_layer, e.source_id, w.dist + 1
+              | FROM walk w JOIN edges e
+              |   ON e.target_layer = w.layer AND e.target_id = w.node_id
+              | WHERE w.dist < 2)
+              |SELECT layer, node_id, CAST(MIN(dist) AS INT) AS dist
+              |FROM walk GROUP BY layer, node_id
+              |ORDER BY layer, node_id""".stripMargin)),
+
+    QueryDef("g07_components",
+      (s, dir) => {
+        val g = graph(s, dir)
+          .viewLayers(Seq("customer", "nation"))
+          .filterEdges(col("relation") === "cust_nation")
+        Traversals.componentSizes(g)
+          .select(col("comp").as("component"), col("size"))
+          .orderBy("component")
+      },
+      // customer->nation stars: component = nation + its customers;
+      // label = lexicographic min member name "layer:node_id".
+      Some(s"""$W, members AS (
+              | SELECT 'nation:' || node_id AS member, node_id AS nkey FROM vertices WHERE layer = 'nation'
+              | UNION ALL
+              | SELECT 'customer:' || source_id, target_id
+              | FROM edges WHERE relation = 'cust_nation')
+              |SELECT MIN(member) AS component, COUNT(*) AS size
+              |FROM members GROUP BY nkey ORDER BY component""".stripMargin)),
+
+    QueryDef("g08_bipartite_summary",
+      (s, dir) => {
+        val b = graph(s, dir).bipartite("order", "part")
+        b.vertices.groupBy("layer")
+          .agg(count(lit(1)).as("n_vertices"))
+          .join(
+            b.edges.groupBy(col("srcLayer").as("layer"))
+              .agg(count(lit(1)).as("n_out_edges")),
+            Seq("layer"), "left")
+          .na.fill(0L, Seq("n_out_edges"))
+          .orderBy("layer")
+      },
+      Some("""WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+             |SELECT 'order' AS layer,
+             | CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_vertices,
+             | CAST(COUNT(*) AS BIGINT) AS n_out_edges FROM pairs
+             |UNION ALL
+             |SELECT 'part', CAST(COUNT(DISTINCT l_partkey) AS BIGINT), 0 FROM pairs
+             |ORDER BY layer""".stripMargin)),
+
+    QueryDef("g09_on_shortest",
+      (s, dir) => {
+        val g = graph(s, dir)
+        val seed = t(s, dir, "customer").agg(min("c_custkey")).head.getLong(0).toString
+        Traversals.onShortestPath(g,
+            col("layer") === "customer" && col("nodeId") === seed,
+            col("layer") === "region")
+          .join(g.vertices, Seq("vid"))
+          .select(col("layer"), col("nodeId").as("node_id"))
+          .orderBy("layer", "node_id")
+      },
+      // customer -> nation -> region is the unique shortest chain.
+      Some(s"""$W, seed AS (SELECT CAST(MIN(c_custkey) AS VARCHAR) AS id FROM customer),
+              | nat AS (SELECT target_id AS nid FROM edges
+              |   WHERE relation = 'cust_nation' AND source_id = (SELECT id FROM seed)),
+              | reg AS (SELECT target_id AS rid FROM edges
+              |   WHERE relation = 'nation_region' AND source_id IN (SELECT nid FROM nat))
+              |SELECT 'customer' AS layer, (SELECT id FROM seed) AS node_id
+              |UNION ALL SELECT 'nation', nid FROM nat
+              |UNION ALL SELECT 'region', rid FROM reg
+              |ORDER BY layer, node_id""".stripMargin)),
+
+    // ------------------------------------------------- graph: views/props
+    QueryDef("g10_filter_view",
+      (s, dir) => {
+        val g = Filters.filterViewByProperty(
+          graph(s, dir).filterVertices(
+            (col("layer") === "customer" && col("acctbal") > 2000) ||
+            (col("layer") === "order" && col("price") > 20000)),
+          Filters.EdgeDim, "relation", "==", "order_cust")
+        g.edges.groupBy("relation").agg(count(lit(1)).as("n_edges"))
+          .orderBy("relation")
+      },
+      Some("""SELECT 'order_cust' AS relation, COUNT(*) AS n_edges
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE c_acctbal > 2000 AND o_totalprice > 20000
+             |GROUP BY 1 ORDER BY relation""".stripMargin)),
+
+    QueryDef("g11_layout_by_layer",
+      (s, dir) => VizData.layoutByLayer(graph(s, dir).vertices, 2.0, 1.0)
+        .select(col("layer"), col("nodeId").as("node_id"), col("x"), col("y"))
+        .orderBy("layer", "node_id"),
+      Some(s"""$W SELECT layer, node_id,
+              | CAST((DENSE_RANK() OVER (ORDER BY layer) - 1) * 2.0 AS DOUBLE) AS x,
+              | CAST(ROW_NUMBER() OVER (PARTITION BY layer ORDER BY node_id) - 1 AS DOUBLE) AS y
+              |FROM vertices ORDER BY layer, node_id""".stripMargin)),
+
+    QueryDef("g12_barycenter_layout",
+      (s, dir) => VizData.bipartiteOrderedLayout(graph(s, dir), "nation", "customer")
+        .select(col("layer"), col("nodeId").as("node_id"), col("x"), col("y"))
+        .orderBy("layer", "node_id"),
+      Some(s"""$W, leftL AS (
+              | SELECT node_id, 0.0 AS x,
+              |  CAST(ROW_NUMBER() OVER (ORDER BY node_id) - 1 AS DOUBLE) AS y
+              | FROM vertices WHERE layer = 'nation'),
+              | bary AS (
+              |  SELECT e.source_id AS cid, AVG(l.y) AS b
+              |  FROM edges e JOIN leftL l ON e.target_id = l.node_id
+              |  WHERE e.relation = 'cust_nation' GROUP BY e.source_id),
+              | rightL AS (
+              |  SELECT v.node_id, 1.0 AS x,
+              |   CAST(ROW_NUMBER() OVER (ORDER BY COALESCE(b.b, 1e308), v.node_id) - 1 AS DOUBLE) AS y
+              |  FROM vertices v LEFT JOIN bary b ON v.node_id = b.cid
+              |  WHERE v.layer = 'customer')
+              |SELECT 'nation' AS layer, node_id, x, y FROM leftL
+              |UNION ALL SELECT 'customer', node_id, x, y FROM rightL
+              |ORDER BY layer, node_id""".stripMargin)),
+
+    QueryDef("g13_prop_to_size",
+      (s, dir) => VizData.propToSize(
+          graph(s, dir).vertices.filter(col("layer") === "customer"),
+          "acctbal", 1.0, 10.0)
+        .select(col("nodeId").as("node_id"),
+          col("acctbal_size").as("size"))
+        .orderBy("node_id"),
+      Some("""SELECT CAST(c_custkey AS VARCHAR) AS node_id,
+             | 1.0 + (c_acctbal - mn) / (mx - mn) * 9.0 AS size
+             |FROM customer,
+             | (SELECT MIN(c_acctbal) AS mn, MAX(c_acctbal) AS mx FROM customer)
+             |ORDER BY node_id""".stripMargin)),
+
+    QueryDef("g14_color_continuous",
+      (s, dir) => VizData.colorContinuous(
+          graph(s, dir).vertices.filter(col("layer") === "customer"),
+          "acctbal", zeroCentred = true)
+        .select(col("nodeId").as("node_id"),
+          col("acctbal_color_val").as("color_val"))
+        .orderBy("node_id"),
+      Some("""SELECT CAST(c_custkey AS VARCHAR) AS node_id,
+             | (c_acctbal + m) / (2 * m) AS color_val
+             |FROM customer,
+             | (SELECT GREATEST(ABS(MIN(c_acctbal)), ABS(MAX(c_acctbal))) AS m
+             |  FROM customer)
+             |ORDER BY node_id""".stripMargin)),
+
+    QueryDef("g15_labels_codes",
+      (s, dir) => {
+        val cust = PropertyOps.withNodeLabels(
+          graph(s, dir).viewLayers(Seq("customer"))).vertices
+        PropertyOps.encodeCategorical(cust, "segment")
+          .select(col("nodeId").as("node_id"), col("label"),
+            col("segment"), col("segment_code").cast("long").as("segment_code"))
+          .orderBy("node_id")
+      },
+      Some("""SELECT CAST(c_custkey AS VARCHAR) AS node_id,
+             | 'customer:' || CAST(c_custkey AS VARCHAR) AS label,
+             | c_mktsegment AS segment,
+             | CAST(DENSE_RANK() OVER (ORDER BY c_mktsegment) - 1 AS BIGINT) AS segment_code
+             |FROM customer ORDER BY node_id""".stripMargin)),
+
+    // --------------------------------------------------- LLM-pipeline ext
+    QueryDef("x01_dedup_exact",
+      (s, dir) => Dedup.exact(t(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS canonical_id,
+             | doc_id <> MIN(doc_id) OVER (PARTITION BY text) AS is_duplicate
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("x02_token_stats",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextOps.bpeTokenEstimate(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             | CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             | CAST(GREATEST(CEIL(LENGTH(text) / 4.0), 0) AS BIGINT) AS bpe_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("x04_quality",
+      (s, dir) => TextOps.qualityFeatures(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("mean_token_len"),
+          col("stopword_ratio"), col("quality_score"))
+        .orderBy("doc_id"),
+      // Raw (unrounded) doubles: both engines evaluate the identical
+      // expression tree over identical inputs -> bit-identical output.
+      Some("""WITH f AS (SELECT doc_id,
+             |  string_split_regex(trim(text), '\s+') AS t, LENGTH(text) AS nc
+             | FROM documents),
+             | g AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             |  (nc + 1.0) / (len(t) + 1.0) AS mtl,
+             |  len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','that','it','for')))
+             |    / GREATEST(CAST(len(t) AS DOUBLE), 1.0) AS sr
+             | FROM f)
+             |SELECT doc_id, n_tokens, mtl AS mean_token_len,
+             | sr AS stopword_ratio,
+             | LEAST(1.0, n_tokens / 50.0) * 0.4
+             |  + CASE WHEN mtl BETWEEN 3.0 AND 12.0 THEN 0.3 ELSE 0.0 END
+             |  + LEAST(sr * 3.0, 1.0) * 0.3 AS quality_score
+             |FROM g ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("x05_fingerprint",
+      (s, dir) => TextOps.fingerprint(t(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, text,
+             |  string_split_regex(trim(text), '\s+') AS tk FROM documents)
+             |SELECT doc_id, md5(text) AS content_md5,
+             | list_min(list_transform(
+             |   list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+             |     for i in generate_series(1, len(tk) - 2)]),
+             |   x -> md5(x))) AS min_shingle_md5,
+             | CAST(len(tk) AS BIGINT) AS n_tokens
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("x06_ngram_jaccard",
+      // Blocking on (lang, token count) bounds the per-block pair
+      // count — lang alone goes quadratic in the corpus (near-dups
+      // share both attributes, so recall for dedup is preserved).
+      (s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"),
+          blockKey = concat_ws("|", col("lang"),
+            size(split(trim(col("text")), "\\s+"))),
+          minJaccard = 0.3, w = 3)
+        .select(col("a"), col("b"), col("jaccard"))
+        .orderBy("a", "b"),
+      Some("""WITH toks AS (SELECT doc_id, lang,
+             |  string_split_regex(trim(text), '\s+') AS tk FROM documents),
+             | sh AS (SELECT doc_id, lang || '|' || len(tk) AS blk,
+             |  list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+             |    for i in generate_series(1, len(tk) - 2)]) AS s
+             | FROM toks),
+             | j AS (SELECT l.doc_id AS a, r.doc_id AS b,
+             |  CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
+             |   / (len(l.s) + len(r.s) - len(list_intersect(l.s, r.s))) AS jaccard
+             | FROM sh l JOIN sh r ON l.blk = r.blk AND l.doc_id < r.doc_id)
+             |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.3
+             |ORDER BY a, b""".stripMargin)),
+
+    QueryDef("x07_minhash_lsh",
+      (s, dir) => Dedup.minhashLsh(t(s, dir, "documents"), threshold = 0.7)
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("a", "b"),
+      None), // xxhash64 seeds not reproducible in DuckDB -> rows-only check
+
+    QueryDef("x08_simhash",
+      (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), maxDist = 16)
+        .orderBy("a", "b"),
+      None),
+
+    QueryDef("x09_sim_bruteforce",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 4).as("cosine"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+             |  FROM embeddings WHERE vec_id < 5),
+             | scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+             |   list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS cos
+             |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+             | ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |   ORDER BY cos DESC, neighbor_id) AS INT) AS rank FROM scored)
+             |SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine, rank
+             |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    QueryDef("x10_sim_lsh",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), 10)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 4).as("cosine"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    QueryDef("x12_multimodal",
+      (s, dir) => Multimodal.decodeStub(
+          Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"))
+        .select(col("media_id"), col("n_bytes"),
+          size(col("features")).cast("long").as("n_features"))
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id,
+             | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+             | CAST(16 AS BIGINT) AS n_features
+             |FROM documents ORDER BY media_id""".stripMargin))
+  )
+
+  // ============================================================= contract
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    defs.head.fn(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map(d => d.name -> d.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    defs.collect { case QueryDef(n, _, Some(sql)) => n -> sql }.toMap
 }

@@ -1,0 +1,102 @@
+package graft.algos
+
+import graft.model.OnionGraph
+import org.apache.spark.graphx.{Edge, Graph, VertexId, PartitionStrategy}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * GraphX projection of an [[OnionGraph]] and the Pregel kernels for the
+ * analytical queries (BASELINE.json north star: "GraphX for analytics
+ * queries").
+ *
+ * `vid = xxhash64(layer,nodeId)` is already a `Long`, so it plugs
+ * straight into GraphX's `VertexId`. Edges are partitioned with
+ * `EdgePartition2D` — bounds replication at sqrt(numParts) even under
+ * the star schema's heavy skew (one region vertex touching every
+ * nation; SURVEY §7.4).
+ *
+ * Each kernel returns a DataFrame keyed by `vid` so results compose
+ * with the relational layer (and with the DuckDB-oracle relabeling in
+ * [[Traversals]]).
+ */
+object GraphOps {
+
+  def toGraphX(g: OnionGraph): Graph[Unit, Double] = {
+    val vs: RDD[(VertexId, Unit)] =
+      g.vertices.select("vid").rdd.map(r => (r.getLong(0), ()))
+    val es: RDD[Edge[Double]] = g.edges.select("src", "dst").rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1.0))
+    Graph(vs, es).partitionBy(PartitionStrategy.EdgePartition2D)
+  }
+
+  /** Pregel BFS: hop distance from the seed set, following edge
+    * direction; `maxIterations` bounds the search like the reference's
+    * `max_dist` (`searcher.py:208`). Returns (vid, dist). */
+  def pregelBfs(g: OnionGraph, seedVids: Set[Long], maxDist: Int): DataFrame = {
+    val spark = g.spark
+    val gx = toGraphX(g)
+    val init = gx.mapVertices((id, _) =>
+      if (seedVids.contains(id)) 0 else Int.MaxValue)
+    val iters = if (maxDist < 0) Int.MaxValue else maxDist
+    val res = init.pregel(Int.MaxValue, iters)(
+      (_, d, msg) => math.min(d, msg),
+      t => if (t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr)
+             Iterator((t.dstId, t.srcAttr + 1)) else Iterator.empty,
+      (a, b) => math.min(a, b))
+    spark.createDataFrame(
+      res.vertices.filter(_._2 != Int.MaxValue).map(v => Row(v._1, v._2)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vid",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("dist",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+  }
+
+  /** Weakly connected components (GraphX label propagation to min vid;
+    * deterministic because vid is a deterministic hash). Returns
+    * (vid, compVid). */
+  def connectedComponents(g: OnionGraph): DataFrame = {
+    val spark = g.spark
+    val cc = toGraphX(g).connectedComponents()
+    spark.createDataFrame(
+      cc.vertices.map(v => Row(v._1, v._2)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vid",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("compVid",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** Strongly connected components — the reference's DEFAULT for
+    * `view_components` (`searcher.py:284-295`). Iteration-bounded and
+    * shuffle-heavy; fine at test scale, flagged for 100 TB
+    * (SURVEY §7.4 — weak components are the cheap path). */
+  def stronglyConnectedComponents(g: OnionGraph, numIter: Int = 20): DataFrame = {
+    val spark = g.spark
+    val scc = toGraphX(g).stronglyConnectedComponents(numIter)
+    spark.createDataFrame(
+      scc.vertices.map(v => Row(v._1, v._2)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vid",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("compVid",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** PageRank over the multi-layer graph (the reference's README cites
+    * pagerank speed as its raison d'être; exposed as a first-class
+    * analytical kernel). Returns (vid, rank). */
+  def pageRank(g: OnionGraph, tol: Double = 1e-4, resetProb: Double = 0.15): DataFrame = {
+    val spark = g.spark
+    val pr = toGraphX(g).pageRank(tol, resetProb)
+    spark.createDataFrame(
+      pr.vertices.map(v => Row(v._1, v._2)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vid",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+  }
+}

@@ -1,0 +1,168 @@
+package graft.algos
+
+import graft.model.OnionGraph
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Iterative graph traversals as DataFrame frontier loops.
+ *
+ * Re-expresses `searcher.search` (`searcher.py:157-242`),
+ * `_bfs_traversal` (`searcher.py:119-155`) and `compute_on_shortest`
+ * (`searcher.py:26-117`). The reference calls graph-tool's C++ BFS;
+ * here each BFS round is one shuffle (frontier ⋈ edges, map-side
+ * combined `min`), bounded by `maxDist` — exactly the reference's
+ * search-space pruning (`searcher.py:208`). `localCheckpoint` every
+ * few rounds keeps lineage bounded for deep traversals (SURVEY §7.4).
+ *
+ * GraphX Pregel equivalents live in [[GraphOps]]; these DataFrame
+ * forms are the DuckDB-oracle-comparable path and are also what a
+ * 100 TB run would use when the frontier stays FAR smaller than the
+ * graph (semi-join pruning + AQE pick broadcast for small frontiers).
+ */
+object Traversals {
+
+  sealed trait Direction
+  case object Downstream extends Direction
+  case object Upstream extends Direction
+  case object Bi extends Direction
+
+  private val CheckpointEvery = 5
+
+  /** BFS hop distances from seed vertices, following src->dst
+    * (downstream). Returns (vid, dist). Seeds get dist 0.
+    * maxDist < 0 means unbounded (reachability closure, T2). */
+  def bfsFrom(edges: DataFrame, seeds: DataFrame, maxDist: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    var visited = seeds.select(col("vid")).distinct()
+      .withColumn("dist", lit(0)).localCheckpoint(false)
+    var frontier = visited
+    var depth = 0
+    var done = false
+    while (!done && (maxDist < 0 || depth < maxDist)) {
+      depth += 1
+      val next = e.join(frontier.withColumnRenamed("vid", "src"), Seq("src"))
+        .select(col("dst").as("vid")).distinct()
+        .join(visited.select("vid"), Seq("vid"), "left_anti")
+        .withColumn("dist", lit(depth))
+      val mat = if (depth % CheckpointEvery == 0) next.localCheckpoint(false)
+                else next
+      val n = mat.count()
+      if (n == 0) done = true
+      else {
+        frontier = mat.localCheckpoint(false)
+        visited = visited.unionByName(frontier).localCheckpoint(false)
+      }
+    }
+    visited
+  }
+
+  /** `search` (T1): k-hop ego net distances from one (layer, nodeId)
+    * seed. Returns (vid, dist) where dist = min hops in the requested
+    * direction; `Bi` unions the downstream and upstream reached sets,
+    * keeping the smaller dist (`searcher.py:222-223`).
+    * `includeUpstreamChildren` adds direct out-neighbors of every
+    * upstream-reached vertex at dist+1 (`searcher.py:212-216`). */
+  def search(g: OnionGraph, layer: String, nodeId: String, maxDist: Int,
+             direction: Direction = Downstream,
+             includeUpstreamChildren: Boolean = false): DataFrame = {
+    val seed = g.vertices.filter(col("layer") === layer && col("nodeId") === nodeId)
+      .select("vid")
+    def up = {
+      val base = bfsFrom(g.reverse.edges, seed, maxDist)
+      if (!includeUpstreamChildren) base
+      else {
+        val children = g.edges
+          .join(base.withColumnRenamed("vid", "src"), Seq("src"))
+          .select(col("dst").as("vid"), (col("dist") + 1).as("dist"))
+        base.unionByName(children)
+          .groupBy("vid").agg(min("dist").as("dist"))
+      }
+    }
+    direction match {
+      case Downstream => bfsFrom(g.edges, seed, maxDist)
+      case Upstream => up
+      case Bi =>
+        bfsFrom(g.edges, seed, maxDist).unionByName(up)
+          .groupBy("vid").agg(min("dist").as("dist"))
+    }
+  }
+
+  /** Ego-net subgraph: vertices reached by [[search]] + induced edges
+    * (graph-tool GraphView at `searcher.py:232`). */
+  def egoNet(g: OnionGraph, layer: String, nodeId: String, maxDist: Int,
+             direction: Direction = Downstream): OnionGraph = {
+    val reached = search(g, layer, nodeId, maxDist, direction)
+    val vs = g.vertices.join(reached, Seq("vid"))
+    OnionGraph(vs, OnionGraph.inducedEdges(vs, g.edges))
+  }
+
+  /** `compute_on_shortest` (T3): vertices lying on SOME shortest
+    * (unweighted) path from `source` to ANY of `targets`. Forward BFS
+    * from the source + one multi-source backward BFS initialized at
+    * dist 0 on all targets — the reference builds the same multi-source
+    * pass with a weight-0 super-source (`searcher.py:72-88`). Keeps v
+    * where fwd(v)+bwd(v) ∈ { fwd(t) : t ∈ targets }
+    * (`searcher.py:90-103`). Returns (vid, on_shortest: boolean). */
+  def onShortestPath(g: OnionGraph, source: Column, targets: Column): DataFrame = {
+    val srcSeed = g.vertices.filter(source).select("vid")
+    val tgtSeed = g.vertices.filter(targets).select("vid")
+    val fwd = bfsFrom(g.edges, srcSeed, -1).withColumnRenamed("dist", "fwd")
+    val bwd = bfsFrom(g.reverse.edges, tgtSeed, -1).withColumnRenamed("dist", "bwd")
+    val targetDists = fwd.join(tgtSeed, Seq("vid"), "left_semi")
+      .select(col("fwd").as("td")).distinct()
+    g.vertices.select("vid")
+      .join(fwd, Seq("vid"), "left").join(bwd, Seq("vid"), "left")
+      .join(targetDists.withColumnRenamed("td", "total"),
+        col("fwd") + col("bwd") === col("total"), "left_semi")
+      .select(col("vid"), lit(true).as("on_shortest"))
+  }
+
+  /** `view_components` weak variant (T4): connected components of the
+    * symmetrized graph via min-label propagation; labels are
+    * RELABELED to the lexicographic min "layer:nodeId" of each
+    * component, so output is deterministic and oracle-comparable
+    * (SURVEY §7.4 determinism note). Returns
+    * (vid, component: string). Size thresholding
+    * (`searcher.py:296-297`) composes on top via groupBy. */
+  def weakComponents(g: OnionGraph): DataFrame = {
+    val e = g.symmetrize.edges.select("src", "dst").localCheckpoint(false)
+    var labels = g.vertices
+      .select(col("vid"), concat_ws(":", col("layer"), col("nodeId")).as("comp"))
+      .localCheckpoint(false)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0) {
+      iter += 1
+      val nbrMin = e.join(labels.withColumnRenamed("vid", "src"), Seq("src"))
+        .groupBy(col("dst").as("vid")).agg(min("comp").as("nbrComp"))
+      val updated = labels.join(nbrMin, Seq("vid"), "left")
+        .select(col("vid"), col("comp"),
+          when(col("nbrComp").isNotNull && col("nbrComp") < col("comp"),
+            col("nbrComp")).otherwise(col("comp")).as("newComp"))
+        .localCheckpoint(false)
+      changed = updated.filter(col("newComp") =!= col("comp")).count()
+      labels = updated.select(col("vid"), col("newComp").as("comp"))
+        .localCheckpoint(false)
+    }
+    labels
+  }
+
+  /** Component-size histogram with threshold — the reference's one
+    * true group-by aggregation (`searcher.py:296-297`). */
+  def componentSizes(g: OnionGraph, minSize: Long = 1): DataFrame =
+    weakComponents(g).groupBy("comp").agg(count(lit(1)).as("size"))
+      .filter(col("size") >= minSize)
+
+  /** Depth-scaled sizes (V(T5), `visualisation.py:273-308`): undirected
+    * BFS depth from a root, linearly interpolated into [minS, maxS]. */
+  def depthScaledSizes(g: OnionGraph, layer: String, nodeId: String,
+                       minS: Double, maxS: Double): DataFrame = {
+    val seed = g.vertices.filter(col("layer") === layer && col("nodeId") === nodeId)
+      .select("vid")
+    val depths = bfsFrom(g.symmetrize.edges, seed, -1)
+    val maxDepth = depths.agg(max("dist")).head.getInt(0).max(1)
+    depths.withColumn("size",
+      lit(maxS) - lit(maxS - minS) * col("dist") / lit(maxDepth.toDouble))
+  }
+}

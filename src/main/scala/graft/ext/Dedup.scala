@@ -1,0 +1,136 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication for training-data pipelines (north-star
+ * extension X1; not in the reference — BASELINE.json mandates it).
+ *
+ * Scale design: every variant is a groupBy/self-join on a SMALL
+ * derived key (hash, band bucket), never on raw text; candidate
+ * generation is strictly blocked so the pairwise verification join
+ * never goes quadratic in the corpus. All column math is built-in
+ * higher-order functions — codegen'd, no UDFs.
+ */
+object Dedup {
+
+  /** Tokenize on whitespace runs. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** w-token shingles (w consecutive tokens joined by one space),
+    * distinct per document. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val t = tokens(text)
+    // short docs -> empty shingle set (guard: ANSI element_at rejects
+    // out-of-range indices)
+    when(size(t) < w, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(t) - w),
+        i => concat_ws(" ", (0 until w).map(o => element_at(t, i + o + 1)): _*))))
+  }
+
+  /** Exact dedup: canonical = min doc_id per identical text (hash
+    * groupBy; at 100 TB, group on xxhash64(text) so the shuffle key is
+    * 8 bytes, then verify text equality inside the group). Returns
+    * (doc_id, canonical_id, is_duplicate). */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(xxhash64(col(textCol)), col(textCol))
+    docs.select(col(idCol), col(textCol))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("is_duplicate", col(idCol) =!= col("canonical_id"))
+      .select(col(idCol), col("canonical_id"), col("is_duplicate"))
+  }
+
+  /** MinHash signature: k minima of seeded xxhash64 over the shingle
+    * set. One pass per seed over the shingle array — all codegen'd. */
+  def minhashSignature(text: Column, k: Int = 32, w: Int = 3): Column = {
+    val sh = shingles(text, w)
+    array((0 until k).map(s =>
+      array_min(transform(sh, x => xxhash64(x, lit(s))))): _*)
+  }
+
+  /** MinHash + LSH near-dup candidates: signatures banded into
+    * `bands` buckets; docs sharing any (band, bandHash) bucket are
+    * candidates; candidates verified with exact shingle Jaccard.
+    * Returns (a, b, jaccard) pairs with a < b and jaccard >= threshold.
+    *
+    * Scale path: the band-bucket groupBy shuffles only
+    * (doc_id, 8-byte hash) pairs; the verification join re-reads text
+    * for candidate pairs only. */
+  def minhashLsh(docs: DataFrame, threshold: Double = 0.7, k: Int = 32,
+                 bands: Int = 8, w: Int = 3, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val r = k / bands
+    val sig = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sig", minhashSignature(col("text"), k, w))
+    val banded = sig.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(concat_ws(",", (0 until r).map(i =>
+          element_at(col("sig"), b * r + i + 1)): _*))): _*))
+        .as(Seq("band", "bandHash")))
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.bandHash") === col("r.bandHash") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), w).as("sh"))
+    cand
+      .join(sh.select(col("id").as("a"), col("sh").as("shA")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("sh").as("shB")), Seq("b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("shA"), col("shB"))).cast("double") /
+        size(array_union(col("shA"), col("shB"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** SimHash: 64-bit locality-sensitive fingerprint. Per token the
+    * xxhash64 bits vote +1/-1 per position; sign of the sum forms the
+    * fingerprint. Expressed as 64 aggregate-HOF bit sums — heavier
+    * than a custom Expression but still codegen'd; near-dup = Hamming
+    * distance via bit_count(a ^ b). */
+  def simhash(text: Column): Column = {
+    val t = tokens(text)
+    val hashed = transform(t, x => xxhash64(x))
+    val bits = (0 until 64).map { i =>
+      val votes = aggregate(hashed, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup pairs within Hamming distance `maxDist`,
+    * blocked by the top `blockBits` bits of the fingerprint (docs in
+    * different blocks are never compared — bounded candidate sets). */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3, blockBits: Int = 8,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fp = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+      .withColumn("block", shiftrightunsigned(col("fp"), 64 - blockBits))
+    fp.as("l").join(fp.as("r"),
+        col("l.block") === col("r.block") && col("l.id") < col("r.id"))
+      .withColumn("hamming", bit_count(col("l.fp").bitwiseXOR(col("r.fp"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("l.id").as("a"), col("r.id").as("b"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs within a blocking
+    * key (never unblocked — the cross join is per-block). */
+  def ngramJaccard(docs: DataFrame, blockKey: Column, minJaccard: Double,
+                   w: Int = 3, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), blockKey.as("blk"),
+      shingles(col(textCol), w).as("sh"))
+    sh.as("l").join(sh.as("r"),
+        col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
+        size(array_union(col("l.sh"), col("r.sh"))))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("l.id").as("a"), col("r.id").as("b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (north-star extension
+ * X2). Vectors are `array<float>`; all math is done in double via
+ * higher-order functions (`zip_with` + `aggregate`), fully codegen'd.
+ *
+ * Scale path: brute force is the exactness baseline (query set must be
+ * broadcast-small); the LSH variant buckets the corpus by random
+ * hyperplane signs so each query probes one bucket — candidate count
+ * drops by ~2^planes while recall stays high for near neighbors.
+ */
+object Similarity {
+
+  private def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), _ * _), lit(0.0), _ + _)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(asDouble(a), x => x * x), lit(0.0), _ + _))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force exact top-k neighbors for each query vector.
+    * `queries` must be broadcast-small (it is sent to every corpus
+    * partition); ranking is per-query window with deterministic
+    * tie-break on neighbor id. Returns
+    * (query_id, neighbor_id, cosine, rank). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p,
+    * dim i): xxhash64 mapped to {-1,+1}. No stored model needed —
+    * both sides of any join recompute identically. */
+  private def planeSign(p: Int, i: Column): Column =
+    when(pmod(xxhash64(lit(p), i), lit(2)) === 0, 1.0).otherwise(-1.0)
+
+  /** Sign-LSH bucket id from `planes` random hyperplanes. */
+  def lshBucket(vec: Column, planes: Int): Column = {
+    val d = asDouble(vec)
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(zip_with(d, sequence(lit(1), size(vec)),
+        (x, i) => x * planeSign(p, i)), lit(0.0), _ + _)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k: corpus pre-bucketed by sign-LSH; each query
+    * only scores its own bucket. At 100 TB the bucketed corpus is
+    * written partitioned by bucket so a query probes one partition. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 6,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec"), lshBucket(col(vecCol), planes).as("bucket")))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** IVF-style variant: corpus assigned to nearest of `centroids`
+    * (a small broadcast DataFrame of (centroid_id, cvec)); queries
+    * probe their `nprobe` nearest centroids' cells only. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+              k: Int, nprobe: Int = 2, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val cent = broadcast(centroids.select(col("centroid_id"),
+      col(vecCol).as("centvec")))
+    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(id).orderBy(col("cdist"), col("centroid_id"))
+      df.join(cent, expr("true"))
+        .withColumn("cdist", -dot(col(vec), col("centvec")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .drop("centvec", "cdist", "crank")
+    }
+    val c = assign(corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cvec")), "neighbor_id", "cvec", 1)
+    val q = assign(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec")), "query_id", "qvec", nprobe)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    q.join(c, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text analysis over a document corpus (north-star extension X3):
+ * language-ID heuristic, quality scoring, token counting, document
+ * fingerprinting. Pure column math (split / HOFs / md5) so every
+ * operator is codegen'd and DuckDB-oracle-expressible.
+ */
+object TextOps {
+
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-token estimate: whitespace tokens + extra splits at
+    * letter/digit and case boundaries approximated by ceil(chars/4) —
+    * the standard ~4-chars-per-token heuristic, as a codegen'd column. */
+  def bpeTokenEstimate(text: Column): Column =
+    greatest(ceil(length(text) / 4.0).cast("long"), lit(0L))
+
+  /** Tiny per-language stopword lists for the n-gram/stopword
+    * language-ID heuristic. Deterministic, public common words. */
+  val StopwordLists: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "ein"))
+
+  /** Count how many array elements belong to a fixed small vocabulary. */
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Language-ID: argmax of stopword hit counts across languages;
+    * ties and zero hits fall back to "und" (undetermined). */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val scored = StopwordLists.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(hits(t, words).as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** Quality score in [0,1]: blend of length sanity, alpha ratio and
+    * stopword density — the standard cheap pre-filter for LLM corpora. */
+  def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val t = tokens(text)
+    val nTok = size(t).cast("double")
+    val meanTokLen = (length(text).cast("double") + 1.0) / (nTok + 1.0)
+    val stopRatio = hits(t, StopwordLists("en")).cast("double") / greatest(nTok, lit(1.0))
+    df.withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("n_chars_m", length(text).cast("long"))
+      .withColumn("mean_token_len", meanTokLen)
+      .withColumn("stopword_ratio", stopRatio)
+      .withColumn("quality_score",
+        least(lit(1.0), nTok / lit(50.0)) * lit(0.4)
+          + when(meanTokLen.between(3.0, 12.0), 0.3).otherwise(0.0)
+          + least(stopRatio * 3.0, lit(1.0)) * lit(0.3))
+  }
+
+  /** Document fingerprints: full-content md5 + winnowing-style minimum
+    * shingle fingerprint (lexicographic min of shingle md5s — a
+    * deterministic rolling-hash stand-in both Spark and any ANSI SQL
+    * engine compute identically). */
+  def fingerprint(df: DataFrame, w: Int = 3, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val sh = Dedup.shingles(col(textCol), w)
+    df.select(col(idCol),
+      md5(col(textCol)).as("content_md5"),
+      array_min(transform(sh, x => md5(x))).as("min_shingle_md5"),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Structured Streaming surface over the `events` table (extension —
+ * the reference is fully batch, SURVEY §2.7). Every transform is
+ * defined once on a DataFrame so the SAME code serves batch (DuckDB-
+ * checkable) and streaming (readStream) inputs; tests drive both and
+ * assert they agree.
+ */
+object EventStreams {
+
+  /** Read the events table. The driver's parquet carries
+    * TIMESTAMP(NANOS) which Spark's vectorized reader rejects; read
+    * nanos as long (legacy conf) and convert to micros precision. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Tumbling-window aggregate per event type: count + value sum.
+    * Emits the window start as an epoch-aligned timestamp string so
+    * batch output hashes identically across engines. */
+  def tumblingAgg(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events.groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(38,6)")).cast("double").as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Sliding-window per-user activity (rate-style metric). */
+  def slidingUserCounts(events: DataFrame, width: String = "1 hour",
+                        slide: String = "30 minutes"): DataFrame =
+    events.groupBy(window(col("ts"), width, slide).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("user_id"), col("n_events"))
+
+  /** JSON props extraction (the `events.props` column is a JSON blob). */
+  def withProps(events: DataFrame, key: String = "k"): DataFrame =
+    events.withColumn(s"prop_$key",
+      get_json_object(col("props"), s"$$.$key").cast("long"))
+
+  /** Streaming entry: same aggregations with a watermark for state
+    * cleanup / late-data handling. Caller picks sink + output mode. */
+  def streamTumblingAgg(spark: SparkSession, path: String,
+                        watermark: String = "10 minutes",
+                        width: String = "1 hour"): DataFrame = {
+    val src = spark.readStream.schema(eventSchema).parquet(path)
+    tumblingAgg(src.withWatermark("ts", watermark), width)
+  }
+
+  /** Stream dedup by event_id within the watermark horizon —
+    * exactly-once-style ingestion hygiene at scale. */
+  def streamDedup(spark: SparkSession, path: String,
+                  watermark: String = "10 minutes"): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(path)
+      .withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+}

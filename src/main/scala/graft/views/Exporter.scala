@@ -1,0 +1,43 @@
+package graft.views
+
+import graft.model.OnionGraph
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * S4 `export_info` (`exporter.py:13-98`): materialize the vertex or
+ * edge table with all or selected property columns. The reference
+ * loops per-item into pandas; here it's a projection — the "action"
+ * (collect / write / toJSON) is the caller's choice, mirroring the
+ * reference's `return_type` variants.
+ */
+object Exporter {
+
+  /** Vertex export: identity columns + requested props (all non-key
+    * columns when `props` is empty). */
+  def vertexInfo(g: OnionGraph, props: Seq[String] = Nil): DataFrame = {
+    val keep =
+      if (props.nonEmpty) props
+      else g.vertices.columns.toSeq.filterNot(Set("vid", "layer", "nodeId"))
+    g.vertices.select((Seq("vid", "layer", "nodeId") ++ keep).map(col): _*)
+  }
+
+  /** Edge export: (source, target) endpoint identities + props
+    * (the reference emits `(e_id, source, target)` tuples,
+    * `exporter.py:70-87`; a stable synthetic e_id is derivable as
+    * xxhash64(src,dst) when callers need one). */
+  def edgeInfo(g: OnionGraph, props: Seq[String] = Nil): DataFrame = {
+    val keep =
+      if (props.nonEmpty) props
+      else g.edges.columns.toSeq
+        .filterNot(Set("src", "dst", "srcLayer", "srcId", "dstLayer", "dstId"))
+    g.edges.select((Seq("src", "dst", "srcLayer", "srcId", "dstLayer", "dstId")
+      ++ keep).map(col): _*)
+  }
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+}

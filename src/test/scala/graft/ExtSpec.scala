@@ -1,0 +1,103 @@
+package graft
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** X1-X4 LLM-pipeline extensions: dedup, similarity, text, multimodal. */
+class ExtSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en"),
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),  // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat", "en"),  // near dup
+    (3L, "completely different words entirely here now", "en"),
+    (4L, "el perro come la comida de la casa", "es"))
+    .toDF("doc_id", "text", "lang")
+
+  test("exact dedup: canonical = min doc_id per text (X1)") {
+    val out = Dedup.exact(docs)
+      .as[(Long, Long, Boolean)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out(0L) == (0L, false) && out(1L) == (0L, true))
+    assert(out(2L) == (2L, false))
+  }
+
+  test("shingling produces distinct w-grams") {
+    val sh = docs.filter($"doc_id" === 0)
+      .select(Dedup.shingles($"text", 3).as("sh"))
+      .as[Seq[String]].head()
+    assert(sh.contains("the quick brown") && sh.contains("the lazy dog"))
+    assert(sh.length == 7)
+  }
+
+  test("minhash LSH finds exact and near dups, not distinct docs (X1)") {
+    val pairs = Dedup.minhashLsh(docs, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))   // identical -> jaccard 1
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical fingerprints for identical docs, near for near") {
+    val fp = docs.select($"doc_id", Dedup.simhash($"text").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(0L) == fp(1L))
+    assert(java.lang.Long.bitCount(fp(0L) ^ fp(2L)) <
+      java.lang.Long.bitCount(fp(0L) ^ fp(3L)))
+  }
+
+  test("ngram jaccard within block (X1)") {
+    val out = Dedup.ngramJaccard(docs, col("lang"), 0.5, w = 1)
+      .as[(Long, Long, Double)].collect()
+    val m = out.map(t => (t._1, t._2) -> t._3).toMap
+    assert(m((0L, 1L)) == 1.0)
+    assert(m.contains((0L, 2L)) && m((0L, 2L)) > 0.7)
+    assert(!m.contains((0L, 4L))) // different lang block
+  }
+
+  test("cosine brute force: identical vector ranks first (X2)") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)), (3L, Array(0.9f, 0.1f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 0), 3)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
+    assert(top.find(_._2 == 1).map(_._1).contains(1L))
+    assert(top.find(_._2 == 3).map(_._1).contains(2L))
+  }
+
+  test("LSH topK candidates are a subset of brute-force universe (X2)") {
+    val emb = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 7.0 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(emb, emb.filter($"vec_id" < 2), 5, planes = 2)
+    val byQ = out.select("query_id", "rank").as[(Long, Int)].collect()
+    assert(byQ.nonEmpty && byQ.forall(_._2 <= 5))
+  }
+
+  test("langId picks stopword-majority language, und on no hits (X3)") {
+    val out = docs.select($"doc_id", TextOps.langId($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(0L) == "en" && out(4L) == "es")
+    assert(out(3L) == "und" || out(3L) == "en") // no strong signal doc
+  }
+
+  test("fingerprint: md5 + min shingle md5 are deterministic (X3)") {
+    val a = TextOps.fingerprint(docs).orderBy("doc_id").collect()
+    val b = TextOps.fingerprint(docs.orderBy(rand(3))).orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+    assert(a.head.getString(1).length == 32)
+  }
+
+  test("multimodal stub pipeline: schema + deterministic features (X4)") {
+    val media = Multimodal.fromText(docs, "doc_id", "text")
+    assert(media.schema.fieldNames.toSeq ==
+      Multimodal.mediaSchema.fieldNames.toSeq)
+    val feats = Multimodal.decodeStub(media, dim = 8)
+    val r = feats.filter($"media_id" === 0).head
+    assert(r.getLong(1) == "the quick brown fox jumps over the lazy dog".length)
+    val fs = r.getSeq[Double](2)
+    assert(fs.length == 8 && math.abs(fs.sum - 1.0) < 1e-9)
+    val frames = Multimodal.frameSampleStub(media, 3)
+    assert(frames.count() == docs.count() * 3)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.algos.{GraphOps, Traversals}
+import graft.builder.OnionBuilder
+import graft.builder.OnionBuilder.GrowOptions
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** GraphX kernels vs the DataFrame traversals: same answers on random
+  * small graphs (SURVEY §5.2 property-based invariants). */
+class GraphOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def randomGraph(seed: Int, n: Int, m: Int) = {
+    val rnd = new Random(seed)
+    val nodes = (0 until n).map(i => (i.toString, s"L${i % 3}")).toDF("node_id", "layer")
+    val edges = (0 until m).map { _ =>
+      val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+      (a.toString, s"L${a % 3}", b.toString, s"L${b % 3}")
+    }.toDF("source_id", "source_layer", "target_id", "target_layer")
+    OnionBuilder.grow(nodes, edges, GrowOptions())
+  }
+
+  test("Pregel BFS == DataFrame BFS on random graphs") {
+    for (seed <- Seq(1, 2, 3)) {
+      val g = randomGraph(seed, 30, 60)
+      val seedVid = g.vertices.orderBy("vid").select("vid").as[Long].head()
+      val seeds = g.vertices.filter(col("vid") === seedVid).select("vid")
+      val df = Traversals.bfsFrom(g.edges, seeds, -1)
+        .as[(Long, Int)].collect().toMap
+      val px = GraphOps.pregelBfs(g, Set(seedVid), -1)
+        .as[(Long, Int)].collect().toMap
+      assert(df == px, s"seed=$seed")
+    }
+  }
+
+  test("GraphX weak components == DataFrame label propagation") {
+    for (seed <- Seq(5, 6)) {
+      val g = randomGraph(seed, 40, 30)
+      val names = g.vertices
+        .select(col("vid"), concat_ws(":", col("layer"), col("nodeId")).as("nm"))
+      val gx = GraphOps.connectedComponents(g)
+        .join(names, Seq("vid"))
+        .select(col("nm"), col("compVid"))
+        .as[(String, Long)].collect().toMap
+      val df = Traversals.weakComponents(g)
+        .join(names, Seq("vid")).select(col("nm"), col("comp"))
+        .as[(String, String)].collect().toMap
+      // same partition of the vertex set (labels differ: vid vs name)
+      val gxGroups = gx.groupBy(_._2).values.map(_.keys.toSet).toSet
+      val dfGroups = df.groupBy(_._2).values.map(_.keys.toSet).toSet
+      assert(gxGroups == dfGroups, s"seed=$seed")
+    }
+  }
+
+  test("BFS dist is monotone along edges (invariant)") {
+    val g = randomGraph(9, 25, 50)
+    val seedVid = g.vertices.orderBy("vid").select("vid").as[Long].head()
+    val d = Traversals.bfsFrom(g.edges, g.vertices.filter(col("vid") === seedVid)
+      .select("vid"), -1)
+    val viol = g.edges.join(d.withColumnRenamed("vid", "src")
+        .withColumnRenamed("dist", "sd"), Seq("src"))
+      .join(d.withColumnRenamed("vid", "dst").withColumnRenamed("dist", "dd"), Seq("dst"))
+      .filter(col("dd") > col("sd") + 1)
+    assert(viol.count() == 0)
+  }
+
+  test("pageRank runs and mass is ~n") {
+    val g = randomGraph(11, 20, 40)
+    val pr = GraphOps.pageRank(g, tol = 1e-3)
+    val mass = pr.agg(sum("rank")).head.getDouble(0)
+    assert(math.abs(mass - g.numVertices.toDouble) / g.numVertices < 0.2)
+  }
+}

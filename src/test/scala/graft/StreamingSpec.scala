@@ -1,0 +1,75 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured Streaming extension: streaming windowed agg must agree
+  * with the batch computation of the same input (SURVEY §5.2 #5). */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+
+  private val events = Seq(
+    (1L, ts(0), 10L, "click", 1.0, """{"k": 1}"""),
+    (2L, ts(5), 10L, "click", 2.0, """{"k": 2}"""),
+    (3L, ts(10), 11L, "view", 3.0, """{"k": 3}"""),
+    (4L, ts(40), 11L, "click", 4.0, """{"k": 4}"""),
+    (5L, ts(59), 12L, "view", 5.0, null))
+
+  test("batch tumbling agg groups by epoch-aligned windows") {
+    val df = events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventStreams.tumblingAgg(df, "30 minutes")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(out == Set(
+      ("2026-01-01 10:00:00", "click", 2L, 3.0),
+      ("2026-01-01 10:00:00", "view", 1L, 3.0),
+      ("2026-01-01 10:30:00", "click", 1L, 4.0),
+      ("2026-01-01 10:30:00", "view", 1L, 5.0)))
+  }
+
+  test("streaming agg over MemoryStream equals batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val sdf = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.tumblingAgg(sdf.withWatermark("ts", "10 minutes"), "30 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("agg_out").start()
+    try {
+      stream.addData(events)
+      q.processAllAvailable()
+      val streamed = spark.table("agg_out")
+        .as[(String, String, Long, Double)].collect().toSet
+      val batch = EventStreams.tumblingAgg(
+          events.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+          "30 minutes")
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("stream dedup drops duplicate event ids within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    val sdf = stream.toDF().toDF("event_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+    val q = sdf.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      stream.addData(Seq((1L, ts(0), 1.0), (1L, ts(1), 1.0), (2L, ts(2), 2.0)))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("json props extraction (get_json_object path)") {
+    val df = events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventStreams.withProps(df, "k")
+      .select("event_id", "prop_k").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).contains(1L) && out(5L).isEmpty)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.builder.OnionBuilder
+import graft.builder.OnionBuilder.GrowOptions
+import graft.algos.Traversals
+import org.apache.spark.sql.functions._
+
+/** T1-T4: BFS / reachability / on-shortest / components semantics
+  * (searcher.py, SURVEY §2.4) on a hand-built two-layer graph:
+  *
+  *   L1: a -> b -> c -> d      (chain)
+  *   L1: e                     (isolated)
+  *   L2: x -> b(L1), c(L1) -> x(L2)   (cross-layer)
+  */
+class TraversalsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val g = {
+    val nodes = Seq(("a", "L1"), ("b", "L1"), ("c", "L1"), ("d", "L1"),
+      ("e", "L1"), ("x", "L2")).toDF("node_id", "layer")
+    val edges = Seq(
+      ("a", "L1", "b", "L1"), ("b", "L1", "c", "L1"), ("c", "L1", "d", "L1"),
+      ("x", "L2", "b", "L1"), ("c", "L1", "x", "L2"))
+      .toDF("source_id", "source_layer", "target_id", "target_layer")
+    OnionBuilder.grow(nodes, edges, GrowOptions())
+  }
+
+  private def distMap(layer: String, id: String, k: Int,
+                      dir: Traversals.Direction): Map[String, Int] =
+    Traversals.search(g, layer, id, k, dir)
+      .join(g.vertices, Seq("vid"))
+      .select(concat_ws(":", col("layer"), col("nodeId")), col("dist"))
+      .as[(String, Int)].collect().toMap
+
+  test("downstream k-hop BFS bounded by maxDist (searcher.py:208)") {
+    assert(distMap("L1", "a", 2, Traversals.Downstream) ==
+      Map("L1:a" -> 0, "L1:b" -> 1, "L1:c" -> 2))
+  }
+
+  test("unbounded downstream reaches closure incl. cross-layer") {
+    assert(distMap("L1", "a", -1, Traversals.Downstream) ==
+      Map("L1:a" -> 0, "L1:b" -> 1, "L1:c" -> 2, "L1:d" -> 3, "L2:x" -> 3))
+  }
+
+  test("upstream follows reversed edges (searcher.py:207)") {
+    assert(distMap("L1", "c", -1, Traversals.Upstream) ==
+      Map("L1:c" -> 0, "L1:b" -> 1, "L1:a" -> 2, "L2:x" -> 2))
+  }
+
+  test("bi direction unions both reaches with min dist (searcher.py:222-223)") {
+    val d = distMap("L1", "c", 1, Traversals.Bi)
+    assert(d == Map("L1:c" -> 0, "L1:b" -> 1, "L1:d" -> 1, "L2:x" -> 1))
+  }
+
+  test("ego net keeps only induced edges (searcher.py:232, F6)") {
+    val ego = Traversals.egoNet(g, "L1", "a", 2, Traversals.Downstream)
+    assert(ego.numVertices == 3) // a,b,c
+    assert(ego.numEdges == 2)    // a->b, b->c (c->d, c->x dropped: d,x outside)
+  }
+
+  test("onShortestPath marks exactly the shortest-chain vertices (searcher.py:26-117)") {
+    val on = Traversals.onShortestPath(g,
+        col("layer") === "L1" && col("nodeId") === "a",
+        col("layer") === "L1" && col("nodeId") === "d")
+      .join(g.vertices, Seq("vid"))
+      .select(col("nodeId")).as[String].collect().toSet
+    assert(on == Set("a", "b", "c", "d")) // x is on a longer a->..->x? x not on any a->d shortest path
+  }
+
+  test("weak components partition vertices; isolated vertex is its own comp") {
+    val comps = Traversals.weakComponents(g)
+      .join(g.vertices, Seq("vid"))
+      .select(concat_ws(":", col("layer"), col("nodeId")), col("comp"))
+      .as[(String, String)].collect().toMap
+    assert(comps.values.toSet.size == 2)
+    assert(comps("L1:e") == "L1:e")             // singleton component
+    assert(comps("L2:x") == comps("L1:a"))      // connected via b/c
+    assert(comps("L1:a") == "L1:a")             // min label in component
+  }
+
+  test("componentSizes honors threshold (searcher.py:296-297)") {
+    val sizes = Traversals.componentSizes(g, minSize = 2)
+      .as[(String, Long)].collect().toMap
+    assert(sizes == Map("L1:a" -> 5L))
+  }
+}

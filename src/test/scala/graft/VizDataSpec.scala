@@ -1,0 +1,82 @@
+package graft
+
+import graft.builder.OnionBuilder
+import graft.builder.OnionBuilder.GrowOptions
+import graft.viz.VizData
+import org.apache.spark.sql.functions._
+
+/** V1-V7 visual-analytics data computations (visualisation.py). */
+class VizDataSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    ("a", "L1", -10.0, "red"), ("b", "L1", 0.0, "blue"),
+    ("c", "L2", 30.0, "red"), ("d", "L2", 10.0, "green"))
+    .toDF("nodeId", "layer", "score", "color")
+
+  test("colorContinuous normalizes min/max to [0,1]") {
+    val out = VizData.colorContinuous(df, "score")
+      .select("nodeId", "score_color_val").as[(String, Double)].collect().toMap
+    assert(out("a") == 0.0 && out("c") == 1.0 && out("b") == 0.25)
+  }
+
+  test("zero-centred normalization is symmetric (visualisation.py:150-153)") {
+    val out = VizData.colorContinuous(df, "score", zeroCentred = true)
+      .select("nodeId", "score_color_val").as[(String, Double)].collect().toMap
+    assert(out("b") == 0.5)                      // 0 maps to centre
+    assert(out("c") == 1.0)                      // +max edge
+    assert(out("a") == (-10.0 + 30.0) / 60.0)
+  }
+
+  test("constant column colors to 0.5, sizes to mi (visualisation.py:776-777)") {
+    val const = Seq(("a", 5.0), ("b", 5.0)).toDF("nodeId", "v")
+    assert(VizData.colorContinuous(const, "v")
+      .select("v_color_val").as[Double].collect().toSet == Set(0.5))
+    assert(VizData.propToSize(const, "v", 2.0, 9.0)
+      .select("v_size").as[Double].collect().toSet == Set(2.0))
+  }
+
+  test("propToSize scales into [mi,ma] with power transform (V7)") {
+    val out = VizData.propToSize(
+        Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("nodeId", "v"),
+        "v", 0.0, 1.0, power = 2.0)
+      .select("nodeId", "v_size").as[(String, Double)].collect().toMap
+    assert(out("a") == 0.0 && out("c") == 1.0)
+    assert(math.abs(out("b") - (4.0 - 1.0) / 8.0) < 1e-12)
+  }
+
+  test("categorical colors cycle a palette deterministically (V1)") {
+    val out = VizData.colorCategorical(df, "color", paletteSize = 2)
+      .select("color", "color_color_idx").distinct()
+      .as[(String, Int)].collect().toMap
+    assert(out == Map("blue" -> 0, "green" -> 1, "red" -> 0)) // codes 0,1,2 mod 2
+  }
+
+  test("boolean coloring / halo flags (V1 bool, V3)") {
+    val flags = df.withColumn("hot", col("score") > 5)
+    val out = VizData.colorBoolean(flags, "hot")
+      .select("nodeId", "hot_color_idx").as[(String, Int)].collect().toMap
+    assert(out == Map("a" -> 1, "b" -> 1, "c" -> 0, "d" -> 0))
+  }
+
+  test("layoutByLayer: x by layer rank, y dense within layer (V5)") {
+    val out = VizData.layoutByLayer(df, xSpacing = 2.0, ySpacing = 1.0)
+      .select("nodeId", "x", "y").as[(String, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out("a") == (0.0, 0.0) && out("b") == (0.0, 1.0))
+    assert(out("c") == (2.0, 0.0) && out("d") == (2.0, 1.0))
+  }
+
+  test("bipartiteOrderedLayout orders right by barycenter (V6)") {
+    val nodes = Seq(("l1", "A"), ("l2", "A"), ("l3", "A"),
+      ("r1", "B"), ("r2", "B")).toDF("node_id", "layer")
+    // r2 touches l1 (bary 0); r1 touches l3 (bary 2) -> r2 above r1
+    val edges = Seq(("r2", "B", "l1", "A"), ("r1", "B", "l3", "A"))
+      .toDF("source_id", "source_layer", "target_id", "target_layer")
+    val g = OnionBuilder.grow(nodes, edges, GrowOptions())
+    val out = VizData.bipartiteOrderedLayout(g, "A", "B")
+      .filter(col("layer") === "B")
+      .select("nodeId", "y").as[(String, Double)].collect().toMap
+    assert(out == Map("r2" -> 0.0, "r1" -> 1.0))
+  }
+}
