@@ -1,7 +1,7 @@
 package graft
 
 import graft.builder.StarGraph
-import graft.algos.Traversals
+import graft.algos.{GraphOps, Traversals}
 import graft.ext.{Dedup, Similarity, TextOps, Multimodal}
 import graft.model.OnionGraph
 import graft.props.PropertyOps
@@ -510,26 +510,18 @@ object SparkEntry {
              |FROM t ORDER BY doc_id""".stripMargin)),
 
     QueryDef("x06_ngram_jaccard",
-      // Blocking on (lang, token count) bounds the per-block pair
-      // count — lang alone goes quadratic in the corpus (near-dups
-      // share both attributes, so recall for dedup is preserved).
       (s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"),
-          blockKey = concat_ws("|", col("lang"),
-            size(split(trim(col("text")), "\\s+"))),
-          minJaccard = 0.3, w = 3)
+          blockKey = col("lang"), minJaccard = 0.5, w = 1)
         .select(col("a"), col("b"), col("jaccard"))
         .orderBy("a", "b"),
-      Some("""WITH toks AS (SELECT doc_id, lang,
-             |  string_split_regex(trim(text), '\s+') AS tk FROM documents),
-             | sh AS (SELECT doc_id, lang || '|' || len(tk) AS blk,
-             |  list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
-             |    for i in generate_series(1, len(tk) - 2)]) AS s
-             | FROM toks),
+      Some("""WITH sh AS (SELECT doc_id, lang AS blk,
+             |  list_distinct(string_split_regex(trim(text), '\s+')) AS s
+             | FROM documents),
              | j AS (SELECT l.doc_id AS a, r.doc_id AS b,
              |  CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
              |   / (len(l.s) + len(r.s) - len(list_intersect(l.s, r.s))) AS jaccard
              | FROM sh l JOIN sh r ON l.blk = r.blk AND l.doc_id < r.doc_id)
-             |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.3
+             |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5
              |ORDER BY a, b""".stripMargin)),
 
     QueryDef("x07_minhash_lsh",
@@ -539,7 +531,7 @@ object SparkEntry {
       None), // xxhash64 seeds not reproducible in DuckDB -> rows-only check
 
     QueryDef("x08_simhash",
-      (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), maxDist = 16)
+      (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), maxDist = 6)
         .orderBy("a", "b"),
       None),
 
@@ -570,6 +562,156 @@ object SparkEntry {
           .orderBy("query_id", "rank")
       },
       None),
+
+    QueryDef("x03_langid",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+      // argmax over (score, lang) — ROW_NUMBER(score DESC, lang DESC)
+      // mirrors Spark's greatest(struct(score, lang)) tie-break.
+      Some("""WITH toks AS (SELECT doc_id,
+             |  string_split_regex(trim(text), '\s+') AS t FROM documents),
+             | sc AS (
+             |  SELECT doc_id, len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS score, 'en' AS lang FROM toks
+             |  UNION ALL SELECT doc_id, len(list_filter(t, x -> x IN ('el','la','de','que','y','en','un','por','con','los'))), 'es' FROM toks
+             |  UNION ALL SELECT doc_id, len(list_filter(t, x -> x IN ('le','la','de','et','les','des','en','un','du','que'))), 'fr' FROM toks
+             |  UNION ALL SELECT doc_id, len(list_filter(t, x -> x IN ('der','die','und','das','von','zu','mit','den','ist','ein'))), 'de' FROM toks),
+             | best AS (SELECT doc_id, score, lang, ROW_NUMBER() OVER (
+             |   PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM sc)
+             |SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred
+             |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("x11_sim_ivf",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val centroids = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("centroid_id"), col("embedding"))
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), centroids, 5)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      None), // approximate by construction -> rows-only check
+
+    QueryDef("x13_flatten_labels",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          PropertyOps.joinedLabels(
+            array(array(col("lang"), col("lang")), array(col("source"))))
+            .as("labels"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang || ', ' || source AS labels
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------- graph: more operators
+    QueryDef("g16_depth_sizes",
+      (s, dir) => {
+        val g = graph(s, dir)
+        val seed = t(s, dir, "region").agg(min("r_regionkey")).head.getInt(0).toString
+        Traversals.depthScaledSizes(g, "region", seed, 1.0, 10.0)
+          .join(g.vertices, Seq("vid"))
+          .select(col("layer"), col("nodeId").as("node_id"), col("dist"),
+            col("size"))
+          .orderBy("layer", "node_id")
+      },
+      Some(s"""$W, und AS (
+              | SELECT source_layer AS sl, source_id AS si, target_layer AS tl, target_id AS ti FROM edges
+              | UNION ALL
+              | SELECT target_layer, target_id, source_layer, source_id FROM edges),
+              | walk(layer, node_id, dist) AS (
+              |  SELECT 'region', CAST((SELECT MIN(r_regionkey) FROM region) AS VARCHAR), 0
+              |  UNION
+              |  SELECT u.tl, u.ti, w.dist + 1 FROM walk w
+              |  JOIN und u ON u.sl = w.layer AND u.si = w.node_id
+              |  WHERE w.dist < 12),
+              | d AS (SELECT layer, node_id, CAST(MIN(dist) AS INT) AS dist
+              |  FROM walk GROUP BY layer, node_id),
+              | m AS (SELECT GREATEST(MAX(dist), 1) AS maxd FROM d)
+              |SELECT layer, node_id, dist,
+              | 10.0 - 9.0 * dist / CAST(maxd AS DOUBLE) AS size
+              |FROM d, m ORDER BY layer, node_id""".stripMargin)),
+
+    QueryDef("g17_node_props",
+      (s, dir) => {
+        val seed = t(s, dir, "customer").agg(min("c_custkey")).head.getLong(0).toString
+        PropertyOps.viewNodeProperties(graph(s, dir), "customer", seed)
+          .select(col("layer"), col("nodeId").as("node_id"), col("name"),
+            col("acctbal"), coalesce(col("price"), lit(-1.0)).as("price"),
+            col("segment"))
+      },
+      Some("""SELECT 'customer' AS layer, CAST(c_custkey AS VARCHAR) AS node_id,
+             | c_name AS name, c_acctbal AS acctbal, -1.0 AS price,
+             | c_mktsegment AS segment
+             |FROM customer WHERE c_custkey = (SELECT MIN(c_custkey) FROM customer)""".stripMargin)),
+
+    QueryDef("g18_halo",
+      (s, dir) => {
+        val seed = t(s, dir, "customer").agg(min("c_custkey")).head.getLong(0).toString
+        VizData.addHalo(graph(s, dir).viewLayers(Seq("customer")), "customer", seed)
+          .vertices
+          .select(col("nodeId").as("node_id"), col("halo"))
+          .orderBy("node_id")
+      },
+      Some("""SELECT CAST(c_custkey AS VARCHAR) AS node_id,
+             | c_custkey = (SELECT MIN(c_custkey) FROM customer) AS halo
+             |FROM customer ORDER BY node_id""".stripMargin)),
+
+    QueryDef("g19_shapes",
+      (s, dir) => VizData.shapeNodes(
+          graph(s, dir).viewLayers(Seq("customer")).vertices, "segment", nShapes = 3)
+        .select(col("nodeId").as("node_id"), col("segment"),
+          col("segment_shape_idx").cast("long").as("shape_idx"))
+        .orderBy("node_id"),
+      Some("""SELECT CAST(c_custkey AS VARCHAR) AS node_id,
+             | c_mktsegment AS segment,
+             | CAST((DENSE_RANK() OVER (ORDER BY c_mktsegment) - 1) % 3 AS BIGINT) AS shape_idx
+             |FROM customer ORDER BY node_id""".stripMargin)),
+
+    QueryDef("g20_pagerank",
+      (s, dir) => {
+        val g = graph(s, dir).viewLayers(Seq("region", "nation", "supplier"))
+        GraphOps.pageRank(g, tol = 1e-3)
+          .join(g.vertices, Seq("vid"))
+          .select(col("layer"), col("nodeId").as("node_id"), col("rank"))
+          .orderBy("layer", "node_id")
+      },
+      None), // iterative fixpoint -> rows-only check
+
+    QueryDef("g21_scc",
+      (s, dir) => {
+        val g = graph(s, dir).viewLayers(Seq("region", "nation", "supplier"))
+        val scc = GraphOps.stronglyConnectedComponents(g)
+        val named = scc.join(g.vertices, Seq("vid"))
+          .select(col("compVid"),
+            concat_ws(":", col("layer"), col("nodeId")).as("member"))
+        named.groupBy("compVid")
+          .agg(min("member").as("component"), count(lit(1)).as("size"))
+          .select("component", "size")
+          .orderBy("component")
+      },
+      // the star schema is a DAG -> every vertex is its own SCC
+      Some("""SELECT component, CAST(1 AS BIGINT) AS size FROM (
+             | SELECT 'region:' || CAST(r_regionkey AS VARCHAR) AS component FROM region
+             | UNION ALL SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) FROM nation
+             | UNION ALL SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR) FROM supplier)
+             |ORDER BY component""".stripMargin)),
+
+    QueryDef("g22_layout_roundtrip",
+      (s, dir) => {
+        val g = graph(s, dir).viewLayers(Seq("nation", "region"))
+        val layout = VizData.layoutByLayer(g.vertices)
+        val path = s"/tmp/graft_layout_${math.abs(dir.hashCode)}"
+        VizData.saveLayout(layout, path)
+        VizData.loadLayout(g, path)
+          .select(col("layer"), col("nodeId").as("node_id"), col("x"), col("y"))
+          .orderBy("layer", "node_id")
+      },
+      Some("""WITH v AS (
+             | SELECT 'nation' AS layer, CAST(n_nationkey AS VARCHAR) AS node_id FROM nation
+             | UNION ALL SELECT 'region', CAST(r_regionkey AS VARCHAR) FROM region)
+             |SELECT layer, node_id,
+             | CAST((DENSE_RANK() OVER (ORDER BY layer) - 1) * 1.0 AS DOUBLE) AS x,
+             | CAST(ROW_NUMBER() OVER (PARTITION BY layer ORDER BY node_id) - 1 AS DOUBLE) AS y
+             |FROM v ORDER BY layer, node_id""".stripMargin)),
 
     QueryDef("x12_multimodal",
       (s, dir) => Multimodal.decodeStub(

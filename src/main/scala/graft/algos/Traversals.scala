@@ -35,7 +35,7 @@ object Traversals {
   def bfsFrom(edges: DataFrame, seeds: DataFrame, maxDist: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     var visited = seeds.select(col("vid")).distinct()
-      .withColumn("dist", lit(0)).localCheckpoint(false)
+      .withColumn("dist", lit(0)).localCheckpoint()
     var frontier = visited
     var depth = 0
     var done = false
@@ -45,13 +45,13 @@ object Traversals {
         .select(col("dst").as("vid")).distinct()
         .join(visited.select("vid"), Seq("vid"), "left_anti")
         .withColumn("dist", lit(depth))
-      val mat = if (depth % CheckpointEvery == 0) next.localCheckpoint(false)
+      val mat = if (depth % CheckpointEvery == 0) next.localCheckpoint()
                 else next
       val n = mat.count()
       if (n == 0) done = true
       else {
-        frontier = mat.localCheckpoint(false)
-        visited = visited.unionByName(frontier).localCheckpoint(false)
+        frontier = mat.localCheckpoint()
+        visited = visited.unionByName(frontier).localCheckpoint()
       }
     }
     visited
@@ -126,10 +126,10 @@ object Traversals {
     * (vid, component: string). Size thresholding
     * (`searcher.py:296-297`) composes on top via groupBy. */
   def weakComponents(g: OnionGraph): DataFrame = {
-    val e = g.symmetrize.edges.select("src", "dst").localCheckpoint(false)
+    val e = g.symmetrize.edges.select("src", "dst").localCheckpoint()
     var labels = g.vertices
       .select(col("vid"), concat_ws(":", col("layer"), col("nodeId")).as("comp"))
-      .localCheckpoint(false)
+      .localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0) {
@@ -140,10 +140,10 @@ object Traversals {
         .select(col("vid"), col("comp"),
           when(col("nbrComp").isNotNull && col("nbrComp") < col("comp"),
             col("nbrComp")).otherwise(col("comp")).as("newComp"))
-        .localCheckpoint(false)
+        .localCheckpoint()
       changed = updated.filter(col("newComp") =!= col("comp")).count()
       labels = updated.select(col("vid"), col("newComp").as("comp"))
-        .localCheckpoint(false)
+        .localCheckpoint()
     }
     labels
   }

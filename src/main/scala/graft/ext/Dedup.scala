@@ -71,11 +71,15 @@ object Dedup {
         xxhash64(concat_ws(",", (0 until r).map(i =>
           element_at(col("sig"), b * r + i + 1)): _*))): _*))
         .as(Seq("band", "bandHash")))
-    val cand = banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") &&
-        col("l.bandHash") === col("r.bandHash") &&
-        col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
+      .localCheckpoint() // compute signatures ONCE; breaks self-join lineage
+    // Disjoint column names per side: a shared-lineage self-join via
+    // .as() aliases de-duplicates the attributes and Spark silently
+    // degrades to a nested-loop cross join with a post-filter.
+    val left = banded.select(col("id").as("a"), col("band"), col("bandHash"))
+    val right = banded.select(col("id").as("b"), col("band"), col("bandHash"))
+    val cand = left.join(right, Seq("band", "bandHash"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
     val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), w).as("sh"))
     cand
       .join(sh.select(col("id").as("a"), col("sh").as("shA")), Seq("a"))
@@ -111,11 +115,14 @@ object Dedup {
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val fp = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
       .withColumn("block", shiftrightunsigned(col("fp"), 64 - blockBits))
-    fp.as("l").join(fp.as("r"),
-        col("l.block") === col("r.block") && col("l.id") < col("r.id"))
-      .withColumn("hamming", bit_count(col("l.fp").bitwiseXOR(col("r.fp"))))
+      .localCheckpoint() // fingerprints once; distinct lineage per side
+    val left = fp.select(col("id").as("a"), col("fp").as("fpA"), col("block"))
+    val right = fp.select(col("id").as("b"), col("fp").as("fpB"), col("block"))
+    left.join(right, Seq("block"))
+      .filter(col("a") < col("b"))
+      .withColumn("hamming", bit_count(col("fpA").bitwiseXOR(col("fpB"))))
       .filter(col("hamming") <= maxDist)
-      .select(col("l.id").as("a"), col("r.id").as("b"), col("hamming"))
+      .select(col("a"), col("b"), col("hamming"))
   }
 
   /** Exact n-gram Jaccard similarity for all pairs within a blocking
@@ -125,12 +132,15 @@ object Dedup {
                    textCol: String = "text"): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), blockKey.as("blk"),
       shingles(col(textCol), w).as("sh"))
-    sh.as("l").join(sh.as("r"),
-        col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+      .localCheckpoint() // shingle once; distinct lineage per side
+    val left = sh.select(col("id").as("a"), col("blk"), col("sh").as("shA"))
+    val right = sh.select(col("id").as("b"), col("blk"), col("sh").as("shB"))
+    left.join(right, Seq("blk"))
+      .filter(col("a") < col("b"))
       .withColumn("jaccard",
-        size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
-        size(array_union(col("l.sh"), col("r.sh"))))
+        size(array_intersect(col("shA"), col("shB"))).cast("double") /
+        size(array_union(col("shA"), col("shB"))))
       .filter(col("jaccard") >= minJaccard)
-      .select(col("l.id").as("a"), col("r.id").as("b"), col("jaccard"))
+      .select(col("a"), col("b"), col("jaccard"))
   }
 }
