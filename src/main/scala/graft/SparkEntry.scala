@@ -510,18 +510,26 @@ object SparkEntry {
              |FROM t ORDER BY doc_id""".stripMargin)),
 
     QueryDef("x06_ngram_jaccard",
+      // block on (lang, length bucket): near-dups share both, and the
+      // per-block pair count stays bounded as the corpus grows
       (s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"),
-          blockKey = col("lang"), minJaccard = 0.5, w = 1)
+          blockKey = concat_ws("|", col("lang"),
+            (col("n_chars") / 50).cast("long")),
+          minJaccard = 0.25, w = 2)
         .select(col("a"), col("b"), col("jaccard"))
         .orderBy("a", "b"),
-      Some("""WITH sh AS (SELECT doc_id, lang AS blk,
-             |  list_distinct(string_split_regex(trim(text), '\s+')) AS s
-             | FROM documents),
+      Some("""WITH toks AS (SELECT doc_id,
+             |  lang || '|' || (n_chars // 50) AS blk,
+             |  string_split_regex(trim(text), '\s+') AS tk FROM documents),
+             | sh AS (SELECT doc_id, blk,
+             |  list_distinct([tk[i] || ' ' || tk[i+1]
+             |    for i in generate_series(1, len(tk) - 1)]) AS s
+             | FROM toks),
              | j AS (SELECT l.doc_id AS a, r.doc_id AS b,
              |  CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
              |   / (len(l.s) + len(r.s) - len(list_intersect(l.s, r.s))) AS jaccard
              | FROM sh l JOIN sh r ON l.blk = r.blk AND l.doc_id < r.doc_id)
-             |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5
+             |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.25
              |ORDER BY a, b""".stripMargin)),
 
     QueryDef("x07_minhash_lsh",

@@ -31,12 +31,17 @@ object Traversals {
 
   /** BFS hop distances from seed vertices, following src->dst
     * (downstream). Returns (vid, dist). Seeds get dist 0.
-    * maxDist < 0 means unbounded (reachability closure, T2). */
+    * maxDist < 0 means unbounded (reachability closure, T2).
+    *
+    * Frontier form: work per round is O(|frontier| ⋈ edges) — the
+    * right shape when the reached set stays far smaller than the
+    * graph (small frontiers broadcast under AQE). For full-coverage
+    * sweeps use [[bfsLabelProp]]. */
   def bfsFrom(edges: DataFrame, seeds: DataFrame, maxDist: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
-    var visited = seeds.select(col("vid")).distinct()
+    var frontier = seeds.select(col("vid")).distinct()
       .withColumn("dist", lit(0)).localCheckpoint()
-    var frontier = visited
+    var visited = frontier
     var depth = 0
     var done = false
     while (!done && (maxDist < 0 || depth < maxDist)) {
@@ -45,16 +50,42 @@ object Traversals {
         .select(col("dst").as("vid")).distinct()
         .join(visited.select("vid"), Seq("vid"), "left_anti")
         .withColumn("dist", lit(depth))
-      val mat = if (depth % CheckpointEvery == 0) next.localCheckpoint()
-                else next
-      val n = mat.count()
-      if (n == 0) done = true
+        .localCheckpoint() // one job; count below reads the cache
+      if (next.count() == 0) done = true
       else {
-        frontier = mat.localCheckpoint()
-        visited = visited.unionByName(frontier).localCheckpoint()
+        frontier = next
+        // lazy union of checkpointed frontiers; truncate periodically
+        visited = visited.unionByName(frontier)
+        if (depth % CheckpointEvery == 0) visited = visited.localCheckpoint()
       }
     }
     visited
+  }
+
+  /** BFS as min-dist label propagation: every round relaxes ALL edges
+    * once (labels ⋈ edges, map-side-combined min). O(rounds × |E|)
+    * regardless of frontier width — the right shape when the reached
+    * set approaches the whole graph (e.g. multi-source backward
+    * sweeps), where [[bfsFrom]]'s growing visited-set anti-join and
+    * wide frontiers dominate. Rounds = eccentricity of the seed set. */
+  def bfsLabelProp(edges: DataFrame, seeds: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var labels = seeds.select(col("vid")).distinct()
+      .withColumn("dist", lit(0)).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val relaxed = e.join(labels.withColumnRenamed("vid", "src"), Seq("src"))
+        .groupBy(col("dst").as("vid")).agg(min(col("dist") + 1).as("cand"))
+      val updated = labels.join(relaxed, Seq("vid"), "full")
+        .select(col("vid"),
+          least(coalesce(col("dist"), lit(Int.MaxValue)),
+            coalesce(col("cand"), lit(Int.MaxValue))).as("newDist"),
+          col("dist"))
+      val mat = updated.localCheckpoint()
+      changed = mat.filter(col("dist").isNull || col("newDist") < col("dist")).count()
+      labels = mat.select(col("vid"), col("newDist").as("dist")).localCheckpoint()
+    }
+    labels
   }
 
   /** `search` (T1): k-hop ego net distances from one (layer, nodeId)
@@ -108,7 +139,9 @@ object Traversals {
     val srcSeed = g.vertices.filter(source).select("vid")
     val tgtSeed = g.vertices.filter(targets).select("vid")
     val fwd = bfsFrom(g.edges, srcSeed, -1).withColumnRenamed("dist", "fwd")
-    val bwd = bfsFrom(g.reverse.edges, tgtSeed, -1).withColumnRenamed("dist", "bwd")
+    // backward pass is multi-source and typically sweeps most of the
+    // graph -> label propagation, not frontier expansion
+    val bwd = bfsLabelProp(g.reverse.edges, tgtSeed).withColumnRenamed("dist", "bwd")
     val targetDists = fwd.join(tgtSeed, Seq("vid"), "left_semi")
       .select(col("fwd").as("td")).distinct()
     g.vertices.select("vid")
@@ -160,7 +193,8 @@ object Traversals {
                        minS: Double, maxS: Double): DataFrame = {
     val seed = g.vertices.filter(col("layer") === layer && col("nodeId") === nodeId)
       .select("vid")
-    val depths = bfsFrom(g.symmetrize.edges, seed, -1)
+    // undirected sweep covers the whole component -> label propagation
+    val depths = bfsLabelProp(g.symmetrize.edges, seed)
     val maxDepth = depths.agg(max("dist")).head.getInt(0).max(1)
     depths.withColumn("size",
       lit(maxS) - lit(maxS - minS) * col("dist") / lit(maxDepth.toDouble))
