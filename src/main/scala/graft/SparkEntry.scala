@@ -34,6 +34,13 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Documents table spread across the cluster: the corpus arrives as
+    * one small parquet file -> one input partition, which would run
+    * every shingle/hash HOF single-threaded. At real scale the source
+    * is already many splits and this is a no-op-sized shuffle. */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+
   private def graph(s: SparkSession, dir: String): OnionGraph =
     StarGraph.graph(s, dir)
 
@@ -512,7 +519,7 @@ object SparkEntry {
     QueryDef("x06_ngram_jaccard",
       // block on (lang, length bucket): near-dups share both, and the
       // per-block pair count stays bounded as the corpus grows
-      (s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"),
+      (s, dir) => Dedup.ngramJaccard(docs(s, dir),
           blockKey = concat_ws("|", col("lang"),
             (col("n_chars") / 50).cast("long")),
           minJaccard = 0.25, w = 2)
@@ -533,13 +540,13 @@ object SparkEntry {
              |ORDER BY a, b""".stripMargin)),
 
     QueryDef("x07_minhash_lsh",
-      (s, dir) => Dedup.minhashLsh(t(s, dir, "documents"), threshold = 0.7)
+      (s, dir) => Dedup.minhashLsh(docs(s, dir), threshold = 0.7)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("a", "b"),
       None), // xxhash64 seeds not reproducible in DuckDB -> rows-only check
 
     QueryDef("x08_simhash",
-      (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), maxDist = 6)
+      (s, dir) => Dedup.simhashPairs(docs(s, dir), maxDist = 6)
         .orderBy("a", "b"),
       None),
 
@@ -720,6 +727,68 @@ object SparkEntry {
              | CAST((DENSE_RANK() OVER (ORDER BY layer) - 1) * 1.0 AS DOUBLE) AS x,
              | CAST(ROW_NUMBER() OVER (PARTITION BY layer ORDER BY node_id) - 1 AS DOUBLE) AS y
              |FROM v ORDER BY layer, node_id""".stripMargin)),
+
+    QueryDef("g23_upstream_children",
+      // T1's include_upstream_children flag (searcher.py:212-216):
+      // upstream set from a nation + the out-neighbors of that set.
+      (s, dir) => {
+        val g = graph(s, dir)
+        val seed = t(s, dir, "nation").agg(min("n_nationkey")).head.getInt(0).toString
+        Traversals.search(g, "nation", seed, 1, Traversals.Bi,
+            includeUpstreamChildren = true)
+          .join(g.vertices, Seq("vid"))
+          .select(col("layer"), col("nodeId").as("node_id"), col("dist"))
+          .orderBy("layer", "node_id")
+      },
+      // bi, dist<=1 from nation N: downstream {N, region}, upstream
+      // {N, customers/suppliers of N}, plus out-neighbors of the
+      // upstream set at parent dist+1, all min-merged.
+      Some(s"""$W, seed AS (SELECT CAST(MIN(n_nationkey) AS VARCHAR) AS id FROM nation),
+              | up AS (
+              |  SELECT 'nation' AS layer, (SELECT id FROM seed) AS node_id, 0 AS dist
+              |  UNION ALL
+              |  SELECT e.source_layer, e.source_id, 1
+              |  FROM edges e WHERE e.target_layer = 'nation'
+              |   AND e.target_id = (SELECT id FROM seed)),
+              | down AS (
+              |  SELECT 'nation' AS layer, (SELECT id FROM seed) AS node_id, 0 AS dist
+              |  UNION ALL
+              |  SELECT e.target_layer, e.target_id, 1
+              |  FROM edges e WHERE e.source_layer = 'nation'
+              |   AND e.source_id = (SELECT id FROM seed)),
+              | kids AS (
+              |  SELECT e.target_layer AS layer, e.target_id AS node_id, u.dist + 1 AS dist
+              |  FROM up u JOIN edges e
+              |    ON e.source_layer = u.layer AND e.source_id = u.node_id)
+              |SELECT layer, node_id, CAST(MIN(dist) AS INT) AS dist
+              |FROM (SELECT * FROM up UNION ALL SELECT * FROM down
+              |      UNION ALL SELECT * FROM kids)
+              |GROUP BY layer, node_id ORDER BY layer, node_id""".stripMargin)),
+
+    QueryDef("g24_legend",
+      // V4 get_legend data side (visualisation.py:311-417): categorical
+      // legend = distinct categories with their palette indices;
+      // continuous legend = (min, max) bounds row.
+      (s, dir) => {
+        val cust = graph(s, dir).viewLayers(Seq("customer")).vertices
+        val cat = VizData.colorCategorical(cust, "segment")
+          .select(col("segment").as("entry"),
+            col("segment_color_idx").cast("long").as("color_idx"))
+          .distinct()
+        val cont = cust.agg(min("acctbal").as("mn"), max("acctbal").as("mx"))
+          .select(concat_ws("..", col("mn"), col("mx")).as("entry"),
+            lit(-1L).as("color_idx"))
+        cat.unionByName(cont).orderBy("entry")
+      },
+      Some("""SELECT entry, color_idx FROM (
+             | SELECT DISTINCT c_mktsegment AS entry,
+             |  CAST((DENSE_RANK() OVER (ORDER BY c_mktsegment) - 1) % 10 AS BIGINT) AS color_idx
+             | FROM customer
+             | UNION ALL
+             | SELECT CAST(MIN(c_acctbal) AS VARCHAR) || '..' || CAST(MAX(c_acctbal) AS VARCHAR),
+             |  CAST(-1 AS BIGINT)
+             | FROM customer)
+             |ORDER BY entry""".stripMargin)),
 
     QueryDef("x12_multimodal",
       (s, dir) => Multimodal.decodeStub(

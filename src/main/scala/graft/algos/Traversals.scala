@@ -99,22 +99,18 @@ object Traversals {
              includeUpstreamChildren: Boolean = false): DataFrame = {
     val seed = g.vertices.filter(col("layer") === layer && col("nodeId") === nodeId)
       .select("vid")
-    def up = {
-      val base = bfsFrom(g.reverse.edges, seed, maxDist)
-      if (!includeUpstreamChildren) base
-      else {
-        val children = g.edges
-          .join(base.withColumnRenamed("vid", "src"), Seq("src"))
-          .select(col("dst").as("vid"), (col("dist") + 1).as("dist"))
-        base.unionByName(children)
-          .groupBy("vid").agg(min("dist").as("dist"))
-      }
-    }
     direction match {
       case Downstream => bfsFrom(g.edges, seed, maxDist)
-      case Upstream => up
+      case Upstream => bfsFrom(g.reverse.edges, seed, maxDist)
       case Bi =>
-        bfsFrom(g.edges, seed, maxDist).unionByName(up)
+        val up = bfsFrom(g.reverse.edges, seed, maxDist)
+        // children only join for bi — exactly searcher.py:212-216
+        val upPlus =
+          if (!includeUpstreamChildren) up
+          else up.unionByName(g.edges
+            .join(up.withColumnRenamed("vid", "src"), Seq("src"))
+            .select(col("dst").as("vid"), (col("dist") + 1).as("dist")))
+        bfsFrom(g.edges, seed, maxDist).unionByName(upPlus)
           .groupBy("vid").agg(min("dist").as("dist"))
     }
   }

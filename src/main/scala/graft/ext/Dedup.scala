@@ -44,12 +44,14 @@ object Dedup {
       .select(col(idCol), col("canonical_id"), col("is_duplicate"))
   }
 
-  /** MinHash signature: k minima of seeded xxhash64 over the shingle
-    * set. One pass per seed over the shingle array — all codegen'd. */
+  /** MinHash signature: k minima of seeded hashes over the shingle
+    * set. Strings are hashed ONCE (the expensive part); the k seeded
+    * variants then re-mix the resulting longs — k cheap passes instead
+    * of k string-hash passes. All codegen'd. */
   def minhashSignature(text: Column, k: Int = 32, w: Int = 3): Column = {
-    val sh = shingles(text, w)
+    val hashed = transform(shingles(text, w), x => xxhash64(x))
     array((0 until k).map(s =>
-      array_min(transform(sh, x => xxhash64(x, lit(s))))): _*)
+      array_min(transform(hashed, h => xxhash64(h, lit(s))))): _*)
   }
 
   /** MinHash + LSH near-dup candidates: signatures banded into
@@ -64,14 +66,24 @@ object Dedup {
                  bands: Int = 8, w: Int = 3, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
     val r = k / bands
-    val sig = docs.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sig", minhashSignature(col("text"), k, w))
+    // Materialize hashed shingles, then signatures, at REAL execution
+    // boundaries. Deriving the 8 band hashes straight from the
+    // signature EXPRESSION lets CollapseProject inline the k-pass
+    // minhash into every band — a 256-pass-per-row expression pyramid
+    // that overwhelms codegen and drops to interpreted eval.
+    val hashed = docs
+      .select(col(idCol).as("id"),
+        transform(shingles(col(textCol), w), x => xxhash64(x)).as("hs"))
+      .localCheckpoint()
+    val sig = hashed
+      .select(col("id"), array((0 until k).map(s =>
+        array_min(transform(col("hs"), h => xxhash64(h, lit(s))))): _*).as("sig"))
+      .localCheckpoint()
     val banded = sig.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(concat_ws(",", (0 until r).map(i =>
           element_at(col("sig"), b * r + i + 1)): _*))): _*))
         .as(Seq("band", "bandHash")))
-      .localCheckpoint() // compute signatures ONCE; breaks self-join lineage
     // Disjoint column names per side: a shared-lineage self-join via
     // .as() aliases de-duplicates the attributes and Spark silently
     // degrades to a nested-loop cross join with a post-filter.

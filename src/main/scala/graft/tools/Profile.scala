@@ -17,11 +17,18 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = graft.SparkEntry.queries(name)(spark, sfDir)
-    if (args.contains("explain")) df.explain("formatted")
-    val t0 = System.nanoTime()
-    val n = df.count()
-    println(f"[profile] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
+    val names = if (name == "ALL") graft.SparkEntry.defs.map(_.name)
+                else name.split(",").toSeq
+    names.foreach { q =>
+      val t0 = System.nanoTime()
+      val df = graft.SparkEntry.queries(q)(spark, sfDir)
+      val t1 = System.nanoTime()
+      if (args.contains("explain")) df.explain("formatted")
+      val n = df.count()
+      val t2 = System.nanoTime()
+      println(f"[profile] $q%-24s build ${(t1 - t0) / 1e9}%7.2f s  " +
+        f"exec ${(t2 - t1) / 1e9}%7.2f s  ($n rows)")
+    }
     spark.stop()
   }
 }
