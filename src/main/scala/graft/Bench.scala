@@ -15,6 +15,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 47 queries x iterative sub-executions with large plans: cap the
+      // in-memory status store so listener bookkeeping stays O(1)
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
+      .config("spark.appStateStore.asyncTracking.enable", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Pre-build the shared star graph, then release every OTHER

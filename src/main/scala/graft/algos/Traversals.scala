@@ -83,7 +83,8 @@ object Traversals {
           col("dist"))
       val mat = updated.localCheckpoint()
       changed = mat.filter(col("dist").isNull || col("newDist") < col("dist")).count()
-      labels = mat.select(col("vid"), col("newDist").as("dist")).localCheckpoint()
+      // plain projection over the checkpointed round — no second job
+      labels = mat.select(col("vid"), col("newDist").as("dist"))
     }
     labels
   }
@@ -172,7 +173,6 @@ object Traversals {
         .localCheckpoint()
       changed = updated.filter(col("newComp") =!= col("comp")).count()
       labels = updated.select(col("vid"), col("newComp").as("comp"))
-        .localCheckpoint()
     }
     labels
   }

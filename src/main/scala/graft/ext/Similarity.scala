@@ -24,7 +24,14 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(asDouble(a), x => x * x), lit(0.0), _ + _))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** HOF cosine — works on any numeric array type. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Native fused-loop cosine for `array<float>` (the corpus layout);
+    * one codegen'd primitive loop, no intermediate arrays — same
+    * value as [[cosineHof]] (identical accumulation order). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
 
   /** Brute-force exact top-k neighbors for each query vector.
     * `queries` must be broadcast-small (it is sent to every corpus

@@ -1,8 +1,14 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
+
+/** Typed rows for the stateful per-user stream. */
+final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+final case class UserState(count: Long, total: Double)
+final case class UserUpdate(user_id: Long, count: Long, total: Double)
 
 /**
  * Structured Streaming surface over the `events` table (extension —
@@ -59,6 +65,17 @@ object EventStreams {
     tumblingAgg(src.withWatermark("ts", watermark), width)
   }
 
+  /** Session windows per user: activity bursts separated by `gap`
+    * of silence collapse into one session (extension beyond the
+    * reference's batch surface; works on batch AND stream input). */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events.groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(38,6)")).cast("double").as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
   /** Stream dedup by event_id within the watermark horizon —
     * exactly-once-style ingestion hygiene at scale. */
   def streamDedup(spark: SparkSession, path: String,
@@ -66,4 +83,22 @@ object EventStreams {
     spark.readStream.schema(eventSchema).parquet(path)
       .withWatermark("ts", watermark)
       .dropDuplicates("event_id")
+
+  /** Custom keyed state via flatMapGroupsWithState: running per-user
+    * (count, total) emitted on every update — the mapGroupsWithState
+    * family is the escape hatch for stateful logic windows can't
+    * express (SURVEY §2.10 / north-star streaming). */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserState]) =>
+          val old = state.getOption.getOrElse(UserState(0L, 0.0))
+          val evs = batch.toSeq
+          val next = UserState(old.count + evs.size, old.total + evs.map(_.value).sum)
+          state.update(next)
+          Iterator(UserUpdate(uid, next.count, next.total))
+      }
+  }
 }

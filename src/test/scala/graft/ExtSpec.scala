@@ -65,6 +65,35 @@ class ExtSpec extends SparkSuite {
     assert(top.find(_._2 == 3).map(_._1).contains(2L))
   }
 
+  test("native cosine Expression == HOF cosine, and SQL registration works") {
+    val emb = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(-1.0f, 0.5f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val both = emb.as("x").crossJoin(emb.as("y"))
+      .select(
+        Similarity.cosine(col("x.embedding"), col("y.embedding")).as("native"),
+        Similarity.cosineHof(col("x.embedding"), col("y.embedding")).as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // zero vector: HOF raises DIVIDE_BY_ZERO under ANSI; native
+    // defines the degenerate case as 0.0
+    val zero = Seq((0L, Array(0.0f, 0.0f), Array(1.0f, 2.0f)))
+      .toDF("id", "a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    assert(zero.head.getDouble(0) == 0.0)
+    // SQL path via extensions-style registration
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      exprs => graft.functions.CosineSimilarity(exprs(0), exprs(1)),
+      "built-in")
+    emb.createOrReplaceTempView("emb_t")
+    val viaSql = spark.sql(
+      """SELECT cosine_sim(a.embedding, b.embedding) AS c
+        |FROM emb_t a JOIN emb_t b ON a.vec_id = 0 AND b.vec_id = 0""".stripMargin)
+      .head.getDouble(0)
+    assert(math.abs(viaSql - 1.0) < 1e-12)
+  }
+
   test("LSH topK candidates are a subset of brute-force universe (X2)") {
     val emb = (0L until 40L).map { i =>
       (i, Array.tabulate(8)(j => math.sin(i * 7.0 + j).toFloat))

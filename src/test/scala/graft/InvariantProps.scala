@@ -1,0 +1,90 @@
+package graft
+
+import graft.builder.OnionBuilder
+import graft.builder.OnionBuilder.GrowOptions
+import graft.algos.Traversals
+import graft.ext.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck invariants over random small graphs/corpora
+  * (SURVEY §5.2 #4). Few cases, each driving real Spark jobs. */
+object InvariantProps extends Properties("GraftInvariants") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5).withWorkers(1)
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val genGraph = for {
+    n <- Gen.choose(2, 15)
+    m <- Gen.choose(1, 30)
+    edges <- Gen.listOfN(m, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+  } yield (n, edges)
+
+  private def build(n: Int, edges: List[(Int, Int)]) = {
+    import spark.implicits._
+    val nodes = (0 until n).map(i => (i.toString, s"L${i % 2}"))
+      .toDF("node_id", "layer")
+    val es = edges.map { case (a, b) =>
+      (a.toString, s"L${a % 2}", b.toString, s"L${b % 2}") }
+      .toDF("source_id", "source_layer", "target_id", "target_layer")
+    OnionBuilder.grow(nodes, es, GrowOptions())
+  }
+
+  property("induced subgraph never keeps a dangling edge") =
+    forAll(genGraph) { case (n, edges) =>
+      val g = build(n, edges)
+      val v = g.filterVertices(col("nodeId").cast("int") % 2 === 0)
+      val vids = v.vertices.select("vid").collect().map(_.getLong(0)).toSet
+      v.edges.select("src", "dst").collect()
+        .forall(r => vids(r.getLong(0)) && vids(r.getLong(1)))
+    }
+
+  property("weak components partition the vertex set") =
+    forAll(genGraph) { case (n, edges) =>
+      val g = build(n, edges)
+      val comps = Traversals.weakComponents(g)
+      comps.count() == n && comps.select("vid").distinct().count() == n
+    }
+
+  property("BFS distance is monotone along followed edges") =
+    forAll(genGraph) { case (n, edges) =>
+      val g = build(n, edges)
+      val seed = g.vertices.orderBy("vid").limit(1).select("vid")
+      val d = Traversals.bfsFrom(g.edges, seed, -1)
+      val dm = d.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      g.edges.select("src", "dst").collect().forall { r =>
+        (dm.get(r.getLong(0)), dm.get(r.getLong(1))) match {
+          case (Some(ds), Some(dd)) => dd <= ds + 1
+          case (Some(_), None) => false // reachable src must reach dst
+          case _ => true
+        }
+      }
+    }
+
+  private val genDocs = Gen.listOfN(12,
+    Gen.zip(Gen.choose(0, 3), Gen.choose(0, 3), Gen.choose(0, 3)))
+
+  property("exact dedup is idempotent and canonical ids are minimal") =
+    forAll(genDocs) { words =>
+      import spark.implicits._
+      val docs = words.zipWithIndex.map { case ((a, b, c), i) =>
+        (i.toLong, s"w$a w$b w$c") }.toDF("doc_id", "text")
+      val out = Dedup.exact(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      val byText = words.zipWithIndex.groupBy(_._1).values
+      out.forall { case (id, canon, dup) => (canon <= id) && (dup == (canon != id)) } &&
+        byText.forall { grp =>
+          val ids = grp.map(_._2.toLong).toSet
+          val canons = out.filter(o => ids(o._1)).map(_._2).toSet
+          canons.size == 1 && canons.head == ids.min
+        }
+    }
+}

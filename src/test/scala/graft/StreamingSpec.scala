@@ -66,6 +66,34 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("session windows collapse bursts separated by the gap") {
+    val df = events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventStreams.sessionAgg(df, "20 minutes")
+      .select("user_id", "n_events").as[(Long, Long)].collect().toSet
+    // user 10: events at :00 and :05 -> one session of 2
+    // user 11: events at :10 and :40 -> two sessions (gap > 20m)
+    assert(out == Set((10L, 2L), (11L, 1L), (12L, 1L)))
+  }
+
+  test("flatMapGroupsWithState keeps running per-user totals across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{UserEvent, UserUpdate}
+    val stream = MemoryStream[UserEvent]
+    val q = EventStreams.runningUserTotals(stream.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("state_out").start()
+    try {
+      stream.addData(UserEvent(1L, ts(0), 2.0), UserEvent(1L, ts(1), 3.0))
+      q.processAllAvailable()
+      stream.addData(UserEvent(1L, ts(2), 5.0), UserEvent(2L, ts(3), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("state_out").as[UserUpdate].collect()
+      val latest1 = rows.filter(_.user_id == 1L).maxBy(_.count)
+      assert(latest1.count == 3L && latest1.total == 10.0)
+      assert(rows.filter(_.user_id == 2L).map(_.count).max == 1L)
+    } finally q.stop()
+  }
+
   test("json props extraction (get_json_object path)") {
     val df = events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val out = EventStreams.withProps(df, "k")
