@@ -206,6 +206,62 @@ object SparkEntry {
              | event_type, COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
 
+    QueryDef("q11_events_sessions",
+      // session_window batch semantics vs a gaps-and-islands oracle:
+      // a session ends after 30 minutes of silence; window end =
+      // last event + gap (Spark session_window definition).
+      (s, dir) => EventStreams.sessionAgg(
+          EventStreams.readEvents(s, dir), "30 minutes")
+        .orderBy("user_id", "session_start"),
+      Some("""WITH marked AS (
+             | SELECT user_id, ts, value,
+             |  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |        > INTERVAL '30 minutes' OR
+             |       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |  THEN 1 ELSE 0 END AS brk
+             | FROM events),
+             | grp AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |   ROWS UNBOUNDED PRECEDING) AS sid FROM marked)
+             |SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             | strftime(MAX(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+             | user_id, COUNT(*) AS n_events,
+             | CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+             |FROM grp GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    QueryDef("q12_anti_join",
+      // customers that never ordered: left anti join <-> NOT EXISTS
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef("q13_scalar_functions",
+      // scalar-function breadth: string ops + timestamp field extraction
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          upper(substring(col("o_orderpriority"), 1, 4)).as("prio4"),
+          length(col("o_orderstatus")).cast("long").as("status_len"),
+          when(col("o_totalprice") > 100000, "big")
+            .when(col("o_totalprice") > 10000, "mid")
+            .otherwise("small").as("bucket"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             | CAST(year(o_orderdate) AS BIGINT) AS yr,
+             | CAST(month(o_orderdate) AS BIGINT) AS mo,
+             | UPPER(SUBSTRING(o_orderpriority, 1, 4)) AS prio4,
+             | CAST(LENGTH(o_orderstatus) AS BIGINT) AS status_len,
+             | CASE WHEN o_totalprice > 100000 THEN 'big'
+             |      WHEN o_totalprice > 10000 THEN 'mid'
+             |      ELSE 'small' END AS bucket
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     // ------------------------------------------------------- graph: build
     QueryDef("g01_vertices",
       (s, dir) => graph(s, dir).vertices
