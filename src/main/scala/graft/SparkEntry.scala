@@ -430,6 +430,34 @@ object SparkEntry {
               |UNION ALL SELECT 'region', rid FROM reg
               |ORDER BY layer, node_id""".stripMargin)),
 
+    QueryDef("g25_traversed_edges",
+      // T2 edge marking: edges swept by the downstream closure from
+      // the smallest order vertex.
+      (s, dir) => {
+        val g = graph(s, dir)
+        val seedKey = t(s, dir, "orders").agg(min("o_orderkey")).head.getLong(0).toString
+        val seeds = g.vertices
+          .filter(col("layer") === "order" && col("nodeId") === seedKey)
+          .select("vid")
+        Traversals.reachableEdges(g, seeds, Traversals.Downstream)
+          .select(col("srcLayer").as("source_layer"), col("srcId").as("source_id"),
+            col("dstLayer").as("target_layer"), col("dstId").as("target_id"),
+            col("relation"))
+          .orderBy("source_layer", "source_id", "target_layer", "target_id")
+      },
+      Some(s"""$W, walk(layer, node_id, dist) AS (
+              | SELECT 'order', CAST((SELECT MIN(o_orderkey) FROM orders) AS VARCHAR), 0
+              | UNION ALL
+              | SELECT e.target_layer, e.target_id, w.dist + 1
+              | FROM walk w JOIN edges e
+              |   ON e.source_layer = w.layer AND e.source_id = w.node_id
+              | WHERE w.dist < 10),
+              | reach AS (SELECT DISTINCT layer, node_id FROM walk)
+              |SELECT source_layer, source_id, target_layer, target_id, relation
+              |FROM edges e JOIN reach r
+              |  ON e.source_layer = r.layer AND e.source_id = r.node_id
+              |ORDER BY source_layer, source_id, target_layer, target_id""".stripMargin)),
+
     // ------------------------------------------------- graph: views/props
     QueryDef("g10_filter_view",
       (s, dir) => {

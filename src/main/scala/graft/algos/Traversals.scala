@@ -116,6 +116,22 @@ object Traversals {
     }
   }
 
+  /** `_bfs_traversal`'s edge marking (T2, `searcher.py:119-155`): the
+    * edges actually traversed by a closure sweep — downstream marks
+    * edges whose SOURCE was visited, upstream edges whose TARGET was
+    * visited. One semi-join against the reached set. */
+  def reachableEdges(g: OnionGraph, seeds: DataFrame,
+                     direction: Direction = Downstream): DataFrame = {
+    direction match {
+      case Upstream =>
+        val visited = bfsFrom(g.reverse.edges, seeds, -1)
+        g.edges.join(visited.select(col("vid").as("dst")), Seq("dst"), "left_semi")
+      case _ =>
+        val visited = bfsFrom(g.edges, seeds, -1)
+        g.edges.join(visited.select(col("vid").as("src")), Seq("src"), "left_semi")
+    }
+  }
+
   /** Ego-net subgraph: vertices reached by [[search]] + induced edges
     * (graph-tool GraphView at `searcher.py:232`). */
   def egoNet(g: OnionGraph, layer: String, nodeId: String, maxDist: Int,

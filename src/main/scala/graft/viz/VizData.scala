@@ -51,6 +51,20 @@ object VizData {
     df.withColumn(s"${prop}_color_val", norm)
   }
 
+  /** V1 custom color dict with STRICT missing-key error
+    * (`visualisation.py:128-130` raises ValueError): unknown category
+    * values fail the job via raise_error instead of silently
+    * defaulting. */
+  def colorByMap(df: DataFrame, prop: String,
+                 colors: Map[String, String]): DataFrame = {
+    val cases = colors.foldLeft(lit(null).cast("string")) {
+      case (acc, (k, v)) => when(col(prop) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn(s"${prop}_color",
+      coalesce(cases, raise_error(concat(
+        lit(s"no color for $prop value: "), col(prop).cast("string")))))
+  }
+
   /** V1 boolean: true -> index 0 ("red"), false -> 1 ("grey"). */
   def colorBoolean(df: DataFrame, prop: String): DataFrame =
     df.withColumn(s"${prop}_color_idx", when(col(prop), 0).otherwise(1))

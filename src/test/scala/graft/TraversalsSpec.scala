@@ -67,6 +67,19 @@ class TraversalsSpec extends SparkSuite {
     assert(on == Set("a", "b", "c", "d")) // x is on a longer a->..->x? x not on any a->d shortest path
   }
 
+  test("reachableEdges marks exactly the swept edges (T2, searcher.py:119-155)") {
+    val seeds = g.vertices
+      .filter(col("layer") === "L1" && col("nodeId") === "b").select("vid")
+    val down = Traversals.reachableEdges(g, seeds, Traversals.Downstream)
+      .select("srcId", "dstId").as[(String, String)].collect().toSet
+    // reached from b: b,c,d,x -> edges with visited source
+    assert(down == Set(("b", "c"), ("c", "d"), ("c", "x"), ("x", "b")))
+    val up = Traversals.reachableEdges(g, seeds, Traversals.Upstream)
+      .select("srcId", "dstId").as[(String, String)].collect().toSet
+    // reaching b: a, x (and c via x) -> edges whose target was visited
+    assert(up == Set(("a", "b"), ("x", "b"), ("c", "x"), ("b", "c")))
+  }
+
   test("weak components partition vertices; isolated vertex is its own comp") {
     val comps = Traversals.weakComponents(g)
       .join(g.vertices, Seq("vid"))

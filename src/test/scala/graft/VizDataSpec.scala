@@ -52,6 +52,15 @@ class VizDataSpec extends SparkSuite {
     assert(out == Map("blue" -> 0, "green" -> 1, "red" -> 0)) // codes 0,1,2 mod 2
   }
 
+  test("custom color map is strict on missing keys (visualisation.py:128-130)") {
+    val full = VizData.colorByMap(df, "color",
+      Map("red" -> "#f00", "blue" -> "#00f", "green" -> "#0f0"))
+    assert(full.select("color_color").as[String].collect().toSet ==
+      Set("#f00", "#00f", "#0f0"))
+    val partial = VizData.colorByMap(df, "color", Map("red" -> "#f00"))
+    intercept[Exception] { partial.collect() }
+  }
+
   test("boolean coloring / halo flags (V1 bool, V3)") {
     val flags = df.withColumn("hot", col("score") > 5)
     val out = VizData.colorBoolean(flags, "hot")
