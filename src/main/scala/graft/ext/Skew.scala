@@ -1,0 +1,41 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Salted join for heavy-hitter keys (SURVEY §7.4: 5 regions vs
+ * millions of facts). AQE's skew-join split handles sort-merge skew at
+ * runtime; explicit salting is the deterministic fallback when a
+ * single key's rows exceed one executor's memory in a shuffled hash
+ * join or aggregation.
+ *
+ * The big side gets a deterministic per-row salt (hash of the whole
+ * row modulo `salts` — no rand(), so retries/speculative tasks agree);
+ * the small side is replicated across all salt values.
+ */
+object Skew {
+
+  /** Equi-join `big ⋈ small` on `key`, fanning the small side out
+    * `salts` ways so the big side's heavy keys spread across tasks. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int = 8, joinType: String = "inner"): DataFrame = {
+    val bigS = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)).cast("int"))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    bigS.join(smallS, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Two-phase skew-safe aggregation: partial aggregate on
+    * (key, salt), then final merge on key. `partial` and `merge` name
+    * the same-shaped aggregate columns (e.g. sum -> sum). */
+  def saltedSum(df: DataFrame, key: String, valueCol: String,
+                salts: Int = 8): DataFrame =
+    df.withColumn("__salt",
+        pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salts)).cast("int"))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol).cast("decimal(38,6)")).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum("__partial").cast("double").as(s"sum_$valueCol"))
+}

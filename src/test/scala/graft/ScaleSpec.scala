@@ -1,0 +1,56 @@
+package graft
+
+import graft.builder.OnionBuilder
+import graft.builder.OnionBuilder.GrowOptions
+import graft.ext.Skew
+import graft.sources.BucketedStore
+import org.apache.spark.sql.functions._
+
+/** Scale-path mechanics: bucketed co-located joins (no exchange) and
+  * salted skew handling produce the same answers as the plain ops. */
+class ScaleSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("bucketed graph store: co-bucketed join plans without exchange on the bucketed side") {
+    val nodes = (0 until 100).map(i => (i.toString, "L0")).toDF("node_id", "layer")
+    val edges = (0 until 300).map(i => ((i % 100).toString, "L0",
+      ((i * 7) % 100).toString, "L0"))
+      .toDF("source_id", "source_layer", "target_id", "target_layer")
+    val g = OnionBuilder.grow(nodes, edges, GrowOptions())
+    BucketedStore.save(g, "scalespec", buckets = 4)
+    val loaded = BucketedStore.load(spark, "scalespec")
+
+    // counts survive the roundtrip
+    assert(loaded.numVertices == g.numVertices && loaded.numEdges == g.numEdges)
+
+    // vid==src co-bucketed join: the edges (bucketed) side needs no shuffle
+    val joined = loaded.edges.join(loaded.vertices
+      .withColumnRenamed("vid", "src"), Seq("src"))
+    val plan = joined.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected at most one exchange, plan:\n$plan")
+    assert(joined.count() == g.numEdges)
+  }
+
+  test("salted join equals plain join on skewed data") {
+    val big = (0 until 2000).map(i => (if (i % 10 == 0) 1 else i % 5, i.toDouble))
+      .toDF("k", "v")
+    val small = Seq((1, "one"), (2, "two"), (3, "three"), (4, "four"), (0, "zero"))
+      .toDF("k", "name")
+    val plain = big.join(small, Seq("k")).groupBy("name").count()
+      .as[(String, Long)].collect().toMap
+    val salted = Skew.saltedJoin(big, small, "k", salts = 4)
+      .groupBy("name").count().as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("salted two-phase sum equals direct sum") {
+    val df = (0 until 1000).map(i => (i % 3, (i % 7).toDouble)).toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(sum(col("v").cast("decimal(38,6)")).cast("double").as("sum_v"))
+      .as[(Int, Double)].collect().toMap
+    val salted = Skew.saltedSum(df, "k", "v", salts = 4)
+      .as[(Int, Double)].collect().toMap
+    assert(salted == direct)
+  }
+}
