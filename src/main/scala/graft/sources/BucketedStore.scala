@@ -17,6 +17,9 @@ import org.apache.spark.sql.functions._
 object BucketedStore {
 
   def save(g: OnionGraph, name: String, buckets: Int = 32): Unit = {
+    val spark = g.spark
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_vertices")
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_edges")
     g.vertices.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "vid").sortBy("vid")
       .format("parquet").saveAsTable(s"${name}_vertices")

@@ -12,6 +12,14 @@ class ScaleSpec extends SparkSuite {
   import spark.implicits._
 
   test("bucketed graph store: co-bucketed join plans without exchange on the bucketed side") {
+    // remove orphaned table locations left by a previous test JVM
+    // (files survive, in-memory catalog does not)
+    Seq("scalespec_vertices", "scalespec_edges").foreach { t =>
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
     val nodes = (0 until 100).map(i => (i.toString, "L0")).toDF("node_id", "layer")
     val edges = (0 until 300).map(i => ((i % 100).toString, "L0",
       ((i * 7) % 100).toString, "L0"))
