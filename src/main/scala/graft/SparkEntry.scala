@@ -319,6 +319,31 @@ object SparkEntry {
               |FROM walk GROUP BY layer, node_id
               |ORDER BY layer, node_id""".stripMargin)),
 
+    QueryDef("g26_pregel_khop",
+      // same semantics as g04 but on the GraphX Pregel kernel — the
+      // north-star "GraphX for analytics" path under the oracle gate.
+      (s, dir) => {
+        val g = graph(s, dir)
+        val seed = t(s, dir, "orders").agg(min("o_orderkey")).head.getLong(0).toString
+        val seedVid = g.vertices
+          .filter(col("layer") === "order" && col("nodeId") === seed)
+          .select("vid").head.getLong(0)
+        GraphOps.pregelBfs(g, Set(seedVid), 3)
+          .join(g.vertices, Seq("vid"))
+          .select(col("layer"), col("nodeId").as("node_id"), col("dist"))
+          .orderBy("layer", "node_id")
+      },
+      Some(s"""$W, walk(layer, node_id, dist) AS (
+              | SELECT 'order', CAST((SELECT MIN(o_orderkey) FROM orders) AS VARCHAR), 0
+              | UNION ALL
+              | SELECT e.target_layer, e.target_id, w.dist + 1
+              | FROM walk w JOIN edges e
+              |   ON e.source_layer = w.layer AND e.source_id = w.node_id
+              | WHERE w.dist < 3)
+              |SELECT layer, node_id, CAST(MIN(dist) AS INT) AS dist
+              |FROM walk GROUP BY layer, node_id
+              |ORDER BY layer, node_id""".stripMargin)),
+
     QueryDef("g05_reachability",
       (s, dir) => {
         val g = graph(s, dir)

@@ -172,7 +172,11 @@ object Traversals {
     * (vid, component: string). Size thresholding
     * (`searcher.py:296-297`) composes on top via groupBy. */
   def weakComponents(g: OnionGraph): DataFrame = {
-    val e = g.symmetrize.edges.select("src", "dst").localCheckpoint()
+    // plain union, no dedup: duplicate (src,dst) rows cannot change a
+    // min-label fixpoint, and the dropDuplicates shuffle is pure cost
+    val e = g.edges.select("src", "dst")
+      .unionAll(g.edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
     var labels = g.vertices
       .select(col("vid"), concat_ws(":", col("layer"), col("nodeId")).as("comp"))
       .localCheckpoint()
@@ -205,8 +209,11 @@ object Traversals {
                        minS: Double, maxS: Double): DataFrame = {
     val seed = g.vertices.filter(col("layer") === layer && col("nodeId") === nodeId)
       .select("vid")
-    // undirected sweep covers the whole component -> label propagation
-    val depths = bfsLabelProp(g.symmetrize.edges, seed)
+    // undirected sweep covers the whole component -> label propagation;
+    // duplicate edges don't affect min-dist, skip the dedup shuffle
+    val und = g.edges.select(col("src"), col("dst"))
+      .unionAll(g.edges.select(col("dst").as("src"), col("src").as("dst")))
+    val depths = bfsLabelProp(und, seed)
     val maxDepth = depths.agg(max("dist")).head.getInt(0).max(1)
     depths.withColumn("size",
       lit(maxS) - lit(maxS - minS) * col("dist") / lit(maxDepth.toDouble))
