@@ -1,0 +1,106 @@
+package graft
+
+import graft.algos.Traversals
+import graft.builder.OnionBuilder
+import graft.builder.OnionBuilder.GrowOptions
+import graft.model.OnionGraph
+import graft.props.PropertyOps
+import graft.views.{Exporter, Filters}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/**
+ * Drop-in facade mirroring the reference's `OnionNet` class
+ * (`onionnet.py:15-208`): one mutable current graph, delegating
+ * methods, and a memoized node map invalidated on growth
+ * (`onionnet.py:41,55,192-198`). A user of the reference's API walks
+ * method-for-method onto this class; everything underneath is the
+ * immutable compositional library (each mutation swaps `current`).
+ */
+final class OnionNet(val spark: SparkSession) {
+
+  private var current: OnionGraph =
+    OnionGraph(
+      spark.emptyDataFrame
+        .select(), // replaced on first growOnion
+      spark.emptyDataFrame.select())
+  private var grown = false
+  private var nodeMapCache: Option[Map[(String, String), Long]] = None
+
+  /** The underlying graph (reference's `.g` property, `onionnet.py:201`). */
+  def g: OnionGraph = {
+    require(grown, "graph not grown yet — call growOnion first")
+    current
+  }
+
+  /** S1 `grow_onion` — also invalidates the node-map cache
+    * (`onionnet.py:44-55`). */
+  def growOnion(nodes: DataFrame, edges: DataFrame,
+                opts: GrowOptions = GrowOptions()): Unit = {
+    current = OnionBuilder.grow(nodes, edges, opts)
+    grown = true
+    nodeMapCache = None
+  }
+
+  /** Memoized `node_map` (`onionnet.py:181-198`). */
+  def nodeMap: Map[(String, String), Long] = {
+    if (nodeMapCache.isEmpty) nodeMapCache = Some(PropertyOps.nodeMap(g))
+    nodeMapCache.get
+  }
+
+  // ------------------------------------------------------------- queries
+  def search(layer: String, nodeId: String, maxDist: Int,
+             direction: Traversals.Direction = Traversals.Downstream,
+             includeUpstreamChildren: Boolean = false): OnionGraph = {
+    val reached = Traversals.search(g, layer, nodeId, maxDist, direction,
+      includeUpstreamChildren)
+    val vs = g.vertices.join(reached, Seq("vid"))
+    OnionGraph(vs, OnionGraph.inducedEdges(vs, g.edges))
+  }
+
+  def viewLayers(names: Seq[String]): OnionGraph = g.viewLayers(names)
+
+  def viewComponents(minSize: Long = 1): DataFrame =
+    Traversals.componentSizes(g, minSize)
+
+  def filterViewByProperty(dim: Filters.Dim, prop: String, op: String,
+                           value: Any, pruneIsolated: Boolean = false): OnionGraph =
+    Filters.filterViewByProperty(g, dim, prop, op, value, pruneIsolated)
+
+  def composeFilters(preds: Seq[Column], and: Boolean = true): OnionGraph =
+    g.filterVertices(
+      if (and) Filters.composeAnd(preds) else Filters.composeOr(preds))
+
+  def createBipartiteGv(a: String, b: String): OnionGraph = g.bipartite(a, b)
+
+  // ---------------------------------------------------------- point ops
+  def getVertexByNameTuple(layer: String, nodeId: String): Option[Long] =
+    nodeMap.get((layer, nodeId))
+
+  def getVertexProperty(layer: String, nodeId: String, prop: String): Option[Any] =
+    PropertyOps.getVertexProperty(g, layer, nodeId, prop)
+
+  /** P3 — swaps in the updated graph (the reference mutates in place;
+    * here the facade IS the mutable cell, SURVEY §7.4). */
+  def setVertexProperty(layer: String, nodeId: String, prop: String,
+                        value: Column): Unit = {
+    current = PropertyOps.setVertexProperty(g, layer, nodeId, prop, value)
+    nodeMapCache = None
+  }
+
+  def viewNodeProperties(layer: String, nodeId: String): DataFrame =
+    PropertyOps.viewNodeProperties(g, layer, nodeId)
+
+  def viewNodePropertiesByNames(layer: String, nodeId: String,
+                                props: Seq[String]): DataFrame =
+    PropertyOps.viewNodeProperties(g, layer, nodeId)
+      .select(("layer" +: "nodeId" +: props)
+        .map(org.apache.spark.sql.functions.col): _*)
+
+  def createNodeLabelProperty(prop: String = "label"): Unit = {
+    current = PropertyOps.withNodeLabels(g, prop)
+  }
+
+  // ------------------------------------------------------------- export
+  def exportInfo(mode: String = "v", props: Seq[String] = Nil): DataFrame =
+    if (mode == "v") Exporter.vertexInfo(g, props) else Exporter.edgeInfo(g, props)
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.algos.Traversals
+import graft.views.Filters
+import org.apache.spark.sql.functions._
+
+/** The drop-in facade walks the reference's method surface
+  * (`onionnet.py:15-208`): grow, search, views, point ops, export,
+  * node-map memoization + invalidation. */
+class OnionNetFacadeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshNet = {
+    val net = new OnionNet(spark)
+    val nodes = Seq(("a", "L1", 1.0), ("b", "L1", 2.0), ("c", "L2", 3.0))
+      .toDF("node_id", "layer", "score")
+    val edges = Seq(("a", "L1", "b", "L1"), ("b", "L1", "c", "L2"))
+      .toDF("source_id", "source_layer", "target_id", "target_layer")
+    net.growOnion(nodes, edges,
+      graft.builder.OnionBuilder.GrowOptions(nodePropCols = Seq("score")))
+    net
+  }
+
+  test("g before grow raises; after grow exposes the graph") {
+    val net = new OnionNet(spark)
+    intercept[IllegalArgumentException] { net.g }
+    assert(freshNet.g.numVertices == 3)
+  }
+
+  test("search / viewLayers / components / filters / bipartite delegate") {
+    val net = freshNet
+    assert(net.search("L1", "a", 1).numVertices == 2)
+    assert(net.viewLayers(Seq("L1")).numVertices == 2)
+    assert(net.viewComponents().count() == 1)
+    assert(net.filterViewByProperty(
+      Filters.VertexDim, "score", ">", 1.5).numVertices == 2)
+    assert(net.composeFilters(Seq(col("score") > 0.5, col("layer") === "L1"))
+      .numVertices == 2)
+    assert(net.createBipartiteGv("L1", "L2").numEdges == 1)
+  }
+
+  test("node map memoizes and invalidates on growth and mutation") {
+    val net = freshNet
+    val m1 = net.nodeMap
+    assert(m1.contains(("L1", "a")) && m1.size == 3)
+    net.setVertexProperty("L1", "a", "score", lit(9.0))
+    assert(net.getVertexProperty("L1", "a", "score").contains(9.0))
+    val nodes2 = Seq(("x", "L9")).toDF("node_id", "layer")
+    val edges2 = Seq.empty[(String, String, String, String)]
+      .toDF("source_id", "source_layer", "target_id", "target_layer")
+    net.growOnion(nodes2, edges2)
+    assert(net.nodeMap.keySet == Set(("L9", "x")))
+  }
+
+  test("point views and export") {
+    val net = freshNet
+    net.createNodeLabelProperty()
+    assert(net.viewNodeProperties("L1", "a").count() == 1)
+    assert(net.viewNodePropertiesByNames("L1", "a", Seq("score"))
+      .columns.toSeq == Seq("layer", "nodeId", "score"))
+    assert(net.exportInfo("v").count() == 3)
+    assert(net.exportInfo("e").count() == 2)
+    assert(net.getVertexByNameTuple("L2", "c").isDefined)
+  }
+}
