@@ -57,10 +57,30 @@ final class OnionNet(val spark: SparkSession) {
     OnionGraph(vs, OnionGraph.inducedEdges(vs, g.edges))
   }
 
-  def viewLayers(names: Seq[String]): OnionGraph = g.viewLayers(names)
+  /** F3 — validates layer names like the reference
+    * (`searcher.py:266-268` raises on an unknown layer). */
+  def viewLayers(names: Seq[String]): OnionGraph = {
+    val known = g.layers.select("layer").collect().map(_.getString(0)).toSet
+    val unknown = names.filterNot(known)
+    require(unknown.isEmpty, s"unknown layers: ${unknown.mkString(", ")}")
+    g.viewLayers(names)
+  }
 
-  def viewComponents(minSize: Long = 1): DataFrame =
-    Traversals.componentSizes(g, minSize)
+  /** T4 — `connectivity="strong"` is the reference DEFAULT
+    * (`searcher.py:284-295`); components relabeled to the
+    * lexicographic-min member name for determinism. */
+  def viewComponents(minSize: Long = 1, strong: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat_ws, count, lit, min => fmin}
+    if (!strong) Traversals.componentSizes(g, minSize)
+    else graft.algos.GraphOps.stronglyConnectedComponents(g)
+      .join(g.vertices, Seq("vid"))
+      .select(col("compVid"),
+        concat_ws(":", col("layer"), col("nodeId")).as("member"))
+      .groupBy("compVid")
+      .agg(fmin("member").as("comp"), count(lit(1)).as("size"))
+      .filter(col("size") >= minSize)
+      .select("comp", "size")
+  }
 
   def filterViewByProperty(dim: Filters.Dim, prop: String, op: String,
                            value: Any, pruneIsolated: Boolean = false): OnionGraph =

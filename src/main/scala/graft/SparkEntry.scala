@@ -262,6 +262,17 @@ object SparkEntry {
              |      ELSE 'small' END AS bucket
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    QueryDef("q14_approx_distinct",
+      // HLL sketch vs exact distinct — the 100 TB cardinality path
+      // (sketches merge map-side; exact distinct shuffles every key).
+      // Sketch estimates are engine-specific -> rows-only check.
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+          countDistinct("l_partkey").as("exact_parts"))
+        .orderBy("l_returnflag"),
+      None),
+
     // ------------------------------------------------------- graph: build
     QueryDef("g01_vertices",
       (s, dir) => graph(s, dir).vertices

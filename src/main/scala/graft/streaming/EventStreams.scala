@@ -56,14 +56,27 @@ object EventStreams {
     events.withColumn(s"prop_$key",
       get_json_object(col("props"), s"$$.$key").cast("long"))
 
+  /** The nanos-safe schema the driver's parquet actually carries
+    * (TIMESTAMP(NANOS) surfaces as long under nanosAsLong). */
+  private val rawEventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming read of the events parquet (nanos -> micros, like
+    * [[readEvents]] for batch). */
+  def readEventStream(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawEventSchema).parquet(path)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
   /** Streaming entry: same aggregations with a watermark for state
     * cleanup / late-data handling. Caller picks sink + output mode. */
   def streamTumblingAgg(spark: SparkSession, path: String,
                         watermark: String = "10 minutes",
-                        width: String = "1 hour"): DataFrame = {
-    val src = spark.readStream.schema(eventSchema).parquet(path)
-    tumblingAgg(src.withWatermark("ts", watermark), width)
-  }
+                        width: String = "1 hour"): DataFrame =
+    tumblingAgg(readEventStream(spark, path).withWatermark("ts", watermark), width)
 
   /** Session windows per user: activity bursts separated by `gap`
     * of silence collapse into one session (extension beyond the

@@ -103,10 +103,16 @@ object VizData {
   def layoutByLayer(vertices: DataFrame, xSpacing: Double = 1.0,
                     ySpacing: Double = 1.0, jitter: Double = 0.0,
                     seed: Long = 42L): DataFrame = {
-    val layerRank = dense_rank().over(Window.orderBy(col("layer"))) - 1
+    // layer rank via broadcast code table, NOT a global unpartitioned
+    // window (which would funnel every vertex through one task)
+    val layerCodes = vertices.select(col("layer")).distinct()
+      .withColumn("layerRank",
+        dense_rank().over(Window.orderBy(col("layer"))) - 1)
     val wInLayer = Window.partitionBy(col("layer")).orderBy(col("nodeId"))
     val base = vertices
-      .withColumn("x", layerRank.cast("double") * xSpacing)
+      .join(broadcast(layerCodes), Seq("layer"))
+      .withColumn("x", col("layerRank").cast("double") * xSpacing)
+      .drop("layerRank")
       .withColumn("y", (row_number().over(wInLayer) - 1).cast("double") * ySpacing)
     if (jitter == 0.0) base
     else base.withColumn("y", col("y") + (rand(seed) - 0.5) * 2 * jitter)

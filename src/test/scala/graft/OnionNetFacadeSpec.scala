@@ -31,7 +31,10 @@ class OnionNetFacadeSpec extends SparkSuite {
     val net = freshNet
     assert(net.search("L1", "a", 1).numVertices == 2)
     assert(net.viewLayers(Seq("L1")).numVertices == 2)
-    assert(net.viewComponents().count() == 1)
+    intercept[IllegalArgumentException] { net.viewLayers(Seq("NOPE")) }
+    // strong (reference default): the DAG has 3 singleton SCCs
+    assert(net.viewComponents().count() == 3)
+    assert(net.viewComponents(strong = false).count() == 1)
     assert(net.filterViewByProperty(
       Filters.VertexDim, "score", ">", 1.5).numVertices == 2)
     assert(net.composeFilters(Seq(col("score") > 0.5, col("layer") === "L1"))

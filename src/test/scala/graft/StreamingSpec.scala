@@ -94,6 +94,27 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("file-source streaming over the real events parquet equals batch") {
+    val src = "/root/testdata/sf0.001/events.parquet"
+    assume(new java.io.File(src).exists())
+    // the file stream source wants a directory
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+      dir.resolve("events.parquet"))
+    val q = EventStreams.streamTumblingAgg(spark, dir.toString, "10 minutes", "6 hours")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("file_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_stream_out")
+        .as[(String, String, Long, Double)].collect().toSet
+      val batch = EventStreams.tumblingAgg(
+          EventStreams.readEvents(spark, "/root/testdata/sf0.001"), "6 hours")
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("json props extraction (get_json_object path)") {
     val df = events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val out = EventStreams.withProps(df, "k")
