@@ -25,6 +25,7 @@ final class OnionNet(val spark: SparkSession) {
       spark.emptyDataFrame.select())
   private var grown = false
   private var nodeMapCache: Option[Map[(String, String), Long]] = None
+  private var layerSetCache: Option[Set[String]] = None
 
   /** The underlying graph (reference's `.g` property, `onionnet.py:201`). */
   def g: OnionGraph = {
@@ -39,6 +40,7 @@ final class OnionNet(val spark: SparkSession) {
     current = OnionBuilder.grow(nodes, edges, opts)
     grown = true
     nodeMapCache = None
+    layerSetCache = None
   }
 
   /** Memoized `node_map` (`onionnet.py:181-198`). */
@@ -58,10 +60,12 @@ final class OnionNet(val spark: SparkSession) {
   }
 
   /** F3 — validates layer names like the reference
-    * (`searcher.py:266-268` raises on an unknown layer). */
+    * (`searcher.py:266-268` raises on an unknown layer). The layer
+    * set is memoized like `node_map`, invalidated on growth. */
   def viewLayers(names: Seq[String]): OnionGraph = {
-    val known = g.layers.select("layer").collect().map(_.getString(0)).toSet
-    val unknown = names.filterNot(known)
+    if (layerSetCache.isEmpty) layerSetCache = Some(
+      g.vertices.select("layer").distinct().collect().map(_.getString(0)).toSet)
+    val unknown = names.filterNot(layerSetCache.get)
     require(unknown.isEmpty, s"unknown layers: ${unknown.mkString(", ")}")
     g.viewLayers(names)
   }

@@ -30,12 +30,7 @@ final case class OnionGraph(vertices: DataFrame, edges: DataFrame) {
   /** Distinct layer names with deterministic dense codes (sorted order —
     * intentional deterministic deviation from the reference's
     * insertion-order codes, `core.py:71-90`; see SURVEY §4.3). */
-  def layers: DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    vertices.select(col("layer")).distinct()
-      .withColumn("layerCode",
-        dense_rank().over(Window.orderBy(col("layer"))) - 1)
-  }
+  def layers: DataFrame = OnionGraph.layerCodes(vertices)
 
   /** Number of vertices / edges (reference prints these after search,
     * `searcher.py:233`). */
@@ -123,6 +118,16 @@ final case class OnionGraph(vertices: DataFrame, edges: DataFrame) {
 }
 
 object OnionGraph {
+  /** The canonical layer-coding rule: distinct layer names with dense
+    * codes in sorted order. Single definition shared by `layers` and
+    * the layout computations. */
+  def layerCodes(vertices: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    vertices.select(col("layer")).distinct()
+      .withColumn("layerCode",
+        dense_rank().over(Window.orderBy(col("layer"))) - 1)
+  }
+
   /** Deterministic vertex id. Collision probability over 64 bits is
     * negligible at 100 TB vertex-table scale (~1e10 vertices -> ~3e-9
     * per pair); `OnionBuilder.grow` audits at build time. */

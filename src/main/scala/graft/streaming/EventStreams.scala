@@ -25,7 +25,9 @@ object EventStreams {
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer `div`, NOT `/`: epoch nanos exceed 2^53, so double
+      // division rounds (±256 ns) before the cast truncates
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   val eventSchema: StructType = StructType(Seq(
@@ -68,7 +70,7 @@ object EventStreams {
   def readEventStream(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(rawEventSchema).parquet(path)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Streaming entry: same aggregations with a watermark for state
@@ -93,7 +95,7 @@ object EventStreams {
     * exactly-once-style ingestion hygiene at scale. */
   def streamDedup(spark: SparkSession, path: String,
                   watermark: String = "10 minutes"): DataFrame =
-    spark.readStream.schema(eventSchema).parquet(path)
+    readEventStream(spark, path)
       .withWatermark("ts", watermark)
       .dropDuplicates("event_id")
 

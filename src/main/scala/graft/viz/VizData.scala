@@ -105,14 +105,11 @@ object VizData {
                     seed: Long = 42L): DataFrame = {
     // layer rank via broadcast code table, NOT a global unpartitioned
     // window (which would funnel every vertex through one task)
-    val layerCodes = vertices.select(col("layer")).distinct()
-      .withColumn("layerRank",
-        dense_rank().over(Window.orderBy(col("layer"))) - 1)
     val wInLayer = Window.partitionBy(col("layer")).orderBy(col("nodeId"))
     val base = vertices
-      .join(broadcast(layerCodes), Seq("layer"))
-      .withColumn("x", col("layerRank").cast("double") * xSpacing)
-      .drop("layerRank")
+      .join(broadcast(OnionGraph.layerCodes(vertices)), Seq("layer"))
+      .withColumn("x", col("layerCode").cast("double") * xSpacing)
+      .drop("layerCode")
       .withColumn("y", (row_number().over(wInLayer) - 1).cast("double") * ySpacing)
     if (jitter == 0.0) base
     else base.withColumn("y", col("y") + (rand(seed) - 0.5) * 2 * jitter)
