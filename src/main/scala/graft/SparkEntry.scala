@@ -910,6 +910,20 @@ object SparkEntry {
              | FROM customer)
              |ORDER BY entry""".stripMargin)),
 
+    QueryDef("x14_embed_neardup",
+      // embedding-cosine near-dup (X1's last modality): exact pairwise
+      // baseline; round(4) on both sides absorbs the engines'
+      // different cosine accumulation formulas.
+      (s, dir) => Dedup.embeddingNearDup(t(s, dir, "embeddings"), 0.45)
+        .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("a", "b"),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+             |SELECT l.vec_id AS a, r.vec_id AS b,
+             | ROUND(list_cosine_similarity(l.v, r.v), 4) AS cosine
+             |FROM e l JOIN e r ON l.vec_id < r.vec_id
+             |WHERE list_cosine_similarity(l.v, r.v) >= 0.45
+             |ORDER BY a, b""".stripMargin)),
+
     QueryDef("x12_multimodal",
       (s, dir) => Multimodal.decodeStub(
           Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"))

@@ -137,6 +137,21 @@ object Dedup {
       .select(col("a"), col("b"), col("hamming"))
   }
 
+  /** Embedding-cosine near-duplicates: exact all-pairs scoring with
+    * the native cosine kernel. This is the EXACTNESS baseline — at
+    * corpus scale use [[Similarity.lshTopK]]'s bucketed candidates
+    * instead of the quadratic pair space. */
+  def embeddingNearDup(emb: DataFrame, threshold: Double,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val left = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val right = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    left.join(right, col("a") < col("b"))
+      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"), col("cosine"))
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs within a blocking
     * key (never unblocked — the cross join is per-block). */
   def ngramJaccard(docs: DataFrame, blockKey: Column, minJaccard: Double,
