@@ -103,6 +103,21 @@ class ExtSpec extends SparkSuite {
     assert(byQ.nonEmpty && byQ.forall(_._2 <= 5))
   }
 
+  test("IVF topK: identical vector found when query and twin share a cell (X2)") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.1f)),
+      (2L, Array(-1.0f, 0.0f)), (3L, Array(-1.0f, -0.1f)))
+      .toDF("vec_id", "embedding")
+    val centroids = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(-1.0f, 0.0f)))
+      .toDF("centroid_id", "embedding")
+    val out = Similarity.ivfTopK(emb, emb.filter($"vec_id" === 0), centroids,
+        k = 2, nprobe = 1)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
+    // probe cell 0 only: neighbor 1 (same cell), never 2/3
+    assert(out.find(_._2 == 1).map(_._1).contains(1L))
+    assert(!out.contains(2L) && !out.contains(3L))
+  }
+
   test("langId picks stopword-majority language, und on no hits (X3)") {
     val out = docs.select($"doc_id", TextOps.langId($"text").as("l"))
       .as[(Long, String)].collect().toMap

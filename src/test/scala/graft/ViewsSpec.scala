@@ -89,6 +89,15 @@ class ViewsSpec extends SparkSuite {
     assert(Exporter.edgeInfo(g).columns.contains("w"))
   }
 
+  test("export sinks round-trip (S4 return_type variants)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_export").toString
+    Exporter.writeParquet(Exporter.vertexInfo(g), s"$dir/v.parquet")
+    Exporter.writeCsv(Exporter.edgeInfo(g), s"$dir/e.csv")
+    assert(spark.read.parquet(s"$dir/v.parquet").count() == g.numVertices)
+    val csv = spark.read.option("header", "true").csv(s"$dir/e.csv")
+    assert(csv.count() == g.numEdges && csv.columns.contains("w"))
+  }
+
   test("point get/set property (P2/P3) — immutable update") {
     assert(PropertyOps.getVertexProperty(g, "L1", "a", "score").contains(10.0))
     val g2 = PropertyOps.setVertexProperty(g, "L1", "a", "score", lit(99.0))
