@@ -102,10 +102,21 @@ object StarGraph {
     * invocations share one persisted build instead of re-shuffling
     * lineitem per query. */
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), OnionGraph]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), OnionGraph]
 
-  def graph(spark: SparkSession, dir: String): OnionGraph =
-    cache.getOrElseUpdate((spark, dir), {
+  def graph(spark: SparkSession, dir: String): OnionGraph = {
+    // Evict entries whose owning session has stopped (their persisted
+    // blocks are already released) so long-lived JVMs that cycle
+    // sessions — sbt test, repeated drivers — don't accumulate dead
+    // graph references. computeIfAbsent gives exactly-once build under
+    // concurrent first access (TrieMap.getOrElseUpdate could run the
+    // build twice, double-persisting).
+    cache.forEach((k, g) =>
+      if (k._1.sparkContext.isStopped) cache.remove(k, g))
+    cache.computeIfAbsent((spark, dir), _ => build(spark, dir))
+  }
+
+  private def build(spark: SparkSession, dir: String): OnionGraph = {
       // dropDuplicates=false: every node/edge list above is unique by
       // construction (primary keys / grouped pairs) — the dedup
       // shuffle over ~2 rows/edge would be pure overhead at 100 TB.
@@ -114,11 +125,11 @@ object StarGraph {
           nodePropCols = Seq("name", "acctbal", "price", "segment"),
           edgePropCols = Seq("relation", "qty"),
           dropDuplicates = false))
-      val cached = OnionGraph(g.vertices.persist(), g.edges.persist())
-      // materialize once so every query starts from the built graph
-      cached.vertices.count(); cached.edges.count()
-      cached
-    })
+    val cached = OnionGraph(g.vertices.persist(), g.edges.persist())
+    // materialize once so every query starts from the built graph
+    cached.vertices.count(); cached.edges.count()
+    cached
+  }
 
   // ------------------------------------------------------------- oracle SQL
 

@@ -29,7 +29,10 @@ object Similarity {
 
   /** Native fused-loop cosine for `array<float>` (the corpus layout);
     * one codegen'd primitive loop, no intermediate arrays — same
-    * value as [[cosineHof]] (identical accumulation order). */
+    * value as [[cosineHof]] (identical accumulation order) EXCEPT for
+    * zero-norm vectors, where this kernel returns 0.0 while the HOF
+    * form divides by zero (NaN/Infinity), and mismatched lengths,
+    * where this kernel throws while zip_with truncates. */
   def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSimilarity(a, b)
 

@@ -17,9 +17,18 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Equi-join `big ⋈ small` on `key`, fanning the small side out
-    * `salts` ways so the big side's heavy keys spread across tasks. */
+    * `salts` ways so the big side's heavy keys spread across tasks.
+    *
+    * Only big-side-preserving join types are accepted: replicating the
+    * small side means right/full-outer would emit `salts` copies of
+    * each unmatched small-side row. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int = 8, joinType: String = "inner"): DataFrame = {
+    val allowed = Set("inner", "left", "leftouter", "left_outer",
+      "leftsemi", "left_semi", "leftanti", "left_anti")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin: joinType '$joinType' would duplicate unmatched " +
+        s"small-side rows across $salts salts; use one of $allowed")
     val bigS = big.withColumn("__salt",
       pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)).cast("int"))
     val smallS = small.withColumn("__salt",

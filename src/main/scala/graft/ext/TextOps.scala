@@ -34,8 +34,10 @@ object TextOps {
   private def hits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit): _*)))
 
-  /** Language-ID: argmax of stopword hit counts across languages;
-    * ties and zero hits fall back to "und" (undetermined). */
+  /** Language-ID: argmax of stopword hit counts across languages.
+    * Score ties resolve to the lexicographically LAST language code
+    * (greatest over (score, lang) structs); only zero hits fall back
+    * to "und" (undetermined). The x03 oracle mirrors this. */
   def langId(text: Column): Column = {
     val t = tokens(text)
     val scored = StopwordLists.toSeq.sortBy(_._1).map { case (lang, words) =>

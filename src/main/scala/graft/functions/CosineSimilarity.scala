@@ -33,10 +33,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  // Mismatched lengths THROW (not truncate): silently scoring a
+  // prefix would mask malformed embedding data, and the DuckDB oracle
+  // (list_cosine_similarity) likewise errors on mismatched lists.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"cosine_sim: vector length mismatch (${x.numElements()} vs ${y.numElements()})")
+    val n = x.numElements()
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
       val xv = x.getFloat(i).toDouble
@@ -57,7 +63,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |if ($x.numElements() != $y.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "cosine_sim: vector length mismatch (" + $x.numElements() +
+         |    " vs " + $y.numElements() + ")");
+         |}
+         |int $n = $x.numElements();
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xv = (double) $x.getFloat($i);
