@@ -23,13 +23,23 @@ import org.apache.spark.sql.functions._
  */
 object GraphOps {
 
-  def toGraphX(g: OnionGraph): Graph[Unit, Double] = {
-    val vs: RDD[(VertexId, Unit)] =
-      g.vertices.select("vid").rdd.map(r => (r.getLong(0), ()))
-    val es: RDD[Edge[Double]] = g.edges.select("src", "dst").rdd
-      .map(r => Edge(r.getLong(0), r.getLong(1), 1.0))
-    Graph(vs, es).partitionBy(PartitionStrategy.EdgePartition2D)
-  }
+  /** GraphX projections are memoized per OnionGraph instance (weakly —
+    * dropping the graph drops the projection): the DataFrame->RDD
+    * conversion plus the EdgePartition2D shuffle is pure ingest cost,
+    * and the "ingest once, query many" deployment (same as the
+    * reference's single in-memory graph) shares it across every
+    * Pregel/PageRank/components call on the same graph. */
+  private val gxCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[OnionGraph, Graph[Unit, Double]]())
+
+  def toGraphX(g: OnionGraph): Graph[Unit, Double] =
+    gxCache.computeIfAbsent(g, _ => {
+      val vs: RDD[(VertexId, Unit)] =
+        g.vertices.select("vid").rdd.map(r => (r.getLong(0), ()))
+      val es: RDD[Edge[Double]] = g.edges.select("src", "dst").rdd
+        .map(r => Edge(r.getLong(0), r.getLong(1), 1.0))
+      Graph(vs, es).partitionBy(PartitionStrategy.EdgePartition2D).cache()
+    })
 
   /** Pregel BFS: hop distance from the seed set, following edge
     * direction; `maxIterations` bounds the search like the reference's

@@ -29,6 +29,31 @@ object Traversals {
 
   private val CheckpointEvery = 5
 
+  /** Frontier/label sets below this row count are broadcast into the
+    * per-round edge join. Checkpointed iteration state has no Catalyst
+    * stats, so without the hint every round sort-merge-joins — i.e.
+    * re-shuffles the FULL edge set once per round, which dominates
+    * traversal cost. We track exact row counts each round anyway (the
+    * convergence check), so the decision uses real numbers, not
+    * estimates; above the threshold the plain join keeps the 100 TB
+    * path safe (no driver OOM from broadcasting a giant label table). */
+  private val BroadcastRows = 1000000L
+
+  private def maybeBroadcast(df: DataFrame, rows: Long): DataFrame =
+    if (rows >= 0 && rows < BroadcastRows) broadcast(df) else df
+
+  // Dev-only loop tracing: GRAFT_TRACE=1 prints per-round wall time.
+  private val trace = sys.env.contains("GRAFT_TRACE")
+  @inline private def timed[A](label: => String)(body: => A): A = {
+    if (!trace) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(f"[trace] $label ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
+    }
+  }
+
   /** BFS hop distances from seed vertices, following src->dst
     * (downstream). Returns (vid, dist). Seeds get dist 0.
     * maxDist < 0 means unbounded (reachability closure, T2).
@@ -41,21 +66,31 @@ object Traversals {
     val e = edges.select(col("src"), col("dst"))
     var frontier = seeds.select(col("vid")).distinct()
       .withColumn("dist", lit(0)).localCheckpoint()
+    var frontierRows = frontier.count()
     var visited = frontier
+    var visitedRows = frontierRows
     var depth = 0
-    var done = false
+    var done = frontierRows == 0
     while (!done && (maxDist < 0 || depth < maxDist)) {
       depth += 1
-      val next = e.join(frontier.withColumnRenamed("vid", "src"), Seq("src"))
-        .select(col("dst").as("vid")).distinct()
-        .join(visited.select("vid"), Seq("vid"), "left_anti")
-        .withColumn("dist", lit(depth))
-        .localCheckpoint() // one job; count below reads the cache
-      if (next.count() == 0) done = true
+      // Broadcast the (small) frontier into the edge join and the
+      // visited set into the anti-join: the edge table never moves.
+      val next = timed(s"bfsFrom round $depth checkpoint") {
+        e.join(maybeBroadcast(frontier.select(col("vid").as("src")), frontierRows),
+            Seq("src"))
+          .select(col("dst").as("vid")).distinct()
+          .join(maybeBroadcast(visited.select("vid"), visitedRows),
+            Seq("vid"), "left_anti")
+          .withColumn("dist", lit(depth))
+          .localCheckpoint() // one job; count below reads the cache
+      }
+      frontierRows = timed(s"bfsFrom round $depth count")(next.count())
+      if (frontierRows == 0) done = true
       else {
         frontier = next
         // lazy union of checkpointed frontiers; truncate periodically
         visited = visited.unionByName(frontier)
+        visitedRows += frontierRows
         if (depth % CheckpointEvery == 0) visited = visited.localCheckpoint()
       }
     }
@@ -69,23 +104,33 @@ object Traversals {
     * sweeps), where [[bfsFrom]]'s growing visited-set anti-join and
     * wide frontiers dominate. Rounds = eccentricity of the seed set. */
   def bfsLabelProp(edges: DataFrame, seeds: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val e = edges.select(col("src"), col("dst"))
     var labels = seeds.select(col("vid")).distinct()
       .withColumn("dist", lit(0)).localCheckpoint()
-    var changed = 1L
+    var labelRows = labels.count()
+    var changed = if (labelRows == 0) 0L else 1L
     while (changed > 0) {
-      // pre-aggregate candidates per target BEFORE touching labels:
-      // the edge-join output (|E| rows) collapses to <=|V| rows first
-      // (a union-then-aggregate formulation measured ~40% slower)
-      val relaxed = e.join(labels.withColumnRenamed("vid", "src"), Seq("src"))
-        .groupBy(col("dst").as("vid")).agg(min(col("dist") + 1).as("cand"))
-      val updated = labels.join(relaxed, Seq("vid"), "full")
-        .select(col("vid"),
-          least(coalesce(col("dist"), lit(Int.MaxValue)),
-            coalesce(col("cand"), lit(Int.MaxValue))).as("newDist"),
-          col("dist"))
-      val mat = updated.localCheckpoint()
-      changed = mat.filter(col("dist").isNull || col("newDist") < col("dist")).count()
+      // One heavy shuffle per round: broadcast labels into the edge
+      // join (edges never move), then merge old labels and relaxation
+      // candidates in a single map-side-combined min aggregation. The
+      // old dist rides along (tagged rows) so the convergence check is
+      // a cheap scan of the checkpointed result, not another join.
+      val relaxed = e
+        .join(maybeBroadcast(labels.select(col("vid").as("src"), col("dist")),
+          labelRows), Seq("src"))
+        .select(col("dst").as("vid"), (col("dist") + 1).as("d"),
+          lit(null).cast("int").as("old"))
+      val merged = labels
+        .select(col("vid"), col("dist").as("d"), col("dist").as("old"))
+        .unionAll(relaxed)
+        .groupBy("vid").agg(min("d").as("newDist"), min("old").as("oldDist"))
+      val mat = timed("bfsLabelProp round checkpoint")(merged.localCheckpoint())
+      val stats = timed("bfsLabelProp round count")(
+        mat.agg(count(lit(1)),
+          count(when(col("oldDist").isNull || col("newDist") < col("oldDist"), 1)))
+          .head)
+      labelRows = stats.getLong(0)
+      changed = stats.getLong(1)
       labels = mat.select(col("vid"), col("newDist").as("dist"))
     }
     labels
@@ -154,9 +199,12 @@ object Traversals {
     val srcSeed = g.vertices.filter(source).select("vid")
     val tgtSeed = g.vertices.filter(targets).select("vid")
     val fwd = bfsFrom(g.edges, srcSeed, -1).withColumnRenamed("dist", "fwd")
-    // backward pass is multi-source and typically sweeps most of the
-    // graph -> label propagation, not frontier expansion
-    val bwd = bfsLabelProp(g.reverse.edges, tgtSeed).withColumnRenamed("dist", "bwd")
+    // backward pass is multi-source and sweeps most of the graph, but
+    // frontier expansion still wins: total join work is O(|E|) across
+    // ALL rounds (each edge crosses the frontier once) vs label
+    // propagation's O(rounds x |E|), and the growing visited set stays
+    // a broadcast anti-join until it exceeds BroadcastRows
+    val bwd = bfsFrom(g.reverse.edges, tgtSeed, -1).withColumnRenamed("dist", "bwd")
     val targetDists = fwd.join(tgtSeed, Seq("vid"), "left_semi")
       .select(col("fwd").as("td")).distinct()
     g.vertices.select("vid")
@@ -178,23 +226,32 @@ object Traversals {
     // min-label fixpoint, and the dropDuplicates shuffle is pure cost
     val e = g.edges.select("src", "dst")
       .unionAll(g.edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
     var labels = g.vertices
       .select(col("vid"), concat_ws(":", col("layer"), col("nodeId")).as("comp"))
       .localCheckpoint()
+    var labelRows = labels.count()
     var changed = 1L
     var iter = 0
     while (changed > 0) {
       iter += 1
-      val nbrMin = e.join(labels.withColumnRenamed("vid", "src"), Seq("src"))
-        .groupBy(col("dst").as("vid")).agg(min("comp").as("nbrComp"))
-      val updated = labels.join(nbrMin, Seq("vid"), "left")
-        .select(col("vid"), col("comp"),
-          when(col("nbrComp").isNotNull && col("nbrComp") < col("comp"),
-            col("nbrComp")).otherwise(col("comp")).as("newComp"))
-        .localCheckpoint()
-      changed = updated.filter(col("newComp") =!= col("comp")).count()
-      labels = updated.select(col("vid"), col("newComp").as("comp"))
+      // Same single-shuffle round shape as [[bfsLabelProp]]: broadcast
+      // labels into the edge join, merge via union + min agg, detect
+      // change from the tagged old label (min over strings: the old
+      // tag is the row's own comp, so newComp < oldComp iff a smaller
+      // neighbor label arrived).
+      val nbr = e
+        .join(maybeBroadcast(labels.select(col("vid").as("src"), col("comp")),
+          labelRows), Seq("src"))
+        .select(col("dst").as("vid"), col("comp").as("c"),
+          lit(null).cast("string").as("old"))
+      val merged = labels
+        .select(col("vid"), col("comp").as("c"), col("comp").as("old"))
+        .unionAll(nbr)
+        .groupBy("vid").agg(min("c").as("newComp"), min("old").as("oldComp"))
+      val mat = timed(s"weakComponents round $iter checkpoint")(merged.localCheckpoint())
+      changed = timed(s"weakComponents round $iter count")(
+        mat.filter(col("newComp") < col("oldComp")).count())
+      labels = mat.select(col("vid"), col("newComp").as("comp"))
     }
     labels
   }
@@ -211,11 +268,13 @@ object Traversals {
                        minS: Double, maxS: Double): DataFrame = {
     val seed = g.vertices.filter(col("layer") === layer && col("nodeId") === nodeId)
       .select("vid")
-    // undirected sweep covers the whole component -> label propagation;
-    // duplicate edges don't affect min-dist, skip the dedup shuffle
+    // undirected sweep covers the whole component; duplicate edges
+    // don't affect min-dist, skip the dedup shuffle. Frontier BFS:
+    // each edge is relaxed only when its source enters the frontier,
+    // so total join volume is O(|E|), not O(rounds x |E|).
     val und = g.edges.select(col("src"), col("dst"))
       .unionAll(g.edges.select(col("dst").as("src"), col("src").as("dst")))
-    val depths = bfsLabelProp(und, seed)
+    val depths = bfsFrom(und, seed, -1)
     val maxDepth = depths.agg(max("dist")).head.getInt(0).max(1)
     depths.withColumn("size",
       lit(maxS) - lit(maxS - minS) * col("dist") / lit(maxDepth.toDouble))
