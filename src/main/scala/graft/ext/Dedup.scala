@@ -44,6 +44,20 @@ object Dedup {
       .select(col(idCol), col("canonical_id"), col("is_duplicate"))
   }
 
+  /** Distinct w-token shingles as sorted 64-bit hashes: the shingle
+    * string t1+" "+...+tw is never materialized — the window of tokens
+    * feeds multi-arg xxhash64 directly. Set-equivalent to [[shingles]]
+    * for Jaccard/MinHash purposes (hash collisions aside, ~n²/2⁶⁴ per
+    * doc), with no per-shingle string allocation; sorted so
+    * [[graft.functions.SortedArrayJaccard]] can merge-scan pairs. */
+  def hashedShingles(text: Column, w: Int = 3): Column = {
+    val t = tokens(text)
+    when(size(t) < w, array().cast("array<bigint>"))
+      .otherwise(array_sort(array_distinct(transform(
+        sequence(lit(0), size(t) - w),
+        i => xxhash64((0 until w).map(o => element_at(t, i + o + 1)): _*)))))
+  }
+
   /** MinHash signature: k minima of seeded hashes over the shingle
     * set. Strings are hashed ONCE (the expensive part); the k seeded
     * variants then re-mix the resulting longs — k cheap passes instead
@@ -72,8 +86,7 @@ object Dedup {
     // minhash into every band — a 256-pass-per-row expression pyramid
     // that overwhelms codegen and drops to interpreted eval.
     val hashed = docs
-      .select(col(idCol).as("id"),
-        transform(shingles(col(textCol), w), x => xxhash64(x)).as("hs"))
+      .select(col(idCol).as("id"), hashedShingles(col(textCol), w).as("hs"))
       .localCheckpoint()
     val sig = hashed
       .select(col("id"), array((0 until k).map(s =>
@@ -92,33 +105,25 @@ object Dedup {
     val cand = left.join(right, Seq("band", "bandHash"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), w).as("sh"))
+    // verify candidates against the SAME hashed shingle sets (already
+    // sorted+distinct) with the zero-allocation merge kernel
     cand
-      .join(sh.select(col("id").as("a"), col("sh").as("shA")), Seq("a"))
-      .join(sh.select(col("id").as("b"), col("sh").as("shB")), Seq("b"))
+      .join(hashed.select(col("id").as("a"), col("hs").as("shA")), Seq("a"))
+      .join(hashed.select(col("id").as("b"), col("hs").as("shB")), Seq("b"))
       .withColumn("jaccard",
-        size(array_intersect(col("shA"), col("shB"))).cast("double") /
-        size(array_union(col("shA"), col("shB"))))
+        graft.functions.SortedArrayJaccard(col("shA"), col("shB")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
 
   /** SimHash: 64-bit locality-sensitive fingerprint. Per token the
     * xxhash64 bits vote +1/-1 per position; sign of the sum forms the
-    * fingerprint. Expressed as 64 aggregate-HOF bit sums — heavier
-    * than a custom Expression but still codegen'd; near-dup = Hamming
-    * distance via bit_count(a ^ b). */
-  def simhash(text: Column): Column = {
-    val t = tokens(text)
-    val hashed = transform(t, x => xxhash64(x))
-    val bits = (0 until 64).map { i =>
-      val votes = aggregate(hashed, lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L)
-          .otherwise(-1L))
-      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+    * fingerprint. One fused native pass over the token hashes
+    * ([[graft.functions.SimHash64]]) — the 64-aggregate-HOF
+    * formulation it replaces traversed the array 64 times,
+    * interpreted; near-dup = Hamming distance via bit_count(a ^ b). */
+  def simhash(text: Column): Column =
+    graft.functions.SimHash64(transform(tokens(text), x => xxhash64(x)))
 
   /** SimHash near-dup pairs within Hamming distance `maxDist`,
     * blocked by the top `blockBits` bits of the fingerprint (docs in
@@ -158,15 +163,14 @@ object Dedup {
                    w: Int = 3, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), blockKey.as("blk"),
-      shingles(col(textCol), w).as("sh"))
+      hashedShingles(col(textCol), w).as("sh"))
       .localCheckpoint() // shingle once; distinct lineage per side
     val left = sh.select(col("id").as("a"), col("blk"), col("sh").as("shA"))
     val right = sh.select(col("id").as("b"), col("blk"), col("sh").as("shB"))
     left.join(right, Seq("blk"))
       .filter(col("a") < col("b"))
       .withColumn("jaccard",
-        size(array_intersect(col("shA"), col("shB"))).cast("double") /
-        size(array_union(col("shA"), col("shB"))))
+        graft.functions.SortedArrayJaccard(col("shA"), col("shB")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("a"), col("b"), col("jaccard"))
   }
