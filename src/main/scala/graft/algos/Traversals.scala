@@ -75,12 +75,16 @@ object Traversals {
       depth += 1
       // Broadcast the (small) frontier into the edge join and the
       // visited set into the anti-join: the edge table never moves.
+      // Anti-join BEFORE distinct — the anti side is a map-side
+      // broadcast filter, so the distinct's shuffle carries only
+      // genuinely new vertices instead of every matched edge row.
       val next = timed(s"bfsFrom round $depth checkpoint") {
         e.join(maybeBroadcast(frontier.select(col("vid").as("src")), frontierRows),
             Seq("src"))
-          .select(col("dst").as("vid")).distinct()
+          .select(col("dst").as("vid"))
           .join(maybeBroadcast(visited.select("vid"), visitedRows),
             Seq("vid"), "left_anti")
+          .distinct()
           .withColumn("dist", lit(depth))
           .localCheckpoint() // one job; count below reads the cache
       }
