@@ -2,7 +2,7 @@ package graft
 
 import graft.builder.StarGraph
 import graft.algos.{GraphOps, Traversals}
-import graft.ext.{Dedup, Similarity, TemporalJoins, TextOps, Multimodal}
+import graft.ext.{Dedup, Sampling, Similarity, TemporalJoins, TextOps, Multimodal}
 import graft.model.OnionGraph
 import graft.props.PropertyOps
 import graft.streaming.EventStreams
@@ -998,7 +998,30 @@ object SparkEntry {
              |  ON p.user_id = c.user_id
              |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
              |GROUP BY p.event_id, p.user_id
-             |ORDER BY p.event_id""".stripMargin))
+             |ORDER BY p.event_id""".stripMargin)),
+
+    QueryDef("x17_normalize",
+      // canonical text normalization (dedup pre-processing): lowercase,
+      // strip non-alphanumerics, collapse whitespace.
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"), TextOps.normalize(col("text")).as("norm_text"),
+          length(TextOps.normalize(col("text"))).cast("long").as("n_chars_norm"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             | trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text,
+             | CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("x18_hash_split",
+      // deterministic train/eval/test split by content-hash bucket —
+      // xxhash64 is not available in DuckDB, so the oracle check is
+      // rows-only; SamplingSpec pins the disjoint/exhaustive/stable
+      // invariants.
+      (s, dir) => Sampling.hashSplit(docs(s, dir), "doc_id",
+          Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1))
+        .groupBy("split").agg(count(lit(1)).as("n_docs"))
+        .orderBy("split"),
+      None)
   )
 
   // ============================================================= contract

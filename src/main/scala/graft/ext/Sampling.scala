@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic corpus sampling for training-data pipelines
+ * (north-star extension; not in the reference). Every operator is
+ * keyed on a CONTENT-DERIVED hash, never `rand()`: assignments are
+ * reproducible across runs, partitionings, retries and cluster sizes
+ * — the property a 100 TB train/eval split must have (a rand()-based
+ * split silently reassigns rows whenever partitioning changes).
+ */
+object Sampling {
+
+  /** Bucket id in [0, buckets) from the key column's xxhash64 —
+    * stable, uniform, partition-independent. */
+  def hashBucket(key: Column, buckets: Int = 10000): Column =
+    pmod(xxhash64(key), lit(buckets.toLong)).cast("int")
+
+  /** Deterministic split assignment: fractions like
+    * Seq("train" -> 0.98, "eval" -> 0.01, "test" -> 0.01) map the
+    * hash-bucket space to named splits by cumulative range. Fractions
+    * must sum to ~1 (trailing remainder goes to the last split). */
+  def hashSplit(df: DataFrame, keyCol: String,
+                fractions: Seq[(String, Double)],
+                buckets: Int = 10000): DataFrame = {
+    require(fractions.nonEmpty, "hashSplit: fractions must be non-empty")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-6,
+      s"hashSplit: fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val b = hashBucket(col(keyCol), buckets)
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    val expr = fractions.zip(cum).init.foldRight(
+      lit(fractions.last._1): Column) { case (((name, _), hi), rest) =>
+        when(b < (hi * buckets).toInt, name).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Per-stratum deterministic downsample: keep ~`fraction(stratum)`
+    * of rows, chosen by key hash (so the SAME rows survive every
+    * run). Strata missing from the map are dropped. */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+                       fractions: Map[String, Double],
+                       buckets: Int = 10000): DataFrame = {
+    val b = hashBucket(col(keyCol), buckets)
+    val threshold = fractions.foldLeft(lit(-1): Column) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit((f * buckets).toInt)).otherwise(acc)
+    }
+    df.filter(b < threshold)
+  }
+}

@@ -13,6 +13,16 @@ object TextOps {
 
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Canonical text normalization for dedup pre-processing: lowercase,
+    * strip everything but letters/digits/whitespace, collapse
+    * whitespace runs, trim. Pure regexp column math (codegen'd,
+    * DuckDB-mirrorable) — normalizing BEFORE shingling is what makes
+    * near-dup detection robust to case/punctuation edits. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "),
+      "\\s+", " "))
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
