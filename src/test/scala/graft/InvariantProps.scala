@@ -54,6 +54,17 @@ object InvariantProps extends Properties("GraftInvariants") {
       comps.count() == n && comps.select("vid").distinct().count() == n
     }
 
+  property("frontier BFS and label-propagation BFS agree exactly") =
+    forAll(genGraph) { case (n, edges) =>
+      val g = build(n, edges)
+      val seed = g.vertices.orderBy("vid").limit(1).select("vid")
+      val a = Traversals.bfsFrom(g.edges, seed, -1)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val b = Traversals.bfsLabelProp(g.edges, seed)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      a == b
+    }
+
   property("BFS distance is monotone along followed edges") =
     forAll(genGraph) { case (n, edges) =>
       val g = build(n, edges)
