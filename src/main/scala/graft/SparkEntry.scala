@@ -49,11 +49,16 @@ object SparkEntry {
     * table; the value is a constant of the dataset, so one parquet-agg
     * job per (session, dir, table) is enough. */
   private val seedCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), String]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String, String), String]
   private def minSeed(s: SparkSession, dir: String, table: String,
-                      keyCol: String): String =
-    seedCache.computeIfAbsent((s, dir, table), _ =>
+                      keyCol: String): String = {
+    // same stopped-session sweep as StarGraph.cache — a long-lived JVM
+    // cycling sessions must not retain them through this map
+    seedCache.forEach((k, v) =>
+      if (k._1.sparkContext.isStopped) seedCache.remove(k, v))
+    seedCache.computeIfAbsent((s, dir, table, keyCol), _ =>
       t(s, dir, table).agg(min(keyCol).cast("string")).head.getString(0))
+  }
 
   private val W = StarGraph.withSql // shared WITH vertices/edges prelude
 

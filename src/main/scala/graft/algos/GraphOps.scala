@@ -38,7 +38,16 @@ object GraphOps {
         g.vertices.select("vid").rdd.map(r => (r.getLong(0), ()))
       val es: RDD[Edge[Double]] = g.edges.select("src", "dst").rdd
         .map(r => Edge(r.getLong(0), r.getLong(1), 1.0))
-      Graph(vs, es).partitionBy(PartitionStrategy.EdgePartition2D).cache()
+      val gx = Graph(vs, es).partitionBy(PartitionStrategy.EdgePartition2D)
+      // Pin blocks only for long-lived (persisted) graphs — the
+      // StarGraph-style "ingest once" instance. Derived views
+      // (filterVertices/viewLayers) are fresh objects per call: their
+      // memo entry never hits again, and an unconditional cache()
+      // would pin a new projection per invocation with no unpersist
+      // path (Verify has no release loop).
+      if (g.vertices.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        gx.cache()
+      else gx
     })
 
   /** Pregel BFS: hop distance from the seed set, following edge

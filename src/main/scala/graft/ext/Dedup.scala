@@ -63,7 +63,7 @@ object Dedup {
     * variants then re-mix the resulting longs — k cheap passes instead
     * of k string-hash passes. All codegen'd. */
   def minhashSignature(text: Column, k: Int = 32, w: Int = 3): Column = {
-    val hashed = transform(shingles(text, w), x => xxhash64(x))
+    val hashed = hashedShingles(text, w)
     array((0 until k).map(s =>
       array_min(transform(hashed, h => xxhash64(h, lit(s))))): _*)
   }

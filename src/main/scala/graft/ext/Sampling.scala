@@ -30,9 +30,12 @@ object Sampling {
       s"hashSplit: fractions must sum to 1, got ${fractions.map(_._2).sum}")
     val b = hashBucket(col(keyCol), buckets)
     val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    // round, not truncate: cumulative sums carry float drift (0.8 may
+    // arrive as 0.7999999999999999) and toInt would shave a boundary
+    // bucket into the wrong split
     val expr = fractions.zip(cum).init.foldRight(
       lit(fractions.last._1): Column) { case (((name, _), hi), rest) =>
-        when(b < (hi * buckets).toInt, name).otherwise(rest)
+        when(b < math.round(hi * buckets).toInt, name).otherwise(rest)
     }
     df.withColumn("split", expr)
   }

@@ -38,23 +38,31 @@ object TemporalJoins {
                rightPayload: Seq[String], prefix: String = "right_"): DataFrame = {
     val leftPayload = left.columns.toSeq.filterNot(c => c == key || c == tsCol)
     val rp = (rightPayload :+ tsCol).distinct // matched ts rides along
+    // The right payload travels as ONE struct so the running last()
+    // carries whole rows atomically — per-column last(ignoreNulls)
+    // would tear rows, backfilling a null payload field from an OLDER
+    // right row.
+    val rStructT = org.apache.spark.sql.types.StructType(
+      rp.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
     val lSide = left.select(
       Seq(col(key), col(tsCol), lit(1).as("__side")) ++
-        leftPayload.map(col) ++
-        rp.map(c => lit(null).cast(right.schema(c).dataType).as(prefix + c)): _*)
+        leftPayload.map(col) :+
+        lit(null).cast(rStructT).as("__r"): _*)
     val rSide = right.select(
       Seq(col(key), col(tsCol), lit(0).as("__side")) ++
-        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rp.map(c => col(c).as(prefix + c)): _*)
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rp.map(col): _*).as("__r"): _*)
     // right rows sort BEFORE left rows at equal ts => inclusive match
     val w = Window.partitionBy(key).orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rSide.unionByName(lSide)
       .select(
-        Seq(col(key), col(tsCol), col("__side")) ++ leftPayload.map(col) ++
-          rp.map(c => last(col(prefix + c), ignoreNulls = true).over(w)
-            .as(prefix + c)): _*)
-      .filter(col("__side") === 1).drop("__side")
+        Seq(col(key), col(tsCol), col("__side")) ++ leftPayload.map(col) :+
+          last(col("__r"), ignoreNulls = true).over(w).as("__r"): _*)
+      .filter(col("__side") === 1)
+      .select(
+        Seq(col(key), col(tsCol)) ++ leftPayload.map(col) ++
+          rp.map(c => col(s"__r.$c").as(prefix + c)): _*)
   }
 
   /** Equi-key interval join: pairs (l, r) with the same key and

@@ -35,6 +35,20 @@ class TemporalJoinsSpec extends SparkSuite {
     assert(out.size == 4)
   }
 
+  test("asofJoin carries the matched right row atomically (no payload tearing)") {
+    // the matched (latest) right row has a NULL payload field; a
+    // per-column last(ignoreNulls) would backfill it from the older row
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(5.0)),
+      (1L, ts("2024-01-01 10:01:00"), None))
+      .toDF("key", "ts", "px")
+    val left = Seq((1L, ts("2024-01-01 10:02:00"), "L")).toDF("key", "ts", "tag")
+    val out = TemporalJoins.asofJoin(left, right, "key", "ts", Seq("px"))
+      .select($"right_ts", $"right_px").collect().head
+    assert(out.getTimestamp(0) == ts("2024-01-01 10:01:00"))
+    assert(out.isNullAt(1), "null payload of the matched row must survive")
+  }
+
   test("intervalJoin: pairs within lookback, inclusive bounds, no dups") {
     val out = TemporalJoins.intervalJoin(trades, quotes, "key", "ts",
         Seq("px"), lookbackMs = 3 * 60 * 1000)
