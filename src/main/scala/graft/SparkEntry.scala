@@ -289,6 +289,54 @@ object SparkEntry {
         .orderBy("l_returnflag"),
       None),
 
+    QueryDef("q15_rollup",
+      // grouping sets: revenue at (region, nation), per-region, and
+      // grand-total levels in one pass (partial aggs merge upward —
+      // one shuffle, no re-scan per level). NULL grouping keys are
+      // coalesced to 'ALL' on both sides for a total sort order.
+      // via the SQL surface: DataFrame rollup + a post-select on the
+      // grouping columns trips the ambiguous-attribute detector (the
+      // Expand operator duplicates them); SQL resolves cleanly and
+      // exercises spark.sql as a first-class entry point.
+      (s, dir) => {
+        Seq("customer", "nation", "region")
+          .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql(s"""SELECT COALESCE(r_name, 'ALL') AS region,
+                 | COALESCE(n_name, 'ALL') AS nation,
+                 | ${dsumSql("c_acctbal")} AS acctbal_sum, COUNT(*) AS n_custs
+                 |FROM customer
+                 | JOIN nation ON c_nationkey = n_nationkey
+                 | JOIN region ON n_regionkey = r_regionkey
+                 |GROUP BY ROLLUP (r_name, n_name)
+                 |ORDER BY region, nation""".stripMargin)
+      },
+      Some(s"""SELECT COALESCE(r_name, 'ALL') AS region,
+             | COALESCE(n_name, 'ALL') AS nation,
+             | ${dsumSql("c_acctbal")} AS acctbal_sum, COUNT(*) AS n_custs
+             |FROM customer
+             | JOIN nation ON c_nationkey = n_nationkey
+             | JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP (r_name, n_name)
+             |ORDER BY region, nation""".stripMargin)),
+
+    QueryDef("q16_pivot",
+      // pivot with an EXPLICIT value list (deterministic output schema
+      // on any engine/cluster; an inferred pivot would need an extra
+      // distinct pass and column order would depend on it).
+      (s, dir) => EventStreams.readEvents(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "purchase", "view"))
+        .agg(sum(col("value").cast("decimal(38,6)")).cast("double"))
+        .select(col("user_id"),
+          col("click").as("click_sum"), col("purchase").as("purchase_sum"),
+          col("view").as("view_sum"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+             | CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS click_sum,
+             | CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS purchase_sum,
+             | CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS view_sum
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // ------------------------------------------------------- graph: build
     QueryDef("g01_vertices",
       (s, dir) => graph(s, dir).vertices
