@@ -99,6 +99,29 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicates("event_id")
 
+  /** Stream-stream interval join: pair each probe-side event with the
+    * build-side events of the same key in the preceding `lookback`.
+    * Watermarks on BOTH inputs + the time-range join condition are
+    * what let Spark bound the join state (build rows age out once the
+    * probe watermark passes ts + lookback) — the streaming counterpart
+    * of [[graft.ext.TemporalJoins.intervalJoin]], whose batch output
+    * the spec checks this against. */
+  def streamIntervalJoin(probe: DataFrame, build: DataFrame, key: String,
+                         tsCol: String, payload: Seq[String],
+                         lookback: String = "1 hour",
+                         watermark: String = "10 minutes"): DataFrame = {
+    val p = probe.withWatermark(tsCol, watermark)
+    val b = build.select(
+        Seq(col(key).as("__bkey"), col(tsCol).as(s"right_$tsCol")) ++
+          payload.map(c => col(c).as(s"right_$c")): _*)
+      .withWatermark(s"right_$tsCol", watermark)
+    p.join(b,
+      col(key) === col("__bkey") &&
+        col(s"right_$tsCol") >= col(tsCol) - expr(s"INTERVAL $lookback") &&
+        col(s"right_$tsCol") <= col(tsCol))
+      .drop("__bkey")
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: running per-user
     * (count, total) emitted on every update — the mapGroupsWithState
     * family is the escape hatch for stateful logic windows can't

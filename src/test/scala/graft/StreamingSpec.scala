@@ -51,6 +51,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals batch intervalJoin") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = Seq((100L, ts(30), 1L), (101L, ts(50), 1L), (102L, ts(10), 2L))
+    val clicks = Seq((200L, ts(15), 1L), (201L, ts(45), 1L), (202L, ts(5), 2L))
+    val pStream = MemoryStream[(Long, Timestamp, Long)]
+    val cStream = MemoryStream[(Long, Timestamp, Long)]
+    val joined = EventStreams.streamIntervalJoin(
+      pStream.toDF().toDF("event_id", "ts", "user_id"),
+      cStream.toDF().toDF("click_id", "ts", "user_id")
+        .withColumnRenamed("user_id", "user_id").select(
+          col("user_id"), col("ts"), col("click_id")),
+      key = "user_id", tsCol = "ts", payload = Seq("click_id"),
+      lookback = "20 minutes", watermark = "5 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("sj_out").start()
+    try {
+      pStream.addData(purchases); cStream.addData(clicks)
+      q.processAllAvailable()
+      val streamed = spark.table("sj_out")
+        .select($"event_id", $"right_click_id").as[(Long, Long)].collect().toSet
+      val batch = graft.ext.TemporalJoins.intervalJoin(
+          purchases.toDF("event_id", "ts", "user_id"),
+          clicks.toDF("click_id", "ts", "user_id"),
+          "user_id", "ts", Seq("click_id"), lookbackMs = 20 * 60 * 1000)
+        .select($"event_id", $"right_click_id").as[(Long, Long)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream dedup drops duplicate event ids within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Double)]
