@@ -19,6 +19,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // GraphX kernels (Pregel/CC/SCC/PageRank) shuffle RDD records;
+      // Kryo serializes them ~2x cheaper than Java serialization.
+      // SQL/Tungsten paths are unaffected (UnsafeRow already binary).
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       // 47 queries x iterative sub-executions with large plans: cap the
       // in-memory status store so listener bookkeeping stays O(1)
       .config("spark.sql.ui.retainedExecutions", "8")

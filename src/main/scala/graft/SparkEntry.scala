@@ -1065,6 +1065,23 @@ object SparkEntry {
              | CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("x19_repetition",
+      // Gopher-style repetition quality signal: duplicate-bigram
+      // fraction per document.
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"),
+          TextOps.repetitionRatio(col("text"), 2).as("rep_ratio"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |  string_split_regex(trim(text), '\s+') AS tk FROM documents),
+             | sh AS (SELECT doc_id,
+             |  [tk[i] || ' ' || tk[i+1] for i in generate_series(1, len(tk) - 1)] AS s
+             | FROM t)
+             |SELECT doc_id,
+             | CASE WHEN len(s) <= 0 THEN 0.0
+             |  ELSE 1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s) END AS rep_ratio
+             |FROM sh ORDER BY doc_id""".stripMargin)),
+
     QueryDef("x18_hash_split",
       // deterministic train/eval/test split by content-hash bucket —
       // xxhash64 is not available in DuckDB, so the oracle check is

@@ -57,6 +57,20 @@ object TextOps {
     when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
   }
 
+  /** Repetition ratio in [0,1): fraction of w-token shingles that are
+    * duplicates (1 - distinct/total). High values flag boilerplate /
+    * TEMPLATE spam — the Gopher-style repetition quality signal. Docs
+    * shorter than w tokens score 0. Pure column math; the single
+    * division is bit-identical across engines (no sum ordering). */
+  def repetitionRatio(text: Column, w: Int = 2): Column = {
+    val t = tokens(text)
+    val total = size(t) - (w - 1)
+    val sh = transform(sequence(lit(0), size(t) - w),
+      i => concat_ws(" ", (0 until w).map(o => element_at(t, i + o + 1)): _*))
+    when(total <= 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(sh)).cast("double") / total)
+  }
+
   /** Quality score in [0,1]: blend of length sanity, alpha ratio and
     * stopword density — the standard cheap pre-filter for LLM corpora. */
   def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {

@@ -16,6 +16,9 @@ object Profile {
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.serializer",
+        sys.env.getOrElse("SPARK_GRAFT_SERIALIZER",
+          "org.apache.spark.serializer.JavaSerializer"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = if (name == "ALL") graft.SparkEntry.defs.map(_.name)
