@@ -42,6 +42,27 @@ object Traversals {
   private def maybeBroadcast(df: DataFrame, rows: Long): DataFrame =
     if (rows >= 0 && rows < BroadcastRows) broadcast(df) else df
 
+  /** Run `body` (one BFS round's action) without whole-stage codegen
+    * when the round's driving row count is small. Every round's plan
+    * is structurally unique (fresh checkpoint RDD ids + depth
+    * literal), so the codegen cache never hits and Janino compiles
+    * ~100ms of bytecode per stage per round — more than the tiny
+    * round's interpreted execution costs. Large rounds (>= the
+    * broadcast threshold) keep codegen: compilation amortizes over
+    * real data volume. Conf flip is session-global for the duration
+    * of the action — same single-threaded assumption the rest of the
+    * per-session caches make. */
+  private def maybeInterpreted[A](df: DataFrame, rows: Long)(body: => A): A = {
+    val spark = df.sparkSession
+    val key = "spark.sql.codegen.wholeStage"
+    if (rows < 0 || rows >= BroadcastRows) body
+    else {
+      val prev = spark.conf.get(key, "true")
+      spark.conf.set(key, "false")
+      try body finally spark.conf.set(key, prev)
+    }
+  }
+
   // Dev-only loop tracing: GRAFT_TRACE=1 prints per-round wall time.
   private val trace = sys.env.contains("GRAFT_TRACE")
   @inline private def timed[A](label: => String)(body: => A): A = {
@@ -79,14 +100,16 @@ object Traversals {
       // broadcast filter, so the distinct's shuffle carries only
       // genuinely new vertices instead of every matched edge row.
       val next = timed(s"bfsFrom round $depth checkpoint") {
-        e.join(maybeBroadcast(frontier.select(col("vid").as("src")), frontierRows),
-            Seq("src"))
-          .select(col("dst").as("vid"))
-          .join(maybeBroadcast(visited.select("vid"), visitedRows),
-            Seq("vid"), "left_anti")
-          .distinct()
-          .withColumn("dist", lit(depth))
-          .localCheckpoint() // one job; count below reads the cache
+        maybeInterpreted(frontier, visitedRows) {
+          e.join(maybeBroadcast(frontier.select(col("vid").as("src")), frontierRows),
+              Seq("src"))
+            .select(col("dst").as("vid"))
+            .join(maybeBroadcast(visited.select("vid"), visitedRows),
+              Seq("vid"), "left_anti")
+            .distinct()
+            .withColumn("dist", lit(depth))
+            .localCheckpoint() // one job; count below reads the cache
+        }
       }
       frontierRows = timed(s"bfsFrom round $depth count")(next.count())
       if (frontierRows == 0) done = true
@@ -128,7 +151,8 @@ object Traversals {
         .select(col("vid"), col("dist").as("d"), col("dist").as("old"))
         .unionAll(relaxed)
         .groupBy("vid").agg(min("d").as("newDist"), min("old").as("oldDist"))
-      val mat = timed("bfsLabelProp round checkpoint")(merged.localCheckpoint())
+      val mat = timed("bfsLabelProp round checkpoint")(
+        maybeInterpreted(labels, labelRows)(merged.localCheckpoint()))
       val stats = timed("bfsLabelProp round count")(
         mat.agg(count(lit(1)),
           count(when(col("oldDist").isNull || col("newDist") < col("oldDist"), 1)))
@@ -252,7 +276,8 @@ object Traversals {
         .select(col("vid"), col("comp").as("c"), col("comp").as("old"))
         .unionAll(nbr)
         .groupBy("vid").agg(min("c").as("newComp"), min("old").as("oldComp"))
-      val mat = timed(s"weakComponents round $iter checkpoint")(merged.localCheckpoint())
+      val mat = timed(s"weakComponents round $iter checkpoint")(
+        maybeInterpreted(labels, labelRows)(merged.localCheckpoint()))
       changed = timed(s"weakComponents round $iter count")(
         mat.filter(col("newComp") < col("oldComp")).count())
       labels = mat.select(col("vid"), col("newComp").as("comp"))

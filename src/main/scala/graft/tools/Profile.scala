@@ -19,6 +19,8 @@ object Profile {
       .config("spark.serializer",
         sys.env.getOrElse("SPARK_GRAFT_SERIALIZER",
           "org.apache.spark.serializer.JavaSerializer"))
+      .config("spark.sql.codegen.wholeStage",
+        sys.env.getOrElse("SPARK_GRAFT_WSCG", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = if (name == "ALL") graft.SparkEntry.defs.map(_.name)
