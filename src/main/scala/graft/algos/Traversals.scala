@@ -99,6 +99,9 @@ object Traversals {
       // Anti-join BEFORE distinct — the anti side is a map-side
       // broadcast filter, so the distinct's shuffle carries only
       // genuinely new vertices instead of every matched edge row.
+      // observe() rides the checkpoint action, so each round is ONE
+      // job — a separate count() job per round costs ~0.1s x rounds
+      val obs = new org.apache.spark.sql.Observation()
       val next = timed(s"bfsFrom round $depth checkpoint") {
         maybeInterpreted(frontier, visitedRows) {
           e.join(maybeBroadcast(frontier.select(col("vid").as("src")), frontierRows),
@@ -108,10 +111,11 @@ object Traversals {
               Seq("vid"), "left_anti")
             .distinct()
             .withColumn("dist", lit(depth))
-            .localCheckpoint() // one job; count below reads the cache
+            .observe(obs, count(lit(1)).as("n"))
+            .localCheckpoint()
         }
       }
-      frontierRows = timed(s"bfsFrom round $depth count")(next.count())
+      frontierRows = obs.get("n").asInstanceOf[Long]
       if (frontierRows == 0) done = true
       else {
         frontier = next
@@ -147,18 +151,18 @@ object Traversals {
           labelRows), Seq("src"))
         .select(col("dst").as("vid"), (col("dist") + 1).as("d"),
           lit(null).cast("int").as("old"))
+      val obs = new org.apache.spark.sql.Observation()
       val merged = labels
         .select(col("vid"), col("dist").as("d"), col("dist").as("old"))
         .unionAll(relaxed)
         .groupBy("vid").agg(min("d").as("newDist"), min("old").as("oldDist"))
+        .observe(obs, count(lit(1)).as("n"),
+          count(when(col("oldDist").isNull || col("newDist") < col("oldDist"), 1))
+            .as("changed"))
       val mat = timed("bfsLabelProp round checkpoint")(
         maybeInterpreted(labels, labelRows)(merged.localCheckpoint()))
-      val stats = timed("bfsLabelProp round count")(
-        mat.agg(count(lit(1)),
-          count(when(col("oldDist").isNull || col("newDist") < col("oldDist"), 1)))
-          .head)
-      labelRows = stats.getLong(0)
-      changed = stats.getLong(1)
+      labelRows = obs.get("n").asInstanceOf[Long]
+      changed = obs.get("changed").asInstanceOf[Long]
       labels = mat.select(col("vid"), col("newDist").as("dist"))
     }
     labels
@@ -276,10 +280,13 @@ object Traversals {
         .select(col("vid"), col("comp").as("c"), col("comp").as("old"))
         .unionAll(nbr)
         .groupBy("vid").agg(min("c").as("newComp"), min("old").as("oldComp"))
+      val obs = new org.apache.spark.sql.Observation()
       val mat = timed(s"weakComponents round $iter checkpoint")(
-        maybeInterpreted(labels, labelRows)(merged.localCheckpoint()))
-      changed = timed(s"weakComponents round $iter count")(
-        mat.filter(col("newComp") < col("oldComp")).count())
+        maybeInterpreted(labels, labelRows)(
+          merged.observe(obs,
+            count(when(col("newComp") < col("oldComp"), 1)).as("changed"))
+            .localCheckpoint()))
+      changed = obs.get("changed").asInstanceOf[Long]
       labels = mat.select(col("vid"), col("newComp").as("comp"))
     }
     labels
