@@ -40,6 +40,37 @@ class ScaleSpec extends SparkSuite {
     assert(joined.count() == g.numEdges)
   }
 
+  test("asofJoin plans a single shuffle — never a nested-loop join") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq((1L, ts("2024-01-01 10:02:00"), "t"))
+      .toDF("key", "ts", "tag")
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), 1.0))
+      .toDF("key", "ts", "px")
+    val joined = graft.ext.TemporalJoins.asofJoin(left, right, "key", "ts", Seq("px"))
+    joined.collect() // materialize so AQE finalizes the plan
+    // AQE's toString prints final AND initial plans — count the final only
+    val plan = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"as-of join must not plan a nested-loop/cartesian join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected at most one hash exchange, got $exchanges:\n$plan")
+  }
+
+  test("intervalJoin plans an equi-join on (key, bucket), not an inequality join") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq((1L, ts("2024-01-01 10:02:00"), "t")).toDF("key", "ts", "tag")
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), 1.0)).toDF("key", "ts", "px")
+    val joined = graft.ext.TemporalJoins.intervalJoin(left, right, "key", "ts",
+      Seq("px"), lookbackMs = 3600 * 1000)
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join must stay an equi-join:\n$plan")
+  }
+
   test("salted join equals plain join on skewed data") {
     val big = (0 until 2000).map(i => (if (i % 10 == 0) 1 else i % 5, i.toDouble))
       .toDF("k", "v")
