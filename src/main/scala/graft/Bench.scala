@@ -19,12 +19,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // GraphX kernels (Pregel/CC/SCC/PageRank) shuffle RDD records;
-      // Kryo serializes them ~2x cheaper than Java serialization.
-      // SQL/Tungsten paths are unaffected (UnsafeRow already binary).
-      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-      // 47 queries x iterative sub-executions with large plans: cap the
-      // in-memory status store so listener bookkeeping stays O(1)
+      .config(SparkConfs.kryoGraphConf())
+      // 60+ queries x iterative sub-executions with large plans: cap
+      // the in-memory status store so listener bookkeeping stays O(1)
       .config("spark.sql.ui.retainedExecutions", "8")
       .config("spark.ui.retainedJobs", "100")
       .config("spark.ui.retainedStages", "100")
@@ -34,8 +31,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Pre-build the shared star graph AND its GraphX projection
     // (ingest, not query time), then release every OTHER persistent
-    // RDD (BFS checkpoints etc.) after each query so 45 queries'
-    // worth of localCheckpoint blocks don't pile up.
+    // RDD (BFS checkpoints etc.) after each query so the corpus's
+    // localCheckpoint blocks don't pile up.
     val g = graft.builder.StarGraph.graph(spark, sfDir)
     val gx = graft.algos.GraphOps.toGraphX(g)
     gx.vertices.count(); gx.edges.count()

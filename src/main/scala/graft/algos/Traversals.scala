@@ -42,20 +42,25 @@ object Traversals {
   private def maybeBroadcast(df: DataFrame, rows: Long): DataFrame =
     if (rows >= 0 && rows < BroadcastRows) broadcast(df) else df
 
-  /** Run `body` (one BFS round's action) without whole-stage codegen
-    * when the round's driving row count is small. Every round's plan
-    * is structurally unique (fresh checkpoint RDD ids + depth
+  /** Rounds whose TOTAL scanned rows (edge table + iteration state)
+    * stay under this run without whole-stage codegen. Every round's
+    * plan is structurally unique (fresh checkpoint RDD ids + depth
     * literal), so the codegen cache never hits and Janino compiles
-    * ~100ms of bytecode per stage per round — more than the tiny
-    * round's interpreted execution costs. Large rounds (>= the
-    * broadcast threshold) keep codegen: compilation amortizes over
-    * real data volume. Conf flip is session-global for the duration
-    * of the action — same single-threaded assumption the rest of the
-    * per-session caches make. */
+    * ~100ms of bytecode per stage per round — more than a small
+    * round's interpreted execution costs (measured breakeven is far
+    * above this bound). Big inputs keep codegen: compilation
+    * amortizes over real data volume, and an interpreted scan of a
+    * 100M-row edge table would cost much more than it saves. */
+  private val InterpretedRows = 20000000L
+
+  /** Run `body` (one BFS round's action) without whole-stage codegen
+    * when the round is small (see [[InterpretedRows]]). Conf flip is
+    * session-global for the duration of the action — same
+    * single-threaded assumption the per-session caches make. */
   private def maybeInterpreted[A](df: DataFrame, rows: Long)(body: => A): A = {
     val spark = df.sparkSession
     val key = "spark.sql.codegen.wholeStage"
-    if (rows < 0 || rows >= BroadcastRows) body
+    if (rows < 0 || rows >= InterpretedRows) body
     else {
       val prev = spark.conf.get(key, "true")
       spark.conf.set(key, "false")
@@ -85,6 +90,9 @@ object Traversals {
     * sweeps use [[bfsLabelProp]]. */
   def bfsFrom(edges: DataFrame, seeds: DataFrame, maxDist: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
+    // one count per traversal (amortized over rounds): the codegen
+    // gate must see the per-round edge scan, not just the frontier
+    val eRows = e.count()
     var frontier = seeds.select(col("vid")).distinct()
       .withColumn("dist", lit(0)).localCheckpoint()
     var frontierRows = frontier.count()
@@ -103,7 +111,7 @@ object Traversals {
       // job — a separate count() job per round costs ~0.1s x rounds
       val obs = new org.apache.spark.sql.Observation()
       val next = timed(s"bfsFrom round $depth checkpoint") {
-        maybeInterpreted(frontier, visitedRows) {
+        maybeInterpreted(frontier, eRows + visitedRows) {
           e.join(maybeBroadcast(frontier.select(col("vid").as("src")), frontierRows),
               Seq("src"))
             .select(col("dst").as("vid"))
@@ -136,6 +144,7 @@ object Traversals {
     * wide frontiers dominate. Rounds = eccentricity of the seed set. */
   def bfsLabelProp(edges: DataFrame, seeds: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
+    val eRows = e.count()
     var labels = seeds.select(col("vid")).distinct()
       .withColumn("dist", lit(0)).localCheckpoint()
     var labelRows = labels.count()
@@ -160,7 +169,7 @@ object Traversals {
           count(when(col("oldDist").isNull || col("newDist") < col("oldDist"), 1))
             .as("changed"))
       val mat = timed("bfsLabelProp round checkpoint")(
-        maybeInterpreted(labels, labelRows)(merged.localCheckpoint()))
+        maybeInterpreted(labels, eRows + labelRows)(merged.localCheckpoint()))
       labelRows = obs.get("n").asInstanceOf[Long]
       changed = obs.get("changed").asInstanceOf[Long]
       labels = mat.select(col("vid"), col("newDist").as("dist"))
@@ -258,6 +267,7 @@ object Traversals {
     // min-label fixpoint, and the dropDuplicates shuffle is pure cost
     val e = g.edges.select("src", "dst")
       .unionAll(g.edges.select(col("dst").as("src"), col("src").as("dst")))
+    val eRows = e.count()
     var labels = g.vertices
       .select(col("vid"), concat_ws(":", col("layer"), col("nodeId")).as("comp"))
       .localCheckpoint()
@@ -282,7 +292,7 @@ object Traversals {
         .groupBy("vid").agg(min("c").as("newComp"), min("old").as("oldComp"))
       val obs = new org.apache.spark.sql.Observation()
       val mat = timed(s"weakComponents round $iter checkpoint")(
-        maybeInterpreted(labels, labelRows)(
+        maybeInterpreted(labels, eRows + labelRows)(
           merged.observe(obs,
             count(when(col("newComp") < col("oldComp"), 1)).as("changed"))
             .localCheckpoint()))

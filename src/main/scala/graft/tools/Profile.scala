@@ -16,9 +16,9 @@ object Profile {
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.serializer",
-        sys.env.getOrElse("SPARK_GRAFT_SERIALIZER",
-          "org.apache.spark.serializer.JavaSerializer"))
+      // same serializer setup as Bench/Verify so profile timings
+      // reproduce the bench environment (override: SPARK_GRAFT_SERIALIZER)
+      .config(graft.SparkConfs.kryoGraphConf())
       .config("spark.sql.codegen.wholeStage",
         sys.env.getOrElse("SPARK_GRAFT_WSCG", "true"))
       .getOrCreate()

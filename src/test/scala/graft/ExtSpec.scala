@@ -125,6 +125,31 @@ class ExtSpec extends SparkSuite {
     assert(out(3L) == "und" || out(3L) == "en") // no strong signal doc
   }
 
+  test("normalize lowercases, strips punctuation, collapses whitespace (X3)") {
+    val out = Seq("  Hello,   WORLD!! (42) ", "", "a-b c", "###")
+      .toDF("text").select(TextOps.normalize($"text")).as[String].collect()
+    assert(out(0) == "hello world 42")
+    assert(out(1) == "")
+    assert(out(2) == "a b c")
+    assert(out(3) == "")
+  }
+
+  test("repetitionRatio: duplicate-shingle fraction, 0 for short docs (X3)") {
+    val out = Seq(
+      ("a b a b a b", 2),   // bigrams: ab,ba,ab,ba,ab -> 5 total, 2 distinct
+      ("w x y z", 2),       // all distinct -> 0
+      ("one", 2),           // shorter than w -> 0
+      ("a b a b a", 3))     // trigrams: aba,bab,aba -> 3 total, 2 distinct
+      .toDF("text", "w")
+    def ratio(text: String, w: Int): Double =
+      out.filter($"text" === text)
+        .select(TextOps.repetitionRatio($"text", w)).as[Double].head()
+    assert(math.abs(ratio("a b a b a b", 2) - (1.0 - 2.0 / 5.0)) < 1e-12)
+    assert(ratio("w x y z", 2) == 0.0)
+    assert(ratio("one", 2) == 0.0)
+    assert(math.abs(ratio("a b a b a", 3) - (1.0 - 2.0 / 3.0)) < 1e-12)
+  }
+
   test("fingerprint: md5 + min shingle md5 are deterministic (X3)") {
     val a = TextOps.fingerprint(docs).orderBy("doc_id").collect()
     val b = TextOps.fingerprint(docs.orderBy(rand(3))).orderBy("doc_id").collect()

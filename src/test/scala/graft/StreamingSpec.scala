@@ -60,8 +60,7 @@ class StreamingSpec extends SparkSuite {
     val joined = EventStreams.streamIntervalJoin(
       pStream.toDF().toDF("event_id", "ts", "user_id"),
       cStream.toDF().toDF("click_id", "ts", "user_id")
-        .withColumnRenamed("user_id", "user_id").select(
-          col("user_id"), col("ts"), col("click_id")),
+        .select(col("user_id"), col("ts"), col("click_id")),
       key = "user_id", tsCol = "ts", payload = Seq("click_id"),
       lookback = "20 minutes", watermark = "5 minutes")
     val q = joined.writeStream.outputMode("append")
