@@ -229,10 +229,13 @@ object SparkEntry {
       (s, dir) => EventStreams.sessionAgg(
           EventStreams.readEvents(s, dir), "30 minutes")
         .orderBy("user_id", "session_start"),
+      // >= not >: Spark's session window is half-open [start, last+gap),
+      // so an event exactly gap after its predecessor starts a NEW
+      // session; strict > would merge it (latent with grid-aligned ts).
       Some("""WITH marked AS (
              | SELECT user_id, ts, value,
              |  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-             |        > INTERVAL '30 minutes' OR
+             |        >= INTERVAL '30 minutes' OR
              |       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
              |  THEN 1 ELSE 0 END AS brk
              | FROM events),
@@ -981,11 +984,15 @@ object SparkEntry {
       (s, dir) => Dedup.embeddingNearDup(t(s, dir, "embeddings"), 0.45)
         .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
         .orderBy("a", "b"),
+      // isfinite guard: a zero-norm vector makes DuckDB's cosine NaN,
+      // and DuckDB sorts NaN above the threshold; the Spark kernel
+      // returns 0.0 there — both sides must drop such pairs.
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
              |SELECT l.vec_id AS a, r.vec_id AS b,
              | ROUND(list_cosine_similarity(l.v, r.v), 4) AS cosine
              |FROM e l JOIN e r ON l.vec_id < r.vec_id
              |WHERE list_cosine_similarity(l.v, r.v) >= 0.45
+             | AND isfinite(list_cosine_similarity(l.v, r.v))
              |ORDER BY a, b""".stripMargin)),
 
     QueryDef("x12_multimodal",

@@ -50,11 +50,22 @@ object GraphOps {
       else gx
     })
 
+  /** (vid, value) DataFrame from a GraphX vertex RDD — the one schema
+    * every kernel below returns. */
+  private def vidValueDf[A](spark: SparkSession, vs: RDD[(VertexId, A)],
+                            name: String,
+                            dt: org.apache.spark.sql.types.DataType): DataFrame =
+    spark.createDataFrame(
+      vs.map(v => Row(v._1, v._2)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vid",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(name, dt, nullable = false))))
+
   /** Pregel BFS: hop distance from the seed set, following edge
     * direction; `maxIterations` bounds the search like the reference's
     * `max_dist` (`searcher.py:208`). Returns (vid, dist). */
   def pregelBfs(g: OnionGraph, seedVids: Set[Long], maxDist: Int): DataFrame = {
-    val spark = g.spark
     val gx = toGraphX(g)
     val init = gx.mapVertices((id, _) =>
       if (seedVids.contains(id)) 0 else Int.MaxValue)
@@ -64,58 +75,29 @@ object GraphOps {
       t => if (t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr)
              Iterator((t.dstId, t.srcAttr + 1)) else Iterator.empty,
       (a, b) => math.min(a, b))
-    spark.createDataFrame(
-      res.vertices.filter(_._2 != Int.MaxValue).map(v => Row(v._1, v._2)),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("vid",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("dist",
-          org.apache.spark.sql.types.IntegerType, nullable = false))))
+    vidValueDf(g.spark, res.vertices.filter(_._2 != Int.MaxValue), "dist",
+      org.apache.spark.sql.types.IntegerType)
   }
 
   /** Weakly connected components (GraphX label propagation to min vid;
     * deterministic because vid is a deterministic hash). Returns
     * (vid, compVid). */
-  def connectedComponents(g: OnionGraph): DataFrame = {
-    val spark = g.spark
-    val cc = toGraphX(g).connectedComponents()
-    spark.createDataFrame(
-      cc.vertices.map(v => Row(v._1, v._2)),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("vid",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("compVid",
-          org.apache.spark.sql.types.LongType, nullable = false))))
-  }
+  def connectedComponents(g: OnionGraph): DataFrame =
+    vidValueDf(g.spark, toGraphX(g).connectedComponents().vertices,
+      "compVid", org.apache.spark.sql.types.LongType)
 
   /** Strongly connected components — the reference's DEFAULT for
     * `view_components` (`searcher.py:284-295`). Iteration-bounded and
     * shuffle-heavy; fine at test scale, flagged for 100 TB
     * (SURVEY §7.4 — weak components are the cheap path). */
-  def stronglyConnectedComponents(g: OnionGraph, numIter: Int = 20): DataFrame = {
-    val spark = g.spark
-    val scc = toGraphX(g).stronglyConnectedComponents(numIter)
-    spark.createDataFrame(
-      scc.vertices.map(v => Row(v._1, v._2)),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("vid",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("compVid",
-          org.apache.spark.sql.types.LongType, nullable = false))))
-  }
+  def stronglyConnectedComponents(g: OnionGraph, numIter: Int = 20): DataFrame =
+    vidValueDf(g.spark, toGraphX(g).stronglyConnectedComponents(numIter).vertices,
+      "compVid", org.apache.spark.sql.types.LongType)
 
   /** PageRank over the multi-layer graph (the reference's README cites
     * pagerank speed as its raison d'être; exposed as a first-class
     * analytical kernel). Returns (vid, rank). */
-  def pageRank(g: OnionGraph, tol: Double = 1e-4, resetProb: Double = 0.15): DataFrame = {
-    val spark = g.spark
-    val pr = toGraphX(g).pageRank(tol, resetProb)
-    spark.createDataFrame(
-      pr.vertices.map(v => Row(v._1, v._2)),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("vid",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("rank",
-          org.apache.spark.sql.types.DoubleType, nullable = false))))
-  }
+  def pageRank(g: OnionGraph, tol: Double = 1e-4, resetProb: Double = 0.15): DataFrame =
+    vidValueDf(g.spark, toGraphX(g).pageRank(tol, resetProb).vertices,
+      "rank", org.apache.spark.sql.types.DoubleType)
 }

@@ -210,13 +210,20 @@ object Traversals {
     * visited. One semi-join against the reached set. */
   def reachableEdges(g: OnionGraph, seeds: DataFrame,
                      direction: Direction = Downstream): DataFrame = {
+    def down = {
+      val visited = bfsFrom(g.edges, seeds, -1)
+      g.edges.join(visited.select(col("vid").as("src")), Seq("src"), "left_semi")
+    }
+    def up = {
+      val visited = bfsFrom(g.reverse.edges, seeds, -1)
+      g.edges.join(visited.select(col("vid").as("dst")), Seq("dst"), "left_semi")
+    }
     direction match {
-      case Upstream =>
-        val visited = bfsFrom(g.reverse.edges, seeds, -1)
-        g.edges.join(visited.select(col("vid").as("dst")), Seq("dst"), "left_semi")
-      case _ =>
-        val visited = bfsFrom(g.edges, seeds, -1)
-        g.edges.join(visited.select(col("vid").as("src")), Seq("src"), "left_semi")
+      case Downstream => down
+      case Upstream => up
+      // Bi = union of both sweeps' markings (the reference's
+      // _bfs_traversal is directional; Bi composes the two)
+      case Bi => down.unionByName(up).dropDuplicates(g.edges.columns.toIndexedSeq)
     }
   }
 
@@ -321,7 +328,10 @@ object Traversals {
     val und = g.edges.select(col("src"), col("dst"))
       .unionAll(g.edges.select(col("dst").as("src"), col("src").as("dst")))
     val depths = bfsFrom(und, seed, -1)
-    val maxDepth = depths.agg(max("dist")).head.getInt(0).max(1)
+    // max over an empty frame (unknown seed) is null — treat as depth
+    // 1 and return the (empty) result instead of NPE-ing on getInt
+    val maxRow = depths.agg(max("dist")).head
+    val maxDepth = (if (maxRow.isNullAt(0)) 1 else maxRow.getInt(0)).max(1)
     depths.withColumn("size",
       lit(maxS) - lit(maxS - minS) * col("dist") / lit(maxDepth.toDouble))
   }

@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
-  /** Tokenize on whitespace runs. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Tokenize on whitespace runs — the ONE corpus tokenization rule,
+    * shared with [[TextOps.tokens]] so dedup shingles and text-quality
+    * features can never silently diverge. */
+  def tokens(text: Column): Column = TextOps.tokens(text)
 
   /** w-token shingles (w consecutive tokens joined by one space),
     * distinct per document. */
@@ -79,14 +81,22 @@ object Dedup {
   def minhashLsh(docs: DataFrame, threshold: Double = 0.7, k: Int = 32,
                  bands: Int = 8, w: Int = 3, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
+    require(k % bands == 0,
+      s"minhashLsh: k=$k must be divisible by bands=$bands (otherwise " +
+        s"${k % bands} signature values would be silently unused)")
     val r = k / bands
     // Materialize hashed shingles, then signatures, at REAL execution
     // boundaries. Deriving the 8 band hashes straight from the
     // signature EXPRESSION lets CollapseProject inline the k-pass
     // minhash into every band — a 256-pass-per-row expression pyramid
     // that overwhelms codegen and drops to interpreted eval.
+    // Docs shorter than w tokens have EMPTY shingle sets: their
+    // jaccard is undefined (they can never clear the threshold) and,
+    // left in, their all-null signatures would make every short doc
+    // collide in every LSH band — a quadratic candidate blowup.
     val hashed = docs
       .select(col(idCol).as("id"), hashedShingles(col(textCol), w).as("hs"))
+      .filter(size(col("hs")) > 0)
       .localCheckpoint()
     val sig = hashed
       .select(col("id"), array((0 until k).map(s =>

@@ -47,9 +47,11 @@ object Sampling {
                        fractions: Map[String, Double],
                        buckets: Int = 10000): DataFrame = {
     val b = hashBucket(col(keyCol), buckets)
+    // round, not truncate — same float-drift boundary rule as hashSplit
     val threshold = fractions.foldLeft(lit(-1): Column) {
       case (acc, (stratum, f)) =>
-        when(col(strataCol) === stratum, lit((f * buckets).toInt)).otherwise(acc)
+        when(col(strataCol) === stratum,
+          lit(math.round(f * buckets).toInt)).otherwise(acc)
     }
     df.filter(b < threshold)
   }

@@ -23,11 +23,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
  *
  * Inputs MUST be sorted ascending and duplicate-free (produced by
  * [[graft.ext.Dedup.hashedShingles]]); behavior on unsorted input is
- * unspecified. Empty ∪ empty returns NaN (mirrors 0/0 in the HOF
- * form, filtered out by any >= threshold predicate).
+ * unspecified. Empty ∪ empty returns NULL, NOT NaN: Spark's nan-safe
+ * ordering treats NaN as GREATER than every number (SPARK-8280), so a
+ * NaN would sail through `>= threshold` filters and emit spurious
+ * pairs; NULL comparisons are null → filtered, matching the DuckDB
+ * oracle's 0/0 → NULL.
  */
 case class SortedArrayJaccard(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
@@ -46,6 +51,7 @@ case class SortedArrayJaccard(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val nx = x.numElements(); val ny = y.numElements()
+    if (nx == 0 && ny == 0) return null
     var i = 0; var j = 0; var inter = 0
     while (i < nx && j < ny) {
       val xv = x.getLong(i); val yv = y.getLong(j)
@@ -64,13 +70,17 @@ case class SortedArrayJaccard(left: Expression, right: Expression)
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
       s"""
          |int $nx = $x.numElements(); int $ny = $y.numElements();
-         |int $i = 0; int $j = 0; int $inter = 0;
-         |while ($i < $nx && $j < $ny) {
-         |  long $xv = $x.getLong($i); long $yv = $y.getLong($j);
-         |  if ($xv == $yv) { $inter++; $i++; $j++; }
-         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |if ($nx == 0 && $ny == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $i = 0; int $j = 0; int $inter = 0;
+         |  while ($i < $nx && $j < $ny) {
+         |    long $xv = $x.getLong($i); long $yv = $y.getLong($j);
+         |    if ($xv == $yv) { $inter++; $i++; $j++; }
+         |    else if ($xv < $yv) { $i++; } else { $j++; }
+         |  }
+         |  ${ev.value} = (double) $inter / (double) ($nx + $ny - $inter);
          |}
-         |${ev.value} = (double) $inter / (double) ($nx + $ny - $inter);
        """.stripMargin
     })
 

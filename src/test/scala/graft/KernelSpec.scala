@@ -35,21 +35,24 @@ class KernelSpec extends SparkSuite {
       .collect()
     assert(both.length == 40 * 39 / 2)
     both.foreach { r =>
-      val n = r.getDouble(0)
-      // HOF 0/0 is null under try_divide; the native kernel says NaN
-      if (r.isNullAt(1)) assert(n.isNaN, s"native=$n hof=null")
-      else assert(n == r.getDouble(1), s"native=$n hof=${r.getDouble(1)}")
+      // HOF 0/0 is null under try_divide; the native kernel is null too
+      if (r.isNullAt(1)) assert(r.isNullAt(0), s"native=${r.get(0)} hof=null")
+      else assert(r.getDouble(0) == r.getDouble(1),
+        s"native=${r.getDouble(0)} hof=${r.getDouble(1)}")
     }
   }
 
-  test("SortedArrayJaccard: disjoint 0, identical 1, empty-empty NaN") {
+  test("SortedArrayJaccard: disjoint 0, identical 1, empty-empty NULL") {
     val df = Seq(
       (Array(1L, 2L, 3L), Array(4L, 5L)),
       (Array(1L, 2L, 3L), Array(1L, 2L, 3L)),
       (Array.empty[Long], Array.empty[Long]))
       .toDF("a", "b")
-    val out = df.select(SortedArrayJaccard($"a", $"b")).as[Double].collect()
-    assert(out(0) == 0.0 && out(1) == 1.0 && out(2).isNaN)
+    val out = df.select(SortedArrayJaccard($"a", $"b")).as[Option[Double]].collect()
+    assert(out(0).contains(0.0) && out(1).contains(1.0))
+    // NULL, not NaN: Spark sorts NaN ABOVE every number, so a NaN
+    // would pass >= threshold filters and emit spurious dup pairs
+    assert(out(2).isEmpty)
   }
 
   test("SimHash64 == 64-aggregate-HOF simhash (randomized)") {
