@@ -118,6 +118,29 @@ class ExtSpec extends SparkSuite {
     assert(!out.contains(2L) && !out.contains(3L))
   }
 
+  test("LSH recall@5 vs brute force stays above floor on seeded vectors (X2)") {
+    // deterministic corpus: 150 unit-ish vectors in 8 dims
+    val rnd = new scala.util.Random(17)
+    val corpus = (0L until 150L)
+      .map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 15)
+    def topSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val brute = topSet(Similarity.bruteForceTopK(corpus, queries, 5))
+    val lsh = topSet(Similarity.lshTopK(corpus, queries, 5, planes = 3))
+    // 3 planes -> 8 buckets over 150 vectors: each query's bucket holds
+    // ~19 candidates; sign-LSH concentrates near-neighbors, so recall
+    // must beat random candidate picking (5/150 ~ 0.03) by far
+    val recalls = brute.keys.toSeq.map { q =>
+      val hit = lsh.getOrElse(q, Set.empty) intersect brute(q)
+      hit.size.toDouble / 5.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean > 0.3, s"mean LSH recall@5 too low: $mean")
+  }
+
   test("langId picks stopword-majority language, und on no hits (X3)") {
     val out = docs.select($"doc_id", TextOps.langId($"text").as("l"))
       .as[(Long, String)].collect().toMap
