@@ -36,6 +36,8 @@ object Bench {
     val g = graft.builder.StarGraph.graph(spark, sfDir)
     val gx = graft.algos.GraphOps.toGraphX(g)
     gx.vertices.count(); gx.edges.count()
+    val gxu = graft.algos.GraphOps.toGraphXUndirected(g)
+    gxu.vertices.count(); gxu.edges.count()
     val keep = spark.sparkContext.getPersistentRDDs.keySet
     val results = SparkEntry.defs.map { d =>
       val t0 = System.nanoTime()

@@ -50,6 +50,40 @@ object GraphOps {
       else gx
     })
 
+  /** Memoized UNDIRECTED projection (each edge both ways) for
+    * undirected sweeps — same lifecycle rules as [[toGraphX]]. */
+  private val gxUndCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[OnionGraph, Graph[Unit, Double]]())
+
+  def toGraphXUndirected(g: OnionGraph): Graph[Unit, Double] =
+    gxUndCache.computeIfAbsent(g, _ => {
+      val vs: RDD[(VertexId, Unit)] =
+        g.vertices.select("vid").rdd.map(r => (r.getLong(0), ()))
+      val es: RDD[Edge[Double]] = g.edges.select("src", "dst").rdd
+        .flatMap(r => Iterator(Edge(r.getLong(0), r.getLong(1), 1.0),
+          Edge(r.getLong(1), r.getLong(0), 1.0)))
+      val gx = Graph(vs, es).partitionBy(PartitionStrategy.EdgePartition2D)
+      if (g.vertices.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        gx.cache()
+      else gx
+    })
+
+  /** Pregel BFS over the undirected projection (T5's full-graph
+    * sweep). Returns (vid, dist). */
+  def pregelBfsUndirected(g: OnionGraph, seedVids: Set[Long],
+                          maxDist: Int = -1): DataFrame = {
+    val init = toGraphXUndirected(g).mapVertices((id, _) =>
+      if (seedVids.contains(id)) 0 else Int.MaxValue)
+    val iters = if (maxDist < 0) Int.MaxValue else maxDist
+    val res = init.pregel(Int.MaxValue, iters)(
+      (_, d, msg) => math.min(d, msg),
+      t => if (t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr)
+             Iterator((t.dstId, t.srcAttr + 1)) else Iterator.empty,
+      (a, b) => math.min(a, b))
+    vidValueDf(g.spark, res.vertices.filter(_._2 != Int.MaxValue), "dist",
+      org.apache.spark.sql.types.IntegerType)
+  }
+
   /** (vid, value) DataFrame from a GraphX vertex RDD — the one schema
     * every kernel below returns. */
   private def vidValueDf[A](spark: SparkSession, vs: RDD[(VertexId, A)],

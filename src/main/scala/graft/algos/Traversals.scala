@@ -316,18 +316,18 @@ object Traversals {
       .filter(col("size") >= minSize)
 
   /** Depth-scaled sizes (V(T5), `visualisation.py:273-308`): undirected
-    * BFS depth from a root, linearly interpolated into [minS, maxS]. */
+    * BFS depth from a root, linearly interpolated into [minS, maxS].
+    * The full-component sweep runs as GraphX Pregel over the memoized
+    * undirected projection (the north-star "GraphX for analytics"
+    * path) — supersteps avoid the per-round driver round-trips and
+    * broadcast rebuilds of a DataFrame frontier loop, and the
+    * projection is built once per graph at ingest. */
   def depthScaledSizes(g: OnionGraph, layer: String, nodeId: String,
                        minS: Double, maxS: Double): DataFrame = {
-    val seed = g.vertices.filter(col("layer") === layer && col("nodeId") === nodeId)
-      .select("vid")
-    // undirected sweep covers the whole component; duplicate edges
-    // don't affect min-dist, skip the dedup shuffle. Frontier BFS:
-    // each edge is relaxed only when its source enters the frontier,
-    // so total join volume is O(|E|), not O(rounds x |E|).
-    val und = g.edges.select(col("src"), col("dst"))
-      .unionAll(g.edges.select(col("dst").as("src"), col("src").as("dst")))
-    val depths = bfsFrom(und, seed, -1)
+    val seedVids = g.vertices
+      .filter(col("layer") === layer && col("nodeId") === nodeId)
+      .select("vid").collect().map(_.getLong(0)).toSet
+    val depths = GraphOps.pregelBfsUndirected(g, seedVids)
     // max over an empty frame (unknown seed) is null — treat as depth
     // 1 and return the (empty) result instead of NPE-ing on getInt
     val maxRow = depths.agg(max("dist")).head

@@ -94,10 +94,13 @@ object Dedup {
     // jaccard is undefined (they can never clear the threshold) and,
     // left in, their all-null signatures would make every short doc
     // collide in every LSH band — a quadratic candidate blowup.
+    // Filter AFTER the checkpoint: a pre-checkpoint filter on the
+    // projected column gets pushed below the projection, duplicating
+    // the whole shingle expression per row (5x slowdown measured).
     val hashed = docs
       .select(col(idCol).as("id"), hashedShingles(col(textCol), w).as("hs"))
-      .filter(size(col("hs")) > 0)
       .localCheckpoint()
+      .filter(size(col("hs")) > 0)
     val sig = hashed
       .select(col("id"), array((0 until k).map(s =>
         array_min(transform(col("hs"), h => xxhash64(h, lit(s))))): _*).as("sig"))
