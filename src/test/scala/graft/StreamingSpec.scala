@@ -143,6 +143,32 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming parquet sink round-trips the windowed aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val sdf = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.tumblingAgg(sdf.withWatermark("ts", "10 minutes"), "30 minutes")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckDir)
+      .format("parquet").start(outDir)
+    try {
+      stream.addData(events)
+      q.processAllAvailable()
+      // append mode emits only watermark-closed windows; advance the
+      // watermark far enough to flush them all
+      stream.addData((99L, Timestamp.valueOf("2026-01-01 13:00:00"), 1L, "view", 0.0, null))
+      q.processAllAvailable()
+      val written = spark.read.parquet(outDir)
+        .select("window_start", "event_type", "n_events")
+        .as[(String, String, Long)].collect().toSet
+      assert(written.contains(("2026-01-01 10:00:00", "click", 2L)))
+      assert(written.contains(("2026-01-01 10:30:00", "view", 1L)))
+    } finally q.stop()
+  }
+
   test("json props extraction (get_json_object path)") {
     val df = events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val out = EventStreams.withProps(df, "k")
