@@ -270,6 +270,24 @@ object Traversals {
     * (vid, component: string). Size thresholding
     * (`searcher.py:296-297`) composes on top via groupBy. */
   def weakComponents(g: OnionGraph): DataFrame = {
+    // GraphX connectedComponents propagates along both edge
+    // directions, so the MEMOIZED directed projection (built once at
+    // ingest) serves the weak variant directly; min-vid component ids
+    // are then relabeled to each component's lexicographic min
+    // "layer:nodeId" so output is deterministic and oracle-comparable
+    // regardless of vid hashing.
+    val cc = GraphOps.connectedComponents(g)
+    val labels = g.vertices
+      .select(col("vid"), concat_ws(":", col("layer"), col("nodeId")).as("lbl"))
+    val compLabel = cc.join(labels, Seq("vid"))
+      .groupBy("compVid").agg(min("lbl").as("comp"))
+    cc.join(compLabel, Seq("compVid")).select(col("vid"), col("comp"))
+  }
+
+  /** DataFrame-native min-label propagation — the fallback
+    * weak-components path for deployments that exclude GraphX; same
+    * output contract as [[weakComponents]]. */
+  def weakComponentsDataFrame(g: OnionGraph): DataFrame = {
     // plain union, no dedup: duplicate (src,dst) rows cannot change a
     // min-label fixpoint, and the dropDuplicates shuffle is pure cost
     val e = g.edges.select("src", "dst")

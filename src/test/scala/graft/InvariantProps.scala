@@ -54,6 +54,16 @@ object InvariantProps extends Properties("GraftInvariants") {
       comps.count() == n && comps.select("vid").distinct().count() == n
     }
 
+  property("GraphX and DataFrame weak components agree exactly") =
+    forAll(genGraph) { case (n, edges) =>
+      val g = build(n, edges)
+      val a = Traversals.weakComponents(g)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val b = Traversals.weakComponentsDataFrame(g)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      a == b
+    }
+
   property("frontier BFS and label-propagation BFS agree exactly") =
     forAll(genGraph) { case (n, edges) =>
       val g = build(n, edges)
