@@ -68,6 +68,32 @@ object GraphOps {
       else gx
     })
 
+  /** Pregel BFS with a DataFrame seed set (joined in distributed via
+    * outerJoinVertices — no driver-side collect, so seed sets of any
+    * size work). `reverse = true` follows edges dst->src by sending
+    * messages to the source endpoint; the MEMOIZED directed projection
+    * serves both directions, no reversed edge copy. Returns
+    * (vid, dist). */
+  def pregelBfsSeeds(g: OnionGraph, seeds: DataFrame, maxDist: Int = -1,
+                     reverse: Boolean = false): DataFrame = {
+    val gx = toGraphX(g)
+    val seedRdd: RDD[(VertexId, Int)] =
+      seeds.select("vid").rdd.map(r => (r.getLong(0), 0))
+    val init = gx.outerJoinVertices(seedRdd)((_, _, o) => o.getOrElse(Int.MaxValue))
+    val iters = if (maxDist < 0) Int.MaxValue else maxDist
+    val res = init.pregel(Int.MaxValue, iters)(
+      (_, d, msg) => math.min(d, msg),
+      t =>
+        if (!reverse && t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr)
+          Iterator((t.dstId, t.srcAttr + 1))
+        else if (reverse && t.dstAttr != Int.MaxValue && t.dstAttr + 1 < t.srcAttr)
+          Iterator((t.srcId, t.dstAttr + 1))
+        else Iterator.empty,
+      (a, b) => math.min(a, b))
+    vidValueDf(g.spark, res.vertices.filter(_._2 != Int.MaxValue), "dist",
+      org.apache.spark.sql.types.IntegerType)
+  }
+
   /** Pregel BFS over the undirected projection (T5's full-graph
     * sweep). Returns (vid, dist). */
   def pregelBfsUndirected(g: OnionGraph, seedVids: Set[Long],

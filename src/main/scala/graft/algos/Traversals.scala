@@ -247,12 +247,12 @@ object Traversals {
     val srcSeed = g.vertices.filter(source).select("vid")
     val tgtSeed = g.vertices.filter(targets).select("vid")
     val fwd = bfsFrom(g.edges, srcSeed, -1).withColumnRenamed("dist", "fwd")
-    // backward pass is multi-source and sweeps most of the graph, but
-    // frontier expansion still wins: total join work is O(|E|) across
-    // ALL rounds (each edge crosses the frontier once) vs label
-    // propagation's O(rounds x |E|), and the growing visited set stays
-    // a broadcast anti-join until it exceeds BroadcastRows
-    val bwd = bfsFrom(g.reverse.edges, tgtSeed, -1).withColumnRenamed("dist", "bwd")
+    // backward pass is multi-source and sweeps most of the graph —
+    // Pregel over the memoized directed projection (messages sent
+    // dst->src), avoiding per-round driver round-trips; the forward
+    // pass keeps the DataFrame frontier loop (small reached set)
+    val bwd = GraphOps.pregelBfsSeeds(g, tgtSeed, reverse = true)
+      .withColumnRenamed("dist", "bwd")
     val targetDists = fwd.join(tgtSeed, Seq("vid"), "left_semi")
       .select(col("fwd").as("td")).distinct()
     g.vertices.select("vid")
