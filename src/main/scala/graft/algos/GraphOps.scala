@@ -4,7 +4,6 @@ import graft.model.OnionGraph
 import org.apache.spark.graphx.{Edge, Graph, VertexId, PartitionStrategy}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions._
 
 /**
  * GraphX projection of an [[OnionGraph]] and the Pregel kernels for the
@@ -28,58 +27,48 @@ object GraphOps {
     * conversion plus the EdgePartition2D shuffle is pure ingest cost,
     * and the "ingest once, query many" deployment (same as the
     * reference's single in-memory graph) shares it across every
-    * Pregel/PageRank/components call on the same graph. */
+    * Pregel/PageRank/components call on the same graph. One cache per
+    * projection kind (directed, undirected). */
   private val gxCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[OnionGraph, Graph[Unit, Double]]())
-
-  def toGraphX(g: OnionGraph): Graph[Unit, Double] =
-    gxCache.computeIfAbsent(g, _ => {
-      val vs: RDD[(VertexId, Unit)] =
-        g.vertices.select("vid").rdd.map(r => (r.getLong(0), ()))
-      val es: RDD[Edge[Double]] = g.edges.select("src", "dst").rdd
-        .map(r => Edge(r.getLong(0), r.getLong(1), 1.0))
-      val gx = Graph(vs, es).partitionBy(PartitionStrategy.EdgePartition2D)
-      // Pin blocks only for long-lived (persisted) graphs — the
-      // StarGraph-style "ingest once" instance. Derived views
-      // (filterVertices/viewLayers) are fresh objects per call: their
-      // memo entry never hits again, and an unconditional cache()
-      // would pin a new projection per invocation with no unpersist
-      // path (Verify has no release loop).
-      if (g.vertices.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
-        gx.cache()
-      else gx
-    })
-
-  /** Memoized UNDIRECTED projection (each edge both ways) for
-    * undirected sweeps — same lifecycle rules as [[toGraphX]]. */
   private val gxUndCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[OnionGraph, Graph[Unit, Double]]())
 
-  def toGraphXUndirected(g: OnionGraph): Graph[Unit, Double] =
-    gxUndCache.computeIfAbsent(g, _ => {
-      val vs: RDD[(VertexId, Unit)] =
-        g.vertices.select("vid").rdd.map(r => (r.getLong(0), ()))
-      val es: RDD[Edge[Double]] = g.edges.select("src", "dst").rdd
-        .flatMap(r => Iterator(Edge(r.getLong(0), r.getLong(1), 1.0),
-          Edge(r.getLong(1), r.getLong(0), 1.0)))
-      val gx = Graph(vs, es).partitionBy(PartitionStrategy.EdgePartition2D)
-      if (g.vertices.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
-        gx.cache()
-      else gx
-    })
+  /** Shared projection builder: `edgeMapper` decides the projection
+    * kind (directed vs symmetrized). Blocks are pinned only for
+    * long-lived (persisted) graphs — the StarGraph-style "ingest once"
+    * instance. Derived views (filterVertices/viewLayers) are fresh
+    * objects per call: their memo entry never hits again, and an
+    * unconditional cache() would pin a new projection per invocation
+    * with no unpersist path (Verify has no release loop). */
+  private def buildProjection(g: OnionGraph)
+                             (edgeMapper: Row => Iterator[Edge[Double]]): Graph[Unit, Double] = {
+    val vs: RDD[(VertexId, Unit)] =
+      g.vertices.select("vid").rdd.map(r => (r.getLong(0), ()))
+    val es: RDD[Edge[Double]] = g.edges.select("src", "dst").rdd.flatMap(edgeMapper)
+    val gx = Graph(vs, es).partitionBy(PartitionStrategy.EdgePartition2D)
+    if (g.vertices.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      gx.cache()
+    else gx
+  }
 
-  /** Pregel BFS with a DataFrame seed set (joined in distributed via
-    * outerJoinVertices — no driver-side collect, so seed sets of any
-    * size work). `reverse = true` follows edges dst->src by sending
-    * messages to the source endpoint; the MEMOIZED directed projection
-    * serves both directions, no reversed edge copy. Returns
-    * (vid, dist). */
-  def pregelBfsSeeds(g: OnionGraph, seeds: DataFrame, maxDist: Int = -1,
-                     reverse: Boolean = false): DataFrame = {
-    val gx = toGraphX(g)
-    val seedRdd: RDD[(VertexId, Int)] =
-      seeds.select("vid").rdd.map(r => (r.getLong(0), 0))
-    val init = gx.outerJoinVertices(seedRdd)((_, _, o) => o.getOrElse(Int.MaxValue))
+  def toGraphX(g: OnionGraph): Graph[Unit, Double] =
+    gxCache.computeIfAbsent(g, _ => buildProjection(g)(r =>
+      Iterator(Edge(r.getLong(0), r.getLong(1), 1.0))))
+
+  /** Memoized UNDIRECTED projection (each edge both ways) for
+    * undirected sweeps — same lifecycle rules as [[toGraphX]]. */
+  def toGraphXUndirected(g: OnionGraph): Graph[Unit, Double] =
+    gxUndCache.computeIfAbsent(g, _ => buildProjection(g)(r =>
+      Iterator(Edge(r.getLong(0), r.getLong(1), 1.0),
+        Edge(r.getLong(1), r.getLong(0), 1.0))))
+
+  /** The ONE min-dist Pregel kernel every BFS variant runs: vertices
+    * start at 0 (seeds) or MaxValue, messages relax dist+1 along the
+    * chosen direction. `reverse` sends messages dst->src so the same
+    * directed projection serves both directions. */
+  private def minDistPregel(g: OnionGraph, init: Graph[Int, Double],
+                            maxDist: Int, reverse: Boolean): DataFrame = {
     val iters = if (maxDist < 0) Int.MaxValue else maxDist
     val res = init.pregel(Int.MaxValue, iters)(
       (_, d, msg) => math.min(d, msg),
@@ -94,20 +83,34 @@ object GraphOps {
       org.apache.spark.sql.types.IntegerType)
   }
 
-  /** Pregel BFS over the undirected projection (T5's full-graph
-    * sweep). Returns (vid, dist). */
-  def pregelBfsUndirected(g: OnionGraph, seedVids: Set[Long],
-                          maxDist: Int = -1): DataFrame = {
-    val init = toGraphXUndirected(g).mapVertices((id, _) =>
+  /** Distributed seed init: seeds joined via outerJoinVertices — no
+    * driver-side collect, so seed sets of any size work. */
+  private def seedInit(gx: Graph[Unit, Double], seeds: DataFrame): Graph[Int, Double] = {
+    val seedRdd: RDD[(VertexId, Int)] =
+      seeds.select("vid").rdd.map(r => (r.getLong(0), 0))
+    gx.outerJoinVertices(seedRdd)((_, _, o) => o.getOrElse(Int.MaxValue))
+  }
+
+  /** Pregel BFS with a DataFrame seed set over the directed
+    * projection; `reverse = true` follows edges dst->src (no reversed
+    * edge copy); `undirected = true` sweeps the symmetrized
+    * projection (reverse is then meaningless). Returns (vid, dist). */
+  def pregelBfsSeeds(g: OnionGraph, seeds: DataFrame, maxDist: Int = -1,
+                     reverse: Boolean = false,
+                     undirected: Boolean = false): DataFrame = {
+    require(!(reverse && undirected),
+      "pregelBfsSeeds: reverse has no meaning on the undirected projection")
+    val gx = if (undirected) toGraphXUndirected(g) else toGraphX(g)
+    minDistPregel(g, seedInit(gx, seeds), maxDist, reverse)
+  }
+
+  /** Pregel BFS: hop distance from the seed set, following edge
+    * direction; `maxIterations` bounds the search like the reference's
+    * `max_dist` (`searcher.py:208`). Returns (vid, dist). */
+  def pregelBfs(g: OnionGraph, seedVids: Set[Long], maxDist: Int): DataFrame = {
+    val init = toGraphX(g).mapVertices((id, _) =>
       if (seedVids.contains(id)) 0 else Int.MaxValue)
-    val iters = if (maxDist < 0) Int.MaxValue else maxDist
-    val res = init.pregel(Int.MaxValue, iters)(
-      (_, d, msg) => math.min(d, msg),
-      t => if (t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr)
-             Iterator((t.dstId, t.srcAttr + 1)) else Iterator.empty,
-      (a, b) => math.min(a, b))
-    vidValueDf(g.spark, res.vertices.filter(_._2 != Int.MaxValue), "dist",
-      org.apache.spark.sql.types.IntegerType)
+    minDistPregel(g, init, maxDist, reverse = false)
   }
 
   /** (vid, value) DataFrame from a GraphX vertex RDD — the one schema
@@ -121,23 +124,6 @@ object GraphOps {
         org.apache.spark.sql.types.StructField("vid",
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField(name, dt, nullable = false))))
-
-  /** Pregel BFS: hop distance from the seed set, following edge
-    * direction; `maxIterations` bounds the search like the reference's
-    * `max_dist` (`searcher.py:208`). Returns (vid, dist). */
-  def pregelBfs(g: OnionGraph, seedVids: Set[Long], maxDist: Int): DataFrame = {
-    val gx = toGraphX(g)
-    val init = gx.mapVertices((id, _) =>
-      if (seedVids.contains(id)) 0 else Int.MaxValue)
-    val iters = if (maxDist < 0) Int.MaxValue else maxDist
-    val res = init.pregel(Int.MaxValue, iters)(
-      (_, d, msg) => math.min(d, msg),
-      t => if (t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr)
-             Iterator((t.dstId, t.srcAttr + 1)) else Iterator.empty,
-      (a, b) => math.min(a, b))
-    vidValueDf(g.spark, res.vertices.filter(_._2 != Int.MaxValue), "dist",
-      org.apache.spark.sql.types.IntegerType)
-  }
 
   /** Weakly connected components (GraphX label propagation to min vid;
     * deterministic because vid is a deterministic hash). Returns

@@ -342,10 +342,10 @@ object Traversals {
     * projection is built once per graph at ingest. */
   def depthScaledSizes(g: OnionGraph, layer: String, nodeId: String,
                        minS: Double, maxS: Double): DataFrame = {
-    val seedVids = g.vertices
+    val seed = g.vertices
       .filter(col("layer") === layer && col("nodeId") === nodeId)
-      .select("vid").collect().map(_.getLong(0)).toSet
-    val depths = GraphOps.pregelBfsUndirected(g, seedVids)
+      .select("vid")
+    val depths = GraphOps.pregelBfsSeeds(g, seed, undirected = true)
     // max over an empty frame (unknown seed) is null — treat as depth
     // 1 and return the (empty) result instead of NPE-ing on getInt
     val maxRow = depths.agg(max("dist")).head

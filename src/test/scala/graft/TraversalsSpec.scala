@@ -80,6 +80,21 @@ class TraversalsSpec extends SparkSuite {
     assert(up == Set(("a", "b"), ("x", "b"), ("c", "x"), ("b", "c")))
   }
 
+  test("depthScaledSizes: undirected depths interpolated into [minS, maxS] (T5)") {
+    val out = Traversals.depthScaledSizes(g, "L1", "a", 1.0, 10.0)
+      .join(g.vertices, Seq("vid"))
+      .select($"nodeId", $"dist", $"size")
+      .as[(String, Int, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    // undirected from a: a=0, b=1, c=2, d=3, x=2; e unreachable
+    assert(out("a") == (0, 10.0))
+    assert(out("b")._1 == 1 && out("c")._1 == 2 && out("x")._1 == 2)
+    assert(out("d") == (3, 1.0)) // max depth maps to minS
+    assert(!out.contains("e"))
+    // unknown seed -> empty result, no NPE
+    assert(Traversals.depthScaledSizes(g, "L1", "nope", 1.0, 10.0).count() == 0)
+  }
+
   test("weak components partition vertices; isolated vertex is its own comp") {
     val comps = Traversals.weakComponents(g)
       .join(g.vertices, Seq("vid"))
