@@ -292,6 +292,20 @@ object SparkEntry {
         .orderBy("l_returnflag"),
       None),
 
+    QueryDef("q17_exists_subquery",
+      // correlated EXISTS -> LEFT SEMI join (q12's anti-join twin):
+      // orders with at least one high-quantity lineitem.
+      (s, dir) => t(s, dir, "orders")
+        .join(t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+            .select(col("l_orderkey").as("o_orderkey")).distinct(),
+          Seq("o_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_totalprice").as("price"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_totalprice AS price FROM orders o
+             |WHERE EXISTS (SELECT 1 FROM lineitem l
+             |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     QueryDef("q15_rollup",
       // grouping sets: revenue at (region, nation), per-region, and
       // grand-total levels in one pass (partial aggs merge upward —
@@ -1088,6 +1102,22 @@ object SparkEntry {
              | CASE WHEN len(s) <= 0 THEN 0.0
              |  ELSE 1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s) END AS rep_ratio
              |FROM sh ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("x20_token_freq",
+      // the Generator path (SURVEY §2.7 UDTF row): explode tokens ->
+      // map-side-combined count -> top-20. Total order (n DESC, token)
+      // makes the LIMIT cutoff deterministic on both engines.
+      (s, dir) => docs(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20),
+      Some("""SELECT token, COUNT(*) AS n
+             |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+             |      FROM documents)
+             |WHERE token <> ''
+             |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)),
 
     QueryDef("x18_hash_split",
       // deterministic train/eval/test split by content-hash bucket —
