@@ -14,7 +14,7 @@ import org.scalacheck.Prop.forAll
 object InvariantProps extends Properties("GraftInvariants") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(5).withWorkers(1)
+    p.withMinSuccessfulTests(12).withWorkers(1)
 
   private lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
