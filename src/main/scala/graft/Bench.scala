@@ -34,15 +34,11 @@ object Bench {
     // RDD (BFS checkpoints etc.) after each query so the corpus's
     // localCheckpoint blocks don't pile up.
     val g = graft.builder.StarGraph.graph(spark, sfDir)
+    // ONE directed projection serves forward/backward/undirected
+    // sweeps (bidirectional messages) — half the resident edge blocks
+    // a symmetrized copy would pin for the run.
     val gx = graft.algos.GraphOps.toGraphX(g)
     gx.vertices.count(); gx.edges.count()
-    // The undirected projection doubles resident edge blocks for the
-    // run — a deliberate trade: ingest-time cost and memory against
-    // per-sweep rebuilds. At sf0.1 the combined projections are a few
-    // hundred MB against the 8g heap; a deployment tight on executor
-    // storage would build it lazily instead.
-    val gxu = graft.algos.GraphOps.toGraphXUndirected(g)
-    gxu.vertices.count(); gxu.edges.count()
     val keep = spark.sparkContext.getPersistentRDDs.keySet
     val results = SparkEntry.defs.map { d =>
       val t0 = System.nanoTime()

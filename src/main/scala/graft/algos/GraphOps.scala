@@ -27,11 +27,12 @@ object GraphOps {
     * conversion plus the EdgePartition2D shuffle is pure ingest cost,
     * and the "ingest once, query many" deployment (same as the
     * reference's single in-memory graph) shares it across every
-    * Pregel/PageRank/components call on the same graph. One cache per
-    * projection kind (directed, undirected). */
+    * Pregel/PageRank/components call on the same graph. ONE directed
+    * projection serves all three sweep directions — undirected sweeps
+    * send messages both ways along each triplet instead of
+    * materializing a symmetrized edge copy (which would double the
+    * resident edge blocks for the life of the graph). */
   private val gxCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[OnionGraph, Graph[Unit, Double]]())
-  private val gxUndCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[OnionGraph, Graph[Unit, Double]]())
 
   /** Shared projection builder: `edgeMapper` decides the projection
@@ -56,28 +57,28 @@ object GraphOps {
     gxCache.computeIfAbsent(g, _ => buildProjection(g)(r =>
       Iterator(Edge(r.getLong(0), r.getLong(1), 1.0))))
 
-  /** Memoized UNDIRECTED projection (each edge both ways) for
-    * undirected sweeps — same lifecycle rules as [[toGraphX]]. */
-  def toGraphXUndirected(g: OnionGraph): Graph[Unit, Double] =
-    gxUndCache.computeIfAbsent(g, _ => buildProjection(g)(r =>
-      Iterator(Edge(r.getLong(0), r.getLong(1), 1.0),
-        Edge(r.getLong(1), r.getLong(0), 1.0))))
-
   /** The ONE min-dist Pregel kernel every BFS variant runs: vertices
     * start at 0 (seeds) or MaxValue, messages relax dist+1 along the
-    * chosen direction. `reverse` sends messages dst->src so the same
-    * directed projection serves both directions. */
+    * chosen direction(s). `forward` sends src->dst, `backward`
+    * dst->src; both on = undirected sweep — all three directions run
+    * on the single memoized directed projection. */
   private def minDistPregel(g: OnionGraph, init: Graph[Int, Double],
-                            maxDist: Int, reverse: Boolean): DataFrame = {
+                            maxDist: Int, forward: Boolean,
+                            backward: Boolean): DataFrame = {
     val iters = if (maxDist < 0) Int.MaxValue else maxDist
     val res = init.pregel(Int.MaxValue, iters)(
       (_, d, msg) => math.min(d, msg),
-      t =>
-        if (!reverse && t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr)
-          Iterator((t.dstId, t.srcAttr + 1))
-        else if (reverse && t.dstAttr != Int.MaxValue && t.dstAttr + 1 < t.srcAttr)
-          Iterator((t.srcId, t.dstAttr + 1))
-        else Iterator.empty,
+      t => {
+        val down =
+          if (forward && t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr)
+            Iterator((t.dstId, t.srcAttr + 1))
+          else Iterator.empty
+        val up =
+          if (backward && t.dstAttr != Int.MaxValue && t.dstAttr + 1 < t.srcAttr)
+            Iterator((t.srcId, t.dstAttr + 1))
+          else Iterator.empty
+        down ++ up
+      },
       (a, b) => math.min(a, b))
     vidValueDf(g.spark, res.vertices.filter(_._2 != Int.MaxValue), "dist",
       org.apache.spark.sql.types.IntegerType)
@@ -91,17 +92,17 @@ object GraphOps {
     gx.outerJoinVertices(seedRdd)((_, _, o) => o.getOrElse(Int.MaxValue))
   }
 
-  /** Pregel BFS with a DataFrame seed set over the directed
+  /** Pregel BFS with a DataFrame seed set over the single directed
     * projection; `reverse = true` follows edges dst->src (no reversed
-    * edge copy); `undirected = true` sweeps the symmetrized
-    * projection (reverse is then meaningless). Returns (vid, dist). */
+    * edge copy); `undirected = true` relaxes along both directions of
+    * every edge (no symmetrized copy). Returns (vid, dist). */
   def pregelBfsSeeds(g: OnionGraph, seeds: DataFrame, maxDist: Int = -1,
                      reverse: Boolean = false,
                      undirected: Boolean = false): DataFrame = {
     require(!(reverse && undirected),
-      "pregelBfsSeeds: reverse has no meaning on the undirected projection")
-    val gx = if (undirected) toGraphXUndirected(g) else toGraphX(g)
-    minDistPregel(g, seedInit(gx, seeds), maxDist, reverse)
+      "pregelBfsSeeds: reverse has no meaning on an undirected sweep")
+    minDistPregel(g, seedInit(toGraphX(g), seeds), maxDist,
+      forward = undirected || !reverse, backward = undirected || reverse)
   }
 
   /** Pregel BFS: hop distance from the seed set, following edge
@@ -110,7 +111,7 @@ object GraphOps {
   def pregelBfs(g: OnionGraph, seedVids: Set[Long], maxDist: Int): DataFrame = {
     val init = toGraphX(g).mapVertices((id, _) =>
       if (seedVids.contains(id)) 0 else Int.MaxValue)
-    minDistPregel(g, init, maxDist, reverse = false)
+    minDistPregel(g, init, maxDist, forward = true, backward = false)
   }
 
   /** (vid, value) DataFrame from a GraphX vertex RDD — the one schema

@@ -336,10 +336,10 @@ object Traversals {
   /** Depth-scaled sizes (V(T5), `visualisation.py:273-308`): undirected
     * BFS depth from a root, linearly interpolated into [minS, maxS].
     * The full-component sweep runs as GraphX Pregel over the memoized
-    * undirected projection (the north-star "GraphX for analytics"
-    * path) — supersteps avoid the per-round driver round-trips and
-    * broadcast rebuilds of a DataFrame frontier loop, and the
-    * projection is built once per graph at ingest. */
+    * directed projection with bidirectional messages (the north-star
+    * "GraphX for analytics" path) — supersteps avoid the per-round
+    * driver round-trips and broadcast rebuilds of a DataFrame frontier
+    * loop, and no symmetrized edge copy is ever materialized. */
   def depthScaledSizes(g: OnionGraph, layer: String, nodeId: String,
                        minS: Double, maxS: Double): DataFrame = {
     val seed = g.vertices
