@@ -73,6 +73,38 @@ object SparkEntry {
   private def dsumSql(e: String): String =
     s"CAST(SUM(CAST($e AS DECIMAL(38,6))) AS DOUBLE)"
 
+  private val PrFixedIters = 5
+
+  /** DuckDB oracle for [[GraphOps.pageRankFixedPoint]] on the layer
+    * subgraph: one chained CTE per iteration (no recursion needed —
+    * the iteration count is a compile-time constant). `//` is DuckDB's
+    * integral divide (floor; identical to Spark's `DIV` for the
+    * always-positive ranks); SUM(BIGINT) is HUGEINT, i.e. exact like
+    * the Spark side's DECIMAL(38,0) sum. */
+  private def pagerankFixedSql(layers: Seq[String], iters: Int): String = {
+    val inList = layers.map(l => s"'$l'").mkString(", ")
+    val iterCtes = (0 until iters).map { k =>
+      s"""r${k + 1} AS (
+         | SELECT v.layer, v.node_id,
+         |  150000000 + COALESCE(CAST((85 * SUM(c.contrib)) // 100 AS BIGINT), 0) AS r
+         | FROM sg_v v LEFT JOIN (
+         |  SELECT e.target_layer AS tl, e.target_id AS ti, r.r // o.odeg AS contrib
+         |  FROM sg_e e
+         |  JOIN r$k r ON r.layer = e.source_layer AND r.node_id = e.source_id
+         |  JOIN outdeg o ON o.source_layer = e.source_layer AND o.source_id = e.source_id
+         | ) c ON c.tl = v.layer AND c.ti = v.node_id
+         | GROUP BY v.layer, v.node_id)""".stripMargin
+    }.mkString(",\n")
+    s"""$W, sg_v AS (SELECT layer, node_id FROM vertices WHERE layer IN ($inList)),
+       |sg_e AS (SELECT source_layer, source_id, target_layer, target_id FROM edges
+       |  WHERE source_layer IN ($inList) AND target_layer IN ($inList)),
+       |outdeg AS (SELECT source_layer, source_id, COUNT(*) AS odeg FROM sg_e
+       |  GROUP BY source_layer, source_id),
+       |r0 AS (SELECT layer, node_id, CAST(1000000000 AS BIGINT) AS r FROM sg_v),
+       |$iterCtes
+       |SELECT layer, node_id, r AS rank_fp FROM r$iters ORDER BY layer, node_id""".stripMargin
+  }
+
   // ================================================================ corpus
 
   val defs: Seq[QueryDef] = Seq(
@@ -883,14 +915,32 @@ object SparkEntry {
              |FROM customer ORDER BY node_id""".stripMargin)),
 
     QueryDef("g20_pagerank",
+      // fixed iteration count, not tol-driven: a tolerance fixpoint has
+      // no worst-case bound, and floating ranks are not hash-stable
+      // anyway -> rows-only check; g27 is the hash-matched variant.
       (s, dir) => {
         val g = graph(s, dir).viewLayers(Seq("region", "nation", "supplier"))
-        GraphOps.pageRank(g, tol = 1e-3)
+        GraphOps.pageRankStatic(g, numIter = 15)
           .join(g.vertices, Seq("vid"))
           .select(col("layer"), col("nodeId").as("node_id"), col("rank"))
           .orderBy("layer", "node_id")
       },
-      None), // iterative fixpoint -> rows-only check
+      None), // iterative floating fixpoint -> rows-only check
+
+    QueryDef("g27_pagerank_fixed",
+      // deterministic fixed-point PageRank (BIGINT micro-units,
+      // integer division — exact under ANY partitioning or engine), so
+      // unlike g20's floating ranks this one hash-matches the oracle.
+      (s, dir) => {
+        val g = graph(s, dir)
+          .viewLayers(Seq("region", "nation", "supplier", "customer"))
+        GraphOps.pageRankFixedPoint(g, iters = PrFixedIters)
+          .join(g.vertices, Seq("vid"))
+          .select(col("layer"), col("nodeId").as("node_id"), col("rank_fp"))
+          .orderBy("layer", "node_id")
+      },
+      Some(pagerankFixedSql(Seq("region", "nation", "supplier", "customer"),
+        PrFixedIters))),
 
     QueryDef("g21_scc",
       (s, dir) => {

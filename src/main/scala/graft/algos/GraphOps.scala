@@ -147,4 +147,51 @@ object GraphOps {
   def pageRank(g: OnionGraph, tol: Double = 1e-4, resetProb: Double = 0.15): DataFrame =
     vidValueDf(g.spark, toGraphX(g).pageRank(tol, resetProb).vertices,
       "rank", org.apache.spark.sql.types.DoubleType)
+
+  /** Fixed-iteration PageRank — bounded supersteps, the scale-safe
+    * default: a tolerance-driven fixpoint has no worst-case iteration
+    * bound, while `numIter` caps the job graph regardless of topology
+    * or damping. Returns (vid, rank). */
+  def pageRankStatic(g: OnionGraph, numIter: Int = 15,
+                     resetProb: Double = 0.15): DataFrame =
+    vidValueDf(g.spark, toGraphX(g).staticPageRank(numIter, resetProb).vertices,
+      "rank", org.apache.spark.sql.types.DoubleType)
+
+  /** Deterministic fixed-point PageRank (DataFrame loop, no GraphX):
+    * ranks are BIGINT micro-units (1e9 = rank 1.0) and damping uses
+    * integer division, so every step is exact integer arithmetic —
+    * results are bit-identical under any partitioning, retry order,
+    * task count, or SQL engine. The floating formulation is NOT
+    * (partial-sum order varies run to run at scale), which makes this
+    * the reproducible-pipeline variant and the DuckDB-oracle-checkable
+    * one. Dangling mass is dropped (standard simplification).
+    *
+    *   r_0(v)     = Scale
+    *   r_{k+1}(v) = 0.15*Scale + (85 * Σ_{u→v} (r_k(u) div out(u))) div 100
+    *
+    * The per-vertex sum aggregates DECIMAL(38,0) (exact at any
+    * in-degree — a BIGINT sum could overflow on a 1e9-in-degree hub),
+    * then one integral divide returns to BIGINT. Returns
+    * (vid, rank_fp). */
+  def pageRankFixedPoint(g: OnionGraph, iters: Int = 5): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val Scale = 1000000000L
+    val e = g.edges.select("src", "dst")
+    // out-degrees are loop-invariant: materialize once, reuse per round
+    val out = e.groupBy("src").agg(count(lit(1)).as("odeg")).localCheckpoint()
+    var ranks = g.vertices.select(col("vid"), lit(Scale).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks.withColumnRenamed("vid", "src"), Seq("src"))
+        .join(out, Seq("src"))
+        .select(col("dst").as("vid"), expr("r DIV odeg").as("c"))
+      ranks = g.vertices.select("vid")
+        .join(contrib.groupBy("vid")
+          .agg(sum(col("c").cast("decimal(38,0)")).as("s")), Seq("vid"), "left")
+        .select(col("vid"),
+          (lit(Scale * 15 / 100) + coalesce(expr("(85 * s) DIV 100"), lit(0L)))
+            .as("r"))
+        .localCheckpoint() // bound the per-iteration plan depth
+    }
+    ranks.select(col("vid"), col("r").as("rank_fp"))
+  }
 }

@@ -71,4 +71,37 @@ class GraphOpsSpec extends SparkSuite {
     val mass = pr.agg(sum("rank")).head.getDouble(0)
     assert(math.abs(mass - g.numVertices.toDouble) / g.numVertices < 0.2)
   }
+
+  test("pageRankFixedPoint: exact hand-computed ranks on a 3-cycle + sink") {
+    // a -> b -> c -> a, plus c -> d (d is a sink).
+    val nodes = Seq("a", "b", "c", "d").map((_, "L")).toDF("node_id", "layer")
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+      .map { case (s2, t) => (s2, "L", t, "L") }
+      .toDF("source_id", "source_layer", "target_id", "target_layer")
+    val g = OnionBuilder.grow(nodes, edges, GrowOptions())
+    val got = GraphOps.pageRankFixedPoint(g, iters = 2)
+      .join(g.vertices, Seq("vid"))
+      .select(col("nodeId"), col("rank_fp")).as[(String, Long)].collect().toMap
+    // Scale 1e9, base = 150e6. Iter 1 (all r=1e9, out: a=1,b=1,c=2):
+    //   a: 150e6 + 85*(1e9 DIV 2)      DIV 100 = 575e6
+    //   b: 150e6 + 85*1e9              DIV 100 = 1e9
+    //   c: 150e6 + 85*1e9              DIV 100 = 1e9
+    //   d: 150e6 + 85*(1e9 DIV 2)      DIV 100 = 575e6
+    // Iter 2:
+    //   a: 150e6 + 85*(1e9 DIV 2)      DIV 100 = 575000000
+    //   b: 150e6 + 85*575000000        DIV 100 = 638750000
+    //   c: 150e6 + 85*1000000000       DIV 100 = 1000000000
+    //   d: 150e6 + 85*(1000000000 DIV 2) DIV 100 = 575000000
+    assert(got == Map("a" -> 575000000L, "b" -> 638750000L,
+      "c" -> 1000000000L, "d" -> 575000000L))
+  }
+
+  test("pageRankFixedPoint is invariant under repartitioning") {
+    val g0 = randomGraph(13, 30, 70)
+    val g1 = graft.model.OnionGraph(g0.vertices.repartition(7),
+      g0.edges.repartition(3))
+    val a = GraphOps.pageRankFixedPoint(g0, 3).as[(Long, Long)].collect().toMap
+    val b = GraphOps.pageRankFixedPoint(g1, 3).as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
 }
