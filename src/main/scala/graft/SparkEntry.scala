@@ -1170,15 +1170,24 @@ object SparkEntry {
              |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)),
 
     QueryDef("x18_hash_split",
-      // deterministic train/eval/test split by content-hash bucket —
-      // xxhash64 is not available in DuckDB, so the oracle check is
-      // rows-only; SamplingSpec pins the disjoint/exhaustive/stable
-      // invariants.
+      // deterministic train/eval/test split by content-hash bucket.
+      // The md5 hash family makes the assignment reproducible OUTSIDE
+      // Spark too (DuckDB parses the same 60 md5 bits), so the split
+      // is hash-checked end to end; the xxhash64 family (default,
+      // faster) keeps the rows-only path and its SamplingSpec
+      // disjoint/exhaustive/stable invariants.
       (s, dir) => Sampling.hashSplit(docs(s, dir), "doc_id",
-          Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1))
+          Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1),
+          bucketFn = Sampling.md5Bucket(_, _))
         .groupBy("split").agg(count(lit(1)).as("n_docs"))
         .orderBy("split"),
-      None)
+      Some("""WITH b AS (SELECT
+             |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             |    % 10000 AS bk FROM documents)
+             |SELECT CASE WHEN bk < 8000 THEN 'train'
+             |            WHEN bk < 9000 THEN 'eval' ELSE 'test' END AS split,
+             |       COUNT(*) AS n_docs
+             |FROM b GROUP BY 1 ORDER BY split""".stripMargin))
   )
 
   // ============================================================= contract

@@ -18,17 +18,29 @@ object Sampling {
   def hashBucket(key: Column, buckets: Int = 10000): Column =
     pmod(xxhash64(key), lit(buckets.toLong)).cast("int")
 
+  /** Portable bucket id: first 60 bits of md5 of the key's string
+    * form. Slower than [[hashBucket]] (md5 vs xxhash64) but computable
+    * bit-identically by any engine with md5 — the variant to use when
+    * a split must be reproduced OUTSIDE Spark (DuckDB oracle, a Python
+    * sidecar, a downstream warehouse). */
+  def md5Bucket(key: Column, buckets: Int = 10000): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(buckets.toLong)).cast("int")
+
   /** Deterministic split assignment: fractions like
     * Seq("train" -> 0.98, "eval" -> 0.01, "test" -> 0.01) map the
     * hash-bucket space to named splits by cumulative range. Fractions
-    * must sum to ~1 (trailing remainder goes to the last split). */
+    * must sum to ~1 (trailing remainder goes to the last split).
+    * `bucketFn` picks the hash family ([[hashBucket]] default,
+    * [[md5Bucket]] for cross-engine reproducibility). */
   def hashSplit(df: DataFrame, keyCol: String,
                 fractions: Seq[(String, Double)],
-                buckets: Int = 10000): DataFrame = {
+                buckets: Int = 10000,
+                bucketFn: (Column, Int) => Column = hashBucket(_, _)): DataFrame = {
     require(fractions.nonEmpty, "hashSplit: fractions must be non-empty")
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-6,
       s"hashSplit: fractions must sum to 1, got ${fractions.map(_._2).sum}")
-    val b = hashBucket(col(keyCol), buckets)
+    val b = bucketFn(col(keyCol), buckets)
     val cum = fractions.scanLeft(0.0)(_ + _._2).tail
     // round, not truncate: cumulative sums carry float drift (0.8 may
     // arrive as 0.7999999999999999) and toInt would shave a boundary

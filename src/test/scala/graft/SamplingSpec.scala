@@ -31,6 +31,23 @@ class SamplingSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("md5Bucket: in range, stable, and uniform-ish") {
+    val b = rows.select(Sampling.md5Bucket(col("id"), 10).as("b"))
+      .as[Int].collect()
+    assert(b.forall(x => x >= 0 && x < 10))
+    // uniform-ish: every bucket hit, none over 2x the mean
+    val hist = b.groupBy(identity).view.mapValues(_.length)
+    assert(hist.size == 10 && hist.values.max < 400)
+    // md5 family plugs into hashSplit and stays stable
+    val m1 = Sampling.hashSplit(rows, "id", Seq("a" -> 0.5, "b" -> 0.5),
+      bucketFn = Sampling.md5Bucket(_, _))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val m2 = Sampling.hashSplit(rows.repartition(5), "id",
+      Seq("a" -> 0.5, "b" -> 0.5), bucketFn = Sampling.md5Bucket(_, _))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(m1 == m2)
+  }
+
   test("hashSplit rejects fractions that do not sum to 1") {
     intercept[IllegalArgumentException] {
       Sampling.hashSplit(rows, "id", Seq("a" -> 0.5, "b" -> 0.2))
