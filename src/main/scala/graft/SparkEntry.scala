@@ -2,7 +2,7 @@ package graft
 
 import graft.builder.StarGraph
 import graft.algos.{GraphOps, Traversals}
-import graft.ext.{Dedup, Sampling, Similarity, TemporalJoins, TextOps, Multimodal}
+import graft.ext.{Clustering, Dedup, Sampling, Similarity, TemporalJoins, TextOps, Multimodal}
 import graft.model.OnionGraph
 import graft.props.PropertyOps
 import graft.streaming.EventStreams
@@ -74,6 +74,42 @@ object SparkEntry {
     s"CAST(SUM(CAST($e AS DECIMAL(38,6))) AS DOUBLE)"
 
   private val PrFixedIters = 5
+
+  /** DuckDB oracle for [[Clustering.kmeans]]: chained CTEs — c0 from
+    * the k smallest ids, then per Lloyd round an assignment (aK) and a
+    * centroid update (cK), then a final assignment. Same exact integer
+    * arithmetic as the Spark side: HUGEINT sums ↔ DECIMAL(38,0),
+    * `//` after pmod-normalization ↔ floorDiv. */
+  private def kmeansSql(k: Int, iters: Int): String = {
+    def assignCte(name: String, cents: String) =
+      s"""$name AS (
+         | SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS d2 FROM (
+         |  SELECT q.vec_id, c.cluster, SUM((q.q - c.cq) * (q.q - c.cq)) AS d2,
+         |   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |    ORDER BY SUM((q.q - c.cq) * (q.q - c.cq)), c.cluster) AS rk
+         |  FROM q JOIN $cents c ON c.dim = q.dim
+         |  GROUP BY q.vec_id, c.cluster)
+         | WHERE rk = 1)""".stripMargin
+    def updateCte(name: String, assign: String) =
+      s"""$name AS (
+         | SELECT a.cluster, q.dim,
+         |  CAST((SUM(q.q) - ((SUM(q.q) % COUNT(*)) + COUNT(*)) % COUNT(*))
+         |    // COUNT(*) AS BIGINT) AS cq
+         | FROM q JOIN $assign a USING (vec_id)
+         | GROUP BY a.cluster, q.dim)""".stripMargin
+    val rounds = (1 to iters).map(i =>
+      assignCte(s"a$i", s"c${i - 1}") + ",\n" + updateCte(s"c$i", s"a$i"))
+      .mkString(",\n")
+    val sep = if (iters > 0) ",\n" else ""
+    s"""WITH q AS (SELECT vec_id, UNNEST(range(len(embedding))) AS dim,
+       |  CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+       | FROM embeddings),
+       |seeds AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cluster
+       | FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+       |c0 AS (SELECT s.cluster, q.dim, q.q AS cq FROM q JOIN seeds s USING (vec_id)),
+       |$rounds$sep${assignCte(s"a${iters + 1}", s"c$iters")}
+       |SELECT vec_id, cluster, d2 FROM a${iters + 1} ORDER BY vec_id""".stripMargin
+  }
 
   /** DuckDB oracle for [[GraphOps.pageRankFixedPoint]] on the layer
     * subgraph: one chained CTE per iteration (no recursion needed —
@@ -1187,7 +1223,82 @@ object SparkEntry {
              |SELECT CASE WHEN bk < 8000 THEN 'train'
              |            WHEN bk < 9000 THEN 'eval' ELSE 'test' END AS split,
              |       COUNT(*) AS n_docs
-             |FROM b GROUP BY 1 ORDER BY split""".stripMargin))
+             |FROM b GROUP BY 1 ORDER BY split""".stripMargin)),
+
+    QueryDef("x21_dedup_clusters",
+      // canonicalization on top of near-dup pairs (the step X1
+      // pipelines actually dedup WITH): connected components of the
+      // x06 similarity graph, cluster = min doc id, canonical = the
+      // cluster representative to keep.
+      (s, dir) => Dedup.nearDupClusters(
+          Dedup.ngramJaccard(docs(s, dir),
+            blockKey = concat_ws("|", col("lang"),
+              (col("n_chars") / 50).cast("long")),
+            minJaccard = 0.25, w = 2))
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id,
+             |  lang || '|' || (n_chars // 50) AS blk,
+             |  string_split_regex(trim(text), '\s+') AS tk FROM documents),
+             | sh AS (SELECT doc_id, blk,
+             |  list_distinct([tk[i] || ' ' || tk[i+1]
+             |    for i in generate_series(1, len(tk) - 1)]) AS s
+             | FROM toks),
+             | j AS (SELECT l.doc_id AS a, r.doc_id AS b,
+             |  CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
+             |   / (len(l.s) + len(r.s) - len(list_intersect(l.s, r.s))) AS jaccard
+             | FROM sh l JOIN sh r ON l.blk = r.blk AND l.doc_id < r.doc_id),
+             | p AS (SELECT a, b FROM j WHERE jaccard >= 0.25),
+             | e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+             | reach(id, r) AS (
+             |  SELECT a, a FROM e
+             |  UNION
+             |  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b)
+             |SELECT id AS doc_id, MIN(r) AS cluster,
+             |  (id = MIN(r)) AS is_canonical
+             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("x22_kmeans",
+      // IVF centroid training (X2's scale path): 2 Lloyd rounds of
+      // exact fixed-point k-means — micro-unit quantization + integer
+      // floor-div means make the result bit-identical under any
+      // partitioning or engine, hence hash-checkable (floating k-means
+      // is not: partial-sum order varies).
+      (s, dir) => Clustering.kmeans(t(s, dir, "embeddings"), k = 4, iters = 2)
+        .orderBy("vec_id"),
+      Some(kmeansSql(4, 2))),
+
+    QueryDef("x23_tfidf",
+      // per-document distinctive terms: tf weighted by reciprocal
+      // document frequency. The ranking key is the single IEEE
+      // division tf/df (exactly-rounded, bit-identical across
+      // engines); a log-based idf would differ by libm ulps. Output
+      // columns stay integral.
+      (s, dir) => {
+        val tok = docs(s, dir)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+          .filter(col("term") =!= "")
+        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tok.select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy((col("tf").cast("double") / col("df")).desc, col("term"))
+        tf.join(dfreq, Seq("term"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
+          .orderBy("doc_id", "rank")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |  unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+             | tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+             | tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok2 GROUP BY doc_id, term),
+             | df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok2 GROUP BY term),
+             | ranked AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             |   CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+             |     ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term) AS INT) AS rank
+             |  FROM tf JOIN df USING (term))
+             |SELECT doc_id, term, tf, df, rank FROM ranked WHERE rank <= 3
+             |ORDER BY doc_id, rank""".stripMargin))
   )
 
   // ============================================================= contract

@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic k-means over an embedding column — the IVF *training*
+ * path for [[Similarity.ivfTopK]] (north-star extension X2: the
+ * centroids have to come from somewhere, and at 100 TB they are
+ * trained on a hash-sampled slice of the corpus with exactly this
+ * relational shape).
+ *
+ * All arithmetic is exact integer math on micro-unit-quantized
+ * vectors, so results are bit-identical under any partitioning, task
+ * order, or SQL engine:
+ *
+ *  - quantize: q = floor(v * 1e6) per dimension — floor of an IEEE
+ *    double product, identical everywhere (never a decimal cast of a
+ *    float: Spark rounds the shortest decimal repr, other engines the
+ *    binary value);
+ *  - distance: Σ (q_a − q_b)² summed as DECIMAL(38,0) (exact, any
+ *    order);
+ *  - centroid update: floor-division mean per dimension,
+ *    (s − pmod(s, n)) DIV n, which equals mathematical floor(s/n) for
+ *    negative sums too (a bare integer DIV truncates toward zero and
+ *    engines disagree on % sign conventions — pmod normalizes both).
+ *
+ * Floating k-means averages partial sums in shuffle order and returns
+ * different centroids run to run; this variant is the reproducible one
+ * a training pipeline can re-derive byte-identically anywhere.
+ */
+object Clustering {
+
+  /** (id, dim, q): vector exploded to micro-unit BIGINT components.
+    * dim is 0-based. */
+  def quantize(emb: DataFrame, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol).as("vec_id"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"),
+        floor(col("v").cast("double") * lit(1000000.0)).cast("long").as("q"))
+
+  /** Exact floor(s / n) for BIGINT columns on any sign. */
+  private def floorDiv(s: Column, n: Column): Column =
+    ((s - pmod(s, n)) / n).cast("long")
+
+  /** Lloyd iterations with deterministic init (the k smallest ids are
+    * the seed centroids, relabeled 1..k in id order). Runs `iters`
+    * assignment+update rounds, then a final assignment. Returns
+    * (vec_id, cluster, d2) — cluster is the 1-based centroid index,
+    * d2 the exact squared quantized distance. A centroid that loses
+    * all members drops out (documented DETERMINISTIC behavior; ids of
+    * surviving centroids do not shift).
+    *
+    * Scale shape: the hot join is quant ⋈ centroids on `dim` —
+    * centroids are k×dims rows (broadcast-small by construction), so
+    * the corpus never shuffles; per-vector partial d² aggregates
+    * map-side. */
+  def kmeans(emb: DataFrame, k: Int, iters: Int = 1,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && iters >= 0, "kmeans: k > 0, iters >= 0")
+    val quant = quantize(emb, idCol, vecCol).localCheckpoint()
+    val seedIds = emb.select(col(idCol).as("vec_id")).orderBy("vec_id").limit(k)
+      .withColumn("cluster", row_number().over(Window.orderBy("vec_id")))
+    var centroids = quant.join(broadcast(seedIds), Seq("vec_id"))
+      .select(col("cluster"), col("dim"), col("q").as("cq"))
+      .localCheckpoint()
+
+    def assign(cents: DataFrame): DataFrame = {
+      val d2 = quant.join(broadcast(cents), Seq("dim"))
+        .groupBy("vec_id", "cluster")
+        .agg(sum(((col("q") - col("cq")) * (col("q") - col("cq")))
+          .cast("decimal(38,0)")).as("d2"))
+      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
+      d2.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("vec_id"), col("cluster"), col("d2").cast("long").as("d2"))
+    }
+
+    for (_ <- 1 to iters) {
+      val a = assign(centroids)
+      centroids = quant.join(a.select("vec_id", "cluster"), Seq("vec_id"))
+        .groupBy("cluster", "dim")
+        // decimal sum: exact at any cluster size (BIGINT would wrap at
+        // ~9e12 members of 1e6-scale components)
+        .agg(sum(col("q").cast("decimal(38,0)")).as("s"), count(lit(1)).as("n"))
+        .select(col("cluster"), col("dim"), floorDiv(col("s"), col("n")).as("cq"))
+        .localCheckpoint()
+    }
+    assign(centroids)
+  }
+}

@@ -170,6 +170,47 @@ object Dedup {
       .select(col("a"), col("b"), col("cosine"))
   }
 
+  /** Near-dup CLUSTERS from a pair list: connected components of the
+    * undirected (a, b) similarity graph via min-label propagation,
+    * labeled by each component's min doc id. The canonicalization step
+    * every near-dup pipeline needs after candidate scoring — "keep one
+    * doc per cluster" is `filter(is_canonical)`. Docs that appear in
+    * no pair are singletons and emit no row (they are trivially their
+    * own canonical). Returns (doc_id, cluster, is_canonical).
+    *
+    * Scale shape: the loop state is (doc_id, label) for PAIRED docs
+    * only — near-dup graphs are tiny relative to the corpus, so each
+    * round is a broadcast-joined label relax, rounds = component
+    * diameter (near-dup clusters are dense; diameters stay small). */
+  def nearDupClusters(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("a"), col("b"))
+      .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = e.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      // same single-shuffle round shape as the graph layer's
+      // weakComponentsDataFrame: neighbor labels + own label, min-agg,
+      // change detection rides the checkpoint action via observe()
+      val nbr = e.join(labels.withColumnRenamed("id", "a")
+          .withColumnRenamed("lbl", "c"), Seq("a"))
+        .select(col("b").as("id"), col("c"),
+          lit(null).cast("long").as("old"))
+      val obs = new org.apache.spark.sql.Observation()
+      val merged = labels
+        .select(col("id"), col("lbl").as("c"), col("lbl").as("old"))
+        .unionAll(nbr)
+        .groupBy("id").agg(min("c").as("newLbl"), min("old").as("oldLbl"))
+        .observe(obs, count(when(col("newLbl") < col("oldLbl"), 1)).as("changed"))
+        .localCheckpoint()
+      changed = obs.get("changed").asInstanceOf[Long]
+      labels = merged.select(col("id"), col("newLbl").as("lbl"))
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"),
+      (col("id") === col("lbl")).as("is_canonical"))
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs within a blocking
     * key (never unblocked — the cross join is per-block). */
   def ngramJaccard(docs: DataFrame, blockKey: Column, minJaccard: Double,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ext.{Clustering, Dedup, Multimodal, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** X1-X4 LLM-pipeline extensions: dedup, similarity, text, multimodal. */
@@ -52,6 +52,33 @@ class ExtSpec extends SparkSuite {
     assert(m((0L, 1L)) == 1.0)
     assert(m.contains((0L, 2L)) && m((0L, 2L)) > 0.7)
     assert(!m.contains((0L, 4L))) // different lang block
+  }
+
+  test("nearDupClusters: components of the pair graph, min-id canonical (X1)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val out = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long, Boolean)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out == Map(
+      1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false),
+      5L -> (5L, true), 6L -> (5L, false)))
+  }
+
+  test("kmeans: separable clusters recovered; invariant under repartitioning (X2)") {
+    // two tight groups around (+0.5, +0.5, ...) and (-0.5, -0.5, ...)
+    val emb = (0 until 10).map { i =>
+      val base = if (i < 5) 0.5f else -0.5f
+      (i.toLong, Array.fill(8)(base + i * 0.001f))
+    }.toDF("vec_id", "embedding")
+    val got = Clustering.kmeans(emb, k = 2, iters = 2)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    // one cluster holds 0-4, the other 5-9
+    assert((0 until 5).map(i => got(i.toLong)).toSet.size == 1)
+    assert((5 until 10).map(i => got(i.toLong)).toSet.size == 1)
+    assert(got(0L) != got(9L))
+    val again = Clustering.kmeans(emb.repartition(7), k = 2, iters = 2)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    assert(got == again)
   }
 
   test("cosine brute force: identical vector ranks first (X2)") {
