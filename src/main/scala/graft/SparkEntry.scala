@@ -978,6 +978,63 @@ object SparkEntry {
       Some(pagerankFixedSql(Seq("region", "nation", "supplier", "customer"),
         PrFixedIters))),
 
+    QueryDef("g28_set_property",
+      // P3 point-write (immutable setVertexProperty) surfaced as a
+      // corpus query: flag one vertex, read the layer back.
+      (s, dir) => {
+        val g = graph(s, dir)
+        val seed = minSeed(s, dir, "region", "r_regionkey")
+        val g2 = PropertyOps.setVertexProperty(g, "region", seed,
+          "highlight", lit(true))
+        g2.vertices.filter(col("layer") === "region")
+          .select(col("nodeId").as("node_id"), col("name"),
+            coalesce(col("highlight"), lit(false)).as("highlight"))
+          .orderBy("node_id")
+      },
+      Some(s"""$W SELECT node_id, name,
+             | (node_id = (SELECT CAST(MIN(r_regionkey) AS VARCHAR) FROM region))
+             |   AS highlight
+             |FROM vertices WHERE layer = 'region' ORDER BY node_id""".stripMargin)),
+
+    QueryDef("g29_fillna",
+      // C2 fill-NA on property columns (builder.py:136-139 semantics
+      // on the property surface): nulls -> sentinel, then aggregate.
+      (s, dir) => graph(s, dir).vertices
+        .na.fill(Map("acctbal" -> 0.0, "segment" -> "NONE"))
+        .groupBy("layer")
+        .agg(dsum(col("acctbal")).as("sum_acctbal"),
+          count(when(col("segment") === "NONE", 1)).as("n_filled"))
+        .orderBy("layer"),
+      Some(s"""$W SELECT layer,
+             | ${dsumSql("COALESCE(acctbal, 0)")} AS sum_acctbal,
+             | COUNT(CASE WHEN COALESCE(segment, 'NONE') = 'NONE' THEN 1 END)
+             |   AS n_filled
+             |FROM vertices GROUP BY layer ORDER BY layer""".stripMargin)),
+
+    QueryDef("g30_decode",
+      // C6 decode with the Unknown default (property_manager.py:198):
+      // encode customer segments to dense codes, corrupt one vertex's
+      // code to an out-of-vocabulary value, decode — the corrupted row
+      // must surface as 'Unknown', everything else must round-trip.
+      (s, dir) => {
+        val g = graph(s, dir)
+        val cust = g.vertices.filter(col("layer") === "customer")
+        val enc = PropertyOps.encodeCategorical(cust, "segment")
+        val seed = minSeed(s, dir, "customer", "c_custkey")
+        val bumped = enc.withColumn("segment_code",
+          when(col("nodeId") === seed, lit(-1)).otherwise(col("segment_code")))
+        val codes = PropertyOps.categoricalCodes(cust, "segment")
+        PropertyOps.decode(bumped, "segment_code", codes, "segment_decoded")
+          .groupBy("segment_decoded").agg(count(lit(1)).as("n"))
+          .orderBy("segment_decoded")
+      },
+      Some(s"""$W SELECT CASE WHEN node_id =
+             |   (SELECT CAST(MIN(c_custkey) AS VARCHAR) FROM customer)
+             |  THEN 'Unknown' ELSE segment END AS segment_decoded,
+             | COUNT(*) AS n
+             |FROM vertices WHERE layer = 'customer'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     QueryDef("g21_scc",
       (s, dir) => {
         val g = graph(s, dir).viewLayers(Seq("region", "nation", "supplier"))
