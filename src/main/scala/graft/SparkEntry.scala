@@ -956,7 +956,7 @@ object SparkEntry {
       // anyway -> rows-only check; g27 is the hash-matched variant.
       (s, dir) => {
         val g = graph(s, dir).viewLayers(Seq("region", "nation", "supplier"))
-        GraphOps.pageRankStatic(g, numIter = 15)
+        GraphOps.pageRankStatic(g, numIter = 8)
           .join(g.vertices, Seq("vid"))
           .select(col("layer"), col("nodeId").as("node_id"), col("rank"))
           .orderBy("layer", "node_id")
