@@ -122,6 +122,16 @@ object EventStreams {
       .drop("__bkey")
   }
 
+  /** Stream-static enrichment: join each event against a static
+    * dimension (user/customer attributes) — the standard "decorate the
+    * firehose" shape. The static side is broadcast, so the stream
+    * never shuffles and no join state accumulates (unlike
+    * stream-stream joins, a static build side needs no watermark).
+    * Works identically on a batch frame, which is how the spec checks
+    * it. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Custom keyed state via flatMapGroupsWithState: running per-user
     * (count, total) emitted on every update — the mapGroupsWithState
     * family is the escape hatch for stateful logic windows can't

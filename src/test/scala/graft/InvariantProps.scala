@@ -93,6 +93,68 @@ object InvariantProps extends Properties("GraftInvariants") {
   private val genDocs = Gen.listOfN(12,
     Gen.zip(Gen.choose(0, 3), Gen.choose(0, 3), Gen.choose(0, 3)))
 
+  private val genPairs = Gen.listOfN(10,
+    Gen.zip(Gen.choose(0L, 8L), Gen.choose(0L, 8L))).map(_.filter(p => p._1 != p._2))
+
+  property("nearDupClusters == reference union-find on random pair lists") =
+    forAll(genPairs) { pairs =>
+      import spark.implicits._
+      pairs.isEmpty || {
+        val out = Dedup.nearDupClusters(pairs.toDF("a", "b")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        // driver-side union-find ground truth
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = parent.keys.map(x => x -> find(x)).toMap
+        // cluster labels must be each component's MIN member id
+        val minOf = expected.groupBy(_._2).map { case (root, m) =>
+          root -> m.keys.min }
+        out.toSet == expected.map { case (id, root) =>
+          (id, minOf(root), id == minOf(root)) }.toSet
+      }
+    }
+
+  private val genVecs = for {
+    n <- Gen.choose(4, 12)
+    vs <- Gen.listOfN(n, Gen.listOfN(4, Gen.choose(-100, 100)))
+  } yield vs.map(_.map(x => x / 100.0f).toArray)
+
+  property("kmeans assigns every vector to its truly nearest centroid") =
+    forAll(genVecs) { vecs =>
+      import spark.implicits._
+      val emb = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val k = 2
+      val got = graft.ext.Clustering.kmeans(emb, k, iters = 1).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      // recompute the final centroids the same exact-integer way
+      val q = vecs.map(_.map(v => math.floor(v.toDouble * 1000000).toLong))
+      val seedIdx = (0 until k)
+      def d2(a: Array[Long], b: Array[Long]): Long =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      val c0 = seedIdx.map(i => (i + 1) -> q(i)).toMap
+      val assign1 = q.indices.map { i =>
+        i -> c0.toSeq.map { case (c, cq) => (d2(q(i), cq), c) }.min._2 }
+      val c1 = assign1.groupBy(_._2).map { case (c, members) =>
+        val qs = members.map(m => q(m._1))
+        c -> Array.tabulate(4) { d =>
+          val s = qs.map(_(d)).sum; val n = qs.size
+          Math.floorDiv(s, n)
+        }
+      }
+      got.forall { case (vid, cluster, gd2) =>
+        val best = c1.toSeq.map { case (c, cq) => (d2(q(vid.toInt), cq), c) }.min
+        cluster == best._2 && gd2 == best._1
+      }
+    }
+
   property("exact dedup is idempotent and canonical ids are minimal") =
     forAll(genDocs) { words =>
       import spark.implicits._

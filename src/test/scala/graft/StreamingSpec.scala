@@ -169,6 +169,61 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join equals batch, and the stream side never shuffles") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((10L, "gold"), (11L, "silver")).toDF("user_id", "tier")
+    val batch = EventStreams.enrichWithDim(
+      events.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      dim, "user_id")
+      .select("event_id", "tier").as[(Long, Option[String])].collect().toSet
+
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    stream.addData(events.map(e => (e._1, e._2, e._3, e._4, e._5, e._6)))
+    val sdf = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.enrichWithDim(sdf, dim, "user_id")
+      .select("event_id", "tier")
+      .writeStream.format("memory").queryName("enriched").outputMode("append")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("enriched")
+      .as[(Long, Option[String])].collect().toSet
+    assert(streamed == batch)
+    assert(batch.contains((1L, Some("gold"))) && batch.contains((5L, None)))
+  }
+
+  test("corpus text ops run unchanged on a document stream (batch parity)") {
+    // the training-data ingest shape: documents arrive as a stream and
+    // get quality-scored + language-id'd with the SAME column
+    // definitions the batch corpus queries use (map-only -> append
+    // mode, no state)
+    implicit val sqlCtx = spark.sqlContext
+    val docRows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and the cat"),
+      (2L, "el perro y la casa de la comida con los gatos"),
+      (3L, "zz"),
+      (4L, "the of and to in is that it for the of and to in is"))
+    val batch = graft.ext.TextOps.qualityFeatures(docRows.toDF("doc_id", "text"))
+      .withColumn("lang_pred", graft.ext.TextOps.langId(col("text")))
+      .select("doc_id", "n_tokens", "quality_score", "lang_pred")
+      .as[(Long, Long, Double, String)].collect().toSet
+
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docRows)
+    val q = graft.ext.TextOps.qualityFeatures(
+        stream.toDF().toDF("doc_id", "text"))
+      .withColumn("lang_pred", graft.ext.TextOps.langId(col("text")))
+      .select("doc_id", "n_tokens", "quality_score", "lang_pred")
+      .writeStream.format("memory").queryName("docstream").outputMode("append")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("docstream")
+      .as[(Long, Long, Double, String)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.exists { case (id, _, _, lang) => id == 1L && lang == "en" })
+    assert(batch.exists { case (id, _, _, lang) => id == 2L && lang == "es" })
+  }
+
   test("json props extraction (get_json_object path)") {
     val df = events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val out = EventStreams.withProps(df, "k")
