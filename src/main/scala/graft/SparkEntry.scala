@@ -874,7 +874,35 @@ object SparkEntry {
           .select(col("query_id"), col("neighbor_id"), col("rank"))
           .orderBy("query_id", "rank")
       },
-      None), // approximate by construction -> rows-only check
+      // approximate by construction but fully DETERMINISTIC: centroid
+      // rule is arithmetic, and both engines' dot/cosine accumulate
+      // left-to-right in doubles (bit-identical — proven by x09), so
+      // even the ANN result set hash-matches. Only integer columns are
+      // emitted; floats only order.
+      Some("""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             | cent AS (SELECT vec_id AS centroid_id, v AS cv FROM emb
+             |   WHERE vec_id % 100 = 0),
+             | corpus_cell AS (SELECT vec_id, centroid_id FROM (
+             |   SELECT e.vec_id, c.centroid_id,
+             |     ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             |       ORDER BY -list_dot_product(e.v, c.cv), c.centroid_id) AS rk
+             |   FROM emb e CROSS JOIN cent c) WHERE rk <= 1),
+             | query_cell AS (SELECT vec_id, centroid_id FROM (
+             |   SELECT e.vec_id, c.centroid_id,
+             |     ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             |       ORDER BY -list_dot_product(e.v, c.cv), c.centroid_id) AS rk
+             |   FROM emb e CROSS JOIN cent c WHERE e.vec_id < 5) WHERE rk <= 2),
+             | scored AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             |   list_cosine_similarity(qe.v, ne.v) AS cos
+             |  FROM query_cell q JOIN corpus_cell n USING (centroid_id)
+             |  JOIN emb qe ON qe.vec_id = q.vec_id
+             |  JOIN emb ne ON ne.vec_id = n.vec_id
+             |  WHERE q.vec_id <> n.vec_id),
+             | ranked AS (SELECT query_id, neighbor_id,
+             |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |     ORDER BY cos DESC, neighbor_id) AS INT) AS rank FROM scored)
+             |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
 
     QueryDef("x13_flatten_labels",
       (s, dir) => t(s, dir, "documents")
