@@ -15,8 +15,13 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
  * (`onionnet.py:41,55,192-198`). A user of the reference's API walks
  * method-for-method onto this class; everything underneath is the
  * immutable compositional library (each mutation swaps `current`).
+ *
+ * `directed = false` mirrors the reference constructor flag
+ * (`onionnet.py:30-37`, `core.py:41,51`): the grown edge set is
+ * symmetrized, so every traversal/degree/component behaves
+ * undirected.
  */
-final class OnionNet(val spark: SparkSession) {
+final class OnionNet(val spark: SparkSession, val directed: Boolean = true) {
 
   private var current: OnionGraph =
     OnionGraph(
@@ -25,6 +30,7 @@ final class OnionNet(val spark: SparkSession) {
       spark.emptyDataFrame.select())
   private var grown = false
   private var nodeMapCache: Option[Map[(String, String), Long]] = None
+  private var inverseNodeMapCache: Option[Map[Long, (String, String)]] = None
   private var layerSetCache: Option[Set[String]] = None
 
   /** The underlying graph (reference's `.g` property, `onionnet.py:201`). */
@@ -37,9 +43,11 @@ final class OnionNet(val spark: SparkSession) {
     * (`onionnet.py:44-55`). */
   def growOnion(nodes: DataFrame, edges: DataFrame,
                 opts: GrowOptions = GrowOptions()): Unit = {
-    current = OnionBuilder.grow(nodes, edges, opts)
+    val built = OnionBuilder.grow(nodes, edges, opts)
+    current = if (directed) built else built.symmetrize
     grown = true
     nodeMapCache = None
+    inverseNodeMapCache = None
     layerSetCache = None
   }
 
@@ -99,6 +107,18 @@ final class OnionNet(val spark: SparkSession) {
   // ---------------------------------------------------------- point ops
   def getVertexByNameTuple(layer: String, nodeId: String): Option[Long] =
     nodeMap.get((layer, nodeId))
+
+  /** P1's encoded-tuple variant (`property_manager.py:24-43`): the
+    * reference keys `custom_id_to_vertex_index` by encoded
+    * (layer_hash, node_id_hash) and keeps the inverse dict beside it
+    * (`core.py:54-55`); here the 64-bit `vid` IS the encoding, and the
+    * memoized inverse map decodes it back to the (layer, nodeId) name
+    * tuple. */
+  def getVertexByEncodingTuple(vid: Long): Option[(String, String)] = {
+    if (inverseNodeMapCache.isEmpty)
+      inverseNodeMapCache = Some(nodeMap.map(_.swap))
+    inverseNodeMapCache.get.get(vid)
+  }
 
   def getVertexProperty(layer: String, nodeId: String, prop: String): Option[Any] =
     PropertyOps.getVertexProperty(g, layer, nodeId, prop)

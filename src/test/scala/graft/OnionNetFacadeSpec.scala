@@ -55,6 +55,26 @@ class OnionNetFacadeSpec extends SparkSuite {
     assert(net.nodeMap.keySet == Set(("L9", "x")))
   }
 
+  test("encoding-tuple lookup inverts the name-tuple map") {
+    val net = freshNet
+    val vid = net.getVertexByNameTuple("L1", "a").get
+    assert(net.getVertexByEncodingTuple(vid).contains(("L1", "a")))
+    assert(net.getVertexByEncodingTuple(-1L).isEmpty)
+  }
+
+  test("directed=false symmetrizes: search reaches upstream too") {
+    val net = new OnionNet(spark, directed = false)
+    val nodes = Seq(("a", "L1"), ("b", "L1"), ("c", "L2"))
+      .toDF("node_id", "layer")
+    val edges = Seq(("a", "L1", "b", "L1"), ("b", "L1", "c", "L2"))
+      .toDF("source_id", "source_layer", "target_id", "target_layer")
+    net.growOnion(nodes, edges)
+    // downstream search from the SINK reaches everything on the
+    // symmetrized graph; on the directed graph it would reach only c
+    assert(net.search("L2", "c", 2).numVertices == 3)
+    assert(net.g.numEdges == 4)
+  }
+
   test("point views and export") {
     val net = freshNet
     net.createNodeLabelProperty()
