@@ -1383,7 +1383,60 @@ object SparkEntry {
              |     ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term) AS INT) AS rank
              |  FROM tf JOIN df USING (term))
              |SELECT doc_id, term, tf, df, rank FROM ranked WHERE rank <= 3
-             |ORDER BY doc_id, rank""".stripMargin))
+             |ORDER BY doc_id, rank""".stripMargin)),
+
+    QueryDef("x24_token_packing",
+      // concat-and-chunk context-window assignment per md5-hash split:
+      // each doc joins the pack its first token falls into. Integer
+      // window cumsum -> engine-exact.
+      (s, dir) => TextOps.packByTokenBudget(
+          Sampling.hashSplit(docs(s, dir), "doc_id",
+            Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1),
+            bucketFn = Sampling.md5Bucket(_, _)),
+          budget = 512, partitionCols = Seq("split"))
+        .select(col("doc_id"), col("split"), col("n_tokens"), col("pack_id"))
+        .orderBy("doc_id"),
+      Some("""WITH b AS (SELECT doc_id, text,
+             |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             |    % 10000 AS bk FROM documents),
+             | s AS (SELECT doc_id, text,
+             |  CASE WHEN bk < 8000 THEN 'train'
+             |       WHEN bk < 9000 THEN 'eval' ELSE 'test' END AS split FROM b),
+             | t AS (SELECT doc_id, split,
+             |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             |    AS n_tokens FROM s)
+             |SELECT doc_id, split, n_tokens,
+             |  CAST((SUM(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+             |          ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS BIGINT)
+             |    AS pack_id
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("x25_contamination",
+      // decontamination sweep: distinct 5-token shingles each non-train
+      // doc shares with the train split (plus implicated train docs).
+      (s, dir) => Dedup.crossSplitContamination(
+          Sampling.hashSplit(docs(s, dir), "doc_id",
+            Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1),
+            bucketFn = Sampling.md5Bucket(_, _)), w = 5)
+        .orderBy("split", "eval_doc"),
+      Some("""WITH b AS (SELECT doc_id, text,
+             |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             |    % 10000 AS bk FROM documents),
+             | s AS (SELECT doc_id, text,
+             |  CASE WHEN bk < 8000 THEN 'train'
+             |       WHEN bk < 9000 THEN 'eval' ELSE 'test' END AS split FROM b),
+             | toks AS (SELECT doc_id, split,
+             |  string_split_regex(trim(text), '\s+') AS tk FROM s),
+             | sh AS (SELECT doc_id, split, UNNEST(list_distinct(
+             |  [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+             |     || ' ' || tk[i+4]
+             |   for i in generate_series(1, len(tk) - 4)])) AS sh FROM toks)
+             |SELECT e.split, e.doc_id AS eval_doc,
+             |  COUNT(DISTINCT e.sh) AS n_shared,
+             |  COUNT(DISTINCT t.doc_id) AS n_sources
+             |FROM sh e JOIN sh t ON t.sh = e.sh AND t.split = 'train'
+             |WHERE e.split <> 'train'
+             |GROUP BY e.split, e.doc_id ORDER BY e.split, eval_doc""".stripMargin))
   )
 
   // ============================================================= contract

@@ -211,6 +211,33 @@ object Dedup {
       (col("id") === col("lbl")).as("is_canonical"))
   }
 
+  /** Train/eval contamination check — the decontamination step every
+    * benchmark-respecting pipeline runs: for each NON-train doc, count
+    * the distinct w-token shingles it shares with any train doc (and
+    * how many train docs are implicated). A non-zero row means the
+    * eval example leaks into training data. Returns
+    * (split, eval_doc, n_shared, n_sources).
+    *
+    * Scale shape: shingles explode to (shingle, doc) pairs and the
+    * overlap is an equi-join on the shingle — at corpus scale, join on
+    * xxhash64(shingle) so only 8-byte keys shuffle (kept as strings
+    * here for oracle parity). */
+  def crossSplitContamination(docsWithSplit: DataFrame, w: Int = 5,
+                              idCol: String = "doc_id",
+                              textCol: String = "text",
+                              splitCol: String = "split"): DataFrame = {
+    val sh = docsWithSplit.select(col(idCol), col(splitCol),
+        explode(shingles(col(textCol), w)).as("sh"))
+    val train = sh.filter(col(splitCol) === "train")
+      .select(col("sh"), col(idCol).as("train_doc"))
+    val eval_ = sh.filter(col(splitCol) =!= "train")
+      .select(col("sh"), col(idCol).as("eval_doc"), col(splitCol))
+    eval_.join(train, Seq("sh"))
+      .groupBy(splitCol, "eval_doc")
+      .agg(countDistinct("sh").as("n_shared"),
+        countDistinct("train_doc").as("n_sources"))
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs within a blocking
     * key (never unblocked — the cross join is per-block). */
   def ngramJaccard(docs: DataFrame, blockKey: Column, minJaccard: Double,

@@ -89,6 +89,30 @@ object TextOps {
           + least(stopRatio * 3.0, lit(1.0)) * lit(0.3))
   }
 
+  /** Sequential token-budget packing — the "concat-and-chunk" rule
+    * pretraining pipelines use to fill context windows: docs are laid
+    * out in `orderCol` order inside each partition group and each doc
+    * joins the pack its FIRST token falls into
+    * (pack_id = floor(preceding-token-total / budget)). Pure integer
+    * window math — deterministic and engine-exact.
+    *
+    * Scale: the window partitions by `partitionCols` (packing is
+    * per-split/per-shard in practice, never global); a single
+    * billion-doc group would need a range-partitioned two-pass cumsum
+    * instead of one window partition. */
+  def packByTokenBudget(df: DataFrame, budget: Long,
+                        partitionCols: Seq[String],
+                        orderCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
+      .withColumn("pack_id",
+        floor((sum("n_tokens").over(w) - col("n_tokens")) / lit(budget.toDouble))
+          .cast("long"))
+  }
+
   /** Document fingerprints: full-content md5 + winnowing-style minimum
     * shingle fingerprint (lexicographic min of shingle md5s — a
     * deterministic rolling-hash stand-in both Spark and any ANSI SQL

@@ -81,6 +81,35 @@ class ExtSpec extends SparkSuite {
     assert(got == again)
   }
 
+  test("packByTokenBudget: docs join the pack their first token falls in (X3)") {
+    val d = Seq((1L, "a b c", "s1"), (2L, "d e", "s1"), (3L, "f g h i", "s1"),
+      (4L, "x", "s2"))
+      .toDF("doc_id", "text", "grp")
+    val out = graft.ext.TextOps.packByTokenBudget(d, budget = 4,
+        partitionCols = Seq("grp"))
+      .select("doc_id", "n_tokens", "pack_id")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // s1 offsets: doc1 at 0 -> pack 0; doc2 at 3 -> pack 0; doc3 at 5 -> pack 1
+    assert(out == Map(1L -> (3L, 0L), 2L -> (2L, 0L), 3L -> (4L, 1L),
+      4L -> (1L, 0L)))
+  }
+
+  test("crossSplitContamination counts shared shingles per eval doc (X1)") {
+    val d = Seq(
+      (1L, "one two three four five six", "train"),
+      (2L, "one two three four five seven", "eval"),  // shares 2 5-shingles? no: 1
+      (3L, "totally unrelated words go here now", "eval"),
+      (4L, "one two three four five six", "test"))     // exact dup of train doc
+      .toDF("doc_id", "text", "split")
+    val out = Dedup.crossSplitContamination(d, w = 5)
+      .select("eval_doc", "n_shared", "n_sources")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // doc2: shingles {one..five, two..seven}; shares "one two three four five"
+    // doc4: both of doc1's shingles
+    assert(out == Map(2L -> (1L, 1L), 4L -> (2L, 1L)))
+    assert(!out.contains(3L))
+  }
+
   test("cosine brute force: identical vector ranks first (X2)") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(1.0f, 0.0f, 0.0f)),
