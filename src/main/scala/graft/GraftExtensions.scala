@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, SimHash64, SortedArrayJaccard}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -20,10 +20,23 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  * Strategy is needed for parity; functions are the only injection).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      new FunctionIdentifier("cosine_sim"),
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(e.injectFunction)
+}
+
+object GraftExtensions {
+  /** The registered native-function surface — one list shared by the
+    * session-extensions hook and the spec that drives each builder
+    * through SQL. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
-  }
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))),
+    (new FunctionIdentifier("sorted_jaccard"),
+      new ExpressionInfo(classOf[SortedArrayJaccard].getName, "sorted_jaccard"),
+      (exprs: Seq[Expression]) => SortedArrayJaccard(exprs(0), exprs(1))),
+    (new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs(0))))
 }

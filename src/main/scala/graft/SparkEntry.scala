@@ -73,7 +73,7 @@ object SparkEntry {
   private def dsumSql(e: String): String =
     s"CAST(SUM(CAST($e AS DECIMAL(38,6))) AS DOUBLE)"
 
-  private val PrFixedIters = 5
+  private val PrFixedIters = 3
 
   /** DuckDB oracle for [[Clustering.kmeans]]: chained CTEs — c0 from
     * the k smallest ids, then per Lloyd round an assignment (aK) and a

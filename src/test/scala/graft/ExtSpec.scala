@@ -137,17 +137,26 @@ class ExtSpec extends SparkSuite {
       .toDF("id", "a", "b")
       .select(Similarity.cosine(col("a"), col("b")).as("c"))
     assert(zero.head.getDouble(0) == 0.0)
-    // SQL path via extensions-style registration
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim",
-      exprs => graft.functions.CosineSimilarity(exprs(0), exprs(1)),
-      "built-in")
+    // SQL path: register the EXACT builders GraftExtensions injects
+    GraftExtensions.functions.foreach { case (ident, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        ident.funcName, builder, "built-in")
+    }
     emb.createOrReplaceTempView("emb_t")
     val viaSql = spark.sql(
       """SELECT cosine_sim(a.embedding, b.embedding) AS c
         |FROM emb_t a JOIN emb_t b ON a.vec_id = 0 AND b.vec_id = 0""".stripMargin)
       .head.getDouble(0)
     assert(math.abs(viaSql - 1.0) < 1e-12)
+    // sorted_jaccard over sorted bigint arrays; simhash64 over hashes
+    val j = spark.sql(
+      "SELECT sorted_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j")
+      .head.getDouble(0)
+    assert(j == 0.5)
+    val sh = spark.sql(
+      "SELECT simhash64(array(1L, 2L, 3L)) AS h, simhash64(array(1L, 2L, 3L)) AS h2")
+      .head
+    assert(sh.getLong(0) == sh.getLong(1))
   }
 
   test("LSH topK candidates are a subset of brute-force universe (X2)") {
