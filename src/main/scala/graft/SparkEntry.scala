@@ -1436,7 +1436,43 @@ object SparkEntry {
              |  COUNT(DISTINCT t.doc_id) AS n_sources
              |FROM sh e JOIN sh t ON t.sh = e.sh AND t.split = 'train'
              |WHERE e.split <> 'train'
-             |GROUP BY e.split, e.doc_id ORDER BY e.split, eval_doc""".stripMargin))
+             |GROUP BY e.split, e.doc_id ORDER BY e.split, eval_doc""".stripMargin)),
+
+    QueryDef("x26_minhash_portable",
+      // the md5-family MinHash+LSH: identical banding scheme to x07,
+      // but every hash re-derivable by any engine with md5 — so unlike
+      // x07 (xxhash64 seeds, rows-only) the WHOLE LSH pipeline
+      // hash-matches an oracle: signatures, banded candidates, and
+      // verified pairs.
+      (s, dir) => Dedup.minhashLshPortable(docs(s, dir), threshold = 0.7)
+        .select(col("a"), col("b"), col("jaccard"))
+        .orderBy("a", "b"),
+      Some("""WITH toks AS (SELECT doc_id,
+             |  string_split_regex(trim(text), '\s+') AS tk FROM documents),
+             | sh AS (SELECT doc_id, list_distinct(
+             |  [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+             |   for i in generate_series(1, len(tk) - 2)]) AS s FROM toks
+             |  WHERE len(tk) >= 3),
+             | hs AS (SELECT doc_id, s,
+             |  [CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 2147483647
+             |   for x in s] AS h FROM sh WHERE len(s) > 0),
+             | sig AS (SELECT doc_id, s,
+             |  [list_min([(hv * (2*k+1) + k) % 2147483647 for hv in h])
+             |   for k in generate_series(0, 15)] AS sig FROM hs),
+             | banded AS (SELECT doc_id, b,
+             |  array_to_string(sig[b*4+1 : b*4+4], ',') AS bkey
+             |  FROM sig, generate_series(0, 3) AS g(b)),
+             | cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+             |  FROM banded l JOIN banded r
+             |    ON l.b = r.b AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+             | verified AS (SELECT c.a, c.b,
+             |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             |   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+             |   AS jaccard
+             |  FROM cand c JOIN sig sa ON sa.doc_id = c.a
+             |  JOIN sig sb ON sb.doc_id = c.b)
+             |SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.7
+             |ORDER BY a, b""".stripMargin))
   )
 
   // ============================================================= contract

@@ -129,6 +129,68 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Portable MinHash+LSH near-dup pairs — the cross-engine-
+    * reproducible variant of [[minhashLsh]] (same banding scheme, the
+    * md5 hash family instead of xxhash64): any engine with md5 can
+    * re-derive the exact candidate set and signatures, which is what
+    * makes the WHOLE near-dup pipeline oracle-checkable.
+    *
+    *  - shingle hash: first 60 md5 bits (`conv(substr(md5(s),1,15))`),
+    *    reduced mod the Mersenne prime p = 2^31 - 1;
+    *  - k seeded signatures: classic universal hashing
+    *    min((2s+1)·h + s mod p) — products stay under 62 bits, so no
+    *    BIGINT overflow in ANY engine (Spark wraps, DuckDB errors —
+    *    neither is acceptable);
+    *  - banding + exact string-shingle Jaccard verification.
+    *
+    * ~2× the cost of the xxhash64 variant (md5 vs xxhash64, string
+    * shingles retained for verification) — use it when external
+    * reproducibility matters, [[minhashLsh]] when only Spark reads the
+    * result. Returns (a, b, jaccard). */
+  def minhashLshPortable(docs: DataFrame, threshold: Double = 0.7,
+                         k: Int = 16, bands: Int = 4, w: Int = 3,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(k % bands == 0, s"minhashLshPortable: k=$k not divisible by bands=$bands")
+    val r = k / bands
+    val p = 2147483647L // 2^31 - 1
+    // string shingles kept (verification needs them); md5-derived
+    // 31-bit base hash per shingle
+    val sh = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), w).as("sh"))
+      .localCheckpoint()
+      .filter(size(col("sh")) > 0)
+    val based = sh.select(col("id"), col("sh"),
+        transform(col("sh"), s =>
+          pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(p)))
+          .as("hs"))
+      .localCheckpoint()
+    val sig = based.select(col("id"), col("sh"),
+        array((0 until k).map(s =>
+          array_min(transform(col("hs"),
+            h => (h * lit(2L * s + 1) + lit(s.toLong)) % lit(p)))): _*).as("sig"))
+      .localCheckpoint()
+    val banded = sig.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        concat_ws(",", (0 until r).map(i =>
+          element_at(col("sig"), b * r + i + 1)): _*)): _*))
+        .as(Seq("band", "bandKey")))
+    val left = banded.select(col("id").as("a"), col("band"), col("bandKey"))
+    val right = banded.select(col("id").as("b"), col("band"), col("bandKey"))
+    val cand = left.join(right, Seq("band", "bandKey"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    cand
+      .join(sig.select(col("id").as("a"), col("sh").as("shA")), Seq("a"))
+      .join(sig.select(col("id").as("b"), col("sh").as("shB")), Seq("b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("shA"), col("shB"))).cast("double") /
+          (size(col("shA")) + size(col("shB"))
+            - size(array_intersect(col("shA"), col("shB")))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   /** SimHash: 64-bit locality-sensitive fingerprint. Per token the
     * xxhash64 bits vote +1/-1 per position; sign of the sum forms the
     * fingerprint. One fused native pass over the token hashes

@@ -37,6 +37,21 @@ class ExtSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("portable md5 minhash LSH agrees with the xxhash64 family on verified pairs (X1)") {
+    // different hash families -> possibly different CANDIDATES, but
+    // the exact-jaccard verification makes surviving pairs a property
+    // of the documents; identical docs always share every band bucket
+    val a = Dedup.minhashLsh(docs, threshold = 0.5)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val b = Dedup.minhashLshPortable(docs, threshold = 0.5)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(b.contains((0L, 1L, 1.0)))
+    assert(!b.exists(p => p._1 == 3L || p._2 == 3L))
+    // exact dups surface in both families with jaccard 1
+    assert(a.filter(_._3 == 1.0).map(p => (p._1, p._2))
+      == b.filter(_._3 == 1.0).map(p => (p._1, p._2)))
+  }
+
   test("simhash: identical fingerprints for identical docs, near for near") {
     val fp = docs.select($"doc_id", Dedup.simhash($"text").as("fp"))
       .as[(Long, Long)].collect().toMap
