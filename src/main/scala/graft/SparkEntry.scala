@@ -1472,6 +1472,30 @@ object SparkEntry {
              |  FROM cand c JOIN sig sa ON sa.doc_id = c.a
              |  JOIN sig sb ON sb.doc_id = c.b)
              |SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.7
+             |ORDER BY a, b""".stripMargin)),
+
+    QueryDef("x27_simhash_portable",
+      // md5-family SimHash (same fused bit-vote kernel, portable token
+      // hashes): fingerprints, blocks and Hamming pairs re-derivable
+      // by any engine — unlike x08's xxhash64 fingerprints.
+      (s, dir) => Dedup.simhashPairs(docs(s, dir), maxDist = 6,
+          tokenHash = Dedup.md5TokenHash)
+        .orderBy("a", "b"),
+      Some("""WITH hs AS (SELECT doc_id,
+             |  [CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+             |   for t in string_split_regex(trim(text), '\s+')] AS h
+             |  FROM documents),
+             | fp AS (SELECT doc_id, CAST(list_sum([
+             |   CASE WHEN list_sum([CAST(((hv >> b) & 1) * 2 - 1 AS BIGINT)
+             |     for hv in h]) > 0
+             |   THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END
+             |   for b in generate_series(0, 59)]) AS BIGINT) AS fp FROM hs),
+             | blocked AS (SELECT doc_id, fp, fp >> 56 AS blk FROM fp),
+             | pairs AS (SELECT l.doc_id AS a, r.doc_id AS b,
+             |   CAST(bit_count(xor(l.fp, r.fp)) AS INT) AS hamming
+             |  FROM blocked l JOIN blocked r
+             |    ON l.blk = r.blk AND l.doc_id < r.doc_id)
+             |SELECT a, b, hamming FROM pairs WHERE hamming <= 6
              |ORDER BY a, b""".stripMargin))
   )
 

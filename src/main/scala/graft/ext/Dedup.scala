@@ -197,15 +197,29 @@ object Dedup {
     * ([[graft.functions.SimHash64]]) — the 64-aggregate-HOF
     * formulation it replaces traversed the array 64 times,
     * interpreted; near-dup = Hamming distance via bit_count(a ^ b). */
-  def simhash(text: Column): Column =
-    graft.functions.SimHash64(transform(tokens(text), x => xxhash64(x)))
+  /** Portable 60-bit md5 token hash (first 60 md5 bits) — feed to
+    * [[simhash]]/[[simhashPairs]] when the fingerprint must be
+    * re-derivable outside Spark (same md5-family story as
+    * [[minhashLshPortable]] / `Sampling.md5Bucket`). */
+  val md5TokenHash: Column => Column =
+    t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  def simhash(text: Column,
+              tokenHash: Column => Column = xxhash64(_)): Column =
+    graft.functions.SimHash64(transform(tokens(text), x => tokenHash(x)))
 
   /** SimHash near-dup pairs within Hamming distance `maxDist`,
     * blocked by the top `blockBits` bits of the fingerprint (docs in
-    * different blocks are never compared — bounded candidate sets). */
+    * different blocks are never compared — bounded candidate sets).
+    * `tokenHash` picks the hash family (xxhash64 fast default,
+    * [[md5TokenHash]] portable: with 60-bit hashes the kernel's top 4
+    * vote tallies stay negative, so blocking keys live in bits
+    * 60-blockBits..59). */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3, blockBits: Int = 8,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val fp = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+                   idCol: String = "doc_id", textCol: String = "text",
+                   tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    val fp = docs.select(col(idCol).as("id"),
+        simhash(col(textCol), tokenHash).as("fp"))
       .withColumn("block", shiftrightunsigned(col("fp"), 64 - blockBits))
       .localCheckpoint() // fingerprints once; distinct lineage per side
     val left = fp.select(col("id").as("a"), col("fp").as("fpA"), col("block"))

@@ -60,6 +60,23 @@ class ExtSpec extends SparkSuite {
       java.lang.Long.bitCount(fp(0L) ^ fp(3L)))
   }
 
+  test("portable md5 simhash: 60-bit fingerprints, same dup structure (X1)") {
+    // md5TokenHash yields 60-bit token hashes -> top 4 fingerprint
+    // bits are always 0 (votes for an always-zero bit stay negative)
+    val fp = docs.select($"doc_id",
+        Dedup.simhash($"text", Dedup.md5TokenHash).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp.values.forall(f => (f >>> 60) == 0L))
+    assert(fp(0L) == fp(1L)) // identical docs, identical fingerprints
+    assert(java.lang.Long.bitCount(fp(0L) ^ fp(2L)) <
+      java.lang.Long.bitCount(fp(0L) ^ fp(3L)))
+    // pairs kernel under the portable family still surfaces the exact dup
+    val pairs = Dedup.simhashPairs(docs, maxDist = 6,
+        tokenHash = Dedup.md5TokenHash)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
+  }
+
   test("ngram jaccard within block (X1)") {
     val out = Dedup.ngramJaccard(docs, col("lang"), 0.5, w = 1)
       .as[(Long, Long, Double)].collect()
