@@ -422,6 +422,148 @@ object SparkEntry {
              | CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS view_sum
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    QueryDef("q18_cube",
+      // CUBE over two dims: all four grouping sets in one shuffle
+      // (Expand + partial agg merge upward), vs four scans if issued
+      // naively. NULL grouping keys coalesced to 'ALL' for total order.
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql(s"""SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+                 | COALESCE(l_linestatus, 'ALL') AS status,
+                 | ${dsumSql("l_quantity")} AS qty_sum, COUNT(*) AS n
+                 |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+                 |ORDER BY flag, status""".stripMargin)
+      },
+      Some(s"""SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+              | COALESCE(l_linestatus, 'ALL') AS status,
+              | ${dsumSql("l_quantity")} AS qty_sum, COUNT(*) AS n
+              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+              |ORDER BY flag, status""".stripMargin)),
+
+    QueryDef("q19_percentile",
+      // ordered-set aggregate: percentile_disc picks an ACTUAL element
+      // (smallest value with cume_dist >= p) — no interpolation
+      // arithmetic, so the doubles are bit-exact data values on any
+      // engine. percentile_cont/approx stay Spark-side only: their
+      // float interpolation / sketch is engine-specific.
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""SELECT l_returnflag,
+                | percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+                | percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+                | percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75
+                |FROM lineitem GROUP BY l_returnflag
+                |ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag,
+             | percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+             | percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+             | percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef("q20_stats",
+      // variance / stddev / correlation from EXACT integer moment sums
+      // (l_quantity is integral by construction; l_linenumber is an
+      // int), then one float op per output — deterministic where
+      // native stddev/corr (Welford order-dependent) would drift.
+      // Spark side: DECIMAL(38,0) moment products (exact to 1e38, no
+      // 64-bit overflow at 100 TB row counts); DuckDB side: HUGEINT.
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""WITH sums AS (SELECT l_returnflag,
+                |  CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS DECIMAL(38,0)) AS sx,
+                |  CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DECIMAL(38,0)) AS sxx,
+                |  CAST(SUM(CAST(l_linenumber AS BIGINT)) AS DECIMAL(38,0)) AS sy,
+                |  CAST(SUM(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS DECIMAL(38,0)) AS syy,
+                |  CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS DECIMAL(38,0)) AS sxy
+                | FROM lineitem GROUP BY l_returnflag),
+                | stats AS (SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                |  CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS var_qty,
+                |  CAST(n * sxy - sx * sy AS DOUBLE) /
+                |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_line
+                | FROM sums)
+                |SELECT l_returnflag, n, var_qty, sqrt(var_qty) AS stddev_qty,
+                | corr_qty_line
+                |FROM stats ORDER BY l_returnflag""".stripMargin)
+      },
+      // same moment algebra; DuckDB SUM(BIGINT) is already HUGEINT
+      // (exact 128-bit), so no decimal casts needed
+      Some("""WITH sums AS (SELECT l_returnflag,
+             |  COUNT(*) AS n,
+             |  SUM(CAST(l_quantity AS BIGINT)) AS sx,
+             |  SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+             |  SUM(CAST(l_linenumber AS BIGINT)) AS sy,
+             |  SUM(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS syy,
+             |  SUM(CAST(l_quantity AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS sxy
+             | FROM lineitem GROUP BY l_returnflag),
+             | stats AS (SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+             |  CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS var_qty,
+             |  CAST(n * sxy - sx * sy AS DOUBLE) /
+             |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+             |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_line
+             | FROM sums)
+             |SELECT l_returnflag, n, var_qty, sqrt(var_qty) AS stddev_qty,
+             | corr_qty_line
+             |FROM stats ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef("q21_dates",
+      // date/time scalar coverage: extract, trunc, date arithmetic,
+      // last_day, datediff — all integer/date outputs, no float risk.
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+          last_day(col("o_orderdate").cast("date")).as("eom"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since_95"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             | CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+             | CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr,
+             | date_trunc('month', o_orderdate) AS month_start,
+             | CAST(o_orderdate AS DATE) + 30 AS plus30,
+             | last_day(CAST(o_orderdate AS DATE)) AS eom,
+             | CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_95
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef("q22_window_frames",
+      // window-frame coverage: LAG, NTILE, a ROWS frame (rolling
+      // 3-order decimal-exact spend) and a RANGE frame (count within a
+      // key distance) — per-customer partitions with a unique
+      // (o_orderdate, o_orderkey) tiebreak so every rank is total.
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val rows3 = w.rowsBetween(-2, Window.currentRow)
+        val range1k = Window.partitionBy("o_custkey").orderBy(col("o_orderkey"))
+          .rangeBetween(-1000, Window.currentRow)
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            lag("o_orderkey", 1, -1L).over(w).as("prev_order"),
+            ntile(4).over(w).as("quartile"),
+            sum(col("o_totalprice").cast("decimal(38,6)")).over(rows3)
+              .cast("double").as("roll3_spend"),
+            count(lit(1)).over(range1k).as("near_orders"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             | COALESCE(LAG(o_orderkey, 1) OVER
+             |   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), -1) AS prev_order,
+             | CAST(NTILE(4) OVER
+             |   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS quartile,
+             | CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER
+             |   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll3_spend,
+             | COUNT(*) OVER
+             |   (PARTITION BY o_custkey ORDER BY o_orderkey
+             |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS near_orders
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     // ------------------------------------------------------- graph: build
     QueryDef("g01_vertices",
       (s, dir) => graph(s, dir).vertices
@@ -1496,7 +1638,41 @@ object SparkEntry {
              |  FROM blocked l JOIN blocked r
              |    ON l.blk = r.blk AND l.doc_id < r.doc_id)
              |SELECT a, b, hamming FROM pairs WHERE hamming <= 6
-             |ORDER BY a, b""".stripMargin))
+             |ORDER BY a, b""".stripMargin)),
+
+    QueryDef("x28_sim_lsh_portable",
+      // Sign-LSH under the md5 plane family: ±1 plane components from
+      // md5("p:i") parity, projections over 1e-6-quantized BIGINT
+      // components — the bucketing is exact integer arithmetic, so
+      // unlike x10's xxhash64 planes the whole ANN result set
+      // hash-matches the oracle. Ints only in the output; the cosine
+      // (single l-to-r float op, x09/x11 precedent) only orders.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.lshTopKPortable(emb, emb.filter(col("vec_id") < 5), 10)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             | qz AS (SELECT vec_id, v,
+             |   [CAST(floor(x * 1e6) AS BIGINT) for x in v] AS q FROM emb),
+             | b AS (SELECT vec_id, v, CAST(list_sum([
+             |   CASE WHEN list_sum([q[i] *
+             |     (CASE WHEN CAST(('0x' || substr(md5(p || ':' || i), 1, 1)) AS BIGINT) % 2 = 0
+             |      THEN 1 ELSE -1 END)
+             |     for i in generate_series(1, len(q))]) >= 0
+             |   THEN CAST(1 AS BIGINT) << p ELSE 0 END
+             |   for p in generate_series(0, 5)]) AS BIGINT) AS bucket FROM qz),
+             | scored AS (SELECT qq.vec_id AS query_id, nn.vec_id AS neighbor_id,
+             |   list_cosine_similarity(qq.v, nn.v) AS cos
+             |  FROM b qq JOIN b nn ON qq.bucket = nn.bucket
+             |    AND qq.vec_id <> nn.vec_id
+             |  WHERE qq.vec_id < 5),
+             | ranked AS (SELECT query_id, neighbor_id,
+             |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |     ORDER BY cos DESC, neighbor_id) AS INT) AS rank FROM scored)
+             |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+             |ORDER BY query_id, rank""".stripMargin))
   )
 
   // ============================================================= contract

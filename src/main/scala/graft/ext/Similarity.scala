@@ -73,15 +73,49 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Portable ±1 hyperplane component for (plane p, dim i): parity of
+    * the first md5 hex digit of "p:i" — re-derivable by any engine
+    * (same md5-family story as `Dedup.md5TokenHash` /
+    * `Sampling.md5Bucket`), unlike [[planeSign]]'s xxhash64. */
+  private def md5PlaneSign(p: Int, i: Column): Column =
+    when(conv(substring(md5(concat_ws(":", lit(p), i)), 1, 1), 16, 10)
+      .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L))
+
+  /** Portable sign-LSH bucket: md5-parity planes over 1e-6-quantized
+    * BIGINT components. Integer arithmetic end to end, so the
+    * projection sign (hence the bucket id) is exact in every engine —
+    * no float-association hazard in the bucketing itself. */
+  def lshBucketPortable(vec: Column, planes: Int): Column = {
+    val q = transform(vec, x => floor(x.cast("double") * lit(1e6)).cast("long"))
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(zip_with(q, sequence(lit(1), size(vec)),
+        (x, i) => x * md5PlaneSign(p, i)), lit(0L), _ + _)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
   /** Approximate top-k: corpus pre-bucketed by sign-LSH; each query
     * only scores its own bucket. At 100 TB the bucketed corpus is
     * written partitioned by bucket so a query probes one partition. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 6,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    lshTopKWith(corpus, queries, k, lshBucket(_, planes), idCol, vecCol)
+
+  /** [[lshTopK]] under the portable md5 plane family — bucket ids and
+    * the result set re-derivable outside Spark (the x28 oracle). */
+  def lshTopKPortable(corpus: DataFrame, queries: DataFrame, k: Int,
+                      planes: Int = 6, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame =
+    lshTopKWith(corpus, queries, k, lshBucketPortable(_, planes), idCol, vecCol)
+
+  private def lshTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
+                          bucketFn: Column => Column, idCol: String,
+                          vecCol: String): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+      bucketFn(col(vecCol)).as("bucket"))
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("qvec"), lshBucket(col(vecCol), planes).as("bucket")))
+      col(vecCol).as("qvec"), bucketFn(col(vecCol)).as("bucket")))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qvec"), col("cvec")))

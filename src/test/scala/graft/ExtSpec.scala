@@ -200,6 +200,26 @@ class ExtSpec extends SparkSuite {
     assert(byQ.nonEmpty && byQ.forall(_._2 <= 5))
   }
 
+  test("portable md5 sign-LSH: identical vectors share a bucket; topK finds the twin (X2)") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.2f, -0.5f)), (1L, Array(1.0f, 0.2f, -0.5f)), // twin of 0
+      (2L, Array(-1.0f, 0.4f, 0.8f)), (3L, Array(0.3f, -0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val buckets = emb
+      .select($"vec_id", Similarity.lshBucketPortable($"embedding", 6).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(buckets(0L) == buckets(1L)) // identical input -> identical bucket
+    assert(buckets.values.forall(b => b >= 0 && b < 64)) // 6 planes -> [0, 2^6)
+    // bucket is a pure function of content: repartitioning can't move it
+    val again = emb.repartition(5)
+      .select($"vec_id", Similarity.lshBucketPortable($"embedding", 6).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(again == buckets)
+    val top = Similarity.lshTopKPortable(emb, emb.filter($"vec_id" === 0), 3)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
+    assert(top.find(_._2 == 1).map(_._1).contains(1L)) // twin ranks first
+  }
+
   test("IVF topK: identical vector found when query and twin share a cell (X2)") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.1f)),
