@@ -144,6 +144,17 @@ final class OnionNet(val spark: SparkSession, val directed: Boolean = true) {
     current = PropertyOps.withNodeLabels(g, prop)
   }
 
+  /** Reference parity for `set_node_sizes_and_text_by_depth`
+    * (`visualisation.py:273-308`): per-vertex (dist, size, text_size)
+    * from an undirected BFS at `(layer, nodeId)`, sizes linearly
+    * rescaled between the min/max bounds. */
+  def setNodeSizesAndTextByDepth(layer: String, nodeId: String,
+                                 maxSize: Double = 20, minSize: Double = 5,
+                                 maxTextSize: Double = 15,
+                                 minTextSize: Double = 8): DataFrame =
+    graft.algos.Traversals.depthScaledSizesAndText(
+      g, layer, nodeId, minSize, maxSize, minTextSize, maxTextSize)
+
   // ------------------------------------------------------------- export
   def exportInfo(mode: String = "v", props: Seq[String] = Nil): DataFrame =
     if (mode == "v") Exporter.vertexInfo(g, props) else Exporter.edgeInfo(g, props)

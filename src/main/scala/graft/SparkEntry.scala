@@ -1061,10 +1061,10 @@ object SparkEntry {
       (s, dir) => {
         val g = graph(s, dir)
         val seed = minSeed(s, dir, "region", "r_regionkey")
-        Traversals.depthScaledSizes(g, "region", seed, 1.0, 10.0)
+        Traversals.depthScaledSizesAndText(g, "region", seed, 1.0, 10.0, 8.0, 15.0)
           .join(g.vertices, Seq("vid"))
           .select(col("layer"), col("nodeId").as("node_id"), col("dist"),
-            col("size"))
+            col("size"), col("text_size"))
           .orderBy("layer", "node_id")
       },
       Some(s"""$W, und AS (
@@ -1081,7 +1081,8 @@ object SparkEntry {
               |  FROM walk GROUP BY layer, node_id),
               | m AS (SELECT GREATEST(MAX(dist), 1) AS maxd FROM d)
               |SELECT layer, node_id, dist,
-              | 10.0 - 9.0 * dist / CAST(maxd AS DOUBLE) AS size
+              | 10.0 - 9.0 * dist / CAST(maxd AS DOUBLE) AS size,
+              | 15.0 - 7.0 * dist / CAST(maxd AS DOUBLE) AS text_size
               |FROM d, m ORDER BY layer, node_id""".stripMargin)),
 
     QueryDef("g17_node_props",

@@ -341,7 +341,16 @@ object Traversals {
     * driver round-trips and broadcast rebuilds of a DataFrame frontier
     * loop, and no symmetrized edge copy is ever materialized. */
   def depthScaledSizes(g: OnionGraph, layer: String, nodeId: String,
-                       minS: Double, maxS: Double): DataFrame = {
+                       minS: Double, maxS: Double): DataFrame =
+    depthScaledSizesAndText(g, layer, nodeId, minS, maxS, 8.0, 15.0)
+      .drop("text_size")
+
+  /** Reference-parity dual output (`visualisation.py:273-308` returns
+    * v_size AND v_text_size): one undirected BFS sweep, two linear
+    * rescalings of the same depth column. */
+  def depthScaledSizesAndText(g: OnionGraph, layer: String, nodeId: String,
+                              minS: Double, maxS: Double,
+                              minT: Double, maxT: Double): DataFrame = {
     val seed = g.vertices
       .filter(col("layer") === layer && col("nodeId") === nodeId)
       .select("vid")
@@ -350,7 +359,10 @@ object Traversals {
     // 1 and return the (empty) result instead of NPE-ing on getInt
     val maxRow = depths.agg(max("dist")).head
     val maxDepth = (if (maxRow.isNullAt(0)) 1 else maxRow.getInt(0)).max(1)
-    depths.withColumn("size",
-      lit(maxS) - lit(maxS - minS) * col("dist") / lit(maxDepth.toDouble))
+    depths
+      .withColumn("size",
+        lit(maxS) - lit(maxS - minS) * col("dist") / lit(maxDepth.toDouble))
+      .withColumn("text_size",
+        lit(maxT) - lit(maxT - minT) * col("dist") / lit(maxDepth.toDouble))
   }
 }

@@ -82,9 +82,12 @@ class StreamingSpec extends SparkSuite {
   test("stream dedup drops duplicate event ids within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Double)]
+    // dropDuplicatesWithinWatermark: bounded state (keys expire once
+    // the watermark passes them), and retries with drifted timestamps
+    // still dedup — here event 1 arrives twice with DIFFERENT ts
     val sdf = stream.toDF().toDF("event_id", "ts", "value")
       .withWatermark("ts", "10 minutes")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
     val q = sdf.writeStream.outputMode("append")
       .format("memory").queryName("dedup_out").start()
     try {

@@ -95,6 +95,19 @@ class TraversalsSpec extends SparkSuite {
     assert(Traversals.depthScaledSizes(g, "L1", "nope", 1.0, 10.0).count() == 0)
   }
 
+  test("depthScaledSizesAndText: dual outputs from one sweep (visualisation.py:273-308)") {
+    val out = Traversals.depthScaledSizesAndText(g, "L1", "a", 5.0, 20.0, 8.0, 15.0)
+      .join(g.vertices, Seq("vid"))
+      .select($"nodeId", $"dist", $"size", $"text_size")
+      .as[(String, Int, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(out("a") == (0, 20.0, 15.0))  // root gets both maxima
+    assert(out("d") == (3, 5.0, 8.0))    // max depth gets both minima
+    // both columns are the same linear rescale of the same depth
+    val (_, sB, tB) = out("b")
+    assert(math.abs((20.0 - sB) / 15.0 - (15.0 - tB) / 7.0) < 1e-12)
+  }
+
   test("weak components partition vertices; isolated vertex is its own comp") {
     val comps = Traversals.weakComponents(g)
       .join(g.vertices, Seq("vid"))
