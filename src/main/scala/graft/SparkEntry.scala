@@ -2,7 +2,7 @@ package graft
 
 import graft.builder.StarGraph
 import graft.algos.{GraphOps, Traversals}
-import graft.ext.{Clustering, Dedup, Sampling, Similarity, TemporalJoins, TextOps, Multimodal}
+import graft.ext.{Clustering, Dedup, Sampling, Similarity, Skew, TemporalJoins, TextOps, Multimodal}
 import graft.model.OnionGraph
 import graft.props.PropertyOps
 import graft.streaming.EventStreams
@@ -563,6 +563,36 @@ object SparkEntry {
              |   (PARTITION BY o_custkey ORDER BY o_orderkey
              |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS near_orders
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef("q23_salted_join",
+      // the deterministic skew remedy in the hash-checked corpus: a
+      // salted inner join is EXACTLY the plain inner join (salting
+      // only spreads a heavy key's rows across tasks), so the oracle
+      // is the unsalted SQL. Salt = content hash, never rand() —
+      // retries and speculative tasks agree.
+      (s, dir) => Skew.saltedJoin(
+          t(s, dir, "orders").select(col("o_orderkey"),
+            col("o_custkey").as("custkey"), col("o_totalprice")),
+          t(s, dir, "customer").select(col("c_custkey").as("custkey"),
+            col("c_mktsegment")),
+          "custkey", salts = 8)
+        .select(col("o_orderkey"), col("custkey"), col("c_mktsegment"),
+          col("o_totalprice"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey AS custkey, c_mktsegment,
+             | o_totalprice
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef("q24_salted_agg",
+      // two-phase skew-safe aggregation: partial sums on (key, salt)
+      // then a final merge on key — same result as the direct decimal
+      // group-by, which is the oracle.
+      (s, dir) => Skew.saltedSum(
+          t(s, dir, "orders"), "o_custkey", "o_totalprice", salts = 8)
+        .orderBy("o_custkey"),
+      Some(s"""SELECT o_custkey, ${dsumSql("o_totalprice")} AS sum_o_totalprice
+              |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
 
     // ------------------------------------------------------- graph: build
     QueryDef("g01_vertices",
