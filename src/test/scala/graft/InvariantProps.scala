@@ -155,6 +155,34 @@ object InvariantProps extends Properties("GraftInvariants") {
       }
     }
 
+  private val genFacts = for {
+    n <- Gen.choose(1, 25)
+    keys <- Gen.listOfN(n, Gen.choose(0, 4)) // few keys -> heavy hitters
+    vals <- Gen.listOfN(n, Gen.choose(-1000, 1000))
+    salts <- Gen.choose(1, 5)
+  } yield (keys.zip(vals), salts)
+
+  property("salted join == plain inner join; salted agg == direct group-by") =
+    forAll(genFacts) { case (rows, salts) =>
+      import spark.implicits._
+      val big = rows.zipWithIndex
+        .map { case ((k, v), i) => (i.toLong, k.toLong, v.toDouble) }
+        .toDF("row_id", "key", "value")
+      val small = (0 to 4).map(k => (k.toLong, s"dim$k")).toDF("key", "name")
+      val salted = graft.ext.Skew.saltedJoin(big, small, "key", salts)
+        .select("row_id", "key", "name").as[(Long, Long, String)]
+        .collect().toSet
+      val plain = big.join(small, Seq("key"))
+        .select("row_id", "key", "name").as[(Long, Long, String)]
+        .collect().toSet
+      val aggd = graft.ext.Skew.saltedSum(big, "key", "value", salts)
+        .as[(Long, Double)].collect().toMap
+      val direct = big.groupBy("key")
+        .agg(sum($"value".cast("decimal(38,6)")).cast("double"))
+        .as[(Long, Double)].collect().toMap
+      salted == plain && aggd == direct
+    }
+
   property("exact dedup is idempotent and canonical ids are minimal") =
     forAll(genDocs) { words =>
       import spark.implicits._
