@@ -42,12 +42,27 @@ object GraphOps {
     * objects per call: their memo entry never hits again, and an
     * unconditional cache() would pin a new projection per invocation
     * with no unpersist path (Verify has no release loop). */
+  /** ~1M edges per GraphX partition. Partition count must track the
+    * DATA, not the session default: a Pregel superstep launches a few
+    * stages over every partition, so a 25k-edge graph on 32 partitions
+    * pays ~100 empty-task launches per round (measured ~3s/query at
+    * sf0.1), while a 100 TB graph genuinely needs thousands of
+    * partitions. Sized from Catalyst plan statistics — no extra
+    * count() scan at build time. */
+  private val TargetEdgesPerPartition = 1L << 20
+
   private def buildProjection(g: OnionGraph)
                              (edgeMapper: Row => Iterator[Edge[Double]]): Graph[Unit, Double] = {
+    val esDf = g.edges.select("src", "dst")
+    val stats = esDf.queryExecution.optimizedPlan.stats
+    val estEdges = stats.rowCount.map(_.toLong)
+      .getOrElse(stats.sizeInBytes.toLong / 16L) // two longs per row
+    val es: RDD[Edge[Double]] = esDf.rdd.flatMap(edgeMapper)
+    val parts = math.max(1, math.min(es.getNumPartitions,
+      math.ceil(estEdges.toDouble / TargetEdgesPerPartition).toInt))
     val vs: RDD[(VertexId, Unit)] =
-      g.vertices.select("vid").rdd.map(r => (r.getLong(0), ()))
-    val es: RDD[Edge[Double]] = g.edges.select("src", "dst").rdd.flatMap(edgeMapper)
-    val gx = Graph(vs, es).partitionBy(PartitionStrategy.EdgePartition2D)
+      g.vertices.select("vid").rdd.map(r => (r.getLong(0), ())).coalesce(parts)
+    val gx = Graph(vs, es).partitionBy(PartitionStrategy.EdgePartition2D, parts)
     if (g.vertices.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
       gx.cache()
     else gx
