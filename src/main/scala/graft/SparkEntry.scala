@@ -922,6 +922,34 @@ object SparkEntry {
              | CAST(GREATEST(CEIL(LENGTH(text) / 4.0), 0) AS BIGINT) AS bpe_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("x29_array_ops",
+      // the higher-order-function surface itself (sort/distinct/slice/
+      // transform/max/contains over arrays) checked against DuckDB's
+      // list functions — the building blocks every shingle/token
+      // pipeline composes, exercised here as first-class operators.
+      (s, dir) => {
+        val tks = TextOps.tokens(col("text"))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(tks).cast("long").as("n_tokens"),
+            size(array_distinct(tks)).cast("long").as("n_distinct"),
+            array_join(slice(sort_array(array_distinct(tks)), 1, 3), ",")
+              .as("first3_sorted"),
+            array_max(transform(tks, x => length(x))).cast("long")
+              .as("max_tok_len"),
+            array_contains(tks, "the").as("has_the"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |  string_split_regex(trim(text), '\s+') AS t FROM documents)
+             |SELECT doc_id,
+             | CAST(len(t) AS BIGINT) AS n_tokens,
+             | CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+             | array_to_string(list_sort(list_distinct(t))[1:3], ',') AS first3_sorted,
+             | CAST(list_max([length(x) for x in t]) AS BIGINT) AS max_tok_len,
+             | list_contains(t, 'the') AS has_the
+             |FROM tk ORDER BY doc_id""".stripMargin)),
+
     QueryDef("x04_quality",
       (s, dir) => TextOps.qualityFeatures(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_tokens"), col("mean_token_len"),
