@@ -40,4 +40,18 @@ object Exporter {
 
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Partitioned parquet export — the 100 TB shape: `path/layer=X/…`
+    * directories let every downstream layer-filtered read prune whole
+    * partitions at planning time (PartitionFilters, zero data touched
+    * for excluded layers), and `maxRecordsPerFile` bounds file sizes
+    * under skewed layers (one giant layer must not become one giant
+    * file). */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String] = Seq("layer"),
+                       maxRecordsPerFile: Long = 5000000L): Unit =
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
 }

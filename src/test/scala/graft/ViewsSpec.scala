@@ -98,6 +98,24 @@ class ViewsSpec extends SparkSuite {
     assert(csv.count() == g.numEdges && csv.columns.contains("w"))
   }
 
+  test("partitioned export prunes by layer at planning time (S4 at scale)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Exporter.writePartitioned(Exporter.vertexInfo(g), s"$dir/v",
+      partitionCols = Seq("layer"))
+    // hive-style layer directories on disk
+    val dirs = new java.io.File(s"$dir/v").listFiles().map(_.getName)
+      .filter(_.startsWith("layer=")).sorted
+    assert(dirs.toSeq == Seq("layer=L1", "layer=L2", "layer=L3"))
+    val back = spark.read.parquet(s"$dir/v")
+    assert(back.count() == g.numVertices)
+    // a layer filter becomes a PartitionFilter (no data scan of other
+    // layers), not a post-scan predicate
+    val plan = back.filter(col("layer") === "L1").queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(layer"),
+      s"layer filter did not reach partition pruning:\n$plan")
+  }
+
   test("point get/set property (P2/P3) — immutable update") {
     assert(PropertyOps.getVertexProperty(g, "L1", "a", "score").contains(10.0))
     val g2 = PropertyOps.setVertexProperty(g, "L1", "a", "score", lit(99.0))
