@@ -16,12 +16,23 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  * }}}
  *
  * The SparkSessionExtensions hook is the supported injection point for
- * custom expressions/rules/strategies (SURVEY §4.3 — no custom Rule or
- * Strategy is needed for parity; functions are the only injection).
+ * custom expressions/rules/strategies (SURVEY §4.3). Reference PARITY
+ * needs only the function injections; the group-wise top-k operator
+ * (strategy + rule, `graft.plans.TopKPerGroup`) is the beyond-parity
+ * whole-operator extension.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(e.injectFunction)
+    // whole-operator extension (SURVEY §4.3 ladder (c)): group-wise
+    // top-k logical node, its planner strategy and its optimizer rule.
+    // graft.plans.TopKPerGroup.apply also self-registers these on the
+    // session's experimental hooks for sessions built without
+    // withExtensions — this injection covers SQL-configured sessions
+    // (spark.sql.extensions=graft.GraftExtensions).
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    e.injectOptimizerRule(_ => graft.plans.CombineTopK)
+  }
 }
 
 object GraftExtensions {

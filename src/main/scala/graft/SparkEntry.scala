@@ -1731,7 +1731,25 @@ object SparkEntry {
              |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
              |     ORDER BY cos DESC, neighbor_id) AS INT) AS rank FROM scored)
              |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
-             |ORDER BY query_id, rank""".stripMargin))
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    QueryDef("x30_topk_per_group",
+      // the custom whole-operator (logical node + rule + strategy +
+      // two-phase bounded-heap exec, graft.plans.TopKPerGroup): top-3
+      // orders per customer WITHOUT sorting or windowing — the partial
+      // phase caps shuffle input at k rows per group per partition.
+      // Unique (price desc, orderkey) ordering makes the set exact.
+      (s, dir) => graft.plans.TopKPerGroup(
+          t(s, dir, "orders"), Seq("o_custkey"),
+          Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "o_orderkey"),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+             | SELECT o_custkey, o_orderkey, o_totalprice,
+             |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             | FROM orders)
+             |WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin))
   )
 
   // ============================================================= contract

@@ -1,0 +1,137 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftbridge.ofRows
+
+/**
+ * Group-wise top-k as a first-class operator: logical plan node +
+ * optimizer rule + planner strategy + two-phase physical operator
+ * (SURVEY §4.3 ladder step (c), the whole-operator extension point).
+ *
+ * Why not `row_number().over(window) <= k`? The window formulation
+ * shuffles EVERY row of every group, then fully sorts each partition
+ * before it can rank — at 100 TB the shuffle carries the entire fact
+ * table and the sort spills. Top-k is an aggregation, not a sort:
+ * this operator keeps one bounded heap per group and runs in TWO
+ * phases like partial/final aggregation — the partial pass caps each
+ * map partition's output at k rows per group BEFORE the exchange, so
+ * the shuffle moves at most `partitions × groups × k` rows no matter
+ * how large the input, and nothing is ever globally sorted.
+ *
+ * Semantics: the k first rows of each group under `order` (ties
+ * beyond the ordering are nondeterministic — give the ordering a
+ * unique tiebreak column for deterministic output, as every corpus
+ * query does).
+ */
+object TopKPerGroup {
+
+  /** Entry point. `order` pairs are (columnName, ascending). */
+  def apply(df: DataFrame, group: Seq[String], order: Seq[(String, Boolean)],
+            k: Int): DataFrame = {
+    require(k > 0, s"topKPerGroup: k must be positive, got $k")
+    val spark = df.sparkSession
+    // idempotently register the planner strategy + optimizer rule on
+    // whatever session the caller holds — no builder changes needed
+    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    if (!spark.experimental.extraOptimizations.contains(CombineTopK))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ CombineTopK
+    val child = df.queryExecution.analyzed
+    def attr(name: String): Attribute = child.output
+      .find(a => spark.sessionState.analyzer.resolver(a.name, name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"topKPerGroup: column '$name' not in ${child.output.map(_.name)}"))
+    val sortOrder = order.map { case (name, asc) =>
+      SortOrder(attr(name), if (asc) Ascending else Descending)
+    }
+    ofRows(spark, TopKPerGroupNode(group.map(attr), sortOrder, k, child))
+  }
+}
+
+/** Logical node: declares the semantics, output = child output. */
+case class TopKPerGroupNode(group: Seq[Expression], order: Seq[SortOrder],
+                            k: Int, child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
+    copy(child = newChild)
+}
+
+/** Optimizer rule: stacked top-ks over the same keys/ordering collapse
+  * to one pass with the smaller k (taking 3 of the top 10 is taking
+  * the top 3). */
+object CombineTopK extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case TopKPerGroupNode(g1, o1, k1, TopKPerGroupNode(g2, o2, k2, child))
+        if g1 == g2 && o1 == o2 =>
+      TopKPerGroupNode(g1, o1, math.min(k1, k2), child)
+  }
+}
+
+/** Planner strategy: final-over-partial, same shape as hash
+  * aggregation. EnsureRequirements inserts the single exchange on the
+  * group keys between the two phases (the final requires
+  * `ClusteredDistribution(group)`, the partial requires nothing). */
+object TopKPerGroupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupNode(group, order, k, child) =>
+      TopKPerGroupExec(group, order, k, partial = false,
+        TopKPerGroupExec(group, order, k, partial = true,
+          planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical operator: one bounded heap per group per partition.
+  * Memory is O(groups-in-partition × k) rows — never the partition's
+  * row count, and the partial phase bounds what the exchange carries. */
+case class TopKPerGroupExec(group: Seq[Expression], order: Seq[SortOrder],
+                            k: Int, partial: Boolean, child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(group))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val groupExprs = group
+    val sortOrder = order
+    val limit = k
+    val childOutput = child.output
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(groupExprs, childOutput)
+      val ordering = RowOrdering.create(sortOrder, childOutput)
+      // scala PQ surfaces its Ordering's MAX at `head`: under the row
+      // ordering that is the row sorting LAST — the worst row kept,
+      // exactly the one a better candidate should evict
+      val heaps = mutable.HashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
+      while (iter.hasNext) {
+        val row = iter.next()
+        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
+          mutable.PriorityQueue.empty[InternalRow](ordering))
+        if (heap.size < limit) heap.enqueue(row.copy())
+        else if (ordering.compare(row, heap.head) < 0) {
+          heap.dequeue(); heap.enqueue(row.copy())
+        }
+      }
+      // emit each group's survivors in sort order (cheap: k elements)
+      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}

@@ -12,4 +12,10 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 package object graftbridge {
   def exprToColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def columnToExpr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** `Dataset.ofRows` is `private[sql]`; custom logical plans (graft's
+    * TopKPerGroup) need it to become DataFrames. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -1,0 +1,77 @@
+package graft
+
+import graft.plans.{TopKPerGroup, TopKPerGroupNode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The custom whole-operator (logical node + rule + strategy + exec):
+  * semantics vs the window formulation, plan shape, rule collapse. */
+class PlansSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0), ("a", 4L, 30.0),
+    ("b", 5L, 5.0), ("b", 6L, 1.0),
+    ("c", 7L, 7.0))
+    .toDF("key", "id", "score")
+
+  private def windowTopK(d: org.apache.spark.sql.DataFrame, k: Int) = {
+    val w = Window.partitionBy("key").orderBy($"score".desc, $"id")
+    d.withColumn("rn", row_number().over(w)).filter($"rn" <= k).drop("rn")
+  }
+
+  test("topKPerGroup == window row_number formulation (incl. ties)") {
+    val got = TopKPerGroup(df, Seq("key"),
+      Seq(("score", false), ("id", true)), 2)
+    assert(rows(got) == rows(windowTopK(df, 2)))
+    // k larger than any group passes everything through
+    val all = TopKPerGroup(df, Seq("key"),
+      Seq(("score", false), ("id", true)), 100)
+    assert(rows(all) == rows(df.toDF()))
+  }
+
+  test("result is partitioning-invariant and matches at modest scale") {
+    val big = spark.range(0, 5000)
+      .select(($"id" % 37).cast("string").as("key"), $"id",
+        (($"id" * 2654435761L) % 1009).cast("double").as("score"))
+    val got = TopKPerGroup(big.repartition(13), Seq("key"),
+      Seq(("score", false), ("id", true)), 5)
+    assert(rows(got) == rows(windowTopK(big, 5)))
+  }
+
+  test("plan: partial+final exec, ONE exchange, no sort, no window") {
+    val got = TopKPerGroup(df, Seq("key"),
+      Seq(("score", false), ("id", true)), 2)
+    got.collect()
+    // unwrap AQE: its toString repeats the initial plan below the
+    // final one, double-counting every node
+    val plan = (got.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).toString
+    assert("TopKPerGroup".r.findAllMatchIn(plan).size == 2, s"want 2 phases:\n$plan")
+    assert("Exchange".r.findAllMatchIn(plan).size == 1, s"want 1 exchange:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Sort"),
+      s"top-k must not sort or window:\n$plan")
+  }
+
+  test("CombineTopK collapses stacked same-key top-ks to min(k)") {
+    val stacked = TopKPerGroup(
+      TopKPerGroup(df, Seq("key"), Seq(("score", false), ("id", true)), 10),
+      Seq("key"), Seq(("score", false), ("id", true)), 2)
+    val nodes = stacked.queryExecution.optimizedPlan
+      .collect { case n: TopKPerGroupNode => n }
+    assert(nodes.map(_.k) == Seq(2), s"want one node with k=2, got $nodes")
+    assert(rows(stacked) == rows(windowTopK(df, 2)))
+  }
+
+  test("unknown column and non-positive k fail fast") {
+    intercept[IllegalArgumentException] {
+      TopKPerGroup(df, Seq("nope"), Seq(("score", false)), 2)
+    }
+    intercept[IllegalArgumentException] {
+      TopKPerGroup(df, Seq("key"), Seq(("score", false)), 0)
+    }
+  }
+}
