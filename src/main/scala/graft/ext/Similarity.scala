@@ -36,11 +36,24 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSimilarity(a, b)
 
+  /** Shared scoring tail: per-query top-k through the custom
+    * bounded-heap operator ([[graft.plans.TopKPerGroup]] — the scored
+    * relation is never sorted or shuffled whole; the partial phase
+    * caps the exchange at k rows per query per partition), then a
+    * rank column computed by a window over only the ≤k survivors.
+    * Deterministic tie-break on neighbor id. */
+  private def rankedTopK(scored: DataFrame, k: Int): DataFrame = {
+    val top = graft.plans.TopKPerGroup(scored, Seq("query_id"),
+      Seq(("cosine", false), ("neighbor_id", true)), k)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Brute-force exact top-k neighbors for each query vector.
     * `queries` must be broadcast-small (it is sent to every corpus
-    * partition); ranking is per-query window with deterministic
-    * tie-break on neighbor id. Returns
-    * (query_id, neighbor_id, cosine, rank). */
+    * partition). Returns (query_id, neighbor_id, cosine, rank). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
@@ -49,11 +62,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qvec"), col("cvec")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    rankedTopK(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p,
@@ -119,11 +128,7 @@ object Similarity {
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qvec"), col("cvec")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    rankedTopK(scored, k)
   }
 
   /** IVF-style variant: corpus assigned to nearest of `centroids`
@@ -134,25 +139,22 @@ object Similarity {
               vecCol: String = "embedding"): DataFrame = {
     val cent = broadcast(centroids.select(col("centroid_id"),
       col(vecCol).as("centvec")))
-    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(id).orderBy(col("cdist"), col("centroid_id"))
-      df.join(cent, expr("true"))
-        .withColumn("cdist", -dot(col(vec), col("centvec")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .drop("centvec", "cdist", "crank")
-    }
+    // cell assignment is itself a per-row top-`keep`: the bounded-heap
+    // operator keeps it from sorting the corpus × centroids cross
+    // product (top-1 per corpus row degenerates to a hash-agg-min)
+    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame =
+      graft.plans.TopKPerGroup(
+          df.join(cent, expr("true"))
+            .withColumn("cdist", -dot(col(vec), col("centvec"))),
+          Seq(id), Seq(("cdist", true), ("centroid_id", true)), keep)
+        .drop("centvec", "cdist")
     val c = assign(corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cvec")), "neighbor_id", "cvec", 1)
     val q = assign(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qvec")), "query_id", "qvec", nprobe)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    q.join(c, Seq("centroid_id"))
+    val scored = q.join(c, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qvec"), col("cvec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    rankedTopK(scored, k)
   }
 }
