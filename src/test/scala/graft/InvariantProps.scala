@@ -155,6 +155,43 @@ object InvariantProps extends Properties("GraftInvariants") {
       }
     }
 
+  property("on_shortest marks exactly {v : fwd(v)+bwd(v) = dist(source,target)}") =
+    forAll(genGraph) { case (n, edges) =>
+      import spark.implicits._
+      val g = build(n, edges)
+      // brute-force reference BFS over the same (layer-relabeled) graph
+      val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+      def dists(seeds: Seq[Int], reverse: Boolean): Map[Int, Int] = {
+        val nbrs: Int => Seq[Int] =
+          if (reverse) i => edges.filter(_._2 == i).map(_._1)
+          else i => adj.getOrElse(i, Nil)
+        var frontier = seeds.toSet
+        var seen = seeds.map(_ -> 0).toMap
+        var d = 0
+        while (frontier.nonEmpty) {
+          d += 1
+          frontier = frontier.flatMap(nbrs).filterNot(seen.contains)
+          seen ++= frontier.map(_ -> d)
+        }
+        seen
+      }
+      val source = 0
+      val target = n - 1
+      val fwd = dists(Seq(source), reverse = false)
+      val bwd = dists(Seq(target), reverse = true)
+      val expected = fwd.get(target) match {
+        case None => Set.empty[Int] // unreachable -> nothing marked
+        case Some(td) => (0 until n).filter(v =>
+          fwd.get(v).zip(bwd.get(v)).exists { case (a, b) => a + b == td }).toSet
+      }
+      val marked = Traversals.onShortestPath(g,
+          col("layer") === s"L${source % 2}" && col("nodeId") === source.toString,
+          col("layer") === s"L${target % 2}" && col("nodeId") === target.toString)
+        .join(g.vertices, Seq("vid"))
+        .select($"nodeId").as[String].collect().map(_.toInt).toSet
+      marked == expected
+    }
+
   private val genFacts = for {
     n <- Gen.choose(1, 25)
     keys <- Gen.listOfN(n, Gen.choose(0, 4)) // few keys -> heavy hitters
