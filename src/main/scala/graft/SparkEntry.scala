@@ -888,6 +888,25 @@ object SparkEntry {
              |  FROM customer)
              |ORDER BY node_id""".stripMargin)),
 
+    QueryDef("g31_edge_color",
+      // V1 edge-dim continuous coloring (`color_edges`,
+      // visualisation.py:420-496): the V1 normalize math is
+      // dim-generic, so the same operator colors the EDGE table —
+      // here lineitem-derived order->part edges by summed quantity.
+      (s, dir) => {
+        val e = graph(s, dir).edges.filter(col("relation") === "order_part")
+        VizData.colorContinuous(e, "qty")
+          .select(col("srcId").as("source_id"), col("dstId").as("target_id"),
+            col("qty"), col("qty_color_val").as("color_val"))
+          .orderBy("source_id", "target_id")
+      },
+      Some(s"""$W SELECT source_id, target_id, qty,
+              | (qty - mn) / (mx - mn) AS color_val
+              |FROM edges, (SELECT MIN(qty) AS mn, MAX(qty) AS mx
+              |  FROM edges WHERE relation = 'order_part')
+              |WHERE relation = 'order_part'
+              |ORDER BY source_id, target_id""".stripMargin)),
+
     QueryDef("g15_labels_codes",
       (s, dir) => {
         val cust = PropertyOps.withNodeLabels(

@@ -66,6 +66,16 @@ class PlansSpec extends SparkSuite {
     assert(rows(stacked) == rows(windowTopK(df, 2)))
   }
 
+  test("null group keys and null order values match the window form") {
+    val d = Seq(
+      (Option("a"), 1L, Option(1.0)), (Option("a"), 2L, Option.empty[Double]),
+      (Option.empty[String], 3L, Option(2.0)), (Option.empty[String], 4L, Option(1.0)),
+      (Option.empty[String], 5L, Option.empty[Double]))
+      .toDF("key", "id", "score")
+    val got = TopKPerGroup(d, Seq("key"), Seq(("score", false), ("id", true)), 2)
+    assert(rows(got) == rows(windowTopK(d, 2)))
+  }
+
   test("unknown column and non-positive k fail fast") {
     intercept[IllegalArgumentException] {
       TopKPerGroup(df, Seq("nope"), Seq(("score", false)), 2)
