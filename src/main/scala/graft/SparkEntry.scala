@@ -564,6 +564,22 @@ object SparkEntry {
              |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS near_orders
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    QueryDef("q25_udaf_mean",
+      // the Aggregator[IN,BUF,OUT] escape hatch in the corpus: exact
+      // decimal-sum mean as a typed UDAF (partial/final merged like
+      // any hash agg), hash-matching the decimal formulation DuckDB
+      // computes — order-independent where a double-summing UDAF
+      // would drift with the reduce tree.
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(ext.Aggregators.exactMean(col("l_quantity")).as("mean_qty"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             | CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             |   / COUNT(*) AS mean_qty
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     QueryDef("q23_salted_join",
       // the deterministic skew remedy in the hash-checked corpus: a
       // salted inner join is EXACTLY the plain inner join (salting

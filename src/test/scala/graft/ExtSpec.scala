@@ -220,6 +220,17 @@ class ExtSpec extends SparkSuite {
     assert(top.find(_._2 == 1).map(_._1).contains(1L)) // twin ranks first
   }
 
+  test("ExactMean aggregator: equals decimal formulation, partition-invariant") {
+    val df = (1 to 101).map(i => ("g", i * 0.1)).toDF("k", "v")
+    def mean(d: org.apache.spark.sql.DataFrame) = d.groupBy("k")
+      .agg(graft.ext.Aggregators.exactMean($"v")).head.getDouble(1)
+    val want = df.groupBy("k")
+      .agg((sum($"v".cast("decimal(38,6)")).cast("double") / count(lit(1))))
+      .head.getDouble(1)
+    assert(mean(df) == want)                  // exact, not approximate
+    assert(mean(df.repartition(7)) == want)   // merge-order independent
+  }
+
   test("IVF topK: identical vector found when query and twin share a cell (X2)") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.1f)),
