@@ -55,8 +55,12 @@ object GraphOps {
                              (edgeMapper: Row => Iterator[Edge[Double]]): Graph[Unit, Double] = {
     val esDf = g.edges.select("src", "dst")
     val stats = esDf.queryExecution.optimizedPlan.stats
-    val estEdges = stats.rowCount.map(_.toLong)
-      .getOrElse(stats.sizeInBytes.toLong / 16L) // two longs per row
+    // clamp the BigInt estimate BEFORE narrowing: size-only stats
+    // multiply across joins and can exceed Long.MaxValue, where a bare
+    // .toLong wraps (possibly negative -> parts collapsing to 1)
+    val estEdges = stats.rowCount
+      .map(_.min(BigInt(Long.MaxValue)).toLong)
+      .getOrElse(stats.sizeInBytes.min(BigInt(Long.MaxValue)).toLong / 16L)
     val es: RDD[Edge[Double]] = esDf.rdd.flatMap(edgeMapper)
     val parts = math.max(1, math.min(es.getNumPartitions,
       math.ceil(estEdges.toDouble / TargetEdgesPerPartition).toInt))

@@ -32,7 +32,12 @@ object Aggregators {
       MeanBuf(a.sum.add(b.sum), a.n + b.n)
     override def finish(b: MeanBuf): Double =
       if (b.n == 0) Double.NaN else b.sum.doubleValue() / b.n
-    override def bufferEncoder: Encoder[MeanBuf] = Encoders.product[MeanBuf]
+    // kryo, NOT Encoders.product: the product encoder would squeeze the
+    // BigDecimal through DecimalType(38,18) when partial buffers cross
+    // the shuffle — rounding sums needing scale > 18 (breaking the
+    // merge-order invariance this aggregator exists for) and decoding
+    // |sum| >= 1e20 as null (NPE on the next merge)
+    override def bufferEncoder: Encoder[MeanBuf] = Encoders.kryo[MeanBuf]
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 

@@ -38,6 +38,9 @@ object TopKPerGroup {
   def apply(df: DataFrame, group: Seq[String], order: Seq[(String, Boolean)],
             k: Int): DataFrame = {
     require(k > 0, s"topKPerGroup: k must be positive, got $k")
+    require(group.nonEmpty,
+      "topKPerGroup: group columns must be non-empty (global top-k is " +
+        "orderBy(...).limit(k) — Spark plans it as TakeOrderedAndProject)")
     val spark = df.sparkSession
     // idempotently register the planner strategy + optimizer rule on
     // whatever session the caller holds — no builder changes needed
@@ -94,8 +97,19 @@ object TopKPerGroupStrategy extends SparkStrategy {
 }
 
 /** Physical operator: one bounded heap per group per partition.
-  * Memory is O(groups-in-partition × k) rows — never the partition's
-  * row count, and the partial phase bounds what the exchange carries. */
+  *
+  * Memory: O(min(groups-in-partition, flush threshold) × k) rows in
+  * the partial phase — when a map partition sees more distinct groups
+  * than `PartialFlushGroups`, the heap table is FLUSHED to the output
+  * and restarted. Flushing is sound for the partial phase: a row the
+  * pre-flush heap would have rejected is only ever an EXTRA row for
+  * the final phase to discard, and a row belonging to the partition's
+  * true per-group top-k is never rejected (rejection requires k
+  * better same-group rows in the current epoch, which are themselves
+  * emitted). The final phase holds the groups one shuffle partition
+  * owns — the same bound as hash aggregation pre-spill; a production
+  * hardening would integrate TaskMemoryManager-tracked spilling
+  * there. */
 case class TopKPerGroupExec(group: Seq[Expression], order: Seq[SortOrder],
                             k: Int, partial: Boolean, child: SparkPlan)
     extends UnaryExecNode {
@@ -110,6 +124,7 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Seq[SortOrder],
     val groupExprs = group
     val sortOrder = order
     val limit = k
+    val isPartial = partial
     val childOutput = child.output
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(groupExprs, childOutput)
@@ -118,20 +133,59 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Seq[SortOrder],
       // ordering that is the row sorting LAST — the worst row kept,
       // exactly the one a better candidate should evict
       val heaps = mutable.HashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
-      while (iter.hasNext) {
-        val row = iter.next()
-        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-          mutable.PriorityQueue.empty[InternalRow](ordering))
-        if (heap.size < limit) heap.enqueue(row.copy())
-        else if (ordering.compare(row, heap.head) < 0) {
-          heap.dequeue(); heap.enqueue(row.copy())
+
+      new Iterator[InternalRow] {
+        private var out: Iterator[InternalRow] = Iterator.empty
+        private var inputDone = false
+
+        /** Emit every group's survivors in sort order (cheap: ≤k each)
+          * and reset the table. */
+        private def drain(): Iterator[InternalRow] = {
+          val groups = heaps.values.toArray
+          heaps.clear()
+          groups.iterator.flatMap(_.dequeueAll.reverseIterator)
         }
+
+        private def advance(): Unit = {
+          while (!out.hasNext && !inputDone) {
+            var flushed: Iterator[InternalRow] = Iterator.empty
+            while (iter.hasNext && !flushed.hasNext) {
+              val row = iter.next()
+              // probe before copying: the projection reuses its
+              // buffer, so only a first-seen group pays the key copy
+              val probe = keyProj(row)
+              val heap = heaps.get(probe) match {
+                case Some(h) => h
+                case None =>
+                  if (isPartial &&
+                      heaps.size >= TopKPerGroupExec.PartialFlushGroups)
+                    flushed = drain()
+                  val h = mutable.PriorityQueue.empty[InternalRow](ordering)
+                  heaps.put(probe.copy(), h)
+                  h
+              }
+              if (heap.size < limit) heap.enqueue(row.copy())
+              else if (ordering.compare(row, heap.head) < 0) {
+                heap.dequeue(); heap.enqueue(row.copy())
+              }
+            }
+            if (flushed.hasNext) out = flushed
+            else if (!iter.hasNext) { inputDone = true; out = drain() }
+          }
+        }
+
+        override def hasNext: Boolean = { advance(); out.hasNext }
+        override def next(): InternalRow = { advance(); out.next() }
       }
-      // emit each group's survivors in sort order (cheap: k elements)
-      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
     }
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
     copy(child = newChild)
+}
+
+object TopKPerGroupExec {
+  /** Partial-phase heap-table cap: past this many distinct groups in
+    * one map partition, flush-and-restart (soundness argued above). */
+  val PartialFlushGroups: Int = 1 << 16
 }

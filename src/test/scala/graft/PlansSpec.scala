@@ -66,6 +66,20 @@ class PlansSpec extends SparkSuite {
     assert(rows(stacked) == rows(windowTopK(df, 2)))
   }
 
+  test("partial-phase flush past the group cap stays exact (bounded memory)") {
+    // 70k distinct groups × 2 rows through ONE map partition: the
+    // partial heap table crosses PartialFlushGroups (64k), flushes
+    // mid-stream, and the final phase must still reduce both epochs'
+    // emissions to exactly min-v per group
+    val d = spark.range(0, 140000).toDF("n").coalesce(1)
+      // `/` is double division: first copies get v in [0,1), second
+      // copies v in [1,2) — min-v per id is always the first copy
+      .select(($"n" % 70000).as("id"), ($"n" / 70000).cast("double").as("v"))
+    val got = TopKPerGroup(d, Seq("id"), Seq(("v", true), ("id", true)), 1)
+    assert(got.count() == 70000)
+    assert(got.agg(max($"v")).head.getDouble(0) < 1.0) // never a second copy
+  }
+
   test("null group keys and null order values match the window form") {
     val d = Seq(
       (Option("a"), 1L, Option(1.0)), (Option("a"), 2L, Option.empty[Double]),
