@@ -985,6 +985,36 @@ object SparkEntry {
              | list_contains(t, 'the') AS has_the
              |FROM tk ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("x31_chunking",
+      // context-window prep: 6-token chunks every 4 tokens (overlap 2)
+      // — every chunk re-derivable by the oracle (pure slicing, no
+      // hash family involved), totally ordered by (doc, chunk_idx).
+      (s, dir) => TextOps.chunk(docs(s, dir), window = 6, stride = 4)
+        .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH tk AS (SELECT doc_id,
+             |  string_split_regex(trim(text), '\s+') AS t FROM documents),
+             | st AS (SELECT doc_id, t,
+             |  UNNEST(range(0, len(t), 4)) AS s FROM tk)
+             |SELECT doc_id, CAST(s // 4 AS BIGINT) AS chunk_idx,
+             | array_to_string(t[s + 1 : s + 6], ' ') AS chunk_text,
+             | CAST(len(t[s + 1 : s + 6]) AS BIGINT) AS chunk_tokens
+             |FROM st ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    QueryDef("x32_scrub",
+      // email -> URL -> digit-run placeholder canonicalization; the
+      // regexes live in the Java∩RE2 common syntax so DuckDB applies
+      // the identical patterns ('g' = Spark's replace-all default).
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.scrub(col("text")).as("scrubbed"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             | regexp_replace(regexp_replace(regexp_replace(text,
+             |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+             |   'https?://[^\s]+', '<URL>', 'g'),
+             |   '[0-9]+', '<NUM>', 'g') AS scrubbed
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     QueryDef("x04_quality",
       (s, dir) => TextOps.qualityFeatures(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_tokens"), col("mean_token_len"),

@@ -26,6 +26,43 @@ object TextOps {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Pattern scrubbing: canonicalize emails, then URLs, then digit
+    * runs to placeholder tokens — the standard cleaning step before
+    * dedup/fingerprinting so formatting-only variants collapse.
+    * Patterns stay in the Java∩RE2 common syntax (no lookaround), so
+    * the x32 oracle applies the identical regexes; replacement order
+    * matters (emails contain digits) and is part of the contract. */
+  def scrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+        "https?://[^\\s]+", "<URL>"),
+      "[0-9]+", "<NUM>")
+
+  /** Overlapping token-window chunks — the context-window prep step of
+    * a training pipeline: windows of `window` tokens starting every
+    * `stride` tokens (stride < window ⇒ overlap). Pure column algebra
+    * (sequence → transform/slice → posexplode): codegen'd, no UDF, and
+    * engine-portable (the x31 oracle re-derives every chunk).
+    * Returns (idCol, chunk_idx, chunk_text, chunk_tokens). */
+  def chunk(docs: DataFrame, window: Int, stride: Int,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0 && stride > 0,
+      s"chunk: window and stride must be positive, got ($window, $stride)")
+    val tks = tokens(col(textCol))
+    docs
+      .select(col(idCol), tks.as("__tks"))
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("__tks")) - 1, lit(stride)),
+          st => struct(
+            array_join(slice(col("__tks"), st + 1, lit(window)), " ").as("text"),
+            size(slice(col("__tks"), st + 1, lit(window))).as("n")))))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        col("col.text").as("chunk_text"),
+        col("col.n").cast("long").as("chunk_tokens"))
+  }
+
   /** BPE-ish sub-token estimate: whitespace tokens + extra splits at
     * letter/digit and case boundaries approximated by ceil(chars/4) —
     * the standard ~4-chars-per-token heuristic, as a codegen'd column. */

@@ -220,6 +220,23 @@ class ExtSpec extends SparkSuite {
     assert(top.find(_._2 == 1).map(_._1).contains(1L)) // twin ranks first
   }
 
+  test("chunking: overlapping stride windows, tail clamped (X3)") {
+    val d = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val out = TextOps.chunk(d, window = 4, stride = 2).orderBy("chunk_idx")
+      .select("chunk_idx", "chunk_text", "chunk_tokens")
+      .as[(Int, String, Long)].collect()
+    assert(out.map(_._2).toSeq == Seq(
+      "a b c d", "c d e f", "e f g h", "g h i j", "i j"))
+    assert(out.map(_._3).toSeq == Seq(4L, 4L, 4L, 4L, 2L))
+  }
+
+  test("scrub canonicalizes emails, urls, digit runs — in that order (X3)") {
+    val d = Seq((1L, "mail a.b%c@d-e.fg or https://x.y/z?q=1 then 42 12ab"))
+      .toDF("doc_id", "text")
+    val out = d.select(TextOps.scrub($"text")).as[String].head()
+    assert(out == "mail <EMAIL> or <URL> then <NUM> <NUM>ab")
+  }
+
   test("ExactMean aggregator: equals decimal formulation, partition-invariant") {
     val df = (1 to 101).map(i => ("g", i * 0.1)).toDF("k", "v")
     def mean(d: org.apache.spark.sql.DataFrame) = d.groupBy("k")
