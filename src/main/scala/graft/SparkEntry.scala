@@ -992,14 +992,17 @@ object SparkEntry {
       (s, dir) => TextOps.chunk(docs(s, dir), window = 6, stride = 4)
         .withColumn("chunk_idx", col("chunk_idx").cast("long"))
         .orderBy("doc_id", "chunk_idx"),
+      // starts stop at n - (window - stride): later windows are strict
+      // subsets of their predecessor (duplicate training data)
       Some("""WITH tk AS (SELECT doc_id,
              |  string_split_regex(trim(text), '\s+') AS t FROM documents),
              | st AS (SELECT doc_id, t,
-             |  UNNEST(range(0, len(t), 4)) AS s FROM tk)
+             |  UNNEST(range(0, GREATEST(len(t) - 2, 1), 4)) AS s FROM tk)
              |SELECT doc_id, CAST(s // 4 AS BIGINT) AS chunk_idx,
              | array_to_string(t[s + 1 : s + 6], ' ') AS chunk_text,
-             | CAST(len(t[s + 1 : s + 6]) AS BIGINT) AS chunk_tokens
-             |FROM st ORDER BY doc_id, chunk_idx""".stripMargin)),
+             | CAST(LEAST(6, len(t) - s) AS BIGINT) AS chunk_tokens
+             |FROM st WHERE array_to_string(t[s + 1 : s + 6], ' ') <> ''
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
 
     QueryDef("x32_scrub",
       // email -> URL -> digit-run placeholder canonicalization; the
@@ -1008,10 +1011,12 @@ object SparkEntry {
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"), TextOps.scrub(col("text")).as("scrubbed"))
         .orderBy("doc_id"),
+      // explicit whitespace class, not \s: Java's \s has \x0B, RE2's
+      // does not — this class is identical in both engines
       Some("""SELECT doc_id,
              | regexp_replace(regexp_replace(regexp_replace(text,
              |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
-             |   'https?://[^\s]+', '<URL>', 'g'),
+             |   'https?://[^ \t\n\r\f\x0B]+', '<URL>', 'g'),
              |   '[0-9]+', '<NUM>', 'g') AS scrubbed
              |FROM documents ORDER BY doc_id""".stripMargin)),
 

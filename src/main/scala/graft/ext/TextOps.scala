@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
  */
 object TextOps {
 
+  /** Whitespace tokenization shared by every text operator and every
+    * oracle (`string_split_regex(trim(text), '\s+')`). Known caveat:
+    * Java's `\s` includes vertical tab (\x0B), RE2's does not — a
+    * corpus containing \x0B would tokenize differently in DuckDB. The
+    * driver corpora contain none; [[scrub]] shows the explicit-class
+    * alternative if a real corpus needs the stronger guarantee. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   /** Canonical text normalization for dedup pre-processing: lowercase,
@@ -29,38 +35,53 @@ object TextOps {
   /** Pattern scrubbing: canonicalize emails, then URLs, then digit
     * runs to placeholder tokens — the standard cleaning step before
     * dedup/fingerprinting so formatting-only variants collapse.
-    * Patterns stay in the Java∩RE2 common syntax (no lookaround), so
-    * the x32 oracle applies the identical regexes; replacement order
-    * matters (emails contain digits) and is part of the contract. */
+    * Patterns stay in the Java∩RE2 common syntax (no lookaround, and
+    * no `\s`: Java's includes vertical tab, RE2's does not — the URL
+    * terminator is the explicit class below, identical in both
+    * engines), so the x32 oracle applies the identical regexes;
+    * replacement order matters (emails contain digits) and is part of
+    * the contract. */
   def scrub(text: Column): Column =
     regexp_replace(
       regexp_replace(
         regexp_replace(text,
           "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
-        "https?://[^\\s]+", "<URL>"),
+        "https?://[^ \\t\\n\\r\\f\\x0B]+", "<URL>"),
       "[0-9]+", "<NUM>")
 
   /** Overlapping token-window chunks — the context-window prep step of
     * a training pipeline: windows of `window` tokens starting every
-    * `stride` tokens (stride < window ⇒ overlap). Pure column algebra
-    * (sequence → transform/slice → posexplode): codegen'd, no UDF, and
-    * engine-portable (the x31 oracle re-derives every chunk).
-    * Returns (idCol, chunk_idx, chunk_text, chunk_tokens). */
+    * `stride` tokens (stride < window ⇒ overlap). Start positions run
+    * only to `n - window + stride - 1`: a later start would yield a
+    * chunk wholly contained in its predecessor (pure duplicate
+    * training data), so the last chunk is the one that reaches the
+    * final token. Empty/whitespace-only docs produce zero chunks.
+    * Pure column algebra (sequence → transform/slice → posexplode):
+    * codegen'd, no UDF, and engine-portable (the x31 oracle re-derives
+    * every chunk). Returns (idCol, chunk_idx, chunk_text,
+    * chunk_tokens). */
   def chunk(docs: DataFrame, window: Int, stride: Int,
             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(window > 0 && stride > 0,
       s"chunk: window and stride must be positive, got ($window, $stride)")
     val tks = tokens(col(textCol))
+    val n = size(col("__tks"))
     docs
       .select(col(idCol), tks.as("__tks"))
       .select(col(idCol), posexplode(
-        transform(sequence(lit(0), size(col("__tks")) - 1, lit(stride)),
+        transform(
+          sequence(lit(0),
+            greatest(n - lit(window - stride + 1), lit(0)), lit(stride)),
           st => struct(
             array_join(slice(col("__tks"), st + 1, lit(window)), " ").as("text"),
-            size(slice(col("__tks"), st + 1, lit(window))).as("n")))))
+            // no second slice: the clamped length is derivable
+            least(lit(window), n - st).as("n")))))
       .select(col(idCol), col("pos").as("chunk_idx"),
         col("col.text").as("chunk_text"),
         col("col.n").cast("long").as("chunk_tokens"))
+      // tokens("") is [""] (split semantics): drop the phantom chunk
+      // an empty doc would otherwise emit
+      .filter(col("chunk_text") =!= "")
   }
 
   /** BPE-ish sub-token estimate: whitespace tokens + extra splits at

@@ -220,14 +220,22 @@ class ExtSpec extends SparkSuite {
     assert(top.find(_._2 == 1).map(_._1).contains(1L)) // twin ranks first
   }
 
-  test("chunking: overlapping stride windows, tail clamped (X3)") {
+  test("chunking: overlapping stride windows, no redundant-subset tail (X3)") {
     val d = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
     val out = TextOps.chunk(d, window = 4, stride = 2).orderBy("chunk_idx")
       .select("chunk_idx", "chunk_text", "chunk_tokens")
       .as[(Int, String, Long)].collect()
+    // the last window reaches the final token; a start at 8 would be a
+    // strict subset of the chunk before it and must NOT be emitted
     assert(out.map(_._2).toSeq == Seq(
-      "a b c d", "c d e f", "e f g h", "g h i j", "i j"))
-    assert(out.map(_._3).toSeq == Seq(4L, 4L, 4L, 4L, 2L))
+      "a b c d", "c d e f", "e f g h", "g h i j"))
+    assert(out.map(_._3).toSeq == Seq(4L, 4L, 4L, 4L))
+    // short doc: one clamped chunk; empty doc: zero chunks
+    val short = Seq((1L, "x y"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val s = TextOps.chunk(short, window = 4, stride = 2)
+      .select("doc_id", "chunk_text", "chunk_tokens")
+      .as[(Long, String, Long)].collect()
+    assert(s.toSeq == Seq((1L, "x y", 2L)))
   }
 
   test("scrub canonicalizes emails, urls, digit runs — in that order (X3)") {
