@@ -220,6 +220,29 @@ object InvariantProps extends Properties("GraftInvariants") {
       salted == plain && aggd == direct
     }
 
+  private val genTopK = for {
+    n <- Gen.choose(0, 40)
+    rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0, 5), Gen.choose(-50, 50)))
+    k <- Gen.choose(1, 4)
+  } yield (rows, k)
+
+  property("TopKPerGroup == window row_number on random data (incl. empty)") =
+    forAll(genTopK) { case (rows, k) =>
+      import spark.implicits._
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (g.toLong, i.toLong, v.toDouble) }
+        .toDF("grp", "id", "v")
+      val got = graft.plans.TopKPerGroup(df, Seq("grp"),
+          Seq(("v", false), ("id", true)), k)
+        .select("grp", "id").as[(Long, Long)].collect().toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("grp").orderBy(col("v").desc, col("id"))
+      val want = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select("grp", "id").as[(Long, Long)].collect().toSet
+      got == want
+    }
+
   property("exact dedup is idempotent and canonical ids are minimal") =
     forAll(genDocs) { words =>
       import spark.implicits._
