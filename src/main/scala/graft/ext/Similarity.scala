@@ -131,6 +131,28 @@ object Similarity {
     rankedTopK(scored, k)
   }
 
+  /** Persist the corpus partitioned by sign-LSH bucket: at 100 TB the
+    * ANN index IS the directory layout (`path/bucket=N/…`) — probing
+    * a bucket is planning-time partition pruning, so a query touches
+    * exactly its bucket's files, never the corpus. `portable` selects
+    * the md5 plane family (bucket ids re-derivable outside Spark, so
+    * other systems can address the same layout). */
+  def writeBucketed(corpus: DataFrame, path: String, planes: Int = 6,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    portable: Boolean = false): Unit = {
+    val bucketFn: Column => Column =
+      if (portable) lshBucketPortable(_, planes) else lshBucket(_, planes)
+    corpus.select(col(idCol), col(vecCol), bucketFn(col(vecCol)).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** Probe one bucket of a [[writeBucketed]] layout. The bucket
+    * predicate becomes a PartitionFilter (spec-asserted) — zero data
+    * read outside the addressed directory. */
+  def probeBucket(spark: org.apache.spark.sql.SparkSession, path: String,
+                  bucket: Long): DataFrame =
+    spark.read.parquet(path).filter(col("bucket") === bucket)
+
   /** IVF-style variant: corpus assigned to nearest of `centroids`
     * (a small broadcast DataFrame of (centroid_id, cvec)); queries
     * probe their `nprobe` nearest centroids' cells only. */

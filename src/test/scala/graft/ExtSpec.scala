@@ -256,6 +256,26 @@ class ExtSpec extends SparkSuite {
     assert(mean(df.repartition(7)) == want)   // merge-order independent
   }
 
+  test("bucketed ANN layout: probe prunes to one partition directory (X2)") {
+    val emb = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 7.0 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann").toString
+    Similarity.writeBucketed(emb, s"$dir/c", planes = 2)
+    // layout addresses the same buckets the in-memory kernel computes
+    val buckets = emb.select(Similarity.lshBucket($"embedding", 2).as("b"))
+      .distinct().as[Long].collect().toSet
+    val dirs = new java.io.File(s"$dir/c").listFiles()
+      .map(_.getName).filter(_.startsWith("bucket="))
+      .map(_.stripPrefix("bucket=").toLong).toSet
+    assert(dirs == buckets)
+    val probe = Similarity.probeBucket(spark, s"$dir/c", buckets.head)
+    assert(probe.count() > 0)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(bucket"),
+      s"bucket probe did not prune partitions:\n$plan")
+  }
+
   test("IVF topK: identical vector found when query and twin share a cell (X2)") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.1f)),
