@@ -245,6 +245,32 @@ object SparkEntry {
              |SELECT nationkey, 'cust_only' AS which FROM (SELECT nationkey FROM custN EXCEPT SELECT nationkey FROM suppN)
              |ORDER BY which, nationkey""".stripMargin)),
 
+    QueryDef("q26_setops_all",
+      // the MULTISET set ops (q06 covers the distinct forms):
+      // INTERSECT ALL keeps min(countA,countB) copies per value,
+      // EXCEPT ALL keeps countA-countB — duplicate rows are data here,
+      // and the sorted-row hash compare checks exact multiplicities.
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val a = o.filter(col("o_orderstatus") === "O")
+          .select(col("o_orderpriority").as("prio"))
+        val b = o.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderpriority").as("prio"))
+        a.intersectAll(b).withColumn("which", lit("common"))
+          .unionByName(a.exceptAll(b).withColumn("which", lit("open_extra")))
+          .orderBy("which", "prio")
+      },
+      Some("""WITH a AS (SELECT o_orderpriority AS prio FROM orders
+             |  WHERE o_orderstatus = 'O'),
+             | b AS (SELECT o_orderpriority AS prio FROM orders
+             |  WHERE o_orderstatus = 'F')
+             |SELECT prio, 'common' AS which
+             | FROM (SELECT prio FROM a INTERSECT ALL SELECT prio FROM b)
+             |UNION ALL
+             |SELECT prio, 'open_extra' AS which
+             | FROM (SELECT prio FROM a EXCEPT ALL SELECT prio FROM b)
+             |ORDER BY which, prio""".stripMargin)),
+
     QueryDef("q07_distinct_agg",
       (s, dir) => t(s, dir, "customer")
         .groupBy("c_mktsegment")
