@@ -245,6 +245,19 @@ object SparkEntry {
              |SELECT nationkey, 'cust_only' AS which FROM (SELECT nationkey FROM custN EXCEPT SELECT nationkey FROM suppN)
              |ORDER BY which, nationkey""".stripMargin)),
 
+    QueryDef("q27_levenshtein",
+      // edit-distance scalar (the fuzzy-match primitive under record
+      // linkage): classic Levenshtein is engine-exact integer DP.
+      (s, dir) => t(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          levenshtein(col("s_name"), lit("Supplier#000000001")).cast("long")
+            .as("edit_dist"))
+        .orderBy("s_suppkey"),
+      Some("""SELECT s_suppkey,
+             | CAST(levenshtein(s_name, 'Supplier#000000001') AS BIGINT)
+             |   AS edit_dist
+             |FROM supplier ORDER BY s_suppkey""".stripMargin)),
+
     QueryDef("q26_setops_all",
       // the MULTISET set ops (q06 covers the distinct forms):
       // INTERSECT ALL keeps min(countA,countB) copies per value,
