@@ -54,18 +54,43 @@ object Bench {
         .foreach { case (_, rdd) => rdd.unpersist(false) }
       d.name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // also drop the line as a file: sbt log decoration around stdout
-    // has left the driver's BENCH_r*.json "parsed" field null both
-    // rounds, and a plain file survives any log-prefix mangling
+    def jmap(entries: Seq[(String, Double)]): String = entries
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    // Full-precision full map -> file (survives any log mangling).
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+        results.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")},"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      json.getBytes("UTF-8"))
+      fullJson.getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    // Stdout contract line: the driver keeps only a ~2000-char tail of
+    // the run's output, and the full per-query map (~4 KB) overflowed
+    // it in rounds 1-2 ("parsed": null). Emit a COMPACT line instead:
+    // total + per-family rollups + a stable headline subset, all 3 dp,
+    // printed last so it always lands inside the tail window.
+    val headline = Seq(
+      "q01_pricing_summary", "q04_nation_revenue", "q05_window_top_orders",
+      "q09_events_json", "q11_events_sessions", "q15_rollup",
+      "q17_exists_subquery", "g01_vertices", "g04_khop_downstream",
+      "g05_reachability", "g07_components", "g09_on_shortest",
+      "g16_depth_sizes", "g20_pagerank", "g21_scc", "g23_upstream_children",
+      "x01_dedup_exact", "x06_ngram_jaccard", "x07_minhash_lsh",
+      "x09_sim_bruteforce", "x11_sim_ivf", "x15_asof_join",
+      "x21_dedup_clusters", "x23_tfidf", "x30_topk_per_group")
+    val byName = results.toMap
+    val fam = results.groupBy(_._1.take(1)).toSeq.sortBy(_._1)
+      .map { case (p, rs) => (p match {
+        case "q" => "relational"; case "g" => "graph"; case "x" => "pipeline"
+        case o => o
+      }) -> rs.map(_._2).sum }
+    val json =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n":${results.size},"groups":${
+        jmap(fam)},"queries":${
+        jmap(headline.flatMap(h => byName.get(h).map(h -> _)))},"sf":"$sfDir"}"""
+    println(json)
     spark.stop()
   }
 }
