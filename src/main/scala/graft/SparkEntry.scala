@@ -1,7 +1,7 @@
 package graft
 
 import graft.builder.StarGraph
-import graft.algos.{GraphOps, Traversals}
+import graft.algos.{GraphOps, LinkAnalysis, Traversals}
 import graft.ext.{Clustering, Dedup, Sampling, Similarity, Skew, TemporalJoins, TextOps, Multimodal}
 import graft.model.OnionGraph
 import graft.props.PropertyOps
@@ -139,6 +139,40 @@ object SparkEntry {
        |r0 AS (SELECT layer, node_id, CAST(1000000000 AS BIGINT) AS r FROM sg_v),
        |$iterCtes
        |SELECT layer, node_id, r AS rank_fp FROM r$iters ORDER BY layer, node_id""".stripMargin
+  }
+
+  /** DuckDB prelude for the co-purchase projection: parts sharing >= 2
+    * orders, canonical a < b orientation (mirrors
+    * [[LinkAnalysis.cooccurrenceEdges]] on (l_orderkey, l_partkey)). */
+  private val copurchaseSql =
+    """gi AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+      |pe AS MATERIALIZED (SELECT a.i AS a, b.i AS b, COUNT(*) AS w
+      | FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+      | GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
+
+  /** DuckDB oracle for [[LinkAnalysis.kcore]]: `rounds` chained peel
+    * CTEs over the co-purchase projection (fixed-length like the
+    * pagerank/kmeans oracles — the Spark side runs the same bounded
+    * rounds; LinkAnalysisSpec pins that the bound is past fixpoint). */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    // MATERIALIZED is load-bearing: each round references the previous
+    // edge CTE three times, so inlining re-evaluates 3^rounds scans —
+    // enough reopened parquet handles to trip the fd limit.
+    val ctes = (1 to rounds).map { r =>
+      s"""k$r AS MATERIALIZED (
+         | SELECT node FROM (SELECT node, COUNT(*) AS d FROM (
+         |  SELECT a AS node FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1})
+         | GROUP BY node) WHERE d >= $k),
+         |e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
+         | JOIN k$r ka ON ka.node = e.a JOIN k$r kb ON kb.node = e.b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $copurchaseSql,
+       |e0 AS MATERIALIZED (SELECT a, b FROM pe),
+       |$ctes
+       |SELECT node, COUNT(*) AS degree FROM (
+       | SELECT a AS node FROM e$rounds UNION ALL SELECT b AS node FROM e$rounds)
+       |GROUP BY node ORDER BY node""".stripMargin
   }
 
   // ================================================================ corpus
@@ -1858,7 +1892,237 @@ object SparkEntry {
              |  ROW_NUMBER() OVER (PARTITION BY o_custkey
              |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
              | FROM orders)
-             |WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin))
+             |WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ------------------------------------------- graph mining / link analysis
+    QueryDef("g32_triangles",
+      // per-node triangle count + local clustering coefficient on the
+      // co-purchase projection (parts sharing >= 2 orders). Exact
+      // integer counts; the coefficient is the single float division.
+      (s, dir) => LinkAnalysis.clusteringCoefficients(
+          LinkAnalysis.cooccurrenceEdges(
+            t(s, dir, "lineitem"), "l_orderkey", "l_partkey", 2))
+        .orderBy("node"),
+      Some(s"""WITH $copurchaseSql,
+              |tris AS (SELECT e1.a, e1.b, e2.b AS c FROM pe e1
+              | JOIN pe e2 ON e2.a = e1.b
+              | JOIN pe e3 ON e3.a = e1.a AND e3.b = e2.b),
+              |tpn AS (SELECT node, COUNT(*) AS triangles FROM (
+              | SELECT a AS node FROM tris UNION ALL SELECT b FROM tris
+              | UNION ALL SELECT c FROM tris) GROUP BY node),
+              |deg AS (SELECT node, COUNT(*) AS d FROM (
+              | SELECT a AS node FROM pe UNION ALL SELECT b AS node FROM pe)
+              | GROUP BY node)
+              |SELECT d.node, COALESCE(t.triangles, 0) AS triangles,
+              | (d.d*(d.d-1))//2 AS wedges,
+              | CAST(COALESCE(t.triangles, 0) AS DOUBLE) / ((d.d*(d.d-1))//2)
+              |  AS clustering_coeff
+              |FROM deg d LEFT JOIN tpn t USING (node)
+              |WHERE d.d >= 2 ORDER BY d.node""".stripMargin)),
+
+    QueryDef("g33_jaccard_pairs",
+      // link-prediction: neighbor-set Jaccard between parts over order
+      // neighborhoods, top-100 by similarity. Intersection/union stay
+      // BIGINT; jaccard is one division of those exact ints, so the
+      // DESC sort ranks identically on both engines.
+      (s, dir) => LinkAnalysis.jaccardPairs(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey", 2)
+        .select(col("a"), col("b"), col("inter").as("n_common"),
+          col("uni").as("n_union"), col("jaccard"))
+        .orderBy(desc("jaccard"), col("a"), col("b")).limit(100),
+      Some(s"""WITH $copurchaseSql,
+              |deg AS (SELECT i, COUNT(*) AS d FROM gi GROUP BY i)
+              |SELECT p.a, p.b, p.w AS n_common,
+              | da.d + db.d - p.w AS n_union,
+              | CAST(p.w AS DOUBLE) / (da.d + db.d - p.w) AS jaccard
+              |FROM pe p JOIN deg da ON da.i = p.a JOIN deg db ON db.i = p.b
+              |ORDER BY jaccard DESC, p.a, p.b LIMIT 100""".stripMargin)),
+
+    QueryDef("g34_resource_alloc",
+      // Resource-Allocation link-prediction index: Σ 1/deg(order) over
+      // shared orders, quantized to floor(1e9/deg) BIGINTs so the sum
+      // is exact on every engine (Adamic-Adar's 1/ln would hash-drift
+      // in the last libm ulp).
+      (s, dir) => LinkAnalysis.resourceAllocationPairs(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey", 2)
+        .select(col("a"), col("b"), col("inter").as("n_common"),
+          col("ra_score"))
+        .orderBy(desc("ra_score"), col("a"), col("b")).limit(100),
+      Some("""WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+             |  FROM lineitem),
+             |gdeg AS (SELECT g, COUNT(*) AS gd FROM gi GROUP BY g),
+             |pairs AS (SELECT a.i AS a, b.i AS b, COUNT(*) AS n_common,
+             |  CAST(SUM(1000000000 // w.gd) AS BIGINT) AS ra_score
+             | FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+             | JOIN gdeg w ON w.g = a.g
+             | GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+             |SELECT a, b, n_common, ra_score FROM pairs
+             |ORDER BY ra_score DESC, a, b LIMIT 100""".stripMargin)),
+
+    QueryDef("g35_kcore",
+      // bounded synchronous 2-core peeling (8 rounds — fixpoint is at
+      // 3 on this graph, LinkAnalysisSpec pins the convergence).
+      (s, dir) => LinkAnalysis.kcore(
+          LinkAnalysis.cooccurrenceEdges(
+            t(s, dir, "lineitem"), "l_orderkey", "l_partkey", 2), 2, 8)
+        .orderBy("node"),
+      Some(kcoreSql(2, 8))),
+
+    // ------------------------------------------------- relational coverage 2
+    QueryDef("q28_grouping_sets",
+      // GROUPING SETS distinct from rollup/cube + the GROUPING()
+      // marker — the ALL-coalesce plus grouping flags make each output
+      // row's provenance explicit and the sort total.
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql(s"""SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+                 | COALESCE(l_linestatus, 'ALL') AS status,
+                 | CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+                 | CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+                 | ${dsumSql("l_quantity")} AS qty_sum, COUNT(*) AS n
+                 |FROM lineitem GROUP BY GROUPING SETS (
+                 | (l_returnflag, l_linestatus), (l_returnflag),
+                 | (l_linestatus), ())
+                 |ORDER BY flag, status, g_flag, g_status""".stripMargin)
+      },
+      Some(s"""SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+              | COALESCE(l_linestatus, 'ALL') AS status,
+              | CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+              | CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+              | ${dsumSql("l_quantity")} AS qty_sum, COUNT(*) AS n
+              |FROM lineitem GROUP BY GROUPING SETS (
+              | (l_returnflag, l_linestatus), (l_returnflag),
+              | (l_linestatus), ())
+              |ORDER BY flag, status, g_flag, g_status""".stripMargin)),
+
+    QueryDef("q29_string_agg",
+      // ordered string aggregation: collect_list is unordered by
+      // contract, so sort the array before joining — the DuckDB side's
+      // string_agg(... ORDER BY) states the same order explicitly.
+      (s, dir) => {
+        val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+        n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_nations"),
+            array_join(array_sort(collect_list(col("n_name"))), ",")
+              .as("nations"))
+          .orderBy("r_name")
+      },
+      Some("""SELECT r_name, COUNT(*) AS n_nations,
+             | string_agg(n_name, ',' ORDER BY n_name) AS nations
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    QueryDef("q30_histogram",
+      // fixed-width histogram on integer cents: double -> exact cents
+      // via floor(x*100 + 0.5) (2dp money, so +0.5 rounds the FP
+      // representation error away identically on both engines), then
+      // integer DIV into $50k buckets — no float boundary hazard.
+      (s, dir) => t(s, dir, "orders")
+        .select(expr(
+          "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DIV 5000000")
+          .as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_orders"))
+        .withColumn("lo_dollars", col("bucket") * 50000)
+        .orderBy("bucket"),
+      Some("""SELECT bucket, COUNT(*) AS n_orders, bucket * 50000 AS lo_dollars
+             |FROM (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             |        // 5000000 AS bucket FROM orders)
+             |GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    QueryDef("q35_full_outer",
+      // FULL OUTER JOIN coverage with genuinely asymmetric sides
+      // (nations having deep-debit customers vs suppliers): USING-join
+      // coalesces the key, unmatched counts coalesce to 0.
+      (s, dir) => {
+        val c = t(s, dir, "customer").where(col("c_acctbal") < -800)
+          .groupBy(col("c_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n_poor_cust"))
+        val su = t(s, dir, "supplier").where(col("s_acctbal") < -800)
+          .groupBy(col("s_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n_poor_supp"))
+        c.join(su, Seq("nk"), "full_outer")
+          .select(col("nk"),
+            coalesce(col("n_poor_cust"), lit(0L)).as("n_poor_cust"),
+            coalesce(col("n_poor_supp"), lit(0L)).as("n_poor_supp"))
+          .orderBy("nk")
+      },
+      Some("""SELECT COALESCE(c.nk, s.nk) AS nk,
+             | COALESCE(c.n, 0) AS n_poor_cust,
+             | COALESCE(s.n, 0) AS n_poor_supp
+             |FROM (SELECT c_nationkey AS nk, COUNT(*) AS n FROM customer
+             |      WHERE c_acctbal < -800 GROUP BY 1) c
+             |FULL OUTER JOIN
+             |     (SELECT s_nationkey AS nk, COUNT(*) AS n FROM supplier
+             |      WHERE s_acctbal < -800 GROUP BY 1) s
+             |ON c.nk = s.nk ORDER BY nk""".stripMargin)),
+
+    QueryDef("q33_funnel",
+      // ordered funnel over the event stream: signup -> view -> click
+      // -> purchase by strict first-occurrence time. Two shuffles
+      // total (per-user min-per-step, then global roll-up) — no
+      // k-way self-join.
+      (s, dir) => EventStreams.funnel(EventStreams.readEvents(s, dir),
+        Seq("signup", "view", "click", "purchase")),
+      Some("""WITH per AS (SELECT user_id,
+             |  MIN(ts) FILTER (event_type = 'signup') AS t_signup,
+             |  MIN(ts) FILTER (event_type = 'view') AS t_view,
+             |  MIN(ts) FILTER (event_type = 'click') AS t_click,
+             |  MIN(ts) FILTER (event_type = 'purchase') AS t_purchase
+             | FROM events GROUP BY user_id)
+             |SELECT COUNT(*) AS n_users,
+             | CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS f_signup,
+             | CAST(SUM(CASE WHEN t_signup < t_view THEN 1 ELSE 0 END) AS BIGINT) AS f_view,
+             | CAST(SUM(CASE WHEN t_signup < t_view AND t_view < t_click
+             |   THEN 1 ELSE 0 END) AS BIGINT) AS f_click,
+             | CAST(SUM(CASE WHEN t_signup < t_view AND t_view < t_click
+             |   AND t_click < t_purchase THEN 1 ELSE 0 END) AS BIGINT) AS f_purchase
+             |FROM per""".stripMargin)),
+
+    QueryDef("q34_retention",
+      // cohort retention: first-active-day cohorts, users active again
+      // in day windows [7,13] and [14,20] — pure integer date math.
+      (s, dir) => EventStreams.retentionCohorts(
+        EventStreams.readEvents(s, dir)).orderBy("cohort_day"),
+      Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+             |  FROM events),
+             | fst AS (SELECT user_id, MIN(d) AS d0 FROM ud GROUP BY user_id),
+             | per AS (SELECT f.user_id, f.d0,
+             |  MAX(CASE WHEN date_diff('day', f.d0, u.d) BETWEEN 7 AND 13
+             |    THEN 1 ELSE 0 END) AS r1,
+             |  MAX(CASE WHEN date_diff('day', f.d0, u.d) BETWEEN 14 AND 20
+             |    THEN 1 ELSE 0 END) AS r2
+             |  FROM fst f JOIN ud u ON u.user_id = f.user_id GROUP BY 1, 2)
+             |SELECT d0 AS cohort_day, COUNT(*) AS n_users,
+             | CAST(SUM(r1) AS BIGINT) AS retained_w1,
+             | CAST(SUM(r2) AS BIGINT) AS retained_w2
+             |FROM per GROUP BY d0 ORDER BY d0""".stripMargin)),
+
+    // ------------------------------------------------------ pipeline: text LM
+    QueryDef("x33_bigram_lm",
+      // self-trained bigram-LM predictability score (the n-gram
+      // perplexity-filter stand-in): integer-quantized conditional
+      // frequencies, exact BIGINT sums, one final division per doc.
+      (s, dir) => TextOps.bigramPredictability(docs(s, dir))
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(
+             |   trim(regexp_replace(regexp_replace(lower(text),
+             |     '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')),
+             |   '\s+') AS t FROM documents),
+             | bi AS (SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+             |   SELECT doc_id, UNNEST([{'w1': t[i], 'w2': t[i+1]}
+             |     for i in generate_series(1, len(t)-1)]) AS bg
+             |   FROM toks)),
+             | cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY 1, 2),
+             | cp AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cp FROM cb GROUP BY 1),
+             | wt AS (SELECT w1, w2, cb * 1000000 // cp AS q
+             |   FROM cb JOIN cp USING (w1)),
+             | per AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+             |   CAST(SUM(q) AS BIGINT) AS pred_sum
+             |   FROM bi JOIN wt USING (w1, w2) GROUP BY doc_id)
+             |SELECT doc_id, n_bigrams, pred_sum,
+             | CAST(pred_sum AS DOUBLE) / n_bigrams AS pred_score
+             |FROM per ORDER BY doc_id""".stripMargin))
   )
 
   // ============================================================= contract

@@ -171,6 +171,47 @@ object TextOps {
           .cast("long"))
   }
 
+  /** Self-trained bigram predictability score — the deterministic
+    * stand-in for an n-gram LM perplexity filter (the quality gate a
+    * training pipeline runs between dedup and packing): train bigram
+    * counts on the corpus itself, then score each document by the mean
+    * conditional frequency of its bigrams. The weight per bigram is
+    * the integer-quantized conditional probability
+    * `count(w1,w2) * 1e6 DIV count(w1,·)` so every partial sum is
+    * exact BIGINT arithmetic (engine-portable, order-independent);
+    * the per-doc mean is the single final float division.
+    *
+    * Output: (doc_id, n_bigrams, pred_sum, pred_score) for docs with
+    * at least one bigram. Scale: two hash aggregations over the bigram
+    * stream (map-side combined) + one join of the stream against the
+    * weight table — the weight table shuffles on (w1, w2), the same
+    * key the stream is already keyed by for counting, and AQE
+    * broadcast-joins it when the vocabulary is small. The BIGINT
+    * weight assumes count(w1,w2) ≤ ~9e12 (1e19 / 1e6). */
+  def bigramPredictability(df: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      tokens(normalize(col(textCol))).as("t"))
+    // adjacent pairs without a self-join: slice to the first n-1
+    // tokens, pair each with its successor (empty docs normalize to a
+    // single "" token -> slice(t, 1, 0) = [] -> no bigrams)
+    val bi = toks
+      .withColumn("bg", expr(
+        "transform(slice(t, 1, size(t)-1), (x, i) -> struct(x AS w1, element_at(t, i+2) AS w2))"))
+      .select(col("doc_id"), explode(col("bg")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cp = cb.groupBy("w1").agg(sum("cb").as("cp"))
+    // integer DIV (not `/` + cast): bit-identical to the oracle's `//`
+    val wt = cb.join(cp, "w1")
+      .withColumn("q", expr("CAST(cb * 1000000 DIV cp AS BIGINT)"))
+      .select("w1", "w2", "q")
+    bi.join(wt, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("q").as("pred_sum"))
+      .withColumn("pred_score", col("pred_sum").cast("double") / col("n_bigrams"))
+  }
+
   /** Document fingerprints: full-content md5 + winnowing-style minimum
     * shingle fingerprint (lexicographic min of shingle md5s — a
     * deterministic rolling-hash stand-in both Spark and any ANSI SQL

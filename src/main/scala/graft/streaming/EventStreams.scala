@@ -140,6 +140,61 @@ object EventStreams {
   def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Ordered funnel analysis: how many users completed each prefix of
+    * `steps` in strict first-occurrence timestamp order (min(ts) per
+    * step, t_1 < t_2 < ... < t_i). One hash aggregation per user (all
+    * step minimums in a single pass) + one global roll-up — two
+    * shuffles total regardless of funnel length, no self-joins (the
+    * naive k-way join formulation shuffles the event table k times).
+    * Output: one row — n_users plus an f_<step> completion count per
+    * step. */
+  def funnel(events: DataFrame, steps: Seq[String],
+             userCol: String = "user_id", typeCol: String = "event_type",
+             tsCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val mins = steps.map(st =>
+      min(when(col(typeCol) === st, col(tsCol))).as(s"t_$st"))
+    val per = events.groupBy(col(userCol)).agg(mins.head, mins.tail: _*)
+    // completed prefix i: strict chain of first-occurrence times; any
+    // NULL min (step never seen) nulls the AND -> counted as 0
+    val conds = steps.indices.map { i =>
+      if (i == 0) col(s"t_${steps.head}").isNotNull
+      else (1 to i).map(j =>
+        col(s"t_${steps(j - 1)}") < col(s"t_${steps(j)}")).reduce(_ && _)
+    }
+    val aggs = conds.zipWithIndex.map { case (c, i) =>
+      sum(when(c, 1L).otherwise(0L)).as(s"f_${steps(i)}")
+    }
+    per.agg(count(lit(1)).as("n_users"), aggs: _*)
+  }
+
+  /** Cohort retention: users grouped by their first active day, with
+    * per-cohort counts of users active again in later day windows
+    * (`windows` = inclusive [from, to] day offsets, e.g. (7,13) =
+    * "week 1"). Distinct (user, day) first — retention is about
+    * activity days, not event volume — then one self-join of the
+    * per-user first-day table back to activity days, all on the user
+    * key. */
+  def retentionCohorts(events: DataFrame,
+                       windows: Seq[(Int, Int)] = Seq((7, 13), (14, 20)),
+                       userCol: String = "user_id",
+                       tsCol: String = "ts"): DataFrame = {
+    val ud = events.select(col(userCol).as("user_id"),
+      col(tsCol).cast("date").as("d")).distinct()
+    val first = ud.groupBy("user_id").agg(min("d").as("d0"))
+    val flags = windows.zipWithIndex.map { case ((lo, hi), i) =>
+      max(when(datediff(col("d"), col("d0")).between(lo, hi), 1L)
+        .otherwise(0L)).as(s"r$i")
+    }
+    val per = first.join(ud, "user_id")
+      .groupBy(col("user_id"), col("d0"))
+      .agg(flags.head, flags.tail: _*)
+    val sums = windows.indices.map(i =>
+      sum(col(s"r$i")).as(s"retained_w${i + 1}"))
+    per.groupBy(col("d0").as("cohort_day"))
+      .agg(count(lit(1)).as("n_users"), sums: _*)
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: running per-user
     * (count, total) emitted on every update — the mapGroupsWithState
     * family is the escape hatch for stateful logic windows can't

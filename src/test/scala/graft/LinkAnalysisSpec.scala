@@ -1,0 +1,133 @@
+package graft
+
+import graft.algos.LinkAnalysis
+import graft.ext.TextOps
+import graft.streaming.EventStreams
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the link-analysis operators. */
+class LinkAnalysisSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def edges(es: (Long, Long)*): DataFrame =
+    es.toDF("a", "b")
+
+  test("clusteringCoefficients on K4 plus a pendant") {
+    // K4 on 1..4 (every node: 3 triangles, 3 wedges, coeff 1) plus a
+    // pendant 5 hanging off node 1 (degree 4 -> 6 wedges, coeff 1/2;
+    // node 5 has degree 1 -> excluded)
+    val e = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L))
+    val got = rows(LinkAnalysis.clusteringCoefficients(e))
+    assert(got === Set(
+      Seq(1L, 3L, 6L, 0.5),
+      Seq(2L, 3L, 3L, 1.0),
+      Seq(3L, 3L, 3L, 1.0),
+      Seq(4L, 3L, 3L, 1.0)))
+  }
+
+  test("triangle-free graph yields zero triangles, not zero rows") {
+    val e = edges((1L, 2L), (2L, 3L), (3L, 4L)) // path: wedges, no closure
+    val got = rows(LinkAnalysis.clusteringCoefficients(e))
+    assert(got === Set(Seq(2L, 0L, 1L, 0.0), Seq(3L, 0L, 1L, 0.0)))
+  }
+
+  test("cooccurrenceEdges canonicalizes and thresholds") {
+    val df = Seq((10L, "x"), (10L, "y"), (20L, "y"), (20L, "x"),
+      (30L, "x"), (30L, "z")).toDF("g", "i")
+    // (x,y) share {10,20} -> w=2; (x,z) share {30} -> below minCount
+    assert(rows(LinkAnalysis.cooccurrenceEdges(df, "g", "i", 2)) ===
+      Set(Seq("x", "y", 2L)))
+    // duplicate memberships must not inflate the count
+    val dup = df.unionAll(df)
+    assert(rows(LinkAnalysis.cooccurrenceEdges(dup, "g", "i", 2)) ===
+      Set(Seq("x", "y", 2L)))
+  }
+
+  test("jaccardPairs exact rational") {
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"),
+      (3L, "c")).toDF("g", "i")
+    // (a,b): inter 2, deg(a)=3 deg(b)=2 -> union 3, j = 2/3
+    val got = rows(LinkAnalysis.jaccardPairs(df, "g", "i", 2)
+      .select("a", "b", "inter", "uni", "jaccard"))
+    assert(got === Set(Seq("a", "b", 2L, 3L, 2.0 / 3.0)))
+  }
+
+  test("resourceAllocationPairs quantized harmonic weights") {
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"),
+      (3L, "b"), (3L, "c")).toDF("g", "i")
+    // (a,b) share g1 (deg 2), g2 (deg 2), g3 (deg 3):
+    //   ra = 2*(1e9 DIV 2) + 1e9 DIV 3 = 1_000_000_000 + 333_333_333
+    val got = rows(LinkAnalysis.resourceAllocationPairs(df, "g", "i", 2)
+      .where(col("a") === "a" && col("b") === "b")
+      .select("a", "b", "inter", "ra_score"))
+    assert(got === Set(Seq("a", "b", 3L, 1333333333L)))
+  }
+
+  test("kcore peels pendant chains but keeps the cycle") {
+    // path 1-2-3-4 dissolves under k=2 peeling; triangle 5-6-7 stays
+    val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (5L, 7L), (6L, 7L))
+    val got = rows(LinkAnalysis.kcore(e, 2, 5))
+    assert(got === Set(Seq(5L, 2L), Seq(6L, 2L), Seq(7L, 2L)))
+  }
+
+  test("kcore bound is past fixpoint on the corpus projection") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val pe = LinkAnalysis.cooccurrenceEdges(li, "l_orderkey", "l_partkey", 1)
+    val r4 = rows(LinkAnalysis.kcore(pe, 2, 4))
+    val r5 = rows(LinkAnalysis.kcore(pe, 2, 5))
+    assert(r4 === r5, "peeling must have converged by the documented bound")
+    assert(r4.nonEmpty)
+  }
+}
+
+/** Funnel / retention / bigram-LM analytics fixtures. */
+class PipelineAnalyticsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+  private def t(min: Int) =
+    new java.sql.Timestamp(ts0.getTime + min * 60000L)
+
+  test("funnel counts strict first-occurrence chains") {
+    val ev = Seq(
+      // user 1 completes the whole funnel in order
+      (1L, "signup", t(0)), (1L, "view", t(1)), (1L, "click", t(2)),
+      (1L, "purchase", t(3)),
+      // user 2 views BEFORE signing up -> only f_signup
+      (2L, "view", t(0)), (2L, "signup", t(1)), (2L, "click", t(2)),
+      // user 3 never signs up -> counted in n_users only
+      (3L, "view", t(0)), (3L, "purchase", t(1)),
+      // user 4: signup then view; click missing stops the chain even
+      // though purchase follows
+      (4L, "signup", t(0)), (4L, "view", t(1)), (4L, "purchase", t(2))
+    ).toDF("user_id", "event_type", "ts")
+    val got = EventStreams.funnel(ev, Seq("signup", "view", "click", "purchase"))
+      .collect().head.toSeq
+    assert(got === Seq(4L, 3L, 2L, 1L, 1L))
+  }
+
+  test("retention cohorts count activity days in windows") {
+    def d(day: Int) = new java.sql.Timestamp(ts0.getTime + day * 86400000L)
+    val ev = Seq(
+      (1L, d(0)), (1L, d(8)),            // cohort day0, active in w1
+      (2L, d(0)), (2L, d(15)),           // cohort day0, active in w2
+      (3L, d(0)),                        // cohort day0, never again
+      (4L, d(1)), (4L, d(8)), (4L, d(20))// cohort day1, w1 (+day19 in w2)
+    ).toDF("user_id", "ts")
+    val got = rows(EventStreams.retentionCohorts(ev))
+    assert(got === Set(
+      Seq(java.sql.Date.valueOf("2024-01-01"), 3L, 1L, 1L),
+      Seq(java.sql.Date.valueOf("2024-01-02"), 1L, 1L, 1L)))
+  }
+
+  test("bigramPredictability integer-exact scores") {
+    val docs = Seq((1L, "a b a b"), (2L, "zz"), (3L, "")).toDF("doc_id", "text")
+    // corpus bigrams: (a,b) x2, (b,a) x1 -> cp(a)=2, cp(b)=1
+    // q(a,b) = 2*1e6 DIV 2 = 1e6; q(b,a) = 1e6
+    // doc 1: three bigrams, sum 3e6, score 1e6; docs 2,3: no bigrams
+    val got = rows(TextOps.bigramPredictability(docs))
+    assert(got === Set(Seq(1L, 3L, 3000000L, 1000000.0)))
+  }
+}
