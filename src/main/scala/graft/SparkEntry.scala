@@ -2098,6 +2098,129 @@ object SparkEntry {
              | CAST(SUM(r2) AS BIGINT) AS retained_w2
              |FROM per GROUP BY d0 ORDER BY d0""".stripMargin)),
 
+    QueryDef("g36_weighted_sssp",
+      // weighted shortest paths (Pregel relaxation over qty weights)
+      // from the smallest order. Path sums accumulate strictly along
+      // each path and MIN picks among complete sums, so the doubles
+      // hash-match the recursive-CTE oracle walking the same paths.
+      (s, dir) => {
+        val g = graph(s, dir)
+        val seed = minSeed(s, dir, "orders", "o_orderkey")
+        val seeds = g.vertices
+          .where(col("layer") === "order" && col("nodeId") === seed)
+        GraphOps.weightedSssp(g, seeds, maxIter = 10)
+          .join(g.vertices, Seq("vid"))
+          .select(col("layer"), col("nodeId").as("node_id"), col("dist"))
+          .orderBy("layer", "node_id")
+      },
+      Some(s"""$W, walk(layer, node_id, dist, depth) AS (
+              | SELECT 'order', CAST((SELECT MIN(o_orderkey) FROM orders) AS VARCHAR),
+              |  CAST(0 AS DOUBLE), 0
+              | UNION ALL
+              | SELECT e.target_layer, e.target_id, w.dist + e.qty, w.depth + 1
+              | FROM walk w JOIN edges e
+              |   ON e.source_layer = w.layer AND e.source_id = w.node_id
+              | WHERE w.depth < 6)
+              |SELECT layer, node_id, MIN(dist) AS dist
+              |FROM walk GROUP BY layer, node_id
+              |ORDER BY layer, node_id""".stripMargin)),
+
+    QueryDef("q36_gapfill",
+      // time-series resample: per-type daily aggregates over a
+      // generated date spine (missing days -> n=0) with the value
+      // forward-filled by an ignoreNulls window.
+      (s, dir) => EventStreams.gapFillDaily(EventStreams.readEvents(s, dir))
+        .orderBy("event_type", "d"),
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n,
+             |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+             |  FROM events GROUP BY 1, 2),
+             | bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+             | spine AS (SELECT CAST(UNNEST(generate_series(lo, hi,
+             |   INTERVAL 1 DAY)) AS DATE) AS d FROM bounds),
+             | grid AS (SELECT t.event_type, s.d FROM spine s,
+             |   (SELECT DISTINCT event_type FROM events) t),
+             | j AS (SELECT g.event_type, g.d, COALESCE(dy.n, 0) AS n, dy.sum_value
+             |   FROM grid g LEFT JOIN daily dy
+             |     ON dy.event_type = g.event_type AND dy.d = g.d)
+             |SELECT event_type, d, n,
+             | COALESCE(last_value(sum_value IGNORE NULLS) OVER (
+             |   PARTITION BY event_type ORDER BY d ROWS UNBOUNDED PRECEDING),
+             |  0.0) AS filled_value
+             |FROM j ORDER BY event_type, d""".stripMargin)),
+
+    QueryDef("x34_scd2",
+      // SCD2 versioned upsert: a synthetic batch bumps acctbal by 100
+      // for custkey % 7 = 0 and no-ops custkey % 97 = 3 — changed keys
+      // close their open row at the batch date and insert a new open
+      // version, no-ops pass through untouched.
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val cur = cust.select(col("c_custkey").as("k"),
+            col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
+          .withColumn("valid_from", lit("1990-01-01").cast("date"))
+          .withColumn("valid_to", lit(null).cast("date"))
+          .withColumn("is_current", lit(true))
+        val upd = cust.where(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+            (col("c_acctbal") + 100).as("bal"))
+          .unionByName(cust
+            .where(col("c_custkey") % 97 === 3 && col("c_custkey") % 7 =!= 0)
+            .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+              col("c_acctbal").as("bal")))
+        ext.Upserts.scd2(cur, upd, "k", Seq("seg", "bal"),
+            lit("2024-01-01").cast("date"))
+          // NULL dates stringify engine-specifically (None vs NaT) in
+          // the comparator; open rows take the conventional sentinel
+          .withColumn("valid_to",
+            coalesce(col("valid_to"), lit("9999-12-31").cast("date")))
+          .orderBy("k", "valid_from")
+      },
+      Some("""WITH cur AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+             |   c_acctbal AS bal FROM customer),
+             | upd AS (
+             |  SELECT c_custkey AS k, c_mktsegment AS seg,
+             |    c_acctbal + 100 AS bal FROM customer WHERE c_custkey % 7 = 0
+             |  UNION ALL
+             |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+             |   WHERE c_custkey % 97 = 3 AND c_custkey % 7 <> 0),
+             | changed AS (SELECT c.k FROM cur c JOIN upd u USING (k)
+             |  WHERE u.bal IS DISTINCT FROM c.bal
+             |     OR u.seg IS DISTINCT FROM c.seg)
+             |SELECT k, seg, bal, DATE '1990-01-01' AS valid_from,
+             |  DATE '2024-01-01' AS valid_to, FALSE AS is_current
+             | FROM cur WHERE k IN (SELECT k FROM changed)
+             |UNION ALL
+             |SELECT k, seg, bal, DATE '1990-01-01', DATE '9999-12-31', TRUE
+             | FROM cur WHERE k NOT IN (SELECT k FROM changed)
+             |UNION ALL
+             |SELECT u.k, u.seg, u.bal, DATE '2024-01-01', DATE '9999-12-31', TRUE
+             | FROM upd u WHERE u.k IN (SELECT k FROM changed)
+             |ORDER BY k, valid_from""".stripMargin)),
+
+    QueryDef("x35_weighted_sample",
+      // quality-weighted deterministic downsample: keep probability
+      // n_tokens * 5000 ppm (capped at 1e6 — docs of 200+ tokens
+      // always survive), decided by the portable md5 ppm bucket.
+      // All-integer weights: the keep decision is exact on any engine.
+      (s, dir) => {
+        val d = docs(s, dir).withColumn("n_tokens",
+          TextOps.tokenCount(col("text")).cast("long"))
+          .withColumn("w_ppm", least(lit(1000000L), col("n_tokens") * 5000L))
+        Sampling.weightedBernoulli(d, "doc_id", col("w_ppm"))
+          .select("doc_id", "n_tokens", "w_ppm")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             |    AS n_tokens FROM documents),
+             | w AS (SELECT doc_id, n_tokens,
+             |  LEAST(1000000, n_tokens * 5000) AS w_ppm FROM d)
+             |SELECT doc_id, n_tokens, w_ppm FROM w
+             |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             |   AS BIGINT) % 1000000 < w_ppm
+             |ORDER BY doc_id""".stripMargin)),
+
     // ------------------------------------------------------ pipeline: text LM
     QueryDef("x33_bigram_lm",
       // self-trained bigram-LM predictability score (the n-gram

@@ -51,9 +51,10 @@ object GraphOps {
     * count() scan at build time. */
   private val TargetEdgesPerPartition = 1L << 20
 
-  private def buildProjection(g: OnionGraph)
+  private def buildProjection(g: OnionGraph,
+                              edgeCols: Seq[String] = Seq("src", "dst"))
                              (edgeMapper: Row => Iterator[Edge[Double]]): Graph[Unit, Double] = {
-    val esDf = g.edges.select("src", "dst")
+    val esDf = g.edges.selectExpr(edgeCols: _*)
     val stats = esDf.queryExecution.optimizedPlan.stats
     // clamp the BigInt estimate BEFORE narrowing: size-only stats
     // multiply across joins and can exceed Long.MaxValue, where a bare
@@ -131,6 +132,39 @@ object GraphOps {
     val init = toGraphX(g).mapVertices((id, _) =>
       if (seedVids.contains(id)) 0 else Int.MaxValue)
     minDistPregel(g, init, maxDist, forward = true, backward = false)
+  }
+
+  /** Weighted single-source shortest paths (Pregel relaxation): edge
+    * weights from `weightCol`, distances start at 0.0 on the seed set
+    * and +Inf elsewhere, each superstep relaxes dist + weight along
+    * edge direction. Converges in <= diameter supersteps; `maxIter`
+    * bounds the job graph like the BFS kernels. Returns (vid, dist)
+    * for reached vertices only.
+    *
+    * Determinism: a path's distance is accumulated strictly along the
+    * path (same order any engine walks it), and the final value is the
+    * MIN over complete path sums — so even float weights hash-match a
+    * recursive-CTE oracle. Not memoized (callers choose arbitrary
+    * weight columns); projections are per-call like other derived
+    * views. */
+  def weightedSssp(g: OnionGraph, seeds: DataFrame, maxIter: Int = 20,
+                   weightCol: String = "qty"): DataFrame = {
+    val gx = buildProjection(g,
+      Seq("src", "dst", s"CAST($weightCol AS DOUBLE) AS __w"))(r =>
+      Iterator(Edge(r.getLong(0), r.getLong(1), r.getDouble(2))))
+    val seedRdd: RDD[(VertexId, Double)] =
+      seeds.select("vid").rdd.map(r => (r.getLong(0), 0.0))
+    val init = gx.outerJoinVertices(seedRdd)((_, _, o) =>
+      o.getOrElse(Double.PositiveInfinity))
+    val res = init.pregel(Double.PositiveInfinity, maxIter)(
+      (_, d, msg) => math.min(d, msg),
+      t =>
+        if (!t.srcAttr.isPosInfinity && t.srcAttr + t.attr < t.dstAttr)
+          Iterator((t.dstId, t.srcAttr + t.attr))
+        else Iterator.empty,
+      (a, b) => math.min(a, b))
+    vidValueDf(g.spark, res.vertices.filter(!_._2.isPosInfinity), "dist",
+      org.apache.spark.sql.types.DoubleType)
   }
 
   /** (vid, value) DataFrame from a GraphX vertex RDD — the one schema

@@ -52,6 +52,21 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Per-row weighted Bernoulli keep in parts-per-million, md5 family:
+    * a row survives iff its portable ppm bucket falls below
+    * `weightPpm` (an INTEGER column — callers quantize their weight to
+    * ppm with integer arithmetic so the decision is exact on any
+    * engine). The quality-weighted downsample of a training pipeline:
+    * every run, partitioning, and engine keeps the SAME rows. */
+  def weightedBernoulli(df: DataFrame, keyCol: String,
+                        weightPpm: Column): DataFrame = {
+    val b = pmod(
+      conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+      lit(1000000L))
+    df.filter(b < weightPpm)
+  }
+
   /** Per-stratum deterministic downsample: keep ~`fraction(stratum)`
     * of rows, chosen by key hash (so the SAME rows survive every
     * run). Strata missing from the map are dropped. */

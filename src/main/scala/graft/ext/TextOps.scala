@@ -192,12 +192,18 @@ object TextOps {
                            textCol: String = "text"): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
       tokens(normalize(col(textCol))).as("t"))
-    // adjacent pairs without a self-join: slice to the first n-1
-    // tokens, pair each with its successor (empty docs normalize to a
-    // single "" token -> slice(t, 1, 0) = [] -> no bigrams)
+    // adjacent pairs without a self-join: zip the first n-1 tokens
+    // with the last n-1 (empty docs normalize to a single "" token ->
+    // slice(t, 1, 0) = [] -> no bigrams). The lambda must reference
+    // ONLY its own arguments: an outer-capture formulation like
+    // element_at(t, i+2) inlines the whole tokenize chain into every
+    // element evaluation once filters/aliases substitute `t` — i.e.
+    // O(tokens) regex re-normalizations per document (measured 35s vs
+    // ~2s for this query at sf0.1).
     val bi = toks
       .withColumn("bg", expr(
-        "transform(slice(t, 1, size(t)-1), (x, i) -> struct(x AS w1, element_at(t, i+2) AS w2))"))
+        "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1)," +
+          " (x, y) -> struct(x AS w1, y AS w2))"))
       .select(col("doc_id"), explode(col("bg")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))

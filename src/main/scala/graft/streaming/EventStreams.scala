@@ -195,6 +195,33 @@ object EventStreams {
       .agg(count(lit(1)).as("n_users"), sums: _*)
   }
 
+  /** Daily resample with gap fill: aggregate per (key, day), then
+    * complete the grid over the full observed date span (generated
+    * spine × distinct keys) and forward-fill the value column (last
+    * non-null day's sum; 0.0 before the first observation). Missing
+    * days get n = 0. The spine is a one-row sequence() explode — no
+    * driver-side date loop — and the forward fill is a per-key ordered
+    * window (day count is bounded, so the window partition never
+    * outgrows an executor even when the event table does). */
+  def gapFillDaily(events: DataFrame, keyCol: String = "event_type",
+                   tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col(keyCol), col(tsCol).cast("date").as("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(38,6)")).cast("double").as("sum_value"))
+    val spine = daily.agg(min("d").as("lo"), max("d").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+    val grid = spine.crossJoin(events.select(col(keyCol)).distinct())
+    val w = Window.partitionBy(keyCol).orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq(keyCol, "d"), "left")
+      .select(col(keyCol), col("d"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(last("sum_value", ignoreNulls = true).over(w), lit(0.0))
+          .as("filled_value"))
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: running per-user
     * (count, total) emitted on every update — the mapGroupsWithState
     * family is the escape hatch for stateful logic windows can't

@@ -53,6 +53,22 @@ class GraphOpsSpec extends SparkSuite {
     }
   }
 
+  test("weightedSssp prefers light multi-hop paths") {
+    val nodes = Seq(("a", "L"), ("b", "L"), ("c", "L"), ("d", "L"))
+      .toDF("node_id", "layer")
+    val edges = Seq(
+      ("a", "L", "b", "L", 1.0), ("b", "L", "c", "L", 1.0),
+      ("a", "L", "c", "L", 5.0),               // heavier direct hop
+      ("a", "L", "d", "L", 10.0), ("c", "L", "d", "L", 1.0))
+      .toDF("source_id", "source_layer", "target_id", "target_layer", "qty")
+    val g = OnionBuilder.grow(nodes, edges, GrowOptions(edgePropCols = Seq("qty")))
+    val seeds = g.vertices.filter(col("nodeId") === "a").select("vid")
+    val got = GraphOps.weightedSssp(g, seeds, maxIter = 10)
+      .join(g.vertices, Seq("vid")).select(col("nodeId"), col("dist"))
+      .as[(String, Double)].collect().toMap
+    assert(got === Map("a" -> 0.0, "b" -> 1.0, "c" -> 2.0, "d" -> 3.0))
+  }
+
   test("BFS dist is monotone along edges (invariant)") {
     val g = randomGraph(9, 25, 50)
     val seedVid = g.vertices.orderBy("vid").select("vid").as[Long].head()

@@ -122,6 +122,56 @@ class PipelineAnalyticsSpec extends SparkSuite {
       Seq(java.sql.Date.valueOf("2024-01-02"), 1L, 1L, 1L)))
   }
 
+  test("gapFillDaily zero-fills counts and forward-fills values") {
+    def d(day: Int) = new java.sql.Timestamp(ts0.getTime + day * 86400000L)
+    val ev = Seq(
+      ("a", d(0), 1.5), ("a", d(0), 2.5), ("a", d(2), 1.0),
+      ("b", d(1), 7.0)
+    ).toDF("event_type", "ts", "value")
+    val got = rows(EventStreams.gapFillDaily(ev))
+    def dt(day: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(day))
+    assert(got === Set(
+      Seq("a", dt(0), 2L, 4.0), Seq("a", dt(1), 0L, 4.0),
+      Seq("a", dt(2), 1L, 1.0),
+      Seq("b", dt(0), 0L, 0.0), Seq("b", dt(1), 1L, 7.0),
+      Seq("b", dt(2), 0L, 7.0)))
+  }
+
+  test("scd2 closes changed rows, passes no-ops, inserts fresh keys") {
+    import graft.ext.Upserts
+    def dd(s: String) = java.sql.Date.valueOf(s)
+    val cur = Seq(
+      (1L, "x0", dd("2020-01-01"), Option(dd("2022-01-01")), false), // history
+      (1L, "x1", dd("2022-01-01"), None, true),
+      (2L, "y", dd("2020-01-01"), None, true)
+    ).toDF("k", "v", "valid_from", "valid_to", "is_current")
+    val upd = Seq((1L, "x2"), (2L, "y"), (3L, "z")).toDF("k", "v")
+    val got = rows(Upserts.scd2(cur, upd, "k", Seq("v"),
+      org.apache.spark.sql.functions.lit("2024-06-01")))
+    assert(got === Set(
+      Seq(1L, "x0", dd("2020-01-01"), dd("2022-01-01"), false), // untouched
+      Seq(1L, "x1", dd("2022-01-01"), dd("2024-06-01"), false), // closed out
+      Seq(1L, "x2", dd("2024-06-01"), null, true),              // new version
+      Seq(2L, "y", dd("2020-01-01"), null, true),               // no-op
+      Seq(3L, "z", dd("2024-06-01"), null, true)))              // fresh key
+  }
+
+  test("weightedBernoulli is deterministic and monotone in weight") {
+    import graft.ext.Sampling
+    val df = (0L until 500L).toDF("doc_id")
+    def kept(ppm: Long): Set[Seq[Any]] =
+      rows(Sampling.weightedBernoulli(df, "doc_id", lit(ppm)))
+    assert(kept(1000000L).size === 500)
+    assert(kept(0L).isEmpty)
+    val half = kept(500000L)
+    assert(half === kept(500000L), "same keys survive every run")
+    assert(half.subsetOf(kept(800000L)),
+      "raising the weight only adds rows, never swaps them")
+    assert(half.size > 175 && half.size < 325,
+      s"ppm bucket should be roughly uniform, kept ${half.size}/500")
+  }
+
   test("bigramPredictability integer-exact scores") {
     val docs = Seq((1L, "a b a b"), (2L, "zz"), (3L, "")).toDF("doc_id", "text")
     // corpus bigrams: (a,b) x2, (b,a) x1 -> cp(a)=2, cp(b)=1
