@@ -1968,6 +1968,48 @@ object SparkEntry {
         .orderBy("node"),
       Some(kcoreSql(2, 8))),
 
+    QueryDef("g37_centrality",
+      // closeness + harmonic centrality (multi-source BFS, every node
+      // a source) on the undirected supplier-nation-region slice.
+      // Counts and the 1e6-quantized harmonic sum are exact ints; the
+      // closeness ratio is the single float division.
+      (s, dir) => {
+        // the layer slice's edges ARE the supp_nation + nation_region
+        // relations — derive the labeled pairs straight from the base
+        // tables (a vid->name self-join of the persisted vertex table
+        // would also work but trips Dataset.checkpoint's attribute
+        // remapping inside the BFS loop on Spark 4.1)
+        val sup = t(s, dir, "supplier").select(
+          concat(lit("supplier|"), col("s_suppkey").cast("string")).as("a"),
+          concat(lit("nation|"), col("s_nationkey").cast("string")).as("b"))
+        val nat = t(s, dir, "nation").select(
+          concat(lit("nation|"), col("n_nationkey").cast("string")).as("a"),
+          concat(lit("region|"), col("n_regionkey").cast("string")).as("b"))
+        LinkAnalysis.harmonicCentrality(sup.unionAll(nat), maxDepth = 6)
+          .orderBy("node")
+      },
+      Some(s"""$W, sub AS (SELECT source_layer || '|' || source_id AS a,
+              |   target_layer || '|' || target_id AS b
+              |  FROM edges
+              |  WHERE source_layer IN ('supplier', 'nation', 'region')
+              |    AND target_layer IN ('supplier', 'nation', 'region')),
+              | und AS (SELECT a, b FROM sub UNION SELECT b, a FROM sub),
+              | nodes AS (SELECT DISTINCT a AS node FROM und),
+              | walk(src, node, dist) AS (
+              |  SELECT node, node, 0 FROM nodes
+              |  UNION
+              |  SELECT w.src, u.b, w.dist + 1 FROM walk w
+              |   JOIN und u ON u.a = w.node WHERE w.dist < 6),
+              | md AS (SELECT src, node, MIN(dist) AS d FROM walk GROUP BY 1, 2),
+              | agg AS (SELECT src AS node, COUNT(*) - 1 AS n_reached,
+              |   CAST(SUM(d) AS BIGINT) AS dist_sum,
+              |   CAST(SUM(CASE WHEN d > 0 THEN 1000000 // d ELSE 0 END)
+              |     AS BIGINT) AS harmonic_q
+              |  FROM md GROUP BY src)
+              |SELECT node, n_reached, dist_sum, harmonic_q,
+              | CAST(n_reached AS DOUBLE) / dist_sum AS closeness
+              |FROM agg WHERE n_reached > 0 ORDER BY node""".stripMargin)),
+
     // ------------------------------------------------- relational coverage 2
     QueryDef("q28_grouping_sets",
       // GROUPING SETS distinct from rollup/cube + the GROUPING()

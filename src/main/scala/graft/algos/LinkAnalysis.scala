@@ -118,6 +118,59 @@ object LinkAnalysis {
       .where(col("inter") >= minInter)
   }
 
+  /** Closeness + harmonic centrality by multi-source BFS over the
+    * undirected projection of an edge list (a, b): every node is its
+    * own source, each round advances all frontiers at once through one
+    * join on the node key. Output per node: `n_reached` (excluding
+    * self), `dist_sum`, `harmonic_q` = Σ floor(1e6 / d) (quantized so
+    * the sum is exact integer arithmetic on any engine), and
+    * `closeness` = n_reached / dist_sum (the single float division).
+    * Isolated nodes (nothing reached) are excluded.
+    *
+    * Scale: state is (src, node, dist) over reachable PAIRS — meant
+    * for bounded subgraphs (a layer slice, a component) where the
+    * pair space fits the cluster; `maxDepth` bounds the rounds. A
+    * full-corpus centrality at 100 TB would switch to HyperBall-style
+    * sketched neighborhood sizes (approximate, not oracle-checkable).
+    */
+  def harmonicCentrality(edges: DataFrame, maxDepth: Int): DataFrame = {
+    // EAGER pre-loop checkpoints: the loop's lazy checkpoints must
+    // start from clean LogicalRDDs — deferring these into the first
+    // round's materialization makes Dataset.checkpoint's attribute
+    // mapping trip over the input plan's deduplicated join attributes
+    // (NoSuchElementException on an upstream exprId).
+    val und = edges.select(col("a"), col("b"))
+      .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    val nodes = und.select(col("a").as("node")).distinct()
+    var state = nodes
+      .select(col("node").as("src"), col("node"), lit(0).as("dist"))
+      .localCheckpoint()
+    var frontier = state
+    for (d <- 1 to maxDepth) {
+      val stepped = frontier.alias("f")
+        .join(und.alias("u"), col("f.node") === col("u.a"))
+        .select(col("f.src").as("src"), col("u.b").as("node"),
+          lit(d).as("dist"))
+        .distinct()
+      val fresh = stepped
+        .join(state.select("src", "node"), Seq("src", "node"), "left_anti")
+        .localCheckpoint(eager = false)
+      state = state.unionAll(fresh).localCheckpoint(eager = false)
+      frontier = fresh
+    }
+    state.groupBy("src")
+      .agg((count(lit(1)) - 1).as("n_reached"),
+        sum("dist").as("dist_sum"),
+        sum(expr("CASE WHEN dist > 0 THEN 1000000 DIV dist ELSE 0 END"))
+          .as("harmonic_q"))
+      .where(col("n_reached") > 0)
+      .select(col("src").as("node"), col("n_reached"), col("dist_sum"),
+        col("harmonic_q"),
+        (col("n_reached").cast("double") / col("dist_sum")).as("closeness"))
+  }
+
   /** Bounded synchronous k-core peeling over a canonical undirected
     * edge list: `rounds` rounds of "drop nodes with degree < k, then
     * drop their edges". Returns surviving (node, degree) after the

@@ -65,6 +65,30 @@ class LinkAnalysisSpec extends SparkSuite {
     assert(got === Set(Seq("a", "b", 3L, 1333333333L)))
   }
 
+  test("harmonicCentrality on a path graph, hand-computed") {
+    // path a-b-c-d (undirected): ends reach {1,2,3} -> sum 6,
+    // harmonic 1e6 + 5e5 + 333333; middles reach {1,1,2} -> sum 4,
+    // harmonic 2*1e6 + 5e5
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("a", "b")
+    val got = rows(LinkAnalysis.harmonicCentrality(e, 4))
+    assert(got === Set(
+      Seq("a", 3L, 6L, 1833333L, 0.5),
+      Seq("b", 3L, 4L, 2500000L, 0.75),
+      Seq("c", 3L, 4L, 2500000L, 0.75),
+      Seq("d", 3L, 6L, 1833333L, 0.5)))
+  }
+
+  test("harmonicCentrality respects maxDepth truncation") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("a", "b")
+    // depth 1: everyone sees only direct neighbors
+    val got = rows(LinkAnalysis.harmonicCentrality(e, 1))
+    assert(got === Set(
+      Seq("a", 1L, 1L, 1000000L, 1.0),
+      Seq("b", 2L, 2L, 2000000L, 1.0),
+      Seq("c", 2L, 2L, 2000000L, 1.0),
+      Seq("d", 1L, 1L, 1000000L, 1.0)))
+  }
+
   test("kcore peels pendant chains but keeps the cycle") {
     // path 1-2-3-4 dissolves under k=2 peeling; triangle 5-6-7 stays
     val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (5L, 7L), (6L, 7L))
