@@ -92,4 +92,28 @@ class ScaleSpec extends SparkSuite {
       .as[(Int, Double)].collect().toMap
     assert(salted == direct)
   }
+
+  test("funnel plans a single aggregation pass — no self-joins") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ev = Seq((1L, "a", ts0), (1L, "b", ts0), (2L, "a", ts0))
+      .toDF("user_id", "event_type", "ts")
+    val plan = graft.streaming.EventStreams
+      .funnel(ev, Seq("a", "b", "c"))
+      .queryExecution.optimizedPlan.toString
+    // the k-way join formulation would scan the event table per step;
+    // the min-per-step pivot must compile to aggregations only
+    assert(!plan.contains("Join"), s"funnel must not join:\n$plan")
+  }
+
+  test("scd2 never degenerates into a nested-loop or cartesian join") {
+    val cur = Seq((1L, "x", java.sql.Date.valueOf("2020-01-01"),
+      Option.empty[java.sql.Date], true))
+      .toDF("k", "v", "valid_from", "valid_to", "is_current")
+    val upd = Seq((1L, "y")).toDF("k", "v")
+    val plan = graft.ext.Upserts
+      .scd2(cur, upd, "k", Seq("v"), lit("2024-01-01"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"scd2 must stay equi-joined on the dimension key:\n$plan")
+  }
 }
