@@ -10,6 +10,32 @@ import org.apache.spark.SparkConf
   * that win. SQL/Tungsten paths are unaffected (UnsafeRow is already
   * binary). */
 object SparkConfs {
+
+  /** Rows below which an iterative operator's rounds run WITHOUT
+    * whole-stage codegen: every round's plan is structurally unique
+    * (fresh checkpoint RDD ids + round literals), so the codegen cache
+    * never hits and Janino compiles ~100ms of bytecode per stage per
+    * round — more than a small round's interpreted execution costs.
+    * Big inputs keep codegen (it amortizes over real data volume).
+    * Shared by the DataFrame BFS loops and the Lloyd rounds. */
+  val InterpretedRows = 20000000L
+
+  /** Run `body` (an iterative operator's actions) without whole-stage
+    * codegen when `rows` of per-round work sit under
+    * [[InterpretedRows]]. The conf flip is session-global for the
+    * duration — same single-threaded assumption the per-session graph
+    * caches make. */
+  def maybeInterpreted[A](spark: org.apache.spark.sql.SparkSession,
+                          rows: Long)(body: => A): A = {
+    val key = "spark.sql.codegen.wholeStage"
+    if (rows < 0 || rows >= InterpretedRows) body
+    else {
+      val prev = spark.conf.get(key, "true")
+      spark.conf.set(key, "false")
+      try body finally spark.conf.set(key, prev)
+    }
+  }
+
   def kryoGraphConf(): SparkConf = {
     val conf = new SparkConf()
       .set("spark.serializer", sys.env.getOrElse("SPARK_GRAFT_SERIALIZER",

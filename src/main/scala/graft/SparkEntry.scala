@@ -2191,6 +2191,40 @@ object SparkEntry {
              |  0.0) AS filled_value
              |FROM j ORDER BY event_type, d""".stripMargin)),
 
+    QueryDef("q37_sliding_window",
+      // sliding windows (width 1h, slide 30m): every event lands in
+      // exactly width/slide = 2 windows; the oracle re-derives the two
+      // bucket starts per event explicitly.
+      (s, dir) => EventStreams.slidingUserCounts(
+          EventStreams.readEvents(s, dir), "1 hour", "30 minutes")
+        .orderBy("window_start", "user_id"),
+      Some("""SELECT strftime(s, '%Y-%m-%d %H:%M:%S') AS window_start,
+             | user_id, COUNT(*) AS n_events
+             |FROM (SELECT time_bucket(INTERVAL '30 minutes', ts)
+             |        - k * INTERVAL '30 minutes' AS s, user_id
+             |      FROM events, generate_series(0, 1) AS g(k))
+             |GROUP BY 1, 2 ORDER BY window_start, user_id""".stripMargin)),
+
+    QueryDef("q38_distribution",
+      // window distribution functions: percent_rank = (rank-1)/(N-1)
+      // and cume_dist = rank/N over a unique ordering — exact rationals
+      // of BIGINTs, one IEEE division each, engine-identical.
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             | PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+             |   ORDER BY o_totalprice, o_orderkey) AS pr,
+             | CUME_DIST() OVER (PARTITION BY o_orderpriority
+             |   ORDER BY o_totalprice, o_orderkey) AS cd
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     QueryDef("x34_scd2",
       // SCD2 versioned upsert: a synthetic batch bumps acctbal by 100
       // for custkey % 7 = 0 and no-ops custkey % 97 = 3 — changed keys

@@ -78,16 +78,27 @@ object Clustering {
         .select(col("vec_id"), col("cluster"), col("d2").cast("long").as("d2"))
     }
 
-    for (_ <- 1 to iters) {
-      val a = assign(centroids)
-      centroids = quant.join(a.select("vec_id", "cluster"), Seq("vec_id"))
-        .groupBy("cluster", "dim")
-        // decimal sum: exact at any cluster size (BIGINT would wrap at
-        // ~9e12 members of 1e6-scale components)
-        .agg(sum(col("q").cast("decimal(38,0)")).as("s"), count(lit(1)).as("n"))
-        .select(col("cluster"), col("dim"), floorDiv(col("s"), col("n")).as("cq"))
-        .localCheckpoint()
+    // Codegen gate (see SparkConfs.InterpretedRows): each Lloyd
+    // round's plan is unique, so small trainings pay Janino compile
+    // time per stage per round for nothing — run them interpreted.
+    // The count is cheap on the checkpointed quantized RDD.
+    val quantRows = quant.count()
+    graft.SparkConfs.maybeInterpreted(emb.sparkSession, quantRows) {
+      for (_ <- 1 to iters) {
+        val a = assign(centroids)
+        centroids = quant.join(a.select("vec_id", "cluster"), Seq("vec_id"))
+          .groupBy("cluster", "dim")
+          // decimal sum: exact at any cluster size (BIGINT would wrap
+          // at ~9e12 members of 1e6-scale components)
+          .agg(sum(col("q").cast("decimal(38,0)")).as("s"), count(lit(1)).as("n"))
+          .select(col("cluster"), col("dim"), floorDiv(col("s"), col("n")).as("cq"))
+          .localCheckpoint()
+      }
+      // materialize the final assignment inside the gate when small —
+      // returned lazily, it would otherwise compile under the caller
+      if (quantRows < graft.SparkConfs.InterpretedRows)
+        assign(centroids).localCheckpoint()
+      else assign(centroids)
     }
-    assign(centroids)
   }
 }
