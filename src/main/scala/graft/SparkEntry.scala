@@ -117,26 +117,34 @@ object SparkEntry {
     * integral divide (floor; identical to Spark's `DIV` for the
     * always-positive ranks); SUM(BIGINT) is HUGEINT, i.e. exact like
     * the Spark side's DECIMAL(38,0) sum. */
-  private def pagerankFixedSql(layers: Seq[String], iters: Int): String = {
+  /** `seedSql`: optional boolean SQL over (layer, node_id) marking the
+    * personalization seeds; None = uniform (everyone a seed). */
+  private def pagerankFixedSql(layers: Seq[String], iters: Int,
+                               seedSql: Option[String] = None): String = {
     val inList = layers.map(l => s"'$l'").mkString(", ")
+    val seedExpr = seedSql
+      .map(c => s"CASE WHEN $c THEN 1 ELSE 0 END").getOrElse("1")
     val iterCtes = (0 until iters).map { k =>
       s"""r${k + 1} AS (
          | SELECT v.layer, v.node_id,
-         |  150000000 + COALESCE(CAST((85 * SUM(c.contrib)) // 100 AS BIGINT), 0) AS r
+         |  v.is_seed * 150000000
+         |   + COALESCE(CAST((85 * SUM(c.contrib)) // 100 AS BIGINT), 0) AS r
          | FROM sg_v v LEFT JOIN (
          |  SELECT e.target_layer AS tl, e.target_id AS ti, r.r // o.odeg AS contrib
          |  FROM sg_e e
          |  JOIN r$k r ON r.layer = e.source_layer AND r.node_id = e.source_id
          |  JOIN outdeg o ON o.source_layer = e.source_layer AND o.source_id = e.source_id
          | ) c ON c.tl = v.layer AND c.ti = v.node_id
-         | GROUP BY v.layer, v.node_id)""".stripMargin
+         | GROUP BY v.layer, v.node_id, v.is_seed)""".stripMargin
     }.mkString(",\n")
-    s"""$W, sg_v AS (SELECT layer, node_id FROM vertices WHERE layer IN ($inList)),
+    s"""$W, sg_v AS (SELECT layer, node_id, CAST($seedExpr AS BIGINT) AS is_seed
+       |  FROM vertices WHERE layer IN ($inList)),
        |sg_e AS (SELECT source_layer, source_id, target_layer, target_id FROM edges
        |  WHERE source_layer IN ($inList) AND target_layer IN ($inList)),
        |outdeg AS (SELECT source_layer, source_id, COUNT(*) AS odeg FROM sg_e
        |  GROUP BY source_layer, source_id),
-       |r0 AS (SELECT layer, node_id, CAST(1000000000 AS BIGINT) AS r FROM sg_v),
+       |r0 AS (SELECT layer, node_id, CAST(is_seed * 1000000000 AS BIGINT) AS r
+       |  FROM sg_v),
        |$iterCtes
        |SELECT layer, node_id, r AS rank_fp FROM r$iters ORDER BY layer, node_id""".stripMargin
   }
@@ -1349,6 +1357,27 @@ object SparkEntry {
       },
       Some(pagerankFixedSql(Seq("region", "nation", "supplier", "customer"),
         PrFixedIters))),
+
+    QueryDef("g38_personalized_pagerank",
+      // personalized fixed-point PageRank: reset mass lands only on
+      // the seed (the smallest customer), so ranks measure proximity
+      // to it — same exact integer arithmetic as g27, hash-matched.
+      (s, dir) => {
+        val g = graph(s, dir)
+          .viewLayers(Seq("region", "nation", "supplier", "customer"))
+        val seed = minSeed(s, dir, "customer", "c_custkey")
+        val seeds = g.vertices
+          .where(col("layer") === "customer" && col("nodeId") === seed)
+          .select("vid")
+        GraphOps.pageRankFixedPoint(g, iters = PrFixedIters, seeds = Some(seeds))
+          .join(g.vertices, Seq("vid"))
+          .select(col("layer"), col("nodeId").as("node_id"), col("rank_fp"))
+          .orderBy("layer", "node_id")
+      },
+      Some(pagerankFixedSql(Seq("region", "nation", "supplier", "customer"),
+        PrFixedIters,
+        seedSql = Some("layer = 'customer' AND node_id = " +
+          "CAST((SELECT MIN(c_custkey) FROM customer) AS VARCHAR)")))),
 
     QueryDef("g28_set_property",
       // P3 point-write (immutable setVertexProperty) surfaced as a

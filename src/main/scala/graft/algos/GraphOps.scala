@@ -226,23 +226,36 @@ object GraphOps {
     * in-degree — a BIGINT sum could overflow on a 1e9-in-degree hub),
     * then one integral divide returns to BIGINT. Returns
     * (vid, rank_fp). */
-  def pageRankFixedPoint(g: OnionGraph, iters: Int = 5): DataFrame = {
+  def pageRankFixedPoint(g: OnionGraph, iters: Int = 5,
+                         seeds: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     val Scale = 1000000000L
     val e = g.edges.select("src", "dst")
     // out-degrees are loop-invariant: materialize once, reuse per round
     val out = e.groupBy("src").agg(count(lit(1)).as("odeg")).localCheckpoint()
-    var ranks = g.vertices.select(col("vid"), lit(Scale).as("r"))
+    // PERSONALIZED generalization: reset mass lands only on seed
+    // vertices (is_seed ∈ {0,1}); the uniform variant is "everyone a
+    // seed", which reproduces the original formula bit-for-bit.
+    //   r_0(v)     = is_seed(v) * Scale
+    //   r_{k+1}(v) = is_seed(v)*0.15*Scale + (85 * Σ contrib) div 100
+    val vbase = (seeds match {
+      case None => g.vertices.select(col("vid"), lit(1L).as("is_seed"))
+      case Some(sd) => g.vertices.select("vid")
+        .join(sd.select(col("vid")).distinct().withColumn("is_seed", lit(1L)),
+          Seq("vid"), "left")
+        .na.fill(0L, Seq("is_seed"))
+    }).localCheckpoint()
+    var ranks = vbase.select(col("vid"), (col("is_seed") * Scale).as("r"))
     for (_ <- 1 to iters) {
       val contrib = e.join(ranks.withColumnRenamed("vid", "src"), Seq("src"))
         .join(out, Seq("src"))
         .select(col("dst").as("vid"), expr("r DIV odeg").as("c"))
-      ranks = g.vertices.select("vid")
+      ranks = vbase
         .join(contrib.groupBy("vid")
           .agg(sum(col("c").cast("decimal(38,0)")).as("s")), Seq("vid"), "left")
         .select(col("vid"),
-          (lit(Scale * 15 / 100) + coalesce(expr("(85 * s) DIV 100"), lit(0L)))
-            .as("r"))
+          (col("is_seed") * lit(Scale * 15 / 100)
+            + coalesce(expr("(85 * s) DIV 100"), lit(0L))).as("r"))
         .localCheckpoint() // bound the per-iteration plan depth
     }
     ranks.select(col("vid"), col("r").as("rank_fp"))

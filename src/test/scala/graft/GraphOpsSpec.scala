@@ -53,6 +53,22 @@ class GraphOpsSpec extends SparkSuite {
     }
   }
 
+  test("personalized pageRankFixedPoint: reset mass only on the seed") {
+    // a -> b, seed {a}, 1 iteration:
+    //   r0: a = 1e9, b = 0
+    //   r1: a = 0.15e9 (nothing points at a); b = 85*(1e9 div 1) div 100
+    val nodes = Seq(("a", "L"), ("b", "L")).toDF("node_id", "layer")
+    val edges = Seq(("a", "L", "b", "L"))
+      .toDF("source_id", "source_layer", "target_id", "target_layer")
+    val g = OnionBuilder.grow(nodes, edges, GrowOptions())
+    val seeds = g.vertices.filter(col("nodeId") === "a").select("vid")
+    val got = GraphOps.pageRankFixedPoint(g, iters = 1, seeds = Some(seeds))
+      .join(g.vertices, Seq("vid"))
+      .select(col("nodeId"), col("rank_fp"))
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 150000000L, "b" -> 850000000L))
+  }
+
   test("weightedSssp prefers light multi-hop paths") {
     val nodes = Seq(("a", "L"), ("b", "L"), ("c", "L"), ("d", "L"))
       .toDF("node_id", "layer")

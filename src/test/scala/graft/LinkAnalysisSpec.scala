@@ -96,6 +96,71 @@ class LinkAnalysisSpec extends SparkSuite {
     assert(got === Set(Seq(5L, 2L), Seq(6L, 2L), Seq(7L, 2L)))
   }
 
+  test("jaccardPairs matches a brute-force reference on random data") {
+    for (seed <- Seq(11, 12)) {
+      val rnd = new scala.util.Random(seed)
+      val data = (1 to 400).map(_ =>
+        (rnd.nextInt(40).toLong, "i" + rnd.nextInt(25)))
+      val df = data.toDF("g", "i")
+      val got = rows(LinkAnalysis.jaccardPairs(df, "g", "i", 1)
+        .select("a", "b", "inter", "uni"))
+      val sets = data.distinct.groupBy(_._2).view
+        .mapValues(_.map(_._1).toSet).toMap
+      val keys = sets.keys.toSeq.sorted
+      val exp = (for {
+        a <- keys; b <- keys if a < b
+        inter = (sets(a) & sets(b)).size if inter >= 1
+      } yield Seq[Any](a, b, inter.toLong,
+        (sets(a).size + sets(b).size - inter).toLong)).toSet
+      assert(got === exp, s"seed=$seed")
+    }
+  }
+
+  test("clusteringCoefficients triangles match brute enumeration") {
+    for (seed <- Seq(21, 22)) {
+      val rnd = new scala.util.Random(seed)
+      val es = (1 to 120).map { _ =>
+        val a = rnd.nextInt(30); val b = rnd.nextInt(30)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter(p => p._1 != p._2).distinct
+      val got = rows(LinkAnalysis.clusteringCoefficients(edges(es: _*))
+        .select("node", "triangles"))
+      val adj = (es ++ es.map(_.swap)).groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
+      val exp = adj.collect { case (n, nbrs) if nbrs.size >= 2 =>
+        val ns = nbrs.toSeq
+        val tris = ns.map(u => ns.count(v => u < v && adj(u).contains(v))).sum
+        Seq[Any](n, tris.toLong)
+      }.toSet
+      assert(got === exp, s"seed=$seed")
+    }
+  }
+
+  test("bounded kcore equals peel-to-fixpoint reference on random graphs") {
+    for (seed <- Seq(31, 32)) {
+      val rnd = new scala.util.Random(seed)
+      val es = (1 to 80).map { _ =>
+        val a = rnd.nextInt(40); val b = rnd.nextInt(40)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter(p => p._1 != p._2).distinct
+      val got = rows(LinkAnalysis.kcore(edges(es: _*), 2, 20))
+      // reference: peel until stable
+      var e = es.toSet
+      var stable = false
+      while (!stable) {
+        val deg = (e.toSeq ++ e.toSeq.map(_.swap)).groupBy(_._1).view
+          .mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= 2).keySet
+        val next = e.filter(p => keep(p._1) && keep(p._2))
+        stable = next == e; e = next
+      }
+      val deg = (e.toSeq ++ e.toSeq.map(_.swap)).groupBy(_._1).view
+        .mapValues(_.size.toLong).toMap
+      val exp = deg.map { case (n, d) => Seq[Any](n, d) }.toSet
+      assert(got === exp, s"seed=$seed")
+    }
+  }
+
   test("kcore bound is past fixpoint on the corpus projection") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val pe = LinkAnalysis.cooccurrenceEdges(li, "l_orderkey", "l_partkey", 1)
