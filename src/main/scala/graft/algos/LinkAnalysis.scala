@@ -36,9 +36,14 @@ object LinkAnalysis {
     * with canonical orientation a < b. */
   def cooccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
                         minCount: Long = 2): DataFrame = {
-    val l = df.select(col(groupCol).as("g"), col(itemCol).as("a")).distinct()
-    val r = df.select(col(groupCol).as("g"), col(itemCol).as("b")).distinct()
-    l.join(r, "g").where(col("a") < col("b"))
+    // one distinct pass feeds both join sides (checkpoint, not two
+    // recomputations — the dedup shuffle of the membership list is the
+    // expensive part at corpus scale)
+    val gi = df.select(col(groupCol).as("g"), col(itemCol).as("i"))
+      .distinct().localCheckpoint()
+    gi.select(col("g"), col("i").as("a"))
+      .join(gi.select(col("g"), col("i").as("b")), "g")
+      .where(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("w"))
       .where(col("w") >= minCount)
   }
@@ -49,7 +54,10 @@ object LinkAnalysis {
     * with at least one wedge; coeff = triangles / wedges as the single
     * final float op. */
   def clusteringCoefficients(edges: DataFrame): DataFrame = {
-    val e = edges.select("a", "b")
+    // the edge list feeds five branches (three triangle-join sides,
+    // the triangle corner union, the degree table): materialize once
+    // instead of re-deriving the projection per branch
+    val e = edges.select("a", "b").localCheckpoint()
     // enumerate each triangle once: wedge (a<b, b<c) closed by (a, c)
     val e1 = e.as("e1")
     val e2 = e.select(col("a").as("b"), col("b").as("c")).as("e2")
@@ -80,7 +88,9 @@ object LinkAnalysis {
     * final division. */
   def jaccardPairs(df: DataFrame, groupCol: String, itemCol: String,
                    minInter: Long = 2): DataFrame = {
-    val gi = df.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct()
+    // gi feeds the degree table and both intersection sides
+    val gi = df.select(col(groupCol).as("g"), col(itemCol).as("i"))
+      .distinct().localCheckpoint()
     val deg = gi.groupBy("i").agg(count(lit(1)).as("d"))
     val inter = gi.select(col("g"), col("i").as("a"))
       .join(gi.select(col("g"), col("i").as("b")), "g")
@@ -103,7 +113,9 @@ object LinkAnalysis {
     * a hash hazard the quantized harmonic weight avoids). */
   def resourceAllocationPairs(df: DataFrame, groupCol: String,
                               itemCol: String, minInter: Long = 2): DataFrame = {
-    val gi = df.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct()
+    // gi feeds the group-degree table and both pair sides
+    val gi = df.select(col(groupCol).as("g"), col(itemCol).as("i"))
+      .distinct().localCheckpoint()
     // integer DIV, not `/`: double division + cast can land one off
     // floor(1e9/gd) at representability boundaries — the quantized
     // weight must be the same exact integer DuckDB's `//` produces

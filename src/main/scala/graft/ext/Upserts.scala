@@ -31,10 +31,14 @@ object Upserts {
     val open = current.filter(col("is_current"))
     val closedHistory = current.filter(!col("is_current"))
     // keys whose open row differs from the update on any compared col
+    // the (small) changed-key set drives one semi and two anti joins:
+    // materialize it once instead of re-running the change-detection
+    // join per consumer
     val changedKeys = open.alias("o").join(upd.alias("u"), Seq(keyCol))
       .where(compareCols.map(c => !(col(s"o.$c") <=> col(s"u.$c")))
         .reduce(_ || _))
       .select(col(keyCol))
+      .localCheckpoint()
     val closedOut = open.join(changedKeys, Seq(keyCol), "left_semi")
       .withColumn("valid_to", batchTs.cast("date"))
       .withColumn("is_current", lit(false))
