@@ -2326,6 +2326,35 @@ object SparkEntry {
              |   AS BIGINT) % 1000000 < w_ppm
              |ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("x36_countmin",
+      // Count-Min frequency sketch over the token stream as a typed
+      // Aggregator (exactly mergeable: elementwise-add matrix, any
+      // reduce tree). The md5 hash family is portable, so the oracle
+      // re-derives the identical 4x64 matrix cell by cell — a
+      // hash-CHECKED sketch, not a rows-only one.
+      (s, dir) => {
+        val toks = docs(s, dir).select(
+          explode(TextOps.tokens(TextOps.normalize(col("text")))).as("t"))
+        toks.agg(ext.Aggregators.countMin(4, 64)(col("t")).as("cells"))
+          .select(posexplode(col("cells")).as(Seq("i", "cnt")))
+          .where(col("cnt") > 0)
+          .select((col("i") / 64).cast("long").as("r"),
+            (col("i") % 64).cast("long").as("c"), col("cnt"))
+          .orderBy("r", "c")
+      },
+      Some("""WITH toks AS (SELECT UNNEST(string_split_regex(
+             |   trim(regexp_replace(regexp_replace(lower(text),
+             |     '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')),
+             |   '\s+')) AS t FROM documents),
+             | cells AS (SELECT r,
+             |   CAST(('0x' || substr(md5(t || ':' || r), 1, 15)) AS BIGINT)
+             |     % 64 AS c,
+             |   COUNT(*) AS cnt
+             |  FROM toks, generate_series(0, 3) AS g(r)
+             |  GROUP BY 1, 2)
+             |SELECT CAST(r AS BIGINT) AS r, c, cnt FROM cells
+             |ORDER BY r, c""".stripMargin)),
+
     // ------------------------------------------------------ pipeline: text LM
     QueryDef("x33_bigram_lm",
       // self-trained bigram-LM predictability score (the n-gram

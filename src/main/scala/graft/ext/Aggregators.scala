@@ -43,4 +43,60 @@ object Aggregators {
 
   /** Column-API form: `df.agg(exactMean(col("x")))`. */
   def exactMean(c: Column): Column = udaf(ExactMean, Encoders.scalaDouble)(c)
+
+  /** Count-Min sketch over a string column — the frequency-sketch
+    * member of the "novel sketch" extension family (X1/X2 cousins:
+    * MinHash, SimHash, sign-LSH). The buffer is the d×w counter
+    * matrix flattened row-major; `merge` is elementwise addition, so
+    * the sketch is EXACTLY mergeable: any partitioning, task order, or
+    * reduce tree produces the identical matrix (unlike Space-Saving /
+    * Misra-Gries summaries, whose merges are order-sensitive).
+    * Point estimate = min over rows of cell(r, h_r(x)) — always >= the
+    * true count, with the usual CM overestimate bound (spec-pinned).
+    *
+    * Hash family: the portable md5 bucket (`md5(x + ":" + r)`, first
+    * 60 bits, mod w) — the same family as the x18/x26/x27 portable
+    * twins, so ANY engine with md5 can rebuild the identical matrix
+    * (the corpus query hash-matches the DuckDB re-derivation cell by
+    * cell). At 100 TB the sketch is the point: a 4×64 BIGINT matrix
+    * summarizes an unbounded token stream in constant memory with
+    * map-side partials. */
+  class CountMin(val d: Int, val w: Int)
+      extends Aggregator[String, Array[Long], Seq[Long]] {
+    require(d > 0 && w > 0, "CountMin: d > 0, w > 0")
+
+    private def bucket(x: String, r: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((x + ":" + r).getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString // 16 hex chars; use 15
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16) % w).toInt
+    }
+
+    override def zero: Array[Long] = new Array[Long](d * w)
+    override def reduce(b: Array[Long], x: String): Array[Long] = {
+      var r = 0
+      while (r < d) { b(r * w + bucket(x, r)) += 1L; r += 1 }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    // kryo buffer like ExactMean: the counter matrix crosses the
+    // shuffle as opaque bytes, no per-element boxing
+    override def bufferEncoder: Encoder[Array[Long]] =
+      Encoders.kryo[Array[Long]]
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+
+    /** Point estimate from a finished sketch. */
+    def estimate(cells: Seq[Long], x: String): Long =
+      (0 until d).map(r => cells(r * w + bucket(x, r))).min
+  }
+
+  /** Column-API form: `df.agg(countMin(4, 64)(col("token")))`. */
+  def countMin(d: Int, w: Int)(c: Column): Column =
+    udaf(new CountMin(d, w), Encoders.STRING)(c)
 }

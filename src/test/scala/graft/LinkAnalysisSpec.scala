@@ -261,6 +261,27 @@ class PipelineAnalyticsSpec extends SparkSuite {
       s"ppm bucket should be roughly uniform, kept ${half.size}/500")
   }
 
+  test("CountMin sketch: partition-invariant, estimates dominate true counts") {
+    import graft.ext.Aggregators
+    val words = Seq("a", "b", "c", "d", "e")
+    val data = (0 until 2000).map(i => words(i % words.length) * (i % 3 + 1))
+    val df = data.toDF("t")
+    val agg = new Aggregators.CountMin(4, 32)
+    def sketch(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      d.agg(Aggregators.countMin(4, 32)(col("t"))).head.getSeq[Long](0)
+    val s1 = sketch(df.repartition(1))
+    val s8 = sketch(df.repartition(8))
+    assert(s1 === s8, "merge must be order/partitioning-invariant")
+    assert(s1.sum === 4L * data.length, "every row increments each of d rows")
+    val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    exact.foreach { case (tok, n) =>
+      val est = agg.estimate(s1, tok)
+      assert(est >= n, s"CM estimate must dominate true count for $tok")
+      assert(est <= n + data.length / 8,
+        s"estimate for $tok implausibly large: $est vs $n")
+    }
+  }
+
   test("bigramPredictability integer-exact scores") {
     val docs = Seq((1L, "a b a b"), (2L, "zz"), (3L, "")).toDF("doc_id", "text")
     // corpus bigrams: (a,b) x2, (b,a) x1 -> cp(a)=2, cp(b)=1
