@@ -2039,6 +2039,54 @@ object SparkEntry {
               | CAST(n_reached AS DOUBLE) / dist_sum AS closeness
               |FROM agg WHERE n_reached > 0 ORDER BY node""".stripMargin)),
 
+    QueryDef("g39_betweenness",
+      // exact betweenness on the supplier-nation-region slice: pair
+      // fractions σ(s,v)σ(v,t)/σ(s,t) quantized to 1e6 ints. The Spark
+      // side counts shortest paths by sigma-accumulating BFS; the
+      // oracle counts them by enumerating bounded walks (a walk of
+      // minimal length cannot revisit, so the counts agree).
+      (s, dir) => {
+        val sup = t(s, dir, "supplier").select(
+          concat(lit("supplier|"), col("s_suppkey").cast("string")).as("a"),
+          concat(lit("nation|"), col("s_nationkey").cast("string")).as("b"))
+        val nat = t(s, dir, "nation").select(
+          concat(lit("nation|"), col("n_nationkey").cast("string")).as("a"),
+          concat(lit("region|"), col("n_regionkey").cast("string")).as("b"))
+        LinkAnalysis.betweenness(sup.unionAll(nat), maxDepth = 6)
+          .orderBy("node")
+      },
+      Some(s"""$W, sub AS (SELECT source_layer || '|' || source_id AS a,
+              |   target_layer || '|' || target_id AS b
+              |  FROM edges
+              |  WHERE source_layer IN ('supplier', 'nation', 'region')
+              |    AND target_layer IN ('supplier', 'nation', 'region')),
+              | und AS (SELECT a, b FROM sub UNION SELECT b, a FROM sub),
+              | nodes AS (SELECT DISTINCT a AS node FROM und),
+              | walk(src, node, d) AS (
+              |  SELECT node, node, 0 FROM nodes
+              |  UNION ALL
+              |  SELECT w.src, u.b, w.d + 1 FROM walk w
+              |   JOIN und u ON u.a = w.node WHERE w.d < 6),
+              | md AS (SELECT src, node, MIN(d) AS d FROM walk GROUP BY 1, 2),
+              | sig AS MATERIALIZED (SELECT w.src, w.node, m.d,
+              |   COUNT(*) AS sigma
+              |  FROM walk w JOIN md m
+              |    ON m.src = w.src AND m.node = w.node AND m.d = w.d
+              |  GROUP BY 1, 2, 3),
+              | st AS (SELECT src AS s, node AS t, d AS dst, sigma AS sigst
+              |  FROM sig WHERE src < node),
+              | bc AS (SELECT sv.node AS v,
+              |   CAST(SUM((sv.sigma * tv.sigma * 1000000) // st.sigst)
+              |     AS BIGINT) AS bc_q
+              |  FROM st
+              |  JOIN sig sv ON sv.src = st.s
+              |  JOIN sig tv ON tv.src = st.t AND tv.node = sv.node
+              |  WHERE sv.node <> st.s AND sv.node <> st.t
+              |    AND sv.d + tv.d = st.dst
+              |  GROUP BY 1)
+              |SELECT v AS node, bc_q FROM bc WHERE bc_q > 0
+              |ORDER BY node""".stripMargin)),
+
     // ------------------------------------------------- relational coverage 2
     QueryDef("q28_grouping_sets",
       // GROUPING SETS distinct from rollup/cube + the GROUPING()

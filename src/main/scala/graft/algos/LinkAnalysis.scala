@@ -183,6 +183,67 @@ object LinkAnalysis {
         (col("n_reached").cast("double") / col("dist_sum")).as("closeness"))
   }
 
+  /** Exact betweenness centrality over the undirected projection of an
+    * edge list — per node v: Σ over reachable pairs s < t (v strictly
+    * interior) of σ(s,v)·σ(v,t)/σ(s,t), each pair fraction quantized
+    * to floor(·×1e6) so the sum is exact integer arithmetic on any
+    * engine. Shortest-path counts come from a sigma-accumulating
+    * multi-source BFS: a node first reached at round d gets
+    * σ = Σ σ(predecessors at d-1) — the aggregated (scalable) form of
+    * path counting; an enumerate-all-walks formulation (what the
+    * DuckDB oracle does) agrees because a length-d(s,v) walk cannot
+    * revisit a vertex.
+    *
+    * Scale: pair-state (src, node) like [[harmonicCentrality]] — meant
+    * for bounded slices; the pair-combination join is the dominant
+    * cost (|SP| × component size). σ products are BIGINTs: the 1e6
+    * quantizer bounds usable σ at ~3e6 paths per pair (document
+    * diameter/multiplicity accordingly). Nodes with zero betweenness
+    * are omitted. */
+  def betweenness(edges: DataFrame, maxDepth: Int): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+      .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    val nodes = und.select(col("a").as("node")).distinct()
+    var state = nodes
+      .select(col("node").as("src"), col("node"), lit(0).as("dist"),
+        lit(1L).as("sigma"))
+      .localCheckpoint()
+    var frontier = state
+    for (d <- 1 to maxDepth) {
+      val stepped = frontier.alias("f")
+        .join(und.alias("u"), col("f.node") === col("u.a"))
+        .select(col("f.src").as("src"), col("u.b").as("node"),
+          col("f.sigma").as("sigma"))
+      val fresh = stepped
+        .join(state.select("src", "node"), Seq("src", "node"), "left_anti")
+        .groupBy("src", "node")
+        .agg(sum("sigma").as("sigma"))
+        .select(col("src"), col("node"), lit(d).as("dist"), col("sigma"))
+        .localCheckpoint(eager = false)
+      state = state.unionAll(fresh).localCheckpoint(eager = false)
+      frontier = fresh
+    }
+    val sp = state.localCheckpoint() // (src, node, dist, sigma)
+    val st = sp.where(col("src") < col("node"))
+      .select(col("src").as("s"), col("node").as("t"),
+        col("dist").as("dst"), col("sigma").as("sigst"))
+    val sv = sp.select(col("src").as("s"), col("node").as("v"),
+      col("dist").as("dsv"), col("sigma").as("sigsv"))
+    val tv = sp.select(col("src").as("t"), col("node").as("v"),
+      col("dist").as("dtv"), col("sigma").as("sigtv"))
+    st.join(sv, "s")
+      .where(col("v") =!= col("s") && col("v") =!= col("t"))
+      .join(tv, Seq("t", "v"))
+      .where(col("dsv") + col("dtv") === col("dst"))
+      .select(col("v"),
+        expr("CAST(sigsv * sigtv * 1000000 DIV sigst AS BIGINT)").as("contrib"))
+      .groupBy("v").agg(sum("contrib").as("bc_q"))
+      .where(col("bc_q") > 0)
+      .select(col("v").as("node"), col("bc_q"))
+  }
+
   /** Bounded synchronous k-core peeling over a canonical undirected
     * edge list: `rounds` rounds of "drop nodes with degree < k, then
     * drop their edges". Returns surviving (node, degree) after the

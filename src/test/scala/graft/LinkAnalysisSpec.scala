@@ -89,6 +89,26 @@ class LinkAnalysisSpec extends SparkSuite {
       Seq("d", 1L, 1L, 1000000L, 1.0)))
   }
 
+  test("betweenness hand-computed on path and star graphs") {
+    // path a-b-c-d: b is interior of (a,c) and (a,d); c of (a,d),(b,d)
+    // -> bc_q(b) = bc_q(c) = 2e6; endpoints 0 (omitted)
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("a", "b")
+    assert(rows(LinkAnalysis.betweenness(path, 4)) ===
+      Set(Seq("b", 2000000L), Seq("c", 2000000L)))
+    // star with center x and leaves p,q,r: x interior of all 3 pairs
+    val star = Seq(("x", "p"), ("x", "q"), ("x", "r")).toDF("a", "b")
+    assert(rows(LinkAnalysis.betweenness(star, 4)) ===
+      Set(Seq("x", 3000000L)))
+    // diamond a-b-d, a-c-d: b and c each carry one of the two shortest
+    // a-d paths (floor(1e6/2)); symmetrically a and d are each interior
+    // of one of the two shortest b-c paths
+    val diamond = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"))
+      .toDF("a", "b")
+    assert(rows(LinkAnalysis.betweenness(diamond, 4)) ===
+      Set(Seq("a", 500000L), Seq("b", 500000L),
+        Seq("c", 500000L), Seq("d", 500000L)))
+  }
+
   test("kcore peels pendant chains but keeps the cycle") {
     // path 1-2-3-4 dissolves under k=2 peeling; triangle 5-6-7 stays
     val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (5L, 7L), (6L, 7L))
