@@ -41,6 +41,18 @@ object Exporter {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** ORC sink — the other columnar built-in (predicate pushdown and
+    * column pruning work the same as parquet; the choice is a
+    * deployment concern, not an engine one). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** JSON-lines sink — the interchange format for row-oriented
+    * consumers (the reference's dict/list export modes,
+    * `exporter.py:81-96`, map to one JSON object per row). */
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** Partitioned parquet export — the 100 TB shape: `path/layer=X/…`
     * directories let every downstream layer-filtered read prune whole
     * partitions at planning time (PartitionFilters, zero data touched

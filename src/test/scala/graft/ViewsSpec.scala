@@ -96,6 +96,18 @@ class ViewsSpec extends SparkSuite {
     assert(spark.read.parquet(s"$dir/v.parquet").count() == g.numVertices)
     val csv = spark.read.option("header", "true").csv(s"$dir/e.csv")
     assert(csv.count() == g.numEdges && csv.columns.contains("w"))
+    // ORC round-trips with the full schema intact (columnar peer of
+    // parquet); JSON-lines round-trips values for row consumers
+    Exporter.writeOrc(Exporter.vertexInfo(g), s"$dir/v.orc")
+    val orc = spark.read.orc(s"$dir/v.orc")
+    // nullability widens on read (file formats don't persist it);
+    // names and types must survive
+    assert(orc.count() == g.numVertices &&
+      orc.schema.map(f => (f.name, f.dataType)) ==
+        Exporter.vertexInfo(g).schema.map(f => (f.name, f.dataType)))
+    Exporter.writeJsonLines(Exporter.edgeInfo(g), s"$dir/e.json")
+    val json = spark.read.json(s"$dir/e.json")
+    assert(json.count() == g.numEdges && json.columns.contains("w"))
   }
 
   test("partitioned export prunes by layer at planning time (S4 at scale)") {
