@@ -158,4 +158,54 @@ final class OnionNet(val spark: SparkSession, val directed: Boolean = true) {
   // ------------------------------------------------------------- export
   def exportInfo(mode: String = "v", props: Seq[String] = Nil): DataFrame =
     if (mode == "v") Exporter.vertexInfo(g, props) else Exporter.edgeInfo(g, props)
+
+  // ------------------------------------- beyond-reference analytics (§2.9)
+  // The graph-tool algorithm suite the reference's README motivates but
+  // never wraps — exposed on the same stateful facade so a reference
+  // user grows into them without leaving the API.
+
+  /** PageRank over the current graph (exact fixed-point micro-units;
+    * pass `seeds` for the personalized variant). */
+  def pageRank(iters: Int = 5,
+               seeds: Option[DataFrame] = None): DataFrame =
+    graft.algos.GraphOps.pageRankFixedPoint(g, iters, seeds)
+
+  /** Weighted shortest-path distances from `(layer, nodeId)` along a
+    * numeric edge property. */
+  def shortestDistances(layer: String, nodeId: String,
+                        weightProp: String = "qty",
+                        maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val seeds = g.vertices.where(
+      col("layer") === layer && col("nodeId") === nodeId)
+    // graphs grown without an edge-weight property get unit weights
+    // (hop distances) rather than an analysis exception
+    val gg = if (g.edges.columns.contains(weightProp)) g
+      else OnionGraph(g.vertices, g.edges.withColumn(weightProp, lit(1.0)))
+    graft.algos.GraphOps.weightedSssp(gg, seeds, maxIter, weightProp)
+  }
+
+  /** Closeness + harmonic centrality of the current graph's undirected
+    * projection (node key = "layer|nodeId"). */
+  def centrality(maxDepth: Int): DataFrame =
+    graft.algos.LinkAnalysis.harmonicCentrality(labeledEdges, maxDepth)
+
+  /** Exact betweenness centrality of the undirected projection. */
+  def betweenness(maxDepth: Int): DataFrame =
+    graft.algos.LinkAnalysis.betweenness(labeledEdges, maxDepth)
+
+  private def labeledEdges: DataFrame = {
+    import org.apache.spark.sql.functions._
+    val v = g.vertices.select(col("vid"),
+      concat_ws("|", col("layer"), col("nodeId")).as("name"))
+    val j = g.edges.select("src", "dst")
+      .join(v.select(col("vid").as("src"), col("name").as("a")), "src")
+      .join(v.select(col("vid").as("dst"), col("name").as("b")), "dst")
+      .select("a", "b")
+    // hard lineage cut (RDD round-trip): Dataset.checkpoint's
+    // attribute remapping trips over deduplicated self-join plans on
+    // Spark 4.1 (see SparkEntry g37), and the BFS loops downstream
+    // checkpoint every round — hand them clean attributes
+    spark.createDataFrame(j.rdd, j.schema)
+  }
 }

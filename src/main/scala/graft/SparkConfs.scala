@@ -36,6 +36,23 @@ object SparkConfs {
     }
   }
 
+  /** Run `body` with Catalyst constraint propagation off. The
+    * self-referential union shape of iterative pair-state loops
+    * (state ∪ fresh where fresh's plan references state's attributes
+    * through an anti-join) trips `UnionBase.rewriteConstraints` on
+    * Spark 4.1 (NoSuchElementException on a deduplicated-join
+    * attribute) for join-derived inputs. Constraint propagation only
+    * infers extra filters — losing it inside a bounded loop costs
+    * nothing measurable, and every checkpoint the loop takes
+    * materializes inside this scope. */
+  def withoutConstraintPropagation[A](spark: org.apache.spark.sql.SparkSession)
+                                     (body: => A): A = {
+    val key = "spark.sql.constraintPropagation.enabled"
+    val prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
+  }
+
   def kryoGraphConf(): SparkConf = {
     val conf = new SparkConf()
       .set("spark.serializer", sys.env.getOrElse("SPARK_GRAFT_SERIALIZER",

@@ -153,7 +153,8 @@ object LinkAnalysis {
     * full-corpus centrality at 100 TB would switch to HyperBall-style
     * sketched neighborhood sizes (approximate, not oracle-checkable).
     */
-  def harmonicCentrality(edges: DataFrame, maxDepth: Int): DataFrame = {
+  def harmonicCentrality(edges: DataFrame, maxDepth: Int): DataFrame =
+      graft.SparkConfs.withoutConstraintPropagation(edges.sparkSession) {
     // EAGER pre-loop checkpoints: the loop's lazy checkpoints must
     // start from clean LogicalRDDs — deferring these into the first
     // round's materialization makes Dataset.checkpoint's attribute
@@ -213,7 +214,8 @@ object LinkAnalysis {
     * quantizer bounds usable σ at ~3e6 paths per pair (document
     * diameter/multiplicity accordingly). Nodes with zero betweenness
     * are omitted. */
-  def betweenness(edges: DataFrame, maxDepth: Int): DataFrame = {
+  def betweenness(edges: DataFrame, maxDepth: Int): DataFrame =
+      graft.SparkConfs.withoutConstraintPropagation(edges.sparkSession) {
     val und = edges.select(col("a"), col("b"))
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()

@@ -85,4 +85,30 @@ class OnionNetFacadeSpec extends SparkSuite {
     assert(net.exportInfo("e").count() == 2)
     assert(net.getVertexByNameTuple("L2", "c").isDefined)
   }
+
+  test("beyond-reference analytics ride the same facade") {
+    val net = freshNet // path a -> b -> c
+    // centrality on the undirected projection: b is the middle
+    val cent = net.centrality(maxDepth = 3)
+      .select("node", "n_reached").as[(String, Long)].collect().toMap
+    assert(cent === Map("L1|a" -> 2L, "L1|b" -> 2L, "L2|c" -> 2L))
+    val bc = net.betweenness(maxDepth = 3)
+      .select("node", "bc_q").as[(String, Long)].collect().toMap
+    assert(bc === Map("L1|b" -> 1000000L))
+    // personalized pagerank, hand-computed on the a -> b -> c path:
+    //   r1 = (0.15e9, 0.85e9, 0); r2 = (0.15e9, 0.85*0.15e9, 0.85*0.85e9)
+    val seeds = net.g.vertices.where(col("nodeId") === "a").select("vid")
+    val pr = net.pageRank(iters = 2, seeds = Some(seeds))
+      .join(net.g.vertices, Seq("vid"))
+      .select(col("nodeId"), col("rank_fp")).as[(String, Long)]
+      .collect().toMap
+    assert(pr === Map("a" -> 150000000L, "b" -> 127500000L,
+      "c" -> 722500000L))
+    // weighted distances fall back to unit qty (grow default)
+    val d = net.shortestDistances("L1", "a")
+      .join(net.g.vertices, Seq("vid"))
+      .select(col("nodeId"), col("dist")).as[(String, Double)]
+      .collect().toMap
+    assert(d === Map("a" -> 0.0, "b" -> 1.0, "c" -> 2.0))
+  }
 }
