@@ -2304,6 +2304,52 @@ object SparkEntry {
              |   ORDER BY o_totalprice, o_orderkey) AS cd
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    QueryDef("q39_not_in_nulls",
+      // three-valued-logic showpiece: NOT IN against a subquery that
+      // CONTAINS a NULL keeps only rows the comparison can prove —
+      // both engines must agree on the NULL-poisoned semantics (and on
+      // the NULL-free twin's ordinary anti-join behavior).
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        t(s, dir, "customer").createOrReplaceTempView("customer")
+        s.sql("""SELECT
+                | (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+                |   (SELECT CASE WHEN c_custkey % 100 = 7 THEN NULL
+                |           ELSE c_custkey END FROM customer)) AS with_null,
+                | (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+                |   (SELECT c_custkey FROM customer
+                |    WHERE c_custkey % 100 <> 7)) AS without_null""".stripMargin)
+      },
+      Some("""SELECT
+             | (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+             |   (SELECT CASE WHEN c_custkey % 100 = 7 THEN NULL
+             |           ELSE c_custkey END FROM customer)) AS with_null,
+             | (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+             |   (SELECT c_custkey FROM customer
+             |    WHERE c_custkey % 100 <> 7)) AS without_null""".stripMargin)),
+
+    QueryDef("q40_correlated_scalar",
+      // correlated scalar subquery in a predicate: suppliers whose
+      // balance beats their nation's AVERAGE customer balance — the
+      // mean is the decimal-exact sum over an exact count, one float
+      // division per nation.
+      (s, dir) => {
+        t(s, dir, "supplier").createOrReplaceTempView("supplier")
+        t(s, dir, "customer").createOrReplaceTempView("customer")
+        s.sql("""SELECT s_suppkey, s_nationkey FROM supplier s
+                |WHERE s_acctbal > (SELECT
+                |   CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                |     / COUNT(*)
+                |  FROM customer c WHERE c.c_nationkey = s.s_nationkey)
+                |ORDER BY s_suppkey""".stripMargin)
+      },
+      Some("""SELECT s_suppkey, s_nationkey FROM supplier s
+             |WHERE s_acctbal > (SELECT
+             |   CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+             |     / COUNT(*)
+             |  FROM customer c WHERE c.c_nationkey = s.s_nationkey)
+             |ORDER BY s_suppkey""".stripMargin)),
+
     QueryDef("x34_scd2",
       // SCD2 versioned upsert: a synthetic batch bumps acctbal by 100
       // for custkey % 7 = 0 and no-ops custkey % 97 = 3 — changed keys
