@@ -2089,6 +2089,26 @@ object SparkEntry {
               |SELECT v AS node, bc_q FROM bc WHERE bc_q > 0
               |ORDER BY node""".stripMargin)),
 
+    QueryDef("g40_assortativity",
+      // degree assortativity of the co-purchase graph: exact integer
+      // moments (q20 pattern), identical final IEEE ops both engines.
+      (s, dir) => LinkAnalysis.degreeAssortativity(
+        LinkAnalysis.cooccurrenceEdges(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey", 2)),
+      Some(s"""WITH $copurchaseSql,
+              |und AS (SELECT a, b FROM pe UNION ALL SELECT b, a FROM pe),
+              |deg AS (SELECT a AS node, COUNT(*) AS d FROM und GROUP BY 1),
+              |xy AS (SELECT dx.d AS x, dy.d AS y FROM und
+              |  JOIN deg dx ON dx.node = und.a
+              |  JOIN deg dy ON dy.node = und.b),
+              |m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x*x) AS sxx,
+              |  SUM(y) AS sy, SUM(y*y) AS syy, SUM(x*y) AS sxy FROM xy)
+              |SELECT CAST(n AS BIGINT) AS n_endpoints,
+              | CAST(n*sxy - sx*sy AS DOUBLE) /
+              |  (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+              |   * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS assortativity
+              |FROM m""".stripMargin)),
+
     // ------------------------------------------------- relational coverage 2
     QueryDef("q28_grouping_sets",
       // GROUPING SETS distinct from rollup/cube + the GROUPING()

@@ -138,6 +138,37 @@ object LinkAnalysis {
       .where(col("inter") >= minInter)
   }
 
+  /** Degree assortativity of a canonical (a<b) undirected edge list:
+    * the Pearson correlation between endpoint degrees over all
+    * directed edge instances (both orientations — the standard
+    * symmetric treatment). Moments (n, Σx, Σx², Σy, Σy², Σxy)
+    * accumulate as DECIMAL(38,0)-exact integers in one grouped pass
+    * (the q20 pattern); the handful of final float ops are identical
+    * IEEE operations on identical exact inputs on any engine.
+    * Output: one row (n_endpoints, assortativity). */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+      .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val deg = und.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("d"))
+    val xy = und
+      .join(deg.select(col("node").as("a"), col("d").as("x")), "a")
+      .join(deg.select(col("node").as("b"), col("d").as("y")), "b")
+    xy.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+      .select(col("n").cast("long").as("n_endpoints"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("assortativity"))
+  }
+
   /** Closeness + harmonic centrality by multi-source BFS over the
     * undirected projection of an edge list (a, b): every node is its
     * own source, each round advances all frontiers at once through one

@@ -109,6 +109,77 @@ class LinkAnalysisSpec extends SparkSuite {
         Seq("c", 500000L), Seq("d", 500000L)))
   }
 
+  private def randomEdges(seed: Int, n: Int, m: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    (1 to m).map { _ =>
+      val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+      (math.min(a, b).toLong, math.max(a, b).toLong)
+    }.filter(p => p._1 != p._2).distinct
+  }
+
+  private def bfs(adj: Map[Long, Set[Long]], s: Long): Map[Long, Int] = {
+    var dist = Map(s -> 0); var frontier = Set(s)
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .filterNot(dist.contains)
+      next.foreach(v => dist += v -> (dist(frontier.find(u =>
+        adj.getOrElse(u, Set.empty).contains(v)).get) + 1))
+      frontier = next
+    }
+    dist
+  }
+
+  test("harmonicCentrality matches brute BFS on random graphs") {
+    for (seed <- Seq(41, 42)) {
+      val es = randomEdges(seed, 20, 30)
+      val adj = (es ++ es.map(_.swap)).groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
+      val got = rows(LinkAnalysis.harmonicCentrality(edges(es: _*), 25))
+      val exp = adj.keys.flatMap { s =>
+        val d = bfs(adj, s) - s
+        if (d.isEmpty) None
+        else Some(Seq[Any](s, d.size.toLong,
+          d.values.map(_.toLong).sum,
+          d.values.map(v => 1000000L / v).sum,
+          d.size.toDouble / d.values.sum))
+      }.toSet
+      assert(got === exp, s"seed=$seed")
+    }
+  }
+
+  test("betweenness matches brute path counting on random graphs") {
+    for (seed <- Seq(51, 52)) {
+      val es = randomEdges(seed, 15, 22)
+      val adj = (es ++ es.map(_.swap)).groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
+      // brute sigma: BFS levels, sigma(v) = sum of sigma(preds)
+      def sigmas(s: Long): (Map[Long, Int], Map[Long, Long]) = {
+        val d = bfs(adj, s)
+        val sig = scala.collection.mutable.Map(s -> 1L)
+        d.toSeq.sortBy(_._2).foreach { case (v, dv) =>
+          if (v != s)
+            sig(v) = adj(v).toSeq.filter(u => d.get(u).contains(dv - 1))
+              .map(u => sig(u)).sum
+        }
+        (d, sig.toMap)
+      }
+      val nodes = adj.keys.toSeq.sorted
+      val sp = nodes.map(s => s -> sigmas(s)).toMap
+      val acc = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for {
+        s <- nodes; t <- nodes if s < t && sp(s)._1.contains(t)
+        v <- nodes if v != s && v != t
+        dsv <- sp(s)._1.get(v); dtv <- sp(t)._1.get(v)
+        if dsv + dtv == sp(s)._1(t)
+      } acc(v) += sp(s)._2(v) * sp(t)._2(v) * 1000000L / sp(s)._2(t)
+      val exp = acc.filter(_._2 > 0)
+        .map { case (v, q) => Seq[Any](v, q) }.toSet
+      val got = rows(LinkAnalysis.betweenness(edges(es: _*), 20))
+      assert(got === exp, s"seed=$seed")
+    }
+  }
+
   test("kcore peels pendant chains but keeps the cycle") {
     // path 1-2-3-4 dissolves under k=2 peeling; triangle 5-6-7 stays
     val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (5L, 7L), (6L, 7L))
