@@ -2034,10 +2034,11 @@ object SparkEntry {
               | md AS (SELECT src, node, MIN(dist) AS d FROM walk GROUP BY 1, 2),
               | agg AS (SELECT src AS node, COUNT(*) - 1 AS n_reached,
               |   CAST(SUM(d) AS BIGINT) AS dist_sum,
+              |   MAX(d) AS ecc,
               |   CAST(SUM(CASE WHEN d > 0 THEN 1000000 // d ELSE 0 END)
               |     AS BIGINT) AS harmonic_q
               |  FROM md GROUP BY src)
-              |SELECT node, n_reached, dist_sum, harmonic_q,
+              |SELECT node, n_reached, dist_sum, ecc, harmonic_q,
               | CAST(n_reached AS DOUBLE) / dist_sum AS closeness
               |FROM agg WHERE n_reached > 0 ORDER BY node""".stripMargin)),
 

@@ -173,6 +173,7 @@ object LinkAnalysis {
     * undirected projection of an edge list (a, b): every node is its
     * own source, each round advances all frontiers at once through one
     * join on the node key. Output per node: `n_reached` (excluding
+    * self), `ecc` (eccentricity — max over eccentricities = diameter),
     * self), `dist_sum`, `harmonic_q` = Σ floor(1e6 / d) (quantized so
     * the sum is exact integer arithmetic on any engine), and
     * `closeness` = n_reached / dist_sum (the single float division).
@@ -220,10 +221,12 @@ object LinkAnalysis {
     state.groupBy("src")
       .agg((count(lit(1)) - 1).as("n_reached"),
         sum("dist").as("dist_sum"),
+        max("dist").as("ecc"),
         sum(expr("CASE WHEN dist > 0 THEN 1000000 DIV dist ELSE 0 END"))
           .as("harmonic_q"))
       .where(col("n_reached") > 0)
       .select(col("src").as("node"), col("n_reached"), col("dist_sum"),
+        col("ecc"),
         col("harmonic_q"),
         (col("n_reached").cast("double") / col("dist_sum")).as("closeness"))
   }

@@ -72,10 +72,10 @@ class LinkAnalysisSpec extends SparkSuite {
     val e = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("a", "b")
     val got = rows(LinkAnalysis.harmonicCentrality(e, 4))
     assert(got === Set(
-      Seq("a", 3L, 6L, 1833333L, 0.5),
-      Seq("b", 3L, 4L, 2500000L, 0.75),
-      Seq("c", 3L, 4L, 2500000L, 0.75),
-      Seq("d", 3L, 6L, 1833333L, 0.5)))
+      Seq("a", 3L, 6L, 3, 1833333L, 0.5),
+      Seq("b", 3L, 4L, 2, 2500000L, 0.75),
+      Seq("c", 3L, 4L, 2, 2500000L, 0.75),
+      Seq("d", 3L, 6L, 3, 1833333L, 0.5)))
   }
 
   test("harmonicCentrality respects maxDepth truncation") {
@@ -83,10 +83,10 @@ class LinkAnalysisSpec extends SparkSuite {
     // depth 1: everyone sees only direct neighbors
     val got = rows(LinkAnalysis.harmonicCentrality(e, 1))
     assert(got === Set(
-      Seq("a", 1L, 1L, 1000000L, 1.0),
-      Seq("b", 2L, 2L, 2000000L, 1.0),
-      Seq("c", 2L, 2L, 2000000L, 1.0),
-      Seq("d", 1L, 1L, 1000000L, 1.0)))
+      Seq("a", 1L, 1L, 1, 1000000L, 1.0),
+      Seq("b", 2L, 2L, 1, 2000000L, 1.0),
+      Seq("c", 2L, 2L, 1, 2000000L, 1.0),
+      Seq("d", 1L, 1L, 1, 1000000L, 1.0)))
   }
 
   test("betweenness hand-computed on path and star graphs") {
@@ -140,6 +140,7 @@ class LinkAnalysisSpec extends SparkSuite {
         if (d.isEmpty) None
         else Some(Seq[Any](s, d.size.toLong,
           d.values.map(_.toLong).sum,
+          d.values.max,
           d.values.map(v => 1000000L / v).sum,
           d.size.toDouble / d.values.sum))
       }.toSet
