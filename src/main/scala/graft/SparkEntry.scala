@@ -2472,6 +2472,55 @@ object SparkEntry {
              |SELECT CAST(r AS BIGINT) AS r, c, cnt FROM cells
              |ORDER BY r, c""".stripMargin)),
 
+    QueryDef("x37_containment",
+      // asymmetric containment — the subset-duplicate case Jaccard
+      // misses (a chunk inside a superdoc scores |A∩B|/|A| ~ 1 with
+      // low Jaccard). Hashed-shingle cardinalities equal the oracle's
+      // string-shingle cardinalities (x06 precedent).
+      (s, dir) => Dedup.containmentPairs(docs(s, dir),
+          blockKey = concat_ws("|", col("lang"),
+            (col("n_chars") / 50).cast("long")),
+          minContainment = 0.6, w = 2)
+        .orderBy("a", "b"),
+      Some("""WITH toks AS (SELECT doc_id,
+             |  lang || '|' || (n_chars // 50) AS blk,
+             |  string_split_regex(trim(text), '\s+') AS tk FROM documents),
+             | sh AS (SELECT doc_id, blk,
+             |  list_distinct([tk[i] || ' ' || tk[i+1]
+             |    for i in generate_series(1, len(tk) - 1)]) AS s
+             | FROM toks),
+             | sh2 AS (SELECT * FROM sh WHERE len(s) > 0),
+             | p AS (SELECT l.doc_id AS a, r.doc_id AS b,
+             |  CAST(len(list_intersect(l.s, r.s)) AS BIGINT) AS n_common,
+             |  CAST(len(list_intersect(l.s, r.s)) AS DOUBLE) / len(l.s)
+             |    AS cont_ab,
+             |  CAST(len(list_intersect(l.s, r.s)) AS DOUBLE) / len(r.s)
+             |    AS cont_ba
+             |  FROM sh2 l JOIN sh2 r ON l.blk = r.blk AND l.doc_id < r.doc_id)
+             |SELECT a, b, n_common, cont_ab, cont_ba FROM p
+             |WHERE cont_ab >= 0.6 OR cont_ba >= 0.6
+             |ORDER BY a, b""".stripMargin)),
+
+    QueryDef("x38_novelty",
+      // corpus novelty: fraction of a doc's distinct bigram shingles
+      // with corpus document-frequency 1 — exact counts, one division.
+      (s, dir) => TextOps.noveltyScore(docs(s, dir), w = 2)
+        .orderBy("doc_id"),
+      Some("""WITH sh AS (SELECT doc_id, UNNEST(list_distinct(
+             |   [tk[i] || ' ' || tk[i+1]
+             |    for i in generate_series(1, len(tk) - 1)])) AS h
+             |  FROM (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS tk
+             |   FROM documents)),
+             | hdf AS (SELECT h, COUNT(*) AS df FROM sh GROUP BY h),
+             | per AS (SELECT doc_id, COUNT(*) AS n_shingles,
+             |   CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |     AS n_unique
+             |  FROM sh JOIN hdf USING (h) GROUP BY doc_id)
+             |SELECT doc_id, n_shingles, n_unique,
+             | CAST(n_unique AS DOUBLE) / n_shingles AS novelty
+             |FROM per ORDER BY doc_id""".stripMargin)),
+
     // ------------------------------------------------------ pipeline: text LM
     QueryDef("x33_bigram_lm",
       // self-trained bigram-LM predictability score (the n-gram

@@ -331,4 +331,35 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("a"), col("b"), col("jaccard"))
   }
+
+  /** Asymmetric containment detection — the subset-duplicate case
+    * Jaccard misses: a chunk fully contained in a superdocument has
+    * containment |A∩B|/|A| ≈ 1 while its Jaccard stays low. Blocked
+    * pair generation like [[ngramJaccard]]; intersection counts are
+    * exact BIGINTs (`array_intersect` over distinct hashed shingles),
+    * each ratio one division. Emits pairs (a < b) where EITHER
+    * direction meets `minContainment`, with both directions' ratios.
+    * Empty shingle sets (docs shorter than w tokens) are excluded —
+    * containment of nothing is undefined, not 1. */
+  def containmentPairs(docs: DataFrame, blockKey: Column,
+                       minContainment: Double, w: Int = 3,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), blockKey.as("blk"),
+      hashedShingles(col(textCol), w).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint()
+    val left = sh.select(col("id").as("a"), col("blk"), col("sh").as("shA"))
+    val right = sh.select(col("id").as("b"), col("blk"), col("sh").as("shB"))
+    left.join(right, Seq("blk"))
+      .filter(col("a") < col("b"))
+      .withColumn("n_common",
+        size(array_intersect(col("shA"), col("shB"))).cast("long"))
+      .withColumn("cont_ab", col("n_common").cast("double") / size(col("shA")))
+      .withColumn("cont_ba", col("n_common").cast("double") / size(col("shB")))
+      .filter(col("cont_ab") >= minContainment ||
+        col("cont_ba") >= minContainment)
+      .select(col("a"), col("b"), col("n_common"), col("cont_ab"),
+        col("cont_ba"))
+  }
 }

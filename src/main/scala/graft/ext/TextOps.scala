@@ -218,6 +218,29 @@ object TextOps {
       .withColumn("pred_score", col("pred_sum").cast("double") / col("n_bigrams"))
   }
 
+  /** Corpus novelty score — the inverse-duplication quality signal:
+    * the fraction of a document's distinct w-token shingles that occur
+    * in NO other document (corpus shingle-frequency 1). Boilerplate-
+    * heavy or templated docs score near 0, original text near 1.
+    * One explode + two hash aggregations; counts are exact BIGINTs,
+    * the ratio is the single final division. Docs with no shingles
+    * (shorter than w tokens) are excluded. */
+  def noveltyScore(df: DataFrame, w: Int = 2, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+        Dedup.hashedShingles(col(textCol), w).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .localCheckpoint() // feeds both the df-count and the per-doc agg
+    val hdf = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    sh.join(hdf, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        col("n_unique").cast("double") / col("n_shingles"))
+  }
+
   /** Document fingerprints: full-content md5 + winnowing-style minimum
     * shingle fingerprint (lexicographic min of shingle md5s — a
     * deterministic rolling-hash stand-in both Spark and any ANSI SQL

@@ -374,6 +374,33 @@ class PipelineAnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("containmentPairs flags subset-duplicates Jaccard misses") {
+    import graft.ext.Dedup
+    val docs = Seq(
+      (1L, "a b c d e"), // superdoc: shingles {ab, bc, cd, de}
+      (2L, "a b c"),     // chunk: {ab, bc} — fully contained in doc 1
+      (3L, "x y z")      // unrelated: {xy, yz}
+    ).toDF("doc_id", "text")
+    val got = rows(Dedup.containmentPairs(docs, lit("blk"),
+      minContainment = 0.9, w = 2))
+    // cont(chunk in super) = 2/2 = 1.0; reverse = 2/4 = 0.5;
+    // the symmetric Jaccard would be 2/4 = 0.5 — below a 0.7 dedup bar
+    assert(got === Set(Seq(1L, 2L, 2L, 0.5, 1.0)))
+  }
+
+  test("noveltyScore hand-computed") {
+    val docs = Seq(
+      (1L, "a b c"),   // shingles {ab, bc}
+      (2L, "a b d"),   // {ab, bd}
+      (3L, "")         // no shingles -> excluded
+    ).toDF("doc_id", "text")
+    val got = rows(TextOps.noveltyScore(docs, w = 2))
+    // ab appears in both docs (df 2); bc and bd are unique
+    assert(got === Set(
+      Seq(1L, 2L, 1L, 0.5),
+      Seq(2L, 2L, 1L, 0.5)))
+  }
+
   test("bigramPredictability integer-exact scores") {
     val docs = Seq((1L, "a b a b"), (2L, "zz"), (3L, "")).toDF("doc_id", "text")
     // corpus bigrams: (a,b) x2, (b,a) x1 -> cp(a)=2, cp(b)=1
