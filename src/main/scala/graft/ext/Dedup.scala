@@ -21,16 +21,32 @@ object Dedup {
     * features can never silently diverge. */
   def tokens(text: Column): Column = TextOps.tokens(text)
 
+  /** w-token sliding windows as array<array<string>>, built by zipping
+    * w slices with an accumulating zip_with. CAPTURE-FREE by
+    * construction: every lambda references only its own arguments — a
+    * formulation like element_at(t, i + o) captures the token array,
+    * and because higher-order functions evaluate interpreted
+    * (CodegenFallback, no cross-lambda subexpression elimination) the
+    * whole tokenize chain re-runs PER ELEMENT, O(tokens·w) regex
+    * passes per document (the x33 lesson; measured 5-10x on the
+    * shingle family). */
+  private[ext] def shingleWindows(t: Column, w: Int): Column = {
+    val n1 = size(t) - (w - 1)
+    val first = transform(slice(t, lit(1), n1), x => array(x))
+    (2 to w).foldLeft(first) { (acc, k) =>
+      zip_with(acc, slice(t, lit(k), n1), (a, x) => array_append(a, x))
+    }
+  }
+
   /** w-token shingles (w consecutive tokens joined by one space),
     * distinct per document. */
   def shingles(text: Column, w: Int = 3): Column = {
     val t = tokens(text)
-    // short docs -> empty shingle set (guard: ANSI element_at rejects
-    // out-of-range indices)
+    // short docs -> empty shingle set (the when-guard keeps the
+    // otherwise branch's negative-length slices unevaluated)
     when(size(t) < w, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(0), size(t) - w),
-        i => concat_ws(" ", (0 until w).map(o => element_at(t, i + o + 1)): _*))))
+      .otherwise(array_distinct(transform(shingleWindows(t, w),
+        arr => array_join(arr, " "))))
   }
 
   /** Exact dedup: canonical = min doc_id per identical text (hash
@@ -55,9 +71,8 @@ object Dedup {
   def hashedShingles(text: Column, w: Int = 3): Column = {
     val t = tokens(text)
     when(size(t) < w, array().cast("array<bigint>"))
-      .otherwise(array_sort(array_distinct(transform(
-        sequence(lit(0), size(t) - w),
-        i => xxhash64((0 until w).map(o => element_at(t, i + o + 1)): _*)))))
+      .otherwise(array_sort(array_distinct(transform(shingleWindows(t, w),
+        arr => xxhash64((1 to w).map(o => element_at(arr, o)): _*)))))
   }
 
   /** MinHash signature: k minima of seeded hashes over the shingle
@@ -345,10 +360,12 @@ object Dedup {
                        minContainment: Double, w: Int = 3,
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
+    // filter AFTER the checkpoint (pre-checkpoint filters get pushed
+    // below the projection and duplicate the shingle expression)
     val sh = docs.select(col(idCol).as("id"), blockKey.as("blk"),
       hashedShingles(col(textCol), w).as("sh"))
-      .filter(size(col("sh")) > 0)
       .localCheckpoint()
+      .filter(size(col("sh")) > 0)
     val left = sh.select(col("id").as("a"), col("blk"), col("sh").as("shA"))
     val right = sh.select(col("id").as("b"), col("blk"), col("sh").as("shB"))
     left.join(right, Seq("blk"))

@@ -123,8 +123,9 @@ object TextOps {
   def repetitionRatio(text: Column, w: Int = 2): Column = {
     val t = tokens(text)
     val total = size(t) - (w - 1)
-    val sh = transform(sequence(lit(0), size(t) - w),
-      i => concat_ws(" ", (0 until w).map(o => element_at(t, i + o + 1)): _*))
+    // capture-free windows (Dedup.shingleWindows): an element_at(t, …)
+    // lambda would re-tokenize per element once projections collapse
+    val sh = transform(Dedup.shingleWindows(t, w), arr => array_join(arr, " "))
     when(total <= 0, lit(0.0))
       .otherwise(lit(1.0) - size(array_distinct(sh)).cast("double") / total)
   }
@@ -227,8 +228,11 @@ object TextOps {
     * (shorter than w tokens) are excluded. */
   def noveltyScore(df: DataFrame, w: Int = 2, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
+    // materialize the shingle projection FIRST (a pre-checkpoint
+    // filter/explode would push below it and duplicate the expression)
     val sh = df.select(col(idCol).as("doc_id"),
         Dedup.hashedShingles(col(textCol), w).as("sh"))
+      .localCheckpoint()
       .where(size(col("sh")) > 0)
       .select(col("doc_id"), explode(col("sh")).as("h"))
       .localCheckpoint() // feeds both the df-count and the per-doc agg
