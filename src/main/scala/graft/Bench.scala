@@ -55,8 +55,13 @@ object Bench {
       d.name -> sec
     }
     val total = results.map(_._2).sum
+    // Locale.ROOT explicitly: the f"" interpolator formats with the JVM
+    // default locale, and a comma-decimal locale (de_DE) would turn the
+    // contract line into invalid JSON.
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(entries: Seq[(String, Double)]): String = entries
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + d3(v) }
       .mkString("{", ",", "}")
     // Full-precision full map -> file (survives any log mangling).
     val fullJson =
@@ -87,7 +92,7 @@ object Bench {
         case o => o
       }) -> rs.map(_._2).sum }
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n":${results.size},"groups":${
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","n":${results.size},"groups":${
         jmap(fam)},"queries":${
         jmap(headline.flatMap(h => byName.get(h).map(h -> _)))},"sf":"$sfDir"}"""
     println(json)

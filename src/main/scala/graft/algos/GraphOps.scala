@@ -149,8 +149,11 @@ object GraphOps {
     * views. */
   def weightedSssp(g: OnionGraph, seeds: DataFrame, maxIter: Int = 20,
                    weightCol: String = "qty"): DataFrame = {
+    // NULL weights relax as unit weight 1.0 (the BFS default) rather
+    // than NPE-ing in getDouble — the same treatment a missing weight
+    // column gets in OnionNet.shortestDistances.
     val gx = buildProjection(g,
-      Seq("src", "dst", s"CAST($weightCol AS DOUBLE) AS __w"))(r =>
+      Seq("src", "dst", s"CAST(COALESCE($weightCol, 1.0) AS DOUBLE) AS __w"))(r =>
       Iterator(Edge(r.getLong(0), r.getLong(1), r.getDouble(2))))
     val seedRdd: RDD[(VertexId, Double)] =
       seeds.select("vid").rdd.map(r => (r.getLong(0), 0.0))

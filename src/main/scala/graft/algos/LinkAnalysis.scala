@@ -83,8 +83,11 @@ object LinkAnalysis {
     val deg = und.groupBy("node").agg(count(lit(1)).as("d"))
     deg.where(col("d") >= 2)
       .join(perNode, Seq("node"), "left")
+      // integer DIV, not `/`: Spark's `/` is double division, which
+      // loses exactness once d*(d-1) exceeds 2^53 — the wedge count
+      // must stay exact BIGINT like the DuckDB oracle's `//`
       .select(col("node"), coalesce(col("triangles"), lit(0L)).as("triangles"),
-        (col("d") * (col("d") - 1) / 2).cast("long").as("wedges"))
+        expr("(d * (d - 1)) DIV 2").as("wedges"))
       .withColumn("clustering_coeff",
         col("triangles").cast("double") / col("wedges"))
   }

@@ -66,10 +66,19 @@ object Aggregators {
     require(d > 0 && w > 0, "CountMin: d > 0, w > 0")
 
     private def bucket(x: String, r: Int): Int = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest((x + ":" + r).getBytes("UTF-8"))
-        .take(8).map(b => f"$b%02x").mkString // 16 hex chars; use 15
-      (java.lang.Long.parseLong(hex.substring(0, 15), 16) % w).toInt
+      // per-thread digest + direct byte extraction: a fresh
+      // MessageDigest and a boxed hex round-trip per (token, row) pair
+      // is allocation churn on the hot aggregation path. The value is
+      // bit-identical to parsing the first 15 hex chars of the digest:
+      // bytes 0-6 are the top 56 bits, the high nibble of byte 7 the
+      // last 4 — a non-negative 60-bit integer, so % w is safe.
+      val md = CountMin.digests.get()
+      val dg = md.digest((x + ":" + r).getBytes("UTF-8")) // digest() resets
+      var v = 0L
+      var i = 0
+      while (i < 7) { v = (v << 8) | (dg(i) & 0xffL); i += 1 }
+      v = (v << 4) | ((dg(7) >> 4) & 0xfL)
+      (v % w).toInt
     }
 
     override def zero: Array[Long] = new Array[Long](d * w)
@@ -94,6 +103,12 @@ object Aggregators {
     /** Point estimate from a finished sketch. */
     def estimate(cells: Seq[Long], x: String): Long =
       (0 until d).map(r => cells(r * w + bucket(x, r))).min
+  }
+
+  object CountMin {
+    private[Aggregators] val digests: ThreadLocal[java.security.MessageDigest] =
+      ThreadLocal.withInitial(() =>
+        java.security.MessageDigest.getInstance("MD5"))
   }
 
   /** Column-API form: `df.agg(countMin(4, 64)(col("token")))`. */
