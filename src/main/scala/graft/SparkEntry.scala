@@ -2110,6 +2110,123 @@ object SparkEntry {
               |   * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS assortativity
               |FROM m""".stripMargin)),
 
+    QueryDef("g41_kmv_centrality",
+      // the 100 TB centrality path (HyperBall/ANF recipe over a
+      // bottom-k KMV sketch): state O(V·k), one join + top-k per
+      // round. The portable md5-48bit hash family makes the sketch
+      // contents — and therefore the ESTIMATES — exactly re-derivable
+      // in DuckDB, so the sketched operator is hash-matched end to
+      // end, not rows-only (contrast HLL/q14). k=16 on a ~130-node
+      // slice keeps most sketches at capacity, exercising the
+      // estimator, not just exact small counts.
+      (s, dir) => {
+        val sup = t(s, dir, "supplier").select(
+          concat(lit("supplier|"), col("s_suppkey").cast("string")).as("a"),
+          concat(lit("nation|"), col("s_nationkey").cast("string")).as("b"))
+        val nat = t(s, dir, "nation").select(
+          concat(lit("nation|"), col("n_nationkey").cast("string")).as("a"),
+          concat(lit("region|"), col("n_regionkey").cast("string")).as("b"))
+        LinkAnalysis.kmvCentrality(sup.unionAll(nat), maxDepth = 4, k = 16)
+          .orderBy("node")
+      },
+      Some(s"""$W, sub AS (SELECT source_layer || '|' || source_id AS a,
+              |   target_layer || '|' || target_id AS b
+              |  FROM edges
+              |  WHERE source_layer IN ('supplier', 'nation', 'region')
+              |    AND target_layer IN ('supplier', 'nation', 'region')),
+              | und AS (SELECT a, b FROM sub UNION SELECT b, a FROM sub),
+              | nodes AS (SELECT DISTINCT a AS node FROM und),
+              | walk(src, node, dist) AS (
+              |  SELECT node, node, 0 FROM nodes
+              |  UNION
+              |  SELECT w.src, u.b, w.dist + 1 FROM walk w
+              |   JOIN und u ON u.a = w.node WHERE w.dist < 4),
+              | md AS (SELECT src, node, MIN(dist) AS d FROM walk GROUP BY 1, 2),
+              | h AS (SELECT node,
+              |   CAST(('0x' || substr(md5(node), 1, 12)) AS BIGINT) AS h
+              |  FROM nodes),
+              | rt AS (SELECT DISTINCT m.src, r.t, hh.h
+              |  FROM md m
+              |  JOIN range(0, 5) r(t) ON m.d <= r.t
+              |  JOIN h hh ON hh.node = m.node),
+              | tk AS (SELECT src, t, h FROM (
+              |   SELECT src, t, h,
+              |    ROW_NUMBER() OVER (PARTITION BY src, t ORDER BY h) AS rn
+              |   FROM rt) WHERE rn <= 16),
+              | est AS (SELECT src, t,
+              |   CASE WHEN COUNT(*) < 16 THEN COUNT(*)
+              |        ELSE CAST(15 * 281474976710656 // MAX(h) AS BIGINT)
+              |   END AS est
+              |  FROM tk GROUP BY 1, 2),
+              | dl AS (SELECT src, t, est,
+              |   est - LAG(est) OVER (PARTITION BY src ORDER BY t) AS delta
+              |  FROM est),
+              | agg AS (SELECT src AS node,
+              |   CAST(MAX(CASE WHEN t = 4 THEN est END) - 1 AS BIGINT)
+              |     AS n_reached_est,
+              |   CAST(SUM(t * delta) AS BIGINT) AS dist_sum_est,
+              |   CAST(SUM((delta * 1000000) // t) AS BIGINT) AS harmonic_q_est
+              |  FROM dl WHERE t > 0 GROUP BY src)
+              |SELECT node, n_reached_est, dist_sum_est, harmonic_q_est,
+              | CAST(n_reached_est AS DOUBLE) / dist_sum_est AS closeness_est
+              |FROM agg WHERE n_reached_est > 0 ORDER BY node""".stripMargin)),
+
+    QueryDef("g42_betweenness_pivots",
+      // the 100 TB betweenness path: sigma BFS from the 20 pivots with
+      // the smallest (md5-48bit, name) pairs — state O(m·V), combine
+      // O(m²·V) — and the pair fractions restricted to pivot (s, t)
+      // pairs (Brandes-Pich pivot strategy with content-hash order as
+      // the deterministic sampler). The oracle re-derives the same
+      // pivot set, so the sampled operator hash-matches exactly.
+      (s, dir) => {
+        val sup = t(s, dir, "supplier").select(
+          concat(lit("supplier|"), col("s_suppkey").cast("string")).as("a"),
+          concat(lit("nation|"), col("s_nationkey").cast("string")).as("b"))
+        val nat = t(s, dir, "nation").select(
+          concat(lit("nation|"), col("n_nationkey").cast("string")).as("a"),
+          concat(lit("region|"), col("n_regionkey").cast("string")).as("b"))
+        LinkAnalysis.betweennessPivots(sup.unionAll(nat), maxDepth = 4,
+            numPivots = 20)
+          .orderBy("node")
+      },
+      Some(s"""$W, sub AS (SELECT source_layer || '|' || source_id AS a,
+              |   target_layer || '|' || target_id AS b
+              |  FROM edges
+              |  WHERE source_layer IN ('supplier', 'nation', 'region')
+              |    AND target_layer IN ('supplier', 'nation', 'region')),
+              | und AS (SELECT a, b FROM sub UNION SELECT b, a FROM sub),
+              | nodes AS (SELECT DISTINCT a AS node FROM und),
+              | pv AS MATERIALIZED (SELECT node FROM (
+              |   SELECT node, ROW_NUMBER() OVER (ORDER BY
+              |     CAST(('0x' || substr(md5(node), 1, 12)) AS BIGINT), node)
+              |     AS rn
+              |   FROM nodes) WHERE rn <= 20),
+              | walk(src, node, d) AS (
+              |  SELECT node, node, 0 FROM pv
+              |  UNION ALL
+              |  SELECT w.src, u.b, w.d + 1 FROM walk w
+              |   JOIN und u ON u.a = w.node WHERE w.d < 4),
+              | md AS (SELECT src, node, MIN(d) AS d FROM walk GROUP BY 1, 2),
+              | sig AS MATERIALIZED (SELECT w.src, w.node, m.d,
+              |   COUNT(*) AS sigma
+              |  FROM walk w JOIN md m
+              |    ON m.src = w.src AND m.node = w.node AND m.d = w.d
+              |  GROUP BY 1, 2, 3),
+              | st AS (SELECT src AS s, node AS t, d AS dst, sigma AS sigst
+              |  FROM sig WHERE src < node
+              |    AND node IN (SELECT node FROM pv)),
+              | bc AS (SELECT sv.node AS v,
+              |   CAST(SUM((sv.sigma * tv.sigma * 1000000) // st.sigst)
+              |     AS BIGINT) AS bc_q
+              |  FROM st
+              |  JOIN sig sv ON sv.src = st.s
+              |  JOIN sig tv ON tv.src = st.t AND tv.node = sv.node
+              |  WHERE sv.node <> st.s AND sv.node <> st.t
+              |    AND sv.d + tv.d = st.dst
+              |  GROUP BY 1)
+              |SELECT v AS node, bc_q FROM bc WHERE bc_q > 0
+              |ORDER BY node""".stripMargin)),
+
     // ------------------------------------------------- relational coverage 2
     QueryDef("q28_grouping_sets",
       // GROUPING SETS distinct from rollup/cube + the GROUPING()

@@ -1,6 +1,6 @@
 package graft.algos
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -291,6 +291,176 @@ object LinkAnalysis {
     def maybeBcast(df: DataFrame): DataFrame =
       if (spRows < 2000000L) broadcast(df) else df
     val st = sp.where(col("src") < col("node"))
+      .select(col("src").as("s"), col("node").as("t"),
+        col("dist").as("dst"), col("sigma").as("sigst"))
+    val sv = maybeBcast(sp.select(col("src").as("s"), col("node").as("v"),
+      col("dist").as("dsv"), col("sigma").as("sigsv")))
+    val tv = maybeBcast(sp.select(col("src").as("t"), col("node").as("v"),
+      col("dist").as("dtv"), col("sigma").as("sigtv")))
+    st.join(sv, "s")
+      .where(col("v") =!= col("s") && col("v") =!= col("t"))
+      .join(tv, Seq("t", "v"))
+      .where(col("dsv") + col("dtv") === col("dst"))
+      .select(col("v"),
+        expr("CAST(sigsv * sigtv * 1000000 DIV sigst AS BIGINT)").as("contrib"))
+      .groupBy("v").agg(sum("contrib").as("bc_q"))
+      .where(col("bc_q") > 0)
+      .select(col("v").as("node"), col("bc_q"))
+  }
+
+  /** Portable 48-bit content hash (the x18/x26 md5 family): identical
+    * on any engine with md5, so sketch contents and pivot choices are
+    * oracle-re-derivable. 48 bits (12 hex chars) rather than 60 keeps
+    * `(k-1) * 2^48` inside BIGINT for any sketch size k <= 32767. */
+  private def h48(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast("long")
+
+  /** Sketched closeness/harmonic centrality — the 100 TB path the
+    * exact [[harmonicCentrality]] pair-state form can't take. Follows
+    * the HyperBall/ANF recipe (Boldi-Rosa-Vigna 2011; Palmer et al.
+    * 2002): per node keep a constant-size sketch of the set of nodes
+    * within distance t, advance all nodes one hop per round by merging
+    * neighbor sketches, and read the neighborhood function N(v, t)
+    * off the sketch; harmonic/closeness follow from the per-round
+    * deltas. State is O(V·k) — NOT O(V²) pairs — and each round is one
+    * equi-join + one per-node top-k, so the shape survives 100×.
+    *
+    * Sketch choice: bottom-k (KMV) over the portable 48-bit md5 hash
+    * instead of HyperLogLog registers. Same union-by-merge algebra and
+    * O(k) state as HLL, but the estimator
+    * `(k-1) * 2^48 DIV max(kept hashes)` is EXACT integer arithmetic —
+    * no leading-zero counts, libm log, or float bias correction — so
+    * any engine re-derives the identical sketch AND identical
+    * estimates, keeping the full pipeline hash-matchable against the
+    * DuckDB oracle (HLL would force a rows-only check; cf. the q14
+    * twin). Below k distinct reachables the estimate IS the exact
+    * count, so small neighborhoods pay no error at all.
+    *
+    * Output per node: `n_reached_est` (excluding self),
+    * `dist_sum_est` = Σ t·ΔN(t), `harmonic_q_est` = Σ ΔN(t)·1e6 DIV t
+    * (all exact BIGINTs given the sketch), and `closeness_est` =
+    * n_reached_est / dist_sum_est as the single float division —
+    * column-compatible with [[harmonicCentrality]]'s exact forms.
+    * ΔN(t) >= 0 always: register merges only shrink the k-th smallest
+    * hash, so the estimate is monotone in t. */
+  def kmvCentrality(edges: DataFrame, maxDepth: Int, k: Int = 64): DataFrame =
+      graft.SparkConfs.withoutConstraintPropagation(edges.sparkSession) {
+    require(k > 1 && k <= 32767, "kmvCentrality: 1 < k <= 32767")
+    val und = edges.select(col("a"), col("b"))
+      .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    val nodes = und.select(col("a").as("node")).distinct()
+    // per-node KMV estimate of the current reached-set size: exact
+    // count below k, (k-1)*2^48 DIV v_k at capacity
+    def estimate(state: DataFrame): DataFrame =
+      state.groupBy("node").agg(count(lit(1)).as("cnt"), max("h").as("vk"))
+        .select(col("node"),
+          when(col("cnt") < k, col("cnt"))
+            .otherwise(expr(s"CAST(${k - 1}L * 281474976710656L DIV vk AS BIGINT)"))
+            .as("est"))
+    var state = nodes.select(col("node"), h48(col("node")).as("h"))
+      .localCheckpoint()
+    var ests = estimate(state).withColumn("t", lit(0))
+    // work bound for the small-round codegen gate: V·k state + edges
+    val stateBound = {
+      val n = nodes.count()
+      if (n > 300000000L) Long.MaxValue else n * k
+    }
+    graft.SparkConfs.maybeInterpreted(edges.sparkSession, stateBound) {
+      for (t <- 1 to maxDepth) {
+        val prop = state.alias("s")
+          .join(und.alias("u"), col("s.node") === col("u.a"))
+          .select(col("u.b").as("node"), col("s.h").as("h"))
+        val w = Window.partitionBy("node").orderBy("h")
+        state = state.unionAll(prop)
+          .distinct()
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= k).drop("rn")
+          .localCheckpoint()
+        ests = ests.unionAll(estimate(state).withColumn("t", lit(t)))
+      }
+      // harmonic/closeness from per-round estimate deltas in ONE final
+      // window + agg pass (no per-round driver state)
+      val lagW = Window.partitionBy("node").orderBy("t")
+      ests
+        .withColumn("prev", lag("est", 1).over(lagW))
+        .where(col("t") > 0)
+        .select(col("node"), col("t"), col("est"),
+          (col("est") - col("prev")).as("delta"))
+        .groupBy("node")
+        .agg(
+          (max(when(col("t") === maxDepth, col("est"))) - 1).as("n_reached_est"),
+          sum(col("t") * col("delta")).as("dist_sum_est"),
+          sum(expr("delta * 1000000 DIV t")).as("harmonic_q_est"))
+        .where(col("n_reached_est") > 0)
+        .withColumn("closeness_est",
+          col("n_reached_est").cast("double") / col("dist_sum_est"))
+        .localCheckpoint()
+    }
+  }
+
+  /** Pivot-sampled betweenness — the 100 TB path for [[betweenness]]'s
+    * O(n²)-state / O(n³)-combine exact form. The `numPivots` pivots
+    * are the nodes with the smallest (portable-md5-48bit hash, name)
+    * pairs — deterministic, content-keyed, and re-derivable by any
+    * engine, so a fixed pivot set hash-matches the DuckDB oracle
+    * (the Brandes-Pich 2007 pivot strategy, with hash order standing
+    * in for their RNG). The sigma BFS runs from pivot sources only
+    * (state O(m·V)) and the pair combination restricts (s, t) to pivot
+    * pairs (combine O(m²·V)) — both scale with the SAMPLE, not the
+    * graph. With numPivots >= |V| this degenerates to exactly
+    * [[betweenness]] (spec-pinned). Same quantized-contribution
+    * output contract: (node, bc_q) over pivot pairs, zero rows
+    * omitted. */
+  def betweennessPivots(edges: DataFrame, maxDepth: Int,
+                        numPivots: Int): DataFrame =
+      graft.SparkConfs.withoutConstraintPropagation(edges.sparkSession) {
+    require(numPivots > 1, "betweennessPivots: numPivots > 1")
+    val und = edges.select(col("a"), col("b"))
+      .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    val nodes = und.select(col("a").as("node")).distinct()
+    // distributed top-m (sort + limit plans as TakeOrdered — no global
+    // row_number sort), ties broken on the name for determinism
+    val pivots = nodes.withColumn("h", h48(col("node")))
+      .orderBy(col("h"), col("node")).limit(numPivots)
+      .select("node").localCheckpoint()
+    var state = pivots
+      .select(col("node").as("src"), col("node"), lit(0).as("dist"),
+        lit(1L).as("sigma"))
+      .localCheckpoint()
+    var frontier = state
+    val pairBound = {
+      val n = nodes.count()
+      if (n > 3000000L) Long.MaxValue else n * numPivots
+    }
+    graft.SparkConfs.maybeInterpreted(edges.sparkSession, pairBound) {
+      for (d <- 1 to maxDepth) {
+        val stepped = frontier.alias("f")
+          .join(und.alias("u"), col("f.node") === col("u.a"))
+          .select(col("f.src").as("src"), col("u.b").as("node"),
+            col("f.sigma").as("sigma"))
+        val fresh = stepped
+          .join(state.select("src", "node"), Seq("src", "node"), "left_anti")
+          .groupBy("src", "node")
+          .agg(sum("sigma").as("sigma"))
+          .select(col("src"), col("node"), lit(d).as("dist"), col("sigma"))
+          .localCheckpoint(eager = false)
+        state = state.unionAll(fresh).localCheckpoint(eager = false)
+        frontier = fresh
+      }
+      state = state.localCheckpoint()
+    }
+    val sp = state // (src ∈ pivots, node, dist, sigma)
+    val spRows = sp.count()
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (spRows < 2000000L) broadcast(df) else df
+    // (s, t) pairs restricted to pivots on BOTH ends: src always is a
+    // pivot; the semi-join pins node too
+    val st = sp.where(col("src") < col("node"))
+      .join(pivots, Seq("node"), "left_semi")
       .select(col("src").as("s"), col("node").as("t"),
         col("dist").as("dst"), col("sigma").as("sigst"))
     val sv = maybeBcast(sp.select(col("src").as("s"), col("node").as("v"),

@@ -181,6 +181,72 @@ class LinkAnalysisSpec extends SparkSuite {
     }
   }
 
+  test("kmvCentrality with roomy k reproduces exact counts and sums") {
+    // below k distinct reachables the KMV estimate IS the exact count,
+    // so every column must agree with the exact operator on a graph of
+    // < k nodes (harmonicCentrality column order differs: est columns
+    // carry the _est suffix and there is no ecc)
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("b", "e")).toDF("a", "b")
+    val exact = LinkAnalysis.harmonicCentrality(e, 4)
+      .select("node", "n_reached", "dist_sum", "harmonic_q", "closeness")
+    val est = LinkAnalysis.kmvCentrality(e, 4, k = 64)
+      .select("node", "n_reached_est", "dist_sum_est", "harmonic_q_est",
+        "closeness_est")
+    assert(rows(est) === rows(exact))
+  }
+
+  test("kmvCentrality at capacity stays within KMV error bounds") {
+    // 40 nodes, k = 16: estimates carry sketch error but must stay
+    // within ~3/sqrt(k) relative error of the exact neighborhood size
+    // on every node (KMV std error is ~1/sqrt(k-2))
+    val es = randomEdges(7, 40, 90)
+    val exact = rows(LinkAnalysis.harmonicCentrality(edges(es: _*), 25))
+      .map(r => r.head -> r(1).asInstanceOf[Long]).toMap
+    val est = rows(LinkAnalysis.kmvCentrality(edges(es: _*), 25, k = 16))
+      .map(r => r.head -> r(1).asInstanceOf[Long]).toMap
+    assert(est.keySet === exact.keySet)
+    est.foreach { case (node, n) =>
+      val truth = exact(node).toDouble
+      assert(math.abs(n - truth) / truth <= 3.0 / math.sqrt(16.0),
+        s"node $node: est $n vs exact $truth")
+    }
+  }
+
+  test("kmvCentrality estimates are deterministic across partitionings") {
+    val es = randomEdges(9, 30, 60)
+    val e1 = edges(es: _*).repartition(1)
+    val e8 = edges(es: _*).repartition(8)
+    assert(rows(LinkAnalysis.kmvCentrality(e1, 10, k = 8)) ===
+      rows(LinkAnalysis.kmvCentrality(e8, 10, k = 8)))
+  }
+
+  test("betweennessPivots with all nodes as pivots equals exact betweenness") {
+    val es = randomEdges(51, 15, 22)
+    val exact = rows(LinkAnalysis.betweenness(edges(es: _*), 20))
+    val sampled = rows(LinkAnalysis.betweennessPivots(edges(es: _*), 20,
+      numPivots = 1000))
+    assert(sampled === exact)
+  }
+
+  test("betweennessPivots restricts to hash-chosen pivot pairs") {
+    // path a-b-c-d: exact bc counts pairs (a,c),(a,d),(b,d). With 2
+    // pivots only ONE (s,t) pair survives, so the result is exactly
+    // the interior of that single pair's shortest path.
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("a", "b")
+    // re-derive the pivot choice the operator makes: 2 smallest
+    // (md5-48bit, name) pairs
+    val h = Seq("a", "b", "c", "d").map { n =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(n.getBytes("UTF-8")).take(6)
+      n -> md.foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+    }.sortBy { case (n, hv) => (hv, n) }.take(2).map(_._1).sorted
+    val Seq(s, t) = h
+    val idx = Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3)
+    val interior = (idx(s).min(idx(t)) + 1) until idx(s).max(idx(t))
+    val exp = interior.map(i => Seq[Any]("abcd" (i).toString, 1000000L)).toSet
+    assert(rows(LinkAnalysis.betweennessPivots(e, 4, 2)) === exp)
+  }
+
   test("kcore peels pendant chains but keeps the cycle") {
     // path 1-2-3-4 dissolves under k=2 peeling; triangle 5-6-7 stays
     val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (5L, 7L), (6L, 7L))
