@@ -28,6 +28,10 @@ final class OnionNet(val spark: SparkSession, val directed: Boolean = true) {
       spark.emptyDataFrame
         .select(), // replaced on first growOnion
       spark.emptyDataFrame.select())
+  // the directed graph as grown (pre-symmetrize): repeated growOnion
+  // calls merge into THIS, so the undirected facade never symmetrizes
+  // twice
+  private var base: OnionGraph = current
   private var grown = false
   private var nodeMapCache: Option[Map[(String, String), Long]] = None
   private var inverseNodeMapCache: Option[Map[Long, (String, String)]] = None
@@ -40,11 +44,16 @@ final class OnionNet(val spark: SparkSession, val directed: Boolean = true) {
   }
 
   /** S1 `grow_onion` — also invalidates the node-map cache
-    * (`onionnet.py:44-55`). */
+    * (`onionnet.py:44-55`). Repeated calls APPEND to the live graph
+    * like the reference (`builder.py:112-176` adds vertices into the
+    * existing structure, `builder.py:251-255` appends edges): existing
+    * (layer, nodeId) keys win, new edges resolve against the merged
+    * vertex set — see [[OnionBuilder.merge]]. */
   def growOnion(nodes: DataFrame, edges: DataFrame,
                 opts: GrowOptions = GrowOptions()): Unit = {
-    val built = OnionBuilder.grow(nodes, edges, opts)
-    current = if (directed) built else built.symmetrize
+    base = if (!grown) OnionBuilder.grow(nodes, edges, opts)
+           else OnionBuilder.merge(base, nodes, edges, opts)
+    current = if (directed) base else base.symmetrize
     grown = true
     nodeMapCache = None
     inverseNodeMapCache = None
@@ -127,7 +136,11 @@ final class OnionNet(val spark: SparkSession, val directed: Boolean = true) {
     * here the facade IS the mutable cell, SURVEY §7.4). */
   def setVertexProperty(layer: String, nodeId: String, prop: String,
                         value: Column): Unit = {
-    current = PropertyOps.setVertexProperty(g, layer, nodeId, prop, value)
+    require(grown, "graph not grown yet — call growOnion first")
+    // mutate the pre-symmetrize base too, or a later growOnion append
+    // (which merges into base) would silently drop the property
+    base = PropertyOps.setVertexProperty(base, layer, nodeId, prop, value)
+    current = if (directed) base else base.symmetrize
     nodeMapCache = None
   }
 
@@ -141,7 +154,9 @@ final class OnionNet(val spark: SparkSession, val directed: Boolean = true) {
         .map(org.apache.spark.sql.functions.col): _*)
 
   def createNodeLabelProperty(prop: String = "label"): Unit = {
-    current = PropertyOps.withNodeLabels(g, prop)
+    require(grown, "graph not grown yet — call growOnion first")
+    base = PropertyOps.withNodeLabels(base, prop)
+    current = if (directed) base else base.symmetrize
   }
 
   /** Reference parity for `set_node_sizes_and_text_by_depth`

@@ -2227,6 +2227,44 @@ object SparkEntry {
               |SELECT v AS node, bc_q FROM bc WHERE bc_q > 0
               |ORDER BY node""".stripMargin)),
 
+    QueryDef("g43_incremental_grow",
+      // S1 append semantics (builder.py:112-176/:251-255): grow the
+      // star graph in TWO facade calls — dimensions first, then orders
+      // with a deliberately duplicated nation batch (existing keys must
+      // win) — and summarize per layer/relation. The oracle is the
+      // ONE-call graph, so the hash-match IS the append-equals-build
+      // guarantee.
+      (s, dir) => {
+        val net = new graft.OnionNet(s)
+        val nodes = StarGraph.nodesDf(s, dir)
+        val edges = StarGraph.edgesDf(s, dir)
+        val opts = graft.builder.OnionBuilder.GrowOptions(
+          nodePropCols = Seq("name", "acctbal", "price", "segment"),
+          edgePropCols = Seq("relation", "qty"))
+        net.growOnion(nodes.where(col("layer") =!= "order"),
+          edges.where(col("source_layer") =!= "order"), opts)
+        net.growOnion(
+          nodes.where(col("layer").isin("order", "nation")), // nation = dup batch
+          edges.where(col("source_layer") === "order"), opts)
+        val g = net.g
+        g.vertices.groupBy(col("layer").as("grp"))
+          .agg(count(lit(1)).as("n"),
+            coalesce(dsum(col("acctbal")), lit(0.0)).as("val"))
+          .unionAll(g.edges.groupBy(col("relation").as("grp"))
+            .agg(count(lit(1)).as("n"),
+              coalesce(dsum(col("qty")), lit(0.0)).as("val")))
+          .orderBy("grp")
+      },
+      Some(s"""$W
+              |SELECT layer AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+              |  COALESCE(${dsumSql("acctbal")}, 0.0) AS val
+              |FROM vertices GROUP BY 1
+              |UNION ALL
+              |SELECT relation, CAST(COUNT(*) AS BIGINT),
+              |  COALESCE(${dsumSql("qty")}, 0.0)
+              |FROM edges GROUP BY 1
+              |ORDER BY grp""".stripMargin)),
+
     // ------------------------------------------------- relational coverage 2
     QueryDef("q28_grouping_sets",
       // GROUPING SETS distinct from rollup/cube + the GROUPING()

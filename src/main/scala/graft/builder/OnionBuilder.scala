@@ -35,6 +35,47 @@ object OnionBuilder {
       dropDuplicates: Boolean = true,
       auditVidCollisions: Boolean = false)
 
+  /** Vertex cleaning stage: keys to string (builder.py:133-134), NA
+    * handling (builder.py:136-139), dedup on (id, layer)
+    * (builder.py:94-97), vid assignment. */
+  private def cleanVertices(nodes: DataFrame, o: GrowOptions): DataFrame = {
+    var vs = nodes
+      .withColumn("nodeId", col(o.idCol).cast("string"))
+      .withColumn("layer", col(o.layerCol).cast("string"))
+    vs = if (o.dropNa) vs.na.drop(Seq("nodeId", "layer"))
+         else vs.na.fill(o.fillNaWith, Seq("nodeId", "layer"))
+    if (o.dropDuplicates) vs = vs.dropDuplicates("layer", "nodeId")
+    vs.withColumn("vid", OnionGraph.vid(col("layer"), col("nodeId")))
+      .select(Seq(col("vid"), col("layer"), col("nodeId"))
+        ++ o.nodePropCols.map(col): _*)
+  }
+
+  /** Edge cleaning stage: same cleaning (builder.py:201-210), dedup on
+    * the key 4-tuple (builder.py:94-97), endpoint vids assigned —
+    * BEFORE dangling-edge resolution (the caller supplies the vertex
+    * set to resolve against). */
+  private def cleanEdges(edges: DataFrame, o: GrowOptions): DataFrame = {
+    var es = edges
+      .withColumn("srcId", col(o.srcIdCol).cast("string"))
+      .withColumn("srcLayer", col(o.srcLayerCol).cast("string"))
+      .withColumn("dstId", col(o.dstIdCol).cast("string"))
+      .withColumn("dstLayer", col(o.dstLayerCol).cast("string"))
+    val ekeys = Seq("srcId", "srcLayer", "dstId", "dstLayer")
+    es = if (o.dropNa) es.na.drop(ekeys) else es.na.fill(o.fillNaWith, ekeys)
+    if (o.dropDuplicates) es = es.dropDuplicates(ekeys)
+    es.withColumn("src", OnionGraph.vid(col("srcLayer"), col("srcId")))
+      .withColumn("dst", OnionGraph.vid(col("dstLayer"), col("dstId")))
+      .select(Seq("src", "dst", "srcLayer", "srcId", "dstLayer", "dstId")
+        .map(col) ++ o.edgePropCols.map(col): _*)
+  }
+
+  /** Endpoint resolution with silent dangling-edge drop
+    * (builder.py:219-224) = two LEFT SEMI joins. */
+  private def resolveEdges(resolved: DataFrame, vids: DataFrame): DataFrame =
+    resolved
+      .join(vids.withColumnRenamed("vid", "src"), Seq("src"), "left_semi")
+      .join(vids.withColumnRenamed("vid", "dst"), Seq("dst"), "left_semi")
+
   /** Build the graph. Validation raises IllegalArgumentException on a
     * missing required column (reference raises ValueError,
     * `builder.py:85-92`). */
@@ -45,46 +86,59 @@ object OnionBuilder {
     requireCols(edges,
       Seq(o.srcIdCol, o.srcLayerCol, o.dstIdCol, o.dstLayerCol) ++ o.edgePropCols,
       "edges")
-
-    // ---- vertices: keys to string (builder.py:133-134), NA handling
-    // (builder.py:136-139), dedup on (id, layer) (builder.py:94-97).
-    var vs = nodes
-      .withColumn("nodeId", col(o.idCol).cast("string"))
-      .withColumn("layer", col(o.layerCol).cast("string"))
-    vs = if (o.dropNa) vs.na.drop(Seq("nodeId", "layer"))
-         else vs.na.fill(o.fillNaWith, Seq("nodeId", "layer"))
-    if (o.dropDuplicates) vs = vs.dropDuplicates("layer", "nodeId")
-    val vertices = vs
-      .withColumn("vid", OnionGraph.vid(col("layer"), col("nodeId")))
-      .select(Seq(col("vid"), col("layer"), col("nodeId"))
-        ++ o.nodePropCols.map(col): _*)
-
-    // ---- edges: same cleaning (builder.py:201-210), dedup on the key
-    // 4-tuple (builder.py:94-97), then endpoint resolution with silent
-    // dangling-edge drop (builder.py:219-224) = two LEFT SEMI joins.
-    var es = edges
-      .withColumn("srcId", col(o.srcIdCol).cast("string"))
-      .withColumn("srcLayer", col(o.srcLayerCol).cast("string"))
-      .withColumn("dstId", col(o.dstIdCol).cast("string"))
-      .withColumn("dstLayer", col(o.dstLayerCol).cast("string"))
-    val ekeys = Seq("srcId", "srcLayer", "dstId", "dstLayer")
-    es = if (o.dropNa) es.na.drop(ekeys) else es.na.fill(o.fillNaWith, ekeys)
-    if (o.dropDuplicates) es = es.dropDuplicates(ekeys)
-    val resolved = es
-      .withColumn("src", OnionGraph.vid(col("srcLayer"), col("srcId")))
-      .withColumn("dst", OnionGraph.vid(col("dstLayer"), col("dstId")))
-      .select(Seq("src", "dst", "srcLayer", "srcId", "dstLayer", "dstId")
-        .map(col) ++ o.edgePropCols.map(col): _*)
-    val vids = vertices.select("vid")
-    val kept = resolved
-      .join(vids.withColumnRenamed("vid", "src"), Seq("src"), "left_semi")
-      .join(vids.withColumnRenamed("vid", "dst"), Seq("dst"), "left_semi")
-
+    val vertices = cleanVertices(nodes, o)
+    val kept = resolveEdges(cleanEdges(edges, o), vertices.select("vid"))
     if (o.auditVidCollisions) {
       val collisions = vertices.groupBy("vid").count().filter(col("count") > 1).count()
       require(collisions == 0L, s"xxhash64 vid collision on $collisions keys")
     }
     OnionGraph(vertices, kept)
+  }
+
+  /** APPEND a batch into an existing graph — the reference's repeated
+    * `grow_onion` semantics (`builder.py:112-176` adds vertices into
+    * the live structure via `graph.add_vertex`, skipping keys already
+    * present; `builder.py:251-255` appends edges), so a user can build
+    * a graph layer-by-layer across calls.
+    *
+    *  - EXISTING vertices win on a (layer, nodeId) collision: the new
+    *    row is dropped wholesale, properties untouched (the reference's
+    *    add_vertex consults `custom_id_to_vertex_index` and skips,
+    *    `builder.py:141-147`).
+    *  - New edges resolve their endpoints against the MERGED vertex
+    *    set, so a batch may connect new vertices to pre-existing ones.
+    *  - Edges dropped as dangling by an EARLIER call stay dropped even
+    *    if this batch adds the missing endpoint — the reference drops
+    *    at append time too (`builder.py:219-224`).
+    *  - With `dropDuplicates` on, new edges duplicating an existing
+    *    (src, dst) pair are dropped (cross-batch dedup on the 8-byte
+    *    vid pair — equivalent to the key 4-tuple and shuffle-cheaper).
+    *  - Property columns may differ per batch: the union aligns by
+    *    name and null-fills, like pandas concat in the reference.
+    *
+    * Scale: two anti/semi-join exchanges on 8-byte keys per appended
+    * batch, each sized by the BATCH (plus one probe of the existing
+    * keys); the existing graph is never re-shuffled. */
+  def merge(g: OnionGraph, nodes: DataFrame, edges: DataFrame,
+            opts: GrowOptions = GrowOptions()): OnionGraph = {
+    val o = opts
+    requireCols(nodes, Seq(o.idCol, o.layerCol) ++ o.nodePropCols, "nodes")
+    requireCols(edges,
+      Seq(o.srcIdCol, o.srcLayerCol, o.dstIdCol, o.dstLayerCol) ++ o.edgePropCols,
+      "edges")
+    val fresh = cleanVertices(nodes, o)
+      .join(g.vertices.select("vid"), Seq("vid"), "left_anti")
+    val mergedVs = g.vertices.unionByName(fresh, allowMissingColumns = true)
+    val resolved = resolveEdges(cleanEdges(edges, o), mergedVs.select("vid"))
+    val freshEs =
+      if (o.dropDuplicates)
+        resolved.join(g.edges.select("src", "dst"), Seq("src", "dst"), "left_anti")
+      else resolved
+    if (o.auditVidCollisions) {
+      val collisions = mergedVs.groupBy("vid").count().filter(col("count") > 1).count()
+      require(collisions == 0L, s"xxhash64 vid collision on $collisions keys")
+    }
+    OnionGraph(mergedVs, g.edges.unionByName(freshEs, allowMissingColumns = true))
   }
 
   private def requireCols(df: DataFrame, cols: Seq[String], what: String): Unit = {

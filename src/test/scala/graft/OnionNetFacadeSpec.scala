@@ -51,8 +51,67 @@ class OnionNetFacadeSpec extends SparkSuite {
     val nodes2 = Seq(("x", "L9")).toDF("node_id", "layer")
     val edges2 = Seq.empty[(String, String, String, String)]
       .toDF("source_id", "source_layer", "target_id", "target_layer")
+    // repeated growOnion APPENDS (builder.py:112-176), so the node map
+    // is re-memoized over the MERGED graph
     net.growOnion(nodes2, edges2)
-    assert(net.nodeMap.keySet == Set(("L9", "x")))
+    assert(net.nodeMap.keySet ==
+      Set(("L1", "a"), ("L1", "b"), ("L2", "c"), ("L9", "x")))
+  }
+
+  test("incremental growOnion appends: existing keys win, edges resolve merged") {
+    val net = freshNet // a-b (L1), b-c (L1->L2), scores 1/2/3
+    // second batch: duplicate b with a DIFFERENT score (must be
+    // ignored — existing wins, builder.py:141-147), a new vertex d,
+    // and edges c->d (new->new endpoint mix) + a->b (duplicate edge,
+    // dropped by cross-batch dedup) + a->ghost (dangling, dropped)
+    val nodes2 = Seq(("b", "L1", 99.0), ("d", "L2", 4.0))
+      .toDF("node_id", "layer", "score")
+    val edges2 = Seq(
+      ("c", "L2", "d", "L2"), ("a", "L1", "b", "L1"),
+      ("a", "L1", "ghost", "L7")
+    ).toDF("source_id", "source_layer", "target_id", "target_layer")
+    net.growOnion(nodes2, edges2,
+      graft.builder.OnionBuilder.GrowOptions(nodePropCols = Seq("score")))
+    val g = net.g
+    assert(g.numVertices == 4)
+    assert(g.numEdges == 3) // a-b, b-c, c-d
+    assert(net.getVertexProperty("L1", "b", "score").contains(2.0),
+      "existing vertex keeps its original property on key collision")
+    assert(net.getVertexProperty("L2", "d", "score").contains(4.0))
+    // the appended edge connects across batches
+    assert(net.search("L2", "c", 1).numVertices == 2)
+  }
+
+  test("two-call grow equals one-call grow (vertices and edges)") {
+    val allNodes = Seq(("a", "L1", 1.0), ("b", "L1", 2.0), ("c", "L2", 3.0),
+      ("d", "L2", 4.0)).toDF("node_id", "layer", "score")
+    val allEdges = Seq(("a", "L1", "b", "L1"), ("b", "L1", "c", "L2"),
+      ("c", "L2", "d", "L2")).toDF(
+      "source_id", "source_layer", "target_id", "target_layer")
+    val opts = graft.builder.OnionBuilder.GrowOptions(
+      nodePropCols = Seq("score"))
+    val oneCall = new OnionNet(spark)
+    oneCall.growOnion(allNodes, allEdges, opts)
+    val twoCall = new OnionNet(spark)
+    twoCall.growOnion(allNodes.where(col("layer") === "L1"),
+      allEdges.where(col("source_layer") === "L1"
+        && col("target_layer") === "L1"), opts)
+    twoCall.growOnion(allNodes.where(col("layer") === "L2"),
+      allEdges.where(col("target_layer") === "L2"), opts)
+    assert(rows(twoCall.g.vertices) === rows(oneCall.g.vertices))
+    assert(rows(twoCall.g.edges) === rows(oneCall.g.edges))
+  }
+
+  test("append after setVertexProperty keeps the mutation") {
+    val net = freshNet
+    net.setVertexProperty("L1", "a", "score", lit(9.0))
+    val nodes2 = Seq(("x", "L9", 0.0)).toDF("node_id", "layer", "score")
+    val edges2 = Seq.empty[(String, String, String, String)]
+      .toDF("source_id", "source_layer", "target_id", "target_layer")
+    net.growOnion(nodes2, edges2,
+      graft.builder.OnionBuilder.GrowOptions(nodePropCols = Seq("score")))
+    assert(net.getVertexProperty("L1", "a", "score").contains(9.0),
+      "a property set before an append must survive the merge")
   }
 
   test("encoding-tuple lookup inverts the name-tuple map") {
