@@ -89,16 +89,17 @@ final class OnionNet(val spark: SparkSession, val directed: Boolean = true) {
 
   /** T4 — `connectivity="strong"` is the reference DEFAULT
     * (`searcher.py:284-295`); components relabeled to the
-    * lexicographic-min member name for determinism. */
+    * lexicographic-min member name for determinism. The strong path is
+    * the DataFrame-native FW-BW coloring kernel
+    * ([[Traversals.strongComponents]]) — O(V) label state per round,
+    * no GraphX SCC iteration blowup at scale (TraversalsSpec pins
+    * partition equality against the GraphX kernel). */
   def viewComponents(minSize: Long = 1, strong: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.functions.{col, concat_ws, count, lit, min => fmin}
+    import org.apache.spark.sql.functions.{col, count, lit}
     if (!strong) Traversals.componentSizes(g, minSize)
-    else graft.algos.GraphOps.stronglyConnectedComponents(g)
-      .join(g.vertices, Seq("vid"))
-      .select(col("compVid"),
-        concat_ws(":", col("layer"), col("nodeId")).as("member"))
-      .groupBy("compVid")
-      .agg(fmin("member").as("comp"), count(lit(1)).as("size"))
+    else Traversals.strongComponents(g)
+      .groupBy("comp")
+      .agg(count(lit(1)).as("size"))
       .filter(col("size") >= minSize)
       .select("comp", "size")
   }

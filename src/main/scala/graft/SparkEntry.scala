@@ -1455,6 +1455,25 @@ object SparkEntry {
              | UNION ALL SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR) FROM supplier)
              |ORDER BY component""".stripMargin)),
 
+    QueryDef("g44_scc_dataframe",
+      // g21's twin on the DataFrame-native FW-BW coloring kernel — the
+      // scale path that replaces GraphX SCC for the reference's
+      // default connectivity (searcher.py:284-295). Same slice, same
+      // oracle: the hash-match pins kernel equivalence.
+      (s, dir) => {
+        val g = graph(s, dir).viewLayers(Seq("region", "nation", "supplier"))
+        Traversals.strongComponents(g)
+          .groupBy("comp")
+          .agg(count(lit(1)).as("size"))
+          .select(col("comp").as("component"), col("size"))
+          .orderBy("component")
+      },
+      Some("""SELECT component, CAST(1 AS BIGINT) AS size FROM (
+             | SELECT 'region:' || CAST(r_regionkey AS VARCHAR) AS component FROM region
+             | UNION ALL SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) FROM nation
+             | UNION ALL SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR) FROM supplier)
+             |ORDER BY component""".stripMargin)),
+
     QueryDef("g22_layout_roundtrip",
       (s, dir) => {
         val g = graph(s, dir).viewLayers(Seq("nation", "region"))

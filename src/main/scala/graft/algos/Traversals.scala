@@ -327,6 +327,154 @@ object Traversals {
     labels
   }
 
+  /** Strongly connected components as a pure DataFrame pipeline — the
+    * scale path for the reference's DEFAULT connectivity mode
+    * (`searcher.py:284-295` uses strong components), replacing the
+    * GraphX SCC kernel flagged since SURVEY §7.4 (iteration-bounded
+    * and shuffle-heavy at 100×). Forward-backward coloring (the FW-BW
+    * multi-pivot scheme of Fleischer et al. 2000 / Orzan 2004, known
+    * publicly from Slota et al.'s Multistep and the GBBS/gapbs SCC
+    * codes). Each outer pass:
+    *
+    *  1. TRIM to fixpoint: a node with no in- or no out-edges in the
+    *     remaining subgraph is its own SCC (cascading removals peel
+    *     chains) — layered DAG-ish graphs, the common shape of
+    *     dimensional data, resolve ENTIRELY here;
+    *  2. COLOR: propagate max vid forward to fixpoint — color(v) =
+    *     max vid over remaining nodes that reach v. Every SCC sits
+    *     wholly inside one color class, and class roots (color(r)=r)
+    *     carry the max vid of their SCC;
+    *  3. BACKWARD sweep from all roots at once, restricted to
+    *     same-color edges: the reached set of root r is exactly
+    *     SCC(r) (any v→…→r path from v ∈ SCC(r) stays inside the SCC,
+    *     so the color restriction loses nothing).
+    *
+    * Every round is the single-shuffle label-prop shape of
+    * [[bfsLabelProp]] with O(V) state — no pair-state, no GraphX
+    * runtime. Rounds per phase are bounded by the remaining diameter;
+    * outer passes by the color-peeling depth (1 for any DAG;
+    * pathological SCC-chain graphs degrade the same way GraphX SCC
+    * does). Returns (vid, compVid) with compVid = max vid of the SCC —
+    * callers relabel to names like [[weakComponents]]. */
+  def strongComponentsDataFrame(g: OnionGraph): DataFrame =
+      graft.SparkConfs.withoutConstraintPropagation(g.spark) {
+    val spark = g.spark
+    val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vid",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("compVid",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    var assigned = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pairSchema)
+    var nodes = g.vertices.select("vid").distinct().localCheckpoint()
+    var nodeCount = nodes.count()
+    // self-loops and parallel edges never change SCC membership
+    var edges = g.edges.select("src", "dst")
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val eRows = edges.count()
+    def dropAssigned(): Unit = {
+      edges = edges
+        .join(nodes.select(col("vid").as("src")), Seq("src"), "left_semi")
+        .join(nodes.select(col("vid").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint()
+    }
+    maybeInterpreted(nodes, eRows + nodeCount) {
+      while (nodeCount > 0) {
+        // ---- 1. trim trivial SCCs to fixpoint
+        var trimming = true
+        while (trimming && nodeCount > 0) {
+          val srcs = edges.select(col("src").as("vid")).distinct()
+          val dsts = edges.select(col("dst").as("vid")).distinct()
+          val trimmed = nodes.join(srcs, Seq("vid"), "left_anti")
+            .unionAll(nodes.join(dsts, Seq("vid"), "left_anti"))
+            .distinct().localCheckpoint()
+          val t = trimmed.count()
+          if (t == 0) trimming = false
+          else {
+            assigned = assigned
+              .unionAll(trimmed.select(col("vid"), col("vid").as("compVid")))
+              .localCheckpoint(eager = false)
+            nodes = nodes.join(trimmed, Seq("vid"), "left_anti").localCheckpoint()
+            nodeCount -= t
+            dropAssigned()
+          }
+        }
+        if (nodeCount > 0) {
+          // ---- 2. forward max-color propagation to fixpoint
+          var colors = nodes.select(col("vid"), col("vid").as("color"))
+            .localCheckpoint()
+          var changed = 1L
+          while (changed > 0) {
+            val cand = edges
+              .join(colors.select(col("vid").as("src"), col("color")), Seq("src"))
+              .select(col("dst").as("vid"), col("color").as("c"),
+                lit(null).cast("long").as("old"))
+            val obs = new org.apache.spark.sql.Observation()
+            val merged = colors
+              .select(col("vid"), col("color").as("c"), col("color").as("old"))
+              .unionAll(cand)
+              .groupBy("vid").agg(max("c").as("newColor"), max("old").as("oldColor"))
+              .observe(obs,
+                count(when(col("newColor") > col("oldColor"), 1)).as("changed"))
+              .localCheckpoint()
+            changed = obs.get("changed").asInstanceOf[Long]
+            colors = merged.select(col("vid"), col("newColor").as("color"))
+          }
+          // ---- 3. backward sweep from all color roots, same-color edges
+          val ecc = edges
+            .join(colors.select(col("vid").as("src"), col("color").as("cs")),
+              Seq("src"))
+            .join(colors.select(col("vid").as("dst"), col("color").as("cd")),
+              Seq("dst"))
+            .where(col("cs") === col("cd"))
+            .select(col("src"), col("dst"), col("cs").as("color"))
+            .localCheckpoint()
+          var scc = colors.where(col("vid") === col("color"))
+            .select(col("vid"), col("color")).localCheckpoint()
+          var frontier = scc
+          var frontierRows = frontier.count()
+          while (frontierRows > 0) {
+            val obs = new org.apache.spark.sql.Observation()
+            val next = ecc
+              .join(frontier.select(col("vid").as("dst"), col("color")),
+                Seq("dst", "color"))
+              .select(col("src").as("vid"), col("color"))
+              .distinct()
+              .join(scc.select("vid"), Seq("vid"), "left_anti")
+              .observe(obs, count(lit(1)).as("n"))
+              .localCheckpoint()
+            frontierRows = obs.get("n").asInstanceOf[Long]
+            if (frontierRows > 0) {
+              scc = scc.unionAll(next).localCheckpoint(eager = false)
+              frontier = next
+            }
+          }
+          scc = scc.localCheckpoint()
+          assigned = assigned
+            .unionAll(scc.select(col("vid"), col("color").as("compVid")))
+            .localCheckpoint(eager = false)
+          nodes = nodes.join(scc.select("vid"), Seq("vid"), "left_anti")
+            .localCheckpoint()
+          nodeCount = nodes.count()
+          dropAssigned()
+        }
+      }
+      assigned.localCheckpoint()
+    }
+  }
+
+  /** [[strongComponentsDataFrame]] relabeled to the lexicographic-min
+    * member name per component — same deterministic output contract as
+    * [[weakComponents]]. */
+  def strongComponents(g: OnionGraph): DataFrame = {
+    val scc = strongComponentsDataFrame(g)
+    val labels = g.vertices
+      .select(col("vid"), concat_ws(":", col("layer"), col("nodeId")).as("lbl"))
+    val compLabel = scc.join(labels, Seq("vid"))
+      .groupBy("compVid").agg(min("lbl").as("comp"))
+    scc.join(compLabel, Seq("compVid")).select(col("vid"), col("comp"))
+  }
+
   /** Component-size histogram with threshold — the reference's one
     * true group-by aggregation (`searcher.py:296-297`). */
   def componentSizes(g: OnionGraph, minSize: Long = 1): DataFrame =

@@ -124,4 +124,70 @@ class TraversalsSpec extends SparkSuite {
       .as[(String, Long)].collect().toMap
     assert(sizes == Map("L1:a" -> 5L))
   }
+
+  // ------------------------------------------------- FW-BW strong components
+
+  private def graphOf(edges: Seq[(String, String)],
+                      extraNodes: Seq[String] = Nil): graft.model.OnionGraph = {
+    val names = (edges.flatMap(e => Seq(e._1, e._2)) ++ extraNodes).distinct
+    OnionBuilder.grow(
+      names.map(n => (n, "L")).toDF("node_id", "layer"),
+      edges.map { case (a, b) => (a, "L", b, "L") }
+        .toDF("source_id", "source_layer", "target_id", "target_layer"),
+      GrowOptions())
+  }
+
+  private def sccNames(g: graft.model.OnionGraph): Set[Set[String]] =
+    Traversals.strongComponents(g)
+      .join(g.vertices, Seq("vid"))
+      .select(col("comp"), col("nodeId"))
+      .as[(String, String)].collect()
+      .groupBy(_._1).values.map(_.map(_._2).toSet).toSet
+
+  test("strongComponents: DAG is all singletons (pure trim path)") {
+    val g2 = graphOf(Seq(("a", "b"), ("b", "c"), ("a", "c")), Seq("iso"))
+    assert(sccNames(g2) === Set(Set("a"), Set("b"), Set("c"), Set("iso")))
+  }
+
+  test("strongComponents: cycles, bridges, self-loops hand-checked") {
+    // two 3-cycles joined by a one-way bridge + a tail + a self-loop
+    val g2 = graphOf(Seq(
+      ("a", "b"), ("b", "c"), ("c", "a"),      // SCC {a,b,c}
+      ("c", "p"),                              // bridge (one-way)
+      ("p", "q"), ("q", "r"), ("r", "p"),      // SCC {p,q,r}
+      ("r", "t"),                              // tail -> singleton t
+      ("s", "s")))                             // self-loop -> singleton s
+    assert(sccNames(g2) === Set(
+      Set("a", "b", "c"), Set("p", "q", "r"), Set("t"), Set("s")))
+  }
+
+  test("strongComponents matches GraphX SCC and brute closure on random graphs") {
+    for (seed <- Seq(61, 62, 63)) {
+      val rnd = new scala.util.Random(seed)
+      val es = (1 to 60).map(_ =>
+        ("n" + rnd.nextInt(18), "n" + rnd.nextInt(18)))
+        .filter(e => e._1 != e._2).distinct
+      val g2 = graphOf(es)
+      // brute: comp(u) == comp(v) iff mutual reachability in the closure
+      val names = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val idx = names.zipWithIndex.toMap
+      val n = names.size
+      val reach = Array.fill(n, n)(false)
+      names.foreach(u => reach(idx(u))(idx(u)) = true)
+      es.foreach { case (u, v) => reach(idx(u))(idx(v)) = true }
+      for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+        if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+      val exp = names.groupBy(u => names.filter(v =>
+          reach(idx(u))(idx(v)) && reach(idx(v))(idx(u))).toSet)
+        .keys.toSet
+      assert(sccNames(g2) === exp, s"seed=$seed")
+      // and the GraphX kernel agrees on the partition
+      val gx = graft.algos.GraphOps.stronglyConnectedComponents(g2)
+        .join(g2.vertices, Seq("vid"))
+        .select(col("compVid"), col("nodeId"))
+        .as[(Long, String)].collect()
+        .groupBy(_._1).values.map(_.map(_._2).toSet).toSet
+      assert(sccNames(g2) === gx, s"seed=$seed (GraphX parity)")
+    }
+  }
 }
