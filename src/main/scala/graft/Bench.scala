@@ -4,7 +4,15 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the full query corpus against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line (driver contract).
-  * Per-query progress goes to stderr for local profiling. */
+  * Per-query progress goes to stderr for local profiling.
+  *
+  * The corpus runs SPARK_GRAFT_BENCH_RUNS (default 3) full passes in
+  * this one JVM and reports per-query MEDIANS: single-shot numbers
+  * carried 5-50× co-tenancy artifacts (GC/cleanup bleed from
+  * neighboring queries, first-query graph-build cost) that cost a
+  * round of misdiagnosis each for rounds 2-3. Whole-corpus passes —
+  * not back-to-back repeats — so a pass-local disturbance lands on a
+  * different query's sample each time and the median discards it. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,6 +21,7 @@ object Bench {
     // default silently serializes the whole corpus.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,20 +49,31 @@ object Bench {
     val gx = graft.algos.GraphOps.toGraphX(g)
     gx.vertices.count(); gx.edges.count()
     val keep = spark.sparkContext.getPersistentRDDs.keySet
-    val results = SparkEntry.defs.map { d =>
-      val t0 = System.nanoTime()
-      val n = try d.fn(spark, sfDir).count() catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] ${d.name} FAILED: ${e.getMessage}")
-          -1L
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (pass <- 1 to runs) {
+      SparkEntry.defs.foreach { d =>
+        val t0 = System.nanoTime()
+        val n = try d.fn(spark, sfDir).count() catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ${d.name} FAILED: ${e.getMessage}")
+            -1L
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(
+          f"[bench] pass $pass ${d.name}%-24s ${sec}%8.2f s  ($n rows)")
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => keep.contains(id) }
+          .foreach { case (_, rdd) => rdd.unpersist(false) }
+        samples(d.name) = samples(d.name) :+ sec
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] ${d.name}%-24s ${sec}%8.2f s  ($n rows)")
-      spark.sparkContext.getPersistentRDDs
-        .filterNot { case (id, _) => keep.contains(id) }
-        .foreach { case (_, rdd) => rdd.unpersist(false) }
-      d.name -> sec
     }
+    def median(v: Vector[Double]): Double = {
+      val s = v.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val results = SparkEntry.defs.map(d => d.name -> median(samples(d.name)))
     val total = results.map(_._2).sum
     // Locale.ROOT explicitly: the f"" interpolator formats with the JVM
     // default locale, and a comma-decimal locale (de_DE) would turn the
@@ -63,11 +83,16 @@ object Bench {
     def jmap(entries: Seq[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + d3(v) }
       .mkString("{", ",", "}")
-    // Full-precision full map -> file (survives any log mangling).
+    // Full-precision medians + raw samples -> file (survives any log
+    // mangling; the spread column is the bench-trust diagnostic).
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${
-        results.map { case (k, v) => "\"" + k + "\":" + v }
-          .mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":${
+        results.map { case (k, v) =>
+          val s = samples(k)
+          "\"" + k + "\":{\"median\":" + v +
+            ",\"min\":" + s.min + ",\"max\":" + s.max +
+            ",\"samples\":[" + s.mkString(",") + "]}"
+        }.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       fullJson.getBytes("UTF-8"))
     catch { case _: Throwable => () }
@@ -92,7 +117,7 @@ object Bench {
         case o => o
       }) -> rs.map(_._2).sum }
     val json =
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec","n":${results.size},"groups":${
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","n":${results.size},"runs":$runs,"groups":${
         jmap(fam)},"queries":${
         jmap(headline.flatMap(h => byName.get(h).map(h -> _)))},"sf":"$sfDir"}"""
     println(json)

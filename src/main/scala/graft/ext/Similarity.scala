@@ -93,12 +93,45 @@ object Similarity {
   /** Portable sign-LSH bucket: md5-parity planes over 1e-6-quantized
     * BIGINT components. Integer arithmetic end to end, so the
     * projection sign (hence the bucket id) is exact in every engine —
-    * no float-association hazard in the bucketing itself. */
+    * no float-association hazard in the bucketing itself.
+    * Dynamic form: per-row md5 per (plane, component) — works for any
+    * (even mixed) vector width. Fixed-width corpora should use
+    * [[lshBucketPortableStatic]], which derives the identical buckets
+    * with ZERO per-row hashing. */
   def lshBucketPortable(vec: Column, planes: Int): Column = {
     val q = transform(vec, x => floor(x.cast("double") * lit(1e6)).cast("long"))
     val bits = (0 until planes).map { p =>
       val proj = aggregate(zip_with(q, sequence(lit(1), size(vec)),
         (x, i) => x * md5PlaneSign(p, i)), lit(0L), _ + _)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Driver-side evaluation of [[md5PlaneSign]] — bit-identical parity
+    * of the first md5 hex digit of "p:i". */
+  private def md5SignConst(p: Int, i: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$i".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 0xf) % 2 == 0) 1L else -1L
+  }
+
+  /** [[lshBucketPortable]] with the plane-sign matrix precomputed: the
+    * md5 parity for (plane, position) is a CONSTANT of the hash
+    * family, yet the dynamic form recomputes planes × dim md5 calls
+    * per ROW — all of x28's round-3 bench gap (16.2 s vs x10's 3.5 s
+    * for the same plan shape). With the signs baked in as literal
+    * arrays the per-row work is a codegen'd integer multiply-add, and
+    * bucket ids are bit-identical to the dynamic derivation
+    * (ExtSpec-pinned), so oracles and persisted [[writeBucketed]]
+    * layouts are unchanged. Requires the corpus's fixed vector width
+    * `dim`; rows of any other width would mis-bucket (zip_with
+    * truncation/null-padding) — fixed width is the corpus contract. */
+  def lshBucketPortableStatic(vec: Column, planes: Int, dim: Int): Column = {
+    val q = transform(vec, x => floor(x.cast("double") * lit(1e6)).cast("long"))
+    val bits = (0 until planes).map { p =>
+      val signs = array((1 to dim).map(i => lit(md5SignConst(p, i))): _*)
+      val proj = aggregate(zip_with(q, signs, (x, s) => x * s), lit(0L), _ + _)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
@@ -112,11 +145,16 @@ object Similarity {
     lshTopKWith(corpus, queries, k, lshBucket(_, planes), idCol, vecCol)
 
   /** [[lshTopK]] under the portable md5 plane family — bucket ids and
-    * the result set re-derivable outside Spark (the x28 oracle). */
+    * the result set re-derivable outside Spark (the x28 oracle). One
+    * tiny probe job reads the corpus's vector width, then the static
+    * precomputed-sign bucketing runs hash-free per row. */
   def lshTopKPortable(corpus: DataFrame, queries: DataFrame, k: Int,
                       planes: Int = 6, idCol: String = "vec_id",
-                      vecCol: String = "embedding"): DataFrame =
-    lshTopKWith(corpus, queries, k, lshBucketPortable(_, planes), idCol, vecCol)
+                      vecCol: String = "embedding"): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    lshTopKWith(corpus, queries, k, lshBucketPortableStatic(_, planes, dim),
+      idCol, vecCol)
+  }
 
   private def lshTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
                           bucketFn: Column => Column, idCol: String,
@@ -141,7 +179,10 @@ object Similarity {
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     portable: Boolean = false): Unit = {
     val bucketFn: Column => Column =
-      if (portable) lshBucketPortable(_, planes) else lshBucket(_, planes)
+      if (portable) {
+        val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+        lshBucketPortableStatic(_, planes, dim)
+      } else lshBucket(_, planes)
     corpus.select(col(idCol), col(vecCol), bucketFn(col(vecCol)).as("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
   }

@@ -218,6 +218,26 @@ class ExtSpec extends SparkSuite {
     val top = Similarity.lshTopKPortable(emb, emb.filter($"vec_id" === 0), 3)
       .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
     assert(top.find(_._2 == 1).map(_._1).contains(1L)) // twin ranks first
+    // the precomputed-sign static form is bit-identical to the per-row
+    // md5 derivation — that equality is what keeps the x28 oracle and
+    // persisted bucket layouts valid after the hash-free rewrite
+    val static = emb
+      .select($"vec_id",
+        Similarity.lshBucketPortableStatic($"embedding", 6, 3).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(static == buckets)
+  }
+
+  test("portable static LSH matches dynamic on the corpus embeddings table") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dim = emb.select(size($"embedding")).head.getInt(0)
+    val dyn = emb.select($"vec_id",
+        Similarity.lshBucketPortable($"embedding", 6).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val sta = emb.select($"vec_id",
+        Similarity.lshBucketPortableStatic($"embedding", 6, dim).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(sta == dyn)
   }
 
   test("chunking: overlapping stride windows, no redundant-subset tail (X3)") {
