@@ -1573,15 +1573,39 @@ object SparkEntry {
              |ORDER BY a, b""".stripMargin)),
 
     QueryDef("x12_multimodal",
-      (s, dir) => Multimodal.decodeStub(
-          Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"))
-        .select(col("media_id"), col("n_bytes"),
-          size(col("features")).cast("long").as("n_features"))
-        .orderBy("media_id"),
-      Some("""SELECT doc_id AS media_id,
-             | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-             | CAST(16 AS BIGINT) AS n_features
-             |FROM documents ORDER BY media_id""".stripMargin)),
+      // REAL image decode: synthesize a 16x12 PNG per document
+      // (pixel channels are closed-form integer arithmetic over
+      // doc_id), round-trip it through an ACTUAL javax.imageio
+      // encode + decode, and emit the per-bucket pixel histogram.
+      // PNG is lossless, so the oracle re-derives the decoded
+      // histogram from the same pixel formula with no codec —
+      // upgrading this check from stub-plumbing to a decode-path
+      // hash-match.
+      (s, dir) => {
+        val media = Multimodal.synthesizePng(
+          t(s, dir, "documents").select("doc_id"), "doc_id", 16, 12)
+        Multimodal.decodeImage(media, 16)
+          .where(col("decode_ok"))
+          .select(col("media_id"), col("width"), col("height"),
+            posexplode(col("hist")).as(Seq("bucket", "cnt")))
+          .where(col("cnt") > 0)
+          .select(col("media_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("bucket").cast("long").as("bucket"), col("cnt"))
+          .orderBy("media_id", "bucket")
+      },
+      Some("""WITH px AS (SELECT d.doc_id, x.x, y.y
+             |  FROM (SELECT doc_id FROM documents) d,
+             |       generate_series(0, 15) x(x), generate_series(0, 11) y(y)),
+             | b AS (SELECT doc_id,
+             |   ((doc_id*31 + x*7 + y*13) % 256 + (doc_id*17 + x*11 + y*3) % 256
+             |    + (doc_id*23 + x*5 + y*19) % 256) % 16 AS bucket
+             |  FROM px)
+             |SELECT doc_id AS media_id, CAST(16 AS BIGINT) AS width,
+             | CAST(12 AS BIGINT) AS height, CAST(bucket AS BIGINT) AS bucket,
+             | COUNT(*) AS cnt
+             |FROM b GROUP BY 1, 4 ORDER BY media_id, bucket""".stripMargin)),
 
     QueryDef("x15_asof_join",
       // as-of join (SURVEY §2.7 range/as-of row): latest click per

@@ -9,12 +9,19 @@ import org.apache.spark.sql.types._
  * video payloads as opaque `binary` columns + typed metadata, with
  * decode / feature-extract / resize / frame-sample stages.
  *
- * The decode kernels are STUBS (this container ships no image/audio
- * codecs — see the builder brief): `decodeStub` derives a
- * deterministic fake feature vector from the bytes. Everything
- * AROUND the stub is real and tested: schema, batch shape
- * (mapPartitions = the Scala analogue of `mapInPandas` batches),
- * partition sizing, and the downstream joins.
+ * IMAGE decode is REAL: [[decodeImage]] runs `javax.imageio` (JDK-only,
+ * no external codecs needed for PNG/JPEG/BMP/GIF) inside the same
+ * mapPartitions batch shape (one partition = one decode batch — the
+ * Scala analogue of `mapInPandas` batching, amortizing any codec/JNI
+ * setup per batch). [[synthesizePng]] generates losslessly-decodable
+ * payloads whose pixel values are closed-form integer arithmetic, so
+ * the decoded features are re-derivable by a SQL oracle with no codec
+ * at all — that is what upgrades the corpus check from rows-only to a
+ * full hash-match.
+ *
+ * AUDIO/VIDEO decode remains a stub (`decodeStub` — no such codecs in
+ * the JDK or this container): deterministic fake features from the
+ * bytes, with the real schema/batching/joins around it.
  */
 object Multimodal {
 
@@ -63,6 +70,92 @@ object Multimodal {
         while (i < bytes.length) { hist((bytes(i) & 0xff) % dim) += 1.0; i += 1 }
         val total = math.max(bytes.length.toDouble, 1.0)
         Row(id, bytes.length.toLong, hist.map(_ / total).toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic synthetic PNG payloads: pixel (x, y) of id `d` has
+    * channels
+    *   r = (d*31 + x*7  + y*13) % 256
+    *   g = (d*17 + x*11 + y*3 ) % 256
+    *   b = (d*23 + x*5  + y*19) % 256
+    * — pure integer arithmetic over NON-NEGATIVE ids (the corpus
+    * contract), and PNG is lossless, so any engine can re-derive the
+    * DECODED pixel values with no codec. This is the on-ramp that lets
+    * the REAL [[decodeImage]] path be oracle-checked end to end. */
+  def synthesizePng(df: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rr = ((id * 31 + x * 7 + y * 13) % 256).toInt
+            val gg = ((id * 17 + x * 11 + y * 3) % 256).toInt
+            val bb = ((id * 23 + x * 5 + y * 19) % 256).toInt
+            img.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, "image", bos.toByteArray, "image/png", w, h, null)
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** REAL image decode + feature extraction via `javax.imageio`: PNG/
+    * JPEG/BMP/GIF payloads to (width, height, channel-sum histogram).
+    * Features are exact integer pixel counts — bucket =
+    * (r + g + b) % dim per pixel — so for lossless formats the result
+    * is re-derivable from the source pixels by any engine (the x12
+    * oracle) and bit-stable across JVMs (no float resampling).
+    * Undecodable or null payloads yield decode_ok = false with null
+    * dims rather than failing the batch — at 100 TB some corrupt
+    * payloads are a certainty, and a poison row must not kill a task
+    * retry loop. Same mapPartitions batch shape as [[decodeStub]]. */
+  def decodeImage(media: DataFrame, dim: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decode_ok", BooleanType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("hist", ArrayType(LongType, containsNull = false),
+        nullable = true)))
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val img =
+          if (r.isNullAt(1)) null
+          else try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          catch { case _: java.io.IOException => null }
+        if (img == null) Row(id, false, null, null, null)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val hist = new Array[Long](dim)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              val s = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+              hist(s % dim) += 1L
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, true, w, h, hist.toSeq)
+        }
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -385,4 +385,41 @@ class ExtSpec extends SparkSuite {
     val frames = Multimodal.frameSampleStub(media, 3)
     assert(frames.count() == docs.count() * 3)
   }
+
+  test("real PNG decode: round-trip recovers exact pixel histogram (X4)") {
+    val ids = Seq(0L, 1L, 7L).toDF("media_id")
+    val media = Multimodal.synthesizePng(ids, "media_id", 5, 4)
+    // payloads are genuine PNG files
+    val pngMagic = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47)
+    media.select("payload").collect().foreach { r =>
+      assert(r.getAs[Array[Byte]](0).take(4).sameElements(pngMagic))
+    }
+    val got = Multimodal.decodeImage(media, dim = 8)
+      .orderBy("media_id").collect()
+    got.zip(Seq(0L, 1L, 7L)).foreach { case (r, id) =>
+      assert(r.getBoolean(1), s"decode must succeed for id $id")
+      assert(r.getInt(2) == 5 && r.getInt(3) == 4)
+      // re-derive the histogram from the synthesis formula: the PNG
+      // round-trip must be lossless
+      val exp = new Array[Long](8)
+      for (y <- 0 until 4; x <- 0 until 5) {
+        val s = (id * 31 + x * 7 + y * 13) % 256 +
+          (id * 17 + x * 11 + y * 3) % 256 + (id * 23 + x * 5 + y * 19) % 256
+        exp((s % 8).toInt) += 1L
+      }
+      assert(r.getSeq[Long](4) == exp.toSeq, s"id $id")
+    }
+  }
+
+  test("decodeImage survives corrupt and null payloads (poison rows)") {
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, "image",
+        Array[Byte](1, 2, 3, 4), "image/png", null, null, null),
+      org.apache.spark.sql.Row(2L, "image", null, null, null, null, null))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val got = Multimodal.decodeImage(media).orderBy("media_id").collect()
+    assert(got.forall(!_.getBoolean(1)))
+    assert(got.forall(_.isNullAt(4)))
+  }
 }
