@@ -183,6 +183,51 @@ object SparkEntry {
        |GROUP BY node ORDER BY node""".stripMargin
   }
 
+  /** DuckDB oracle for [[VizData.forceLayout]] on the supplier-nation-
+    * region slice: chained CTEs — p0 seeds positions from the portable
+    * md5-48bit hash, then per iteration a repulsion agg (rK), an
+    * attraction agg (aK) and a clamped position update (pK). The
+    * sign·(|num| // den) spelling mirrors the Spark side's tdiv so
+    * DuckDB's flooring `//` and Spark's truncating DIV agree on
+    * negative displacements. */
+  private def forceLayoutSql(iters: Int, box: Long, cRep: Long,
+                             attDiv: Long, temp0: Long): String = {
+    def tdivSql(num: String, den: String) =
+      s"CASE WHEN $num >= 0 THEN ($num) // ($den) ELSE -((-($num)) // ($den)) END"
+    val iterCtes = (1 to iters).map { k =>
+      val t = temp0 / k
+      val d2 = "GREATEST((i.x - j.x)*(i.x - j.x) + (i.y - j.y)*(i.y - j.y), 1)"
+      s"""r$k AS (SELECT i.node,
+         |  CAST(SUM(${tdivSql(s"(i.x - j.x) * $cRep", d2)}) AS BIGINT) AS fx,
+         |  CAST(SUM(${tdivSql(s"(i.y - j.y) * $cRep", d2)}) AS BIGINT) AS fy
+         | FROM p${k - 1} i JOIN p${k - 1} j ON i.node <> j.node
+         | GROUP BY i.node),
+         |a$k AS (SELECT u.a AS node,
+         |  CAST(SUM(-(${tdivSql("pa.x - pb.x", attDiv.toString)})) AS BIGINT) AS ax,
+         |  CAST(SUM(-(${tdivSql("pa.y - pb.y", attDiv.toString)})) AS BIGINT) AS ay
+         | FROM und u JOIN p${k - 1} pa ON pa.node = u.a
+         |  JOIN p${k - 1} pb ON pb.node = u.b GROUP BY u.a),
+         |p$k AS (SELECT p.node,
+         |  LEAST(GREATEST(p.x + LEAST(GREATEST(COALESCE(r.fx, 0) + COALESCE(a.ax, 0), -$t), $t), 0), $box) AS x,
+         |  LEAST(GREATEST(p.y + LEAST(GREATEST(COALESCE(r.fy, 0) + COALESCE(a.ay, 0), -$t), $t), 0), $box) AS y
+         | FROM p${k - 1} p LEFT JOIN r$k r ON r.node = p.node
+         |  LEFT JOIN a$k a ON a.node = p.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$W, sub AS (SELECT source_layer || '|' || source_id AS a,
+       |   target_layer || '|' || target_id AS b
+       |  FROM edges
+       |  WHERE source_layer IN ('supplier', 'nation', 'region')
+       |    AND target_layer IN ('supplier', 'nation', 'region')),
+       | und AS (SELECT a, b FROM sub UNION SELECT b, a FROM sub),
+       | nodes AS (SELECT DISTINCT a AS node FROM und),
+       | p0 AS (SELECT node,
+       |   CAST(('0x' || substr(md5(node || ':x'), 1, 12)) AS BIGINT) % $box AS x,
+       |   CAST(('0x' || substr(md5(node || ':y'), 1, 12)) AS BIGINT) % $box AS y
+       |  FROM nodes),
+       |$iterCtes
+       |SELECT node, x, y FROM p$iters ORDER BY node""".stripMargin
+  }
+
   // ================================================================ corpus
 
   val defs: Seq[QueryDef] = Seq(
@@ -2307,6 +2352,24 @@ object SparkEntry {
               |  COALESCE(${dsumSql("qty")}, 0.0)
               |FROM edges GROUP BY 1
               |ORDER BY grp""".stripMargin)),
+
+    QueryDef("g45_force_layout",
+      // the sfdp_layout slot (visualisation.py:711): seeded
+      // spring-electrical layout on integer-quantized coordinates —
+      // content-hashed initial positions, sqrt-free FR repulsion
+      // (dx·C/d²), linear-spring attraction, per-axis cooling clamp.
+      // Exact BIGINT arithmetic end to end, so a force layout
+      // hash-matches a chained-CTE oracle.
+      (s, dir) => {
+        val sup = t(s, dir, "supplier").select(
+          concat(lit("supplier|"), col("s_suppkey").cast("string")).as("a"),
+          concat(lit("nation|"), col("s_nationkey").cast("string")).as("b"))
+        val nat = t(s, dir, "nation").select(
+          concat(lit("nation|"), col("n_nationkey").cast("string")).as("a"),
+          concat(lit("region|"), col("n_regionkey").cast("string")).as("b"))
+        VizData.forceLayout(sup.unionAll(nat), iters = 3).orderBy("node")
+      },
+      Some(forceLayoutSql(3, 1000000L, 200000000L, 10L, 200000L))),
 
     // ------------------------------------------------- relational coverage 2
     QueryDef("q28_grouping_sets",

@@ -148,6 +148,85 @@ object VizData {
     left.unionByName(right)
   }
 
+  /** Seeded force-directed layout — the slot the reference fills with
+    * graph-tool's `sfdp_layout` when no layout is persisted
+    * (`visualisation.py:711`). A spring-electrical model on
+    * INTEGER-QUANTIZED coordinates with bounded iterations:
+    *
+    *  - initial positions are content-hashed (portable md5-48bit of
+    *    the node name, mod the box) — "seeded" with no RNG state, so
+    *    the layout is a pure function of the graph;
+    *  - repulsion between all pairs: displacement ∝ dx·C / d², the
+    *    exact FR repulsion without any sqrt (δ·k²/|δ|² needs only d²);
+    *  - attraction along edges: linear spring, dx / attDiv
+    *    (Eades/Hooke form — avoids FR attraction's |δ| sqrt);
+    *  - per-axis temperature clamp, cooling as t/k per iteration.
+    *
+    * Every step is exact BIGINT arithmetic: divisions run as
+    * sign·(|num| DIV den) so Spark's truncating DIV and DuckDB's
+    * flooring `//` agree (both truncate non-negative operands), which
+    * is what makes a 2D force layout — normally a float n-body soup —
+    * hash-matchable across engines (g45) and bit-stable across
+    * partitionings (VizDataSpec).
+    *
+    * Scale: all-pairs repulsion is O(n²) per iteration BY DESIGN for
+    * bounded slices (the reference lays out views, not the corpus); a
+    * full-corpus layout would grid-bin the repulsion (Barnes-Hut style
+    * bucketing on x DIV cell, y DIV cell) on the same integer math.
+    * Input: undirected-intent edge list (a, b). Output (node, x, y). */
+  def forceLayout(edges: DataFrame, iters: Int = 3,
+                  box: Long = 1000000L, cRep: Long = 200000000L,
+                  attDiv: Long = 10L, temp0: Long = 200000L): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+      .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    val nodes = und.select(col("a").as("node")).distinct()
+    def seeded(salt: String): Column =
+      pmod(conv(substring(md5(concat(col("node"), lit(salt))), 1, 12), 16, 10)
+        .cast("long"), lit(box))
+    var pos = nodes
+      .select(col("node"), seeded(":x").as("x"), seeded(":y").as("y"))
+      .localCheckpoint()
+    // truncating signed integer division both engines agree on:
+    // sign(num) * (|num| DIV den) with den > 0
+    def tdiv(num: String, den: String): String =
+      s"CASE WHEN $num >= 0 THEN ($num) DIV ($den) ELSE -((-($num)) DIV ($den)) END"
+    for (k <- 1 to iters) {
+      val t = temp0 / k
+      val pj = pos.select(col("node").as("nj"), col("x").as("xj"),
+        col("y").as("yj"))
+      val rep = pos.crossJoin(pj).where(col("node") =!= col("nj"))
+        .select(col("node"), (col("x") - col("xj")).as("dx"),
+          (col("y") - col("yj")).as("dy"))
+        .withColumn("d2",
+          greatest(col("dx") * col("dx") + col("dy") * col("dy"), lit(1L)))
+        .groupBy("node")
+        .agg(sum(expr(tdiv(s"dx * $cRep", "d2"))).as("fx"),
+          sum(expr(tdiv(s"dy * $cRep", "d2"))).as("fy"))
+      val att = und
+        .join(pos.select(col("node").as("a"), col("x"), col("y")), Seq("a"))
+        .join(pj.select(col("nj").as("b"), col("xj"), col("yj")), Seq("b"))
+        .select(col("a").as("node"), (col("x") - col("xj")).as("dx"),
+          (col("y") - col("yj")).as("dy"))
+        .groupBy("node")
+        .agg(sum(expr("-(" + tdiv("dx", attDiv.toString) + ")")).as("ax"),
+          sum(expr("-(" + tdiv("dy", attDiv.toString) + ")")).as("ay"))
+      def step(c: Column, f: Column, a: Column): Column =
+        least(greatest(
+          c + least(greatest(coalesce(f, lit(0L)) + coalesce(a, lit(0L)),
+            lit(-t)), lit(t)),
+          lit(0L)), lit(box))
+      pos = pos
+        .join(rep, Seq("node"), "left")
+        .join(att, Seq("node"), "left")
+        .select(col("node"),
+          step(col("x"), col("fx"), col("ax")).as("x"),
+          step(col("y"), col("fy"), col("ay")).as("y"))
+        .localCheckpoint()
+    }
+    pos
+  }
+
   /** S5 layout persistence (`load_or_compute_layout`,
     * `visualisation.py:625-732`): parquet keyed by (layer, nodeId). */
   def saveLayout(layout: DataFrame, path: String): Unit =

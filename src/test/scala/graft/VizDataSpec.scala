@@ -88,4 +88,51 @@ class VizDataSpec extends SparkSuite {
       .select("nodeId", "y").as[(String, Double)].collect().toMap
     assert(out == Map("r2" -> 0.0, "r1" -> 1.0))
   }
+
+  test("forceLayout matches an independent integer reference and stays in box") {
+    val es = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+    val edges = es.toDF("a", "b")
+    val (box, cRep, attDiv, temp0, iters) = (1000000L, 200000000L, 10L, 200000L, 3)
+    val got = VizData.forceLayout(edges, iters)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // independent reference: same model re-implemented with plain Scala
+    // integer arithmetic (driver-side md5, truncating /)
+    def h48(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(6)
+      d.foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+    }
+    val und = (es ++ es.map(_.swap)).distinct
+    val nodes = und.map(_._1).distinct.sorted
+    var pos = nodes.map(n => n -> (h48(n + ":x") % box, h48(n + ":y") % box)).toMap
+    def tdiv(num: Long, den: Long): Long = num / den // Scala / truncates
+    for (k <- 1 to iters) {
+      val t = temp0 / k
+      val next = nodes.map { n =>
+        val (x, y) = pos(n)
+        var fx = 0L; var fy = 0L
+        nodes.filter(_ != n).foreach { m =>
+          val (xj, yj) = pos(m)
+          val (dx, dy) = (x - xj, y - yj)
+          val d2 = math.max(dx * dx + dy * dy, 1L)
+          fx += tdiv(dx * cRep, d2); fy += tdiv(dy * cRep, d2)
+        }
+        und.filter(_._1 == n).foreach { case (_, m) =>
+          val (xj, yj) = pos(m)
+          fx += -tdiv(x - xj, attDiv); fy += -tdiv(y - yj, attDiv)
+        }
+        def clamp(v: Long, lo: Long, hi: Long) = math.min(math.max(v, lo), hi)
+        n -> (clamp(x + clamp(fx, -t, t), 0, box),
+          clamp(y + clamp(fy, -t, t), 0, box))
+      }.toMap
+      pos = next
+    }
+    assert(got === pos)
+    assert(got.values.forall { case (x, y) =>
+      x >= 0 && x <= box && y >= 0 && y <= box })
+    // pure function of the graph: partitioning can't move a vertex
+    val again = VizData.forceLayout(edges.repartition(7), iters)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(again === got)
+  }
 }
