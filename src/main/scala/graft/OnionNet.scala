@@ -210,6 +210,22 @@ final class OnionNet(val spark: SparkSession, val directed: Boolean = true) {
   def betweenness(maxDepth: Int): DataFrame =
     graft.algos.LinkAnalysis.betweenness(labeledEdges, maxDepth)
 
+  /** Sketched closeness/harmonic centrality — the full-graph scale
+    * path (O(V·k) state vs [[centrality]]'s O(V²) pairs). */
+  def centralitySketched(maxDepth: Int, k: Int = 64): DataFrame =
+    graft.algos.LinkAnalysis.kmvCentrality(labeledEdges, maxDepth, k)
+
+  /** Pivot-sampled betweenness — the full-graph scale path (O(m·V)
+    * state vs [[betweenness]]'s O(V²)). */
+  def betweennessSampled(maxDepth: Int, numPivots: Int): DataFrame =
+    graft.algos.LinkAnalysis.betweennessPivots(labeledEdges, maxDepth, numPivots)
+
+  /** Seeded force-directed layout of the current graph (the
+    * `sfdp_layout` default at `visualisation.py:711`); node key =
+    * "layer|nodeId". */
+  def forceLayout(iters: Int = 3): DataFrame =
+    graft.viz.VizData.forceLayout(labeledEdges, iters)
+
   private def labeledEdges: DataFrame = {
     import org.apache.spark.sql.functions._
     val v = g.vertices.select(col("vid"),

@@ -154,6 +154,20 @@ class OnionNetFacadeSpec extends SparkSuite {
     val bc = net.betweenness(maxDepth = 3)
       .select("node", "bc_q").as[(String, Long)].collect().toMap
     assert(bc === Map("L1|b" -> 1000000L))
+    // the scale-path twins agree with the exact forms when the sketch
+    // has room (k > n) and the pivots cover every node
+    val sk = net.centralitySketched(maxDepth = 3)
+      .select("node", "n_reached_est").as[(String, Long)].collect().toMap
+    assert(sk === cent)
+    val bs = net.betweennessSampled(maxDepth = 3, numPivots = 10)
+      .select("node", "bc_q").as[(String, Long)].collect().toMap
+    assert(bs === bc)
+    // force layout: one coordinate pair per vertex, inside the box
+    val fl = net.forceLayout(iters = 2)
+      .as[(String, Long, Long)].collect()
+    assert(fl.map(_._1).toSet === Set("L1|a", "L1|b", "L2|c"))
+    assert(fl.forall(p => p._2 >= 0 && p._2 <= 1000000L
+      && p._3 >= 0 && p._3 <= 1000000L))
     // personalized pagerank, hand-computed on the a -> b -> c path:
     //   r1 = (0.15e9, 0.85e9, 0); r2 = (0.15e9, 0.85*0.15e9, 0.85*0.85e9)
     val seeds = net.g.vertices.where(col("nodeId") === "a").select("vid")
