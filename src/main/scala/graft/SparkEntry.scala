@@ -1627,8 +1627,10 @@ object SparkEntry {
       // upgrading this check from stub-plumbing to a decode-path
       // hash-match.
       (s, dir) => {
+        // docs() repartition: the corpus arrives as ONE parquet split,
+        // which would run every ImageIO encode+decode single-threaded
         val media = Multimodal.synthesizePng(
-          t(s, dir, "documents").select("doc_id"), "doc_id", 16, 12)
+          docs(s, dir).select("doc_id"), "doc_id", 16, 12)
         Multimodal.decodeImage(media, 16)
           .where(col("decode_ok"))
           .select(col("media_id"), col("width"), col("height"),
