@@ -87,6 +87,9 @@ object Multimodal {
   def synthesizePng(df: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
     val spark = df.sparkSession
     val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      // memory-backed ImageIO streams: the default disk cache writes a
+      // temp file per encode — a hidden fsync per row on the hot path
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         val id = r.getLong(0)
         val img = new java.awt.image.BufferedImage(
@@ -131,6 +134,7 @@ object Multimodal {
       StructField("hist", ArrayType(LongType, containsNull = false),
         nullable = true)))
     val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // memory-backed streams
       it.map { r =>
         val id = r.getLong(0)
         val img =
