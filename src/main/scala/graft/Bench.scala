@@ -51,12 +51,17 @@ object Bench {
     val keep = spark.sparkContext.getPersistentRDDs.keySet
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    // Failed passes must be distinguishable from fast passes: a query
+    // that throws in 0.1 s would otherwise read as a 0.1 s query.
+    val failures = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
     for (pass <- 1 to runs) {
       SparkEntry.defs.foreach { d =>
         val t0 = System.nanoTime()
         val n = try d.fn(spark, sfDir).count() catch {
           case e: Throwable =>
             System.err.println(s"[bench] ${d.name} FAILED: ${e.getMessage}")
+            failures(d.name) += 1
             -1L
         }
         val sec = (System.nanoTime() - t0) / 1e9
@@ -91,6 +96,7 @@ object Bench {
           val s = samples(k)
           "\"" + k + "\":{\"median\":" + v +
             ",\"min\":" + s.min + ",\"max\":" + s.max +
+            ",\"failed_passes\":" + failures(k) +
             ",\"samples\":[" + s.mkString(",") + "]}"
         }.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
@@ -117,7 +123,7 @@ object Bench {
         case o => o
       }) -> rs.map(_._2).sum }
     val json =
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec","n":${results.size},"runs":$runs,"groups":${
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","n":${results.size},"runs":$runs,"failures":${failures.values.sum},"groups":${
         jmap(fam)},"queries":${
         jmap(headline.flatMap(h => byName.get(h).map(h -> _)))},"sf":"$sfDir"}"""
     println(json)

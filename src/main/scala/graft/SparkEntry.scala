@@ -2245,7 +2245,7 @@ object SparkEntry {
               |   FROM rt) WHERE rn <= 16),
               | est AS (SELECT src, t,
               |   CASE WHEN COUNT(*) < 16 THEN COUNT(*)
-              |        ELSE CAST(15 * 281474976710656 // MAX(h) AS BIGINT)
+              |        ELSE CAST(15 * 281474976710656 // GREATEST(MAX(h), 1) AS BIGINT)
               |   END AS est
               |  FROM tk GROUP BY 1, 2),
               | dl AS (SELECT src, t, est,

@@ -356,8 +356,13 @@ object LinkAnalysis {
     def estimate(state: DataFrame): DataFrame =
       state.groupBy("node").agg(count(lit(1)).as("cnt"), max("h").as("vk"))
         .select(col("node"),
+          // greatest(vk,1): a node name hashing to 48 zero bits (p ~
+          // 2^-48 per node — nonzero over a 100 TB corpus) would make
+          // vk=0 and null the estimate; clamping keeps it total and
+          // the oracle applies the identical clamp
           when(col("cnt") < k, col("cnt"))
-            .otherwise(expr(s"CAST(${k - 1}L * 281474976710656L DIV vk AS BIGINT)"))
+            .otherwise(expr(
+              s"CAST(${k - 1}L * 281474976710656L DIV greatest(vk, 1L) AS BIGINT)"))
             .as("est"))
     var state = nodes.select(col("node"), h48(col("node")).as("h"))
       .localCheckpoint()

@@ -141,7 +141,10 @@ object Multimodal {
           if (r.isNullAt(1)) null
           else try javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-          catch { case _: java.io.IOException => null }
+          // ImageIO plugins throw unchecked exceptions (ArrayIndexOutOfBounds,
+          // NegativeArraySize, IllegalArgument) on malformed payloads, not
+          // just IOException — NonFatal keeps the poison-row guarantee.
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) Row(id, false, null, null, null)
         else {
           val w = img.getWidth

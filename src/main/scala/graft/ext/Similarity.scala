@@ -150,11 +150,22 @@ object Similarity {
     * precomputed-sign bucketing runs hash-free per row. */
   def lshTopKPortable(corpus: DataFrame, queries: DataFrame, k: Int,
                       planes: Int = 6, idCol: String = "vec_id",
-                      vecCol: String = "embedding"): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
-    lshTopKWith(corpus, queries, k, lshBucketPortableStatic(_, planes, dim),
-      idCol, vecCol)
-  }
+                      vecCol: String = "embedding"): DataFrame =
+    lshTopKWith(corpus, queries, k,
+      probeDim(corpus, vecCol) match {
+        case Some(dim) => lshBucketPortableStatic(_, planes, dim)
+        // empty / all-null corpus: no width to bake signs for — the
+        // dynamic form derives identical buckets (and the join is
+        // empty anyway), instead of NoSuchElementException on head()
+        case None => lshBucketPortable(_, planes)
+      }, idCol, vecCol)
+
+  /** Width of the first non-null embedding, if any — the probe behind
+    * the static plane family. One tiny job; never throws on an empty
+    * or null-leading corpus. */
+  private def probeDim(corpus: DataFrame, vecCol: String): Option[Int] =
+    corpus.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).take(1).headOption.map(_.getInt(0))
 
   private def lshTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
                           bucketFn: Column => Column, idCol: String,
@@ -179,9 +190,9 @@ object Similarity {
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     portable: Boolean = false): Unit = {
     val bucketFn: Column => Column =
-      if (portable) {
-        val dim = corpus.select(size(col(vecCol))).head.getInt(0)
-        lshBucketPortableStatic(_, planes, dim)
+      if (portable) probeDim(corpus, vecCol) match {
+        case Some(dim) => lshBucketPortableStatic(_, planes, dim)
+        case None => lshBucketPortable(_, planes) // empty corpus: empty layout
       } else lshBucket(_, planes)
     corpus.select(col(idCol), col(vecCol), bucketFn(col(vecCol)).as("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
