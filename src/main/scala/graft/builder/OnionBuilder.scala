@@ -126,7 +126,8 @@ object OnionBuilder {
     requireCols(edges,
       Seq(o.srcIdCol, o.srcLayerCol, o.dstIdCol, o.dstLayerCol) ++ o.edgePropCols,
       "edges")
-    val fresh = cleanVertices(nodes, o)
+    val cleaned = cleanVertices(nodes, o)
+    val fresh = cleaned
       .join(g.vertices.select("vid"), Seq("vid"), "left_anti")
     val mergedVs = g.vertices.unionByName(fresh, allowMissingColumns = true)
     val resolved = resolveEdges(cleanEdges(edges, o), mergedVs.select("vid"))
@@ -135,10 +136,33 @@ object OnionBuilder {
         resolved.join(g.edges.select("src", "dst"), Seq("src", "dst"), "left_anti")
       else resolved
     if (o.auditVidCollisions) {
-      val collisions = mergedVs.groupBy("vid").count().filter(col("count") > 1).count()
+      val collisions = vidCollisions(g.vertices, cleaned)
       require(collisions == 0L, s"xxhash64 vid collision on $collisions keys")
     }
     OnionGraph(mergedVs, g.edges.unionByName(freshEs, allowMissingColumns = true))
+  }
+
+  /** Append-time vid collision count — BATCH-sized, not merged-set-
+    * sized (the existing graph was audited when built, so N appends
+    * must not cost N full-graph aggregations). Two checks in one pass:
+    *  (a) two distinct batch keys hashing to one vid;
+    *  (b) a batch key colliding with a DIFFERENT existing key — the
+    *      merge's vid anti-join would silently drop it as "already
+    *      present", so it must be caught here, not masked.
+    * The existing side is semi-probed on the batch's vids only (AQE
+    * broadcasts the small batch side — no full-graph shuffle); the
+    * aggregation state is batch-sized. Package-private so the spec can
+    * pin detection with constructed collisions (real xxhash64 collision
+    * pairs are not practically constructible in a test). */
+  private[graft] def vidCollisions(existing: DataFrame,
+                                   batch: DataFrame): Long = {
+    val batchKeys = batch.select("vid", "layer", "nodeId")
+    val existingHits = existing.select("vid", "layer", "nodeId")
+      .join(batchKeys.select("vid").distinct(), Seq("vid"), "left_semi")
+    batchKeys.unionAll(existingHits)
+      .groupBy("vid")
+      .agg(countDistinct(struct(col("layer"), col("nodeId"))).as("nkeys"))
+      .filter(col("nkeys") > 1).count()
   }
 
   private def requireCols(df: DataFrame, cols: Seq[String], what: String): Unit = {
