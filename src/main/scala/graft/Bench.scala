@@ -70,10 +70,17 @@ object Bench {
         spark.sparkContext.getPersistentRDDs
           .filterNot { case (id, _) => keep.contains(id) }
           .foreach { case (_, rdd) => rdd.unpersist(false) }
-        samples(d.name) = samples(d.name) :+ sec
+        // Failed passes are EXCLUDED from samples: a 0.1 s throw must
+        // not lower a query's median (it reads as a fast pass). The
+        // failure is carried by failed_passes + the compact line's
+        // failed list instead.
+        if (n >= 0L) samples(d.name) = samples(d.name) :+ sec
       }
     }
+    // All-passes-failed queries have no samples; report 0 with the
+    // failure flag set rather than NaN (which would break the JSON).
     def median(v: Vector[Double]): Double = {
+      if (v.isEmpty) return 0.0
       val s = v.sorted
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
@@ -95,7 +102,8 @@ object Bench {
         results.map { case (k, v) =>
           val s = samples(k)
           "\"" + k + "\":{\"median\":" + v +
-            ",\"min\":" + s.min + ",\"max\":" + s.max +
+            ",\"min\":" + (if (s.isEmpty) 0.0 else s.min) +
+            ",\"max\":" + (if (s.isEmpty) 0.0 else s.max) +
             ",\"failed_passes\":" + failures(k) +
             ",\"samples\":[" + s.mkString(",") + "]}"
         }.mkString("{", ",", "}")},"sf":"$sfDir"}"""
@@ -122,8 +130,13 @@ object Bench {
         case "q" => "relational"; case "g" => "graph"; case "x" => "pipeline"
         case o => o
       }) -> rs.map(_._2).sum }
+    // Name which queries failed (not just how many): an aggregate count
+    // alone can't be traced back to the offending query from the
+    // driver-kept output tail.
+    val failedList = SparkEntry.defs.map(_.name).filter(failures(_) > 0)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec","n":${results.size},"runs":$runs,"failures":${failures.values.sum},"groups":${
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","n":${results.size},"runs":$runs,"failures":${failures.values.sum},"failed":$failedList,"groups":${
         jmap(fam)},"queries":${
         jmap(headline.flatMap(h => byName.get(h).map(h -> _)))},"sf":"$sfDir"}"""
     println(json)

@@ -60,6 +60,22 @@ final class OnionNet(val spark: SparkSession, val directed: Boolean = true) {
     layerSetCache = None
   }
 
+  /** Materialize the current graph and truncate its lineage
+    * (eager `localCheckpoint`). Call between appends: without it, every
+    * [[growOnion]] merge EMBEDS the full prior build plan into the new
+    * one (the anti-join probe, the vertex union, and both edge
+    * endpoint resolutions each re-derive the base from source), so a
+    * k-call incremental build re-executes build 1 O(k²) times. After a
+    * checkpoint the base is a scanned block, not a plan. The blocks are
+    * session-tracked RDDs — callers running many graphs release them
+    * via `spark.sparkContext.getPersistentRDDs` (as Bench does). */
+  def checkpoint(): Unit = {
+    require(grown, "graph not grown yet — call growOnion first")
+    base = OnionGraph(base.vertices.localCheckpoint(),
+      base.edges.localCheckpoint())
+    current = if (directed) base else base.symmetrize
+  }
+
   /** Memoized `node_map` (`onionnet.py:181-198`). */
   def nodeMap: Map[(String, String), Long] = {
     if (nodeMapCache.isEmpty) nodeMapCache = Some(PropertyOps.nodeMap(g))

@@ -2333,6 +2333,11 @@ object SparkEntry {
           edgePropCols = Seq("relation", "qty"))
         net.growOnion(nodes.where(col("layer") =!= "order"),
           edges.where(col("source_layer") =!= "order"), opts)
+        // materialize the base build once: without this the merge plan
+        // re-derives it from parquet for the anti-join probe, the
+        // union, AND both endpoint resolutions (measured 7.6 s -> the
+        // checkpointed form; the hash is unchanged by construction)
+        net.checkpoint()
         net.growOnion(
           nodes.where(col("layer").isin("order", "nation")), // nation = dup batch
           edges.where(col("source_layer") === "order"), opts)

@@ -89,7 +89,13 @@ object OnionBuilder {
     val vertices = cleanVertices(nodes, o)
     val kept = resolveEdges(cleanEdges(edges, o), vertices.select("vid"))
     if (o.auditVidCollisions) {
-      val collisions = vertices.groupBy("vid").count().filter(col("count") > 1).count()
+      // Key-aware form (same as merge's vidCollisions): counting ROWS
+      // per vid false-positives on exact duplicate (layer, nodeId) rows
+      // when dropDuplicates=false — only DISTINCT keys sharing a vid
+      // are a collision.
+      val collisions = vertices.groupBy("vid")
+        .agg(countDistinct(struct(col("layer"), col("nodeId"))).as("nkeys"))
+        .filter(col("nkeys") > 1).count()
       require(collisions == 0L, s"xxhash64 vid collision on $collisions keys")
     }
     OnionGraph(vertices, kept)
@@ -155,14 +161,22 @@ object OnionBuilder {
     * pin detection with constructed collisions (real xxhash64 collision
     * pairs are not practically constructible in a test). */
   private[graft] def vidCollisions(existing: DataFrame,
-                                   batch: DataFrame): Long = {
+                                   batch: DataFrame): Long =
+    vidCollisionsDf(existing, batch).count()
+
+  /** The audit plan behind [[vidCollisions]], exposed so the spec can
+    * pin both the result AND the physical shape (the semi-join must
+    * broadcast the batch-vid probe side for a small batch — AQE decides
+    * at runtime, so only an executed-plan assertion proves it). */
+  private[graft] def vidCollisionsDf(existing: DataFrame,
+                                     batch: DataFrame): DataFrame = {
     val batchKeys = batch.select("vid", "layer", "nodeId")
     val existingHits = existing.select("vid", "layer", "nodeId")
       .join(batchKeys.select("vid").distinct(), Seq("vid"), "left_semi")
     batchKeys.unionAll(existingHits)
       .groupBy("vid")
       .agg(countDistinct(struct(col("layer"), col("nodeId"))).as("nkeys"))
-      .filter(col("nkeys") > 1).count()
+      .filter(col("nkeys") > 1)
   }
 
   private def requireCols(df: DataFrame, cols: Seq[String], what: String): Unit = {

@@ -162,7 +162,17 @@ object Similarity {
 
   /** Width of the first non-null embedding, if any — the probe behind
     * the static plane family. One tiny job; never throws on an empty
-    * or null-leading corpus. */
+    * or null-leading corpus.
+    *
+    * CONTRACT: the corpus is fixed-width (one embedding model). On a
+    * contract-violating mixed-width corpus, which row take(1) sees is
+    * plan/partition-order dependent, so the baked plane dim — and thus
+    * every bucket id in a persisted portable layout — can differ
+    * between runs: mixed widths make portable layouts NONDETERMINISTIC,
+    * not just mis-bucketed. A deterministic probe would need a full
+    * corpus pass (min(size(vec))), which is the wrong default cost for
+    * a probe; callers who can't guarantee the contract should assert
+    * `countDistinct(size(vec)) == 1` themselves before persisting. */
   private def probeDim(corpus: DataFrame, vecCol: String): Option[Int] =
     corpus.filter(col(vecCol).isNotNull)
       .select(size(col(vecCol))).take(1).headOption.map(_.getInt(0))

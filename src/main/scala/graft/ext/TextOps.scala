@@ -183,12 +183,16 @@ object TextOps {
     * the per-doc mean is the single final float division.
     *
     * Output: (doc_id, n_bigrams, pred_sum, pred_score) for docs with
-    * at least one bigram. Scale: two hash aggregations over the bigram
-    * stream (map-side combined) + one join of the stream against the
-    * weight table — the weight table shuffles on (w1, w2), the same
-    * key the stream is already keyed by for counting, and AQE
-    * broadcast-joins it when the vocabulary is small. The BIGINT
-    * weight assumes count(w1,w2) ≤ ~9e12 (1e19 / 1e6). */
+    * at least one bigram. Scale: the bigram STREAM never shuffles on
+    * strings — both the count aggregation and the weight join key on
+    * `xxhash64(w1, w2)` (8 bytes vs two arbitrary-length tokens;
+    * collision probability ~n²/2⁶⁵ is below the hardware-error floor
+    * for any real vocabulary). Only the vocabulary-sized weight table
+    * still touches w1 (for the conditional denominator); AQE
+    * broadcast-joins it when small. The oracle twin keeps the raw
+    * (w1, w2) pair join — a hash collision would surface as a hash
+    * mismatch there. The BIGINT weight assumes count(w1,w2) ≤ ~9e12
+    * (1e19 / 1e6). */
   def bigramPredictability(df: DataFrame, idCol: String = "doc_id",
                            textCol: String = "text"): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
@@ -207,13 +211,18 @@ object TextOps {
           " (x, y) -> struct(x AS w1, y AS w2))"))
       .select(col("doc_id"), explode(col("bg")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .withColumn("k", xxhash64(col("w1"), col("w2")))
+    // groupBy the 8-byte key; w1 rides along via first() — legal
+    // because every row in a k-group carries the identical (w1, w2)
+    // (xxhash64 treated as injective per the scaladoc analysis).
+    val cb = bi.groupBy("k")
+      .agg(count(lit(1)).as("cb"), first("w1").as("w1"))
     val cp = cb.groupBy("w1").agg(sum("cb").as("cp"))
     // integer DIV (not `/` + cast): bit-identical to the oracle's `//`
     val wt = cb.join(cp, "w1")
       .withColumn("q", expr("CAST(cb * 1000000 DIV cp AS BIGINT)"))
-      .select("w1", "w2", "q")
-    bi.join(wt, Seq("w1", "w2"))
+      .select("k", "q")
+    bi.select("doc_id", "k").join(wt, Seq("k"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("q").as("pred_sum"))
       .withColumn("pred_score", col("pred_sum").cast("double") / col("n_bigrams"))

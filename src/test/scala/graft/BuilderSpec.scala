@@ -61,4 +61,48 @@ class BuilderSpec extends SparkSuite {
       OnionBuilder.grow(nodes.drop("layer"), edges, GrowOptions())
     }
   }
+
+  // Real xxhash64 collisions aren't practically constructible, so the
+  // audit is pinned with hand-built (vid, layer, nodeId) rows.
+  private def keyed(rs: (Long, String, String)*) =
+    rs.toDF("vid", "layer", "nodeId")
+
+  test("vidCollisions: benign re-append of an existing key is NOT a collision") {
+    assert(OnionBuilder.vidCollisions(
+      keyed((1L, "L1", "a"), (2L, "L1", "b")), keyed((1L, "L1", "a"))) == 0L)
+  }
+
+  test("vidCollisions catches two distinct batch keys on one vid") {
+    assert(OnionBuilder.vidCollisions(
+      keyed((1L, "L1", "a")), keyed((9L, "L1", "x"), (9L, "L1", "y"))) == 1L)
+  }
+
+  test("vidCollisions catches a batch key colliding with a DIFFERENT existing key") {
+    // the merge's vid anti-join would silently drop this batch row as
+    // "already present" — the audit must expose it
+    assert(OnionBuilder.vidCollisions(
+      keyed((1L, "L1", "a"), (2L, "L1", "b")), keyed((1L, "L1", "z"))) == 1L)
+  }
+
+  test("vidCollisions semi-join broadcasts the batch-vid probe side") {
+    // LeftSemi can only broadcast the RIGHT (probe) side, so the
+    // presence of a BroadcastHashJoin in the FINAL adaptive plan proves
+    // the batch side was broadcast — the existing graph is never
+    // shuffled for the audit. AQE decides at runtime; assert after
+    // execution.
+    val df = OnionBuilder.vidCollisionsDf(
+      keyed((1L, "L1", "a"), (2L, "L1", "b")), keyed((1L, "L1", "a")))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast semi-join in:\n$plan")
+  }
+
+  test("grow audit tolerates exact duplicate rows when dropDuplicates=false") {
+    // duplicate ROWS of one key share a vid by construction; only
+    // distinct keys sharing a vid are a collision (key-aware audit)
+    val dup = Seq(("a", "L1", 1.0), ("a", "L1", 1.0)).toDF("node_id", "layer", "score")
+    val g = OnionBuilder.grow(dup, edges.limit(0),
+      GrowOptions(dropDuplicates = false, auditVidCollisions = true))
+    assert(g.numVertices == 2)
+  }
 }
