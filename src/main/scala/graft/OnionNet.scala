@@ -242,6 +242,11 @@ final class OnionNet(val spark: SparkSession, val directed: Boolean = true) {
   def forceLayout(iters: Int = 3): DataFrame =
     graft.viz.VizData.forceLayout(labeledEdges, iters)
 
+  /** Grid-binned force layout — the full-corpus scale path (exact
+    * near-cell pairs + centroid far cells, O(n·cells) per iteration). */
+  def forceLayoutBinned(iters: Int = 3, cell: Long = 125000L): DataFrame =
+    graft.viz.VizData.forceLayoutBinned(labeledEdges, iters, cell = cell)
+
   private def labeledEdges: DataFrame = {
     import org.apache.spark.sql.functions._
     val v = g.vertices.select(col("vid"),

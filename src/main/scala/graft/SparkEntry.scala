@@ -228,6 +228,67 @@ object SparkEntry {
        |SELECT node, x, y FROM p$iters ORDER BY node""".stripMargin
   }
 
+  /** DuckDB oracle for [[VizData.forceLayoutBinned]] — the grid-binned
+    * repulsion twin of [[forceLayoutSql]]. Per iteration: a binning CTE
+    * (cK), the per-cell centroid aggregate (gK), exact NEAR repulsion
+    * over Chebyshev-adjacent cells (rnK — predicate join; the oracle
+    * need not be scalable, only semantically identical), centroid FAR
+    * repulsion (rfK, cnt · tdiv AFTER the division like the Spark
+    * side), attraction (aK) and the clamped update (pK). Coordinates
+    * and cell sums are non-negative so `//` and DIV agree without the
+    * sign split there; displacement divisions keep it. */
+  private def forceLayoutBinnedSql(iters: Int, box: Long, cRep: Long,
+                                   attDiv: Long, temp0: Long,
+                                   cell: Long): String = {
+    def tdivSql(num: String, den: String) =
+      s"CASE WHEN $num >= 0 THEN ($num) // ($den) ELSE -((-($num)) // ($den)) END"
+    val iterCtes = (1 to iters).map { k =>
+      val t = temp0 / k
+      val d2 = "GREATEST((i.x - j.x)*(i.x - j.x) + (i.y - j.y)*(i.y - j.y), 1)"
+      val d2g = "GREATEST((i.x - g.mx)*(i.x - g.mx) + (i.y - g.my)*(i.y - g.my), 1)"
+      s"""c$k AS MATERIALIZED (SELECT node, x, y,
+         |  x // $cell AS cx, y // $cell AS cy FROM p${k - 1}),
+         |g$k AS MATERIALIZED (SELECT cx, cy, COUNT(*) AS cnt,
+         |  SUM(x) // COUNT(*) AS mx, SUM(y) // COUNT(*) AS my
+         | FROM c$k GROUP BY 1, 2),
+         |rn$k AS (SELECT i.node,
+         |  CAST(SUM(${tdivSql(s"(i.x - j.x) * $cRep", d2)}) AS BIGINT) AS nfx,
+         |  CAST(SUM(${tdivSql(s"(i.y - j.y) * $cRep", d2)}) AS BIGINT) AS nfy
+         | FROM c$k i JOIN c$k j ON abs(i.cx - j.cx) <= 1
+         |  AND abs(i.cy - j.cy) <= 1 AND i.node <> j.node
+         | GROUP BY i.node),
+         |rf$k AS (SELECT i.node,
+         |  CAST(SUM(g.cnt * (${tdivSql(s"(i.x - g.mx) * $cRep", d2g)})) AS BIGINT) AS ffx,
+         |  CAST(SUM(g.cnt * (${tdivSql(s"(i.y - g.my) * $cRep", d2g)})) AS BIGINT) AS ffy
+         | FROM c$k i JOIN g$k g ON abs(g.cx - i.cx) > 1 OR abs(g.cy - i.cy) > 1
+         | GROUP BY i.node),
+         |a$k AS (SELECT u.a AS node,
+         |  CAST(SUM(-(${tdivSql("pa.x - pb.x", attDiv.toString)})) AS BIGINT) AS ax,
+         |  CAST(SUM(-(${tdivSql("pa.y - pb.y", attDiv.toString)})) AS BIGINT) AS ay
+         | FROM und u JOIN p${k - 1} pa ON pa.node = u.a
+         |  JOIN p${k - 1} pb ON pb.node = u.b GROUP BY u.a),
+         |p$k AS (SELECT p.node,
+         |  LEAST(GREATEST(p.x + LEAST(GREATEST(COALESCE(rn.nfx, 0) + COALESCE(rf.ffx, 0) + COALESCE(a.ax, 0), -$t), $t), 0), $box) AS x,
+         |  LEAST(GREATEST(p.y + LEAST(GREATEST(COALESCE(rn.nfy, 0) + COALESCE(rf.ffy, 0) + COALESCE(a.ay, 0), -$t), $t), 0), $box) AS y
+         | FROM p${k - 1} p LEFT JOIN rn$k rn ON rn.node = p.node
+         |  LEFT JOIN rf$k rf ON rf.node = p.node
+         |  LEFT JOIN a$k a ON a.node = p.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$W, sub AS (SELECT source_layer || '|' || source_id AS a,
+       |   target_layer || '|' || target_id AS b
+       |  FROM edges
+       |  WHERE source_layer IN ('supplier', 'nation', 'region')
+       |    AND target_layer IN ('supplier', 'nation', 'region')),
+       | und AS (SELECT a, b FROM sub UNION SELECT b, a FROM sub),
+       | nodes AS (SELECT DISTINCT a AS node FROM und),
+       | p0 AS (SELECT node,
+       |   CAST(('0x' || substr(md5(node || ':x'), 1, 12)) AS BIGINT) % $box AS x,
+       |   CAST(('0x' || substr(md5(node || ':y'), 1, 12)) AS BIGINT) % $box AS y
+       |  FROM nodes),
+       |$iterCtes
+       |SELECT node, x, y FROM p$iters ORDER BY node""".stripMargin
+  }
+
   // ================================================================ corpus
 
   val defs: Seq[QueryDef] = Seq(
@@ -2377,6 +2438,24 @@ object SparkEntry {
         VizData.forceLayout(sup.unionAll(nat), iters = 3).orderBy("node")
       },
       Some(forceLayoutSql(3, 1000000L, 200000000L, 10L, 200000L))),
+
+    QueryDef("g46_force_layout_binned",
+      // the SCALE twin of g45: same slice, grid-binned repulsion
+      // (8x8 grid -> exact near-cell pairs + centroid far cells) —
+      // O(n·cells) per iteration instead of O(n²), same exact BIGINT
+      // math, hash-matched against the binned chained-CTE oracle.
+      (s, dir) => {
+        val sup = t(s, dir, "supplier").select(
+          concat(lit("supplier|"), col("s_suppkey").cast("string")).as("a"),
+          concat(lit("nation|"), col("s_nationkey").cast("string")).as("b"))
+        val nat = t(s, dir, "nation").select(
+          concat(lit("nation|"), col("n_nationkey").cast("string")).as("a"),
+          concat(lit("region|"), col("n_regionkey").cast("string")).as("b"))
+        VizData.forceLayoutBinned(sup.unionAll(nat), iters = 3)
+          .orderBy("node")
+      },
+      Some(forceLayoutBinnedSql(3, 1000000L, 200000000L, 10L, 200000L,
+        125000L))),
 
     // ------------------------------------------------- relational coverage 2
     QueryDef("q28_grouping_sets",

@@ -227,6 +227,120 @@ object VizData {
     pos
   }
 
+  /** [[forceLayout]]'s SCALE PATH — grid-binned (Barnes-Hut-style)
+    * repulsion on the same exact-BIGINT math (the `sfdp_layout` slot,
+    * `visualisation.py:711`, which graph-tool itself serves with a
+    * multilevel approximation for large graphs):
+    *
+    *  - positions are binned into `cell`-sized grid squares
+    *    (`cx = x DIV cell`) — non-negative coordinates, so truncating
+    *    and flooring division agree without the sign split;
+    *  - NEAR repulsion (cells within Chebyshev distance 1) is the
+    *    exact pairwise form, found by a 9-offset EQUI-join on cell ids
+    *    — a shuffle-hash join keyed by (cx, cy), never an all-pairs
+    *    product;
+    *  - FAR repulsion treats each remaining cell as `cnt` superposed
+    *    nodes at its integer centroid (`sx DIV cnt`, `sy DIV cnt`):
+    *    force = cnt · tdiv(dx·C, d²) — multiply AFTER the division so
+    *    both engines compute the identical integer. Non-adjacent cells
+    *    are ≥ `cell` apart, so d² ≥ cell² bounds every far term by
+    *    box·C/cell² (no overflow for any sane parameterization);
+    *  - attraction and the cooled per-axis clamp are [[forceLayout]]'s.
+    *
+    * Cost per iteration: O(n · density) for near pairs + O(n · cells)
+    * for far cells, where cells ≤ (box/cell + 1)² is a CONSTANT — vs
+    * the exact form's O(n²). The far side is a broadcast of the
+    * cell-aggregate table (at most a few hundred rows).
+    *
+    * With `cell >= box` every occupied cell is Chebyshev-adjacent, so
+    * the far side is empty and the result equals [[forceLayout]]
+    * EXACTLY (VizDataSpec pins this); with a finer grid each step
+    * differs from exact by at most the temperature clamp, so positions
+    * diverge by at most 2·Σtₖ (also spec-pinned). */
+  def forceLayoutBinned(edges: DataFrame, iters: Int = 3,
+                        box: Long = 1000000L, cRep: Long = 200000000L,
+                        attDiv: Long = 10L, temp0: Long = 200000L,
+                        cell: Long = 125000L): DataFrame = {
+    require(cell > 0, "cell must be positive")
+    val spark = edges.sparkSession
+    val und = edges.select(col("a"), col("b"))
+      .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    val nodes = und.select(col("a").as("node")).distinct()
+    def seeded(salt: String): Column =
+      pmod(conv(substring(md5(concat(col("node"), lit(salt))), 1, 12), 16, 10)
+        .cast("long"), lit(box))
+    var pos = nodes
+      .select(col("node"), seeded(":x").as("x"), seeded(":y").as("y"))
+      .localCheckpoint()
+    def tdiv(num: String, den: String): String =
+      s"CASE WHEN $num >= 0 THEN ($num) DIV ($den) ELSE -((-($num)) DIV ($den)) END"
+    val offsets = broadcast(spark.createDataFrame(
+      (-1 to 1).flatMap(ox => (-1 to 1).map(oy => (ox.toLong, oy.toLong)))
+    ).toDF("ox", "oy"))
+    for (k <- 1 to iters) {
+      val t = temp0 / k
+      val binned = pos
+        .withColumn("cx", expr(s"x DIV $cell"))
+        .withColumn("cy", expr(s"y DIV $cell"))
+        .localCheckpoint() // feeds near pairs, far pairs, and the agg
+      val cellAgg = binned.groupBy("cx", "cy")
+        .agg(count(lit(1)).as("cnt"), sum("x").as("sx"), sum("y").as("sy"))
+        .select(col("cx").as("gx"), col("cy").as("gy"), col("cnt"),
+          expr(s"sx DIV cnt").as("mx"), expr(s"sy DIV cnt").as("my"))
+      val near = binned
+        .crossJoin(offsets)
+        .select(col("node"), col("x"), col("y"),
+          (col("cx") + col("ox")).as("jcx"), (col("cy") + col("oy")).as("jcy"))
+        .join(binned.select(col("node").as("nj"), col("x").as("xj"),
+          col("y").as("yj"), col("cx").as("jcx"), col("cy").as("jcy")),
+          Seq("jcx", "jcy"))
+        .where(col("node") =!= col("nj"))
+        .select(col("node"), (col("x") - col("xj")).as("dx"),
+          (col("y") - col("yj")).as("dy"))
+        .withColumn("d2",
+          greatest(col("dx") * col("dx") + col("dy") * col("dy"), lit(1L)))
+        .groupBy("node")
+        .agg(sum(expr(tdiv(s"dx * $cRep", "d2"))).as("nfx"),
+          sum(expr(tdiv(s"dy * $cRep", "d2"))).as("nfy"))
+      val far = binned
+        .join(broadcast(cellAgg),
+          abs(col("gx") - col("cx")) > 1 || abs(col("gy") - col("cy")) > 1)
+        .select(col("node"), col("cnt"), (col("x") - col("mx")).as("dx"),
+          (col("y") - col("my")).as("dy"))
+        .withColumn("d2",
+          greatest(col("dx") * col("dx") + col("dy") * col("dy"), lit(1L)))
+        .groupBy("node")
+        .agg(sum(expr(s"cnt * (${tdiv(s"dx * $cRep", "d2")})")).as("ffx"),
+          sum(expr(s"cnt * (${tdiv(s"dy * $cRep", "d2")})")).as("ffy"))
+      val pj = pos.select(col("node").as("nj"), col("x").as("xj"),
+        col("y").as("yj"))
+      val att = und
+        .join(pos.select(col("node").as("a"), col("x"), col("y")), Seq("a"))
+        .join(pj.select(col("nj").as("b"), col("xj"), col("yj")), Seq("b"))
+        .select(col("a").as("node"), (col("x") - col("xj")).as("dx"),
+          (col("y") - col("yj")).as("dy"))
+        .groupBy("node")
+        .agg(sum(expr("-(" + tdiv("dx", attDiv.toString) + ")")).as("ax"),
+          sum(expr("-(" + tdiv("dy", attDiv.toString) + ")")).as("ay"))
+      def step(c: Column, f: Column, ff: Column, a: Column): Column =
+        least(greatest(
+          c + least(greatest(
+            coalesce(f, lit(0L)) + coalesce(ff, lit(0L)) + coalesce(a, lit(0L)),
+            lit(-t)), lit(t)),
+          lit(0L)), lit(box))
+      pos = pos
+        .join(near, Seq("node"), "left")
+        .join(far, Seq("node"), "left")
+        .join(att, Seq("node"), "left")
+        .select(col("node"),
+          step(col("x"), col("nfx"), col("ffx"), col("ax")).as("x"),
+          step(col("y"), col("nfy"), col("ffy"), col("ay")).as("y"))
+        .localCheckpoint()
+    }
+    pos
+  }
+
   /** S5 layout persistence (`load_or_compute_layout`,
     * `visualisation.py:625-732`): parquet keyed by (layer, nodeId). */
   def saveLayout(layout: DataFrame, path: String): Unit =

@@ -135,4 +135,41 @@ class VizDataSpec extends SparkSuite {
       .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
     assert(again === got)
   }
+
+  test("forceLayoutBinned with cell >= box degenerates to the exact layout") {
+    // one cell holds everything -> every pair is Chebyshev-adjacent,
+    // the far side is empty, and binned == exact EXACTLY
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+      ("d", "e"), ("e", "a")).toDF("a", "b")
+    val exact = rows(VizData.forceLayout(edges, iters = 3))
+    val binned = rows(VizData.forceLayoutBinned(edges, iters = 3,
+      cell = 1000000L))
+    assert(binned == exact)
+  }
+
+  test("forceLayoutBinned approximates exact within the temperature bound") {
+    // each iteration's step is clamped to ±t, so binned and exact can
+    // diverge per axis by at most 2·Σtₖ regardless of the grid
+    val es = (0 until 40).map(i => (s"n$i", s"n${(i * 7 + 1) % 40}"))
+    val edges = es.toDF("a", "b")
+    val iters = 3
+    val bound = 2L * (1 to iters).map(200000L / _).sum
+    val exact = VizData.forceLayout(edges, iters)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val binned = VizData.forceLayoutBinned(edges, iters, cell = 125000L)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(binned.keySet == exact.keySet)
+    binned.foreach { case (n, (bx, by)) =>
+      val (ex, ey) = exact(n)
+      assert(math.abs(bx - ex) <= bound && math.abs(by - ey) <= bound,
+        s"$n diverged past the clamp bound: ($bx,$by) vs ($ex,$ey)")
+    }
+    // box clamp + partition invariance for the binned path too
+    assert(binned.values.forall { case (x, y) =>
+      x >= 0 && x <= 1000000L && y >= 0 && y <= 1000000L })
+    val again = VizData.forceLayoutBinned(edges.repartition(7), iters,
+      cell = 125000L)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(again === binned)
+  }
 }
