@@ -2868,6 +2868,42 @@ object SparkEntry {
              | CAST(n_unique AS DOUBLE) / n_shingles AS novelty
              |FROM per ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("x39_audio_decode",
+      // REAL audio decode: synthesize a 400-sample 16-bit PCM WAV per
+      // document (sample values are closed-form integer arithmetic
+      // over doc_id), round-trip through an ACTUAL javax.sound.sampled
+      // encode + decode, and emit amplitude sum + per-bucket histogram.
+      // PCM is lossless, so the oracle re-derives the decoded features
+      // from the same sample formula with no codec — the audio twin of
+      // x12's decode-path hash-match.
+      (s, dir) => {
+        val media = Multimodal.synthesizeWav(
+          docs(s, dir).select("doc_id"), "doc_id", 400, 8000)
+        Multimodal.decodeAudio(media, 16)
+          .where(col("decode_ok"))
+          .select(col("media_id"),
+            col("sample_rate").cast("long").as("sample_rate"),
+            col("n_samples"), col("sum_q"),
+            posexplode(col("hist")).as(Seq("bucket", "cnt")))
+          .where(col("cnt") > 0)
+          .select(col("media_id"), col("sample_rate"), col("n_samples"),
+            col("sum_q"), col("bucket").cast("long").as("bucket"), col("cnt"))
+          .orderBy("media_id", "bucket")
+      },
+      Some("""WITH smp AS (SELECT d.doc_id,
+             |   ((d.doc_id*31 + i.i*7) % 65536) - 32768 AS s
+             |  FROM (SELECT doc_id FROM documents) d,
+             |       generate_series(0, 399) i(i)),
+             | agg AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS sum_q
+             |  FROM smp GROUP BY 1),
+             | b AS (SELECT doc_id, (s + 32768) % 16 AS bucket FROM smp)
+             |SELECT b.doc_id AS media_id, CAST(8000 AS BIGINT) AS sample_rate,
+             | CAST(400 AS BIGINT) AS n_samples, a.sum_q AS sum_q,
+             | CAST(b.bucket AS BIGINT) AS bucket, COUNT(*) AS cnt
+             |FROM b JOIN agg a ON a.doc_id = b.doc_id
+             |GROUP BY 1, 2, 3, 4, 5
+             |ORDER BY media_id, bucket""".stripMargin)),
+
     // ------------------------------------------------------ pipeline: text LM
     QueryDef("x33_bigram_lm",
       // self-trained bigram-LM predictability score (the n-gram

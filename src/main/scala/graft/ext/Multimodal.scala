@@ -19,9 +19,15 @@ import org.apache.spark.sql.types._
  * at all — that is what upgrades the corpus check from rows-only to a
  * full hash-match.
  *
- * AUDIO/VIDEO decode remains a stub (`decodeStub` — no such codecs in
- * the JDK or this container): deterministic fake features from the
- * bytes, with the real schema/batching/joins around it.
+ * AUDIO decode is REAL too: [[decodeAudio]] runs `javax.sound.sampled`
+ * (JDK-only WAV/PCM support) in the same batch shape, and
+ * [[synthesizeWav]] generates losslessly-decodable 16-bit PCM payloads
+ * whose sample values are closed-form integer arithmetic — same
+ * oracle-upgrade trick as the PNG path.
+ *
+ * VIDEO decode remains a stub (`decodeStub` — no video codec in the
+ * JDK or this container): deterministic fake features from the bytes,
+ * with the real schema/batching/joins around it.
  */
 object Multimodal {
 
@@ -163,6 +169,103 @@ object Multimodal {
           }
           Row(id, true, w, h, hist.toSeq)
         }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic synthetic WAV payloads: 16-bit signed PCM mono at
+    * `sampleRate`, where sample i of id `d` is
+    *   s(i) = ((d*31 + i*7) % 65536) - 32768
+    * — pure integer arithmetic over NON-NEGATIVE ids, and PCM WAV is
+    * lossless, so the DECODED sample stream is re-derivable by a SQL
+    * oracle with no codec (the audio analogue of [[synthesizePng]]).
+    * Encoding goes through the real `javax.sound.sampled` writer (RIFF
+    * header + interleaved frames), not a hand-rolled header. */
+  def synthesizeWav(df: DataFrame, idCol: String, nSamples: Int,
+                    sampleRate: Int = 8000): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false) // 16-bit signed mono LE
+      it.map { r =>
+        val id = r.getLong(0)
+        val pcm = new Array[Byte](nSamples * 2)
+        var i = 0
+        while (i < nSamples) {
+          val v = (((id * 31 + i.toLong * 7) % 65536L) - 32768L).toInt
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row(id, "audio", bos.toByteArray, "audio/wav", null, null,
+          nSamples.toLong * 1000L / sampleRate)
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** REAL audio decode + feature extraction via `javax.sound.sampled`
+    * (pure JDK — WAV/AIFF/AU containers, PCM + a-law/µ-law codecs):
+    * payload to (sample_rate, channels, n_samples, amplitude sum and
+    * per-bucket histogram). Non-16-bit streams are converted to 16-bit
+    * signed PCM by the JDK's own converter first, so features are
+    * always computed over the same integer sample space; bucket =
+    * (sample + 32768) % dim — exact integers, engine-re-derivable for
+    * synthesized payloads (the x39 oracle), bit-stable across JVMs.
+    * Undecodable or null payloads yield decode_ok = false rather than
+    * failing the batch — the same poison-row guarantee (and the same
+    * NonFatal breadth: sound-file parsers throw unchecked exceptions
+    * on malformed headers too) as [[decodeImage]]. */
+  def decodeAudio(media: DataFrame, dim: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decode_ok", BooleanType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("sum_q", LongType, nullable = true),
+      StructField("hist", ArrayType(LongType, containsNull = false),
+        nullable = true)))
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val decoded: Option[Row] =
+          if (r.isNullAt(1)) None
+          else try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            val f = ais.getFormat
+            val target = new javax.sound.sampled.AudioFormat(
+              f.getSampleRate, 16, f.getChannels, true, false)
+            val pcm16 =
+              if (f.getSampleSizeInBits == 16 && !f.isBigEndian &&
+                f.getEncoding ==
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) ais
+              else javax.sound.sampled.AudioSystem
+                .getAudioInputStream(target, ais)
+            val bytes = pcm16.readAllBytes()
+            val n = bytes.length / 2
+            val hist = new Array[Long](dim)
+            var sum = 0L
+            var i = 0
+            while (i < n) {
+              val v = ((bytes(2 * i) & 0xff) |
+                (bytes(2 * i + 1).toInt << 8)).toShort.toInt
+              sum += v
+              hist((v + 32768) % dim) += 1L
+              i += 1
+            }
+            Some(Row(id, true, f.getSampleRate.toInt, f.getChannels,
+              n.toLong, sum, hist.toSeq))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        decoded.getOrElse(Row(id, false, null, null, null, null, null))
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -243,6 +243,50 @@ object InvariantProps extends Properties("GraftInvariants") {
       got == want
     }
 
+  private val genBatched = for {
+    n <- Gen.choose(2, 12)
+    m <- Gen.choose(1, 25)
+    edges <- Gen.listOfN(m, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+    k <- Gen.choose(1, 3)
+    nodeAssign <- Gen.listOfN(n, Gen.choose(0, k - 1))
+    edgeAssign <- Gen.listOfN(m, Gen.choose(0, k - 1))
+  } yield (n, edges, k, nodeAssign, edgeAssign)
+
+  property("any k-batch incremental grow == the one-call build (g43 generalized)") =
+    forAll(genBatched) { case (n, edges, k, nodeAssign, edgeAssign) =>
+      import spark.implicits._
+      // an edge may not precede its endpoints (edges dropped as
+      // dangling by an EARLIER call stay dropped — reference append
+      // semantics, builder.py:219-224), so place each edge at or after
+      // both endpoints' batches; everything else is random.
+      val nodeRows = (0 until n).map(i => (i.toString, s"L${i % 2}"))
+      val edgeBatch = edges.zipWithIndex.map { case ((a, b), i) =>
+        math.max(edgeAssign(i), math.max(nodeAssign(a), nodeAssign(b))) }
+      val net = new OnionNet(spark)
+      for (batch <- 0 until k) {
+        // every third node is re-sent in EVERY later batch: existing
+        // keys must win, so the duplicates are inert
+        val ns = nodeRows.zipWithIndex.collect { case ((id, l), i)
+          if nodeAssign(i) == batch ||
+            (i % 3 == 0 && nodeAssign(i) < batch) => (id, l) }
+        val es = edges.zipWithIndex.collect { case ((a, b), i)
+          if edgeBatch(i) == batch =>
+            (a.toString, s"L${a % 2}", b.toString, s"L${b % 2}") }
+        net.growOnion(ns.toDF("node_id", "layer"),
+          es.toDF("source_id", "source_layer", "target_id", "target_layer"))
+        net.checkpoint() // fuzz the lineage-cut path between appends too
+      }
+      val one = build(n, edges)
+      val vGot = rows(net.g.vertices.select("vid", "layer", "nodeId"))
+      val vWant = rows(one.vertices.select("vid", "layer", "nodeId"))
+      val eGot = rows(net.g.edges.select("src", "dst"))
+      val eWant = rows(one.edges.select("src", "dst"))
+      vGot == vWant && eGot == eWant
+    }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
   property("exact dedup is idempotent and canonical ids are minimal") =
     forAll(genDocs) { words =>
       import spark.implicits._
