@@ -2080,8 +2080,7 @@ object SparkEntry {
       // co-purchase projection (parts sharing >= 2 orders). Exact
       // integer counts; the coefficient is the single float division.
       (s, dir) => LinkAnalysis.clusteringCoefficients(
-          LinkAnalysis.cooccurrenceEdges(
-            t(s, dir, "lineitem"), "l_orderkey", "l_partkey", 2))
+          StarGraph.copurchase(s, dir))
         .orderBy("node"),
       Some(s"""WITH $copurchaseSql,
               |tris AS (SELECT e1.a, e1.b, e2.b AS c FROM pe e1
@@ -2105,8 +2104,8 @@ object SparkEntry {
       // neighborhoods, top-100 by similarity. Intersection/union stay
       // BIGINT; jaccard is one division of those exact ints, so the
       // DESC sort ranks identically on both engines.
-      (s, dir) => LinkAnalysis.jaccardPairs(
-          t(s, dir, "lineitem"), "l_orderkey", "l_partkey", 2)
+      (s, dir) => LinkAnalysis.jaccardPairsFromGi(
+          StarGraph.copurchaseGi(s, dir), 2)
         .select(col("a"), col("b"), col("inter").as("n_common"),
           col("uni").as("n_union"), col("jaccard"))
         .orderBy(desc("jaccard"), col("a"), col("b")).limit(100),
@@ -2123,8 +2122,8 @@ object SparkEntry {
       // shared orders, quantized to floor(1e9/deg) BIGINTs so the sum
       // is exact on every engine (Adamic-Adar's 1/ln would hash-drift
       // in the last libm ulp).
-      (s, dir) => LinkAnalysis.resourceAllocationPairs(
-          t(s, dir, "lineitem"), "l_orderkey", "l_partkey", 2)
+      (s, dir) => LinkAnalysis.resourceAllocationPairsFromGi(
+          StarGraph.copurchaseGi(s, dir), 2)
         .select(col("a"), col("b"), col("inter").as("n_common"),
           col("ra_score"))
         .orderBy(desc("ra_score"), col("a"), col("b")).limit(100),
@@ -2143,8 +2142,7 @@ object SparkEntry {
       // bounded synchronous 2-core peeling (8 rounds — fixpoint is at
       // 3 on this graph, LinkAnalysisSpec pins the convergence).
       (s, dir) => LinkAnalysis.kcore(
-          LinkAnalysis.cooccurrenceEdges(
-            t(s, dir, "lineitem"), "l_orderkey", "l_partkey", 2), 2, 8)
+          StarGraph.copurchase(s, dir), 2, 8)
         .orderBy("node"),
       Some(kcoreSql(2, 8))),
 
@@ -2245,8 +2243,7 @@ object SparkEntry {
       // degree assortativity of the co-purchase graph: exact integer
       // moments (q20 pattern), identical final IEEE ops both engines.
       (s, dir) => LinkAnalysis.degreeAssortativity(
-        LinkAnalysis.cooccurrenceEdges(
-          t(s, dir, "lineitem"), "l_orderkey", "l_partkey", 2)),
+        StarGraph.copurchase(s, dir)),
       Some(s"""WITH $copurchaseSql,
               |und AS (SELECT a, b FROM pe UNION ALL SELECT b, a FROM pe),
               |deg AS (SELECT a AS node, COUNT(*) AS d FROM und GROUP BY 1),

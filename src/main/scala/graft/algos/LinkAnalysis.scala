@@ -39,22 +39,30 @@ object LinkAnalysis {
     if (n > 3000000L) Long.MaxValue else n * n
   }
 
+  /** Distinct (group, item) membership list — the shared input of
+    * every co-occurrence operator. Checkpointed because it feeds at
+    * least two join sides downstream (the dedup shuffle is the
+    * expensive part at corpus scale). Callers holding a PERSISTED
+    * membership list (ingest-time projection, cf. StarGraph) pass it
+    * to the `...FromGi` forms directly and skip the rebuild. */
+  def distinctGi(df: DataFrame, groupCol: String, itemCol: String): DataFrame =
+    df.select(col(groupCol).as("g"), col(itemCol).as("i"))
+      .distinct().localCheckpoint()
+
   /** Undirected co-occurrence projection of a bipartite relation:
     * items sharing at least `minCount` groups become an edge (a, b, w)
     * with canonical orientation a < b. */
   def cooccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
-                        minCount: Long = 2): DataFrame = {
-    // one distinct pass feeds both join sides (checkpoint, not two
-    // recomputations — the dedup shuffle of the membership list is the
-    // expensive part at corpus scale)
-    val gi = df.select(col(groupCol).as("g"), col(itemCol).as("i"))
-      .distinct().localCheckpoint()
+                        minCount: Long = 2): DataFrame =
+    cooccurrenceFromGi(distinctGi(df, groupCol, itemCol), minCount)
+
+  /** [[cooccurrenceEdges]] over an already-distinct (g, i) list. */
+  def cooccurrenceFromGi(gi: DataFrame, minCount: Long = 2): DataFrame =
     gi.select(col("g"), col("i").as("a"))
       .join(gi.select(col("g"), col("i").as("b")), "g")
       .where(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("w"))
       .where(col("w") >= minCount)
-  }
 
   /** Per-node triangle participation + wedge count + local clustering
     * coefficient over a canonical (a<b) undirected edge list.
@@ -98,10 +106,12 @@ object LinkAnalysis {
     * Intersection/union stay exact BIGINTs; the ratio is the single
     * final division. */
   def jaccardPairs(df: DataFrame, groupCol: String, itemCol: String,
-                   minInter: Long = 2): DataFrame = {
+                   minInter: Long = 2): DataFrame =
+    jaccardPairsFromGi(distinctGi(df, groupCol, itemCol), minInter)
+
+  /** [[jaccardPairs]] over an already-distinct (g, i) list. */
+  def jaccardPairsFromGi(gi: DataFrame, minInter: Long = 2): DataFrame = {
     // gi feeds the degree table and both intersection sides
-    val gi = df.select(col(groupCol).as("g"), col(itemCol).as("i"))
-      .distinct().localCheckpoint()
     val deg = gi.groupBy("i").agg(count(lit(1)).as("d"))
     val inter = gi.select(col("g"), col("i").as("a"))
       .join(gi.select(col("g"), col("i").as("b")), "g")
@@ -123,10 +133,13 @@ object LinkAnalysis {
     * 1/ln(deg) is a libm call whose last ulp differs across engines —
     * a hash hazard the quantized harmonic weight avoids). */
   def resourceAllocationPairs(df: DataFrame, groupCol: String,
-                              itemCol: String, minInter: Long = 2): DataFrame = {
+                              itemCol: String, minInter: Long = 2): DataFrame =
+    resourceAllocationPairsFromGi(distinctGi(df, groupCol, itemCol), minInter)
+
+  /** [[resourceAllocationPairs]] over an already-distinct (g, i) list. */
+  def resourceAllocationPairsFromGi(gi: DataFrame,
+                                    minInter: Long = 2): DataFrame = {
     // gi feeds the group-degree table and both pair sides
-    val gi = df.select(col(groupCol).as("g"), col(itemCol).as("i"))
-      .distinct().localCheckpoint()
     // integer DIV, not `/`: double division + cast can land one off
     // floor(1e9/gd) at representability boundaries — the quantized
     // weight must be the same exact integer DuckDB's `//` produces

@@ -131,6 +131,42 @@ object StarGraph {
     cached
   }
 
+  /** Memoized co-purchase membership list — distinct (l_orderkey,
+    * l_partkey) as (g, i) — and its projection (parts sharing >= 2
+    * orders). Same ingest-once contract as [[graph]]: five
+    * link-analysis queries consume the identical projection, so it is
+    * built and PERSISTED once per (session, dir) instead of
+    * re-shuffling lineitem per query. Bench pre-warms both before its
+    * keep-set snapshot so the blocks survive its per-query unpersist
+    * sweep. */
+  private val giCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private val peCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  def copurchaseGi(spark: SparkSession, dir: String): DataFrame = {
+    giCache.forEach((k, df) =>
+      if (k._1.sparkContext.isStopped) giCache.remove(k, df))
+    giCache.computeIfAbsent((spark, dir), _ => {
+      val gi = table(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("g"), col("l_partkey").as("i"))
+        .distinct().persist()
+      gi.count()
+      gi
+    })
+  }
+
+  def copurchase(spark: SparkSession, dir: String): DataFrame = {
+    peCache.forEach((k, df) =>
+      if (k._1.sparkContext.isStopped) peCache.remove(k, df))
+    peCache.computeIfAbsent((spark, dir), _ => {
+      val pe = graft.algos.LinkAnalysis
+        .cooccurrenceFromGi(copurchaseGi(spark, dir), 2).persist()
+      pe.count()
+      pe
+    })
+  }
+
   // ------------------------------------------------------------- oracle SQL
 
   /** DuckDB CTE body producing the same vertex relation:
