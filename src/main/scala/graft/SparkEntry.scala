@@ -2386,9 +2386,17 @@ object SparkEntry {
         val net = new graft.OnionNet(s)
         val nodes = StarGraph.nodesDf(s, dir)
         val edges = StarGraph.edgesDf(s, dir)
+        // dropDuplicates=false for the same reason the one-call cached
+        // build sets it (StarGraph.build): every node/edge list here is
+        // unique by construction, so the per-batch dedup shuffles (64k
+        // vertices x 6 cols + 105k edges x 10 cols) are pure overhead.
+        // The append semantics under test are NOT weakened: existing-
+        // keys-win is the unconditional vid anti-join in merge(), and
+        // the duplicated nation batch still exercises it.
         val opts = graft.builder.OnionBuilder.GrowOptions(
           nodePropCols = Seq("name", "acctbal", "price", "segment"),
-          edgePropCols = Seq("relation", "qty"))
+          edgePropCols = Seq("relation", "qty"),
+          dropDuplicates = false)
         net.growOnion(nodes.where(col("layer") =!= "order"),
           edges.where(col("source_layer") =!= "order"), opts)
         // materialize the base build once: without this the merge plan

@@ -68,19 +68,6 @@ object Traversals {
     }
   }
 
-  /** Rounds fused into ONE job when the traversal is small enough to
-    * be driver-latency-dominated (same [[InterpretedRows]] regime): a
-    * per-round checkpoint + count costs ~0.1-0.2 s of driver
-    * round-trips, which at toy/view scale dwarfs the actual join work.
-    * A fused block expands the frontier `FuseFactor` times lazily
-    * (per-step distinct keeps the candidate width vertex-bounded),
-    * merges once with min-dist, and reads all per-round counts from a
-    * single Observation. Overshoot past convergence wastes at most
-    * FuseFactor-1 empty mini-joins, only ever in the small regime; at
-    * real scale the factor stays 1 and every round keeps its exact
-    * convergence check. */
-  private val FuseFactor = 4
-
   // Dev-only loop tracing: GRAFT_TRACE=1 prints per-round wall time.
   private val trace = sys.env.contains("GRAFT_TRACE")
   @inline private def timed[A](label: => String)(body: => A): A = {
@@ -114,84 +101,36 @@ object Traversals {
     var depth = 0
     var done = frontierRows == 0
     while (!done && (maxDist < 0 || depth < maxDist)) {
-      val remaining =
-        if (maxDist < 0) Int.MaxValue else maxDist - depth
-      val small = eRows + visitedRows < InterpretedRows &&
-        frontierRows < BroadcastRows
-      val f = if (small) math.min(FuseFactor, remaining) else 1
-      if (f <= 1) {
-        depth += 1
-        // Broadcast the (small) frontier into the edge join and the
-        // visited set into the anti-join: the edge table never moves.
-        // Anti-join BEFORE distinct — the anti side is a map-side
-        // broadcast filter, so the distinct's shuffle carries only
-        // genuinely new vertices instead of every matched edge row.
-        // observe() rides the checkpoint action, so each round is ONE
-        // job — a separate count() job per round costs ~0.1s x rounds
-        val obs = new org.apache.spark.sql.Observation()
-        val next = timed(s"bfsFrom round $depth checkpoint") {
-          maybeInterpreted(frontier, eRows + visitedRows) {
-            e.join(maybeBroadcast(frontier.select(col("vid").as("src")), frontierRows),
-                Seq("src"))
-              .select(col("dst").as("vid"))
-              .join(maybeBroadcast(visited.select("vid"), visitedRows),
-                Seq("vid"), "left_anti")
-              .distinct()
-              .withColumn("dist", lit(depth))
-              .observe(obs, count(lit(1)).as("n"))
-              .localCheckpoint()
-          }
+      depth += 1
+      // Broadcast the (small) frontier into the edge join and the
+      // visited set into the anti-join: the edge table never moves.
+      // Anti-join BEFORE distinct — the anti side is a map-side
+      // broadcast filter, so the distinct's shuffle carries only
+      // genuinely new vertices instead of every matched edge row.
+      // observe() rides the checkpoint action, so each round is ONE
+      // job — a separate count() job per round costs ~0.1s x rounds
+      val obs = new org.apache.spark.sql.Observation()
+      val next = timed(s"bfsFrom round $depth checkpoint") {
+        maybeInterpreted(frontier, eRows + visitedRows) {
+          e.join(maybeBroadcast(frontier.select(col("vid").as("src")), frontierRows),
+              Seq("src"))
+            .select(col("dst").as("vid"))
+            .join(maybeBroadcast(visited.select("vid"), visitedRows),
+              Seq("vid"), "left_anti")
+            .distinct()
+            .withColumn("dist", lit(depth))
+            .observe(obs, count(lit(1)).as("n"))
+            .localCheckpoint()
         }
-        frontierRows = obs.get("n").asInstanceOf[Long]
-        if (frontierRows == 0) done = true
-        else {
-          frontier = next
-          // lazy union of checkpointed frontiers; truncate periodically
-          visited = visited.unionByName(frontier)
-          visitedRows += frontierRows
-          if (depth % CheckpointEvery == 0) visited = visited.localCheckpoint()
-        }
-      } else {
-        // Fused block (see [[FuseFactor]]): expand f rounds lazily —
-        // no per-round anti-join (revisits carry a LARGER dist tag and
-        // the min-merge discards them), per-step distinct bounds each
-        // candidate set by the vertex count — then ONE min-dist merge,
-        // ONE checkpoint, per-round counts from ONE Observation.
-        // A vertex first reached in fused round j has final dist
-        // depth+j (candidate round j holds every vertex j steps from
-        // the frontier), so the counts are exact and a zero at round j
-        // implies zero at every later round — the convergence check
-        // loses nothing by batching.
-        val obs = new org.apache.spark.sql.Observation()
-        var cands = List.empty[DataFrame]
-        var fj = frontier.select("vid")
-        for (j <- 1 to f) {
-          val cand = e
-            .join(broadcast(fj.withColumnRenamed("vid", "src")), Seq("src"))
-            .select(col("dst").as("vid")).distinct()
-            .withColumn("dist", lit(depth + j))
-          cands = cands :+ cand
-          fj = cand.select("vid")
-        }
-        val merged = timed(s"bfsFrom fused rounds ${depth + 1}-${depth + f}") {
-          maybeInterpreted(frontier, eRows + visitedRows) {
-            cands.foldLeft(visited)(_ unionByName _)
-              .groupBy("vid").agg(min("dist").as("dist"))
-              .observe(obs, count(when(col("dist") === depth + 1, 1)).as("n1"),
-                (2 to f).map(j =>
-                  count(when(col("dist") === depth + j, 1)).as(s"n$j")): _*)
-              .localCheckpoint()
-          }
-        }
-        val counts = (1 to f).map(j => obs.get(s"n$j").asInstanceOf[Long])
-        visited = merged
-        visitedRows += counts.sum
-        depth += f
-        if (counts.exists(_ == 0)) done = true
-        else {
-          frontierRows = counts.last
-          frontier = merged.where(col("dist") === depth)
-        }
+      }
+      frontierRows = obs.get("n").asInstanceOf[Long]
+      if (frontierRows == 0) done = true
+      else {
+        frontier = next
+        // lazy union of checkpointed frontiers; truncate periodically
+        visited = visited.unionByName(frontier)
+        visitedRows += frontierRows
+        if (depth % CheckpointEvery == 0) visited = visited.localCheckpoint()
       }
     }
     visited

@@ -205,6 +205,10 @@ object TextOps {
     // element evaluation once filters/aliases substitute `t` — i.e.
     // O(tokens) regex re-normalizations per document (measured 35s vs
     // ~2s for this query at sf0.1).
+    // materialized ONCE (the noveltyScore pattern): the stream feeds
+    // both the count aggregation and the weight join, and without the
+    // checkpoint each consumer re-runs the regex normalization +
+    // explode over every document
     val bi = toks
       .withColumn("bg", expr(
         "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1)," +
@@ -212,6 +216,7 @@ object TextOps {
       .select(col("doc_id"), explode(col("bg")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .withColumn("k", xxhash64(col("w1"), col("w2")))
+      .localCheckpoint()
     // groupBy the 8-byte key; w1 rides along via first() — legal
     // because every row in a k-group carries the identical (w1, w2)
     // (xxhash64 treated as injective per the scaladoc analysis).
