@@ -22,6 +22,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // Optional name filter (substring regex) for LOCAL scale
+    // experiments — e.g. excluding the declared bounded-slice exact
+    // kernels at a synthesized sf1 (SCALE.md). The driver never sets
+    // it, so the round-of-record bench always runs the full corpus.
+    val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    val defs = SparkEntry.defs.filter(d =>
+      nameFilter.forall(_.pattern.matcher(d.name).find))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -60,7 +67,7 @@ object Bench {
     val failures = scala.collection.mutable.Map.empty[String, Int]
       .withDefaultValue(0)
     for (pass <- 1 to runs) {
-      SparkEntry.defs.foreach { d =>
+      defs.foreach { d =>
         val t0 = System.nanoTime()
         val n = try d.fn(spark, sfDir).count() catch {
           case e: Throwable =>
@@ -89,7 +96,7 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val results = SparkEntry.defs.map(d => d.name -> median(samples(d.name)))
+    val results = defs.map(d => d.name -> median(samples(d.name)))
     val total = results.map(_._2).sum
     // Locale.ROOT explicitly: the f"" interpolator formats with the JVM
     // default locale, and a comma-decimal locale (de_DE) would turn the
@@ -137,7 +144,7 @@ object Bench {
     // Name which queries failed (not just how many): an aggregate count
     // alone can't be traced back to the offending query from the
     // driver-kept output tail.
-    val failedList = SparkEntry.defs.map(_.name).filter(failures(_) > 0)
+    val failedList = defs.map(_.name).filter(failures(_) > 0)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":${d3(total)},"unit":"sec","n":${results.size},"runs":$runs,"failures":${failures.values.sum},"failed":$failedList,"groups":${
