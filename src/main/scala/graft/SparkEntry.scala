@@ -57,7 +57,7 @@ object SparkEntry {
     seedCache.forEach((k, v) =>
       if (k._1.sparkContext.isStopped) seedCache.remove(k, v))
     seedCache.computeIfAbsent((s, dir, table, keyCol), _ =>
-      t(s, dir, table).agg(min(keyCol).cast("string")).head.getString(0))
+      t(s, dir, table).agg(min(keyCol).cast("string")).head().getString(0))
   }
 
   private val W = StarGraph.withSql // shared WITH vertices/edges prelude
@@ -862,7 +862,7 @@ object SparkEntry {
         val seed = minSeed(s, dir, "orders", "o_orderkey")
         val seedVid = g.vertices
           .filter(col("layer") === "order" && col("nodeId") === seed)
-          .select("vid").head.getLong(0)
+          .select("vid").head().getLong(0)
         GraphOps.pregelBfs(g, Set(seedVid), 3)
           .join(g.vertices, Seq("vid"))
           .select(col("layer"), col("nodeId").as("node_id"), col("dist"))
@@ -1325,7 +1325,14 @@ object SparkEntry {
     QueryDef("x11_sim_ivf",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
+        // FIXED centroid budget (32): a production IVF sizes its
+        // codebook independently of the corpus (~sqrt(N), trained once
+        // — cf. Clustering.kmeans). The unbudgeted `% 100` rule made
+        // cell assignment corpus x centroids = quadratic in corpus
+        // (measured x42 at the sf1 decade, SCALE.md). 32 > the 20
+        // centroids sf0.1 yields, so test-SF results are unchanged.
         val centroids = emb.filter(col("vec_id") % 100 === 0)
+          .orderBy("vec_id").limit(32)
           .select(col("vec_id").as("centroid_id"), col("embedding"))
         Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), centroids, 5)
           .select(col("query_id"), col("neighbor_id"), col("rank"))
@@ -1338,7 +1345,7 @@ object SparkEntry {
       // emitted; floats only order.
       Some("""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
              | cent AS (SELECT vec_id AS centroid_id, v AS cv FROM emb
-             |   WHERE vec_id % 100 = 0),
+             |   WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 32),
              | corpus_cell AS (SELECT vec_id, centroid_id FROM (
              |   SELECT e.vec_id, c.centroid_id,
              |     ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -1676,6 +1683,53 @@ object SparkEntry {
              |FROM e l JOIN e r ON l.vec_id < r.vec_id
              |WHERE list_cosine_similarity(l.v, r.v) >= 0.45
              | AND isfinite(list_cosine_similarity(l.v, r.v))
+             |ORDER BY a, b""".stripMargin)),
+
+    QueryDef("x40_embed_neardup_blocked",
+      // x14's SCALE twin on the near-DUP regime blocking is FOR: the
+      // corpus unioned with an id-offset copy of itself (the injected-
+      // duplicate scenario sf1's verbatim replication creates at
+      // scale), detected at cosine >= 0.9 through bucketed candidates
+      // — 2 independent portable md5 plane families (6 planes each)
+      // instead of the all-pairs product (x14's exact baseline is ×82
+      // at the sf1 decade, SCALE.md). Identical vectors share every
+      // bucket in every rep, so recall on true duplicates is exactly
+      // 100% (ExtSpec pins it); the bucketing is exact integer
+      // arithmetic, so the whole blocked pipeline hash-matches.
+      // Same round(4)/isfinite treatment as x14. x14's 0.45-similarity
+      // pairs are NOT blocking's regime (per-rep bucket-collision
+      // probability ~7% at 63°) — the exact form remains the tool
+      // below ~0.8.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val dup = emb.withColumn("vec_id", col("vec_id") + lit(1000000L))
+        Dedup.embeddingNearDupBlocked(
+            emb.unionByName(dup), 0.9, planes = 6, reps = 2)
+          .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
+          .orderBy("a", "b")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+             |   UNION ALL
+             |   SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings),
+             | qz AS (SELECT vec_id, v,
+             |   [CAST(floor(x * 1e6) AS BIGINT) for x in v] AS q FROM e),
+             | bk AS (SELECT vec_id, r.r AS rep, CAST(list_sum([
+             |   CASE WHEN list_sum([q[i] *
+             |     (CASE WHEN CAST(('0x' || substr(md5((r.r*6 + p) || ':' || i), 1, 1)) AS BIGINT) % 2 = 0
+             |      THEN 1 ELSE -1 END)
+             |     for i in generate_series(1, len(q))]) >= 0
+             |   THEN CAST(1 AS BIGINT) << p ELSE 0 END
+             |   for p in generate_series(0, 5)]) AS BIGINT) AS bucket
+             |  FROM qz, generate_series(0, 1) r(r)),
+             | cand AS (SELECT DISTINCT l.vec_id AS a, rr.vec_id AS b
+             |  FROM bk l JOIN bk rr ON l.rep = rr.rep
+             |    AND l.bucket = rr.bucket AND l.vec_id < rr.vec_id),
+             | sc AS (SELECT c.a, c.b,
+             |   list_cosine_similarity(ea.v, eb.v) AS cos
+             |  FROM cand c JOIN e ea ON ea.vec_id = c.a
+             |   JOIN e eb ON eb.vec_id = c.b)
+             |SELECT a, b, ROUND(cos, 4) AS cosine FROM sc
+             |WHERE cos >= 0.9 AND isfinite(cos)
              |ORDER BY a, b""".stripMargin)),
 
     QueryDef("x12_multimodal",

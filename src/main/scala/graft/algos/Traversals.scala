@@ -505,7 +505,7 @@ object Traversals {
     val depths = GraphOps.pregelBfsSeeds(g, seed, undirected = true)
     // max over an empty frame (unknown seed) is null — treat as depth
     // 1 and return the (empty) result instead of NPE-ing on getInt
-    val maxRow = depths.agg(max("dist")).head
+    val maxRow = depths.agg(max("dist")).head()
     val maxDepth = (if (maxRow.isNullAt(0)) 1 else maxRow.getInt(0)).max(1)
     depths
       .withColumn("size",

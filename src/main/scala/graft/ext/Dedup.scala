@@ -261,6 +261,51 @@ object Dedup {
       .select(col("a"), col("b"), col("cosine"))
   }
 
+  /** [[embeddingNearDup]]'s SCALE PATH: candidate pairs must share a
+    * sign-LSH bucket in at least one of `reps` independent plane
+    * families (rep r = the [r·planes, (r+1)·planes) slice of the
+    * portable md5 plane family — no second hash scheme), then the
+    * exact cosine verify runs on candidates only. Candidate volume is
+    * Σ per-bucket C(n,2) per rep — never the corpus-quadratic pair
+    * space (measured: the exact baseline is ×82 at the sf1 decade,
+    * SCALE.md; this form rides the same banded-join shape as x07).
+    *
+    * Approximate BY CONSTRUCTION: a pair split by some plane in every
+    * rep is missed (P ≈ (1-(1-θ/π)^planes)^reps for angle θ — raise
+    * `reps` for recall, `planes` for precision). Identical vectors
+    * share every bucket in every rep, so exact duplicates are NEVER
+    * missed (spec-pinned). Fully deterministic and engine-re-derivable:
+    * bucketing is exact integer arithmetic (the x26/x28 portability
+    * family), so the whole pipeline hash-matches a SQL oracle (x40). */
+  def embeddingNearDupBlocked(emb: DataFrame, threshold: Double,
+                              planes: Int = 6, reps: Int = 2,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    // one materialization feeds reps bucket passes + both verify sides
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .localCheckpoint()
+    val dim = Similarity.probeDim(base, "v").getOrElse(
+      // empty / all-null corpus: no pairs to find
+      return base.select(col("id").as("a"), col("id").as("b"),
+        lit(0.0).as("cosine")).limit(0))
+    val bk = (0 until reps).map(r => base.select(col("id"),
+        lit(r).as("rep"),
+        Similarity.lshBucketPortableStatic(col("v"), planes, dim,
+          r * planes).as("bucket")))
+      .reduce(_ unionAll _)
+    val cand = bk.select(col("id").as("a"), col("rep"), col("bucket"))
+      .join(bk.select(col("id").as("b"), col("rep"), col("bucket")),
+        Seq("rep", "bucket"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    cand
+      .join(base.select(col("id").as("a"), col("v").as("va")), Seq("a"))
+      .join(base.select(col("id").as("b"), col("v").as("vb")), Seq("b"))
+      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"), col("cosine"))
+  }
+
   /** Near-dup CLUSTERS from a pair list: connected components of the
     * undirected (a, b) similarity graph via min-label propagation,
     * labeled by each component's min doc id. The canonicalization step

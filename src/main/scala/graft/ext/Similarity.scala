@@ -127,10 +127,15 @@ object Similarity {
     * layouts are unchanged. Requires the corpus's fixed vector width
     * `dim`; rows of any other width would mis-bucket (zip_with
     * truncation/null-padding) — fixed width is the corpus contract. */
-  def lshBucketPortableStatic(vec: Column, planes: Int, dim: Int): Column = {
+  def lshBucketPortableStatic(vec: Column, planes: Int, dim: Int,
+                              planeOffset: Int = 0): Column = {
     val q = transform(vec, x => floor(x.cast("double") * lit(1e6)).cast("long"))
     val bits = (0 until planes).map { p =>
-      val signs = array((1 to dim).map(i => lit(md5SignConst(p, i))): _*)
+      // planeOffset selects a disjoint slice of the same infinite md5
+      // plane family — independent repetitions for multi-probe blocking
+      // (Dedup.embeddingNearDupBlocked) without a second hash family
+      val signs = array((1 to dim).map(i =>
+        lit(md5SignConst(planeOffset + p, i))): _*)
       val proj = aggregate(zip_with(q, signs, (x, s) => x * s), lit(0L), _ + _)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
@@ -173,7 +178,7 @@ object Similarity {
     * corpus pass (min(size(vec))), which is the wrong default cost for
     * a probe; callers who can't guarantee the contract should assert
     * `countDistinct(size(vec)) == 1` themselves before persisting. */
-  private def probeDim(corpus: DataFrame, vecCol: String): Option[Int] =
+  private[ext] def probeDim(corpus: DataFrame, vecCol: String): Option[Int] =
     corpus.filter(col(vecCol).isNotNull)
       .select(size(col(vecCol))).take(1).headOption.map(_.getInt(0))
 

@@ -30,7 +30,7 @@ object SynthesizeScale {
 
   /** Smallest power of 10 strictly above the column's max (≥ 10). */
   private def stride(df: DataFrame, col0: String): Long = {
-    val mx = df.agg(max(col(col0))).head.getLong(0)
+    val mx = df.agg(max(col(col0))).head().getLong(0)
     var s = 10L
     while (s <= mx) s *= 10
     s

@@ -39,7 +39,7 @@ object VizData {
     * `:472-475`). Constant columns normalize to 0.5. */
   def colorContinuous(df: DataFrame, prop: String,
                       zeroCentred: Boolean = false): DataFrame = {
-    val Row2 = df.agg(min(col(prop)).cast("double"), max(col(prop)).cast("double")).head
+    val Row2 = df.agg(min(col(prop)).cast("double"), max(col(prop)).cast("double")).head()
     val (mn, mx) =
       if (Row2.isNullAt(0)) (0.0, 0.0) else (Row2.getDouble(0), Row2.getDouble(1))
     val (lo, hi) =
@@ -86,7 +86,7 @@ object VizData {
   def propToSize(df: DataFrame, prop: String, mi: Double, ma: Double,
                  power: Double = 1.0): DataFrame = {
     val v = pow(col(prop).cast("double"), lit(power))
-    val stats = df.agg(min(v), max(v)).head
+    val stats = df.agg(min(v), max(v)).head()
     val (mn, mx) =
       if (stats.isNullAt(0)) (0.0, 0.0) else (stats.getDouble(0), stats.getDouble(1))
     val scaled =

@@ -240,6 +240,28 @@ class ExtSpec extends SparkSuite {
     assert(sta == dyn)
   }
 
+  test("blocked embed near-dup: subset of exact; exact duplicates never missed (X1)") {
+    val emb = (0L until 30L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 7.0 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    // inject exact duplicates (the scenario blocking is FOR)
+    val withDups = emb.unionByName(
+      emb.withColumn("vec_id", $"vec_id" + 100L))
+    val blocked = Dedup.embeddingNearDupBlocked(withDups, 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.embeddingNearDup(withDups, 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // candidate blocking can only REMOVE pairs, never invent them
+    assert(blocked.subsetOf(exact))
+    // identical vectors share every bucket in every rep: every injected
+    // twin pair is found — recall on true duplicates is exactly 100%
+    (0L until 30L).foreach { i =>
+      assert(blocked.contains((i, i + 100L)), s"twin pair $i missed")
+    }
+    // empty corpus: no probe crash, empty result
+    assert(Dedup.embeddingNearDupBlocked(emb.limit(0), 0.9).count() == 0)
+  }
+
   test("chunking: overlapping stride windows, no redundant-subset tail (X3)") {
     val d = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
     val out = TextOps.chunk(d, window = 4, stride = 2).orderBy("chunk_idx")
