@@ -32,7 +32,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      // overridable for LOCAL A/B experiments only (the driver never
+      // sets it): AQE re-plans per materialization, which is pure
+      // overhead on iterative sub-second rounds but essential at scale
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config(SparkConfs.kryoGraphConf())

@@ -2963,6 +2963,49 @@ object SparkEntry {
              |GROUP BY 1, 2, 3, 4, 5
              |ORDER BY media_id, bucket""".stripMargin)),
 
+    QueryDef("x41_video_decode",
+      // REAL video decode + frame sampling: synthesize a 6-frame 8x6
+      // YUV4MPEG2 stream per document (plane values are closed-form
+      // integer arithmetic over doc_id and frame index), decode every
+      // SECOND frame (0, 2, 4) through the actual Y4M parser — the
+      // un-sampled frames are skipped by offset, never read — and emit
+      // the luma sum + per-bucket histogram over the sampled frames.
+      // Y4M is uncompressed, so the oracle re-derives the decoded
+      // features from the same plane formula with no codec — the video
+      // twin of x12 (PNG) and x39 (WAV).
+      (s, dir) => {
+        val media = Multimodal.synthesizeY4m(
+          docs(s, dir).select("doc_id"), "doc_id", 8, 6, 6, 25)
+        Multimodal.decodeVideo(media, 16, every = 2)
+          .where(col("decode_ok"))
+          .select(col("media_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("n_frames"), col("frames_sampled"), col("sum_y_q"),
+            posexplode(col("hist")).as(Seq("bucket", "cnt")))
+          .where(col("cnt") > 0)
+          .select(col("media_id"), col("width"), col("height"),
+            col("n_frames"), col("frames_sampled"), col("sum_y_q"),
+            col("bucket").cast("long").as("bucket"), col("cnt"))
+          .orderBy("media_id", "bucket")
+      },
+      Some("""WITH px AS (SELECT d.doc_id,
+             |   ((d.doc_id*31 + f.f*29 + x.x*7 + y.y*13) % 256) AS yv
+             |  FROM (SELECT doc_id FROM documents) d,
+             |       generate_series(0, 4, 2) f(f),
+             |       generate_series(0, 7) x(x),
+             |       generate_series(0, 5) y(y)),
+             | agg AS (SELECT doc_id, CAST(SUM(yv) AS BIGINT) AS sum_y_q
+             |  FROM px GROUP BY 1),
+             | b AS (SELECT doc_id, yv % 16 AS bucket FROM px)
+             |SELECT b.doc_id AS media_id, CAST(8 AS BIGINT) AS width,
+             | CAST(6 AS BIGINT) AS height, CAST(6 AS BIGINT) AS n_frames,
+             | CAST(3 AS BIGINT) AS frames_sampled, a.sum_y_q AS sum_y_q,
+             | CAST(b.bucket AS BIGINT) AS bucket, COUNT(*) AS cnt
+             |FROM b JOIN agg a ON a.doc_id = b.doc_id
+             |GROUP BY 1, 2, 3, 4, 5, 6, 7
+             |ORDER BY media_id, bucket""".stripMargin)),
+
     // ------------------------------------------------------ pipeline: text LM
     QueryDef("x33_bigram_lm",
       // self-trained bigram-LM predictability score (the n-gram

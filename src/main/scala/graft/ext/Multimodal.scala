@@ -25,9 +25,14 @@ import org.apache.spark.sql.types._
  * whose sample values are closed-form integer arithmetic — same
  * oracle-upgrade trick as the PNG path.
  *
- * VIDEO decode remains a stub (`decodeStub` — no video codec in the
- * JDK or this container): deterministic fake features from the bytes,
- * with the real schema/batching/joins around it.
+ * VIDEO decode is REAL for uncompressed streams: [[decodeVideo]]
+ * parses YUV4MPEG2 (Y4M — the standard ffmpeg/x264 interchange
+ * container: an ASCII stream header, then `FRAME\n` + raw Y/U/V
+ * planes per frame) with frame sampling, and [[synthesizeY4m]]
+ * generates losslessly-decodable payloads whose plane values are
+ * closed-form integer arithmetic — the video analogue of the PNG/WAV
+ * trick. Only COMPRESSED codecs (H.264 etc.) remain out of scope
+ * (`decodeStub` — no such codec in the JDK or this container).
  */
 object Multimodal {
 
@@ -266,6 +271,174 @@ object Multimodal {
               n.toLong, sum, hist.toSeq))
           } catch { case scala.util.control.NonFatal(_) => None }
         decoded.getOrElse(Row(id, false, null, null, null, null, null))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic synthetic YUV4MPEG2 payloads: `nFrames` frames of
+    * `w`×`h` 4:4:4 video at `fps`, where plane values for id `d`,
+    * frame `f`, pixel (x, y) are
+    *   Y = (d*31 + f*29 + x*7  + y*13) % 256
+    *   U = (d*17 + f*41 + x*11 + y*3 ) % 256
+    *   V = (d*23 + f*37 + x*5  + y*19) % 256
+    * — pure integer arithmetic over NON-NEGATIVE ids, and Y4M is
+    * UNCOMPRESSED (raw planes after an ASCII header), so the decoded
+    * plane values are re-derivable by a SQL oracle with no codec (the
+    * video analogue of [[synthesizePng]]/[[synthesizeWav]]). The
+    * emitted bytes are a spec-conformant YUV4MPEG2 stream (`YUV4MPEG2
+    * W.. H.. F..:1 Ip A1:1 C444\n` + `FRAME\n`-delimited planes) that
+    * ffmpeg would ingest as-is. */
+  def synthesizeY4m(df: DataFrame, idCol: String, w: Int, h: Int,
+                    nFrames: Int, fps: Int = 25): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      // Charset is not Serializable — resolve it inside the task
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      it.map { r =>
+        val id = r.getLong(0)
+        val bos = new java.io.ByteArrayOutputStream(
+          64 + nFrames * (6 + 3 * w * h))
+        bos.write(s"YUV4MPEG2 W$w H$h F$fps:1 Ip A1:1 C444\n".getBytes(ascii))
+        val frameHdr = "FRAME\n".getBytes(ascii)
+        var f = 0
+        while (f < nFrames) {
+          bos.write(frameHdr)
+          // three full-resolution planes (C444), row-major
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              bos.write(((id * 31 + f * 29 + x * 7 + y * 13) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              bos.write(((id * 17 + f * 41 + x * 11 + y * 3) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              bos.write(((id * 23 + f * 37 + x * 5 + y * 19) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          f += 1
+        }
+        Row(id, "video", bos.toByteArray, "video/x-yuv4mpeg", w, h,
+          nFrames.toLong * 1000L / fps)
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** REAL video decode + frame sampling for YUV4MPEG2 streams (pure
+    * byte/arithmetic parsing — Y4M is the uncompressed interchange
+    * container, so "decode" is header parse + plane slicing, the video
+    * analogue of WAV/PCM). Parses the stream header (`W`/`H`/`C` tags;
+    * C444, C422, C420 family and Cmono plane geometries), walks the
+    * `FRAME`-delimited frames, and aggregates features over every
+    * `every`-th frame (frame sampling as a DECODE-TIME pushdown: the
+    * un-sampled frames' planes are skipped by offset, never touched —
+    * at 100 TB of video that is the difference between reading 1/k of
+    * the bytes and all of them). Output per row: stream geometry
+    * (width, height, n_frames), frames_sampled, exact integer luma sum
+    * `sum_y_q` and per-bucket histogram (Y % dim) over sampled frames.
+    * Undecodable, truncated, or null payloads yield decode_ok = false
+    * rather than failing the batch — the same poison-row guarantee as
+    * [[decodeImage]]/[[decodeAudio]]. Compressed codecs are out of
+    * scope (no codec in the JDK): those rows degrade the same way. */
+  def decodeVideo(media: DataFrame, dim: Int = 16,
+                  every: Int = 1): DataFrame = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decode_ok", BooleanType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("n_frames", LongType, nullable = true),
+      StructField("frames_sampled", LongType, nullable = true),
+      StructField("sum_y_q", LongType, nullable = true),
+      StructField("hist", ArrayType(LongType, containsNull = false),
+        nullable = true)))
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val decoded: Option[Row] =
+          if (r.isNullAt(1)) None
+          else try {
+            val bytes = r.getAs[Array[Byte]](1)
+            // ---- stream header: "YUV4MPEG2 <tags>\n", ASCII
+            val hdrEnd = bytes.indexOf('\n'.toByte)
+            if (hdrEnd < 0) throw new java.io.IOException("no header")
+            val hdr = new String(bytes, 0, hdrEnd,
+              java.nio.charset.StandardCharsets.US_ASCII)
+            val toks = hdr.split(' ')
+            if (toks.head != "YUV4MPEG2")
+              throw new java.io.IOException("not y4m")
+            var w = -1; var h = -1; var cs = "420" // C420 is the default
+            toks.tail.foreach { t =>
+              if (t.startsWith("W")) w = t.drop(1).toInt
+              else if (t.startsWith("H")) h = t.drop(1).toInt
+              else if (t.startsWith("C")) cs = t.drop(1)
+            }
+            if (w <= 0 || h <= 0)
+              throw new java.io.IOException("bad dims")
+            // chroma geometry: bytes per frame beyond the Y plane
+            val ySize = w * h
+            val uvSize =
+              if (cs.startsWith("444")) 2 * ySize
+              else if (cs.startsWith("422")) 2 * ((w / 2) * h)
+              else if (cs.startsWith("420")) 2 * ((w / 2) * (h / 2))
+              else if (cs.startsWith("mono")) 0
+              else throw new java.io.IOException(s"unsupported C$cs")
+            val frameSize = ySize + uvSize
+            // ---- FRAME-delimited walk; sampled frames aggregate, the
+            // rest are skipped by offset arithmetic (never read)
+            val hist = new Array[Long](dim)
+            var sumY = 0L
+            var nFrames = 0L
+            var sampled = 0L
+            var pos = hdrEnd + 1
+            while (pos < bytes.length) {
+              // frame header line: "FRAME[ params]\n"
+              var nl = pos
+              while (nl < bytes.length && bytes(nl) != '\n'.toByte) nl += 1
+              if (nl >= bytes.length ||
+                  nl - pos < 5 || bytes(pos) != 'F'.toByte ||
+                  bytes(pos + 1) != 'R'.toByte || bytes(pos + 2) != 'A'.toByte ||
+                  bytes(pos + 3) != 'M'.toByte || bytes(pos + 4) != 'E'.toByte)
+                throw new java.io.IOException("bad frame header")
+              val planes = nl + 1
+              if (planes + frameSize > bytes.length)
+                throw new java.io.IOException("truncated frame")
+              if (nFrames % every == 0) {
+                var i = planes
+                val end = planes + ySize
+                while (i < end) {
+                  val v = bytes(i) & 0xff
+                  sumY += v
+                  hist(v % dim) += 1L
+                  i += 1
+                }
+                sampled += 1L
+              }
+              nFrames += 1L
+              pos = planes + frameSize
+            }
+            Some(Row(id, true, w, h, nFrames, sampled, sumY, hist.toSeq))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        decoded.getOrElse(Row(id, false, null, null, null, null, null, null))
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -485,4 +485,77 @@ class ExtSpec extends SparkSuite {
     assert(got.forall(!_.getBoolean(1)))
     assert(got.forall(_.isNullAt(6)))
   }
+
+  test("real Y4M decode: frame sampling recovers exact luma stats (X4)") {
+    val ids = Seq(0L, 1L, 7L).toDF("media_id")
+    val (w, h, nf) = (5, 4, 6)
+    val media = Multimodal.synthesizeY4m(ids, "media_id", w, h, nf, 25)
+    // payloads are genuine YUV4MPEG2 streams
+    media.select("payload").collect().foreach { r =>
+      val b = r.getAs[Array[Byte]](0)
+      assert(new String(b.take(9), "US-ASCII") == "YUV4MPEG2")
+      // header + nf frames of (FRAME\n + 3 full C444 planes)
+      val hdrLen = b.indexOf('\n'.toByte) + 1
+      assert(b.length == hdrLen + nf * (6 + 3 * w * h))
+    }
+    def expected(id: Long, frames: Seq[Int], dim: Int): (Long, Seq[Long]) = {
+      var sum = 0L
+      val hist = new Array[Long](dim)
+      for (f <- frames; y <- 0 until h; x <- 0 until w) {
+        val v = (id * 31 + f * 29 + x * 7 + y * 13) % 256
+        sum += v
+        hist((v % dim).toInt) += 1L
+      }
+      (sum, hist.toSeq)
+    }
+    // every 2nd frame: 0, 2, 4 sampled out of 6
+    val got = Multimodal.decodeVideo(media, dim = 8, every = 2)
+      .orderBy("media_id").collect()
+    got.zip(Seq(0L, 1L, 7L)).foreach { case (r, id) =>
+      assert(r.getBoolean(1), s"decode must succeed for id $id")
+      assert(r.getInt(2) == w && r.getInt(3) == h)
+      assert(r.getLong(4) == nf.toLong && r.getLong(5) == 3L)
+      val (expSum, expHist) = expected(id, Seq(0, 2, 4), 8)
+      assert(r.getLong(6) == expSum, s"sum for id $id")
+      assert(r.getSeq[Long](7) == expHist.toSeq, s"hist for id $id")
+    }
+    // every=1 samples all frames
+    val all = Multimodal.decodeVideo(media, dim = 8).orderBy("media_id").head
+    assert(all.getLong(5) == nf.toLong)
+    assert(all.getLong(6) == expected(0L, 0 until nf, 8)._1)
+  }
+
+  test("decodeVideo parses C420 geometry and survives poison rows") {
+    // hand-rolled 2-frame 4x2 C420 stream: Y plane 8 bytes/frame,
+    // U and V planes 2x1 = 2 bytes each (quarter resolution)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("YUV4MPEG2 W4 H2 F25:1 C420\n".getBytes(ascii))
+    for (f <- 0 until 2) {
+      bos.write("FRAME\n".getBytes(ascii))
+      for (i <- 0 until 8) bos.write(10 * f + i) // Y
+      for (i <- 0 until 4) bos.write(200 + i)    // U + V
+    }
+    val good = bos.toByteArray
+    val truncated = good.dropRight(3)
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, "video", good, "video/x-yuv4mpeg",
+        null, null, null),
+      org.apache.spark.sql.Row(2L, "video", truncated, null, null, null, null),
+      org.apache.spark.sql.Row(3L, "video",
+        Array[Byte](1, 2, 3), null, null, null, null),
+      org.apache.spark.sql.Row(4L, "video", null, null, null, null, null))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val got = Multimodal.decodeVideo(media, dim = 16)
+      .orderBy("media_id").collect()
+    val ok = got(0)
+    assert(ok.getBoolean(1) && ok.getInt(2) == 4 && ok.getInt(3) == 2)
+    assert(ok.getLong(4) == 2L && ok.getLong(5) == 2L)
+    // luma sum: frame 0 = 0+..+7 = 28, frame 1 = 10+..+17 = 108
+    assert(ok.getLong(6) == 136L)
+    // truncated, garbage, and null payloads all degrade, never throw
+    assert(got.drop(1).forall(!_.getBoolean(1)))
+    assert(got.drop(1).forall(_.isNullAt(7)))
+  }
 }
