@@ -71,8 +71,18 @@ final class OnionNet(val spark: SparkSession, val directed: Boolean = true) {
     * via `spark.sparkContext.getPersistentRDDs` (as Bench does). */
   def checkpoint(): Unit = {
     require(grown, "graph not grown yet — call growOnion first")
-    base = OnionGraph(base.vertices.localCheckpoint(),
-      base.edges.localCheckpoint())
+    // Two independent materialization jobs — submit them CONCURRENTLY
+    // so the wall cost is max(vertices, edges) instead of the sum.
+    // Driver/job-launch latency, not data volume, binds small
+    // materializations; Spark job submission is thread-safe and the
+    // facade flips no session confs here.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val vF = Future(base.vertices.localCheckpoint())
+    val eF = Future(base.edges.localCheckpoint())
+    base = OnionGraph(Await.result(vF, Duration.Inf),
+      Await.result(eF, Duration.Inf))
     current = if (directed) base else base.symmetrize
   }
 

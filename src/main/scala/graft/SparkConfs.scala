@@ -22,9 +22,23 @@ object SparkConfs {
 
   /** Run `body` (an iterative operator's actions) without whole-stage
     * codegen when `rows` of per-round work sit under
-    * [[InterpretedRows]]. The conf flip is session-global for the
-    * duration — same single-threaded assumption the per-session graph
-    * caches make. */
+    * [[InterpretedRows]]: every round's plan is structurally unique
+    * (fresh checkpoint RDD ids + round literals), so the codegen cache
+    * never hits and Janino compiles ~100ms of bytecode per stage per
+    * round — more than a small round's interpreted execution costs.
+    * Big inputs keep codegen (it amortizes over real data volume).
+    *
+    * MEASURED NEGATIVE: also disabling AQE here looked like a 43% win
+    * on a cold-JVM scoped BFS subset (36.0s → 18.1s) but regressed the
+    * warm full bench 94s → 108s — AQE's per-round re-planning cost is
+    * driver CPU that JIT warms away, while the loops WITHOUT explicit
+    * broadcast hints (KMV centrality, pivot betweenness, Lloyd rounds)
+    * depend on AQE's runtime broadcast conversion and fell back to
+    * sort-merge without it (g37 ×2.5, g41 ×2.2, x22 ×1.6). Keep AQE
+    * on; only codegen is worth gating per-round.
+    *
+    * The conf flip is session-global for the duration — same
+    * single-threaded assumption the per-session graph caches make. */
   def maybeInterpreted[A](spark: org.apache.spark.sql.SparkSession,
                           rows: Long)(body: => A): A = {
     val key = "spark.sql.codegen.wholeStage"

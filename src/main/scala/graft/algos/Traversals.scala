@@ -42,31 +42,12 @@ object Traversals {
   private def maybeBroadcast(df: DataFrame, rows: Long): DataFrame =
     if (rows >= 0 && rows < BroadcastRows) broadcast(df) else df
 
-  /** Rounds whose TOTAL scanned rows (edge table + iteration state)
-    * stay under this run without whole-stage codegen. Every round's
-    * plan is structurally unique (fresh checkpoint RDD ids + depth
-    * literal), so the codegen cache never hits and Janino compiles
-    * ~100ms of bytecode per stage per round — more than a small
-    * round's interpreted execution costs (measured breakeven is far
-    * above this bound). Big inputs keep codegen: compilation
-    * amortizes over real data volume, and an interpreted scan of a
-    * 100M-row edge table would cost much more than it saves. */
-  private val InterpretedRows = 20000000L
-
-  /** Run `body` (one BFS round's action) without whole-stage codegen
-    * when the round is small (see [[InterpretedRows]]). Conf flip is
-    * session-global for the duration of the action — same
-    * single-threaded assumption the per-session caches make. */
-  private def maybeInterpreted[A](df: DataFrame, rows: Long)(body: => A): A = {
-    val spark = df.sparkSession
-    val key = "spark.sql.codegen.wholeStage"
-    if (rows < 0 || rows >= InterpretedRows) body
-    else {
-      val prev = spark.conf.get(key, "true")
-      spark.conf.set(key, "false")
-      try body finally spark.conf.set(key, prev)
-    }
-  }
+  /** Small rounds (TOTAL scanned rows: edge table + iteration state
+    * under the shared threshold) run without whole-stage codegen — see
+    * [[graft.SparkConfs.maybeInterpreted]] for the rationale and for
+    * the measured negative result on also disabling AQE per-round. */
+  private def maybeInterpreted[A](df: DataFrame, rows: Long)(body: => A): A =
+    graft.SparkConfs.maybeInterpreted(df.sparkSession, rows)(body)
 
   // Dev-only loop tracing: GRAFT_TRACE=1 prints per-round wall time.
   private val trace = sys.env.contains("GRAFT_TRACE")

@@ -187,9 +187,10 @@ object TextOps {
     * strings — both the count aggregation and the weight join key on
     * `xxhash64(w1, w2)` (8 bytes vs two arbitrary-length tokens;
     * collision probability ~n²/2⁶⁵ is below the hardware-error floor
-    * for any real vocabulary). Only the vocabulary-sized weight table
-    * still touches w1 (for the conditional denominator); AQE
-    * broadcast-joins it when small. The oracle twin keeps the raw
+    * for any real vocabulary), and the conditional denominator keys on
+    * `xxhash64(w1)` — token strings never survive the map side; AQE
+    * broadcast-joins the vocabulary-sized weight table when small.
+    * The oracle twin keeps the raw
     * (w1, w2) pair join — a hash collision would surface as a hash
     * mismatch there. The BIGINT weight assumes count(w1,w2) ≤ ~9e12
     * (1e19 / 1e6). */
@@ -209,22 +210,28 @@ object TextOps {
     // both the count aggregation and the weight join, and without the
     // checkpoint each consumer re-runs the regex normalization +
     // explode over every document
+    // the checkpointed stream is ALL 8-byte keys — the token strings
+    // die at the map side (k keys the bigram, h1 keys the conditional
+    // denominator), so the materialized block and every downstream
+    // shuffle carry 24 bytes/row regardless of token length
     val bi = toks
       .withColumn("bg", expr(
         "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1)," +
           " (x, y) -> struct(x AS w1, y AS w2))"))
       .select(col("doc_id"), explode(col("bg")).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .withColumn("k", xxhash64(col("w1"), col("w2")))
+      .select(col("doc_id"),
+        xxhash64(col("b.w1"), col("b.w2")).as("k"),
+        xxhash64(col("b.w1")).as("h1"))
       .localCheckpoint()
-    // groupBy the 8-byte key; w1 rides along via first() — legal
+    // groupBy the 8-byte key; h1 rides along via first() — legal
     // because every row in a k-group carries the identical (w1, w2)
-    // (xxhash64 treated as injective per the scaladoc analysis).
+    // (xxhash64 treated as injective per the scaladoc analysis, for
+    // h1 exactly as for k).
     val cb = bi.groupBy("k")
-      .agg(count(lit(1)).as("cb"), first("w1").as("w1"))
-    val cp = cb.groupBy("w1").agg(sum("cb").as("cp"))
+      .agg(count(lit(1)).as("cb"), first("h1").as("h1"))
+    val cp = cb.groupBy("h1").agg(sum("cb").as("cp"))
     // integer DIV (not `/` + cast): bit-identical to the oracle's `//`
-    val wt = cb.join(cp, "w1")
+    val wt = cb.join(cp, "h1")
       .withColumn("q", expr("CAST(cb * 1000000 DIV cp AS BIGINT)"))
       .select("k", "q")
     bi.select("doc_id", "k").join(wt, Seq("k"))
