@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -202,6 +202,125 @@ object Dedup {
         size(array_intersect(col("shA"), col("shB"))).cast("double") /
           (size(col("shA")) + size(col("shB"))
             - size(array_intersect(col("shA"), col("shB")))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  // -----------------------------------------------------------------
+  // Incremental near-dup: persisted LSH band index + batch probe
+  // -----------------------------------------------------------------
+
+  /** md5-family banding + hashed shingle sets shared by
+    * [[writeBandIndex]] / [[probeBandIndex]] — the same signature
+    * arithmetic as [[minhashLshPortable]] (60-bit md5 base hashes mod
+    * p = 2³¹-1, k seeded minima, r-row band keys), but the doc-level
+    * payload is the SORTED DISTINCT base-hash set instead of string
+    * shingles: a persisted index must never store text (8 bytes per
+    * shingle at rest), and exact Jaccard over the hash sets is
+    * re-derivable by any engine with md5 — a hash collision
+    * (~|sh|²/2³¹ per doc) hits both engines identically, so
+    * hash-match still holds. The composite band key folds the band
+    * ordinal in, so equal r-tuples in DIFFERENT bands cannot alias
+    * one bucket. Returns (bands: (bk, id), sets: (id, hs)). */
+  private def md5BandedSets(docs: DataFrame, k: Int, bands: Int, w: Int,
+                            idCol: String, textCol: String): (DataFrame, DataFrame) = {
+    require(k % bands == 0, s"md5BandedSets: k=$k not divisible by bands=$bands")
+    val r = k / bands
+    val p = 2147483647L // 2^31 - 1
+    // one regex+md5 pass, materialized: feeds bands AND sets
+    val based = docs
+      .select(col(idCol).cast("long").as("id"),
+        shingles(col(textCol), w).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"),
+        transform(col("sh"), s =>
+          pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(p)))
+          .as("hsRaw"))
+      .localCheckpoint()
+    val sig = based.select(col("id"),
+      array((0 until k).map(s =>
+        array_min(transform(col("hsRaw"),
+          h => (h * lit(2L * s + 1) + lit(s.toLong)) % lit(p)))): _*).as("sig"))
+    val banded = sig.select(col("id"),
+      explode(array((0 until bands).map(b =>
+        concat_ws(",", (lit(b) +: (0 until r).map(i =>
+          element_at(col("sig"), b * r + i + 1))): _*)): _*)).as("bk"))
+      .select(col("bk"), col("id"))
+    val sets = based.select(col("id"),
+      array_sort(array_distinct(col("hsRaw"))).as("hs"))
+    (banded, sets)
+  }
+
+  /** Persist the near-dup LSH index for a corpus: `name_bands`
+    * (bk, id) bucketed by the composite band key and `name_docs`
+    * (id, hs) bucketed by id, both sorted in-bucket (the
+    * [[graft.sources.BucketedStore]] pattern). The 100 TB increment
+    * story: a daily batch probes this index WITHOUT re-shingling,
+    * re-hashing, or re-shuffling the corpus — the candidate join
+    * arrives pre-partitioned on the index side (plan-asserted in
+    * ScaleSpec), so incremental dedup cost scales with the batch, not
+    * the corpus. Text never enters the index. */
+  def writeBandIndex(docs: DataFrame, name: String, k: Int = 16,
+                     bands: Int = 4, w: Int = 3, buckets: Int = 8,
+                     idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    val (banded, sets) = md5BandedSets(docs, k, bands, w, idCol, textCol)
+    Seq(s"${name}_bands", s"${name}_docs").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // DROP only reaches tables the CURRENT catalog knows; a managed
+      // location left by a previous JVM (files survive, the in-memory
+      // catalog does not) would still fail CREATE TABLE
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    banded.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "bk").sortBy("bk")
+      .format("parquet").saveAsTable(s"${name}_bands")
+    sets.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "id").sortBy("id")
+      .format("parquet").saveAsTable(s"${name}_docs")
+  }
+
+  /** Probe a [[writeBandIndex]] index with a NEW batch (ids disjoint
+    * from the indexed corpus): near-dup pairs (a, b, jaccard) with at
+    * least one batch side — batch×corpus candidates via the bucketed
+    * band join (exchange on the batch side only), batch×batch via a
+    * self-join of the batch's own tiny band table. Verification is
+    * exact Jaccard over the stored hash sets
+    * ([[graft.functions.SortedArrayJaccard]] merge kernel) on
+    * candidate pairs only. Equals the full-rebuild pair set restricted
+    * to pairs touching the batch — x42 hash-matches the DuckDB
+    * full-rebuild oracle, which IS the incremental-equals-rebuild
+    * guarantee (the g43 pattern, in the dedup domain). */
+  def probeBandIndex(name: String, batch: DataFrame, threshold: Double = 0.7,
+                     k: Int = 16, bands: Int = 4, w: Int = 3,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = batch.sparkSession
+    val idxBands = spark.table(s"${name}_bands")
+    val idxDocs = spark.table(s"${name}_docs")
+    val (bBands0, bSets0) = md5BandedSets(batch, k, bands, w, idCol, textCol)
+    val bBands = bBands0.localCheckpoint() // feeds corpus join + self-join
+    val bSets = bSets0.localCheckpoint()   // feeds both verify sides
+    val crossPairs = idxBands.select(col("bk"), col("id").as("e"))
+      .join(bBands.select(col("bk"), col("id").as("n")), Seq("bk"))
+      .filter(col("e") =!= col("n"))
+      .select(least(col("e"), col("n")).as("a"),
+        greatest(col("e"), col("n")).as("b"))
+    val selfPairs = bBands.select(col("bk"), col("id").as("a"))
+      .join(bBands.select(col("bk"), col("id").as("b")), Seq("bk"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+    val cand = crossPairs.union(selfPairs).distinct()
+    // verify joins run over candidate-pair-sized inputs — any
+    // exchange here moves candidates, not the corpus
+    val sets = idxDocs.unionByName(bSets)
+    cand
+      .join(sets.select(col("id").as("a"), col("hs").as("ha")), Seq("a"))
+      .join(sets.select(col("id").as("b"), col("hs").as("hb")), Seq("b"))
+      .withColumn("jaccard",
+        graft.functions.SortedArrayJaccard(col("ha"), col("hb")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }

@@ -86,6 +86,25 @@ class ExtSpec extends SparkSuite {
     assert(!m.contains((0L, 4L))) // different lang block
   }
 
+  test("incremental band-index probe equals full rebuild restricted to batch pairs (X1)") {
+    val batchIds = Set(0L, 4L)
+    Dedup.writeBandIndex(docs.filter(!col("doc_id").isin(batchIds.toSeq: _*)),
+      "extspec_x42")
+    val inc = Dedup.probeBandIndex("extspec_x42",
+        docs.filter(col("doc_id").isin(batchIds.toSeq: _*)), threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // full rebuild through the SAME machinery: probing an EMPTY index
+    // with the whole corpus degenerates to the batch self-join — i.e.
+    // all pairs
+    Dedup.writeBandIndex(docs.limit(0), "extspec_x42e")
+    val full = Dedup.probeBandIndex("extspec_x42e", docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc == full.filter(p => batchIds(p._1) || batchIds(p._2)))
+    assert(inc.contains((0L, 1L, 1.0))) // identical docs share every band
+    // an empty batch probes to an empty result, not an error
+    assert(Dedup.probeBandIndex("extspec_x42", docs.limit(0)).count() == 0)
+  }
+
   test("nearDupClusters: components of the pair graph, min-id canonical (X1)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
     val out = Dedup.nearDupClusters(pairs)

@@ -116,4 +116,22 @@ class ScaleSpec extends SparkSuite {
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
       s"scd2 must stay equi-joined on the dimension key:\n$plan")
   }
+
+  test("band index: bucketed on bk — a probe join needs no index-side exchange") {
+    val docs = (0 until 40).map(i =>
+        (i.toLong, s"alpha beta gamma delta epsilon zeta token${i % 7}"))
+      .toDF("doc_id", "text")
+    graft.ext.Dedup.writeBandIndex(docs, "scalespec_x42", buckets = 4)
+    // a band probe against the persisted index: the index side arrives
+    // pre-partitioned on bk (bucketed scan), so only the probe side
+    // may shuffle — the corpus never moves, which is what makes the
+    // daily-increment workflow batch-cost at 100 TB
+    val probe = (0 until 10).map(i => (s"0,$i,$i,$i", 1000L + i)).toDF("bk", "id")
+    val joined = spark.table("scalespec_x42_bands")
+      .join(probe.repartition(4, $"bk"), Seq("bk"))
+    val plan = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected at most one exchange (probe side only):\n$plan")
+  }
 }
