@@ -3054,6 +3054,53 @@ object SparkEntry {
              |SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.5
              |ORDER BY a, b""".stripMargin)),
 
+    QueryDef("x43_incremental_append",
+      // The probe-then-APPEND loop: half the corpus is indexed, one
+      // quarter is folded in via appendBandIndex (yesterday's batch),
+      // then today's quarter (doc_id % 4 = 0) probes the grown index.
+      // After the append the index holds exactly the docs x42 indexed,
+      // so the oracle is x42's full-rebuild SQL verbatim — a lost or
+      // corrupted append would drop every (0 mod 4)×(1 mod 4) pair and
+      // break the hash-match. This is the continuous-ingest guarantee:
+      // N appends later, a probe still equals the full rebuild.
+      (s, dir) => {
+        val d = docs(s, dir)
+        Dedup.writeBandIndex(d.filter(col("doc_id") % 4 >= 2), "x43_idx")
+        Dedup.appendBandIndex("x43_idx", d.filter(col("doc_id") % 4 === 1))
+        Dedup.probeBandIndex("x43_idx",
+            d.filter(col("doc_id") % 4 === 0), threshold = 0.5)
+          .orderBy("a", "b")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |  string_split_regex(trim(text), '\s+') AS tk FROM documents),
+             | sh AS (SELECT doc_id, list_distinct(
+             |  [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+             |   for i in generate_series(1, len(tk) - 2)]) AS s FROM toks
+             |  WHERE len(tk) >= 3),
+             | hs AS (SELECT doc_id,
+             |  [CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 2147483647
+             |   for x in s] AS h FROM sh WHERE len(s) > 0),
+             | sets AS (SELECT doc_id, list_distinct(h) AS hset FROM hs),
+             | sig AS (SELECT doc_id,
+             |  [list_min([(hv * (2*k+1) + k) % 2147483647 for hv in h])
+             |   for k in generate_series(0, 15)] AS sig FROM hs),
+             | banded AS (SELECT doc_id,
+             |  CAST(b AS VARCHAR) || ',' ||
+             |   array_to_string(sig[b*4+1 : b*4+4], ',') AS bk
+             |  FROM sig, generate_series(0, 3) AS g(b)),
+             | cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+             |  FROM banded l JOIN banded r
+             |    ON l.bk = r.bk AND l.doc_id < r.doc_id
+             |  WHERE l.doc_id % 4 = 0 OR r.doc_id % 4 = 0),
+             | verified AS (SELECT c.a, c.b,
+             |  CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
+             |   / (len(sa.hset) + len(sb.hset)
+             |      - len(list_intersect(sa.hset, sb.hset))) AS jaccard
+             |  FROM cand c JOIN sets sa ON sa.doc_id = c.a
+             |  JOIN sets sb ON sb.doc_id = c.b)
+             |SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.5
+             |ORDER BY a, b""".stripMargin)),
+
     // ------------------------------------------------------ pipeline: text LM
     QueryDef("x33_bigram_lm",
       // self-trained bigram-LM predictability score (the n-gram

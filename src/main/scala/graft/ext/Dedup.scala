@@ -325,6 +325,66 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Fold a probed batch INTO a [[writeBandIndex]] index, so the next
+    * batch dedups against corpus + this batch — the other half of the
+    * daily-increment loop (probe, then append). Appends land as
+    * additional bucket-tagged files per bucket id, so the bucketed
+    * scan still arrives pre-partitioned for future probes; nothing
+    * existing is rewritten (append cost scales with the batch).
+    * CONTRACT: (k, bands, w) must equal the index's build parameters —
+    * signatures from a different family are silently incompatible.
+    * Bucket count is read from the catalog, not trusted from the
+    * caller. N appends leave N files per bucket; when the small-file
+    * count starts to dominate scan setup (thousands of epochs),
+    * compact by re-running [[writeBandIndex]] over the re-read union —
+    * the index is derived state, so compaction is just a rebuild
+    * scheduled at leisure, not a correctness event. */
+  def appendBandIndex(name: String, batch: DataFrame, k: Int = 16,
+                      bands: Int = 4, w: Int = 3, idCol: String = "doc_id",
+                      textCol: String = "text"): Unit = {
+    val spark = batch.sparkSession
+    val buckets = spark.sql(s"DESCRIBE FORMATTED ${name}_bands")
+      .filter(col("col_name") === "Num Buckets")
+      .select("data_type").head().getString(0).trim.toInt
+    val (banded, sets) = md5BandedSets(batch, k, bands, w, idCol, textCol)
+    banded.write.mode(SaveMode.Append)
+      .bucketBy(buckets, "bk").sortBy("bk")
+      .format("parquet").saveAsTable(s"${name}_bands")
+    sets.write.mode(SaveMode.Append)
+      .bucketBy(buckets, "id").sortBy("id")
+      .format("parquet").saveAsTable(s"${name}_docs")
+  }
+
+  /** Continuous near-dup over a document stream: each micro-batch is
+    * probed against the index ([[probeBandIndex]]), the surviving
+    * pairs land in `pairsDir/epoch=N/`, and the batch is then folded
+    * in ([[appendBandIndex]]) so later epochs dedup against it. The
+    * parquet write MATERIALIZES the probe before the append runs —
+    * order matters, or the batch would meet itself through the index
+    * and double-count its self-pairs. Accumulated pairs across epochs
+    * equal the one-shot rebuild pair set (StreamingSpec pins it).
+    * The per-epoch Overwrite makes the PAIRS output idempotent under
+    * foreachBatch's at-least-once replay; exactly-once for the INDEX
+    * append additionally needs an epoch-gated commit (e.g. a
+    * last-committed-epoch row checked before appending), which a
+    * production deployment should add around this. */
+  def streamingNearDup(name: String, stream: DataFrame, pairsDir: String,
+                       threshold: Double = 0.7, k: Int = 16, bands: Int = 4,
+                       w: Int = 3, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        val b = batch.localCheckpoint() // probe + append both consume it
+        probeBandIndex(name, b, threshold, k, bands, w, idCol, textCol)
+          .write.mode(SaveMode.Overwrite).parquet(s"$pairsDir/epoch=$epoch")
+        appendBandIndex(name, b, k, bands, w, idCol, textCol)
+    }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+
   /** SimHash: 64-bit locality-sensitive fingerprint. Per token the
     * xxhash64 bits vote +1/-1 per position; sign of the sum forms the
     * fingerprint. One fused native pass over the token hashes

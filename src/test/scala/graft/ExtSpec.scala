@@ -105,6 +105,28 @@ class ExtSpec extends SparkSuite {
     assert(Dedup.probeBandIndex("extspec_x42", docs.limit(0)).count() == 0)
   }
 
+  test("appendBandIndex: probe after N appends equals full rebuild (X1)") {
+    // day 0: index {3,4}; day 1: append {2}; day 2: append {0};
+    // day 3's batch {1} probes — must see pairs against EVERY earlier
+    // doc, including ones that arrived via append, exactly as if the
+    // whole corpus had been indexed in one shot
+    Dedup.writeBandIndex(docs.filter(col("doc_id").isin(3L, 4L)), "extspec_x43")
+    Dedup.appendBandIndex("extspec_x43", docs.filter(col("doc_id") === 2L))
+    Dedup.appendBandIndex("extspec_x43", docs.filter(col("doc_id") === 0L))
+    val inc = Dedup.probeBandIndex("extspec_x43",
+        docs.filter(col("doc_id") === 1L), threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    Dedup.writeBandIndex(docs.filter(col("doc_id") =!= 1L), "extspec_x43f")
+    val full = Dedup.probeBandIndex("extspec_x43f",
+        docs.filter(col("doc_id") === 1L), threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc == full)
+    // doc 0 arrived via the SECOND append and is 1's exact duplicate:
+    // identical docs share every band, so this pair is guaranteed —
+    // a dropped append cannot hide
+    assert(inc.contains((0L, 1L, 1.0)))
+  }
+
   test("nearDupClusters: components of the pair graph, min-id canonical (X1)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
     val out = Dedup.nearDupClusters(pairs)

@@ -227,6 +227,39 @@ class StreamingSpec extends SparkSuite {
     assert(batch.exists { case (id, _, _, lang) => id == 2L && lang == "es" })
   }
 
+  test("streaming near-dup: per-epoch probe+append accumulates to the full rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    val day1 = Seq((0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"))
+    val day2 = Seq((3L, "unrelated totally different words here now"),
+      (4L, "one two three four five six seven")) // exact dup of day-1's 2
+    graft.ext.Dedup.writeBandIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "streamspec_nd")
+    val pairsDir = java.nio.file.Files.createTempDirectory("nd_pairs").toString
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.ext.Dedup.streamingNearDup("streamspec_nd",
+      stream.toDF().toDF("doc_id", "text"), pairsDir, threshold = 0.5)
+    stream.addData(day1); q.processAllAvailable()
+    stream.addData(day2); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(pairsDir)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // the one-shot rebuild through the same machinery: everything
+    // probed against an empty index degenerates to the all-pairs set
+    graft.ext.Dedup.writeBandIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "streamspec_nd_f")
+    val full = graft.ext.Dedup.probeBandIndex("streamspec_nd_f",
+        (day1 ++ day2).toDF("doc_id", "text"), threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == full)
+    assert(streamed.contains((0L, 1L, 1.0))) // intra-epoch pair
+    // CROSS-epoch pair: day 2's doc 4 duplicates day 1's doc 2, which
+    // it can only see through the index append — proves epoch 1's
+    // batch was folded in before epoch 2 probed
+    assert(streamed.contains((2L, 4L, 1.0)))
+  }
+
   test("json props extraction (get_json_object path)") {
     val df = events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val out = EventStreams.withProps(df, "k")
