@@ -3101,6 +3101,38 @@ object SparkEntry {
              |SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.5
              |ORDER BY a, b""".stripMargin)),
 
+    QueryDef("x44_repeated_spans",
+      // token-level substring dedup: positional spans of >= 5 tokens
+      // whose content recurs >= 2 times corpus-wide (the 50-token rule
+      // at corpus scale, shrunk to the test corpus's doc lengths) —
+      // finds shared boilerplate doc-level dedup can't see. The oracle
+      // re-derives the md5-48bit window hashes and the islands-and-
+      // gaps interval merge, so positions AND window counts must agree
+      // exactly.
+      (s, dir) => Dedup.repeatedSpans(docs(s, dir), minLen = 5)
+        .orderBy("doc_id", "span_start"),
+      Some("""WITH toks AS (SELECT doc_id,
+             |  string_split_regex(trim(text), '\s+') AS tk FROM documents),
+             | wlist AS (SELECT doc_id,
+             |  [{'pos': i - 1,
+             |    'wh': CAST(('0x' || substr(md5(array_to_string(tk[i:i+4], ' ')),
+             |      1, 12)) AS BIGINT)}
+             |   for i in generate_series(1, len(tk) - 4)] AS ws
+             |  FROM toks WHERE len(tk) >= 5),
+             | wins AS (SELECT doc_id, unnest(ws, recursive := true) FROM wlist),
+             | cnt AS (SELECT *, count(*) OVER (PARTITION BY wh) AS c FROM wins),
+             | dup AS (SELECT doc_id, pos FROM cnt WHERE c >= 2),
+             | isl AS (SELECT doc_id, pos,
+             |  CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 5
+             |       THEN 1 ELSE 0 END AS ni FROM dup),
+             | grp AS (SELECT doc_id, pos, sum(ni) OVER (
+             |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING
+             |  ) AS island FROM isl)
+             |SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+             |  count(*) AS n_windows
+             |FROM grp GROUP BY doc_id, island
+             |ORDER BY doc_id, span_start""".stripMargin)),
+
     // ------------------------------------------------------ pipeline: text LM
     QueryDef("x33_bigram_lm",
       // self-trained bigram-LM predictability score (the n-gram

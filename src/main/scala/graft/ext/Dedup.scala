@@ -385,6 +385,54 @@ object Dedup {
     writer.start()
   }
 
+  /** Token-level repeated-span detection — the substring-dedup
+    * operator (public recipe: remove spans of >= minLen tokens whose
+    * content occurs >= minCount times anywhere in the corpus; cf. the
+    * train-data dedup literature's 50-token rule). Doc-level dedup
+    * misses boilerplate shared by otherwise-distinct pages; this
+    * finds it positionally so a cleaner can cut the span, not the doc.
+    *
+    * Every minLen-token window is hashed (md5-48bit family — the
+    * portable recipe, so the x44 oracle re-derives identical hashes);
+    * windows whose hash repeats (across docs OR within one — self-
+    * repetition is boilerplate too) are merged into maximal
+    * overlapping-or-adjacent spans per doc. Exactly two shuffles at
+    * any scale: one on the 8-byte window hash (the repeat count rides
+    * a partition-local window function — no second pass), one on
+    * doc_id for the interval merge; text never shuffles. Returns
+    * (doc_id, span_start, span_end, n_windows), token positions
+    * 0-based inclusive. */
+  def repeatedSpans(docs: DataFrame, minLen: Int = 20, minCount: Int = 2,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val L = minLen
+    val toks = docs.select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("tk"))
+      .filter(size(col("tk")) >= L)
+    val wins = toks.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("tk")) - L), i =>
+          conv(substring(md5(concat_ws(" ", slice(col("tk"), i + 1, lit(L)))),
+            1, 12), 16, 10).cast("long"))))
+      .toDF("doc_id", "pos", "wh")
+    val dupW = wins
+      .withColumn("cnt", count("*").over(Window.partitionBy("wh")))
+      .filter(col("cnt") >= minCount)
+    // islands-and-gaps over same-length intervals [pos, pos+L-1]:
+    // running max end is lag(pos)+L-1, so a new island starts exactly
+    // when pos > lag(pos)+L (not even adjacent); first row's null lag
+    // falls through to 0
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    dupW
+      .withColumn("ni",
+        when(col("pos") > lag("pos", 1).over(byDoc) + L, 1).otherwise(0))
+      .withColumn("island", sum("ni").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") + lit(L - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+  }
+
   /** SimHash: 64-bit locality-sensitive fingerprint. Per token the
     * xxhash64 bits vote +1/-1 per position; sign of the sum forms the
     * fingerprint. One fused native pass over the token hashes

@@ -19,7 +19,10 @@ import graft.ext.Dedup
  * (candidate verification against more duplicates is real output
  * growth, reported separately as pair count).
  *
- * Usage: runMain graft.tools.BenchBandIndex <sfDir> [batchN]
+ * Usage: runMain graft.tools.BenchBandIndex <sfDir> [batchN] [replicate]
+ * `replicate` stacks the corpus N× with id strides (the
+ * [[SynthesizeScale]] verbatim-copy convention, in-memory — no disk
+ * SF needed) to reach decades the driver data doesn't cover.
  * Prints one JSON line: build/probe wall seconds + corpus/batch/pair
  * counts.
  */
@@ -27,6 +30,7 @@ object BenchBandIndex {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val batchN = if (args.length > 1) args(1).toInt else 500
+    val replicate = if (args.length > 2) args(2).toInt else 1
     val spark = SparkSession.builder()
       .master(s"local[${Runtime.getRuntime.availableProcessors}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -35,8 +39,18 @@ object BenchBandIndex {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val base = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text")
+    val docStride = {
+      val mx = base.agg(max(col("doc_id"))).head().getLong(0)
+      var s = 10L; while (s <= mx) s *= 10; s
+    }
+    val docs =
+      if (replicate <= 1) base
+      else base.crossJoin(
+          spark.range(replicate).select(col("id").as("replica")))
+        .select((col("doc_id") + col("replica") * lit(docStride)).as("doc_id"),
+          col("text"))
     val corpusN = docs.count()
     // smallest-id slice, re-keyed disjoint: same batch at every scale
     val batch = docs.orderBy("doc_id").limit(batchN)

@@ -127,6 +127,24 @@ class ExtSpec extends SparkSuite {
     assert(inc.contains((0L, 1L, 1.0)))
   }
 
+  test("repeatedSpans: maximal merged spans of corpus-repeated windows (X1)") {
+    val d = Seq(
+      (10L, "a b c d e f g h i j"),               // shares a b c d e f with 11
+      (11L, "z y a b c d e f w v u t"),
+      (12L, "p q r s t u v w x"),                 // nothing repeated
+      (13L, "m m m m m m m m m m m m"),           // self-repetition is boilerplate
+      (14L, "a b c d e x1 x2 x3 x4 x5 x6 b c d e f")) // two SEPARATE spans
+      .toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(d, minLen = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (10L, 0L, 5L, 2L),   // windows at pos 0,1 overlap -> one span
+      (11L, 2L, 7L, 2L),
+      (13L, 0L, 11L, 8L),  // all 8 windows identical -> one full-doc span
+      (14L, 0L, 4L, 1L),   // gap of unique tokens keeps the two
+      (14L, 11L, 15L, 1L)))//   occurrences as separate spans
+  }
+
   test("nearDupClusters: components of the pair graph, min-id canonical (X1)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
     val out = Dedup.nearDupClusters(pairs)

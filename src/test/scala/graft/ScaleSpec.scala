@@ -117,6 +117,19 @@ class ScaleSpec extends SparkSuite {
       s"scd2 must stay equi-joined on the dimension key:\n$plan")
   }
 
+  test("repeatedSpans: exactly two hash exchanges — window hash, then doc merge") {
+    val d = (0 until 30).map(i => (i.toLong, "a b c d e f g h i j"))
+      .toDF("doc_id", "text")
+    val plan = graft.ext.Dedup.repeatedSpans(d, minLen = 5)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // count on the 8-byte wh rides one exchange; the islands merge +
+    // (doc_id, island) groupBy share the doc_id exchange (hash(doc_id)
+    // satisfies the grouping's clustering) — text shuffles in neither
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected exactly two hash exchanges:\n$plan")
+  }
+
   test("band index: bucketed on bk — a probe join needs no index-side exchange") {
     val docs = (0 until 40).map(i =>
         (i.toLong, s"alpha beta gamma delta epsilon zeta token${i % 7}"))
