@@ -2849,6 +2849,32 @@ object SparkEntry {
              |   AS BIGINT) % 1000000 < w_ppm
              |ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("x45_mixture_sample",
+      // training-data mixture: the LARGEST deterministic subsample
+      // hitting target language shares (en .4 / zh .2 / es .2 /
+      // de .1 / fr .1). Rates are DERIVED (K = min n_c/w_c; es is the
+      // binding category at sf0.01 and keeps everything), selection is
+      // the portable md5 ppm bucket — the oracle re-derives counts,
+      // the double rate arithmetic in the same operation order, and
+      // the per-row keep decision, so the kept set matches row-for-row.
+      (s, dir) => Sampling.mixtureSample(docs(s, dir), "lang", "doc_id",
+          Seq("en" -> 0.4, "zh" -> 0.2, "es" -> 0.2, "de" -> 0.1, "fr" -> 0.1))
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      Some("""WITH w(cat, wt) AS (VALUES ('en', 0.4), ('zh', 0.2),
+             |  ('es', 0.2), ('de', 0.1), ('fr', 0.1)),
+             | n AS (SELECT lang AS cat, count(*) AS n
+             |   FROM documents GROUP BY 1),
+             | k AS (SELECT min(n.n / w.wt) AS kk FROM n JOIN w USING (cat)),
+             | r AS (SELECT cat,
+             |   CAST(floor(w.wt * k.kk / n.n * 1000000) AS BIGINT) AS ppm
+             |   FROM n JOIN w USING (cat) CROSS JOIN k)
+             |SELECT d.doc_id, d.lang FROM documents d
+             | JOIN r ON r.cat = d.lang
+             | WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+             |    AS BIGINT) % 1000000 < r.ppm
+             |ORDER BY d.doc_id""".stripMargin)),
+
     QueryDef("x36_countmin",
       // Count-Min frequency sketch over the token stream as a typed
       // Aggregator (exactly mergeable: elementwise-add matrix, any

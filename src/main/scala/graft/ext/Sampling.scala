@@ -67,6 +67,40 @@ object Sampling {
     df.filter(b < weightPpm)
   }
 
+  /** The data-mixture operator of a training recipe: the LARGEST
+    * deterministic subsample whose category proportions hit `weights`
+    * (e.g. lang -> share, or source-domain -> share). Rates are
+    * derived, not given: K = min over categories of n_c / w_c is the
+    * largest total honoring every share with the rows available, and
+    * category c keeps ~w_c * K rows (the binding category keeps ALL —
+    * upsampling is out of scope, this subsamples). Selection is
+    * [[weightedBernoulli]] on the md5 ppm bucket of the key, so the
+    * kept set is identical across runs, partitionings, and engines
+    * (the x45 oracle re-derives it row-for-row); expected-count, not
+    * exact-count, which keeps the corpus pass MAP-ONLY. Categories
+    * absent from `weights` are dropped. At scale: one tiny groupBy
+    * count on the category column, rates broadcast back — the corpus
+    * itself never shuffles. Double arithmetic is ordered identically
+    * to the oracle ((w*K)/n*1e6, IEEE-correctly-rounded ops), so the
+    * integer ppm thresholds match bit-for-bit. */
+  def mixtureSample(df: DataFrame, strataCol: String, keyCol: String,
+                    weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "mixtureSample: weights must be non-empty and positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights.toDF("cat", "wt")
+    val n = df.groupBy(col(strataCol).as("cat")).agg(count(lit(1)).as("n"))
+    val k = n.join(w, "cat").agg(min(col("n") / col("wt")).as("kk"))
+    val rates = n.join(w, "cat").crossJoin(broadcast(k))
+      .select(col("cat"),
+        floor(col("wt") * col("kk") / col("n") * lit(1000000)).as("ppm"))
+    weightedBernoulli(
+      df.join(broadcast(rates), df(strataCol) === rates("cat"))
+        .drop("cat"),
+      keyCol, col("ppm")).drop("ppm")
+  }
+
   /** Per-stratum deterministic downsample: keep ~`fraction(stratum)`
     * of rows, chosen by key hash (so the SAME rows survive every
     * run). Strata missing from the map are dropped. */

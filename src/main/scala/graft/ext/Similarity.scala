@@ -200,10 +200,21 @@ object Similarity {
     * a bucket is planning-time partition pruning, so a query touches
     * exactly its bucket's files, never the corpus. `portable` selects
     * the md5 plane family (bucket ids re-derivable outside Spark, so
-    * other systems can address the same layout). */
+    * other systems can address the same layout). `audit` adds one
+    * corpus aggregation asserting fixed embedding width BEFORE
+    * anything persists — [[probeDim]]'s contract says mixed widths
+    * make a portable layout NONDETERMINISTIC (which row the dim probe
+    * sees is plan-order dependent), and a persisted index is exactly
+    * where silent nondeterminism is worth one scan to rule out. */
   def writeBucketed(corpus: DataFrame, path: String, planes: Int = 6,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    portable: Boolean = false): Unit = {
+                    portable: Boolean = false, audit: Boolean = false): Unit = {
+    if (audit) {
+      val widths = corpus.filter(col(vecCol).isNotNull)
+        .agg(countDistinct(size(col(vecCol)))).head().getLong(0)
+      require(widths <= 1, s"writeBucketed audit: $widths distinct embedding " +
+        "widths — a persisted layout requires one embedding model")
+    }
     val bucketFn: Column => Column =
       if (portable) probeDim(corpus, vecCol) match {
         case Some(dim) => lshBucketPortableStatic(_, planes, dim)

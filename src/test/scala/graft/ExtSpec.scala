@@ -377,6 +377,23 @@ class ExtSpec extends SparkSuite {
       s"bucket probe did not prune partitions:\n$plan")
   }
 
+  test("writeBucketed audit: mixed embedding widths refuse to persist (X2)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-audit").toString
+    val mixed = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.writeBucketed(mixed, s"$dir/bad", planes = 2,
+        portable = true, audit = true)
+    }
+    assert(e.getMessage.contains("distinct embedding widths"))
+    // fixed width (nulls ignored) passes the same audit
+    val ok = Seq((0L, Array(1.0f, 0.0f)), (1L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    Similarity.writeBucketed(ok, s"$dir/good", planes = 2,
+      portable = true, audit = true)
+    assert(new java.io.File(s"$dir/good").exists())
+  }
+
   test("IVF topK: identical vector found when query and twin share a cell (X2)") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.1f)),

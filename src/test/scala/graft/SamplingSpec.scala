@@ -67,4 +67,27 @@ class SamplingSpec extends SparkSuite {
       Sampling.stratifiedSample(rows, "lang", "id", Map("en" -> 0.5))
         .select("id").as[Long].collect().sorted))
   }
+
+  test("mixtureSample: largest subsample hitting target shares; binding category keeps all") {
+    val d = Seq((0L, "A"), (1L, "A"), (2L, "A"), (3L, "A"),
+      (4L, "B"), (5L, "B"), (6L, "C")).toDF("doc_id", "lang")
+    val out = Sampling.mixtureSample(d, "lang", "doc_id",
+        Seq("A" -> 0.5, "B" -> 0.5))
+      .as[(Long, String)].collect().toSet
+    // K = min(4/.5, 2/.5) = 4 -> A rate ppm = 500000, B rate = 1.0
+    // (binding category keeps ALL); C is unweighted -> dropped
+    assert(out.filter(_._2 == "B").map(_._1) == Set(4L, 5L))
+    assert(!out.exists(_._2 == "C"))
+    // A's kept set is exactly the md5-ppm filter at the derived rate —
+    // the same decision weightedBernoulli makes with ppm = 500000
+    val expectA = Sampling.weightedBernoulli(
+        d.filter($"lang" === "A"), "doc_id", lit(500000L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.filter(_._2 == "A").map(_._1) == expectA)
+    // stable under repartitioning (content-keyed, not rand())
+    val again = Sampling.mixtureSample(d.repartition(5), "lang", "doc_id",
+        Seq("A" -> 0.5, "B" -> 0.5))
+      .as[(Long, String)].collect().toSet
+    assert(again == out)
+  }
 }
