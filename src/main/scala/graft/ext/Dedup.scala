@@ -296,13 +296,24 @@ object Dedup {
     * guarantee (the g43 pattern, in the dedup domain). */
   def probeBandIndex(name: String, batch: DataFrame, threshold: Double = 0.7,
                      k: Int = 16, bands: Int = 4, w: Int = 3,
-                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                     idCol: String = "doc_id", textCol: String = "text",
+                     auditDisjoint: Boolean = false): DataFrame = {
     val spark = batch.sparkSession
     val idxBands = spark.table(s"${name}_bands")
     val idxDocs = spark.table(s"${name}_docs")
     val (bBands0, bSets0) = md5BandedSets(batch, k, bands, w, idCol, textCol)
     val bBands = bBands0.localCheckpoint() // feeds corpus join + self-join
     val bSets = bSets0.localCheckpoint()   // feeds both verify sides
+    if (auditDisjoint) {
+      // a batch id already in the index would alias its stored twin
+      // through every verify join (self-pairs dropped as e===n, real
+      // pairs double-counted) — the probe's rebuild-equivalence only
+      // holds for NEW ids. Batch-sized semi-probe; the id-bucketed
+      // index side needs no exchange.
+      val overlap = idxDocs.join(bSets, Seq("id"), "left_semi").count()
+      require(overlap == 0L, s"probeBandIndex: $overlap batch ids already " +
+        "indexed — probe before appending, with fresh ids")
+    }
     val crossPairs = idxBands.select(col("bk"), col("id").as("e"))
       .join(bBands.select(col("bk"), col("id").as("n")), Seq("bk"))
       .filter(col("e") =!= col("n"))

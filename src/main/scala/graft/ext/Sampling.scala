@@ -91,6 +91,14 @@ object Sampling {
     import spark.implicits._
     val w = weights.toDF("cat", "wt")
     val n = df.groupBy(col(strataCol).as("cat")).agg(count(lit(1)).as("n"))
+    // a weighted category with NO rows means the target mixture is
+    // unsatisfiable (its share can never be met) — failing beats the
+    // inner join silently renormalizing the recipe; the collect is
+    // bounded by the weights list, not the corpus
+    val missing = w.join(n, Seq("cat"), "left_anti")
+      .select("cat").as[String].collect()
+    require(missing.isEmpty, "mixtureSample: weighted categories absent " +
+      s"from the corpus: ${missing.mkString(", ")}")
     val k = n.join(w, "cat").agg(min(col("n") / col("wt")).as("kk"))
     val rates = n.join(w, "cat").crossJoin(broadcast(k))
       .select(col("cat"),

@@ -103,6 +103,17 @@ class ExtSpec extends SparkSuite {
     assert(inc.contains((0L, 1L, 1.0))) // identical docs share every band
     // an empty batch probes to an empty result, not an error
     assert(Dedup.probeBandIndex("extspec_x42", docs.limit(0)).count() == 0)
+    // auditDisjoint catches a batch id that is already indexed (doc 1
+    // is in the index; probing it again would alias its stored twin)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.probeBandIndex("extspec_x42",
+        docs.filter(col("doc_id") === 1L), auditDisjoint = true).count()
+    }
+    assert(e.getMessage.contains("already"))
+    // and passes on genuinely fresh ids
+    assert(Dedup.probeBandIndex("extspec_x42",
+      docs.filter(col("doc_id").isin(batchIds.toSeq: _*)),
+      threshold = 0.5, auditDisjoint = true).count() > 0)
   }
 
   test("appendBandIndex: probe after N appends equals full rebuild (X1)") {

@@ -89,5 +89,12 @@ class SamplingSpec extends SparkSuite {
         Seq("A" -> 0.5, "B" -> 0.5))
       .as[(Long, String)].collect().toSet
     assert(again == out)
+    // a weighted category with no rows makes the mixture unsatisfiable
+    // -> refuse, don't silently renormalize
+    val e = intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(d, "lang", "doc_id",
+        Seq("A" -> 0.5, "ZZ" -> 0.5))
+    }
+    assert(e.getMessage.contains("ZZ"))
   }
 }
