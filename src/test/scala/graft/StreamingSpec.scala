@@ -260,6 +260,39 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.contains((2L, 4L, 1.0)))
   }
 
+  test("streaming near-dup survives a restart: resumed query continues, nothing re-emitted") {
+    val srcDir = java.nio.file.Files.createTempDirectory("nd_src").toString
+    val pairsDir = java.nio.file.Files.createTempDirectory("nd_rpairs").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("nd_ckpt").toString
+    val day1 = Seq((0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"))
+    val day2 = Seq((3L, "unrelated totally different words here now"),
+      (4L, "one two three four five six seven"))
+    graft.ext.Dedup.writeBandIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "streamspec_nd_r")
+    def startQ() = graft.ext.Dedup.streamingNearDup("streamspec_nd_r",
+      spark.readStream.schema("doc_id LONG, text STRING").parquet(srcDir),
+      pairsDir, threshold = 0.5, checkpointDir = Some(ckpt))
+    day1.toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    val q1 = startQ(); q1.processAllAvailable(); q1.stop()
+    day2.toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    // a NEW query on the same checkpoint resumes past day 1's offsets
+    val q2 = startQ(); q2.processAllAvailable(); q2.stop()
+    val emitted = spark.read.parquet(pairsDir)
+    // cross-restart pair: day 2's doc 4 sees day 1's doc 2 only
+    // through the index the pre-restart query appended
+    val pairs = emitted.select("a", "b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs.contains((2L, 4L, 1.0)))
+    assert(pairs.contains((0L, 1L, 1.0)))
+    // nothing re-emitted, nothing double-appended: every pair appears
+    // in exactly one epoch, with exactly one row
+    val dupes = emitted.groupBy("a", "b").count()
+      .filter(col("count") > 1).count()
+    assert(dupes == 0L)
+  }
+
   test("json props extraction (get_json_object path)") {
     val df = events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val out = EventStreams.withProps(df, "k")
