@@ -3159,6 +3159,63 @@ object SparkEntry {
              |FROM grp GROUP BY doc_id, island
              |ORDER BY doc_id, span_start""".stripMargin)),
 
+    QueryDef("x46_incremental_clusters",
+      // the clustering leg of the daily increment: cluster the corpus
+      // once, probe the batch against the index, then MERGE the new
+      // pairs into the standing assignment (mergeClusters — cost
+      // O(assignments + new pairs), the original pair graph is never
+      // revisited). The oracle re-clusters EVERYTHING from scratch
+      // (full closure over the unrestricted band-candidate pair set),
+      // so the hash-match proves incremental cluster maintenance
+      // equals full recomputation — including batch pairs that BRIDGE
+      // two previously-separate corpus clusters.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val corpus = d.filter(col("doc_id") % 4 =!= 0)
+        Dedup.writeBandIndex(corpus, "x46_idx")
+        Dedup.writeBandIndex(d.limit(0), "x46_empty")
+        val assign = Dedup.nearDupClusters(
+          Dedup.probeBandIndex("x46_empty", corpus, threshold = 0.5))
+        val batchPairs = Dedup.probeBandIndex("x46_idx",
+          d.filter(col("doc_id") % 4 === 0), threshold = 0.5)
+        Dedup.mergeClusters(assign, batchPairs).orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id,
+             |  string_split_regex(trim(text), '\s+') AS tk FROM documents),
+             | sh AS (SELECT doc_id, list_distinct(
+             |  [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+             |   for i in generate_series(1, len(tk) - 2)]) AS s FROM toks
+             |  WHERE len(tk) >= 3),
+             | hs AS (SELECT doc_id,
+             |  [CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 2147483647
+             |   for x in s] AS h FROM sh WHERE len(s) > 0),
+             | sets AS (SELECT doc_id, list_distinct(h) AS hset FROM hs),
+             | sig AS (SELECT doc_id,
+             |  [list_min([(hv * (2*k+1) + k) % 2147483647 for hv in h])
+             |   for k in generate_series(0, 15)] AS sig FROM hs),
+             | banded AS (SELECT doc_id,
+             |  CAST(b AS VARCHAR) || ',' ||
+             |   array_to_string(sig[b*4+1 : b*4+4], ',') AS bk
+             |  FROM sig, generate_series(0, 3) AS g(b)),
+             | cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+             |  FROM banded l JOIN banded r
+             |    ON l.bk = r.bk AND l.doc_id < r.doc_id),
+             | verified AS (SELECT c.a, c.b,
+             |  CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
+             |   / (len(sa.hset) + len(sb.hset)
+             |      - len(list_intersect(sa.hset, sb.hset))) AS jaccard
+             |  FROM cand c JOIN sets sa ON sa.doc_id = c.a
+             |  JOIN sets sb ON sb.doc_id = c.b),
+             | p AS (SELECT a, b FROM verified WHERE jaccard >= 0.5),
+             | e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+             | reach(id, r) AS (
+             |  SELECT a, a FROM e
+             |  UNION
+             |  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b)
+             |SELECT id AS doc_id, MIN(r) AS cluster,
+             |  (id = MIN(r)) AS is_canonical
+             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
     // ------------------------------------------------------ pipeline: text LM
     QueryDef("x33_bigram_lm",
       // self-trained bigram-LM predictability score (the n-gram

@@ -585,6 +585,28 @@ object Dedup {
       (col("id") === col("lbl")).as("is_canonical"))
   }
 
+  /** Fold NEW near-dup pairs (a [[probeBandIndex]] batch result) into
+    * an existing [[nearDupClusters]] assignment WITHOUT revisiting the
+    * original pair graph — the clustering leg of the daily-increment
+    * loop. The member→canonical assignment rows are themselves edges
+    * that connect exactly the old components, so label-prop over
+    * (assignment edges ∪ new pairs) yields the components of
+    * (old pairs ∪ new pairs) — and the old edges are STAR-shaped
+    * (every member one hop from its canonical), so convergence takes
+    * ~3 rounds regardless of how deep the original pair graph's
+    * diameter was: state is one row per previously-paired doc, cost is
+    * O(assignments + new pairs), never O(original pairs). Min-id
+    * canonicals are preserved because each old label is the component
+    * minimum and a member of it. Equals a from-scratch re-cluster of
+    * the union (spec-pinned; x46 hash-matches the full-closure DuckDB
+    * oracle). */
+  def mergeClusters(assignments: DataFrame, newPairs: DataFrame): DataFrame = {
+    val assignEdges = assignments
+      .filter(col("doc_id") =!= col("cluster")) // self-edges add nothing
+      .select(col("doc_id").as("a"), col("cluster").as("b"))
+    nearDupClusters(assignEdges.unionByName(newPairs.select("a", "b")))
+  }
+
   /** Train/eval contamination check — the decontamination step every
     * benchmark-respecting pipeline runs: for each NON-train doc, count
     * the distinct w-token shingles it shares with any train doc (and

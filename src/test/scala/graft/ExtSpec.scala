@@ -138,6 +138,21 @@ class ExtSpec extends SparkSuite {
     assert(inc.contains((0L, 1L, 1.0)))
   }
 
+  test("mergeClusters: folding new pairs == re-clustering the union (X1)") {
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val assign = Dedup.nearDupClusters(oldPairs)
+    // batch pairs BRIDGE clusters {1,2,3} and {5,6}, and open a new one
+    val newPairs = Seq((3L, 5L), (8L, 9L)).toDF("a", "b")
+    val merged = Dedup.mergeClusters(assign, newPairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val scratch = Dedup.nearDupClusters(
+        oldPairs.unionByName(newPairs))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(merged == scratch)
+    assert(merged.contains((6L, 1L, false))) // 6 re-canonicalized via bridge
+    assert(merged.contains((8L, 8L, true)))
+  }
+
   test("repeatedSpans: maximal merged spans of corpus-repeated windows (X1)") {
     val d = Seq(
       (10L, "a b c d e f g h i j"),               // shares a b c d e f with 11
