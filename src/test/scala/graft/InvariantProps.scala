@@ -121,6 +121,58 @@ object InvariantProps extends Properties("GraftInvariants") {
       }
     }
 
+  property("mergeClusters(old assignment, new pairs) == clustering all pairs") =
+    forAll(genPairs, genPairs) { (oldPairs, newPairs) =>
+      import spark.implicits._
+      val all = oldPairs ++ newPairs
+      (oldPairs.isEmpty || newPairs.isEmpty || all.isEmpty) || {
+        val assign = Dedup.nearDupClusters(oldPairs.toDF("a", "b"))
+        val merged = Dedup.mergeClusters(assign, newPairs.toDF("a", "b"))
+          .as[(Long, Long, Boolean)].collect().toSet
+        val scratch = Dedup.nearDupClusters(all.toDF("a", "b"))
+          .as[(Long, Long, Boolean)].collect().toSet
+        merged == scratch
+      }
+    }
+
+  // small alphabet so window repeats are common; docs below minLen
+  // tokens must contribute nothing
+  private val genCorpus = for {
+    n <- Gen.choose(2, 6)
+    docs <- Gen.listOfN(n, Gen.choose(0, 12).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e"))))
+  } yield docs.zipWithIndex.map { case (toks, i) => (i.toLong, toks) }
+
+  property("repeatedSpans == brute-force window count + interval merge") =
+    forAll(genCorpus) { corpus =>
+      import spark.implicits._
+      val L = 3
+      val out = Dedup.repeatedSpans(
+          corpus.map { case (id, t) => (id, t.mkString(" ")) }
+            .toDF("doc_id", "text"),
+          minLen = L)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // ground truth on the driver: count every L-window corpus-wide,
+      // keep repeated positions, merge overlapping-or-adjacent spans
+      val wins = corpus.flatMap { case (id, toks) =>
+        toks.sliding(L).zipWithIndex.collect {
+          case (w, i) if w.size == L => (id, i, w.mkString(" ")) } }
+      val freq = wins.groupBy(_._3).map { case (k, v) => k -> v.size }
+      val expected = wins.filter(w => freq(w._3) >= 2)
+        .groupBy(_._1).toSeq.flatMap { case (id, ws) =>
+          val ps = ws.map(_._2).sorted
+          val islands = ps.tail.foldLeft(List(List(ps.head))) {
+            case (acc @ (cur :: rest), p) =>
+              if (p > cur.head + L) List(p) :: acc
+              else (p :: cur) :: rest
+            case (acc, _) => acc
+          }
+          islands.map(isl =>
+            (id, isl.min.toLong, isl.max.toLong + L - 1, isl.size.toLong))
+        }.toSet
+      out == expected
+    }
+
   private val genVecs = for {
     n <- Gen.choose(4, 12)
     vs <- Gen.listOfN(n, Gen.listOfN(4, Gen.choose(-100, 100)))
