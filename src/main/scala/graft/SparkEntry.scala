@@ -3216,6 +3216,52 @@ object SparkEntry {
              |  (id = MIN(r)) AS is_canonical
              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("x47_shared_spans",
+      // exact-substring contamination WITH EVIDENCE (the published
+      // 13-gram decontamination recipe, window length 5 at test
+      // scale): for each eval doc (doc_id % 5 = 0), every maximal
+      // verbatim token span shared with a train doc — where it starts
+      // on both sides and how long it is. Matching windows join on the
+      // md5-48bit hash; runs merge along diagonals (eval_pos -
+      // train_pos constant); windows with df > 10 are dropped first
+      // (boilerplate isn't evidence, and the cap is the hot-key bound
+      // at 100 TB). The oracle re-derives hashes, the df cap, and the
+      // diagonal islands, so positions AND lengths must agree exactly.
+      (s, dir) => {
+        val d = docs(s, dir)
+        Dedup.sharedSpans(d.filter(col("doc_id") % 5 =!= 0),
+            d.filter(col("doc_id") % 5 === 0), minLen = 5, maxDf = 10)
+          .orderBy("eval_id", "train_id", "eval_start", "train_start")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |  string_split_regex(trim(text), '\s+') AS tk FROM documents),
+             | wl AS (SELECT doc_id,
+             |  [{'pos': i - 1,
+             |    'wh': CAST(('0x' || substr(md5(array_to_string(tk[i:i+4], ' ')),
+             |      1, 12)) AS BIGINT)}
+             |   for i in generate_series(1, len(tk) - 4)] AS ws
+             |  FROM toks WHERE len(tk) >= 5),
+             | wins AS (SELECT doc_id, unnest(ws, recursive := true) FROM wl),
+             | dfreq AS (SELECT wh FROM (SELECT DISTINCT wh, doc_id FROM wins)
+             |  GROUP BY wh HAVING count(*) <= 10),
+             | ew AS (SELECT doc_id AS eval_id, pos AS ep, wh FROM wins
+             |  WHERE doc_id % 5 = 0 AND wh IN (SELECT wh FROM dfreq)),
+             | tw AS (SELECT doc_id AS train_id, pos AS tp, wh FROM wins
+             |  WHERE doc_id % 5 <> 0 AND wh IN (SELECT wh FROM dfreq)),
+             | m AS (SELECT eval_id, train_id, ep, tp, ep - tp AS diag
+             |  FROM ew JOIN tw USING (wh)),
+             | isl AS (SELECT eval_id, train_id, diag, ep, tp,
+             |  CASE WHEN ep > lag(ep) OVER (
+             |     PARTITION BY eval_id, train_id, diag ORDER BY ep) + 1
+             |   THEN 1 ELSE 0 END AS ni FROM m),
+             | grp AS (SELECT eval_id, train_id, diag, ep, tp, sum(ni) OVER (
+             |   PARTITION BY eval_id, train_id, diag ORDER BY ep
+             |   ROWS UNBOUNDED PRECEDING) AS island FROM isl)
+             |SELECT eval_id, train_id, min(ep) AS eval_start,
+             |  min(tp) AS train_start, count(*) + 4 AS span_tokens
+             |FROM grp GROUP BY eval_id, train_id, diag, island
+             |ORDER BY eval_id, train_id, eval_start, train_start""".stripMargin)),
+
     // ------------------------------------------------------ pipeline: text LM
     QueryDef("x33_bigram_lm",
       // self-trained bigram-LM predictability score (the n-gram

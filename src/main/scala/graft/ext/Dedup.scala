@@ -416,14 +416,7 @@ object Dedup {
   def repeatedSpans(docs: DataFrame, minLen: Int = 20, minCount: Int = 2,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val L = minLen
-    val toks = docs.select(col(idCol).as("doc_id"),
-        split(trim(col(textCol)), "\\s+").as("tk"))
-      .filter(size(col("tk")) >= L)
-    val wins = toks.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(col("tk")) - L), i =>
-          conv(substring(md5(concat_ws(" ", slice(col("tk"), i + 1, lit(L)))),
-            1, 12), 16, 10).cast("long"))))
-      .toDF("doc_id", "pos", "wh")
+    val wins = windowHashes(docs, L, idCol, textCol)
     val dupW = wins
       .withColumn("cnt", count("*").over(Window.partitionBy("wh")))
       .filter(col("cnt") >= minCount)
@@ -442,6 +435,65 @@ object Dedup {
         (max("pos") + lit(L - 1)).cast("long").as("span_end"),
         count(lit(1)).as("n_windows"))
       .select("doc_id", "span_start", "span_end", "n_windows")
+  }
+
+  /** (doc_id, pos, wh) for every L-token window — md5-48bit portable
+    * hashes, 0-based positions; shared by [[repeatedSpans]] and
+    * [[sharedSpans]]. */
+  private def windowHashes(docs: DataFrame, L: Int,
+                           idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("tk"))
+      .filter(size(col("tk")) >= L)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("tk")) - L), i =>
+          conv(substring(md5(concat_ws(" ", slice(col("tk"), i + 1, lit(L)))),
+            1, 12), 16, 10).cast("long"))))
+      .toDF("doc_id", "pos", "wh")
+
+  /** Exact-substring contamination with positional EVIDENCE — the
+    * published decontamination recipe (report every eval example
+    * sharing a >= minLen-token verbatim span with any train doc; the
+    * 13-gram rule at corpus scale): each maximal shared span between
+    * an eval doc and a train doc, as (eval_id, train_id, eval_start,
+    * train_start, span_tokens). Set-overlap contamination (x25) says
+    * WHETHER docs overlap; this says WHERE and HOW LONG, which is what
+    * an audit actually publishes.
+    *
+    * Matching windows equi-join on the md5-48bit window hash (8-byte
+    * keys, text never shuffles). A run of R consecutive matching
+    * windows lies on one DIAGONAL (evalPos - trainPos constant), so
+    * maximal spans are islands over evalPos within
+    * (eval, train, diagonal) — R consecutive windows = R + L - 1
+    * shared tokens. `maxDf` drops windows whose corpus-wide document
+    * frequency exceeds it BEFORE the join: ultra-common boilerplate
+    * n-grams are not contamination evidence, and the df cap is what
+    * bounds the hot-key pair explosion at 100 TB. */
+  def sharedSpans(train: DataFrame, eval: DataFrame, minLen: Int = 13,
+                  maxDf: Int = 1000, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val L = minLen
+    val tw = windowHashes(train, L, idCol, textCol)
+    val ew = windowHashes(eval, L, idCol, textCol)
+    // df over BOTH sides so the cap is symmetric and oracle-derivable
+    val df = tw.select("wh", "doc_id").unionAll(ew.select("wh", "doc_id"))
+      .distinct().groupBy("wh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val m = ew.join(df, "wh")
+      .select(col("doc_id").as("eval_id"), col("pos").as("ep"), col("wh"))
+      .join(tw.select(col("doc_id").as("train_id"), col("pos").as("tp"),
+        col("wh")), Seq("wh"))
+      .withColumn("diag", col("ep") - col("tp"))
+    val byRun = Window.partitionBy("eval_id", "train_id", "diag").orderBy("ep")
+    m.withColumn("ni",
+        when(col("ep") > lag("ep", 1).over(byRun) + 1, 1).otherwise(0))
+      .withColumn("island", sum("ni").over(
+        byRun.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("eval_id"), col("train_id"), col("diag"), col("island"))
+      .agg(min("ep").cast("long").as("eval_start"),
+        min("tp").cast("long").as("train_start"),
+        (count(lit(1)) + lit(L - 1)).as("span_tokens"))
+      .select("eval_id", "train_id", "eval_start", "train_start", "span_tokens")
   }
 
   /** SimHash: 64-bit locality-sensitive fingerprint. Per token the

@@ -171,6 +171,20 @@ class ExtSpec extends SparkSuite {
       (14L, 11L, 15L, 1L)))//   occurrences as separate spans
   }
 
+  test("sharedSpans: maximal eval<->train verbatim spans on diagonals (X1)") {
+    val train = Seq((1L, "a b c d e f g h"), (2L, "x y z w v u"))
+      .toDF("doc_id", "text")
+    val eval = Seq((10L, "q q a b c d e f q q"),
+      (11L, "no overlap tokens here at all")).toDF("doc_id", "text")
+    val out = Dedup.sharedSpans(train, eval, minLen = 3, maxDf = 100)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // "a b c d e f" = 6 shared tokens: eval pos 2..7, train pos 0..5 —
+    // 4 consecutive matching windows on diagonal 2 -> one span of 6
+    assert(out == Set((10L, 1L, 2L, 0L, 6L)))
+    // the df cap drops the evidence windows (each appears in 2 docs)
+    assert(Dedup.sharedSpans(train, eval, minLen = 3, maxDf = 1).count() == 0)
+  }
+
   test("nearDupClusters: components of the pair graph, min-id canonical (X1)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
     val out = Dedup.nearDupClusters(pairs)

@@ -173,6 +173,41 @@ object InvariantProps extends Properties("GraftInvariants") {
       out == expected
     }
 
+  property("sharedSpans == brute-force diagonal-run merge") =
+    forAll(genCorpus, genCorpus) { (trainC, evalC) =>
+      import spark.implicits._
+      val L = 3
+      def df(c: List[(Long, List[String])]) =
+        c.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text")
+      val out = Dedup.sharedSpans(df(trainC), df(evalC),
+          minLen = L, maxDf = 1000)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      def wins(c: List[(Long, List[String])]) = c.flatMap { case (id, toks) =>
+        toks.sliding(L).zipWithIndex.collect {
+          case (w, i) if w.size == L => (id, i, w.mkString(" ")) } }
+      val (tw, ew) = (wins(trainC), wins(evalC))
+      val expected = (for {
+        (eid, ep, w1) <- ew
+        (tid, tp, w2) <- tw
+        if w1 == w2
+      } yield (eid, tid, ep, tp))
+        .groupBy { case (eid, tid, ep, tp) => (eid, tid, ep - tp) }
+        .toSeq.flatMap { case ((eid, tid, _), ms) =>
+          val ps = ms.map(_._3).distinct.sorted
+          val islands = ps.tail.foldLeft(List(List(ps.head))) {
+            case (acc @ (cur :: rest), p) =>
+              if (p > cur.head + 1) List(p) :: acc else (p :: cur) :: rest
+            case (acc, _) => acc
+          }
+          islands.map { isl =>
+            val tStart = ms.collect { case (_, _, ep, tp) if ep == isl.min => tp }.min
+            (eid, tid, isl.min.toLong, tStart.toLong,
+              isl.size.toLong + L - 1)
+          }
+        }.toSet
+      out == expected
+    }
+
   private val genVecs = for {
     n <- Gen.choose(4, 12)
     vs <- Gen.listOfN(n, Gen.listOfN(4, Gen.choose(-100, 100)))
