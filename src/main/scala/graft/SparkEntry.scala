@@ -3262,6 +3262,35 @@ object SparkEntry {
              |FROM grp GROUP BY eval_id, train_id, diag, island
              |ORDER BY eval_id, train_id, eval_start, train_start""".stripMargin)),
 
+    QueryDef("x48_index_search",
+      // corpus search against a PERSISTED inverted index (the
+      // index-is-the-layout pattern a third time: ANN buckets, band
+      // index, now term postings): top-20 docs for a 3-term query,
+      // scored sum(tf*1e6 DIV df) in integer micro-units — a BIGINT
+      // sum is partition-order independent, so the ranking (and its
+      // tie-breaks) is engine-exact. The oracle recomputes postings,
+      // df, and the same integer arithmetic from the raw corpus.
+      (s, dir) => {
+        TextOps.writeInvertedIndex(docs(s, dir), "x48_idx")
+        TextOps.searchIndex(s, "x48_idx",
+          Seq("data", "hash", "batch"), k = 20)
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |  unnest(string_split_regex(trim(text), '\s+')) AS term
+             |  FROM documents),
+             | tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+             | p AS (SELECT term, doc_id, count(*) AS tf FROM tok2
+             |  GROUP BY 1, 2),
+             | d AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+             | s AS (SELECT p.doc_id,
+             |   CAST(sum(p.tf * 1000000 // d.df) AS BIGINT) AS score_ppm,
+             |   count(*) AS n_terms
+             |  FROM p JOIN d USING (term)
+             |  WHERE term IN ('data', 'hash', 'batch')
+             |  GROUP BY 1)
+             |SELECT doc_id, score_ppm, n_terms FROM s
+             |ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin)),
+
     // ------------------------------------------------------ pipeline: text LM
     QueryDef("x33_bigram_lm",
       // self-trained bigram-LM predictability score (the n-gram

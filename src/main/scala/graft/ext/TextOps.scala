@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -277,5 +277,60 @@ object TextOps {
       md5(col(textCol)).as("content_md5"),
       array_min(transform(sh, x => md5(x))).as("min_shingle_md5"),
       tokenCount(col(textCol)).cast("long").as("n_tokens"))
+  }
+
+  /** Persist an inverted text index: `name_postings` (term, doc_id,
+    * tf) and `name_df` (term, df), both BUCKETED and sorted on the
+    * term — the corpus-search / audit artifact ("which documents
+    * contain these terms, ranked") as a LAYOUT, the same
+    * index-is-the-layout pattern as the ANN bucketed store and the
+    * near-dup band index. A term lookup prunes to its buckets at
+    * planning time (`SelectedBucketsCount` — spec-asserted), so a
+    * query touches 1/buckets of the postings, never the corpus. */
+  def writeInvertedIndex(docs: DataFrame, name: String, buckets: Int = 8,
+                         idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    val tok = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val postings = tok.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    Seq(s"${name}_postings", s"${name}_df").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // orphaned managed location from a previous JVM (same hazard as
+      // Dedup.writeBandIndex — DROP only reaches the live catalog)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    postings.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(s"${name}_postings")
+    dfreq.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(s"${name}_df")
+  }
+
+  /** Rank documents for a bag of query terms against a
+    * [[writeInvertedIndex]] layout: score = Σ_term tf·10⁶ DIV df
+    * (reciprocal-df weighting, x23's ranking in INTEGER micro-units —
+    * a BIGINT sum is partition-order independent, so the ranking is
+    * engine-exact where a floating Σ tf/df would drift with addition
+    * order). Ties break on doc_id. The term filter prunes index
+    * buckets at planning time; only matched postings ever move. */
+  def searchIndex(spark: SparkSession, name: String, terms: Seq[String],
+                  k: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "searchIndex: empty term list")
+    val p = spark.table(s"${name}_postings")
+      .filter(col("term").isin(terms: _*))
+    val d = spark.table(s"${name}_df")
+      .filter(col("term").isin(terms: _*))
+    p.join(d, "term")
+      .withColumn("contrib", expr("tf * 1000000 DIV df"))
+      .groupBy("doc_id")
+      .agg(sum("contrib").as("score_ppm"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(k)
   }
 }

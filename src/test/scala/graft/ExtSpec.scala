@@ -171,6 +171,33 @@ class ExtSpec extends SparkSuite {
       (14L, 11L, 15L, 1L)))//   occurrences as separate spans
   }
 
+  test("inverted index: exact ranked lookup + planning-time bucket pruning (X3)") {
+    val corpus = Seq(
+      (1L, "data data data hash"),   // tf(data)=3, tf(hash)=1
+      (2L, "data hash hash"),        // tf(data)=1, tf(hash)=2
+      (3L, "unrelated words only"),
+      (4L, "data")).toDF("doc_id", "text")
+    TextOps.writeInvertedIndex(corpus, "extspec_x48", buckets = 4)
+    val hits = TextOps.searchIndex(spark, "extspec_x48",
+        Seq("data", "hash"), k = 10)
+      .as[(Long, Long, Long)].collect().toList
+    // df(data)=3, df(hash)=2: doc1 = 3*1e6/3 + 1*1e6/2 = 1_500_000;
+    // doc2 = 333_333 + 1_000_000 = 1_333_333; doc4 = 333_333
+    assert(hits == List((1L, 1500000L, 2L), (2L, 1333333L, 2L),
+      (4L, 333333L, 1L)))
+    // the term filter must prune index buckets at planning time — the
+    // postings⋈df join on term keeps the bucketed scans alive, and
+    // the scan then reads the query terms' buckets, not the table
+    val plan = TextOps.searchIndex(spark, "extspec_x48",
+        Seq("data", "hash"), k = 10)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val sel = "SelectedBucketsCount: (\\d+) out of 4".r
+      .findFirstMatchIn(plan)
+    assert(sel.nonEmpty, s"no bucket pruning in plan:\n$plan")
+    assert(sel.get.group(1).toInt < 4)
+  }
+
   test("sharedSpans: maximal eval<->train verbatim spans on diagonals (X1)") {
     val train = Seq((1L, "a b c d e f g h"), (2L, "x y z w v u"))
       .toDF("doc_id", "text")
