@@ -19,16 +19,39 @@ final case class UserUpdate(user_id: Long, count: Long, total: Double)
  */
 object EventStreams {
 
-  /** Read the events table. The driver's parquet carries
-    * TIMESTAMP(NANOS) which Spark's vectorized reader rejects; read
-    * nanos as long (legacy conf) and convert to micros precision. */
+  /** Read the events table, adapting to whichever physical timestamp
+    * encoding the writer used. Foreign writers flip between
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader surfaces as
+    * long only under the nanosAsLong legacy conf) and plain
+    * TIMESTAMP(MICROS); a reader that bakes in either assumption
+    * breaks on the other, so branch on the loaded dtype. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      // integer `div`, NOT `/`: epoch nanos exceed 2^53, so double
-      // division rounds (±256 ns) before the cast truncates
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    normalizeTs(raw)
   }
+
+  /** Normalize the `ts` column to TimestampType (micros), covering
+    * every physical encoding a foreign writer produces:
+    *  - nanos-as-long: integer `div 1000` (NOT `/`: epoch nanos
+    *    exceed 2^53, so double division rounds ±256 ns before the
+    *    cast truncates);
+    *  - TIMESTAMP(MICROS) without timezone (Arrow's default) loads as
+    *    TimestampNTZType — cast to TimestampType, which under the
+    *    library's UTC session timezone is a lossless relabeling that
+    *    matches DuckDB's naive-TIMESTAMP reading of the same file;
+    *  - tz-aware TIMESTAMP passes through untouched. */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType => df
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts: expected TIMESTAMP or nanos-as-long, got $other")
+    }
 
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", TimestampType),
@@ -58,19 +81,16 @@ object EventStreams {
     events.withColumn(s"prop_$key",
       get_json_object(col("props"), s"$$.$key").cast("long"))
 
-  /** The nanos-safe schema the driver's parquet actually carries
-    * (TIMESTAMP(NANOS) surfaces as long under nanosAsLong). */
-  private val rawEventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** Streaming read of the events parquet (nanos -> micros, like
-    * [[readEvents]] for batch). */
+  /** Streaming read of the events parquet. readStream needs an
+    * explicit schema, so sniff the physical encoding from the files
+    * already present with ONE batch metadata read (footer-only — no
+    * data scan), then normalize like [[readEvents]]. New files
+    * arriving later must match the sniffed encoding — standard
+    * streaming-source contract (schema is fixed at query start). */
   def readEventStream(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawEventSchema).parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(path).schema
+    normalizeTs(spark.readStream.schema(raw).parquet(path))
   }
 
   /** Streaming entry: same aggregations with a watermark for state
