@@ -3291,6 +3291,64 @@ object SparkEntry {
              |SELECT doc_id, score_ppm, n_terms FROM s
              |ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin)),
 
+    QueryDef("x49_profile",
+      // corpus profile (the distributed, engine-portable describe()):
+      // exact moments from ONE map-side-combined pass (decimal-routed
+      // mean — order-independent) + percentile_disc order statistics
+      // over the deterministic md5 bottom-k sample (KMV-style: the
+      // 1000 smallest md5(doc_id) rows — the identical row set in any
+      // engine, so even the SAMPLED quantiles hash-match). The corpus
+      // never shuffles: the sample is a TakeOrdered partial top-k.
+      (s, dir) => ext.Profiling.profile(
+        docs(s, dir).withColumn("text_len", length(col("text")).cast("long")),
+        "doc_id", Seq("n_chars", "text_len"), sampleK = 1000)
+        .orderBy("col_name", "stat"),
+      Some("""WITH base AS (SELECT doc_id, n_chars,
+             |   CAST(LENGTH(text) AS BIGINT) AS text_len FROM documents),
+             | samp AS (SELECT * FROM base
+             |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 1000),
+             | ex AS (
+             |  SELECT 'n_chars' AS col_name, 'rows' AS stat,
+             |    CAST(COUNT(*) AS DOUBLE) AS value FROM base
+             |  UNION ALL SELECT 'n_chars', 'nulls',
+             |    CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS DOUBLE) FROM base
+             |  UNION ALL SELECT 'n_chars', 'min', CAST(MIN(n_chars) AS DOUBLE) FROM base
+             |  UNION ALL SELECT 'n_chars', 'max', CAST(MAX(n_chars) AS DOUBLE) FROM base
+             |  UNION ALL SELECT 'n_chars', 'mean',
+             |    CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE)
+             |      / CAST(COUNT(n_chars) AS DOUBLE) FROM base
+             |  UNION ALL SELECT 'text_len', 'rows', CAST(COUNT(*) AS DOUBLE) FROM base
+             |  UNION ALL SELECT 'text_len', 'nulls',
+             |    CAST(SUM(CASE WHEN text_len IS NULL THEN 1 ELSE 0 END) AS DOUBLE) FROM base
+             |  UNION ALL SELECT 'text_len', 'min', CAST(MIN(text_len) AS DOUBLE) FROM base
+             |  UNION ALL SELECT 'text_len', 'max', CAST(MAX(text_len) AS DOUBLE) FROM base
+             |  UNION ALL SELECT 'text_len', 'mean',
+             |    CAST(SUM(CAST(text_len AS DECIMAL(38,6))) AS DOUBLE)
+             |      / CAST(COUNT(text_len) AS DOUBLE) FROM base),
+             | qu AS (
+             |  SELECT 'n_chars' AS col_name, 'p25' AS stat,
+             |    CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) AS value FROM samp
+             |  UNION ALL SELECT 'n_chars', 'p50',
+             |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) FROM samp
+             |  UNION ALL SELECT 'n_chars', 'p75',
+             |    CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) FROM samp
+             |  UNION ALL SELECT 'n_chars', 'p90',
+             |    CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) FROM samp
+             |  UNION ALL SELECT 'n_chars', 'p99',
+             |    CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) FROM samp
+             |  UNION ALL SELECT 'text_len', 'p25',
+             |    CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY text_len) AS DOUBLE) FROM samp
+             |  UNION ALL SELECT 'text_len', 'p50',
+             |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY text_len) AS DOUBLE) FROM samp
+             |  UNION ALL SELECT 'text_len', 'p75',
+             |    CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY text_len) AS DOUBLE) FROM samp
+             |  UNION ALL SELECT 'text_len', 'p90',
+             |    CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY text_len) AS DOUBLE) FROM samp
+             |  UNION ALL SELECT 'text_len', 'p99',
+             |    CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY text_len) AS DOUBLE) FROM samp)
+             |SELECT * FROM ex UNION ALL SELECT * FROM qu
+             |ORDER BY col_name, stat""".stripMargin)),
+
     // ------------------------------------------------------ pipeline: text LM
     QueryDef("x33_bigram_lm",
       // self-trained bigram-LM predictability score (the n-gram

@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus profiling at scale: the `describe()` a 100 TB training-data
+ * pipeline can actually afford, with every number re-derivable on any
+ * engine (extension beyond the reference — its pandas surface gets
+ * `df.describe()` for free at single-node scale; nothing distributed
+ * or portable exists there).
+ *
+ * Two legs, both corpus-shuffle-free:
+ *
+ *  - EXACT moments (row count, null count, min, max, mean) from ONE
+ *    map-side-combined aggregation pass — the corpus is scanned once
+ *    and only the per-partition partials move (a handful of rows).
+ *    The mean routes through a decimal(38,6) sum, so it is
+ *    order-independent and bit-identical under any partitioning.
+ *
+ *  - ORDER STATISTICS (percentile_disc quantiles) from a
+ *    deterministic uniform sample: the `sampleK` rows with the
+ *    SMALLEST md5(id) — a bottom-k KMV-style sample. Content-keyed,
+ *    so the sample is invariant to partitioning, task order, retries,
+ *    cluster size, AND engine (DuckDB's md5 produces the same hex
+ *    string, so `ORDER BY md5(id) LIMIT k` is the identical row set).
+ *    Spark plans the bottom-k as TakeOrderedAndProject: each
+ *    partition keeps its local k, only k-row partials merge — the
+ *    corpus never shuffles, state is O(k) per task. percentile_disc
+ *    then picks ACTUAL data values from the sample (no interpolation
+ *    arithmetic), which keeps the quantile row hash-matchable.
+ *
+ * Output is long-form `(col_name, stat, value)` — one row per
+ * (column × statistic), ready for drift dashboards / profile diffs.
+ */
+object Profiling {
+
+  /** The deterministic bottom-k sample on its own — reusable as a
+    * portable "inspect 1000 random docs" primitive (same contract as
+    * [[Sampling]]: content-keyed, never rand()). Ties on md5 are
+    * broken by the id itself, so the row set is total-ordered. */
+  def bottomKSample(df: DataFrame, idCol: String, k: Int): DataFrame =
+    df.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(k)
+
+  def profile(df: DataFrame, idCol: String, cols: Seq[String],
+              sampleK: Int = 1000,
+              quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val spark = df.sparkSession
+
+    // ---- exact one-pass moments, wide -> long via stack()
+    def exactAggs(c: String): Seq[Column] = Seq(
+      count(lit(1)).cast("double").as(s"${c}__rows"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).cast("double").as(s"${c}__nulls"),
+      min(col(c)).cast("double").as(s"${c}__min"),
+      max(col(c)).cast("double").as(s"${c}__max"),
+      // decimal-exact sum, ONE final IEEE division (oracle-identical)
+      (sum(col(c).cast("decimal(38,6)")).cast("double") /
+        count(col(c)).cast("double")).as(s"${c}__mean"))
+    val allAggs = cols.flatMap(exactAggs)
+    val wideExact = df.agg(allAggs.head, allAggs.tail: _*)
+    val exactStats = Seq("rows", "nulls", "min", "max", "mean")
+    val exactStack = cols.flatMap(c => exactStats.map(st =>
+      s"'$c', '$st', `${c}__$st`")).mkString(", ")
+    val exactLong = wideExact.selectExpr(
+      s"stack(${cols.size * exactStats.size}, $exactStack) AS (col_name, stat, value)")
+
+    // ---- sampled order statistics
+    val sample = bottomKSample(df, idCol, sampleK)
+    def pName(q: Double): String = s"p${math.round(q * 100)}"
+    val qAggs = cols.flatMap(c => quantiles.map(q =>
+      expr(s"percentile_disc(CAST($q AS DOUBLE)) WITHIN GROUP (ORDER BY `$c`)")
+        .cast("double").as(s"${c}__${pName(q)}")))
+    val wideQ = sample.agg(qAggs.head, qAggs.tail: _*)
+    val qStack = cols.flatMap(c => quantiles.map(q =>
+      s"'$c', '${pName(q)}', `${c}__${pName(q)}`")).mkString(", ")
+    val qLong = wideQ.selectExpr(
+      s"stack(${cols.size * quantiles.size}, $qStack) AS (col_name, stat, value)")
+
+    exactLong.unionByName(qLong)
+  }
+}

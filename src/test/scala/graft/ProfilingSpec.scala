@@ -1,0 +1,52 @@
+package graft
+
+import graft.ext.Profiling
+import org.apache.spark.sql.functions._
+
+class ProfilingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def mkDocs(n: Int) =
+    (1 to n).map(i => (i.toLong, i.toLong * 10, if (i % 7 == 0) null
+      else java.lang.Long.valueOf(i.toLong % 50)))
+      .toDF("id", "size", "score")
+
+  test("exact moments are correct and null-aware") {
+    val p = Profiling.profile(mkDocs(100), "id", Seq("score"), sampleK = 100)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(p(("score", "rows")) == 100.0)
+    assert(p(("score", "nulls")) == 14.0) // multiples of 7 up to 100
+    assert(p(("score", "min")) == 0.0 && p(("score", "max")) == 49.0)
+    val vals = (1 to 100).filter(_ % 7 != 0).map(_ % 50)
+    assert(math.abs(p(("score", "mean")) - vals.sum.toDouble / vals.size) < 1e-9)
+  }
+
+  test("profile is invariant to partitioning (exact AND sampled legs)") {
+    val base = mkDocs(500)
+    val a = Profiling.profile(base.repartition(1), "id", Seq("size", "score"), 100)
+    val b = Profiling.profile(base.repartition(13, col("score")), "id",
+      Seq("size", "score"), 100)
+    assert(rows(a) == rows(b))
+  }
+
+  test("bottom-k sample is the k smallest md5(id) rows, deterministically") {
+    val df = mkDocs(200)
+    val got = Profiling.bottomKSample(df, "id", 20)
+      .select("id").as[Long].collect().toSeq
+    val want = (1 to 200).map(_.toLong)
+      .sortBy(i => (org.apache.commons.codec.digest.DigestUtils.md5Hex(i.toString), i))
+      .take(20)
+    assert(got.toSet == want.toSet)
+    // and a second invocation returns the identical set
+    assert(Profiling.bottomKSample(df.repartition(7), "id", 20)
+      .select("id").as[Long].collect().toSet == got.toSet)
+  }
+
+  test("percentile_disc picks actual data values from the sample") {
+    val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+    val p = Profiling.profile(df, "id", Seq("v"), sampleK = 100,
+      quantiles = Seq(0.5))
+      .collect().map(r => (r.getString(1)) -> r.getDouble(2)).toMap
+    assert(p("p50") == 50.0) // smallest v with cume_dist >= 0.5 over 1..100
+  }
+}
