@@ -3349,6 +3349,82 @@ object SparkEntry {
              |SELECT * FROM ex UNION ALL SELECT * FROM qu
              |ORDER BY col_name, stat""".stripMargin)),
 
+    QueryDef("x50_profile_by_group",
+      // per-language corpus profile: the grouped form of x49, with
+      // the per-group bottom-k sample running through the custom
+      // TopKPerGroup physical operator (k rows per group map-side —
+      // sampling a 100 TB corpus by language never shuffles the
+      // corpus). Exact moments + sampled percentile_disc quantiles,
+      // all hash-matched because the per-group sample is the same
+      // row set the oracle's QUALIFY row_number picks.
+      (s, dir) => ext.Profiling.profileByGroup(
+        docs(s, dir).withColumn("text_len", length(col("text")).cast("long")),
+        "lang", "doc_id", Seq("n_chars", "text_len"), sampleK = 200)
+        .orderBy("lang", "col_name", "stat"),
+      Some("""WITH base AS (SELECT doc_id, lang, n_chars,
+             |   CAST(LENGTH(text) AS BIGINT) AS text_len FROM documents),
+             | samp AS (SELECT * FROM base
+             |   QUALIFY row_number() OVER (PARTITION BY lang
+             |     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 200),
+             | ex AS (
+             |  SELECT lang, 'n_chars' AS col_name, 'rows' AS stat,
+             |    CAST(COUNT(*) AS DOUBLE) AS value FROM base GROUP BY lang
+             |  UNION ALL SELECT lang, 'n_chars', 'nulls',
+             |    CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             |    FROM base GROUP BY lang
+             |  UNION ALL SELECT lang, 'n_chars', 'min', CAST(MIN(n_chars) AS DOUBLE)
+             |    FROM base GROUP BY lang
+             |  UNION ALL SELECT lang, 'n_chars', 'max', CAST(MAX(n_chars) AS DOUBLE)
+             |    FROM base GROUP BY lang
+             |  UNION ALL SELECT lang, 'n_chars', 'mean',
+             |    CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE)
+             |      / CAST(COUNT(n_chars) AS DOUBLE) FROM base GROUP BY lang
+             |  UNION ALL SELECT lang, 'text_len', 'rows', CAST(COUNT(*) AS DOUBLE)
+             |    FROM base GROUP BY lang
+             |  UNION ALL SELECT lang, 'text_len', 'nulls',
+             |    CAST(SUM(CASE WHEN text_len IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             |    FROM base GROUP BY lang
+             |  UNION ALL SELECT lang, 'text_len', 'min', CAST(MIN(text_len) AS DOUBLE)
+             |    FROM base GROUP BY lang
+             |  UNION ALL SELECT lang, 'text_len', 'max', CAST(MAX(text_len) AS DOUBLE)
+             |    FROM base GROUP BY lang
+             |  UNION ALL SELECT lang, 'text_len', 'mean',
+             |    CAST(SUM(CAST(text_len AS DECIMAL(38,6))) AS DOUBLE)
+             |      / CAST(COUNT(text_len) AS DOUBLE) FROM base GROUP BY lang),
+             | qu AS (
+             |  SELECT lang, 'n_chars' AS col_name, 'p25' AS stat,
+             |    CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) AS value
+             |    FROM samp GROUP BY lang
+             |  UNION ALL SELECT lang, 'n_chars', 'p50',
+             |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE)
+             |    FROM samp GROUP BY lang
+             |  UNION ALL SELECT lang, 'n_chars', 'p75',
+             |    CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE)
+             |    FROM samp GROUP BY lang
+             |  UNION ALL SELECT lang, 'n_chars', 'p90',
+             |    CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE)
+             |    FROM samp GROUP BY lang
+             |  UNION ALL SELECT lang, 'n_chars', 'p99',
+             |    CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE)
+             |    FROM samp GROUP BY lang
+             |  UNION ALL SELECT lang, 'text_len', 'p25',
+             |    CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY text_len) AS DOUBLE)
+             |    FROM samp GROUP BY lang
+             |  UNION ALL SELECT lang, 'text_len', 'p50',
+             |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY text_len) AS DOUBLE)
+             |    FROM samp GROUP BY lang
+             |  UNION ALL SELECT lang, 'text_len', 'p75',
+             |    CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY text_len) AS DOUBLE)
+             |    FROM samp GROUP BY lang
+             |  UNION ALL SELECT lang, 'text_len', 'p90',
+             |    CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY text_len) AS DOUBLE)
+             |    FROM samp GROUP BY lang
+             |  UNION ALL SELECT lang, 'text_len', 'p99',
+             |    CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY text_len) AS DOUBLE)
+             |    FROM samp GROUP BY lang)
+             |SELECT * FROM ex UNION ALL SELECT * FROM qu
+             |ORDER BY lang, col_name, stat""".stripMargin)),
+
     // ------------------------------------------------------ pipeline: text LM
     QueryDef("x33_bigram_lm",
       // self-trained bigram-LM predictability score (the n-gram

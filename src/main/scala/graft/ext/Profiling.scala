@@ -79,4 +79,57 @@ object Profiling {
 
     exactLong.unionByName(qLong)
   }
+
+  /** Per-group bottom-k sample (e.g. 200 deterministic docs PER
+    * LANGUAGE) through the custom [[graft.plans.TopKPerGroup]]
+    * physical operator: the partial phase caps shuffle input at k
+    * rows per group per partition, so sampling a 100 TB corpus by
+    * language shuffles O(groups × k × partitions) rows, never the
+    * corpus — the grouped analogue of [[bottomKSample]]'s
+    * TakeOrdered. Same portability contract: smallest (md5(id), id)
+    * per group is the identical row set on any engine. */
+  def bottomKSampleByGroup(df: DataFrame, groupCol: String, idCol: String,
+                           k: Int): DataFrame =
+    graft.plans.TopKPerGroup(
+        df.withColumn("__md5", md5(col(idCol).cast("string"))),
+        Seq(groupCol), Seq(("__md5", true), (idCol, true)), k)
+      .drop("__md5")
+
+  /** [[profile]] per group (per-language / per-source corpus
+    * profiles): exact moments from one grouped pass + sampled
+    * order statistics from the per-group bottom-k sample. Output
+    * long-form `(<groupCol>, col_name, stat, value)`. */
+  def profileByGroup(df: DataFrame, groupCol: String, idCol: String,
+                     cols: Seq[String], sampleK: Int = 200,
+                     quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+
+    def exactAggs(c: String): Seq[Column] = Seq(
+      count(lit(1)).cast("double").as(s"${c}__rows"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).cast("double").as(s"${c}__nulls"),
+      min(col(c)).cast("double").as(s"${c}__min"),
+      max(col(c)).cast("double").as(s"${c}__max"),
+      (sum(col(c).cast("decimal(38,6)")).cast("double") /
+        count(col(c)).cast("double")).as(s"${c}__mean"))
+    val allAggs = cols.flatMap(exactAggs)
+    val exactStats = Seq("rows", "nulls", "min", "max", "mean")
+    val exactStack = cols.flatMap(c => exactStats.map(st =>
+      s"'$c', '$st', `${c}__$st`")).mkString(", ")
+    val exactLong = df.groupBy(col(groupCol)).agg(allAggs.head, allAggs.tail: _*)
+      .selectExpr(s"`$groupCol`",
+        s"stack(${cols.size * exactStats.size}, $exactStack) AS (col_name, stat, value)")
+
+    def pName(q: Double): String = s"p${math.round(q * 100)}"
+    val qAggs = cols.flatMap(c => quantiles.map(q =>
+      expr(s"percentile_disc(CAST($q AS DOUBLE)) WITHIN GROUP (ORDER BY `$c`)")
+        .cast("double").as(s"${c}__${pName(q)}")))
+    val qStack = cols.flatMap(c => quantiles.map(q =>
+      s"'$c', '${pName(q)}', `${c}__${pName(q)}`")).mkString(", ")
+    val qLong = bottomKSampleByGroup(df, groupCol, idCol, sampleK)
+      .groupBy(col(groupCol)).agg(qAggs.head, qAggs.tail: _*)
+      .selectExpr(s"`$groupCol`",
+        s"stack(${cols.size * quantiles.size}, $qStack) AS (col_name, stat, value)")
+
+    exactLong.unionByName(qLong)
+  }
 }

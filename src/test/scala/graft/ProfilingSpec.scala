@@ -42,6 +42,22 @@ class ProfilingSpec extends SparkSuite {
       .select("id").as[Long].collect().toSet == got.toSet)
   }
 
+  test("grouped profile == per-group ungrouped profiles, and samples ride TopKPerGroup") {
+    val df = mkDocs(300).withColumn("grp", (col("id") % 3).cast("string"))
+    val grouped = Profiling.profileByGroup(df, "grp", "id", Seq("size", "score"), 50)
+    // every group's slice must equal the ungrouped profile of that slice
+    for (g <- Seq("0", "1", "2")) {
+      val want = rows(Profiling.profile(df.filter(col("grp") === g), "id",
+        Seq("size", "score"), 50))
+      val got = rows(grouped.filter(col("grp") === g).drop("grp"))
+      assert(got == want, s"group $g diverged")
+    }
+    // the per-group sample must be planned through the custom operator
+    val plan = Profiling.bottomKSampleByGroup(df, "grp", "id", 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), s"expected TopKPerGroupExec in:\n$plan")
+  }
+
   test("percentile_disc picks actual data values from the sample") {
     val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("id", "v")
     val p = Profiling.profile(df, "id", Seq("v"), sampleK = 100,
