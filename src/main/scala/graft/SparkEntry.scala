@@ -3159,6 +3159,56 @@ object SparkEntry {
              |FROM grp GROUP BY doc_id, island
              |ORDER BY doc_id, span_start""".stripMargin)),
 
+    QueryDef("x51_remove_spans",
+      // the CLEANER closing x44's loop: detection found the repeated
+      // spans positionally — this cuts them and keeps the documents.
+      // Token-level rebuild (whitespace normalizes to single spaces —
+      // same tokenization as the detector, so positions line up by
+      // construction). One doc_id join + fused filter-with-index/
+      // exists HOFs; the corpus never explodes to token rows. The
+      // oracle re-derives spans AND removal, so every cleaned byte
+      // must agree.
+      (s, dir) => {
+        val d = docs(s, dir)
+        Dedup.removeSpans(d, Dedup.repeatedSpans(d, minLen = 5))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |  string_split_regex(trim(text), '\s+') AS tk FROM documents),
+             | wlist AS (SELECT doc_id,
+             |  [{'pos': i - 1,
+             |    'wh': CAST(('0x' || substr(md5(array_to_string(tk[i:i+4], ' ')),
+             |      1, 12)) AS BIGINT)}
+             |   for i in generate_series(1, len(tk) - 4)] AS ws
+             |  FROM toks WHERE len(tk) >= 5),
+             | wins AS (SELECT doc_id, unnest(ws, recursive := true) FROM wlist),
+             | cnt AS (SELECT *, count(*) OVER (PARTITION BY wh) AS c FROM wins),
+             | dup AS (SELECT doc_id, pos FROM cnt WHERE c >= 2),
+             | isl AS (SELECT doc_id, pos,
+             |  CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 5
+             |       THEN 1 ELSE 0 END AS ni FROM dup),
+             | grp AS (SELECT doc_id, pos, sum(ni) OVER (
+             |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING
+             |  ) AS island FROM isl),
+             | spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+             |  FROM grp GROUP BY doc_id, island),
+             | tokidx AS (SELECT doc_id,
+             |  unnest([{'idx': i - 1, 'tok': tk[i]}
+             |    for i in generate_series(1, len(tk))], recursive := true)
+             |  FROM toks),
+             | removed AS (SELECT DISTINCT t.doc_id, t.idx
+             |  FROM tokidx t JOIN spans s
+             |    ON s.doc_id = t.doc_id AND t.idx BETWEEN s.s AND s.e)
+             |SELECT t.doc_id,
+             |  COALESCE(string_agg(CASE WHEN r.idx IS NULL THEN t.tok END,
+             |    ' ' ORDER BY t.idx), '') AS clean_text,
+             |  CAST(SUM(CASE WHEN r.idx IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_removed
+             |FROM tokidx t LEFT JOIN removed r
+             |  ON r.doc_id = t.doc_id AND r.idx = t.idx
+             |GROUP BY t.doc_id
+             |ORDER BY t.doc_id""".stripMargin)),
+
     QueryDef("x46_incremental_clusters",
       // the clustering leg of the daily increment: cluster the corpus
       // once, probe the batch against the index, then MERGE the new

@@ -437,6 +437,38 @@ object Dedup {
       .select("doc_id", "span_start", "span_end", "n_windows")
   }
 
+  /** Apply positional spans (the [[repeatedSpans]] output shape:
+    * 0-based inclusive token positions) to the text — the CLEANER
+    * that detection exists for: cut the boilerplate spans, keep the
+    * document. Token-level rebuild: whitespace runs normalize to
+    * single spaces (the same `split(trim(text))` tokenization the
+    * detector used, so positions line up by construction).
+    *
+    * Scale shape: ONE join on doc_id (the span table is detector
+    * output — tiny relative to the corpus, broadcast-eligible; AQE
+    * decides), then map-only: per-token keep/cut runs as fused
+    * higher-order expressions (filter-with-index + exists) inside
+    * whole-stage codegen — O(tokens × spans-per-doc) per row, no
+    * token explode, nothing else shuffles. Returns
+    * (doc_id, clean_text, n_removed). */
+  def removeSpans(docs: DataFrame, spans: DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sp = spans.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("sp"))
+    docs
+      .select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("tk"))
+      .join(sp, Seq("doc_id"), "left")
+      .withColumn("sp",
+        coalesce(col("sp"), expr("CAST(array() AS array<struct<s:bigint,e:bigint>>)")))
+      .withColumn("kept", filter(col("tk"), (t: Column, i: Column) =>
+        !exists(col("sp"), s =>
+          i.cast("long") >= s.getField("s") && i.cast("long") <= s.getField("e"))))
+      .select(col("doc_id"),
+        concat_ws(" ", col("kept")).as("clean_text"),
+        (size(col("tk")) - size(col("kept"))).cast("long").as("n_removed"))
+  }
+
   /** (doc_id, pos, wh) for every L-token window — md5-48bit portable
     * hashes, 0-based positions; shared by [[repeatedSpans]] and
     * [[sharedSpans]]. */

@@ -171,6 +171,30 @@ class ExtSpec extends SparkSuite {
       (14L, 11L, 15L, 1L)))//   occurrences as separate spans
   }
 
+  test("removeSpans cuts exactly the flagged tokens and nothing else (X10)") {
+    val d = Seq(
+      (10L, "a b c d e f g h i j"),
+      (11L, "z y a b c d e f w v u t"),
+      (12L, "p q r s t u v w x"),
+      (13L, "m m m m m m m m m m m m"),
+      (14L, "a b c d e x1 x2 x3 x4 x5 x6 b c d e f"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeSpans(d, Dedup.repeatedSpans(d, minLen = 5))
+      .as[(Long, String, Long)].collect()
+      .map { case (k, v, n) => k -> ((v, n)) }.toMap
+    assert(out(10L) == ("g h i j", 6L))
+    assert(out(11L) == ("z y w v u t", 6L))
+    assert(out(12L) == ("p q r s t u v w x", 0L)) // untouched
+    assert(out(13L) == ("", 12L))                 // fully boilerplate
+    assert(out(14L) == ("x1 x2 x3 x4 x5 x6", 10L))
+    // detect -> clean reaches a fixpoint: re-detecting on the cleaned
+    // corpus finds nothing left to cut
+    val again = Dedup.repeatedSpans(
+      Dedup.removeSpans(d, Dedup.repeatedSpans(d, minLen = 5))
+        .select(col("doc_id"), col("clean_text").as("text")), minLen = 5)
+    assert(again.count() == 0)
+  }
+
   test("inverted index: exact ranked lookup + planning-time bucket pruning (X3)") {
     val corpus = Seq(
       (1L, "data data data hash"),   // tf(data)=3, tf(hash)=1
