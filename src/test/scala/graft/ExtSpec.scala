@@ -195,6 +195,30 @@ class ExtSpec extends SparkSuite {
     assert(again.count() == 0)
   }
 
+  test("removeSpans never explodes the corpus to token rows (plan), and composes with sharedSpans (X12)") {
+    val train = Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "intro words the quick brown fox jumps over the lazy dog today and more"),
+      (101L, "completely novel evaluation content here"))
+      .toDF("doc_id", "text")
+    // decontamination removal: cut each eval doc's spans shared with train
+    // materialize detector output first: the DETECTOR explodes windows
+    // by design; the CLEANER must not — scope the plan assertion to it
+    val spans = Dedup.sharedSpans(train, eval, minLen = 5)
+      .select(col("eval_id").as("doc_id"),
+        col("eval_start").as("span_start"),
+        (col("eval_start") + col("span_tokens") - 1).as("span_end"))
+      .localCheckpoint()
+    val cleaned = Dedup.removeSpans(eval, spans)
+    val plan = cleaned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"cleaner must not explode tokens:\n$plan")
+    val out = cleaned.as[(Long, String, Long)].collect()
+      .map { case (k, v, n) => k -> ((v, n)) }.toMap
+    assert(out(100L) == (("intro words and more", 10L)))
+    assert(out(101L) == (("completely novel evaluation content here", 0L)))
+  }
+
   test("inverted index: exact ranked lookup + planning-time bucket pruning (X3)") {
     val corpus = Seq(
       (1L, "data data data hash"),   // tf(data)=3, tf(hash)=1
