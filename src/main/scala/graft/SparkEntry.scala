@@ -3475,6 +3475,37 @@ object SparkEntry {
              |SELECT * FROM ex UNION ALL SELECT * FROM qu
              |ORDER BY lang, col_name, stat""".stripMargin)),
 
+    QueryDef("x52_histogram_drift",
+      // corpus drift gate: n_chars distribution of the English slice
+      // vs the rest, fixed 200-char bins, integer-ppm shares, per-bin
+      // |share_a - share_b| (TV distance = sum/2). All-integer
+      // (floor-div bins and shares) so the drift report is engine-
+      // exact — unlike KL/PSI whose ln() is libm-bound. Each corpus
+      // collapses map-side to its histogram; raw rows never shuffle.
+      (s, dir) => {
+        val d = docs(s, dir)
+        ext.Profiling.histogramDrift(
+          d.filter(col("lang") === "en"), d.filter(col("lang") =!= "en"),
+          "n_chars", binWidth = 200L)
+          .orderBy("bin")
+      },
+      Some("""WITH a AS (SELECT (n_chars // 200) * 200 AS bin,
+             |   CAST(COUNT(*) AS BIGINT) AS n_a FROM documents
+             |  WHERE lang = 'en' AND n_chars IS NOT NULL GROUP BY 1),
+             | b AS (SELECT (n_chars // 200) * 200 AS bin,
+             |   CAST(COUNT(*) AS BIGINT) AS n_b FROM documents
+             |  WHERE lang <> 'en' AND n_chars IS NOT NULL GROUP BY 1),
+             | t AS (SELECT (SELECT SUM(n_a) FROM a) AS tot_a,
+             |   (SELECT SUM(n_b) FROM b) AS tot_b)
+             |SELECT COALESCE(a.bin, b.bin) AS bin,
+             |  COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+             |  CAST(COALESCE(n_a, 0) * 1000000 // tot_a AS BIGINT) AS ppm_a,
+             |  CAST(COALESCE(n_b, 0) * 1000000 // tot_b AS BIGINT) AS ppm_b,
+             |  CAST(ABS(COALESCE(n_a, 0) * 1000000 // tot_a
+             |    - COALESCE(n_b, 0) * 1000000 // tot_b) AS BIGINT) AS abs_diff_ppm
+             |FROM a FULL OUTER JOIN b ON a.bin = b.bin, t
+             |ORDER BY bin""".stripMargin)),
+
     // ------------------------------------------------------ pipeline: text LM
     QueryDef("x33_bigram_lm",
       // self-trained bigram-LM predictability score (the n-gram

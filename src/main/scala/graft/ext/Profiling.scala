@@ -80,6 +80,47 @@ object Profiling {
     exactLong.unionByName(qLong)
   }
 
+  /** Distribution drift between two corpora (yesterday vs today, web
+    * vs books, train vs eval) over a numeric column: fixed-width
+    * integer bins, per-corpus counts, integer-ppm shares, and the
+    * per-bin absolute share difference — total-variation distance in
+    * ppm = sum(abs_diff_ppm) / 2 ([[tvDistancePpm]]). ALL-INTEGER
+    * arithmetic (floor-div bins, floor-div ppm shares): the drift
+    * report is bit-identical on any engine/partitioning — an
+    * auditable pipeline gate, unlike KL/PSI whose ln() is libm-bound.
+    *
+    * Scale shape: each corpus collapses to its bin histogram in one
+    * map-side-combined aggregation (bin keys only — the corpora never
+    * shuffle raw rows); the two histograms full-outer join on bin
+    * (dozens of rows) with the totals broadcast back (the
+    * mixtureSample pattern). */
+  def histogramDrift(a: DataFrame, b: DataFrame, valueCol: String,
+                     binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def hist(df: DataFrame, n: String): DataFrame = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy((floor(col(valueCol).cast("long") / binWidth) * binWidth)
+        .cast("long").as("bin"))
+      .agg(count(lit(1)).as(n))
+    val ha = hist(a, "n_a")
+    val hb = hist(b, "n_b")
+    val tot = ha.agg(sum("n_a").as("tot_a"))
+      .crossJoin(hb.agg(sum("n_b").as("tot_b")))
+    ha.join(hb, Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        expr("n_a * 1000000 div tot_a").as("ppm_a"),
+        expr("n_b * 1000000 div tot_b").as("ppm_b"),
+        abs(expr("n_a * 1000000 div tot_a") -
+          expr("n_b * 1000000 div tot_b")).as("abs_diff_ppm"))
+  }
+
+  /** Total-variation distance in ppm from a [[histogramDrift]]
+    * report: 0 = identical binned distributions, 1e6 = disjoint. */
+  def tvDistancePpm(drift: DataFrame): Long =
+    drift.agg((sum("abs_diff_ppm") / 2).cast("long")).head().getLong(0)
+
   /** Per-group bottom-k sample (e.g. 200 deterministic docs PER
     * LANGUAGE) through the custom [[graft.plans.TopKPerGroup]]
     * physical operator: the partial phase caps shuffle input at k

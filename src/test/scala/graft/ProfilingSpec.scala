@@ -58,6 +58,25 @@ class ProfilingSpec extends SparkSuite {
     assert(plan.contains("TopKPerGroup"), s"expected TopKPerGroupExec in:\n$plan")
   }
 
+  test("histogramDrift: integer bins/shares, TV bounds, identical corpora = 0") {
+    val a = (1 to 100).map(i => (i.toLong, (i * 10).toLong)).toDF("id", "v")
+    val b = (1 to 50).map(i => (i.toLong, (i * 10 + 500).toLong)).toDF("id", "v")
+    val drift = Profiling.histogramDrift(a, b, "v", 250L)
+    val rows0 = drift.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // a: v in 10..1000 -> bins 0,250,500,750,1000 with 24/25/25/25/1
+    assert(rows0.contains((0L, 24L, 0L, 240000L, 0L)))
+    assert(rows0.contains((500L, 25L, 24L, 250000L, 480000L)))
+    val tv = Profiling.tvDistancePpm(drift)
+    assert(tv > 0 && tv <= 1000000L)
+    // identical corpora drift exactly 0, invariant to partitioning
+    assert(Profiling.tvDistancePpm(
+      Profiling.histogramDrift(a.repartition(7), a.repartition(3), "v", 250L)) == 0L)
+    // disjoint supports -> full TV distance (1e6 ppm exactly, all-integer)
+    val c = (1 to 40).map(i => (i.toLong, (i + 100000).toLong)).toDF("id", "v")
+    assert(Profiling.tvDistancePpm(Profiling.histogramDrift(a, c, "v", 250L)) == 1000000L)
+  }
+
   test("percentile_disc picks actual data values from the sample") {
     val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("id", "v")
     val p = Profiling.profile(df, "id", Seq("v"), sampleK = 100,
