@@ -80,7 +80,10 @@ object SparkEntry {
     * centroid update (cK), then a final assignment. Same exact integer
     * arithmetic as the Spark side: HUGEINT sums ↔ DECIMAL(38,0),
     * `//` after pmod-normalization ↔ floorDiv. */
-  private def kmeansSql(k: Int, iters: Int): String = {
+  /** The CTE chain of [[kmeansSql]] without the final SELECT — the
+    * final assignment lands in CTE `a{iters+1}`, so downstream oracles
+    * (x55 semantic dedup) can extend the WITH and join against it. */
+  private def kmeansCtes(k: Int, iters: Int): String = {
     def assignCte(name: String, cents: String) =
       s"""$name AS (
          | SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS d2 FROM (
@@ -101,15 +104,18 @@ object SparkEntry {
       assignCte(s"a$i", s"c${i - 1}") + ",\n" + updateCte(s"c$i", s"a$i"))
       .mkString(",\n")
     val sep = if (iters > 0) ",\n" else ""
-    s"""WITH q AS (SELECT vec_id, UNNEST(range(len(embedding))) AS dim,
+    s"""q AS (SELECT vec_id, UNNEST(range(len(embedding))) AS dim,
        |  CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
        | FROM embeddings),
        |seeds AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cluster
        | FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
        |c0 AS (SELECT s.cluster, q.dim, q.q AS cq FROM q JOIN seeds s USING (vec_id)),
-       |$rounds$sep${assignCte(s"a${iters + 1}", s"c$iters")}
-       |SELECT vec_id, cluster, d2 FROM a${iters + 1} ORDER BY vec_id""".stripMargin
+       |$rounds$sep${assignCte(s"a${iters + 1}", s"c$iters")}""".stripMargin
   }
+
+  private def kmeansSql(k: Int, iters: Int): String =
+    s"""WITH ${kmeansCtes(k, iters)}
+       |SELECT vec_id, cluster, d2 FROM a${iters + 1} ORDER BY vec_id""".stripMargin
 
   /** DuckDB oracle for [[GraphOps.pageRankFixedPoint]] on the layer
     * subgraph: one chained CTE per iteration (no recursion needed —
@@ -3530,7 +3536,163 @@ object SparkEntry {
              |   FROM bi JOIN wt USING (w1, w2) GROUP BY doc_id)
              |SELECT doc_id, n_bigrams, pred_sum,
              | CAST(pred_sum AS DOUBLE) / n_bigrams AS pred_score
-             |FROM per ORDER BY doc_id""".stripMargin))
+             |FROM per ORDER BY doc_id""".stripMargin)),
+
+    // --------------------------------------------- pipeline: curation gates
+    QueryDef("x53_cap_per_group",
+      // per-domain document cap (the "≤k pages per host" crawl-curation
+      // rule): survivors are the k smallest portable-md5 keys per
+      // source, selected through the TopKPerGroup physical operator —
+      // each map partition caps at k rows per group BEFORE the
+      // exchange, so the corpus is never window-sorted whole.
+      (s, dir) => Sampling.capPerGroup(docs(s, dir), "source", "doc_id",
+          k = 10)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM documents
+             |QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+             |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 10
+             |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("x54_linear_classifier",
+      // fastText-style bag-of-words filter, self-trained on the lang
+      // label: per-term class-purity weights in integer ppm (count
+      // ratio, no libm ln), minDf-pruned vocabulary broadcast back,
+      // per-doc integer score — the decision boundary is exact on any
+      // engine.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val w = TextOps.trainLinearWeights(d, col("lang") === "en",
+          minDf = 3)
+        TextOps.scoreLinear(d, w).orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, lang = 'en' AS y,
+             |  unnest(string_split_regex(trim(text), '\s+')) AS term
+             | FROM documents),
+             | t2 AS (SELECT * FROM tok WHERE term <> ''),
+             | base AS (SELECT CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END)
+             |   * 1000000 // COUNT(*) AS BIGINT) AS base FROM t2),
+             | w AS (SELECT term,
+             |   CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) * 1000000
+             |     // COUNT(*) AS BIGINT) - (SELECT base FROM base)
+             |    AS weight_ppm
+             |  FROM t2 GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 3),
+             | sc AS (SELECT t2.doc_id, COUNT(*) AS n_tokens,
+             |   COUNT(w.weight_ppm) AS n_scored,
+             |   COALESCE(SUM(w.weight_ppm), 0) AS score_ppm
+             |  FROM t2 LEFT JOIN w USING (term) GROUP BY t2.doc_id)
+             |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(n_scored AS BIGINT) AS n_scored,
+             |  CAST(score_ppm AS BIGINT) AS score_ppm,
+             |  score_ppm > 0 AS predicted
+             |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("x55_semantic_dedup",
+      // SemDeDup: k-means partitions the embedding space (exact
+      // integer fixed-point — the x22 centroids), pairs score only
+      // within a cluster, greedy keep-min-id above the cosine
+      // threshold. 0.35 targets the paraphrase regime this corpus
+      // actually contains (max pairwise cosine ~0.5); the verbatim-dup
+      // regime is x40's LSH blocking.
+      (s, dir) => Dedup.semanticDedup(t(s, dir, "embeddings"), k = 4,
+          threshold = 0.35, iters = 2)
+        .orderBy("vec_id"),
+      Some(s"""WITH ${kmeansCtes(4, 2)},
+             | emb2 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             |  FROM embeddings),
+             | sv AS (SELECT emb2.vec_id, a.cluster, emb2.v
+             |  FROM emb2 JOIN a3 a USING (vec_id))
+             |SELECT sv.vec_id, sv.cluster,
+             |  EXISTS (SELECT 1 FROM sv o WHERE o.cluster = sv.cluster
+             |    AND o.vec_id < sv.vec_id
+             |    AND list_cosine_similarity(o.v, sv.v) >= 0.35
+             |    AND isfinite(list_cosine_similarity(o.v, sv.v)))
+             |   AS is_dup
+             |FROM sv ORDER BY vec_id""".stripMargin)),
+
+    QueryDef("x57_curation_pipeline",
+      // the end-to-end curation recipe as ONE dataflow — quality gate
+      // (x54 classifier) → semantic-dedup gate (x55, docs without an
+      // embedding pass unflagged) → deterministic train split (x18's
+      // md5 family) → epoch shuffle (x56) — proving the gates compose
+      // into a single hash-matchable plan, not just pass in isolation.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val w = TextOps.trainLinearWeights(d, col("lang") === "en",
+          minDf = 3)
+        val kept = TextOps.scoreLinear(d, w)
+          .filter(col("predicted"))
+          .select("doc_id")
+        val dupIds = Dedup.semanticDedup(t(s, dir, "embeddings"), k = 4,
+            threshold = 0.35, iters = 2)
+          .filter(col("is_dup")).select(col("vec_id").as("doc_id"))
+        val curated = d.join(kept, Seq("doc_id"), "left_semi")
+          .join(dupIds, Seq("doc_id"), "left_anti")
+        val train = Sampling.hashSplit(curated, "doc_id",
+            Seq("train" -> 0.8, "eval" -> 0.2),
+            bucketFn = Sampling.md5Bucket(_, _))
+          .filter(col("split") === "train")
+        Sampling.epochShuffle(train, "doc_id", epoch = 1, shards = 4)
+          .select(col("doc_id"), col("lang"), col("shard"), col("pos"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${kmeansCtes(4, 2)},
+             | tok AS (SELECT doc_id, lang = 'en' AS y,
+             |  unnest(string_split_regex(trim(text), '\\s+')) AS term
+             | FROM documents),
+             | t2 AS (SELECT * FROM tok WHERE term <> ''),
+             | base AS (SELECT CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END)
+             |   * 1000000 // COUNT(*) AS BIGINT) AS base FROM t2),
+             | w AS (SELECT term,
+             |   CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) * 1000000
+             |     // COUNT(*) AS BIGINT) - (SELECT base FROM base)
+             |    AS weight_ppm
+             |  FROM t2 GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 3),
+             | kept AS (SELECT t2.doc_id
+             |  FROM t2 LEFT JOIN w USING (term) GROUP BY t2.doc_id
+             |  HAVING COALESCE(SUM(w.weight_ppm), 0) > 0),
+             | emb2 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             |  FROM embeddings),
+             | sv AS (SELECT emb2.vec_id, a3.cluster, emb2.v
+             |  FROM emb2 JOIN a3 USING (vec_id)),
+             | dup AS (SELECT vec_id FROM sv
+             |  WHERE EXISTS (SELECT 1 FROM sv o
+             |   WHERE o.cluster = sv.cluster AND o.vec_id < sv.vec_id
+             |    AND list_cosine_similarity(o.v, sv.v) >= 0.35
+             |    AND isfinite(list_cosine_similarity(o.v, sv.v)))),
+             | curated AS (SELECT d.doc_id, d.lang FROM documents d
+             |  WHERE d.doc_id IN (SELECT doc_id FROM kept)
+             |   AND d.doc_id NOT IN (SELECT vec_id FROM dup)),
+             | train AS (SELECT doc_id, lang,
+             |   md5('1:' || CAST(doc_id AS VARCHAR)) AS eh FROM curated
+             |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+             |     1, 15)) AS BIGINT) % 10000 < 8000)
+             |SELECT doc_id, lang,
+             |  CAST(CAST(('0x' || substr(eh, 1, 15)) AS BIGINT) % 4 AS INT)
+             |    AS shard,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY
+             |    CAST(('0x' || substr(eh, 1, 15)) AS BIGINT) % 4
+             |    ORDER BY eh, doc_id) AS BIGINT) AS pos
+             |FROM train ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("x56_epoch_shuffle",
+      // deterministic training-epoch shuffle: shard + in-shard
+      // position derived from md5("epoch:key") — a fresh permutation
+      // per epoch, reproducible on any engine/cluster/retry; one
+      // exchange on the shard id, per-shard sort on the 8-byte hash.
+      (s, dir) => Sampling.epochShuffle(docs(s, dir), "doc_id",
+          epoch = 7, shards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("doc_id"),
+      Some("""WITH h AS (SELECT doc_id,
+             |   md5('7:' || CAST(doc_id AS VARCHAR)) AS eh FROM documents),
+             | s AS (SELECT doc_id, eh,
+             |  CAST(CAST(('0x' || substr(eh, 1, 15)) AS BIGINT) % 8 AS INT)
+             |    AS shard FROM h)
+             |SELECT doc_id, shard,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+             |    ORDER BY eh, doc_id) AS BIGINT) AS pos
+             |FROM s ORDER BY doc_id""".stripMargin))
   )
 
   // ============================================================= contract

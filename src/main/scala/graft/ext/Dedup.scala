@@ -628,6 +628,49 @@ object Dedup {
       .select(col("a"), col("b"), col("cosine"))
   }
 
+  /** Semantic deduplication (the SemDeDup recipe, arXiv:2303.09540):
+    * partition the embedding space with k-means, score pairs ONLY
+    * within a cluster, and greedily drop every item that has a
+    * smaller-id neighbor above the cosine threshold in its cluster —
+    * "keep one representative per semantic duplicate group" without
+    * ever touching the corpus-quadratic pair space. Complements
+    * [[embeddingNearDupBlocked]]: LSH blocks on geometry alone and
+    * targets the ≥0.9 verbatim-dup regime; cluster scoping holds a
+    * LOWER threshold (paraphrases, re-renderings) tractable because
+    * candidate volume is Σ n_c², bounded by choosing k ∝ corpus size
+    * (the paper's 50k clusters at 100 TB keeps clusters ~constant).
+    *
+    * Deterministic end to end: [[Clustering.kmeans]] is exact integer
+    * fixed-point (bit-identical centroids on any engine/partitioning),
+    * and the greedy keep-min-id rule needs no iteration — so the whole
+    * pipeline hash-matches a SQL oracle (x55), unlike the paper's
+    * GPU-kmeans. Returns (vec_id, cluster, is_dup); the curated corpus
+    * is `filter(!is_dup)`.
+    *
+    * Scale shape: assignment is the kmeans broadcast join (corpus
+    * never shuffles); the pair join exchanges only (id, cluster,
+    * vector) once on the cluster key, and the exact cosine verify
+    * runs per cluster. */
+  def semanticDedup(emb: DataFrame, k: Int, threshold: Double,
+                    iters: Int = 2,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val assign = Clustering.kmeans(emb, k, iters, idCol, vecCol)
+      .select(col("vec_id"), col("cluster"))
+    val side = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .join(assign, Seq("vec_id")).localCheckpoint()
+    val dupIds = side.select(col("vec_id").as("b"), col("cluster"),
+        col("v").as("vb"))
+      .join(side.select(col("vec_id").as("a"), col("cluster"),
+        col("v").as("va")), Seq("cluster"))
+      .where(col("a") < col("b"))
+      .where(Similarity.cosine(col("va"), col("vb")) >= threshold)
+      .select(col("b").as("vec_id")).distinct()
+    side.join(dupIds.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
   /** Near-dup CLUSTERS from a pair list: connected components of the
     * undirected (a, b) similarity graph via min-label propagation,
     * labeled by each component's min doc id. The canonicalization step

@@ -109,6 +109,60 @@ object Sampling {
       keyCol, col("ppm")).drop("ppm")
   }
 
+  /** Per-group document cap — the "at most k pages per domain" rule
+    * of a web-crawl curation recipe (a handful of mirror-heavy hosts
+    * otherwise dominate the corpus). Keeps the k rows of each group
+    * with the SMALLEST portable md5 of the key, tie-broken by the key
+    * itself: content-keyed like every sampler here, so the survivor
+    * set is identical across runs, partitionings, and engines (the
+    * oracle re-derives it with a QUALIFY row_number over the same md5
+    * ordering).
+    *
+    * Scale shape: rides the [[graft.plans.TopKPerGroup]] physical
+    * operator — each map partition caps its output at k rows per
+    * group BEFORE the exchange, so the shuffle carries at most
+    * partitions × groups × k rows of the 100 TB corpus, and nothing
+    * is globally sorted (the window-function spelling would shuffle
+    * and sort EVERY row). */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                  k: Int): DataFrame = {
+    require(k > 0, s"capPerGroup: k must be positive, got $k")
+    val ord = "__cap_md5"
+    graft.plans.TopKPerGroup(
+        df.withColumn(ord, md5(col(keyCol).cast("string"))),
+        Seq(groupCol), Seq((ord, true), (keyCol, true)), k)
+      .drop(ord)
+  }
+
+  /** Deterministic epoch shuffle + shard layout for training-data
+    * export: every (epoch, row) maps to a shard and a position within
+    * it, derived ONLY from the portable md5 of "epoch:key" — a new
+    * epoch is a fresh pseudo-random permutation, and the whole layout
+    * is reproducible bit-for-bit on any engine, any cluster size, any
+    * retry (rand()-shuffled epochs are not: a lost executor deals
+    * different batches). Returns the input plus (shard, pos).
+    *
+    * Scale shape: ONE exchange hash-partitioned on the derived shard
+    * id, then an independent per-shard sort on the 8-byte hash — no
+    * global sort, no skew (md5 spreads uniformly); exactly the plan a
+    * `write.partitionBy("shard")` export wants underneath. */
+  def epochShuffle(df: DataFrame, keyCol: String, epoch: Int,
+                   shards: Int): DataFrame = {
+    require(shards > 0, s"epochShuffle: shards must be positive, got $shards")
+    val h = md5(concat_ws(":", lit(epoch), col(keyCol).cast("string")))
+    val tagged = df
+      .withColumn("__eh", h)
+      .withColumn("shard",
+        pmod(conv(substring(col("__eh"), 1, 15), 16, 10).cast("long"),
+          lit(shards.toLong)).cast("int"))
+    import org.apache.spark.sql.expressions.Window
+    tagged
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard")
+          .orderBy(col("__eh"), col(keyCol))).cast("long"))
+      .drop("__eh")
+  }
+
   /** Per-stratum deterministic downsample: keep ~`fraction(stratum)`
     * of rows, chosen by key hash (so the SAME rows survive every
     * run). Strata missing from the map are dropped. */

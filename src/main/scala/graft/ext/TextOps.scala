@@ -240,6 +240,75 @@ object TextOps {
       .withColumn("pred_score", col("pred_sum").cast("double") / col("n_bigrams"))
   }
 
+  /** Train a count-ratio linear text classifier — the engine-portable
+    * stand-in for the fastText-style quality/domain filter every
+    * published pretraining recipe runs over its crawl (the classifier
+    * itself is a bag-of-words linear model; only the training
+    * objective differs). Weight of a term = its class purity minus
+    * the corpus base rate, in integer ppm: (positive occurrences ×
+    * 1e6) DIV occurrences − (all positive occurrences × 1e6) DIV all
+    * occurrences — a term scores positive iff it is MORE positive-
+    * class-associated than the prior, so per-doc sums have a
+    * meaningful sign even on unbalanced labels (centering on a fixed
+    * 500000 would push every weight negative whenever the positive
+    * class is a minority). A naive-Bayes-shaped score with NO
+    * logarithm, so (unlike log-odds, whose ln() is libm-bound) every
+    * engine derives the identical weight table. Terms in fewer than
+    * `minDf` distinct docs are pruned (hapax noise dominates
+    * otherwise — and pruning is what keeps the vocabulary
+    * broadcast-small at corpus scale). Returns (term, df, weight_ppm).
+    *
+    * Scale shape: one token-count aggregation (8-byte-ish rows) — the
+    * classic map-side-combined wordcount — then a distinct-doc count;
+    * output is vocabulary-sized, i.e. tiny next to the corpus. */
+  def trainLinearWeights(df: DataFrame, labelCol: Column,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         minDf: Int = 2): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"), labelCol.as("y"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .localCheckpoint() // feeds the vocab agg AND the base-rate agg
+    val base = tok.agg(
+      expr("CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) * 1000000" +
+        " DIV count(1) AS BIGINT)").as("base"))
+    tok.groupBy("term")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
+        countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(base))
+      .select(col("term"), col("df"),
+        (expr("CAST(pos * 1000000 DIV cnt AS BIGINT)") - col("base"))
+          .as("weight_ppm"))
+  }
+
+  /** Score documents under a [[trainLinearWeights]] weight table:
+    * per-doc sum of its tokens' weights (bag-of-words dot product,
+    * out-of-vocabulary tokens contribute 0), predicted = score > 0.
+    * Returns (doc_id, n_tokens, n_scored, score_ppm, predicted).
+    * All-integer, so the decision boundary is exact on any engine —
+    * the property a filter-the-corpus gate needs (a float score
+    * flips boundary docs between runs).
+    *
+    * Scale shape: the weight table is vocabulary-sized → broadcast;
+    * scoring is explode + map-side-combinable per-doc aggregation —
+    * the corpus text itself never shuffles (token/weight pairs die at
+    * the map side). */
+  def scoreLinear(df: DataFrame, weights: DataFrame,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    tok.join(broadcast(weights.select("term", "weight_ppm")),
+        Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("weight_ppm")).as("n_scored"),
+        coalesce(sum("weight_ppm"), lit(0L)).as("score_ppm"))
+      .withColumn("predicted", col("score_ppm") > 0)
+  }
+
   /** Corpus novelty score — the inverse-duplication quality signal:
     * the fraction of a document's distinct w-token shingles that occur
     * in NO other document (corpus shingle-frequency 1). Boilerplate-

@@ -749,4 +749,65 @@ class ExtSpec extends SparkSuite {
     assert(got.drop(1).forall(!_.getBoolean(1)))
     assert(got.drop(1).forall(_.isNullAt(7)))
   }
+
+  test("linear classifier: separable corpus classified correctly (X3)") {
+    // class-pure vocabulary + shared filler: weights must be positive
+    // for good-class terms, negative for bad, ~base-rate for filler
+    // every doc is 4 tokens with filler exactly once, so filler's
+    // purity (3/5) equals the token base rate (12/20) -> weight 0
+    val corpus = Seq(
+      (0L, "alpha beta alpha filler", true),
+      (1L, "alpha alpha beta filler", true),
+      (2L, "gamma delta gamma filler", false),
+      (3L, "gamma gamma delta filler", false),
+      (4L, "alpha beta beta filler", true))
+      .toDF("doc_id", "text", "good")
+    val w = TextOps.trainLinearWeights(corpus, $"good", minDf = 2)
+    val wm = w.select("term", "weight_ppm").as[(String, Long)]
+      .collect().toMap
+    assert(wm("alpha") > 0 && wm("beta") > 0)
+    assert(wm("gamma") < 0 && wm("delta") < 0)
+    // filler appears everywhere: purity == base rate -> weight 0
+    assert(wm("filler") == 0L)
+    val scored = TextOps.scoreLinear(corpus, w)
+      .select("doc_id", "predicted").as[(Long, Boolean)].collect().toMap
+    assert((0L to 4L).forall(i => scored(i) == (i != 2L && i != 3L)))
+  }
+
+  test("linear classifier: minDf prunes hapax; OOV tokens score 0 (X3)") {
+    val corpus = Seq(
+      (0L, "common rare1", true),
+      (1L, "common rare2", false))
+      .toDF("doc_id", "text", "y")
+    val w = TextOps.trainLinearWeights(corpus, $"y", minDf = 2)
+    assert(w.select("term").as[String].collect().toSet == Set("common"))
+    // a doc of pure OOV gets score 0, n_scored 0 — not dropped
+    val oov = Seq((9L, "neverseen tokens only")).toDF("doc_id", "text")
+    val s = TextOps.scoreLinear(oov, w).as[(Long, Long, Long, Long, Boolean)]
+      .head()
+    assert(s == ((9L, 3L, 0L, 0L, false)))
+  }
+
+  test("semanticDedup: exact twin marked dup on the larger id (X1)") {
+    // 8 well-separated base vectors + an exact twin of vec 2: the twin
+    // lands in the same kmeans cell with cosine 1.0 and must be the
+    // ONE flagged row; all originals survive
+    val base = (0L until 8L).map { i =>
+      val v = Array.tabulate(8)(d => if (d == i.toInt) 1.0f else 0.01f * i)
+      (i, v)
+    }
+    val emb = (base :+ ((100L, base(2)._2))).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(emb, k = 3, threshold = 0.95)
+      .as[(Long, Int, Boolean)].collect()
+    assert(out.length == 9)
+    val dups = out.filter(_._3).map(_._1).toSet
+    assert(dups == Set(100L))
+    // twin shares its original's cluster
+    val byId = out.map(r => r._1 -> r._2).toMap
+    assert(byId(100L) == byId(2L))
+    // an unreachable threshold flags nothing
+    val none = Dedup.semanticDedup(emb, k = 3, threshold = 1.01)
+      .as[(Long, Int, Boolean)].collect()
+    assert(none.forall(!_._3))
+  }
 }

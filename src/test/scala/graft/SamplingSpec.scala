@@ -97,4 +97,69 @@ class SamplingSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("ZZ"))
   }
+
+  test("capPerGroup: == window formulation, stable, untouched small groups") {
+    // 3 groups: g0 has 40 rows, g1 has 10, g2 has 3 — cap at 10
+    val d = (0L until 53L).map { i =>
+      val g = if (i < 40) "g0" else if (i < 50) "g1" else "g2"
+      (i, g)
+    }.toDF("id", "grp")
+    val got = Sampling.capPerGroup(d, "grp", "id", 10)
+      .as[(Long, String)].collect().toSet
+    // oracle: row_number over md5 order (the window spelling the
+    // operator avoids at scale)
+    val want = d.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("grp")
+          .orderBy(md5($"id".cast("string")), $"id")))
+      .filter($"rk" <= 10).select("id", "grp")
+      .as[(Long, String)].collect().toSet
+    assert(got == want)
+    assert(got.count(_._2 == "g0") == 10)
+    assert(got.count(_._2 == "g1") == 10) // exactly at cap: all kept
+    assert(got.count(_._2 == "g2") == 3)  // under cap: untouched
+    // survivor set is content-keyed -> partitioning-invariant
+    val again = Sampling.capPerGroup(d.repartition(7), "grp", "id", 10)
+      .as[(Long, String)].collect().toSet
+    assert(again == got)
+    // temp ordering column must not leak into the output schema
+    assert(Sampling.capPerGroup(d, "grp", "id", 10).columns.toSeq
+      == Seq("id", "grp"))
+  }
+
+  test("capPerGroup rides the TopKPerGroup exec: one exchange, no window sort") {
+    val d = (0L until 100L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
+    val got = Sampling.capPerGroup(d, "grp", "id", 5)
+    got.collect()
+    val plan = (got.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).toString
+    assert("TopKPerGroup".r.findAllMatchIn(plan).size == 2, s"2 phases:\n$plan")
+    assert("Exchange".r.findAllMatchIn(plan).size == 1, s"1 exchange:\n$plan")
+    assert(!plan.contains("Window"), s"no window:\n$plan")
+  }
+
+  test("epochShuffle: per-shard 1..n positions, epoch-fresh permutation, stable") {
+    val d = (0L until 500L).map(i => (i, s"t$i")).toDF("id", "payload")
+    val out = Sampling.epochShuffle(d, "id", epoch = 3, shards = 4)
+    assert(out.columns.toSeq == Seq("id", "payload", "shard", "pos"))
+    val rows = out.select("id", "shard", "pos")
+      .as[(Long, Int, Long)].collect()
+    assert(rows.length == 500 && rows.map(_._1).toSet.size == 500)
+    // within each shard, pos is exactly 1..n
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // a different epoch deals a different permutation
+    val other = Sampling.epochShuffle(d, "id", epoch = 4, shards = 4)
+      .select("id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(other.map(r => r._1 -> (r._2, r._3)).toMap
+      != rows.map(r => r._1 -> (r._2, r._3)).toMap)
+    // same epoch is partitioning-invariant (retry/resize-safe)
+    val again = Sampling.epochShuffle(d.repartition(9), "id", 3, 4)
+      .select("id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(again.map(r => r._1 -> (r._2, r._3)).toMap
+      == rows.map(r => r._1 -> (r._2, r._3)).toMap)
+  }
 }
