@@ -117,6 +117,37 @@ object SparkEntry {
     s"""WITH ${kmeansCtes(k, iters)}
        |SELECT vec_id, cluster, d2 FROM a${iters + 1} ORDER BY vec_id""".stripMargin
 
+  /** DuckDB oracle CTEs for [[TextOps.learnBpeMerges]]: w0 = the
+    * char-split corpus word histogram, then per round r a pair count
+    * (pR, all adjacent positions, frequency-weighted), the argmax
+    * pair (bR, tie-break c DESC, a, b), and the merged state (wR —
+    * greedy left-to-right via list_reduce over singleton-wrapped
+    * symbols, the same fold the Spark side runs). */
+  private def bpeCtes(rounds: Int): String = {
+    val w0 =
+      """w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  string_split(w, '') AS s FROM (
+        |  SELECT unnest(string_split_regex(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |    '\s+', ' ', 'g')), '\s+')) AS w FROM documents)
+        | WHERE w <> '' GROUP BY w)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT p['a'] AS a, p['b'] AS b,
+         |  CAST(SUM(cnt) AS BIGINT) AS c
+         | FROM (SELECT cnt, UNNEST([{'a': s[i], 'b': s[i+1]}
+         |   for i in generate_series(1, len(s)-1)]) AS p
+         |  FROM w${r - 1} WHERE len(s) > 1)
+         | GROUP BY 1, 2),
+         |b$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+         |w$r AS (SELECT w, cnt, list_reduce([[x] for x in s],
+         |  (acc, x) -> CASE WHEN acc[-1] = b$r.a AND x[1] = b$r.b
+         |    THEN list_append(acc[1:-2], b$r.a || b$r.b)
+         |    ELSE list_concat(acc, x) END) AS s
+         | FROM w${r - 1}, b$r)""".stripMargin
+    }.mkString(",\n")
+    s"$w0,\n$rs"
+  }
+
   /** DuckDB oracle for [[GraphOps.pageRankFixedPoint]] on the layer
     * subgraph: one chained CTE per iteration (no recursion needed —
     * the iteration count is a compile-time constant). `//` is DuckDB's
@@ -3674,6 +3705,55 @@ object SparkEntry {
              |    CAST(('0x' || substr(eh, 1, 15)) AS BIGINT) % 4
              |    ORDER BY eh, doc_id) AS BIGINT) AS pos
              |FROM train ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("x58_bpe_train",
+      // BPE tokenizer training (Sennrich et al. 2016) on the word
+      // HISTOGRAM — the corpus collapses to a vocabulary-sized state
+      // table in one wordcount shuffle, then each round counts
+      // adjacent symbol pairs (frequency-weighted, all positions) and
+      // merges the argmax pair greedily left-to-right. Exact integer
+      // counts + (c DESC, lhs, rhs) tie-break over ASCII symbols →
+      // the oracle re-derives the identical merge sequence.
+      (s, dir) => TextOps.learnBpeMerges(docs(s, dir), rounds = 10)
+        .orderBy("round"),
+      Some {
+        val sel = (1 to 10).map(r =>
+          s"""SELECT CAST($r AS INT) AS round, a AS lhs, b AS rhs,
+             |  a || b AS merged, c AS cnt FROM b$r""".stripMargin)
+          .mkString("\nUNION ALL\n")
+        s"""WITH ${bpeCtes(10)}
+           |SELECT * FROM (
+           |$sel)
+           |ORDER BY round""".stripMargin
+      }),
+
+    QueryDef("x59_bpe_encode",
+      // encode the corpus under the learned merge table: every
+      // DISTINCT word is folded once (vocabulary-sized work) and
+      // broadcast back onto the word stream; the corpus pays one
+      // explode + a map-side-combinable count. Docs that normalize
+      // to nothing count 0/0.
+      (s, dir) => {
+        val d = docs(s, dir)
+        TextOps.applyBpe(d, TextOps.learnBpeMerges(d, rounds = 10))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${bpeCtes(10)},
+             | wd AS (SELECT doc_id, w FROM (
+             |   SELECT doc_id, unnest(string_split_regex(trim(
+             |     regexp_replace(regexp_replace(lower(text),
+             |     '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')),
+             |     '\\s+')) AS w FROM documents)
+             |  WHERE w <> ''),
+             | per AS (SELECT wd.doc_id,
+             |   CAST(COUNT(*) AS BIGINT) AS n_words,
+             |   CAST(SUM(len(wk.s)) AS BIGINT) AS n_bpe
+             |  FROM wd JOIN w10 wk USING (w) GROUP BY wd.doc_id)
+             |SELECT d.doc_id,
+             |  CAST(COALESCE(per.n_words, 0) AS BIGINT) AS n_words,
+             |  CAST(COALESCE(per.n_bpe, 0) AS BIGINT) AS n_bpe
+             |FROM documents d LEFT JOIN per USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
 
     QueryDef("x56_epoch_shuffle",
       // deterministic training-epoch shuffle: shard + in-shard

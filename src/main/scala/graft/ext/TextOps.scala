@@ -309,6 +309,120 @@ object TextOps {
       .withColumn("predicted", col("score_ppm") > 0)
   }
 
+  /** Greedy left-to-right single-pair merge over a symbol array — the
+    * BPE merge step as a codegen'd fold: when the accumulator's last
+    * symbol is `a` and the next is `b`, replace the last with `a+b`
+    * (try_element_at on the empty accumulator is null — ANSI-mode
+    * element_at would throw — so the first symbol always appends). */
+  private def bpeMergeFold(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** (word, cnt, syms): the corpus word histogram with each word
+    * char-split — BPE training state. Training on the HISTOGRAM, not
+    * the corpus, is the classic trick that makes tokenizer training
+    * cheap at 100 TB: one wordcount shuffle collapses the corpus to a
+    * vocabulary-sized table and every merge round runs on that. */
+  private def bpeWordHistogram(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(normalize(col(textCol)))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", split(col("w"), ""))
+
+  /** Train a byte-pair-encoding merge table on the corpus (the
+    * tokenizer-training leg of a pretraining pipeline, à la
+    * Sennrich et al. 2016): `rounds` iterations of count-adjacent-
+    * symbol-pairs (weighted by word frequency, all positions) →
+    * merge the most frequent pair everywhere (greedy left-to-right).
+    * Returns (round, lhs, rhs, merged, cnt), the merge table in
+    * application order.
+    *
+    * Deterministic on any engine: counts are exact BIGINTs and the
+    * per-round argmax tie-breaks on (count DESC, lhs, rhs) over the
+    * ASCII symbols [[normalize]] emits — so the x58 oracle re-derives
+    * the identical merge sequence with chained CTEs. Per round ONE
+    * row is collected (the argmax pair — the same driver-scalar shape
+    * as mixtureSample's rate derivation); everything else stays
+    * distributed, and the state table is vocabulary-sized. */
+  def learnBpeMerges(df: DataFrame, rounds: Int,
+                     textCol: String = "text"): DataFrame = {
+    require(rounds > 0, s"learnBpeMerges: rounds must be positive, got $rounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var cur = bpeWordHistogram(df, textCol).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    // per-round plans are structurally unique -> run interpreted below
+    // the codegen-worthwhile threshold (the kmeans/Lloyd gate)
+    graft.SparkConfs.maybeInterpreted(spark, cur.count()) {
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        val top = cur
+          .select(col("cnt"), explode(expr(
+            "zip_with(slice(syms, 1, size(syms)-1)," +
+              " slice(syms, 2, size(syms)-1)," +
+              " (x, y) -> struct(x AS a, y AS b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("cnt").as("c"))
+          .orderBy(col("c").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true // every word fully merged
+        else {
+          val (a, b, c) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((r, a, b, a + b, c))
+          cur = cur.withColumn("syms", bpeMergeFold(col("syms"), a, b))
+            .localCheckpoint()
+          r += 1
+        }
+      }
+    }
+    merges.toSeq.toDF("round", "lhs", "rhs", "merged", "cnt")
+  }
+
+  /** Encode the corpus under a [[learnBpeMerges]] merge table: apply
+    * every merge in round order to each word, greedy left-to-right.
+    * Returns (doc_id, n_words, n_bpe) — whitespace-word count and
+    * BPE-token count per document (docs that normalize to nothing
+    * count 0/0). The concatenation of a word's final symbols always
+    * equals the word (spec-pinned invariant).
+    *
+    * Scale shape: each DISTINCT word is encoded once (vocabulary-
+    * sized work, like training) and broadcast back onto the word
+    * stream — the corpus itself pays one explode + one map-side-
+    * combinable count, never a per-occurrence fold. */
+  def applyBpe(df: DataFrame, merges: DataFrame,
+               idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ms = merges.orderBy("round").select("lhs", "rhs")
+      .as[(String, String)].collect()
+    val words = df.select(col(idCol).as("doc_id"),
+        explode(tokens(normalize(col(textCol)))).as("w"))
+      .filter(col("w") =!= "")
+    var uniq = words.select("w").distinct()
+      .withColumn("syms", split(col("w"), ""))
+    // chain the folds on the vocabulary table; checkpoint every few
+    // rounds so the stacked-HOF plan never re-expands
+    ms.zipWithIndex.foreach { case ((a, b), i) =>
+      uniq = uniq.withColumn("syms", bpeMergeFold(col("syms"), a, b))
+      if ((i + 1) % 4 == 0) uniq = uniq.localCheckpoint()
+    }
+    val enc = uniq.select(col("w"), size(col("syms")).as("n_syms"))
+    df.select(col(idCol).as("doc_id"))
+      .join(words.join(broadcast(enc), Seq("w"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_bpe")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
+  }
+
   /** Corpus novelty score — the inverse-duplication quality signal:
     * the fraction of a document's distinct w-token shingles that occur
     * in NO other document (corpus shingle-frequency 1). Boilerplate-

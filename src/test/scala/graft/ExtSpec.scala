@@ -788,6 +788,44 @@ class ExtSpec extends SparkSuite {
     assert(s == ((9L, 3L, 0L, 0L, false)))
   }
 
+  test("BPE training: classic low/lower/lowest merge sequence (X3)") {
+    val corpus = Seq((0L, "low low lower"), (1L, "low lowest"))
+      .toDF("doc_id", "text")
+    // histogram: low:3 lower:1 lowest:1. (l,o) and (o,w) both count 5
+    // -> lexicographic tie-break picks (l,o); then (lo,w):5,
+    // (low,e):2, then a 3-way c=1 tie won by ("lowe","r") < ("lowe",
+    // "s") < ("s","t")
+    val m = TextOps.learnBpeMerges(corpus, rounds = 4)
+      .orderBy("round")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(m == Seq(
+      (1, "l", "o", "lo", 5L),
+      (2, "lo", "w", "low", 5L),
+      (3, "low", "e", "lowe", 2L),
+      (4, "lowe", "r", "lower", 1L)))
+    // rounds beyond pair exhaustion stop cleanly instead of erroring
+    val all = TextOps.learnBpeMerges(corpus, rounds = 50)
+    assert(all.count() < 50)
+  }
+
+  test("BPE encode: token counts under the learned merges; empty doc 0/0 (X3)") {
+    val corpus = Seq((0L, "low low lower"), (1L, "low lowest"),
+      (2L, "")).toDF("doc_id", "text")
+    val merges = TextOps.learnBpeMerges(corpus, rounds = 4)
+    val got = TextOps.applyBpe(corpus, merges)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // low -> [low] (1), lower -> [lower] (1), lowest -> [lowe,s,t] (3)
+    assert(got(0L) == ((3L, 3L)))
+    assert(got(1L) == ((2L, 4L)))
+    assert(got(2L) == ((0L, 0L)))
+    // content-keyed end to end -> partitioning-invariant
+    val again = TextOps.applyBpe(corpus.repartition(5), merges)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(again == got)
+  }
+
   test("semanticDedup: exact twin marked dup on the larger id (X1)") {
     // 8 well-separated base vectors + an exact twin of vec 2: the twin
     // lands in the same kmeans cell with cosine 1.0 and must be the
