@@ -3755,6 +3755,41 @@ object SparkEntry {
              |FROM documents d LEFT JOIN per USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("x60_match_distribution",
+      // the REPAIR to x52's drift GATE: largest deterministic
+      // subsample of the non-English slice whose 200-char n_chars
+      // histogram matches the English slice's shape — mixtureSample's
+      // K = min(n/share) derivation over data-derived bins, integer-
+      // ppm keep decisions on the portable md5 bucket, corpus pass
+      // map-only.
+      (s, dir) => {
+        val d = docs(s, dir)
+        Sampling.matchDistribution(d.filter(col("lang") =!= "en"),
+            d.filter(col("lang") === "en"), "n_chars",
+            binWidth = 200L, keyCol = "doc_id")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH cur AS (SELECT (n_chars // 200) * 200 AS bin,
+             |   CAST(COUNT(*) AS BIGINT) AS n FROM documents
+             |  WHERE lang <> 'en' AND n_chars IS NOT NULL GROUP BY 1),
+             | tgt AS (SELECT (n_chars // 200) * 200 AS bin,
+             |   CAST(COUNT(*) AS BIGINT) AS m FROM documents
+             |  WHERE lang = 'en' AND n_chars IS NOT NULL GROUP BY 1),
+             | tot AS (SELECT CAST(SUM(m) AS BIGINT) AS tot FROM tgt),
+             | j AS (SELECT cur.bin, cur.n,
+             |   CAST(tgt.m AS DOUBLE) / tot.tot AS share
+             |  FROM cur JOIN tgt USING (bin), tot),
+             | kk AS (SELECT MIN(n / share) AS kk FROM j),
+             | rates AS (SELECT bin,
+             |   FLOOR(share * kk.kk / n * 1000000) AS ppm FROM j, kk)
+             |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+             | JOIN rates r ON (d.n_chars // 200) * 200 = r.bin
+             |WHERE d.lang <> 'en' AND d.n_chars IS NOT NULL
+             | AND CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+             |   1, 15)) AS BIGINT) % 1000000 < r.ppm
+             |ORDER BY d.doc_id""".stripMargin)),
+
     QueryDef("x56_epoch_shuffle",
       // deterministic training-epoch shuffle: shard + in-shard
       // position derived from md5("epoch:key") — a fresh permutation

@@ -163,6 +163,55 @@ object Sampling {
       .drop("__eh")
   }
 
+  /** Distribution matching by importance resampling — the REPAIR to
+    * the drift gate's detection ([[graft.ext.Profiling.histogramDrift]]
+    * measures the mismatch; this removes it): the LARGEST
+    * deterministic subsample of `df` whose binned `valueCol`
+    * distribution matches `ref`'s. The [[mixtureSample]] derivation
+    * with data-derived strata: bin b's target share is ref's bin
+    * share, K = min over shared bins of n_b / share_b is the largest
+    * total honoring every share with the rows available (the binding
+    * bin keeps ALL its rows), keep rates quantized to integer ppm and
+    * applied via the portable md5 bucket of `keyCol` — map-only on
+    * the corpus, identical kept set on any engine/partitioning/run.
+    *
+    * Bins of `df` absent from `ref` are dropped (target share 0);
+    * bins of `ref` that `df` lacks are unreachable and excluded from
+    * the K constraint (the match is over df's support — upsampling is
+    * out of scope, as in mixtureSample). Double arithmetic is ordered
+    * identically to the oracle, so the ppm thresholds are
+    * bit-identical.
+    *
+    * Scale shape: two tiny map-side-combined histograms + a scalar
+    * min, rates broadcast back onto the corpus — the corpus itself
+    * never shuffles. */
+  def matchDistribution(df: DataFrame, ref: DataFrame, valueCol: String,
+                        binWidth: Long, keyCol: String): DataFrame = {
+    require(binWidth > 0, s"matchDistribution: binWidth > 0, got $binWidth")
+    def binned(d: DataFrame): Column =
+      (d(valueCol).cast("long") - pmod(d(valueCol).cast("long"),
+        lit(binWidth)))
+    val cur = df.filter(col(valueCol).isNotNull)
+      .groupBy(binned(df).as("bin")).agg(count(lit(1)).as("n"))
+    val tgt = ref.filter(col(valueCol).isNotNull)
+      .groupBy(binned(ref).as("bin")).agg(count(lit(1)).as("m"))
+    val tot = tgt.agg(sum("m").as("tot")) // one-row
+    // share = m/tot (double, one division); K = min(n / share);
+    // ppm = floor(share * K / n * 1e6) — the mixtureSample ordering
+    val joined = cur.join(tgt, "bin").crossJoin(broadcast(tot))
+      .withColumn("share", col("m").cast("double") / col("tot"))
+    val k = joined.agg(min(col("n") / col("share")).as("kk"))
+    val rates = joined.crossJoin(broadcast(k))
+      .select(col("bin"),
+        floor(col("share") * col("kk") / col("n") * lit(1000000))
+          .as("ppm"))
+    val withBin = df.filter(col(valueCol).isNotNull)
+      .withColumn("bin", binned(df))
+    weightedBernoulli(
+      withBin.join(broadcast(rates), Seq("bin")),
+      keyCol, col("ppm")).drop("ppm", "bin")
+  }
+
   /** Per-stratum deterministic downsample: keep ~`fraction(stratum)`
     * of rows, chosen by key hash (so the SAME rows survive every
     * run). Strata missing from the map are dropped. */

@@ -140,6 +140,39 @@ class SamplingSpec extends SparkSuite {
     assert(!plan.contains("Window"), s"no window:\n$plan")
   }
 
+  test("matchDistribution: binding bin keeps all, shape matches, drift drops") {
+    // cur: 100 rows in bin 0, 300 in bin 200, 10 in bin 400;
+    // ref is 50/50 over bins 0 and 200 -> K = min(100/.5, 300/.5)
+    // = 200: bin 0 binds (keeps ALL 100), bin 200 keeps ~1/3,
+    // bin 400 has no ref mass -> dropped entirely
+    val cur = ((0L until 100L).map((_, 10L)) ++
+      (100L until 400L).map((_, 210L)) ++
+      (400L until 410L).map((_, 410L))).toDF("doc_id", "v")
+    val ref = ((0L until 20L).map((_, 10L)) ++
+      (20L until 40L).map((_, 250L))).toDF("doc_id", "v")
+    val kept = Sampling.matchDistribution(cur, ref, "v", 200L, "doc_id")
+      .as[(Long, Long)].collect()
+    val byBin = kept.groupBy(r => (r._2 / 200) * 200)
+      .view.mapValues(_.length).toMap
+    assert(byBin.getOrElse(0L, 0) == 100)       // binding bin: all kept
+    assert(!byBin.contains(400L))               // unreferenced bin: dropped
+    val b200 = byBin.getOrElse(200L, 0)
+    assert(b200 > 70 && b200 < 130, s"~100 expected, got $b200")
+    // the repair actually repairs: TV distance to the target shape
+    // shrinks vs the unmatched corpus
+    val before = graft.ext.Profiling.tvDistancePpm(
+      graft.ext.Profiling.histogramDrift(cur, ref, "v", 200L))
+    val after = graft.ext.Profiling.tvDistancePpm(
+      graft.ext.Profiling.histogramDrift(
+        Sampling.matchDistribution(cur, ref, "v", 200L, "doc_id"),
+        ref, "v", 200L))
+    assert(after < before / 4, s"drift $before -> $after")
+    // content-keyed -> partitioning-invariant
+    val again = Sampling.matchDistribution(cur.repartition(7), ref, "v",
+      200L, "doc_id").as[(Long, Long)].collect()
+    assert(again.toSet == kept.toSet)
+  }
+
   test("epochShuffle: per-shard 1..n positions, epoch-fresh permutation, stable") {
     val d = (0L until 500L).map(i => (i, s"t$i")).toDF("id", "payload")
     val out = Sampling.epochShuffle(d, "id", epoch = 3, shards = 4)
