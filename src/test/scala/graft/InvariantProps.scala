@@ -389,4 +389,45 @@ object InvariantProps extends Properties("GraftInvariants") {
           canons.size == 1 && canons.head == ids.min
         }
     }
+
+  // small alphabet forces dense pair statistics and deep merge chains
+  private val genBpeCorpus = for {
+    n <- Gen.choose(2, 6)
+    words <- Gen.listOfN(n, Gen.listOfN(5,
+      Gen.oneOf("a", "b", "c")).map(_.mkString))
+    rounds <- Gen.choose(1, 6)
+  } yield (words, rounds)
+
+  property("BPE merges always reconstruct every word (lossless round trip)") =
+    forAll(genBpeCorpus) { case (words, rounds) =>
+      import spark.implicits._
+      val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("doc_id", "text")
+      val merges = graft.ext.TextOps.learnBpeMerges(docs, rounds)
+        .orderBy("round")
+        .as[(Int, String, String, String, Long)].collect()
+      // apply the merge table with a reference greedy fold and check
+      // (a) concatenation is lossless, (b) the distributed encoder's
+      // token counts equal the reference fold's
+      def fold(syms: Vector[String], a: String, b: String): Vector[String] =
+        syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == a && x == b)
+            acc.init :+ (a + b)
+          else acc :+ x
+        }
+      val encoded = words.map { w =>
+        w -> merges.foldLeft(w.split("").toVector) { case (s, m) =>
+          fold(s, m._2, m._3)
+        }
+      }.toMap
+      val lossless = encoded.forall { case (w, syms) => syms.mkString == w }
+      val counts = graft.ext.TextOps.applyBpe(docs,
+          merges.toIndexedSeq.toDF("round", "lhs", "rhs", "merged", "cnt"))
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> r._3).toMap
+      val agrees = words.zipWithIndex.forall { case (w, i) =>
+        counts(i.toLong) == encoded(w).length.toLong
+      }
+      lossless && agrees
+    }
 }
