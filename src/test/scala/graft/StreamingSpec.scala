@@ -227,6 +227,61 @@ class StreamingSpec extends SparkSuite {
     assert(batch.exists { case (id, _, _, lang) => id == 2L && lang == "es" })
   }
 
+  test("streaming curation gate: pre-trained classifier + drift monitor per micro-batch") {
+    // the deploy shape for the x54/x52 gates: weights are trained
+    // offline (static, broadcast), each arriving micro-batch is
+    // scored + drift-checked in foreachBatch — scoring involves a
+    // per-doc aggregation, so it rides foreachBatch like the
+    // streamingNearDup loop, not a stateful streaming agg
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq((10L, "good fine nice", true),
+      (11L, "bad awful poor", false),
+      (12L, "good nice words", true),
+      (13L, "bad poor words", false)).toDF("doc_id", "text", "y")
+    val w = graft.ext.TextOps.trainLinearWeights(train, col("y"), minDf = 1)
+      .localCheckpoint()
+    val ref = Seq((100L, 30L), (101L, 50L), (102L, 230L))
+      .toDF("doc_id", "n_chars") // reference n_chars histogram
+    val b1 = Seq((0L, "good fine stuff", 10L), (1L, "bad awful stuff", 210L))
+    val b2 = Seq((2L, "good nice fine", 15L), (3L, "bad poor awful", 420L))
+
+    val scored = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Boolean)]
+    val drifts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val stream = MemoryStream[(Long, String, Long)]
+    val q = stream.toDF().toDF("doc_id", "text", "n_chars")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val s = graft.ext.TextOps.scoreLinear(df, w)
+          .select("doc_id", "score_ppm", "predicted")
+          .as[(Long, Long, Boolean)].collect()
+        val tv = graft.ext.Profiling.tvDistancePpm(
+          graft.ext.Profiling.histogramDrift(df, ref, "n_chars", 200L))
+        scored.synchronized { scored ++= s; drifts += tv }
+        ()
+      }.start()
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    q.stop()
+
+    // scoring accumulates to the batch result over the union
+    val batchScores = graft.ext.TextOps.scoreLinear(
+        (b1 ++ b2).toDF("doc_id", "text", "n_chars"), w)
+      .select("doc_id", "score_ppm", "predicted")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(scored.toSet == batchScores)
+    assert(scored.map(r => r._1 -> r._3).toMap ==
+      Map(0L -> true, 1L -> false, 2L -> true, 3L -> false))
+    // each micro-batch's drift equals its batch-computed value
+    val wantDrifts = Seq(b1, b2).map(b =>
+      graft.ext.Profiling.tvDistancePpm(
+        graft.ext.Profiling.histogramDrift(
+          b.toDF("doc_id", "text", "n_chars"), ref, "n_chars", 200L)))
+    assert(drifts.toSeq == wantDrifts)
+    // batch 2 drifts harder (its 420-char doc has no reference mass)
+    assert(drifts(1) > drifts(0))
+  }
+
   test("streaming near-dup: per-epoch probe+append accumulates to the full rebuild") {
     implicit val sqlCtx = spark.sqlContext
     val day1 = Seq((0L, "alpha beta gamma delta epsilon zeta"),
