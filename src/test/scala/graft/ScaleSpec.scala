@@ -147,4 +147,52 @@ class ScaleSpec extends SparkSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges <= 1, s"expected at most one exchange (probe side only):\n$plan")
   }
+
+  test("scoreLinear: the weight table joins BROADCAST — the corpus never shuffles pre-agg") {
+    val docs = (0 until 500).map(i => (i.toLong, s"tok${i % 7} tok${i % 5} filler"))
+      .toDF("doc_id", "text")
+    val w = (0 until 7).map(i => (s"tok$i", 2L, (i * 1000).toLong))
+      .toDF("term", "df", "weight_ppm")
+    val scored = graft.ext.TextOps.scoreLinear(docs, w)
+    scored.collect()
+    val plan = (scored.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weights must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-side shuffle join:\n$plan")
+    // exactly the per-doc aggregation's exchange, nothing else
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"one exchange (final agg only):\n$plan")
+  }
+
+  test("matchDistribution: corpus keep-pass is map-only — rates broadcast back") {
+    val cur = (0 until 400).map(i => (i.toLong, (i % 3) * 200L + 10L))
+      .toDF("doc_id", "v")
+    val ref = (0 until 60).map(i => (i.toLong, (i % 2) * 200L + 10L))
+      .toDF("doc_id", "v")
+    val kept = graft.ext.Sampling.matchDistribution(cur, ref, "v", 200L,
+      "doc_id")
+    kept.collect()
+    val plan = (kept.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rates must broadcast onto the corpus:\n$plan")
+    // exchanges exist only BELOW the tiny histogram aggregations; the
+    // corpus branch (scan -> filter -> broadcast join -> ppm filter)
+    // must carry none. The histogram side aggregates <= bins rows, so
+    // asserting "every SortMergeJoin absent" + "kept-path rows never
+    // hash-exchange" reduces to: no SMJ anywhere, and the top stage
+    // (above the last broadcast) is exchange-free.
+    assert(!plan.contains("SortMergeJoin"), s"no shuffle joins:\n$plan")
+    val topStage = plan.split("BroadcastHashJoin").head
+    assert(!topStage.contains("Exchange hashpartitioning"),
+      s"corpus keep-path must be map-only above the broadcast:\n$plan")
+  }
 }
