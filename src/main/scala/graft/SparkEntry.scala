@@ -1806,6 +1806,54 @@ object SparkEntry {
              | COUNT(*) AS cnt
              |FROM b GROUP BY 1, 4 ORDER BY media_id, bucket""".stripMargin)),
 
+    QueryDef("x61_avi_video",
+      // REAL compressed-video decode through a REAL container: each
+      // doc becomes an 8x6 4-frame RIFF/AVI whose frames are ImageIO-
+      // encoded PNGs (fourcc MPNG — the lossless sibling of MJPEG,
+      // same container walk, same per-frame ImageIO decode), then the
+      // actual decodeAviVideo path samples every 2nd frame (skipped
+      // frames never reach the codec) and emits channel-sum features.
+      // PNG is lossless, so the oracle re-derives the DECODED pixels
+      // from the closed-form channel formulas with no codec — the
+      // x12 trick upgraded to the compressed-video container. MJPEG
+      // (lossy) runs through the identical path in ExtSpec.
+      (s, dir) => {
+        val media = Multimodal.synthesizeAvi(
+          docs(s, dir).select("doc_id"), "doc_id", 8, 6,
+          nFrames = 4, codec = "png")
+        Multimodal.decodeAviVideo(media, dim = 16, every = 2)
+          .where(col("decode_ok"))
+          .select(col("media_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("n_frames"), col("frames_sampled"), col("sum_q"),
+            posexplode(col("hist")).as(Seq("bucket", "cnt")))
+          .where(col("cnt") > 0)
+          .select(col("media_id"), col("width"), col("height"),
+            col("n_frames"), col("frames_sampled"), col("sum_q"),
+            col("bucket").cast("long").as("bucket"), col("cnt"))
+          .orderBy("media_id", "bucket")
+      },
+      Some("""WITH px AS (SELECT d.doc_id, f.f, x.x, y.y
+             |  FROM (SELECT doc_id FROM documents) d,
+             |       (SELECT unnest([0, 2]) AS f) f,
+             |       generate_series(0, 7) x(x), generate_series(0, 5) y(y)),
+             | s AS (SELECT doc_id,
+             |   (doc_id*31 + f*29 + x*7 + y*13) % 256
+             |    + (doc_id*17 + f*41 + x*11 + y*3) % 256
+             |    + (doc_id*23 + f*37 + x*5 + y*19) % 256 AS s
+             |  FROM px),
+             | tot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS sum_q
+             |  FROM s GROUP BY doc_id),
+             | bk AS (SELECT doc_id, CAST(s % 16 AS BIGINT) AS bucket,
+             |   COUNT(*) AS cnt FROM s GROUP BY 1, 2)
+             |SELECT bk.doc_id AS media_id, CAST(8 AS BIGINT) AS width,
+             | CAST(6 AS BIGINT) AS height, CAST(4 AS BIGINT) AS n_frames,
+             | CAST(2 AS BIGINT) AS frames_sampled, tot.sum_q,
+             | bk.bucket, bk.cnt
+             |FROM bk JOIN tot USING (doc_id)
+             |ORDER BY media_id, bucket""".stripMargin)),
+
     QueryDef("x15_asof_join",
       // as-of join (SURVEY §2.7 range/as-of row): latest click per
       // user at-or-before each purchase. Clicks pre-deduped per

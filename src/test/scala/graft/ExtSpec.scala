@@ -750,6 +750,46 @@ class ExtSpec extends SparkSuite {
     assert(got.drop(1).forall(_.isNullAt(7)))
   }
 
+  test("AVI/MJPEG: real compressed-video decode; sampling, determinism, poison (X4)") {
+    val ids = Seq(1L, 2L).toDF("media_id")
+    val avi = Multimodal.synthesizeAvi(ids, "media_id", 16, 12,
+      nFrames = 6, codec = "mjpeg")
+    val got = Multimodal.decodeAviVideo(avi, dim = 16, every = 3)
+      .orderBy("media_id").collect()
+    assert(got.length == 2 && got.forall(_.getBoolean(1)))
+    assert(got.forall(r => r.getInt(2) == 16 && r.getInt(3) == 12))
+    assert(got.forall(r => r.getLong(4) == 6L && r.getLong(5) == 2L))
+    // JPEG is lossy but the decode is deterministic: run twice, equal
+    val again = Multimodal.decodeAviVideo(avi, dim = 16, every = 3)
+      .orderBy("media_id").collect()
+    assert(got.map(_.toSeq.toList).toSeq == again.map(_.toSeq.toList).toSeq)
+    // the lossless sibling through the SAME container+codec path
+    // equals the closed-form pixel features frame-for-frame
+    val png = Multimodal.decodeAviVideo(
+        Multimodal.synthesizeAvi(ids, "media_id", 4, 3, nFrames = 2,
+          codec = "png"), dim = 16, every = 1)
+      .orderBy("media_id").collect()
+    val wantSum = (id: Long) => (for {
+      f <- 0 until 2; y <- 0 until 3; x <- 0 until 4
+    } yield ((id * 31 + f * 29 + x * 7 + y * 13) % 256) +
+      ((id * 17 + f * 41 + x * 11 + y * 3) % 256) +
+      ((id * 23 + f * 37 + x * 5 + y * 19) % 256)).sum
+    assert(png.forall(r => r.getLong(6) == wantSum(r.getLong(0))))
+    // poison rows: truncated container, garbage, null payload
+    val good = avi.filter(col("media_id") === 1L)
+      .select("payload").head().getAs[Array[Byte]](0)
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(10L, "video", good.take(good.length / 2),
+        "video/avi", null, null, null),
+      org.apache.spark.sql.Row(11L, "video",
+        Array.fill[Byte](64)(0x5a), "video/avi", null, null, null),
+      org.apache.spark.sql.Row(12L, "video", null, null, null, null, null))
+    val poison = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val res = Multimodal.decodeAviVideo(poison).collect()
+    assert(res.forall(!_.getBoolean(1)))
+    assert(res.forall(_.isNullAt(6)))
+  }
+
   test("linear classifier: separable corpus classified correctly (X3)") {
     // class-pure vocabulary + shared filler: weights must be positive
     // for good-class terms, negative for bad, ~base-rate for filler
