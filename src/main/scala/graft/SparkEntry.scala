@@ -1854,6 +1854,45 @@ object SparkEntry {
              |FROM bk JOIN tot USING (doc_id)
              |ORDER BY media_id, bucket""".stripMargin)),
 
+    QueryDef("x62_knn_classify",
+      // ANN k-NN label propagation: classify every embedding by the
+      // majority label of its 5 nearest in-cell neighbors (kmeans
+      // cells scope the pair space, TopKPerGroup caps map-side,
+      // deterministic (votes DESC, label ASC) tie-break). The
+      // accuracy column makes the query double as the embedding-
+      // quality probe.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.knnClassify(emb, k = 5, cells = 4, iters = 2)
+          .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+          .select(col("vec_id"), col("cluster"), col("label"),
+            col("pred_label"), col("votes"),
+            (col("label") === col("pred_label")).as("correct"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH ${kmeansCtes(4, 2)},
+             | e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+             |  FROM embeddings),
+             | sv AS (SELECT e.vec_id, a3.cluster, e.v, e.label
+             |  FROM e JOIN a3 USING (vec_id)),
+             | sc AS (SELECT q.vec_id, q.cluster, n.vec_id AS nb,
+             |   n.label AS nlabel,
+             |   list_cosine_similarity(q.v, n.v) AS cos
+             |  FROM sv q JOIN sv n ON n.cluster = q.cluster
+             |   AND n.vec_id <> q.vec_id),
+             | top AS (SELECT * FROM sc QUALIFY ROW_NUMBER() OVER (
+             |   PARTITION BY vec_id ORDER BY cos DESC, nb) <= 5),
+             | votes AS (SELECT vec_id, cluster, nlabel,
+             |   CAST(COUNT(*) AS BIGINT) AS votes
+             |  FROM top GROUP BY 1, 2, 3),
+             | win AS (SELECT vec_id, cluster, nlabel AS pred_label,
+             |   votes FROM votes QUALIFY ROW_NUMBER() OVER (
+             |   PARTITION BY vec_id ORDER BY votes DESC, nlabel) = 1)
+             |SELECT w.vec_id, w.cluster, e.label, w.pred_label, w.votes,
+             |  (e.label = w.pred_label) AS correct
+             |FROM win w JOIN e USING (vec_id)
+             |ORDER BY vec_id""".stripMargin)),
+
     QueryDef("x15_asof_join",
       // as-of join (SURVEY §2.7 range/as-of row): latest click per
       // user at-or-before each purchase. Clicks pre-deduped per

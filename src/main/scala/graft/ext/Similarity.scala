@@ -231,6 +231,48 @@ object Similarity {
                   bucket: Long): DataFrame =
     spark.read.parquet(path).filter(col("bucket") === bucket)
 
+  /** ANN k-NN label propagation — the model-free classifier / weak
+    * labeler of an embedding pipeline (label the unlabeled corpus by
+    * its neighbors; also the standard probe for "are these embeddings
+    * any good"). Fully distributed self-classification: k-means cells
+    * ([[graft.ext.Clustering.kmeans]], exact fixed-point) scope the
+    * pair space exactly as in semantic dedup, each vector's k nearest
+    * IN-CELL neighbors survive through the [[graft.plans.TopKPerGroup]]
+    * bounded-heap operator (map-side capped — the scored pairs are
+    * never window-sorted whole), and the majority label wins with a
+    * deterministic (votes DESC, label ASC) tie-break. No broadcast-
+    * small query-set requirement: corpus classifies corpus.
+    *
+    * Approximate by construction (neighbors outside the cell are
+    * invisible — raise `cells` with corpus size like semanticDedup);
+    * deterministic end to end, so predictions hash-match a SQL oracle
+    * (x62). Returns (vec_id, cluster, pred_label, votes). */
+  def knnClassify(emb: DataFrame, k: Int, cells: Int, iters: Int = 2,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame = {
+    require(k > 0 && cells > 0, "knnClassify: k > 0, cells > 0")
+    val assign = graft.ext.Clustering.kmeans(emb, cells, iters, idCol, vecCol)
+      .select(col("vec_id"), col("cluster"))
+    val side = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        col(labelCol).as("lbl"))
+      .join(assign, Seq("vec_id")).localCheckpoint()
+    val scored = side.select(col("vec_id"), col("cluster"), col("v"))
+      .join(side.select(col("vec_id").as("nb"), col("cluster"),
+        col("v").as("nv"), col("lbl").as("nlabel")), Seq("cluster"))
+      .filter(col("vec_id") =!= col("nb"))
+      .withColumn("cosine", cosine(col("v"), col("nv")))
+    val top = graft.plans.TopKPerGroup(
+      scored.select("vec_id", "cluster", "nb", "nlabel", "cosine"),
+      Seq("vec_id"), Seq(("cosine", false), ("nb", true)), k)
+    val votes = top.groupBy("vec_id", "cluster", "nlabel")
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("votes").desc, col("nlabel"))
+    votes.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("cluster"),
+        col("nlabel").as("pred_label"), col("votes"))
+  }
+
   /** IVF-style variant: corpus assigned to nearest of `centroids`
     * (a small broadcast DataFrame of (centroid_id, cvec)); queries
     * probe their `nprobe` nearest centroids' cells only. */

@@ -866,6 +866,33 @@ class ExtSpec extends SparkSuite {
     assert(again == got)
   }
 
+  test("knnClassify: separable cells vote their label; vote ties break low (X2)") {
+    // two tight groups on orthogonal axes (labels 1 and 2): every
+    // member's neighbors are its own group -> unanimous votes
+    def v(axis: Int, jitter: Float) =
+      Array.tabulate(4)(d => if (d == axis) 1.0f else jitter)
+    val emb = (Seq(
+      (0L, v(0, 0.00f), 1), (1L, v(0, 0.01f), 1), (2L, v(0, 0.02f), 1),
+      (10L, v(2, 0.00f), 2), (11L, v(2, 0.01f), 2), (12L, v(2, 0.02f), 2)))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(emb, k = 2, cells = 2)
+      .select("vec_id", "pred_label", "votes")
+      .as[(Long, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert((0L to 2L).forall(i => got(i) == ((1, 2L))))
+    assert((10L to 12L).forall(i => got(i) == ((2, 2L))))
+    // a 1-1 vote tie: one cell holding labels 3 and 4 plus the probe —
+    // k=2 sees one of each, and the LOWER label must win
+    val tie = Seq(
+      (20L, v(1, 0.00f), 9), (21L, v(1, 0.01f), 4), (22L, v(1, 0.02f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val t = Similarity.knnClassify(tie, k = 2, cells = 1)
+      .select("vec_id", "pred_label", "votes")
+      .as[(Long, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(t(20L) == ((3, 1L)))
+  }
+
   test("semanticDedup: exact twin marked dup on the larger id (X1)") {
     // 8 well-separated base vectors + an exact twin of vec 2: the twin
     // lands in the same kmeans cell with cosine 1.0 and must be the
