@@ -3523,6 +3523,50 @@ object SparkEntry {
              |SELECT * FROM ex UNION ALL SELECT * FROM qu
              |ORDER BY col_name, stat""".stripMargin)),
 
+    QueryDef("x63_profile_merge",
+      // the daily-profile loop: three disjoint batches (doc_id % 3)
+      // each profile THEMSELVES, the states fold together, and the
+      // finalized result must equal the whole-corpus profile — both
+      // legs of the state are algebraic (decimal sums add exactly;
+      // the md5 bottom-k sample is a KMV sketch whose union-then-
+      // bottom-k merge is exact), so the oracle just recomputes from
+      // the full corpus.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val states = (0 until 3).map(i => ext.Profiling.profileState(
+          d.filter(pmod(col("doc_id"), lit(3)) === i), "doc_id",
+          Seq("n_chars"), sampleK = 500))
+        ext.Profiling.finalizeProfile(states.reduce(ext.Profiling.mergeStates),
+            Seq("n_chars"))
+          .orderBy("col_name", "stat")
+      },
+      Some("""WITH base AS (SELECT doc_id, n_chars FROM documents),
+             | samp AS (SELECT * FROM base
+             |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 500),
+             | ex AS (
+             |  SELECT 'n_chars' AS col_name, 'rows' AS stat,
+             |    CAST(COUNT(*) AS DOUBLE) AS value FROM base
+             |  UNION ALL SELECT 'n_chars', 'nulls',
+             |    CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS DOUBLE) FROM base
+             |  UNION ALL SELECT 'n_chars', 'min', CAST(MIN(n_chars) AS DOUBLE) FROM base
+             |  UNION ALL SELECT 'n_chars', 'max', CAST(MAX(n_chars) AS DOUBLE) FROM base
+             |  UNION ALL SELECT 'n_chars', 'mean',
+             |    CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE)
+             |      / CAST(COUNT(n_chars) AS DOUBLE) FROM base),
+             | qu AS (
+             |  SELECT 'n_chars' AS col_name, 'p25' AS stat,
+             |    CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) AS value FROM samp
+             |  UNION ALL SELECT 'n_chars', 'p50',
+             |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) FROM samp
+             |  UNION ALL SELECT 'n_chars', 'p75',
+             |    CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) FROM samp
+             |  UNION ALL SELECT 'n_chars', 'p90',
+             |    CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) FROM samp
+             |  UNION ALL SELECT 'n_chars', 'p99',
+             |    CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) FROM samp)
+             |SELECT * FROM ex UNION ALL SELECT * FROM qu
+             |ORDER BY col_name, stat""".stripMargin)),
+
     QueryDef("x50_profile_by_group",
       // per-language corpus profile: the grouped form of x49, with
       // the per-group bottom-k sample running through the custom

@@ -121,6 +121,81 @@ object Profiling {
   def tvDistancePpm(drift: DataFrame): Long =
     drift.agg((sum("abs_diff_ppm") / 2).cast("long")).head().getLong(0)
 
+  /** Mergeable profile state — the incremental/streaming leg of
+    * [[profile]]: both of its legs happen to be ALGEBRAIC, so a
+    * standing corpus profile can absorb a new batch without
+    * re-scanning the corpus.
+    *
+    *  - moments: (rows, nulls, cnt, decimal sum, min, max) per column
+    *    — sums add, min/max fold, and the mean is derived at finalize
+    *    time from the EXACT decimal sum, so the merged mean is
+    *    bit-identical to the from-scratch one (a stored per-batch
+    *    mean would not merge exactly);
+    *  - sample: the md5 bottom-k rows — a KMV sketch, whose merge
+    *    (union → bottom-k again) is EXACT: bottom-k of A∪B ==
+    *    bottom-k of bottom-k(A) ∪ bottom-k(B), so even the sampled
+    *    quantiles of the merged state equal the whole-corpus ones.
+    *
+    * `finalizeProfile(merge(state(A), state(B))) == profile(A ∪ B)`
+    * row-for-row (x63 hash-matches it; ProfilingSpec pins 3-way merge
+    * associativity). This is the daily-profile loop at 100 TB: each
+    * day profiles ITS OWN batch, the standing state folds it in. */
+  final case class ProfileState(moments: DataFrame, sample: DataFrame,
+                                idCol: String, sampleK: Int)
+
+  def profileState(df: DataFrame, idCol: String, cols: Seq[String],
+                   sampleK: Int = 1000): ProfileState = {
+    require(cols.nonEmpty, "profileState needs at least one column")
+    def aggs(c: String): Seq[Column] = Seq(
+      count(lit(1)).as(s"${c}__rows"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      count(col(c)).as(s"${c}__cnt"),
+      sum(col(c).cast("decimal(38,6)")).as(s"${c}__s"),
+      min(col(c)).cast("double").as(s"${c}__mn"),
+      max(col(c)).cast("double").as(s"${c}__mx"))
+    val all = cols.flatMap(aggs)
+    val wide = df.agg(all.head, all.tail: _*)
+    val st = cols.map(c => s"'$c', `${c}__rows`, `${c}__nulls`, " +
+      s"`${c}__cnt`, `${c}__s`, `${c}__mn`, `${c}__mx`").mkString(", ")
+    val moments = wide.selectExpr(
+      s"stack(${cols.size}, $st) AS (col_name, rows, nulls, cnt, s, mn, mx)")
+    ProfileState(moments, bottomKSample(df, idCol, sampleK), idCol, sampleK)
+  }
+
+  def mergeStates(a: ProfileState, b: ProfileState): ProfileState = {
+    require(a.sampleK == b.sampleK && a.idCol == b.idCol,
+      "mergeStates: states must share idCol and sampleK")
+    val moments = a.moments.unionByName(b.moments)
+      .groupBy("col_name")
+      .agg(sum("rows").as("rows"), sum("nulls").as("nulls"),
+        sum("cnt").as("cnt"), sum("s").cast("decimal(38,6)").as("s"),
+        min("mn").as("mn"), max("mx").as("mx"))
+    val sample = bottomKSample(
+      a.sample.unionByName(b.sample), a.idCol, a.sampleK)
+    ProfileState(moments, sample, a.idCol, a.sampleK)
+  }
+
+  /** Render a state to [[profile]]'s long-form output — identical
+    * rows to running profile() on the union of everything the state
+    * absorbed. */
+  def finalizeProfile(st: ProfileState, cols: Seq[String],
+                      quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)): DataFrame = {
+    val exactLong = st.moments.selectExpr("col_name",
+      "stack(5, 'rows', CAST(rows AS DOUBLE), 'nulls', CAST(nulls AS DOUBLE), " +
+        "'min', mn, 'max', mx, " +
+        "'mean', CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE)) AS (stat, value)")
+    def pName(q: Double): String = s"p${math.round(q * 100)}"
+    val qAggs = cols.flatMap(c => quantiles.map(q =>
+      expr(s"percentile_disc(CAST($q AS DOUBLE)) WITHIN GROUP (ORDER BY `$c`)")
+        .cast("double").as(s"${c}__${pName(q)}")))
+    val wideQ = st.sample.agg(qAggs.head, qAggs.tail: _*)
+    val qStack = cols.flatMap(c => quantiles.map(q =>
+      s"'$c', '${pName(q)}', `${c}__${pName(q)}`")).mkString(", ")
+    val qLong = wideQ.selectExpr(
+      s"stack(${cols.size * quantiles.size}, $qStack) AS (col_name, stat, value)")
+    exactLong.unionByName(qLong)
+  }
+
   /** Per-group bottom-k sample (e.g. 200 deterministic docs PER
     * LANGUAGE) through the custom [[graft.plans.TopKPerGroup]]
     * physical operator: the partial phase caps shuffle input at k

@@ -84,4 +84,35 @@ class ProfilingSpec extends SparkSuite {
       .collect().map(r => (r.getString(1)) -> r.getDouble(2)).toMap
     assert(p("p50") == 50.0) // smallest v with cume_dist >= 0.5 over 1..100
   }
+
+  test("mergeable state: 3-way batch merge == whole-corpus profile, any grouping") {
+    val d = mkDocs(300)
+    val whole = Profiling.profile(d, "id", Seq("size", "score"),
+        sampleK = 120)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    def state(m: Int) = Profiling.profileState(
+      d.filter(pmod(col("id"), lit(3)) === m), "id",
+      Seq("size", "score"), sampleK = 120)
+    // left fold and a differently-associated fold must both equal the
+    // from-scratch profile — sums are exact decimals, the bottom-k
+    // sample is a KMV sketch with exact union merge
+    val leftFold = Profiling.finalizeProfile(
+      Profiling.mergeStates(Profiling.mergeStates(state(0), state(1)),
+        state(2)), Seq("size", "score"))
+    val rightFold = Profiling.finalizeProfile(
+      Profiling.mergeStates(state(0),
+        Profiling.mergeStates(state(1), state(2))), Seq("size", "score"))
+    for (got <- Seq(leftFold, rightFold)) {
+      val g = got.collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+      assert(g == whole)
+    }
+    // sampleK/idCol mismatches refuse to merge (a silent mismatch
+    // would desync the KMV exactness argument)
+    intercept[IllegalArgumentException] {
+      Profiling.mergeStates(state(0),
+        Profiling.profileState(d, "id", Seq("size"), sampleK = 60))
+    }
+  }
 }
