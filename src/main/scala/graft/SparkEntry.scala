@@ -2797,6 +2797,44 @@ object SparkEntry {
               |FROM walk GROUP BY layer, node_id
               |ORDER BY layer, node_id""".stripMargin)),
 
+    QueryDef("g47_random_walks",
+      // deterministic random-walk corpus (DeepWalk's data-prep step,
+      // engine-exact): step t of walk (start, rep) moves to neighbor
+      // md5("start:rep:t") mod degree in the (layer, node_id)-sorted
+      // out-neighbor list — no RNG, so retries/engines deal identical
+      // walks. Starts: the 2000 smallest orders; walks branch at the
+      // order hop (parts + suppliers + customer) and die at region.
+      (s, dir) => {
+        val g = graph(s, dir)
+        val lo = minSeed(s, dir, "orders", "o_orderkey").toLong
+        val starts = g.vertices.where(col("layer") === "order" &&
+          col("nodeId").cast("long") < lo + 2000)
+        GraphOps.deterministicWalks(g, starts, reps = 2, walkLen = 4)
+          .orderBy("start_id", "rep", "step", "layer", "node_id")
+      },
+      Some(s"""$W, nb AS (SELECT source_layer AS sl, source_id AS sid,
+              |  list({'tl': target_layer, 'tid': target_id}
+              |    ORDER BY target_layer, target_id) AS nbrs
+              | FROM edges GROUP BY 1, 2),
+              |starts AS (SELECT node_id FROM vertices WHERE layer = 'order'
+              |  AND CAST(node_id AS BIGINT)
+              |    < (SELECT MIN(o_orderkey) FROM orders) + 2000),
+              |walk(start_id, rep, step, layer, node_id) AS (
+              | SELECT node_id, r.r, 0, 'order', node_id
+              | FROM starts, (SELECT UNNEST([0, 1]) AS r) r
+              | UNION ALL
+              | SELECT w.start_id, w.rep, w.step + 1,
+              |  nb.nbrs[1 + CAST(CAST(('0x' || substr(md5(w.start_id
+              |    || ':' || w.rep || ':' || (w.step + 1)), 1, 15))
+              |    AS BIGINT) % len(nb.nbrs) AS INT)]['tl'],
+              |  nb.nbrs[1 + CAST(CAST(('0x' || substr(md5(w.start_id
+              |    || ':' || w.rep || ':' || (w.step + 1)), 1, 15))
+              |    AS BIGINT) % len(nb.nbrs) AS INT)]['tid']
+              | FROM walk w JOIN nb ON nb.sl = w.layer AND nb.sid = w.node_id
+              | WHERE w.step < 4)
+              |SELECT start_id, rep, step, layer, node_id FROM walk
+              |ORDER BY start_id, rep, step, layer, node_id""".stripMargin)),
+
     QueryDef("q36_gapfill",
       // time-series resample: per-type daily aggregates over a
       // generated date spine (missing days -> n=0) with the value

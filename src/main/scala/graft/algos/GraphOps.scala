@@ -263,4 +263,62 @@ object GraphOps {
     }
     ranks.select(col("vid"), col("r").as("rank_fp"))
   }
+
+  /** Deterministic random-walk corpus generation — the data-prep step
+    * of DeepWalk/node2vec-style graph embeddings (walk sequences
+    * become the "sentences" a skip-gram model trains on), made
+    * engine-exact: step t of walk (start, rep) moves to neighbor
+    * index md5("start:rep:t") mod degree within the OUT-neighbor list
+    * sorted by (layer, node_id). No RNG, no stored state — any
+    * engine, partitioning, or retry deals the identical walks (a
+    * rand()-seeded walker does not survive task retries), which is
+    * what makes a 100 TB walk corpus reproducible and its downstream
+    * embedding training restartable.
+    *
+    * Walks end early at sinks. Returns one row per visited step:
+    * (start_id, rep, step, layer, node_id), step 0 = the start row.
+    *
+    * Scale shape: the neighbor-list table is one groupBy of the edge
+    * set (built once, reused across all `len` rounds); each round is
+    * one equi-join of the walk frontier (starts × reps rows) against
+    * it — state is O(walks), never O(edges × walks). */
+  def deterministicWalks(g: OnionGraph, starts: DataFrame, reps: Int,
+                         walkLen: Int): DataFrame = {
+    require(reps > 0 && walkLen >= 0,
+      "deterministicWalks: reps > 0, walkLen >= 0")
+    import org.apache.spark.sql.functions._
+    val spark = g.vertices.sparkSession
+    val vl = g.vertices.select(col("vid"), col("layer"), col("nodeId"))
+    val e = g.edges.select(col("src"), col("dst"))
+      .join(vl.select(col("vid").as("src"), col("layer").as("sl"),
+        col("nodeId").as("sid")), Seq("src"))
+      .join(vl.select(col("vid").as("dst"), col("layer").as("tl"),
+        col("nodeId").as("tid")), Seq("dst"))
+    val nbrs = e.groupBy(col("sl"), col("sid"))
+      .agg(sort_array(collect_list(struct(col("tl"), col("tid"))))
+        .as("nbrs"))
+      .localCheckpoint()
+    val repsDf = spark.range(reps).select(col("id").cast("int").as("rep"))
+    var frontier = starts.select(col("layer"), col("nodeId"))
+      .crossJoin(repsDf)
+      .select(col("nodeId").as("start_id"), col("rep"),
+        lit(0).as("step"), col("layer"), col("nodeId").as("node_id"))
+      .localCheckpoint()
+    var out = frontier
+    for (t <- 1 to walkLen) {
+      val h = pmod(
+        conv(substring(md5(concat_ws(":", col("start_id"), col("rep"),
+          lit(t))), 1, 15), 16, 10).cast("long"),
+        size(col("nbrs")).cast("long")).cast("int") + 1
+      frontier = frontier
+        .join(nbrs, frontier("layer") === nbrs("sl") &&
+          frontier("node_id") === nbrs("sid"))
+        .withColumn("nx", element_at(col("nbrs"), h))
+        .select(col("start_id"), col("rep"), lit(t).as("step"),
+          col("nx.tl").as("layer"), col("nx.tid").as("node_id"))
+        .localCheckpoint()
+      out = out.unionByName(frontier)
+    }
+    out
+  }
 }

@@ -136,4 +136,48 @@ class GraphOpsSpec extends SparkSuite {
     val b = GraphOps.pageRankFixedPoint(g1, 3).as[(Long, Long)].collect().toMap
     assert(a == b)
   }
+
+  test("deterministicWalks: md5-chosen steps follow real edges, end at sinks") {
+    // star: hub 0 -> {1, 2, 3}; 1 -> {4}; 2, 3, 4 are sinks
+    val nodes = Seq("0", "1", "2", "3", "4").map((_, "L0"))
+      .toDF("node_id", "layer")
+    val edges = Seq(("0", "1"), ("0", "2"), ("0", "3"), ("1", "4"))
+      .map { case (a, b) => (a, "L0", b, "L0") }
+      .toDF("source_id", "source_layer", "target_id", "target_layer")
+    val g = OnionBuilder.grow(nodes, edges, GrowOptions())
+    val starts = g.vertices.filter(col("nodeId") === "0")
+    val walks = GraphOps.deterministicWalks(g, starts, reps = 3, walkLen = 3)
+      .as[(String, Int, Int, String, String)].collect()
+    // reference walk: same md5 index arithmetic in plain Scala
+    def md5Idx(start: String, rep: Int, step: Int, n: Int): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$start:$rep:$step".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(15), 16) % n).toInt
+    }
+    val nbrs = Map("0" -> Vector("1", "2", "3"), "1" -> Vector("4"))
+    for (rep <- 0 until 3) {
+      var cur = "0"
+      var step = 0
+      val got = walks.filter(_._2 == rep).sortBy(_._3)
+      assert(got.head == (("0", rep, 0, "L0", "0")))
+      var expect = Vector(("0", rep, 0, "L0", "0"))
+      var alive = true
+      while (alive && step < 3) {
+        nbrs.get(cur) match {
+          case Some(ns) =>
+            step += 1
+            cur = ns(md5Idx("0", rep, step, ns.length))
+            expect :+= (("0", rep, step, "L0", cur))
+          case None => alive = false
+        }
+      }
+      assert(got.toVector == expect, s"rep=$rep")
+    }
+    // partitioning invariance (retry/resize-safe walk corpus)
+    val again = GraphOps.deterministicWalks(g, starts.repartition(3),
+      reps = 3, walkLen = 3).as[(String, Int, Int, String, String)]
+      .collect().toSet
+    assert(again == walks.toSet)
+  }
 }
