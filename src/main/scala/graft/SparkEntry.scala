@@ -3115,6 +3115,49 @@ object SparkEntry {
              | CAST(n_unique AS DOUBLE) / n_shingles AS novelty
              |FROM per ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("x64_ulaw_audio",
+      // REAL compressed-audio decode: G.711 μ-law WAV per document
+      // (closed-form bytes in the COMPRESSED domain), expanded to
+      // PCM16 by the actual JDK codec inside the existing decodeAudio
+      // path. G.711's expansion is exactly-specified integer
+      // arithmetic (verified bit-identical to the JDK for all 256
+      // bytes), so the oracle re-derives the DECODED samples with no
+      // codec — the audio analogue of x61's PNG-in-AVI.
+      (s, dir) => {
+        val media = Multimodal.synthesizeUlawWav(
+          docs(s, dir).select("doc_id"), "doc_id", 256, 8000)
+        Multimodal.decodeAudio(media, 16)
+          .where(col("decode_ok"))
+          .select(col("media_id"),
+            col("sample_rate").cast("long").as("sample_rate"),
+            col("n_samples"), col("sum_q"),
+            posexplode(col("hist")).as(Seq("bucket", "cnt")))
+          .where(col("cnt") > 0)
+          .select(col("media_id"), col("sample_rate"), col("n_samples"),
+            col("sum_q"), col("bucket").cast("long").as("bucket"), col("cnt"))
+          .orderBy("media_id", "bucket")
+      },
+      Some("""WITH enc AS (SELECT d.doc_id, i.i,
+             |   255 - ((d.doc_id*31 + i.i*7) % 256) AS u
+             |  FROM (SELECT doc_id FROM documents) d,
+             |       generate_series(0, 255) i(i)),
+             | smp AS (SELECT doc_id,
+             |   CASE WHEN u >= 128 THEN
+             |     -(((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132)
+             |   ELSE
+             |      ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132
+             |   END AS s
+             |  FROM enc),
+             | agg AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS sum_q
+             |  FROM smp GROUP BY 1),
+             | b AS (SELECT doc_id, (s + 32768) % 16 AS bucket FROM smp)
+             |SELECT b.doc_id AS media_id, CAST(8000 AS BIGINT) AS sample_rate,
+             | CAST(256 AS BIGINT) AS n_samples, a.sum_q AS sum_q,
+             | CAST(b.bucket AS BIGINT) AS bucket, COUNT(*) AS cnt
+             |FROM b JOIN agg a ON a.doc_id = b.doc_id
+             |GROUP BY 1, 2, 3, 4, 5
+             |ORDER BY media_id, bucket""".stripMargin)),
+
     QueryDef("x39_audio_decode",
       // REAL audio decode: synthesize a 400-sample 16-bit PCM WAV per
       // document (sample values are closed-form integer arithmetic

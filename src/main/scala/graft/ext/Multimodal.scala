@@ -215,6 +215,46 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaSchema)
   }
 
+  /** Deterministic COMPRESSED audio payloads: G.711 μ-law WAV (format
+    * code 7 — the telephony/capture codec, 2:1 logarithmic
+    * compression), where encoded byte i of id `d` is
+    *   b(i) = (d*31 + i*7) % 256
+    * — the closed form lives in the COMPRESSED domain, and G.711's
+    * decode expansion is exactly specified integer arithmetic
+    *   u = ~b & 0xff; mag = ((8·(u & 15) + 132) << ((u >> 4) & 7)) − 132
+    *   pcm16 = sign(u & 128) · mag
+    * (verified bit-identical to the JDK codec for all 256 bytes), so
+    * a SQL oracle re-derives the DECODED samples with no codec — the
+    * audio analogue of PNG-in-AVI: a real compressed codec whose
+    * decode path is still hash-checkable. The container goes through
+    * the real javax.sound WAV writer. */
+  def synthesizeUlawWav(df: DataFrame, idCol: String, nSamples: Int,
+                        sampleRate: Int = 8000): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.ULAW,
+        sampleRate.toFloat, 8, 1, 1, sampleRate.toFloat, false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val enc = new Array[Byte](nSamples)
+        var i = 0
+        while (i < nSamples) {
+          enc(i) = ((id * 31 + i.toLong * 7) % 256L).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(enc), fmt, nSamples.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row(id, "audio", bos.toByteArray, "audio/basic", null, null,
+          nSamples.toLong * 1000L / sampleRate)
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
   /** REAL audio decode + feature extraction via `javax.sound.sampled`
     * (pure JDK — WAV/AIFF/AU containers, PCM + a-law/µ-law codecs):
     * payload to (sample_rate, channels, n_samples, amplitude sum and

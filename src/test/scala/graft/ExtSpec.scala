@@ -750,6 +750,33 @@ class ExtSpec extends SparkSuite {
     assert(got.drop(1).forall(_.isNullAt(7)))
   }
 
+  test("ulaw WAV: JDK codec == G.711 closed form for ALL 256 bytes (X4)") {
+    // the x64 oracle's load-bearing assumption, pinned: if a JDK
+    // upgrade ever ships a different mu-law table, this fails loudly
+    // instead of the oracle silently mismatching
+    import javax.sound.sampled._
+    val ulawFmt = new AudioFormat(AudioFormat.Encoding.ULAW,
+      8000f, 8, 1, 1, 8000f, false)
+    val bytes = Array.tabulate[Byte](256)(i => i.toByte)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), ulawFmt, 256)
+    val pcm = AudioSystem.getAudioInputStream(
+      new AudioFormat(8000f, 16, 1, true, false), ais).readAllBytes()
+    for (i <- 0 until 256) {
+      val jdk = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1).toInt << 8))
+        .toShort.toInt
+      val u = (~i) & 0xff
+      val mag = (((u & 0x0f) << 3) + 0x84 << ((u >> 4) & 7)) - 0x84
+      val want = if ((u & 0x80) != 0) -mag else mag
+      assert(jdk == want, s"byte $i")
+    }
+    // and the whole pipeline round-trips: synthesize -> real decode
+    val got = Multimodal.decodeAudio(
+        Multimodal.synthesizeUlawWav(Seq(3L).toDF("id"), "id", 64),
+        dim = 16).head()
+    assert(got.getBoolean(1) && got.getLong(4) == 64L)
+  }
+
   test("AVI/MJPEG: real compressed-video decode; sampling, determinism, poison (X4)") {
     val ids = Seq(1L, 2L).toDF("media_id")
     val avi = Multimodal.synthesizeAvi(ids, "media_id", 16, 12,
