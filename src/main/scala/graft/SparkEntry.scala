@@ -2835,6 +2835,51 @@ object SparkEntry {
               |SELECT start_id, rep, step, layer, node_id FROM walk
               |ORDER BY start_id, rep, step, layer, node_id""".stripMargin)),
 
+    QueryDef("g48_skipgram_pairs",
+      // the walk corpus's consumption form: (center, context) node
+      // pairs within a 2-step window of the same walk, counted
+      // corpus-wide — the co-occurrence table a skip-gram embedding
+      // trainer reads. One per-walk-local self-join + one count agg.
+      (s, dir) => {
+        val g = graph(s, dir)
+        val lo = minSeed(s, dir, "orders", "o_orderkey").toLong
+        val starts = g.vertices.where(col("layer") === "order" &&
+          col("nodeId").cast("long") < lo + 2000)
+        GraphOps.walkSkipGramPairs(
+            GraphOps.deterministicWalks(g, starts, reps = 2, walkLen = 4),
+            win = 2)
+          .orderBy("center_layer", "center_id", "context_layer",
+            "context_id")
+      },
+      Some(s"""$W, nb AS (SELECT source_layer AS sl, source_id AS sid,
+              |  list({'tl': target_layer, 'tid': target_id}
+              |    ORDER BY target_layer, target_id) AS nbrs
+              | FROM edges GROUP BY 1, 2),
+              |starts AS (SELECT node_id FROM vertices WHERE layer = 'order'
+              |  AND CAST(node_id AS BIGINT)
+              |    < (SELECT MIN(o_orderkey) FROM orders) + 2000),
+              |walk(start_id, rep, step, layer, node_id) AS (
+              | SELECT node_id, r.r, 0, 'order', node_id
+              | FROM starts, (SELECT UNNEST([0, 1]) AS r) r
+              | UNION ALL
+              | SELECT w.start_id, w.rep, w.step + 1,
+              |  nb.nbrs[1 + CAST(CAST(('0x' || substr(md5(w.start_id
+              |    || ':' || w.rep || ':' || (w.step + 1)), 1, 15))
+              |    AS BIGINT) % len(nb.nbrs) AS INT)]['tl'],
+              |  nb.nbrs[1 + CAST(CAST(('0x' || substr(md5(w.start_id
+              |    || ':' || w.rep || ':' || (w.step + 1)), 1, 15))
+              |    AS BIGINT) % len(nb.nbrs) AS INT)]['tid']
+              | FROM walk w JOIN nb ON nb.sl = w.layer AND nb.sid = w.node_id
+              | WHERE w.step < 4)
+              |SELECT a.layer AS center_layer, a.node_id AS center_id,
+              | b.layer AS context_layer, b.node_id AS context_id,
+              | CAST(COUNT(*) AS BIGINT) AS cnt
+              |FROM walk a JOIN walk b
+              |  ON a.start_id = b.start_id AND a.rep = b.rep
+              | AND a.step <> b.step AND ABS(a.step - b.step) <= 2
+              |GROUP BY 1, 2, 3, 4
+              |ORDER BY center_layer, center_id, context_layer, context_id""".stripMargin)),
+
     QueryDef("q36_gapfill",
       // time-series resample: per-type daily aggregates over a
       // generated date spine (missing days -> n=0) with the value

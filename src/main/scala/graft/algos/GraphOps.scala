@@ -321,4 +321,28 @@ object GraphOps {
     }
     out
   }
+
+  /** Skip-gram training pairs from a [[deterministicWalks]] corpus —
+    * the last hop from graph to embedding trainer: every (center,
+    * context) node pair co-occurring within `window` steps of the
+    * same walk, with corpus-wide counts (the co-occurrence table a
+    * skip-gram/word2vec-style trainer consumes). One self-join on the
+    * walk key (walks are `len+1` rows — the join is per-walk-local)
+    * plus one count aggregation; both map-side-combinable at corpus
+    * scale. */
+  def walkSkipGramPairs(walks: DataFrame, win: Int): DataFrame = {
+    require(win > 0, s"walkSkipGramPairs: window > 0, got $win")
+    import org.apache.spark.sql.functions._
+    val a = walks.select(col("start_id"), col("rep"),
+      col("step").as("sa"), col("layer").as("center_layer"),
+      col("node_id").as("center_id"))
+    val b = walks.select(col("start_id"), col("rep"),
+      col("step").as("sb"), col("layer").as("context_layer"),
+      col("node_id").as("context_id"))
+    a.join(b, Seq("start_id", "rep"))
+      .filter(col("sa") =!= col("sb") &&
+        abs(col("sa") - col("sb")) <= win)
+      .groupBy("center_layer", "center_id", "context_layer", "context_id")
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

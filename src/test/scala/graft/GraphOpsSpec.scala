@@ -179,5 +179,21 @@ class GraphOpsSpec extends SparkSuite {
       reps = 3, walkLen = 3).as[(String, Int, Int, String, String)]
       .collect().toSet
     assert(again == walks.toSet)
+    // skip-gram pairs at window 1 are exactly the adjacent-step pairs
+    // of each walk, both directions, counted across walks
+    val pairs = GraphOps.walkSkipGramPairs(
+        GraphOps.deterministicWalks(g, starts, reps = 3, walkLen = 3), 1)
+      .as[(String, String, String, String, Long)].collect()
+      .map(r => (r._2, r._4) -> r._5).toMap
+    val want = scala.collection.mutable.Map.empty[(String, String), Long]
+    for (rep <- 0 until 3) {
+      val seq = walks.filter(_._2 == rep).sortBy(_._3).map(_._5).toVector
+      seq.sliding(2).foreach { case Vector(u, v) =>
+        want((u, v)) = want.getOrElse((u, v), 0L) + 1
+        want((v, u)) = want.getOrElse((v, u), 0L) + 1
+      case _ => ()
+      }
+    }
+    assert(pairs == want.toMap)
   }
 }
