@@ -92,6 +92,19 @@ object BenchCuration {
       timed(s"semantic_dedup_k${4 * n}", n) {
         Dedup.semanticDedup(emb, k = 4 * n, threshold = 0.35).count()
       }
+      // knn rides the same cell shape; k cells ∝ corpus keeps the
+      // in-cell pair join bounded
+      timed(s"knn_classify_cells${4 * n}", n) {
+        graft.ext.Similarity.knnClassify(emb, k = 5, cells = 4 * n).count()
+      }
+      timed("profile_merge_3way", n) {
+        val states = (0 until 3).map(i => graft.ext.Profiling.profileState(
+          docs.filter(pmod(col("doc_id"), lit(3)) === i), "doc_id",
+          Seq("n_chars"), sampleK = 500))
+        graft.ext.Profiling.finalizeProfile(
+          states.reduce(graft.ext.Profiling.mergeStates),
+          Seq("n_chars")).count()
+      }
       docs.unpersist(); emb.unpersist()
     }
     spark.stop()
