@@ -3,7 +3,7 @@ package graft
 import graft.builder.OnionBuilder
 import graft.builder.OnionBuilder.GrowOptions
 import graft.algos.Traversals
-import graft.ext.Dedup
+import graft.ext.{Dedup, Sampling}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Properties, Test}
@@ -388,6 +388,76 @@ object InvariantProps extends Properties("GraftInvariants") {
           val canons = out.filter(o => ids(o._1)).map(_._2).toSet
           canons.size == 1 && canons.head == ids.min
         }
+    }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def md5Ppm(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s).take(15), 16) % 1000000L
+
+  private val genMatchDist = for {
+    nBins <- Gen.choose(1, 4)
+    cur <- Gen.listOfN(nBins, Gen.choose(0, 30))
+    ref <- Gen.listOfN(nBins, Gen.choose(0, 10))
+    extra <- Gen.choose(0, 10) // cur rows in a bin with no ref mass
+  } yield (cur, ref, extra)
+
+  property("matchDistribution == full reference derivation (rates, md5, edge cases)") =
+    forAll(genMatchDist) { case (cur, ref, extra) =>
+      import spark.implicits._
+      var id = -1L
+      val curRows = cur.zipWithIndex.flatMap { case (n, b) =>
+        (0 until n).map { _ => id += 1; (id, b * 100L + 5L) }
+      } ++ (0 until extra).map { _ => id += 1; (id, 9900L) }
+      val refRows = ref.zipWithIndex.flatMap { case (m, b) =>
+        (0 until m).map { i => (100000L + b * 100 + i, b * 100L + 7L) }
+      }
+      val got = Sampling.matchDistribution(
+          curRows.toDF("doc_id", "v"),
+          refRows.toDF("doc_id", "v"), "v", 100L, "doc_id")
+        .select("doc_id").as[Long].collect().toSet
+      // reference: identical double-op order as the operator/oracle
+      val tot = ref.sum.toDouble
+      val shared = cur.zip(ref).zipWithIndex
+        .filter { case ((n, m), _) => n > 0 && m > 0 }
+      val want: Set[Long] =
+        if (shared.isEmpty || tot == 0) Set.empty
+        else {
+          val kk = shared.map { case ((n, m), _) => n / (m / tot) }.min
+          val ppm = shared.map { case ((n, m), b) =>
+            b -> math.floor(m / tot * kk / n * 1000000).toLong
+          }.toMap
+          curRows.filter { case (i, v) =>
+            val b = (v / 100).toInt
+            ppm.contains(b) && md5Ppm(i.toString) < ppm(b)
+          }.map(_._1).toSet
+        }
+      got == want
+    }
+
+  private val genShuffle = for {
+    n <- Gen.choose(0, 40)
+    epoch <- Gen.choose(0, 5)
+    shards <- Gen.choose(1, 5)
+  } yield (n, epoch, shards)
+
+  property("epochShuffle == reference md5 permutation (shard + rank)") =
+    forAll(genShuffle) { case (n, epoch, shards) =>
+      import spark.implicits._
+      val keys = (0L until n.toLong).map(i => i * 7 + 3)
+      val got = Sampling.epochShuffle(keys.toDF("k"), "k", epoch, shards)
+        .select("k", "shard", "pos").as[(Long, Int, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val hexes = keys.map(k => k -> md5Hex(s"$epoch:$k")).toMap
+      val want = keys.groupBy(k =>
+          (java.lang.Long.parseLong(hexes(k).take(15), 16) % shards).toInt)
+        .flatMap { case (shard, ks) =>
+          ks.sortBy(k => (hexes(k), k)).zipWithIndex.map { case (k, i) =>
+            k -> ((shard, i + 1L))
+          }
+        }
+      got == want
     }
 
   // small alphabet forces dense pair statistics and deep merge chains
