@@ -4047,6 +4047,30 @@ object SparkEntry {
              |   1, 15)) AS BIGINT) % 1000000 < r.ppm
              |ORDER BY d.doc_id""".stripMargin)),
 
+    QueryDef("x65_export_manifest",
+      // the export step: epoch-shuffled corpus written partitionBy
+      // shard, manifest derived FROM THE WRITTEN FILES (row counts,
+      // token counts, order-independent 48-bit-md5-sum checksums) —
+      // a lost task or partial overwrite surfaces as a checksum
+      // mismatch, not a silent short shard. The oracle re-derives
+      // the manifest from the shard assignment directly, so the
+      // hash-match proves disk == plan.
+      (s, dir) => Sampling.writeTrainingShards(docs(s, dir),
+          "spark-warehouse/x65_shards", "doc_id", "text",
+          epoch = 2, shards = 8)
+        .orderBy("shard"),
+      Some("""WITH s AS (SELECT doc_id, text,
+             |  CAST(CAST(('0x' || substr(md5('2:' ||
+             |    CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS INT)
+             |    AS shard
+             |  FROM documents)
+             |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             | CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+             |   AS BIGINT) AS n_tokens,
+             | CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+             |   || ':' || text), 1, 12)) AS BIGINT)) AS BIGINT) AS checksum
+             |FROM s GROUP BY shard ORDER BY shard""".stripMargin)),
+
     QueryDef("x56_epoch_shuffle",
       // deterministic training-epoch shuffle: shard + in-shard
       // position derived from md5("epoch:key") — a fresh permutation

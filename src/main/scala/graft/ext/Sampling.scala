@@ -212,6 +212,37 @@ object Sampling {
       keyCol, col("ppm")).drop("ppm", "bin")
   }
 
+  /** Per-shard integrity manifest of a sharded corpus: row count,
+    * whitespace-token count, and an ORDER-INDEPENDENT content
+    * checksum (sum of the 48-bit md5 prefix of "key:text" per row —
+    * any engine, any row order, same number; production corpora
+    * beyond ~2^15 rows/shard should widen the sum to DECIMAL(38,0)).
+    * The artifact a training job checks before reading a shard. */
+  def shardManifest(sharded: DataFrame, keyCol: String,
+                    textCol: String): DataFrame =
+    sharded.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(size(split(trim(col(textCol)), "\\s+"))).cast("long")
+          .as("n_tokens"),
+        sum(conv(substring(md5(concat_ws(":",
+            col(keyCol).cast("string"), col(textCol))), 1, 12), 16, 10)
+          .cast("long")).cast("long").as("checksum"))
+
+  /** The training-data EXPORT step: [[epochShuffle]] the corpus,
+    * write it `partitionBy(shard)` (each shard a directory a data
+    * loader streams independently), then derive the
+    * [[shardManifest]] FROM THE WRITTEN FILES — the manifest audits
+    * what actually landed on disk, not what the plan intended, so a
+    * lost task or partial overwrite surfaces as a checksum mismatch
+    * instead of a silent short shard. Returns the manifest. */
+  def writeTrainingShards(df: DataFrame, path: String, keyCol: String,
+                          textCol: String, epoch: Int,
+                          shards: Int): DataFrame = {
+    val sharded = epochShuffle(df, keyCol, epoch, shards)
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
+    shardManifest(df.sparkSession.read.parquet(path), keyCol, textCol)
+  }
+
   /** Per-stratum deterministic downsample: keep ~`fraction(stratum)`
     * of rows, chosen by key hash (so the SAME rows survive every
     * run). Strata missing from the map are dropped. */

@@ -173,6 +173,33 @@ class SamplingSpec extends SparkSuite {
     assert(again.toSet == kept.toSet)
   }
 
+  test("writeTrainingShards: manifest from disk == planned assignment; loss detected") {
+    val d = (0L until 200L).map(i => (i, s"doc $i words here"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("shards").toString
+    val manifest = Sampling.writeTrainingShards(d, path, "doc_id", "text",
+        epoch = 1, shards = 4)
+      .as[(Int, Long, Long, Long)].collect().toSet
+    // disk manifest equals the one computed from the in-memory
+    // assignment (what landed == what the shuffle dealt)
+    val planned = Sampling.shardManifest(
+        Sampling.epochShuffle(d, "doc_id", 1, 4), "doc_id", "text")
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(manifest == planned && manifest.map(_._1) == Set(0, 1, 2, 3))
+    assert(manifest.toSeq.map(_._2).sum == 200L)
+    // the layout is one directory per shard
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("shard=0", "shard=1", "shard=2", "shard=3"))
+    // shard loss is visible: drop one shard's files, recompute
+    val victim = new java.io.File(path, "shard=2")
+    victim.listFiles().foreach(_.delete()); victim.delete()
+    val after = Sampling.shardManifest(
+        spark.read.parquet(path), "doc_id", "text")
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(after != manifest && !after.exists(_._1 == 2))
+  }
+
   test("epochShuffle: per-shard 1..n positions, epoch-fresh permutation, stable") {
     val d = (0L until 500L).map(i => (i, s"t$i")).toDF("id", "payload")
     val out = Sampling.epochShuffle(d, "id", epoch = 3, shards = 4)
