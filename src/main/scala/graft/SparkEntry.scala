@@ -2,7 +2,7 @@ package graft
 
 import graft.builder.StarGraph
 import graft.algos.{GraphOps, LinkAnalysis, Traversals}
-import graft.ext.{Clustering, Dedup, Sampling, Similarity, Skew, TemporalJoins, TextOps, Multimodal}
+import graft.ext.{Clustering, Dedup, Sampling, Similarity, Skew, TemporalJoins, TextOps, Multimodal, Upserts}
 import graft.model.OnionGraph
 import graft.props.PropertyOps
 import graft.streaming.EventStreams
@@ -4088,7 +4088,281 @@ object SparkEntry {
              |SELECT doc_id, shard,
              |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
              |    ORDER BY eh, doc_id) AS BIGINT) AS pos
-             |FROM s ORDER BY doc_id""".stripMargin))
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("x66_budget_select",
+      // the final cut of a pretraining recipe: keep the best-scored
+      // docs until the token budget (40% of the corpus here) is
+      // spent. Semantically ONE global cumsum (the oracle), executed
+      // without a global sort: a tiny score histogram classifies each
+      // stratum fully-kept/dropped, and only the boundary stratum is
+      // sorted (by portable md5) to place the cut.
+      (s, dir) => {
+        val scored = docs(s, dir).select(col("doc_id"),
+          expr("n_chars DIV 100").as("score"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        val budget = scored.agg(expr("sum(n_tokens) * 2 DIV 5"))
+          .head().getLong(0)
+        Sampling.selectByBudget(scored, "doc_id", "score", "n_tokens",
+            budget)
+          .orderBy("doc_id")
+      },
+      Some("""WITH s AS (SELECT doc_id,
+             |   CAST(n_chars // 100 AS BIGINT) AS score,
+             |   CAST(len(string_split_regex(trim(text), '\s+'))
+             |     AS BIGINT) AS n_tokens
+             |  FROM documents),
+             | b AS (SELECT CAST(SUM(n_tokens) * 2 // 5 AS BIGINT)
+             |   AS budget FROM s)
+             |SELECT doc_id, score, n_tokens,
+             |  SUM(n_tokens) OVER (ORDER BY score DESC,
+             |    md5(CAST(doc_id AS VARCHAR)), doc_id
+             |    ROWS UNBOUNDED PRECEDING) <= b.budget AS kept
+             |FROM s, b ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("x67_snapshot_diff",
+      // crawl-over-crawl audit: which docs were added / removed /
+      // changed between two snapshots (content identity = portable
+      // md5 of the payload). One project-then-shuffle full outer
+      // join on the key; unchanged rows never emitted.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val oldSnap = d.filter(col("doc_id") % 7 =!= 1)
+        val newSnap = d.filter(col("doc_id") % 7 =!= 2)
+          .withColumn("text", when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        Upserts.snapshotDiff(oldSnap, newSnap, "doc_id",
+            Seq("text", "lang"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH o AS (SELECT doc_id,
+             |   md5(text || chr(1) || lang) AS old_md5
+             |  FROM documents WHERE doc_id % 7 <> 1),
+             | n AS (SELECT doc_id,
+             |   md5((CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+             |        ELSE text END) || chr(1) || lang) AS new_md5
+             |  FROM documents WHERE doc_id % 7 <> 2),
+             | j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             |   old_md5, new_md5,
+             |   CASE WHEN old_md5 IS NULL THEN 'added'
+             |        WHEN new_md5 IS NULL THEN 'removed'
+             |        WHEN old_md5 <> new_md5 THEN 'changed' END AS status
+             |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+             |SELECT doc_id, status, old_md5, new_md5 FROM j
+             |WHERE status IS NOT NULL ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("x68_keep_best",
+      // quality-ranked canonical selection: near-dup clusters keep
+      // their highest-quality member (score = n_chars, ties: min id)
+      // instead of the arbitrary min-id copy. Pairs from the portable
+      // md5 MinHash family, so the oracle re-derives the WHOLE
+      // pipeline: signatures -> banded candidates -> verified pairs
+      // -> transitive closure -> per-cluster argmax.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val pairs = Dedup.minhashLshPortable(d, threshold = 0.5)
+        Dedup.keepBestPerCluster(d, pairs, scoreCol = "n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id,
+             |  string_split_regex(trim(text), '\s+') AS tk FROM documents),
+             | sh AS (SELECT doc_id, list_distinct(
+             |  [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+             |   for i in generate_series(1, len(tk) - 2)]) AS s FROM toks
+             |  WHERE len(tk) >= 3),
+             | hs AS (SELECT doc_id, s,
+             |  [CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 2147483647
+             |   for x in s] AS h FROM sh WHERE len(s) > 0),
+             | sig AS (SELECT doc_id, s,
+             |  [list_min([(hv * (2*k+1) + k) % 2147483647 for hv in h])
+             |   for k in generate_series(0, 15)] AS sig FROM hs),
+             | banded AS (SELECT doc_id, b,
+             |  array_to_string(sig[b*4+1 : b*4+4], ',') AS bkey
+             |  FROM sig, generate_series(0, 3) AS g(b)),
+             | cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+             |  FROM banded l JOIN banded r
+             |    ON l.b = r.b AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+             | verified AS (SELECT c.a, c.b,
+             |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             |   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+             |   AS jaccard
+             |  FROM cand c JOIN sig sa ON sa.doc_id = c.a
+             |  JOIN sig sb ON sb.doc_id = c.b),
+             | p AS (SELECT a, b FROM verified WHERE jaccard >= 0.5),
+             | e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+             | reach(id, r) AS (
+             |  SELECT a, a FROM e
+             |  UNION
+             |  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b),
+             | cl AS (SELECT id AS doc_id, MIN(r) AS cluster
+             |  FROM reach GROUP BY id),
+             | allc AS (SELECT d.doc_id,
+             |   COALESCE(cl.cluster, d.doc_id) AS cluster,
+             |   CAST(d.n_chars AS BIGINT) AS score
+             |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+             | w AS (SELECT cluster, doc_id AS winner FROM allc
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster
+             |    ORDER BY score DESC, doc_id) = 1)
+             |SELECT a.doc_id, a.cluster, a.score,
+             |  (a.doc_id = w.winner) AS kept
+             |FROM allc a JOIN w ON w.cluster = a.cluster
+             |ORDER BY a.doc_id""".stripMargin)),
+
+    QueryDef("g49_ppmi_embeddings",
+      // the graph->vector bridge's last leg: deterministic node
+      // embeddings from the walk corpus's skip-gram pairs — PPMI-
+      // ratio weights (integer ppm, positive part, no libm log) and
+      // a +/-1 md5-parity random projection, so the whole embedding
+      // table re-derives bit-for-bit in the oracle (walks -> pairs ->
+      // marginals -> weights -> signed sums).
+      (s, dir) => {
+        val g = graph(s, dir)
+        val lo = minSeed(s, dir, "orders", "o_orderkey").toLong
+        val starts = g.vertices.where(col("layer") === "order" &&
+          col("nodeId").cast("long") < lo + 2000)
+        GraphOps.ppmiEmbeddings(
+            GraphOps.walkSkipGramPairs(
+              GraphOps.deterministicWalks(g, starts, reps = 2, walkLen = 4),
+              win = 2),
+            dims = 4)
+          .orderBy("layer", "node_id", "dim")
+      },
+      Some(s"""$W, nb AS (SELECT source_layer AS sl, source_id AS sid,
+              |  list({'tl': target_layer, 'tid': target_id}
+              |    ORDER BY target_layer, target_id) AS nbrs
+              | FROM edges GROUP BY 1, 2),
+              |starts AS (SELECT node_id FROM vertices WHERE layer = 'order'
+              |  AND CAST(node_id AS BIGINT)
+              |    < (SELECT MIN(o_orderkey) FROM orders) + 2000),
+              |walk(start_id, rep, step, layer, node_id) AS (
+              | SELECT node_id, r.r, 0, 'order', node_id
+              | FROM starts, (SELECT UNNEST([0, 1]) AS r) r
+              | UNION ALL
+              | SELECT w.start_id, w.rep, w.step + 1,
+              |  nb.nbrs[1 + CAST(CAST(('0x' || substr(md5(w.start_id
+              |    || ':' || w.rep || ':' || (w.step + 1)), 1, 15))
+              |    AS BIGINT) % len(nb.nbrs) AS INT)]['tl'],
+              |  nb.nbrs[1 + CAST(CAST(('0x' || substr(md5(w.start_id
+              |    || ':' || w.rep || ':' || (w.step + 1)), 1, 15))
+              |    AS BIGINT) % len(nb.nbrs) AS INT)]['tid']
+              | FROM walk w JOIN nb ON nb.sl = w.layer AND nb.sid = w.node_id
+              | WHERE w.step < 4),
+              |pr AS (SELECT a.layer AS center_layer, a.node_id AS center_id,
+              |  b.layer AS context_layer, b.node_id AS context_id,
+              |  CAST(COUNT(*) AS BIGINT) AS cnt
+              | FROM walk a JOIN walk b
+              |   ON a.start_id = b.start_id AND a.rep = b.rep
+              |  AND a.step <> b.step AND ABS(a.step - b.step) <= 2
+              | GROUP BY 1, 2, 3, 4),
+              |nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM pr),
+              |ct AS (SELECT center_layer, center_id,
+              |  CAST(SUM(cnt) AS BIGINT) AS ct FROM pr GROUP BY 1, 2),
+              |xt AS (SELECT context_layer, context_id,
+              |  CAST(SUM(cnt) AS BIGINT) AS xt FROM pr GROUP BY 1, 2),
+              |wt AS (SELECT p.center_layer, p.center_id,
+              |  p.context_layer, p.context_id,
+              |  GREATEST(p.cnt * nn.n * 1000000
+              |    // (ct.ct * xt.xt) - 1000000, 0) AS w
+              | FROM pr p
+              | JOIN ct ON ct.center_layer = p.center_layer
+              |  AND ct.center_id = p.center_id
+              | JOIN xt ON xt.context_layer = p.context_layer
+              |  AND xt.context_id = p.context_id, nn),
+              |wd AS (SELECT center_layer, center_id, context_layer,
+              |  context_id, w, g.dim
+              | FROM wt, generate_series(0, 3) AS g(dim) WHERE w > 0)
+              |SELECT center_layer AS layer, center_id AS node_id,
+              | CAST(dim AS INT) AS dim,
+              | CAST(SUM(w * (CASE WHEN CAST(('0x' || substr(md5(
+              |   context_layer || ':' || context_id || ':' || dim), 1, 1))
+              |   AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT) AS value
+              |FROM wd GROUP BY 1, 2, 3
+              |ORDER BY layer, node_id, dim""".stripMargin)),
+
+    QueryDef("x69_rendezvous_shards",
+      // resizable shard assignment: rendezvous (HRW) hashing lands
+      // key k on argmax_s md5("k:s") — growing 8->9 shards relocates
+      // only ~1/9 of keys, every one TO the new shard (mod-N moves
+      // nearly everything). One codegen'd aggregate fold per row:
+      // map-only, no explode, no shuffle. The oracle re-derives both
+      // maps with a per-key argmax window.
+      (s, dir) => docs(s, dir).select(col("doc_id"),
+          Sampling.rendezvousShard(col("doc_id"), 8).as("shard8"),
+          Sampling.rendezvousShard(col("doc_id"), 9).as("shard9"))
+        .withColumn("moved", col("shard8") =!= col("shard9"))
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, s.s,
+             |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+             |    || ':' || s.s), 1, 15)) AS BIGINT) AS wt
+             | FROM documents, generate_series(0, 8) AS s(s)),
+             | a8 AS (SELECT doc_id, CAST(s AS INT) AS shard8 FROM w
+             |  WHERE s < 8
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+             |    ORDER BY wt DESC, s) = 1),
+             | a9 AS (SELECT doc_id, CAST(s AS INT) AS shard9 FROM w
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+             |    ORDER BY wt DESC, s) = 1)
+             |SELECT a8.doc_id, shard8, shard9,
+             |  shard8 <> shard9 AS moved
+             |FROM a8 JOIN a9 ON a8.doc_id = a9.doc_id
+             |ORDER BY a8.doc_id""".stripMargin)),
+
+    QueryDef("x70_leakfree_split",
+      // dedup-aware train/eval split: near-dup cluster members share
+      // a split key (the cluster canonical), so no eval doc is a
+      // near-duplicate of a training doc. Pairs from the portable
+      // md5 MinHash family -> the oracle re-derives clusters AND the
+      // md5-bucket split assignment end to end.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val pairs = Dedup.minhashLshPortable(d, threshold = 0.5)
+        Sampling.leakFreeSplit(d, pairs, "doc_id",
+            Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1))
+          .select(col("doc_id"), col("grp"), col("split"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id,
+             |  string_split_regex(trim(text), '\s+') AS tk FROM documents),
+             | sh AS (SELECT doc_id, list_distinct(
+             |  [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+             |   for i in generate_series(1, len(tk) - 2)]) AS s FROM toks
+             |  WHERE len(tk) >= 3),
+             | hs AS (SELECT doc_id, s,
+             |  [CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 2147483647
+             |   for x in s] AS h FROM sh WHERE len(s) > 0),
+             | sig AS (SELECT doc_id, s,
+             |  [list_min([(hv * (2*k+1) + k) % 2147483647 for hv in h])
+             |   for k in generate_series(0, 15)] AS sig FROM hs),
+             | banded AS (SELECT doc_id, b,
+             |  array_to_string(sig[b*4+1 : b*4+4], ',') AS bkey
+             |  FROM sig, generate_series(0, 3) AS g(b)),
+             | cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+             |  FROM banded l JOIN banded r
+             |    ON l.b = r.b AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+             | verified AS (SELECT c.a, c.b,
+             |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             |   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+             |   AS jaccard
+             |  FROM cand c JOIN sig sa ON sa.doc_id = c.a
+             |  JOIN sig sb ON sb.doc_id = c.b),
+             | p AS (SELECT a, b FROM verified WHERE jaccard >= 0.5),
+             | e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+             | reach(id, r) AS (
+             |  SELECT a, a FROM e
+             |  UNION
+             |  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b),
+             | cl AS (SELECT id AS doc_id, MIN(r) AS cluster
+             |  FROM reach GROUP BY id),
+             | g AS (SELECT d.doc_id,
+             |   COALESCE(cl.cluster, d.doc_id) AS grp
+             |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+             | b AS (SELECT doc_id, grp,
+             |  CAST(('0x' || substr(md5(CAST(grp AS VARCHAR)), 1, 15))
+             |    AS BIGINT) % 10000 AS bk FROM g)
+             |SELECT doc_id, grp,
+             |  CASE WHEN bk < 8000 THEN 'train'
+             |       WHEN bk < 9000 THEN 'eval' ELSE 'test' END AS split
+             |FROM b ORDER BY doc_id""".stripMargin))
   )
 
   // ============================================================= contract

@@ -345,4 +345,62 @@ object GraphOps {
       .groupBy("center_layer", "center_id", "context_layer", "context_id")
       .agg(count(lit(1)).as("cnt"))
   }
+
+  /** Deterministic node embeddings from the skip-gram co-occurrence
+    * table — the graph→vector bridge's LAST leg (walks g47 →
+    * skip-gram pairs g48 → THIS): classic count-based embeddings
+    * (PPMI-weighted context vectors compressed by random projection —
+    * the Levy & Goldberg 2014 observation that skip-gram
+    * factorizes a PMI matrix, minus the SGD), made engine-exact.
+    *
+    * Per (center, context) pair the association weight is the PMI
+    * RATIO in integer ppm, positive part only:
+    * `w = max(cnt·N·1e6 / (centerTotal·contextTotal) − 1e6, 0)` (no
+    * libm log — the log is monotone in the ratio, so thresholding /
+    * ranking behavior is preserved and the arithmetic is exact on any
+    * engine). Dimension d of a center's embedding is the signed sum
+    * of its context weights, sign = parity of the first md5 hex digit
+    * of "context_layer:context_id:d" — a deterministic ±1 random
+    * projection (Achlioptas-style), so the whole embedding table is
+    * bit-reproducible across engines, partitionings, and retries, and
+    * a 100 TB re-run or a DuckDB audit re-derives it exactly.
+    *
+    * Returns (layer, node_id, dim, value) exploded — the
+    * oracle-checkable form; `array_agg` by (layer, node_id) for the
+    * Array form [[graft.ext.Similarity]] consumes. Counts stay in
+    * BIGINT: exact while cnt·N·1e6 < 2^63 (N = total pair mass —
+    * beyond ~9e12 route through DECIMAL(38,0)).
+    *
+    * Scale shape: two map-side-combined marginal aggs of the pair
+    * table, joined back (the context marginal rides the context-key
+    * shuffle the final agg needs anyway); dims explode ×d on the
+    * WEIGHTED pairs only (zero-weight pairs are filtered first —
+    * PPMI sparsifies hard); one final groupBy(center, dim). The walk
+    * corpus itself is never re-scanned. */
+  def ppmiEmbeddings(pairs: DataFrame, dims: Int): DataFrame = {
+    require(dims > 0, s"ppmiEmbeddings: dims must be positive, got $dims")
+    import org.apache.spark.sql.functions._
+    val n = pairs.agg(sum("cnt").as("n")) // one row
+    val centerTot = pairs.groupBy("center_layer", "center_id")
+      .agg(sum("cnt").as("ct"))
+    val contextTot = pairs.groupBy("context_layer", "context_id")
+      .agg(sum("cnt").as("xt"))
+    val weighted = pairs
+      .join(centerTot, Seq("center_layer", "center_id"))
+      .join(contextTot, Seq("context_layer", "context_id"))
+      .crossJoin(broadcast(n))
+      .withColumn("w", greatest(
+        expr("cnt * n * 1000000L DIV (ct * xt)") - lit(1000000L), lit(0L)))
+      .filter(col("w") > 0)
+    weighted
+      .select(col("center_layer").as("layer"), col("center_id").as("node_id"),
+        col("context_layer"), col("context_id"), col("w"),
+        explode(sequence(lit(0), lit(dims - 1))).as("dim"))
+      .withColumn("sign",
+        when(conv(substring(md5(concat_ws(":", col("context_layer"),
+          col("context_id"), col("dim"))), 1, 1), 16, 10)
+          .cast("long") % 2 === 0, 1L).otherwise(-1L))
+      .groupBy("layer", "node_id", "dim")
+      .agg(sum(col("w") * col("sign")).as("value"))
+  }
 }

@@ -734,6 +734,44 @@ object Dedup {
     nearDupClusters(assignEdges.unionByName(newPairs.select("a", "b")))
   }
 
+  /** Quality-ranked canonical selection — near-dup dedup that keeps
+    * the BEST copy instead of the arbitrary min-id one: cluster the
+    * verified pair set ([[nearDupClusters]]), then per cluster keep
+    * the member with the highest `scoreCol` (ties: smallest id —
+    * fully deterministic, so the survivor set is engine/partitioning/
+    * retry-invariant). The curation difference matters: mirrors of a
+    * page differ in boilerplate and truncation, and min-id keeps
+    * whichever crawled first, not whichever is cleanest. Docs in no
+    * pair are their own singleton cluster and always kept. Returns
+    * every doc as (doc_id, cluster, score, kept).
+    *
+    * Scale shape: the pair graph ≪ corpus, so clustering and the
+    * per-cluster argmax (max of (score, -id) structs — a map-side-
+    * combinable agg, no window sort) run on the CLUSTERED rows only;
+    * the corpus-wide kept flag is one broadcast join of the
+    * (doc_id → winner?) verdict table. The corpus itself never
+    * shuffles. */
+  def keepBestPerCluster(docs: DataFrame, pairs: DataFrame,
+                         scoreCol: String,
+                         idCol: String = "doc_id"): DataFrame = {
+    val scored = docs.select(col(idCol).as("doc_id"),
+      col(scoreCol).cast("long").as("score"))
+    val cl = nearDupClusters(pairs).select("doc_id", "cluster")
+    // clustered docs only — broadcast-joined agg over the pair graph
+    val members = scored.join(broadcast(cl), "doc_id")
+    val winners = members
+      .groupBy("cluster")
+      .agg(max(struct(col("score"), (-col("doc_id")).as("nid"))).as("w"))
+      .select(col("cluster"), (-col("w.nid")).as("winner_id"))
+    val verdict = cl.join(winners, "cluster")
+      .select(col("doc_id"), col("cluster"),
+        (col("doc_id") === col("winner_id")).as("kept"))
+    scored.join(broadcast(verdict), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"),
+        col("score"), coalesce(col("kept"), lit(true)).as("kept"))
+  }
+
   /** Train/eval contamination check — the decontamination step every
     * benchmark-respecting pipeline runs: for each NON-train doc, count
     * the distinct w-token shingles it shares with any train doc (and

@@ -243,6 +243,113 @@ object Sampling {
     shardManifest(df.sparkSession.read.parquet(path), keyCol, textCol)
   }
 
+  /** Token-budget selection — "take the best documents until the
+    * token budget is spent", the final cut of a pretraining recipe
+    * (quality-rank the corpus, keep the top slice whose summed token
+    * count fits the compute budget). Semantically identical to the
+    * naive global rule: order rows by (`scoreCol` DESC, md5(key) ASC,
+    * key ASC) and keep each row while the running token total stays
+    * ≤ `budget` (inclusive cumulative sum) — which is exactly how the
+    * oracle re-derives it with one window cumsum.
+    *
+    * Scale shape: the corpus is NEVER globally sorted. One map-side-
+    * combined histogram (score → token sum, |distinct scores| rows —
+    * scores are quantized integers, e.g. [[graft.ext.TextOps
+    * .scoreLinear]] ppm) is cumsum'd on its own tiny self, classifying
+    * every score stratum as fully-kept, fully-dropped, or THE
+    * boundary stratum (at most one, where the running total crosses
+    * the budget). The decision broadcasts back: fully-kept/dropped
+    * rows are decided map-only; only the boundary stratum's rows —
+    * one score value of the corpus — are sorted (by portable md5 of
+    * the key) to place the cut exactly. Returns the input plus a
+    * `kept` boolean, content-keyed like every sampler here: the same
+    * rows survive on any engine, partitioning, or retry.
+    *
+    * `scoreCol` must be non-null; null `tokensCol` counts as 0. */
+  def selectByBudget(df: DataFrame, keyCol: String, scoreCol: String,
+                     tokensCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"selectByBudget: budget must be >= 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val tk = coalesce(col(tokensCol).cast("long"), lit(0L))
+    val hist = df.groupBy(col(scoreCol).as("__s"))
+      .agg(sum(coalesce(col(tokensCol).cast("long"), lit(0L))).as("__tk"))
+    // single-partition window over the HISTOGRAM (|distinct scores|
+    // rows), never the corpus
+    val wh = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val status = hist
+      .withColumn("__before", coalesce(sum("__tk").over(wh), lit(0L)))
+      .select(col("__s"), col("__before"),
+        (col("__before") + col("__tk") <= budget).as("__full"),
+        // <=, not <: with the budget exactly exhausted, zero-token
+        // rows leading the next stratum still fit the global rule
+        (col("__before") <= budget).as("__open"))
+    val joined = df.join(broadcast(status), df(scoreCol) === status("__s"))
+    // boundary stratum = open but not fully kept; the filter runs
+    // BEFORE the window, so only that one stratum is sorted
+    val isBoundary = col("__open") && !col("__full")
+    val wb = Window.partitionBy(col(scoreCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = joined.filter(isBoundary)
+      .withColumn("kept", col("__before") + sum(tk).over(wb) <= budget)
+    val decided = joined.filter(!isBoundary).withColumn("kept", col("__full"))
+    decided.unionByName(boundary)
+      .drop("__s", "__tk", "__before", "__full", "__open")
+  }
+
+  /** Rendezvous (highest-random-weight) shard assignment — the
+    * RESIZABLE counterpart of [[epochShuffle]]'s `md5 mod shards`:
+    * key k lands on the shard s maximizing md5("k:s"). Growing the
+    * fleet N→N+1 relocates only ~1/(N+1) of the keys, and every
+    * relocated key moves TO THE NEW shard — no old-shard→old-shard
+    * churn (mod-N reassigns nearly everything). The shard map of a
+    * standing 100 TB export can grow without rewriting it wholesale;
+    * only the new shard's slice is written. Portable md5 weights, so
+    * any engine re-derives the assignment; ties (md5 collisions)
+    * break to the smallest shard id.
+    *
+    * Scale shape: a single codegen'd `aggregate` fold over
+    * sequence(0, shards) per row — map-only, no explode, no shuffle;
+    * O(shards) hashes per row (fine for shard counts in the
+    * thousands; beyond that, rendezvous trees). */
+  def rendezvousShard(key: Column, shards: Int): Column = {
+    require(shards > 0, s"rendezvousShard: shards must be positive, got $shards")
+    val best = aggregate(
+      sequence(lit(0), lit(shards - 1)),
+      struct(lit(-1L).as("w"), lit(-1).as("s")),
+      (acc, s) => {
+        val w = conv(substring(
+          md5(concat_ws(":", key.cast("string"), s)), 1, 15), 16, 10)
+          .cast("long")
+        when(w > acc("w"), struct(w.as("w"), s.as("s"))).otherwise(acc)
+      })
+    best("s")
+  }
+
+  /** Leakage-free train/eval split: docs of the SAME near-dup cluster
+    * land in the SAME split — the published-recipe rule that plain
+    * per-doc splitting violates (a near-duplicate of a training doc
+    * in the eval split silently inflates eval scores; splitting must
+    * happen AFTER dedup clustering, keyed by cluster). The split key
+    * is the cluster canonical for paired docs and the doc's own key
+    * otherwise, pushed through [[hashSplit]] under the portable
+    * [[md5Bucket]] family. Returns (doc, group, split).
+    *
+    * Scale shape: the pair graph ≪ corpus, so clustering runs on
+    * paired docs only and the (doc → group) map broadcasts; the
+    * corpus pass is map-only — same cost as an unclustered split. */
+  def leakFreeSplit(docs: DataFrame, pairs: DataFrame, keyCol: String,
+                    fractions: Seq[(String, Double)],
+                    buckets: Int = 10000): DataFrame = {
+    val cl = graft.ext.Dedup.nearDupClusters(pairs)
+      .select(col("doc_id").as(keyCol), col("cluster"))
+    val grouped = docs.join(broadcast(cl), Seq(keyCol), "left")
+      .withColumn("grp", coalesce(col("cluster"), col(keyCol)))
+      .drop("cluster")
+    hashSplit(grouped, "grp", fractions, buckets, md5Bucket(_, _))
+  }
+
   /** Per-stratum deterministic downsample: keep ~`fraction(stratum)`
     * of rows, chosen by key hash (so the SAME rows survive every
     * run). Strata missing from the map are dropped. */

@@ -53,4 +53,38 @@ object Upserts {
     closedHistory.unionByName(closedOut).unionByName(unchanged)
       .unionByName(inserts)
   }
+
+  /** Corpus snapshot diff — the audit step between two crawls /
+    * ingest versions: which documents were `added`, `removed`, or
+    * `changed` (content differs under the same key)? Unchanged rows
+    * are NOT emitted — at 100 TB the interesting output is the delta,
+    * which is typically orders of magnitude smaller than either
+    * snapshot. Content identity is the portable md5 of the payload
+    * columns joined with a \u0001 separator (column ORDER matters and
+    * is the caller's contract), so the same diff re-derives on any
+    * engine and the md5s double as audit evidence in the output:
+    * (key, status, old_md5, new_md5).
+    *
+    * Scale shape: ONE full outer join hash-partitioned on the key —
+    * the minimum possible for a diff. Both sides reduce to
+    * (key, md5) BEFORE the exchange (project-then-shuffle: 8+32
+    * bytes/row on the wire, never the text). Snapshots written
+    * through [[graft.sources.BucketedStore]] on the key diff with NO
+    * exchange at all — both sides arrive co-partitioned. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String,
+                   payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "snapshotDiff: need payload columns")
+    def digest(d: DataFrame): Column =
+      md5(concat_ws("\u0001", payloadCols.map(c => d(c).cast("string")): _*))
+    val o = oldSnap.select(col(keyCol).as("key"), digest(oldSnap).as("old_md5"))
+    val n = newSnap.select(col(keyCol).as("key"), digest(newSnap).as("new_md5"))
+    o.join(n, Seq("key"), "full_outer")
+      .withColumn("status",
+        when(col("old_md5").isNull, "added")
+          .when(col("new_md5").isNull, "removed")
+          .when(col("old_md5") =!= col("new_md5"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col("key").as(keyCol), col("status"),
+        col("old_md5"), col("new_md5"))
+  }
 }

@@ -270,6 +270,60 @@ class ExtSpec extends SparkSuite {
       5L -> (5L, true), 6L -> (5L, false)))
   }
 
+  test("keepBestPerCluster: highest score survives, ties to min id, singletons kept") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val d = Seq((1L, 10L), (2L, 40L), (3L, 40L), (4L, 1L), (5L, 7L),
+      (6L, 3L)).toDF("doc_id", "q")
+    val out = Dedup.keepBestPerCluster(d, pairs, scoreCol = "q")
+      .select("doc_id", "cluster", "kept")
+      .as[(Long, Long, Boolean)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out == Map(
+      1L -> (1L, false), 2L -> (1L, true), // 2 and 3 tie at 40 -> min id 2
+      3L -> (1L, false), 4L -> (4L, true), // singleton: own cluster, kept
+      5L -> (5L, true), 6L -> (5L, false)))
+  }
+
+  test("keepBestPerCluster keeps exactly one doc per cluster, any pair graph") {
+    val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L), (4L, 0L)).toDF("a", "b")
+    val d = (0L until 8L).map(i => (i, (i * 37) % 11)).toDF("doc_id", "q")
+    val out = Dedup.keepBestPerCluster(d, pairs, scoreCol = "q")
+      .select("doc_id", "cluster", "kept")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length == 8)
+    out.groupBy(_._2).foreach { case (cl, rows) =>
+      assert(rows.count(_._3) == 1, s"cluster $cl kept ${rows.count(_._3)}")
+    }
+  }
+
+  test("snapshotDiff: added/removed/changed only, md5 evidence columns") {
+    val oldSnap = Seq((1L, "alpha", "en"), (2L, "beta", "en"),
+      (3L, "gamma", "es")).toDF("doc_id", "text", "lang")
+    val newSnap = Seq((2L, "beta", "en"), (3L, "gamma v2", "es"),
+      (4L, "delta", "en")).toDF("doc_id", "text", "lang")
+    val out = graft.ext.Upserts.snapshotDiff(oldSnap, newSnap, "doc_id",
+        Seq("text", "lang"))
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    // 2 is unchanged -> absent from the delta
+    assert(out == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+    val ev = graft.ext.Upserts.snapshotDiff(oldSnap, newSnap, "doc_id",
+        Seq("text", "lang"))
+      .filter(col("status") === "changed")
+      .select("old_md5", "new_md5").as[(String, String)].head()
+    assert(ev._1 != null && ev._2 != null && ev._1 != ev._2)
+  }
+
+  test("snapshotDiff separator prevents payload-boundary ambiguity") {
+    // ("ab","c") vs ("a","bc") concatenate identically without the
+    // \u0001 separator — the diff must still see them as changed
+    val oldSnap = Seq((1L, "ab", "c")).toDF("doc_id", "t1", "t2")
+    val newSnap = Seq((1L, "a", "bc")).toDF("doc_id", "t1", "t2")
+    val out = graft.ext.Upserts.snapshotDiff(oldSnap, newSnap, "doc_id",
+        Seq("t1", "t2"))
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "changed"))
+  }
+
   test("kmeans: separable clusters recovered; invariant under repartitioning (X2)") {
     // two tight groups around (+0.5, +0.5, ...) and (-0.5, -0.5, ...)
     val emb = (0 until 10).map { i =>

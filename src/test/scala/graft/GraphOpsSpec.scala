@@ -196,4 +196,51 @@ class GraphOpsSpec extends SparkSuite {
     }
     assert(pairs == want.toMap)
   }
+
+  test("ppmiEmbeddings == brute-force ppm weights + md5-parity projection") {
+    // hand co-occurrence table: a strongly-associated pair (A-X) and
+    // background mass spreading X/Y across other centers
+    val pairs = Seq(
+      ("L", "A", "L", "X", 8L), ("L", "A", "L", "Y", 1L),
+      ("L", "B", "L", "X", 1L), ("L", "B", "L", "Y", 4L),
+      ("L", "C", "L", "Y", 6L)).toDF(
+      "center_layer", "center_id", "context_layer", "context_id", "cnt")
+    val dims = 4
+    val got = GraphOps.ppmiEmbeddings(pairs, dims)
+      .as[(String, String, Int, Long)].collect()
+      .map(r => (r._2, r._3) -> r._4).toMap
+
+    // brute reference: same integer arithmetic in plain Scala
+    val raw = Seq(("A", "X", 8L), ("A", "Y", 1L), ("B", "X", 1L),
+      ("B", "Y", 4L), ("C", "Y", 6L))
+    val n = raw.map(_._3).sum
+    val ct = raw.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val xt = raw.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    def sign(ctx: String, dim: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"L:$ctx:$dim".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (Integer.parseInt(hex.take(1), 16) % 2 == 0) 1L else -1L
+    }
+    val want = (for {
+      (c, x, cnt) <- raw
+      w = math.max(cnt * n * 1000000L / (ct(c) * xt(x)) - 1000000L, 0L)
+      if w > 0
+      dim <- 0 until dims
+    } yield ((c, dim), w * sign(x, dim)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(got == want)
+    // PPMI positivity: the anti-associated (B, X) pair contributes
+    // nowhere — only positively-associated contexts shape a vector
+    assert(math.max(1L * n * 1000000L / (ct("B") * xt("X")) - 1000000L, 0L) == 0L)
+    // every emitted center has exactly `dims` coordinates
+    got.keys.groupBy(_._1).foreach { case (c, ks) =>
+      assert(ks.map(_._2).toSet == (0 until dims).toSet, s"center $c")
+    }
+    // partitioning invariance
+    val again = GraphOps.ppmiEmbeddings(pairs.repartition(7), dims)
+      .as[(String, String, Int, Long)].collect()
+      .map(r => (r._2, r._3) -> r._4).toMap
+    assert(again == got)
+  }
 }

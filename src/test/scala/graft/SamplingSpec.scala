@@ -222,4 +222,139 @@ class SamplingSpec extends SparkSuite {
     assert(again.map(r => r._1 -> (r._2, r._3)).toMap
       == rows.map(r => r._1 -> (r._2, r._3)).toMap)
   }
+
+  test("rendezvousShard: in range; resize moves only ~1/(N+1) of keys, all to the NEW shard") {
+    val d = (0L until 3000L).toDF("id")
+    val out = d.select(col("id"),
+        Sampling.rendezvousShard(col("id"), 8).as("s8"),
+        Sampling.rendezvousShard(col("id"), 9).as("s9"))
+      .as[(Long, Int, Int)].collect()
+    assert(out.forall(r => r._2 >= 0 && r._2 < 8 && r._3 >= 0 && r._3 < 9))
+    val moved = out.filter(r => r._2 != r._3)
+    // the defining HRW property: a key's argmax over shards 0..8 either
+    // stays its argmax over 0..7 or IS the new shard 8 — no churn
+    // between surviving shards
+    assert(moved.forall(_._3 == 8))
+    // ~1/9 of keys relocate (binomial around 333; generous bounds)
+    assert(moved.length > 220 && moved.length < 460, s"moved=${moved.length}")
+    // every shard populated, roughly uniformly
+    val hist = out.groupBy(_._3).view.mapValues(_.size)
+    assert(hist.size == 9 && hist.values.max < 2 * 3000 / 9)
+  }
+
+  test("rendezvousShard matches a brute-force argmax of the md5 weights") {
+    def w(k: Long, s: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$k:$s".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val got = (0L until 50L).toDF("id")
+      .select(col("id"), Sampling.rendezvousShard(col("id"), 5).as("s"))
+      .as[(Long, Int)].collect().toMap
+    (0L until 50L).foreach { k =>
+      val want = (0 until 5).maxBy(s => (w(k, s), -s))
+      assert(got(k) == want, s"key $k")
+    }
+  }
+
+  test("leakFreeSplit: no near-dup cluster straddles splits; singletons split by own key") {
+    val d = (0L until 300L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // pair chains 0-1-2, 10-11, 20-21 into clusters
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L), (20L, 21L)).toDF("a", "b")
+    val out = Sampling.leakFreeSplit(d, pairs, "doc_id",
+        Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "grp", "split")
+      .as[(Long, Long, String)].collect()
+    assert(out.length == 300)
+    // cluster members share group AND split
+    out.groupBy(_._2).foreach { case (g, rows) =>
+      assert(rows.map(_._3).toSet.size == 1, s"group $g straddles splits")
+    }
+    assert(Set(0L, 1L, 2L).map(id => out.find(_._1 == id).get._3).size == 1)
+    // a singleton's assignment equals the plain md5-family hashSplit
+    val plain = Sampling.hashSplit(d.filter(col("doc_id") === 100L),
+        "doc_id", Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1),
+        bucketFn = Sampling.md5Bucket(_, _))
+      .select("split").as[String].head()
+    assert(out.find(_._1 == 100L).get._3 == plain)
+  }
+
+  /** Brute-force reference for selectByBudget: the naive global rule
+    * — order by (score DESC, md5(key), key), keep while the running
+    * token total stays <= budget. */
+  private def bruteBudget(rows: Seq[(Long, Long, Long)],
+                          budget: Long): Map[Long, Boolean] = {
+    def m(k: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(k.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    var cum = 0L
+    rows.sortBy { case (id, s, _) => (-s, m(id), id) }
+      .map { case (id, _, tk) => cum += tk; id -> (cum <= budget) }
+      .toMap
+  }
+
+  test("selectByBudget == the naive global cumsum rule (ties, strata)") {
+    // scores collide heavily so the boundary stratum holds many rows
+    val data = (0L until 800L).map(i => (i, i % 7, (i % 13) + 1))
+    val df = data.toDF("id", "score", "tk")
+    for (budget <- Seq(0L, 123L, 1700L, 10000L, Long.MaxValue)) {
+      val got = Sampling.selectByBudget(df, "id", "score", "tk", budget)
+        .select("id", "kept").as[(Long, Boolean)].collect().toMap
+      assert(got == bruteBudget(data, budget), s"budget=$budget")
+    }
+  }
+
+  test("selectByBudget: zero-token rows at an exhausted budget still follow the global rule") {
+    // stratum 5 fills the budget EXACTLY; stratum 4's md5-first row
+    // (doc 4 — md5("4") < md5("3")) carries zero tokens, which the
+    // global rule keeps (cum stays == budget)
+    val rows = Seq((1L, 5L, 10L), (2L, 5L, 10L),
+      (3L, 4L, 7L), (4L, 4L, 0L), (5L, 3L, 0L))
+    val got = Sampling.selectByBudget(rows.toDF("id", "score", "tk"),
+        "id", "score", "tk", 20L)
+      .select("id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(got == bruteBudget(rows, 20L))
+    assert(got(4L)) // the zero-token row fits an exactly-spent budget
+    assert(!got(3L))
+  }
+
+  test("selectByBudget is partitioning-invariant and keeps every input row once") {
+    val data = (0L until 400L).map(i => (i, i % 5, (i % 11) + 1))
+    val df = data.toDF("id", "score", "tk")
+    val a = Sampling.selectByBudget(df, "id", "score", "tk", 500L)
+      .select("id", "kept").as[(Long, Boolean)].collect()
+    assert(a.length == 400 && a.map(_._1).toSet.size == 400)
+    val b = Sampling.selectByBudget(df.repartition(13), "id", "score",
+        "tk", 500L)
+      .select("id", "kept").as[(Long, Boolean)].collect()
+    assert(a.toMap == b.toMap)
+  }
+
+  test("selectByBudget sorts only the boundary stratum, never the corpus") {
+    val df = (0L until 300L).map(i => (i, i % 5, (i % 11) + 1))
+      .toDF("id", "score", "tk")
+    val plan = Sampling.selectByBudget(df, "id", "score", "tk", 300L)
+      .queryExecution.optimizedPlan
+    // every window sort in the plan is either over the tiny score
+    // histogram (no partition spec -> rows are |distinct scores|) or
+    // partitioned by the score column AFTER the boundary filter; the
+    // corpus branch itself must carry no Window at all
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val byScore = w.partitionSpec.nonEmpty
+      if (byScore)
+        // boundary branch: a Filter on the boundary condition sits
+        // below the window, so the sort sees one stratum only
+        assert(w.child.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.references.map(_.name).exists(n =>
+              n.contains("__open") || n.contains("__full") ||
+                n.contains("__before") || n.contains("__tk")) => f
+        }.nonEmpty, s"boundary window has no stratum filter below it:\n$w")
+    }
+  }
 }
