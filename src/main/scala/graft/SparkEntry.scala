@@ -4362,7 +4362,158 @@ object SparkEntry {
              |SELECT doc_id, grp,
              |  CASE WHEN bk < 8000 THEN 'train'
              |       WHEN bk < 9000 THEN 'eval' ELSE 'test' END AS split
-             |FROM b ORDER BY doc_id""".stripMargin))
+             |FROM b ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("x71_dataset_card",
+      // the numeric dataset card recorded next to a training export:
+      // doc/token/char totals, empty + exact-dup rates, language
+      // spread, sampled median length — every value a BIGINT (count,
+      // integer-ppm rate, or micro-unit mean) so two cards diff
+      // meaningfully and any engine re-derives the same card. One
+      // global agg + a tiny lang histogram + the md5 bottom-k sample.
+      (s, dir) => ext.Profiling.datasetCard(docs(s, dir)).orderBy("metric"),
+      Some("""WITH g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |   CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+             |     AS BIGINT) AS n_tokens,
+             |   CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+             |   CAST(SUM(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END)
+             |     AS BIGINT) AS n_empty,
+             |   CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+             |  FROM documents),
+             | l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_langs,
+             |   CAST(MAX(c) AS BIGINT) AS top_lang_n
+             |  FROM (SELECT lang, COUNT(*) AS c FROM documents
+             |        GROUP BY lang)),
+             | sm AS (SELECT length(text) AS lc FROM documents
+             |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 512),
+             | p AS (SELECT CAST(percentile_disc(0.5) WITHIN GROUP
+             |   (ORDER BY lc) AS BIGINT) AS p50 FROM sm)
+             |SELECT metric, value FROM (
+             | SELECT 'n_docs' AS metric, n_docs AS value FROM g
+             | UNION ALL SELECT 'n_tokens', n_tokens FROM g
+             | UNION ALL SELECT 'n_chars', n_chars FROM g
+             | UNION ALL SELECT 'n_empty', n_empty FROM g
+             | UNION ALL SELECT 'exact_dup_ppm',
+             |   CAST((n_docs - n_distinct) * 1000000 // n_docs AS BIGINT)
+             |   FROM g
+             | UNION ALL SELECT 'n_langs', n_langs FROM l
+             | UNION ALL SELECT 'top_lang_share_ppm',
+             |   CAST(top_lang_n * 1000000 // n_docs AS BIGINT) FROM l, g
+             | UNION ALL SELECT 'mean_chars_micro',
+             |   CAST(n_chars * 1000000 // n_docs AS BIGINT) FROM g
+             | UNION ALL SELECT 'p50_chars_sampled', p50 FROM p)
+             |ORDER BY metric""".stripMargin)),
+
+    QueryDef("g50_link_prediction",
+      // the embedding-quality eval closing the graph->vector bridge:
+      // do g49's vectors score truly-co-occurring pairs above rotated
+      // negatives? Content-keyed pair sample (smallest md5), one
+      // rotated negative per positive, exact BIGINT dot products over
+      // symmetric-truncated coordinates — the whole eval re-derives
+      // in the oracle, scores included.
+      (s, dir) => {
+        val g = graph(s, dir)
+        val lo = minSeed(s, dir, "orders", "o_orderkey").toLong
+        val starts = g.vertices.where(col("layer") === "order" &&
+          col("nodeId").cast("long") < lo + 2000)
+        val pairs = GraphOps.walkSkipGramPairs(
+          GraphOps.deterministicWalks(g, starts, reps = 2, walkLen = 4),
+          win = 2)
+        GraphOps.linkPredictionEval(
+            GraphOps.ppmiEmbeddings(pairs, dims = 4), pairs, k = 200)
+          .orderBy("rn")
+      },
+      Some(s"""$W, nb AS (SELECT source_layer AS sl, source_id AS sid,
+              |  list({'tl': target_layer, 'tid': target_id}
+              |    ORDER BY target_layer, target_id) AS nbrs
+              | FROM edges GROUP BY 1, 2),
+              |starts AS (SELECT node_id FROM vertices WHERE layer = 'order'
+              |  AND CAST(node_id AS BIGINT)
+              |    < (SELECT MIN(o_orderkey) FROM orders) + 2000),
+              |walk(start_id, rep, step, layer, node_id) AS (
+              | SELECT node_id, r.r, 0, 'order', node_id
+              | FROM starts, (SELECT UNNEST([0, 1]) AS r) r
+              | UNION ALL
+              | SELECT w.start_id, w.rep, w.step + 1,
+              |  nb.nbrs[1 + CAST(CAST(('0x' || substr(md5(w.start_id
+              |    || ':' || w.rep || ':' || (w.step + 1)), 1, 15))
+              |    AS BIGINT) % len(nb.nbrs) AS INT)]['tl'],
+              |  nb.nbrs[1 + CAST(CAST(('0x' || substr(md5(w.start_id
+              |    || ':' || w.rep || ':' || (w.step + 1)), 1, 15))
+              |    AS BIGINT) % len(nb.nbrs) AS INT)]['tid']
+              | FROM walk w JOIN nb ON nb.sl = w.layer AND nb.sid = w.node_id
+              | WHERE w.step < 4),
+              |pr AS (SELECT a.layer AS center_layer, a.node_id AS center_id,
+              |  b.layer AS context_layer, b.node_id AS context_id,
+              |  CAST(COUNT(*) AS BIGINT) AS cnt
+              | FROM walk a JOIN walk b
+              |   ON a.start_id = b.start_id AND a.rep = b.rep
+              |  AND a.step <> b.step AND ABS(a.step - b.step) <= 2
+              | GROUP BY 1, 2, 3, 4),
+              |nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM pr),
+              |ct AS (SELECT center_layer, center_id,
+              |  CAST(SUM(cnt) AS BIGINT) AS ct FROM pr GROUP BY 1, 2),
+              |xt AS (SELECT context_layer, context_id,
+              |  CAST(SUM(cnt) AS BIGINT) AS xt FROM pr GROUP BY 1, 2),
+              |wt AS (SELECT p.center_layer, p.center_id,
+              |  p.context_layer, p.context_id,
+              |  GREATEST(p.cnt * nn.n * 1000000
+              |    // (ct.ct * xt.xt) - 1000000, 0) AS w
+              | FROM pr p
+              | JOIN ct ON ct.center_layer = p.center_layer
+              |  AND ct.center_id = p.center_id
+              | JOIN xt ON xt.context_layer = p.context_layer
+              |  AND xt.context_id = p.context_id, nn),
+              |wd AS (SELECT center_layer, center_id, context_layer,
+              |  context_id, w, g.dim
+              | FROM wt, generate_series(0, 3) AS g(dim) WHERE w > 0),
+              |emb AS (SELECT center_layer AS layer, center_id AS node_id,
+              | CAST(dim AS INT) AS dim,
+              | CAST(SUM(w * (CASE WHEN CAST(('0x' || substr(md5(
+              |   context_layer || ':' || context_id || ':' || dim), 1, 1))
+              |   AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT) AS value
+              | FROM wd GROUP BY 1, 2, 3),
+              |sc AS (SELECT layer, node_id, dim,
+              |  CASE WHEN value < 0 THEN -((-value) // 1000)
+              |       ELSE value // 1000 END AS v FROM emb),
+              |sampled AS (SELECT center_layer, center_id, context_layer,
+              |  context_id, md5(center_layer || ':' || center_id || ':'
+              |    || context_layer || ':' || context_id) AS mk
+              | FROM pr WHERE NOT (center_layer = context_layer
+              |   AND center_id = context_id)
+              | ORDER BY mk LIMIT 200),
+              |srn AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY mk)
+              |  AS INT) AS rn FROM sampled),
+              |rot AS (SELECT CAST(rn % 200 + 1 AS INT) AS rn,
+              |  context_layer AS neg_layer, context_id AS neg_id FROM srn),
+              |cases AS (SELECT s.rn, s.center_layer, s.center_id,
+              |  s.context_layer, s.context_id, r.neg_layer, r.neg_id
+              | FROM srn s JOIN rot r ON r.rn = s.rn),
+              |ps AS (SELECT c.rn,
+              |  CAST(SUM(ea.v * eb.v) AS BIGINT) AS pos_score
+              | FROM cases c
+              | JOIN sc ea ON ea.layer = c.center_layer
+              |  AND ea.node_id = c.center_id
+              | JOIN sc eb ON eb.layer = c.context_layer
+              |  AND eb.node_id = c.context_id AND eb.dim = ea.dim
+              | GROUP BY c.rn),
+              |ns AS (SELECT c.rn,
+              |  CAST(SUM(ea.v * eb.v) AS BIGINT) AS neg_score
+              | FROM cases c
+              | JOIN sc ea ON ea.layer = c.center_layer
+              |  AND ea.node_id = c.center_id
+              | JOIN sc eb ON eb.layer = c.neg_layer
+              |  AND eb.node_id = c.neg_id AND eb.dim = ea.dim
+              | GROUP BY c.rn)
+              |SELECT c.rn, c.center_layer, c.center_id, c.context_layer,
+              | c.context_id, c.neg_layer, c.neg_id,
+              | COALESCE(ps.pos_score, 0) AS pos_score,
+              | COALESCE(ns.neg_score, 0) AS neg_score,
+              | COALESCE(ps.pos_score, 0) > COALESCE(ns.neg_score, 0)
+              |   AS concordant
+              |FROM cases c LEFT JOIN ps ON ps.rn = c.rn
+              | LEFT JOIN ns ON ns.rn = c.rn
+              |ORDER BY c.rn""".stripMargin))
   )
 
   // ============================================================= contract

@@ -403,4 +403,67 @@ object GraphOps {
       .groupBy("layer", "node_id", "dim")
       .agg(sum(col("w") * col("sign")).as("value"))
   }
+
+  /** Embedding-quality probe by link prediction — the eval harness of
+    * the graph→vector bridge: do [[ppmiEmbeddings]] vectors score
+    * truly-co-occurring pairs above non-pairs? Takes the exploded
+    * embedding table and the skip-gram pair table, draws the k
+    * co-occurrence pairs with the smallest md5("center:context")
+    * (content-keyed sample — no RNG), builds one rotated negative per
+    * positive (pair i's center against pair i+1 mod k's context — the
+    * classic corruption scheme, deterministic), and scores both with
+    * the embedding dot product over 1e-3-downscaled integer
+    * coordinates (exact BIGINT arithmetic; missing coordinates
+    * contribute 0). Returns one row per sampled pair with both scores
+    * and a `concordant` flag — sum(concordant)/k is the eval metric.
+    *
+    * Scale shape: the sample is a distributed partial top-k (limit k
+    * on the md5 order, never a full sort); everything downstream —
+    * rotation window, two dot-product joins — runs on O(k·dims) rows.
+    * The embedding table is joined, not collected. */
+  def linkPredictionEval(emb: DataFrame, pairs: DataFrame,
+                         k: Int): DataFrame = {
+    require(k > 1, s"linkPredictionEval: k must be > 1, got $k")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val sampled = pairs
+      .filter(col("center_id") =!= col("context_id") ||
+        col("center_layer") =!= col("context_layer"))
+      .withColumn("mk", md5(concat_ws(":", col("center_layer"),
+        col("center_id"), col("context_layer"), col("context_id"))))
+      .orderBy("mk").limit(k)
+      .withColumn("rn", row_number().over(Window.orderBy("mk")))
+      .localCheckpoint() // k rows; feeds the rotation self-join twice
+    val rot = sampled.select((col("rn") % k + 1).as("rn"),
+      col("context_layer").as("neg_layer"),
+      col("context_id").as("neg_id"))
+    val cases = sampled.join(rot, "rn")
+    def score(a: (String, String), b: (String, String), out: String) = {
+      // symmetric (toward-zero) downscale spelled out per sign:
+      // engines disagree on whether integer division floors or
+      // truncates negatives, so keep every divide on positive operands
+      val scaled = "CASE WHEN value < 0 THEN -((-value) DIV 1000) " +
+        "ELSE value DIV 1000 END"
+      val ea = emb.select(col("layer").as("al"), col("node_id").as("an"),
+        col("dim"), expr(scaled).as("va"))
+      val eb = emb.select(col("layer").as("bl"), col("node_id").as("bn"),
+        col("dim"), expr(scaled).as("vb"))
+      cases.select(col("rn"), col(a._1).as("al"), col(a._2).as("an"),
+          col(b._1).as("bl"), col(b._2).as("bn"))
+        .join(ea, Seq("al", "an"))
+        .join(eb, Seq("bl", "bn", "dim"))
+        .groupBy("rn").agg(sum(col("va") * col("vb")).as(out))
+    }
+    cases
+      .join(score(("center_layer", "center_id"),
+        ("context_layer", "context_id"), "pos_score"), Seq("rn"), "left")
+      .join(score(("center_layer", "center_id"),
+        ("neg_layer", "neg_id"), "neg_score"), Seq("rn"), "left")
+      .select(col("rn"), col("center_layer"), col("center_id"),
+        col("context_layer"), col("context_id"),
+        col("neg_layer"), col("neg_id"),
+        coalesce(col("pos_score"), lit(0L)).as("pos_score"),
+        coalesce(col("neg_score"), lit(0L)).as("neg_score"))
+      .withColumn("concordant", col("pos_score") > col("neg_score"))
+  }
 }

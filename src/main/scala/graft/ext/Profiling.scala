@@ -80,6 +80,48 @@ object Profiling {
     exactLong.unionByName(qLong)
   }
 
+  /** One-table corpus datasheet — the "dataset card" block a training
+    * run records next to its shards (Gebru et al.'s datasheets, the
+    * numeric half): doc/token/char totals, empty-doc and exact-dup
+    * rates, language spread, and a sampled median length, every value
+    * a BIGINT (counts, or integer-ppm rates, or micro-unit means), so
+    * the whole card re-derives bit-identically on any engine and two
+    * cards diff meaningfully. Returns (metric, value) rows.
+    *
+    * Scale shape: ONE map-side-combined global aggregation (the
+    * count-distinct of content md5s is its only shuffle — 16-byte
+    * hashes, never text), one tiny language histogram, and the
+    * [[bottomKSample]] partial top-k for the sampled median; the
+    * corpus is scanned twice, shuffled never (hash keys aside). */
+  def datasetCard(df: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", langCol: String = "lang",
+                  sampleK: Int = 512): DataFrame = {
+    val g = df.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(trim(col(textCol)), "\\s+"))).cast("long")
+        .as("n_tokens"),
+      sum(length(col(textCol))).cast("long").as("n_chars"),
+      sum(when(trim(col(textCol)) === "", 1L).otherwise(0L)).as("n_empty"),
+      countDistinct(md5(col(textCol))).as("n_distinct"))
+    val langs = df.groupBy(col(langCol)).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_langs"), max("c").as("top_lang_n"))
+    val p50 = bottomKSample(df, idCol, sampleK)
+      .agg(expr(s"percentile_disc(CAST(0.5 AS DOUBLE)) WITHIN GROUP " +
+        s"(ORDER BY length(`$textCol`))").cast("long").as("p50"))
+    g.crossJoin(langs).crossJoin(p50).selectExpr(
+      "stack(9, " +
+        "'n_docs', n_docs, " +
+        "'n_tokens', n_tokens, " +
+        "'n_chars', n_chars, " +
+        "'n_empty', n_empty, " +
+        "'exact_dup_ppm', (n_docs - n_distinct) * 1000000 DIV n_docs, " +
+        "'n_langs', n_langs, " +
+        "'top_lang_share_ppm', top_lang_n * 1000000 DIV n_docs, " +
+        "'mean_chars_micro', n_chars * 1000000 DIV n_docs, " +
+        "'p50_chars_sampled', p50" +
+        ") AS (metric, value)")
+  }
+
   /** Distribution drift between two corpora (yesterday vs today, web
     * vs books, train vs eval) over a numeric column: fixed-width
     * integer bins, per-corpus counts, integer-ppm shares, and the

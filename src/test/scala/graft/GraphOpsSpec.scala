@@ -243,4 +243,37 @@ class GraphOpsSpec extends SparkSuite {
       .map(r => (r._2, r._3) -> r._4).toMap
     assert(again == got)
   }
+
+  test("linkPredictionEval: rotated negatives, exact dot products, missing embeddings score 0") {
+    // hand embedding table: A aligns with X (+1 on every dim), B with
+    // Y (-1 on every dim); dims scaled so DIV 1000 keeps them alive
+    val emb = (for {
+      (node, v) <- Seq("A" -> 5000L, "B" -> -5000L,
+        "X" -> 5000L, "Y" -> -5000L)
+      dim <- 0 until 2
+    } yield ("L", node, dim, v)).toDF("layer", "node_id", "dim", "value")
+    val pairs = Seq(("L", "A", "L", "X", 3L), ("L", "B", "L", "Y", 3L))
+      .toDF("center_layer", "center_id", "context_layer", "context_id",
+        "cnt")
+    val out = GraphOps.linkPredictionEval(emb, pairs, k = 2)
+      .select("rn", "center_id", "context_id", "neg_id", "pos_score",
+        "neg_score", "concordant")
+      .as[(Int, String, String, String, Long, Long, Boolean)]
+      .collect().sortBy(_._1)
+    assert(out.length == 2)
+    // rotation: pair 1's negative is pair 2's context and vice versa
+    assert(out(0)._4 == out(1)._3 && out(1)._4 == out(0)._3)
+    // aligned positives score +2*25 = 50, rotated negatives -50
+    out.foreach { r =>
+      assert(r._5 == 50L && r._6 == -50L && r._7, r.toString)
+    }
+    // a context with no embedding rows scores 0, not null
+    val pairs2 = Seq(("L", "A", "L", "X", 3L), ("L", "A", "L", "Z", 3L))
+      .toDF("center_layer", "center_id", "context_layer", "context_id",
+        "cnt")
+    val out2 = GraphOps.linkPredictionEval(emb, pairs2, k = 2)
+      .select("context_id", "pos_score")
+      .as[(String, Long)].collect().toMap
+    assert(out2("Z") == 0L)
+  }
 }

@@ -115,4 +115,33 @@ class ProfilingSpec extends SparkSuite {
         Profiling.profileState(d, "id", Seq("size"), sampleK = 60))
     }
   }
+
+  test("datasetCard: hand-computed metrics, all-BIGINT, partition-invariant") {
+    val docs = Seq(
+      (1L, "alpha beta", "en"),
+      (2L, "alpha beta", "en"),   // exact dup of 1
+      (3L, "gamma delta eps", "en"),
+      (4L, "", "es"),             // empty doc
+      (5L, "zeta", "es")).toDF("doc_id", "text", "lang")
+    val card = Profiling.datasetCard(docs)
+      .as[(String, Long)].collect().toMap
+    assert(card("n_docs") == 5L)
+    // whitespace tokens: 2+2+3+1+1 ('' splits to one empty token —
+    // the shardManifest convention, same on both engines)
+    assert(card("n_tokens") == 9L)
+    assert(card("n_chars") == (10 + 10 + 15 + 0 + 4))
+    assert(card("n_empty") == 1L)
+    // 5 docs, 4 distinct texts -> 1/5 duplicated
+    assert(card("exact_dup_ppm") == 200000L)
+    assert(card("n_langs") == 2L)
+    // top lang en = 3/5
+    assert(card("top_lang_share_ppm") == 600000L)
+    assert(card("mean_chars_micro") == 39L * 1000000L / 5L)
+    // sampled median over all 5 lengths (sampleK > n): sorted lengths
+    // 0,4,10,10,15 -> percentile_disc(0.5) = 10
+    assert(card("p50_chars_sampled") == 10L)
+    val again = Profiling.datasetCard(docs.repartition(7))
+      .as[(String, Long)].collect().toMap
+    assert(again == card)
+  }
 }

@@ -195,4 +195,61 @@ class ScaleSpec extends SparkSuite {
     assert(!topStage.contains("Exchange hashpartitioning"),
       s"corpus keep-path must be map-only above the broadcast:\n$plan")
   }
+
+  test("keepBestPerCluster: the corpus-wide kept flag is a broadcast join — corpus never shuffles") {
+    val d = (0L until 500L).map(i => (i, i % 17)).toDF("doc_id", "q")
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("a", "b")
+    val out = graft.ext.Dedup.keepBestPerCluster(d, pairs, "q")
+    out.collect()
+    val plan = (out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).toString
+    // the final verdict join must be broadcast; the corpus branch above
+    // it carries no hash exchange (all shuffles live on the tiny
+    // pair-graph side below the broadcast)
+    assert(plan.contains("BroadcastHashJoin"), s"verdict must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no shuffle joins:\n$plan")
+    val topStage = plan.split("BroadcastHashJoin").head
+    assert(!topStage.contains("Exchange hashpartitioning"),
+      s"corpus branch must be map-only above the broadcast:\n$plan")
+  }
+
+  test("snapshotDiff: both sides reduce to (key, md5) BEFORE the exchange") {
+    val a = (0L until 300L).map(i => (i, s"text $i" * 10, "en"))
+      .toDF("doc_id", "text", "lang")
+    val b = (5L until 305L).map(i => (i, s"text $i" * 10, "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.ext.Upserts.snapshotDiff(a, b, "doc_id",
+      Seq("text", "lang"))
+    out.collect()
+    val exec = out.queryExecution.executedPlan match {
+      case ap: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        ap.executedPlan
+      case p => p
+    }
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(allNodes)) ++ (p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allNodes(q.plan)
+        case _ => Nil
+      })
+    val shuffles = allNodes(exec).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // one exchange per side, and the md5 projection sits BELOW it:
+    // each exchange ships (key, digest) only — the payload columns
+    // never ride the wire
+    assert(shuffles.length == 2,
+      s"want 2 exchanges (one per side), got ${shuffles.length}:\n$exec")
+    shuffles.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(names.length == 2 && names.exists(_.contains("md5")),
+        s"exchange must carry (key, digest) only, got $names")
+      assert(!names.contains("text") && !names.contains("lang"),
+        s"payload columns must not shuffle, got $names")
+    }
+  }
 }
