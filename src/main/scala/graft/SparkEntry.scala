@@ -4513,7 +4513,52 @@ object SparkEntry {
               |   AS concordant
               |FROM cases c LEFT JOIN ps ON ps.rn = c.rn
               | LEFT JOIN ns ON ns.rn = c.rn
-              |ORDER BY c.rn""".stripMargin))
+              |ORDER BY c.rn""".stripMargin)),
+
+    QueryDef("x72_source_overlap",
+      // pre-mixing overlap audit: pairwise shingle-Jaccard between
+      // corpus sources estimated from per-source bottom-k KMV
+      // sketches (|bottom_k(A∪B) ∩ A ∩ B| / |bottom_k(A∪B)|) — the
+      // corpus collapses to |sources|·k sketch rows in one pass
+      // (TopKPerGroup), and the exact-integer estimator re-derives
+      // engine-for-engine, sketches included.
+      (s, dir) => Dedup.sourceOverlap(docs(s, dir), k = 256)
+        .orderBy("src_a", "src_b"),
+      Some("""WITH toks AS (SELECT doc_id, source,
+             |   string_split_regex(trim(text), '\s+') AS tk FROM documents),
+             | sh AS (SELECT doc_id, source, list_distinct(
+             |  [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+             |   for i in generate_series(1, len(tk) - 2)]) AS s FROM toks
+             |  WHERE len(tk) >= 3),
+             | hs0 AS (SELECT source AS src, UNNEST(s) AS x FROM sh),
+             | hs AS (SELECT DISTINCT src,
+             |   CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) AS h
+             |  FROM hs0),
+             | sk AS (SELECT src, h FROM hs
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY src
+             |    ORDER BY h) <= 256),
+             | srcs AS (SELECT DISTINCT src FROM sk),
+             | pairs AS (SELECT a.src AS src_a, b.src AS src_b
+             |  FROM srcs a, srcs b WHERE a.src < b.src),
+             | pu AS (
+             |  SELECT p.src_a, p.src_b, s.h, 'a' AS side
+             |   FROM pairs p JOIN sk s ON s.src = p.src_a
+             |  UNION ALL
+             |  SELECT p.src_a, p.src_b, s.h, 'b'
+             |   FROM pairs p JOIN sk s ON s.src = p.src_b),
+             | u AS (SELECT src_a, src_b, h,
+             |   MAX(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS in_a,
+             |   MAX(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS in_b
+             |  FROM pu GROUP BY 1, 2, 3),
+             | r AS (SELECT * FROM u
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY src_a, src_b
+             |    ORDER BY h) <= 256)
+             |SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS union_k,
+             | CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+             |   AS BIGINT) AS inter_k,
+             | CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+             |   * 1000000 // COUNT(*) AS BIGINT) AS jaccard_ppm
+             |FROM r GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin))
   )
 
   // ============================================================= contract

@@ -734,6 +734,58 @@ object Dedup {
     nearDupClusters(assignEdges.unionByName(newPairs.select("a", "b")))
   }
 
+  /** Source-overlap matrix — "how much does source A repeat source B"
+    * BEFORE mixing them into a recipe (two crawls of the same sites,
+    * a books dump inside a web dump): pairwise shingle-Jaccard
+    * between every pair of corpus sources, estimated from per-source
+    * bottom-k KMV sketches with the standard estimator
+    * |bottom_k(A∪B) ∩ A ∩ B| / |bottom_k(A∪B)| — exact integer
+    * arithmetic over portable md5 hashes, so the whole matrix
+    * (sketches included) re-derives on any engine. Returns
+    * (src_a, src_b, union_k, inter_k, jaccard_ppm) per unordered
+    * source pair.
+    *
+    * Scale shape: the corpus collapses to |sources|·k sketch rows in
+    * one pass — shingle-hash at source, distinct on (source, 8-byte
+    * hash), bottom-k per source through the [[graft.plans
+    * .TopKPerGroup]] physical operator (map-side capped, one
+    * exchange). Everything pairwise runs on the sketch table
+    * (|sources|² · k rows — sources number dozens, not millions). */
+  def sourceOverlap(docs: DataFrame, srcCol: String = "source",
+                    textCol: String = "text", w: Int = 3,
+                    k: Int = 256): DataFrame = {
+    require(k > 0, s"sourceOverlap: k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col(srcCol).as("src"),
+        explode(shingles(col(textCol), w)).as("s"))
+      .select(col("src"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    val sk = graft.plans.TopKPerGroup(sh, Seq("src"), Seq(("h", true)), k)
+      .localCheckpoint() // |sources|·k rows; feeds both pair sides
+    val srcs = sk.select("src").distinct()
+    val pairs = srcs.select(col("src").as("src_a"))
+      .crossJoin(srcs.select(col("src").as("src_b")))
+      .filter(col("src_a") < col("src_b"))
+    val pa = pairs.join(sk.withColumnRenamed("src", "src_a"), Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("h"), lit("a").as("side"))
+    val pb = pairs.join(sk.withColumnRenamed("src", "src_b"), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("h"), lit("b").as("side"))
+    val u = pa.unionByName(pb)
+      .groupBy("src_a", "src_b", "h")
+      .agg(max(when(col("side") === "a", 1).otherwise(0)).as("in_a"),
+        max(when(col("side") === "b", 1).otherwise(0)).as("in_b"))
+    // bottom-k of the UNION sketch per pair: ≤ 2k rows per pair sorted
+    val ranked = u.withColumn("rk", row_number().over(
+        Window.partitionBy("src_a", "src_b").orderBy("h")))
+      .filter(col("rk") <= k)
+    ranked.groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("union_k"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
+          .otherwise(0L)).as("inter_k"))
+      .withColumn("jaccard_ppm", expr("inter_k * 1000000 DIV union_k"))
+  }
+
   /** Quality-ranked canonical selection — near-dup dedup that keeps
     * the BEST copy instead of the arbitrary min-id one: cluster the
     * verified pair set ([[nearDupClusters]]), then per cluster keep

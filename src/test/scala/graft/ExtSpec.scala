@@ -270,6 +270,33 @@ class ExtSpec extends SparkSuite {
       5L -> (5L, true), 6L -> (5L, false)))
   }
 
+  test("sourceOverlap: identical sources jaccard 1, disjoint 0, estimator exact below capacity") {
+    // sources A and B share exactly one of two shingle-sets; C is
+    // disjoint from both; D duplicates A verbatim
+    val d = Seq(
+      (1L, "aa bb cc dd", "A"), (2L, "ee ff gg hh", "A"),
+      (3L, "aa bb cc dd", "B"), (4L, "ii jj kk ll", "B"),
+      (5L, "mm nn oo pp", "C"),
+      (6L, "aa bb cc dd", "D"), (7L, "ee ff gg hh", "D"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(d, k = 64)
+      .select("src_a", "src_b", "union_k", "inter_k", "jaccard_ppm")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // 4-token docs yield 2 distinct 3-gram shingles each; below the
+    // sketch capacity the estimator is EXACT jaccard
+    assert(out(("A", "D")) == (4L, 4L, 1000000L)) // identical sources
+    assert(out(("A", "B")) == (6L, 2L, 333333L))  // share 2 of 6
+    assert(out(("A", "C"))._2 == 0L)              // disjoint
+    assert(out(("A", "C"))._3 == 0L)
+    assert(out.size == 6) // all unordered pairs of 4 sources
+    val again = Dedup.sourceOverlap(d.repartition(7), k = 64)
+      .select("src_a", "src_b", "jaccard_ppm")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(again == out.view.mapValues(_._3).toMap)
+  }
+
   test("keepBestPerCluster: highest score survives, ties to min id, singletons kept") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
     val d = Seq((1L, 10L), (2L, 40L), (3L, 40L), (4L, 1L), (5L, 7L),
