@@ -4558,7 +4558,51 @@ object SparkEntry {
              |   AS BIGINT) AS inter_k,
              | CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
              |   * 1000000 // COUNT(*) AS BIGINT) AS jaccard_ppm
-             |FROM r GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin))
+             |FROM r GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin)),
+
+    QueryDef("x73_gif_video",
+      // REAL animated-GIF decode through the JDK's actual LZW/palette
+      // codec: each doc becomes an 8x6 4-frame GIF89a (hand-rolled
+      // container + spec-conformant uncompressed-technique LZW,
+      // grayscale identity palette), decodeGif samples every 2nd
+      // frame through ImageIO. The palette is the identity, so the
+      // DECODED gray values are closed-form and the oracle re-derives
+      // the whole codec path with no codec — the x61 trick on a
+      // fourth container family (GIF is the web corpus's animation
+      // format).
+      (s, dir) => {
+        val media = Multimodal.synthesizeGif(
+          docs(s, dir).select("doc_id"), "doc_id", 8, 6, nFrames = 4)
+        Multimodal.decodeGif(media, dim = 16, every = 2)
+          .where(col("decode_ok"))
+          .select(col("media_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("n_frames"), col("frames_sampled"), col("sum_q"),
+            posexplode(col("hist")).as(Seq("bucket", "cnt")))
+          .where(col("cnt") > 0)
+          .select(col("media_id"), col("width"), col("height"),
+            col("n_frames"), col("frames_sampled"), col("sum_q"),
+            col("bucket").cast("long").as("bucket"), col("cnt"))
+          .orderBy("media_id", "bucket")
+      },
+      Some("""WITH px AS (SELECT d.doc_id, f.f, x.x, y.y
+             |  FROM (SELECT doc_id FROM documents) d,
+             |       (SELECT unnest([0, 2]) AS f) f,
+             |       generate_series(0, 7) x(x), generate_series(0, 5) y(y)),
+             | s AS (SELECT doc_id,
+             |   3 * ((doc_id*31 + f*29 + x*7 + y*13) % 256) AS s
+             |  FROM px),
+             | tot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS sum_q
+             |  FROM s GROUP BY doc_id),
+             | bk AS (SELECT doc_id, CAST(s % 16 AS BIGINT) AS bucket,
+             |   COUNT(*) AS cnt FROM s GROUP BY 1, 2)
+             |SELECT bk.doc_id AS media_id, CAST(8 AS BIGINT) AS width,
+             | CAST(6 AS BIGINT) AS height, CAST(4 AS BIGINT) AS n_frames,
+             | CAST(2 AS BIGINT) AS frames_sampled, tot.sum_q,
+             | bk.bucket, bk.cnt
+             |FROM bk JOIN tot USING (doc_id)
+             |ORDER BY media_id, bucket""".stripMargin))
   )
 
   // ============================================================= contract

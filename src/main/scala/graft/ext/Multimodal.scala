@@ -690,6 +690,174 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Synthesize ANIMATED GIF payloads (GIF89a, hand-rolled container +
+    * LZW stream, like [[synthesizeAvi]]'s RIFF walk): a 256-entry
+    * GRAYSCALE global palette (entry i = (i,i,i)), per-frame graphic
+    * control extensions with a delay (genuinely animated), and a
+    * spec-conformant minimal LZW stream — after each CLEAR code every
+    * pixel is emitted as its 9-bit literal root code, with a fresh
+    * CLEAR every 250 literals so the code width never grows (the
+    * "uncompressed GIF" technique; any conforming decoder accepts
+    * it). Pixel index (= decoded gray value — the palette is the
+    * identity) is closed-form `(id*31 + f*29 + x*7 + y*13) % 256`, so
+    * the REAL-codec decode is re-derivable by a no-codec SQL oracle,
+    * the PNG/WAV/Y4M/AVI trick on a fourth container family. */
+  def synthesizeGif(df: DataFrame, idCol: String, w: Int, h: Int,
+                    nFrames: Int, delayCs: Int = 4): DataFrame = {
+    require(w > 0 && h > 0 && nFrames > 0, "synthesizeGif: bad geometry")
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      def le16(v: Int): Array[Byte] =
+        Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      it.map { r =>
+        val id = r.getLong(0)
+        val out = new java.io.ByteArrayOutputStream()
+        out.write("GIF89a".getBytes("US-ASCII"))
+        out.write(le16(w)); out.write(le16(h))
+        out.write(0xF7) // GCT present, 8-bit resolution, 256 entries
+        out.write(0)    // background index
+        out.write(0)    // no aspect ratio
+        var i = 0
+        while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+        var f = 0
+        while (f < nFrames) {
+          // graphic control extension: delay, no transparency
+          out.write(Array(0x21, 0xF9, 0x04, 0x00).map(_.toByte))
+          out.write(le16(delayCs)); out.write(0); out.write(0)
+          // image descriptor: full frame, no local table, no interlace
+          out.write(0x2C)
+          out.write(le16(0)); out.write(le16(0))
+          out.write(le16(w)); out.write(le16(h))
+          out.write(0)
+          out.write(8) // LZW minimum code size (256-color)
+          // 9-bit codes, LSB-first bit packing; CLEAR=256, EOI=257
+          val lzw = new java.io.ByteArrayOutputStream()
+          var buf = 0L; var nbits = 0
+          def emit(code: Int): Unit = {
+            buf |= code.toLong << nbits; nbits += 9
+            while (nbits >= 8) {
+              lzw.write((buf & 0xff).toInt); buf >>= 8; nbits -= 8
+            }
+          }
+          emit(256)
+          var since = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              if (since == 250) { emit(256); since = 0 }
+              emit(((id * 31 + f * 29 + x * 7 + y * 13) % 256).toInt)
+              since += 1
+              x += 1
+            }
+            y += 1
+          }
+          emit(257)
+          if (nbits > 0) lzw.write((buf & 0xff).toInt)
+          // wrap the LZW stream into <=255-byte sub-blocks
+          val bytes = lzw.toByteArray
+          var p = 0
+          while (p < bytes.length) {
+            val n = math.min(255, bytes.length - p)
+            out.write(n); out.write(bytes, p, n); p += n
+          }
+          out.write(0) // block terminator
+          f += 1
+        }
+        out.write(0x3B) // trailer
+        Row(id, "video", out.toByteArray, "image/gif", w, h,
+          nFrames.toLong * delayCs * 10L)
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** REAL animated-GIF decode through the JDK's ImageIO GIF plugin:
+    * every sampled frame is decoded by the actual LZW/palette codec
+    * (frame count from the reader, `every`-th frame sampling — the
+    * reader seeks past un-sampled frames without rasterizing them).
+    * Same features and poison-row contract as [[decodeAviVideo]]:
+    * (decode_ok, width, height, n_frames, frames_sampled, sum_q,
+    * (r+g+b) % dim histogram); truncated / garbage / null payloads
+    * degrade to decode_ok = false. */
+  def decodeGif(media: DataFrame, dim: Int = 16,
+                every: Int = 1): DataFrame = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decode_ok", BooleanType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("n_frames", LongType, nullable = true),
+      StructField("frames_sampled", LongType, nullable = true),
+      StructField("sum_q", LongType, nullable = true),
+      StructField("hist", ArrayType(LongType, containsNull = false),
+        nullable = true)))
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val decoded: Option[Row] =
+          if (r.isNullAt(1)) None
+          else {
+            var reader: javax.imageio.ImageReader = null
+            var iis: javax.imageio.stream.ImageInputStream = null
+            try {
+              val b = r.getAs[Array[Byte]](1)
+              iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(b))
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext)
+                throw new java.io.IOException("no reader")
+              reader = readers.next()
+              if (!reader.getFormatName.equalsIgnoreCase("gif"))
+                throw new java.io.IOException("not gif")
+              reader.setInput(iis)
+              val n = reader.getNumImages(true)
+              if (n <= 0) throw new java.io.IOException("no frames")
+              val hist = new Array[Long](dim)
+              var sumQ = 0L
+              var sampled = 0L
+              var w = -1; var h = -1
+              var f = 0
+              while (f < n) {
+                if (f % every == 0) {
+                  val img = reader.read(f)
+                  if (w < 0) { w = img.getWidth; h = img.getHeight }
+                  var y = 0
+                  while (y < img.getHeight) {
+                    var x = 0
+                    while (x < img.getWidth) {
+                      val p = img.getRGB(x, y)
+                      val s = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) +
+                        (p & 0xff)
+                      sumQ += s
+                      hist(s % dim) += 1L
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  sampled += 1L
+                }
+                f += 1
+              }
+              Some(Row(id, true, w, h, n.toLong, sampled, sumQ,
+                hist.toSeq))
+            } catch {
+              case scala.util.control.NonFatal(_) => None
+            } finally {
+              if (reader != null) reader.dispose()
+              if (iis != null) iis.close()
+            }
+          }
+        decoded.getOrElse(
+          Row(id, false, null, null, null, null, null, null))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** "Resize" stage stub: metadata-only transform (target dims recorded,
     * payload passed through) — exercises the schema evolution path. */
   def resizeStub(media: DataFrame, w: Int, h: Int): DataFrame =

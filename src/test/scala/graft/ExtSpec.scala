@@ -898,6 +898,50 @@ class ExtSpec extends SparkSuite {
     assert(res.forall(_.isNullAt(6)))
   }
 
+  test("animated GIF: hand-rolled LZW through the real JDK codec; sampling, poison (X4)") {
+    val ids = Seq(1L, 2L).toDF("media_id")
+    val gif = Multimodal.synthesizeGif(ids, "media_id", 16, 12, nFrames = 6)
+    // the JDK's own ImageReader accepts the stream and sees 6 frames
+    val got = Multimodal.decodeGif(gif, dim = 16, every = 3)
+      .orderBy("media_id").collect()
+    assert(got.length == 2 && got.forall(_.getBoolean(1)))
+    assert(got.forall(r => r.getInt(2) == 16 && r.getInt(3) == 12))
+    assert(got.forall(r => r.getLong(4) == 6L && r.getLong(5) == 2L))
+    // identity palette -> decoded gray values are closed-form: the
+    // REAL LZW decode equals the no-codec formula exactly
+    val full = Multimodal.decodeGif(
+        Multimodal.synthesizeGif(ids, "media_id", 4, 3, nFrames = 2),
+        dim = 16, every = 1)
+      .orderBy("media_id").collect()
+    val wantSum = (id: Long) => (for {
+      f <- 0 until 2; y <- 0 until 3; x <- 0 until 4
+    } yield 3L * ((id * 31 + f * 29 + x * 7 + y * 13) % 256)).sum
+    assert(full.forall(r => r.getLong(6) == wantSum(r.getLong(0))))
+    // a frame big enough to need multiple CLEAR resets (> 250 px)
+    // still round-trips exactly
+    val big = Multimodal.decodeGif(
+        Multimodal.synthesizeGif(Seq(7L).toDF("id"), "id", 40, 20,
+          nFrames = 1), dim = 16, every = 1).head()
+    assert(big.getBoolean(1))
+    assert(big.getLong(6) == (for { y <- 0 until 20; x <- 0 until 40 }
+      yield 3L * ((7L * 31 + x * 7 + y * 13) % 256)).sum)
+    // poison: truncated stream, garbage, null payload
+    val good = gif.filter(col("media_id") === 1L)
+      .select("payload").head().getAs[Array[Byte]](0)
+    val rows = java.util.Arrays.asList(
+      // truncated INSIDE the global palette — unambiguously broken
+      // (cutting between frames can legally decode as fewer frames)
+      org.apache.spark.sql.Row(10L, "video", good.take(100),
+        "image/gif", null, null, null),
+      org.apache.spark.sql.Row(11L, "video",
+        Array.fill[Byte](64)(0x5a), "image/gif", null, null, null),
+      org.apache.spark.sql.Row(12L, "video", null, null, null, null, null))
+    val res = Multimodal.decodeGif(
+      spark.createDataFrame(rows, Multimodal.mediaSchema)).collect()
+    assert(res.forall(!_.getBoolean(1)))
+    assert(res.forall(_.isNullAt(6)))
+  }
+
   test("linear classifier: separable corpus classified correctly (X3)") {
     // class-pure vocabulary + shared filler: weights must be positive
     // for good-class terms, negative for bad, ~base-rate for filler
