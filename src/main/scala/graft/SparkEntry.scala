@@ -4602,7 +4602,37 @@ object SparkEntry {
              | CAST(2 AS BIGINT) AS frames_sampled, tot.sum_q,
              | bk.bucket, bk.cnt
              |FROM bk JOIN tot USING (doc_id)
-             |ORDER BY media_id, bucket""".stripMargin))
+             |ORDER BY media_id, bucket""".stripMargin)),
+
+    QueryDef("x74_group_budget_select",
+      // per-domain token budgets — "N tokens of web, M of code" —
+      // each source keeps its best docs while ITS running total fits
+      // its budget (40% of the source's tokens here, derived as a
+      // tiny aggregate). Same no-global-sort execution as x66 with
+      // the group in every key; the oracle is the per-group cumsum.
+      (s, dir) => {
+        val scored = docs(s, dir).select(col("doc_id"), col("source"),
+          expr("n_chars DIV 100").as("score"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        val budgets = scored.groupBy("source")
+          .agg(expr("sum(n_tokens) * 2 DIV 5").as("budget"))
+        Sampling.selectByBudgetByGroup(scored, "source", "doc_id",
+            "score", "n_tokens", budgets)
+          .orderBy("doc_id")
+      },
+      Some("""WITH s AS (SELECT doc_id, source,
+             |   CAST(n_chars // 100 AS BIGINT) AS score,
+             |   CAST(len(string_split_regex(trim(text), '\s+'))
+             |     AS BIGINT) AS n_tokens
+             |  FROM documents),
+             | b AS (SELECT source, CAST(SUM(n_tokens) * 2 // 5 AS BIGINT)
+             |   AS budget FROM s GROUP BY source)
+             |SELECT s.doc_id, s.source, s.score, s.n_tokens,
+             |  SUM(s.n_tokens) OVER (PARTITION BY s.source
+             |    ORDER BY s.score DESC, md5(CAST(s.doc_id AS VARCHAR)),
+             |      s.doc_id
+             |    ROWS UNBOUNDED PRECEDING) <= b.budget AS kept
+             |FROM s JOIN b USING (source) ORDER BY s.doc_id""".stripMargin))
   )
 
   // ============================================================= contract

@@ -298,6 +298,50 @@ object Sampling {
       .drop("__s", "__tk", "__before", "__full", "__open")
   }
 
+  /** Per-group token-budget selection — [[selectByBudget]] with one
+    * budget PER GROUP (the "N tokens of web, M of code, K of books"
+    * allocation of a real pretraining recipe): within each group,
+    * keep the best-scored rows while the group's running token total
+    * stays ≤ its budget, ordering (score DESC, md5(key), key) — the
+    * per-group global cumsum rule, which is exactly how the oracle
+    * re-derives it. `budgets` is a tiny (group, budget) table —
+    * derived or hand-written; groups absent from it are dropped.
+    *
+    * Scale shape: identical to [[selectByBudget]] with the group in
+    * every key — one (group, score) histogram, per-group cumsum over
+    * the histogram only, verdicts broadcast back map-only, and only
+    * each group's single boundary stratum is sorted (partitioned by
+    * (group, score), so the sorts are independent and tiny). */
+  def selectByBudgetByGroup(df: DataFrame, groupCol: String,
+                            keyCol: String, scoreCol: String,
+                            tokensCol: String,
+                            budgets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = coalesce(col(tokensCol).cast("long"), lit(0L))
+    val hist = df.groupBy(col(groupCol).as("__g"), col(scoreCol).as("__s"))
+      .agg(sum(coalesce(col(tokensCol).cast("long"), lit(0L))).as("__tk"))
+    val wh = Window.partitionBy("__g").orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val status = hist
+      .withColumn("__before", coalesce(sum("__tk").over(wh), lit(0L)))
+      .join(budgets.select(col(groupCol).as("__g"),
+        col("budget").cast("long").as("__b")), Seq("__g"))
+      .select(col("__g"), col("__s"), col("__before"),
+        (col("__before") + col("__tk") <= col("__b")).as("__full"),
+        (col("__before") <= col("__b")).as("__open"), col("__b"))
+    val joined = df.join(broadcast(status),
+      df(groupCol) === status("__g") && df(scoreCol) === status("__s"))
+    val isBoundary = col("__open") && !col("__full")
+    val wb = Window.partitionBy(col(groupCol), col(scoreCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = joined.filter(isBoundary)
+      .withColumn("kept", col("__before") + sum(tk).over(wb) <= col("__b"))
+    val decided = joined.filter(!isBoundary).withColumn("kept", col("__full"))
+    decided.unionByName(boundary)
+      .drop("__g", "__s", "__tk", "__before", "__full", "__open", "__b")
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment — the
     * RESIZABLE counterpart of [[epochShuffle]]'s `md5 mod shards`:
     * key k lands on the shard s maximizing md5("k:s"). Growing the

@@ -320,6 +320,33 @@ class SamplingSpec extends SparkSuite {
     assert(!got(3L))
   }
 
+  test("selectByBudgetByGroup == per-group brute rule; unbudgeted groups dropped") {
+    val data = (0L until 600L).map(i =>
+      (i, if (i % 3 == 0) "web" else if (i % 3 == 1) "code" else "books",
+        i % 5, (i % 9) + 1))
+    val df = data.toDF("id", "grp", "score", "tk")
+    val budgets = Seq(("web", 300L), ("code", 120L)).toDF("grp", "budget")
+    val got = Sampling.selectByBudgetByGroup(df, "grp", "id", "score",
+        "tk", budgets)
+      .select("id", "grp", "kept").as[(Long, String, Boolean)].collect()
+    // books has no budget -> dropped entirely
+    assert(!got.exists(_._2 == "books"))
+    val byGroup = got.groupBy(_._2)
+    for ((g, budget) <- Seq("web" -> 300L, "code" -> 120L)) {
+      val rows = data.filter(_._2 == g).map(t => (t._1, t._3, t._4))
+      val want = bruteBudget(rows, budget)
+      assert(byGroup(g).map(t => t._1 -> t._3).toMap == want, s"group $g")
+    }
+    // single-group degenerate case equals the ungrouped operator
+    val one = df.filter(col("grp") === "web")
+    val grouped = Sampling.selectByBudgetByGroup(one, "grp", "id",
+        "score", "tk", Seq(("web", 300L)).toDF("grp", "budget"))
+      .select("id", "kept").as[(Long, Boolean)].collect().toMap
+    val flat = Sampling.selectByBudget(one, "id", "score", "tk", 300L)
+      .select("id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(grouped == flat)
+  }
+
   test("selectByBudget is partitioning-invariant and keeps every input row once") {
     val data = (0L until 400L).map(i => (i, i % 5, (i % 11) + 1))
     val df = data.toDF("id", "score", "tk")
