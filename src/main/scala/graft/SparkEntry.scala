@@ -4632,7 +4632,46 @@ object SparkEntry {
              |    ORDER BY s.score DESC, md5(CAST(s.doc_id AS VARCHAR)),
              |      s.doc_id
              |    ROWS UNBOUNDED PRECEDING) <= b.budget AS kept
-             |FROM s JOIN b USING (source) ORDER BY s.doc_id""".stripMargin))
+             |FROM s JOIN b USING (source) ORDER BY s.doc_id""".stripMargin)),
+
+    QueryDef("x75_strip_markup",
+      // web-corpus boilerplate removal: each doc wrapped in a crawl-
+      // shaped HTML shell (script + style + comment + tags +
+      // entities), then stripMarkup recovers the prose — script/style
+      // contents dropped, tags dropped, entities decoded, whitespace
+      // squeezed. Java∩RE2 patterns applied in a documented order, so
+      // the oracle runs the IDENTICAL chain (the x32 scrub contract).
+      (s, dir) => {
+        val shell = concat(
+          lit("<html><head><style>p { color: red }</style>" +
+            "<script type=\"a\">var x = 1 &amp;&amp; 2;</script>" +
+            "</head><body><!-- crawl artifact -->" +
+            "<p class=\"main\">Title:&nbsp;"),
+          col("text"),
+          lit(" &amp; more</p></body></html>"))
+        docs(s, dir).select(col("doc_id"),
+            TextOps.stripMarkup(shell).as("clean"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, trim(regexp_replace(
+             |  replace(replace(replace(replace(replace(replace(
+             |   regexp_replace(
+             |    regexp_replace(
+             |     regexp_replace(
+             |      regexp_replace(
+             |       '<html><head><style>p { color: red }</style>' ||
+             |       '<script type="a">var x = 1 &amp;&amp; 2;</script>' ||
+             |       '</head><body><!-- crawl artifact -->' ||
+             |       '<p class="main">Title:&nbsp;' || text ||
+             |       ' &amp; more</p></body></html>',
+             |       '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+             |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+             |     '(?s)<!--.*?-->', ' ', 'g'),
+             |    '<[^>]*>', ' ', 'g'),
+             |   '&nbsp;', ' '), '&quot;', '"'), '&apos;', ''''),
+             |   '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+             |  '[ \t\n\r\f\x0B]+', ' ', 'g')) AS clean
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
   // ============================================================= contract

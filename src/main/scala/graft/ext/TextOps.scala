@@ -49,6 +49,36 @@ object TextOps {
         "https?://[^ \\t\\n\\r\\f\\x0B]+", "<URL>"),
       "[0-9]+", "<NUM>")
 
+  /** Strip HTML-ish markup from crawled text — the first cleaning
+    * step of every web-corpus recipe: drop `<script>`/`<style>`
+    * elements WITH their contents (code and CSS are not prose), drop
+    * all remaining tags and comments, decode the five XML entities +
+    * `&nbsp;`, squeeze runs of whitespace to one space, trim. Same
+    * portability contract as [[scrub]]: every pattern sits in the
+    * Java∩RE2 subset ((?s) dotall instead of `[\s\S]` tricks, explicit
+    * whitespace class, case-insensitive via (?i)), applied in a
+    * DOCUMENTED order (script/style before generic tags — the generic
+    * pattern would otherwise unwrap them and leak their contents;
+    * entities after tags — decoded `&lt;` must NOT create new "tags";
+    * squeeze last), so the oracle runs the identical chain. Map-only
+    * codegen'd column algebra, no UDF, no parser — the 100 TB path;
+    * it is a tag STRIPPER for corpus text, not a sanitizer (adversarial
+    * HTML needs a real parser). */
+  def stripMarkup(text: Column): Column = {
+    val noScript = regexp_replace(text,
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val entities = Seq("&nbsp;" -> " ", "&quot;" -> "\"",
+      "&apos;" -> "'", "&lt;" -> "<", "&gt;" -> ">", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) { case (c, (e, v)) =>
+      replace(c, lit(e), lit(v)) // literal, not regex — both engines
+    }
+    trim(regexp_replace(decoded, "[ \\t\\n\\r\\f\\x0B]+", " "))
+  }
+
   /** Overlapping token-window chunks — the context-window prep step of
     * a training pipeline: windows of `window` tokens starting every
     * `stride` tokens (stride < window ⇒ overlap). Start positions run

@@ -535,6 +535,24 @@ class ExtSpec extends SparkSuite {
     assert(s.toSeq == Seq((1L, "x y", 2L)))
   }
 
+  test("stripMarkup: element contents, tags, entities, whitespace — in that order (X3)") {
+    def strip(s: String): String =
+      Seq(s).toDF("t").select(TextOps.stripMarkup(col("t"))).head.getString(0)
+    // script/style bodies vanish WITH their contents; comments too
+    assert(strip("<p>a</p><script>var x = '<b>not prose</b>';</script>b") == "a b")
+    assert(strip("x<style>p > a { }</style>y<!-- note -->z") == "x y z")
+    // case-insensitive, attribute-carrying, multiline elements
+    assert(strip("<SCRIPT type=\"a\">\nline1\nline2\n</SCRIPT>keep") == "keep")
+    // entities decode AFTER tag removal, &amp; LAST: double-escaped
+    // markup stays text instead of becoming live tags
+    assert(strip("a &lt;b&gt; &quot;c&quot; &apos;d&apos; e&nbsp;f")
+      == "a <b> \"c\" 'd' e f")
+    assert(strip("&amp;lt;script&amp;gt;") == "&lt;script&gt;")
+    // whitespace squeezed, ends trimmed, plain prose untouched
+    assert(strip("  plain   text\n\twith breaks  ") == "plain text with breaks")
+    assert(strip("no markup here") == "no markup here")
+  }
+
   test("scrub canonicalizes emails, urls, digit runs — in that order (X3)") {
     val d = Seq((1L, "mail a.b%c@d-e.fg or https://x.y/z?q=1 then 42 12ab"))
       .toDF("doc_id", "text")
