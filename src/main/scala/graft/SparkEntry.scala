@@ -4671,7 +4671,31 @@ object SparkEntry {
              |   '&nbsp;', ' '), '&quot;', '"'), '&apos;', ''''),
              |   '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
              |  '[ \t\n\r\f\x0B]+', ' ', 'g')) AS clean
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("x76_kmv_distinct",
+      // audit-friendly approximate distinct: per-event-type distinct
+      // users via a bottom-k KMV sketch over 48-bit md5 hashes,
+      // estimator (k-1)*2^48 DIV v_k at capacity (exact below) —
+      // unlike HLL (q14, rows-only by necessity), the sketch AND the
+      // estimate re-derive bit-identically in the oracle.
+      (s, dir) => ext.Profiling.kmvDistinct(
+          EventStreams.readEvents(s, dir), "event_type", "user_id",
+          k = 64)
+        .orderBy("event_type"),
+      Some("""WITH h AS (SELECT DISTINCT event_type AS g,
+             |   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+             |     AS BIGINT) AS h
+             |  FROM events),
+             | sk AS (SELECT g, h FROM h
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) <= 64),
+             | a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_k,
+             |   MAX(h) AS vk FROM sk GROUP BY g)
+             |SELECT g AS event_type, n_k,
+             | CAST(CASE WHEN n_k < 64 THEN n_k
+             |      ELSE 63 * 281474976710656 // GREATEST(vk, 1) END
+             |   AS BIGINT) AS distinct_est
+             |FROM a ORDER BY event_type""".stripMargin))
   )
 
   // ============================================================= contract

@@ -122,6 +122,39 @@ object Profiling {
         ") AS (metric, value)")
   }
 
+  /** Portable per-group approximate distinct count — the
+    * AUDIT-friendly alternative to HLL (`approx_count_distinct`):
+    * a bottom-k KMV sketch over 48-bit md5 hashes with the exact-
+    * integer estimator `(k-1)·2^48 DIV v_k` at capacity (exact count
+    * below it) — the [[graft.algos.LinkAnalysis.kmvCentrality]]
+    * estimator relationalized. Unlike HLL, every intermediate (the
+    * sketch rows) and the estimate itself re-derive bit-identically
+    * on any engine/partitioning/run, so a warehouse can audit the
+    * number instead of trusting it. Returns
+    * (group, n_k, distinct_est).
+    *
+    * Scale shape: one map-side-combinable distinct on (group, 48-bit
+    * hash) — 12-byte rows, never values — then [[graft.plans
+    * .TopKPerGroup]] caps each group at k rows map-side; the final
+    * agg runs on ≤ groups·k rows. Standard KMV error ~1/√(k−2);
+    * hash collisions (2^-48-scale) shift both engines identically. */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Int = 256): DataFrame = {
+    require(k > 1, s"kmvDistinct: k must be > 1, got $k")
+    val h = df.select(col(groupCol).as("__g"),
+        conv(substring(md5(col(valueCol).cast("string")), 1, 12), 16, 10)
+          .cast("long").as("__h"))
+      .distinct()
+    graft.plans.TopKPerGroup(h, Seq("__g"), Seq(("__h", true)), k)
+      .groupBy("__g")
+      .agg(count(lit(1)).as("n_k"), max("__h").as("__vk"))
+      .select(col("__g").as(groupCol), col("n_k"),
+        when(col("n_k") < k, col("n_k"))
+          .otherwise(expr(s"CAST(${k - 1}L * 281474976710656L DIV " +
+            "greatest(__vk, 1L) AS BIGINT)"))
+          .as("distinct_est"))
+  }
+
   /** Distribution drift between two corpora (yesterday vs today, web
     * vs books, train vs eval) over a numeric column: fixed-width
     * integer bins, per-corpus counts, integer-ppm shares, and the

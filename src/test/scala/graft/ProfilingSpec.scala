@@ -116,6 +116,26 @@ class ProfilingSpec extends SparkSuite {
     }
   }
 
+  test("kmvDistinct: exact below capacity, bounded error at capacity, stable") {
+    // group "small": 30 distinct values (< k=64) -> exact count
+    // group "big": 5000 distinct values -> KMV estimate
+    val rows = (0 until 30).map(i => ("small", i.toLong)) ++
+      (0 until 5000).flatMap(i => Seq(("big", 100000L + i), ("big", 100000L + i)))
+    val d = rows.toDF("g", "v")
+    val out = Profiling.kmvDistinct(d, "g", "v", k = 64)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("small") == (30L, 30L)) // exact, duplicates collapsed
+    val (nk, est) = out("big")
+    assert(nk == 64L)
+    // standard KMV error ~1/sqrt(k-2) ≈ 13%; allow 3 sigma
+    assert(est > 3000L && est < 7000L, s"estimate $est")
+    val again = Profiling.kmvDistinct(d.repartition(11), "g", "v", 64)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(again == out)
+  }
+
   test("datasetCard: hand-computed metrics, all-BIGINT, partition-invariant") {
     val docs = Seq(
       (1L, "alpha beta", "en"),
