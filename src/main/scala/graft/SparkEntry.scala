@@ -4695,7 +4695,40 @@ object SparkEntry {
              | CAST(CASE WHEN n_k < 64 THEN n_k
              |      ELSE 63 * 281474976710656 // GREATEST(vk, 1) END
              |   AS BIGINT) AS distinct_est
-             |FROM a ORDER BY event_type""".stripMargin))
+             |FROM a ORDER BY event_type""".stripMargin)),
+
+    QueryDef("x77_compaction_plan",
+      // lakehouse maintenance: merge the accumulating small shards of
+      // a 32-way export into loader-friendly groups — cumulative
+      // quota bins over the manifest (one window over shards, never
+      // the corpus), deterministic and engine-re-derivable. Composes
+      // epochShuffle -> shardManifest -> planCompaction.
+      (s, dir) => {
+        val sharded = Sampling.epochShuffle(docs(s, dir), "doc_id",
+          epoch = 1, shards = 32)
+        Sampling.planCompaction(
+            Sampling.shardManifest(sharded, "doc_id", "text"),
+            "n_tokens", target = 40000L)
+          .orderBy("shard")
+      },
+      Some("""WITH h AS (SELECT doc_id, text,
+             |  CAST(CAST(('0x' || substr(md5('1:' ||
+             |    CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 32 AS INT)
+             |    AS shard FROM documents),
+             | m AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+             |    AS BIGINT) AS n_tokens,
+             |  CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+             |    || ':' || text), 1, 12)) AS BIGINT)) AS BIGINT) AS checksum
+             |  FROM h GROUP BY shard),
+             | b AS (SELECT *,
+             |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY shard
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    // 40000 AS BIGINT) AS bin FROM m)
+             |SELECT b.shard, b.n_rows, b.n_tokens, b.checksum, b.bin,
+             |  CAST(SUM(b.n_tokens) OVER (PARTITION BY b.bin)
+             |    AS BIGINT) AS bin_weight
+             |FROM b ORDER BY shard""".stripMargin))
   )
 
   // ============================================================= contract

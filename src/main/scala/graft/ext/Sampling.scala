@@ -394,6 +394,36 @@ object Sampling {
     hashSplit(grouped, "grp", fractions, buckets, md5Bucket(_, _))
   }
 
+  /** Compaction plan over a shard manifest — the lakehouse
+    * maintenance step that merges accumulating small shards
+    * (streaming appends, daily increments) into loader-friendly
+    * groups: shards in id order fill cumulative quota bins of
+    * `target` weight (`bin = cumulative-weight-before DIV target` —
+    * one window over the MANIFEST, which is shards-sized, never the
+    * corpus), so a bin holds consecutive shards totalling ~target
+    * (the last shard of a bin may overshoot — quota packing, not
+    * bin packing; deterministic and engine-re-derivable, unlike a
+    * greedy best-fit whose output depends on iteration order).
+    * Returns the manifest plus (bin, bin_weight). */
+  def planCompaction(manifest: DataFrame, weightCol: String,
+                     target: Long): DataFrame = {
+    require(target > 0, s"planCompaction: target must be positive, got $target")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val binned = manifest
+      .withColumn("__before",
+        coalesce(sum(col(weightCol).cast("long")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"__before DIV ${target}L").cast("long"))
+      .drop("__before")
+    binned.join(
+      binned.groupBy("bin")
+        .agg(sum(col(weightCol).cast("long")).as("bin_weight")),
+      Seq("bin"))
+      .select(manifest.columns.map(col) ++
+        Seq(col("bin"), col("bin_weight")): _*)
+  }
+
   /** Per-stratum deterministic downsample: keep ~`fraction(stratum)`
     * of rows, chosen by key hash (so the SAME rows survive every
     * run). Strata missing from the map are dropped. */

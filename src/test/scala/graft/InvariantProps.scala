@@ -500,4 +500,48 @@ object InvariantProps extends Properties("GraftInvariants") {
       }
       lossless && agrees
     }
+
+  private val genBudget = for {
+    n <- Gen.choose(0, 60)
+    scoreMod <- Gen.choose(1, 6) // heavy score ties -> boundary strata
+    tokMod <- Gen.choose(1, 8)
+    budget <- Gen.choose(0L, 300L)
+  } yield (n, scoreMod, tokMod, budget)
+
+  property("selectByBudget == global cumsum rule on random corpora/budgets") =
+    forAll(genBudget) { case (n, scoreMod, tokMod, budget) =>
+      import spark.implicits._
+      val rows = (0L until n.toLong).map(i =>
+        (i, i % scoreMod, i % tokMod)) // zero-token rows included
+      val got = Sampling.selectByBudget(rows.toDF("id", "score", "tk"),
+          "id", "score", "tk", budget)
+        .select("id", "kept").as[(Long, Boolean)].collect().toMap
+      var cum = 0L
+      val want = rows.sortBy { case (id, s, _) =>
+          (-s, md5Hex(id.toString), id) }
+        .map { case (id, _, tk) => cum += tk; id -> (cum <= budget) }
+        .toMap
+      got == want
+    }
+
+  private val genResize = for {
+    n <- Gen.choose(1, 50)
+    shards <- Gen.choose(1, 7)
+  } yield (n, shards)
+
+  property("rendezvousShard: brute argmax; resize moves keys only TO the new shard") =
+    forAll(genResize) { case (n, shards) =>
+      import spark.implicits._
+      def w(k: Long, s: Int): Long =
+        java.lang.Long.parseLong(md5Hex(s"$k:$s").take(15), 16)
+      val keys = (0L until n.toLong).map(_ * 13 + 1)
+      val got = keys.toDF("k").select(col("k"),
+          Sampling.rendezvousShard(col("k"), shards).as("a"),
+          Sampling.rendezvousShard(col("k"), shards + 1).as("b"))
+        .as[(Long, Int, Int)].collect()
+      got.forall { case (k, a, b) =>
+        a == (0 until shards).maxBy(s => (w(k, s), -s)) &&
+          (b == a || b == shards)
+      }
+    }
 }

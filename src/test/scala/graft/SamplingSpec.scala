@@ -279,6 +279,50 @@ class SamplingSpec extends SparkSuite {
     assert(out.find(_._1 == 100L).get._3 == plain)
   }
 
+  test("planCompaction: consecutive quota bins, every shard exactly once") {
+    val manifest = Seq((0, 10L), (1, 35L), (2, 5L), (3, 40L), (4, 8L),
+      (5, 12L)).toDF("shard", "n_tokens")
+    val out = Sampling.planCompaction(manifest, "n_tokens", target = 40L)
+      .select("shard", "bin", "bin_weight")
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == (0 to 5))
+    // cum-before: 0,10,45,50,90,98 -> bins 0,0,1,1,2,2
+    assert(out.map(_._2).toSeq == Seq(0L, 0L, 1L, 1L, 2L, 2L))
+    assert(out.map(_._3).toSeq == Seq(45L, 45L, 45L, 45L, 20L, 20L))
+    // bins hold consecutive shards only
+    out.groupBy(_._2).values.foreach { rows =>
+      val ids = rows.map(_._1).sorted
+      assert(ids.last - ids.head == ids.length - 1)
+    }
+  }
+
+  test("leakFreeSplit after mergeClusters == from-scratch split of the pair union") {
+    val d = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val day1 = Seq((0L, 1L), (5L, 6L), (10L, 11L)).toDF("a", "b")
+    val day2 = Seq((1L, 5L), (20L, 21L)).toDF("a", "b") // bridges {0,1},{5,6}
+    val fractions = Seq("train" -> 0.8, "eval" -> 0.2)
+    // incremental loop: standing assignment + new pairs -> merged
+    // clusters; splitting on the merged canonicals must equal the
+    // from-scratch split over the pair union (canonical ids are
+    // preserved minima, so the md5 split keys are identical)
+    val merged = graft.ext.Dedup.mergeClusters(
+      graft.ext.Dedup.nearDupClusters(day1), day2)
+    val viaMerge = d
+      .join(broadcast(merged.select(col("doc_id"), col("cluster"))),
+        Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("cluster"), col("doc_id")))
+      .drop("cluster")
+    val got = Sampling.hashSplit(viaMerge, "grp", fractions,
+        bucketFn = Sampling.md5Bucket(_, _))
+      .select("doc_id", "grp", "split").as[(Long, Long, String)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val scratch = Sampling.leakFreeSplit(d, day1.unionByName(day2),
+        "doc_id", fractions)
+      .select("doc_id", "grp", "split").as[(Long, Long, String)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got == scratch)
+  }
+
   /** Brute-force reference for selectByBudget: the naive global rule
     * — order by (score DESC, md5(key), key), keep while the running
     * token total stays <= budget. */
