@@ -4728,7 +4728,28 @@ object SparkEntry {
              |SELECT b.shard, b.n_rows, b.n_tokens, b.checksum, b.bin,
              |  CAST(SUM(b.n_tokens) OVER (PARTITION BY b.bin)
              |    AS BIGINT) AS bin_weight
-             |FROM b ORDER BY shard""".stripMargin))
+             |FROM b ORDER BY shard""".stripMargin)),
+
+    QueryDef("x78_score_calibration",
+      // cross-source score calibration: raw quality scores are not
+      // comparable across sources, so the gate runs on the WITHIN-
+      // SOURCE percentile (integer-ppm empirical CDF, ties share a
+      // rank). Computed without sorting the corpus: a (source, score)
+      // histogram is cumsum'd on its own tiny self and broadcast
+      // back — the oracle is the per-group RANK window.
+      (s, dir) => {
+        val scored = docs(s, dir).select(col("doc_id"), col("source"),
+          expr("n_chars DIV 100").as("score"))
+        TextOps.calibrateByGroup(scored, "source", "score")
+          .orderBy("doc_id")
+      },
+      Some("""WITH s AS (SELECT doc_id, source,
+             |   CAST(n_chars // 100 AS BIGINT) AS score FROM documents)
+             |SELECT doc_id, source, score,
+             | CAST((RANK() OVER (PARTITION BY source ORDER BY score) - 1)
+             |   * 1000000 // (COUNT(*) OVER (PARTITION BY source))
+             |   AS BIGINT) AS pct_ppm
+             |FROM s ORDER BY doc_id""".stripMargin))
   )
 
   // ============================================================= contract

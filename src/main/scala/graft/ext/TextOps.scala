@@ -339,6 +339,35 @@ object TextOps {
       .withColumn("predicted", col("score_ppm") > 0)
   }
 
+  /** Per-group score calibration — quality scores are NOT comparable
+    * across sources (a fastText-style classifier scores books higher
+    * than forums wholesale), so recipes gate on the WITHIN-SOURCE
+    * percentile instead of the raw score: this replaces each row's
+    * score with its integer-ppm percentile rank inside its group
+    * (`pct_ppm = rows-strictly-below · 1e6 DIV group-rows` — the
+    * empirical CDF, ties share a rank), computed WITHOUT sorting the
+    * corpus: one map-side-combined (group, score) histogram, a
+    * cumulative window over the histogram only, verdicts broadcast
+    * back map-only (the selectByBudget execution shape). All-integer,
+    * so a threshold like `pct_ppm >= 900000` ("top decile of every
+    * source") cuts identically on any engine. */
+  def calibrateByGroup(df: DataFrame, groupCol: String,
+                       scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(groupCol).as("__g"), col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__n"))
+    val wh = Window.partitionBy("__g").orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = hist
+      .withColumn("__below", coalesce(sum("__n").over(wh), lit(0L)))
+      .withColumn("__tot", sum("__n").over(Window.partitionBy("__g")))
+      .select(col("__g"), col("__s"),
+        expr("__below * 1000000 DIV __tot").as("pct_ppm"))
+    df.join(broadcast(ranks),
+        df(groupCol) === ranks("__g") && df(scoreCol) === ranks("__s"))
+      .drop("__g", "__s")
+  }
+
   /** Greedy left-to-right single-pair merge over a symbol array — the
     * BPE merge step as a codegen'd fold: when the accumulator's last
     * symbol is `a` and the next is `b`, replace the last with `a+b`

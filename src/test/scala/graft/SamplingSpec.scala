@@ -279,6 +279,50 @@ class SamplingSpec extends SparkSuite {
     assert(out.find(_._1 == 100L).get._3 == plain)
   }
 
+  test("calibrateByGroup: within-group empirical CDF in ppm, ties share ranks") {
+    import graft.ext.TextOps
+    val d = Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "a", 20L),
+      (4L, "a", 30L), (5L, "b", 5L), (6L, "b", 500L))
+      .toDF("id", "grp", "score")
+    val out = TextOps.calibrateByGroup(d, "grp", "score")
+      .select("id", "pct_ppm").as[(Long, Long)].collect().toMap
+    // group a: scores 10,10,20,30 -> below-counts 0,0,2,3 of 4
+    assert(out(1L) == 0L && out(2L) == 0L)
+    assert(out(3L) == 500000L && out(4L) == 750000L)
+    // group b: raw scores differ 100x, percentiles are comparable
+    assert(out(5L) == 0L && out(6L) == 500000L)
+    // "top decile of every source" cuts per group, not globally
+    val big = (0L until 1000L).map(i =>
+      (i, if (i % 2 == 0) "lo" else "hi",
+        if (i % 2 == 0) i % 100 else 10000L + i % 100))
+      .toDF("id", "grp", "score")
+    val gated = TextOps.calibrateByGroup(big, "grp", "score")
+      .filter(col("pct_ppm") >= 900000L)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(gated("lo") == gated("hi")) // each source keeps its own top 10%
+  }
+
+  test("manifest snapshotDiff pinpoints exactly the changed shard") {
+    // the audit loop closed: export manifests are themselves
+    // snapshot-diffable — a silent single-shard corruption between
+    // two exports surfaces as exactly one 'changed' row
+    val d = (0L until 300L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val before = Sampling.shardManifest(
+      Sampling.epochShuffle(d, "doc_id", epoch = 1, shards = 8),
+      "doc_id", "text")
+    val corrupted = d.withColumn("text",
+      when(col("doc_id") === 42L, lit("flipped bits")).otherwise(col("text")))
+    val after = Sampling.shardManifest(
+      Sampling.epochShuffle(corrupted, "doc_id", epoch = 1, shards = 8),
+      "doc_id", "text")
+    val hitShard = Sampling.epochShuffle(d, "doc_id", 1, 8)
+      .filter(col("doc_id") === 42L).select("shard").as[Int].head()
+    val diff = graft.ext.Upserts.snapshotDiff(before, after, "shard",
+        Seq("n_rows", "n_tokens", "checksum"))
+      .select("shard", "status").as[(Int, String)].collect()
+    assert(diff.toSeq == Seq((hitShard, "changed")))
+  }
+
   test("planCompaction: consecutive quota bins, every shard exactly once") {
     val manifest = Seq((0, 10L), (1, 35L), (2, 5L), (3, 40L), (4, 8L),
       (5, 12L)).toDF("shard", "n_tokens")
