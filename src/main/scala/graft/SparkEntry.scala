@@ -4749,7 +4749,102 @@ object SparkEntry {
              | CAST((RANK() OVER (PARTITION BY source ORDER BY score) - 1)
              |   * 1000000 // (COUNT(*) OVER (PARTITION BY source))
              |   AS BIGINT) AS pct_ppm
-             |FROM s ORDER BY doc_id""".stripMargin))
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("x79_curation_v2",
+      // the second-generation composed recipe — this round's gates as
+      // ONE dataflow: calibrate scores per source (x78) -> drop the
+      // bottom quintile of every source -> per-source token-budget
+      // cut on the calibrated percentile (x74) -> leakage-free 90/10
+      // split over the kept corpus (x70) -> epoch shuffle of the
+      // train split (x56). Hash-matched end to end against one
+      // composed oracle: the proof the new wave composes into one
+      // plan, like x57 proved for the first wave.
+      (s, dir) => {
+        val scored = docs(s, dir).select(col("doc_id"), col("source"),
+          col("text"), expr("n_chars DIV 100").as("score"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        val gated = TextOps.calibrateByGroup(scored, "source", "score")
+          .filter(col("pct_ppm") >= 200000L)
+        val budgets = gated.groupBy("source")
+          .agg(expr("sum(n_tokens) DIV 2").as("budget"))
+        val kept = Sampling.selectByBudgetByGroup(gated, "source",
+            "doc_id", "pct_ppm", "n_tokens", budgets)
+          .filter(col("kept")).drop("kept")
+        val pairs = Dedup.minhashLshPortable(kept, threshold = 0.5)
+        val split = Sampling.leakFreeSplit(kept, pairs, "doc_id",
+          Seq("train" -> 0.9, "eval" -> 0.1))
+        Sampling.epochShuffle(split.filter(col("split") === "train"),
+            "doc_id", epoch = 3, shards = 8)
+          .select("doc_id", "source", "pct_ppm", "grp", "shard", "pos")
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE s AS (SELECT doc_id, source, text,
+             |   CAST(n_chars // 100 AS BIGINT) AS score,
+             |   CAST(len(string_split_regex(trim(text), '\s+'))
+             |     AS BIGINT) AS n_tokens
+             |  FROM documents),
+             | cal AS (SELECT *, CAST((RANK() OVER (PARTITION BY source
+             |    ORDER BY score) - 1) * 1000000
+             |    // (COUNT(*) OVER (PARTITION BY source)) AS BIGINT)
+             |    AS pct_ppm FROM s),
+             | gated AS (SELECT * FROM cal WHERE pct_ppm >= 200000),
+             | b AS (SELECT source, CAST(SUM(n_tokens) // 2 AS BIGINT)
+             |   AS budget FROM gated GROUP BY source),
+             | cm AS (SELECT g.*, b.budget,
+             |   SUM(g.n_tokens) OVER (PARTITION BY g.source
+             |     ORDER BY g.pct_ppm DESC, md5(CAST(g.doc_id AS VARCHAR)),
+             |       g.doc_id
+             |     ROWS UNBOUNDED PRECEDING) AS cumtk
+             |  FROM gated g JOIN b USING (source)),
+             | kept AS (SELECT * FROM cm WHERE cumtk <= budget),
+             | toks AS (SELECT doc_id,
+             |   string_split_regex(trim(text), '\s+') AS tk FROM kept),
+             | shg AS (SELECT doc_id, list_distinct(
+             |  [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+             |   for i in generate_series(1, len(tk) - 2)]) AS sg FROM toks
+             |  WHERE len(tk) >= 3),
+             | hs AS (SELECT doc_id, sg,
+             |  [CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 2147483647
+             |   for x in sg] AS h FROM shg WHERE len(sg) > 0),
+             | sig AS (SELECT doc_id, sg,
+             |  [list_min([(hv * (2*k+1) + k) % 2147483647 for hv in h])
+             |   for k in generate_series(0, 15)] AS sig FROM hs),
+             | banded AS (SELECT doc_id, bb,
+             |  array_to_string(sig[bb*4+1 : bb*4+4], ',') AS bkey
+             |  FROM sig, generate_series(0, 3) AS gg(bb)),
+             | cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b2
+             |  FROM banded l JOIN banded r
+             |    ON l.bb = r.bb AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+             | verified AS (SELECT c.a, c.b2,
+             |  CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+             |   / (len(sa.sg) + len(sb.sg) - len(list_intersect(sa.sg, sb.sg)))
+             |   AS jaccard
+             |  FROM cand c JOIN sig sa ON sa.doc_id = c.a
+             |  JOIN sig sb ON sb.doc_id = c.b2),
+             | p AS (SELECT a, b2 FROM verified WHERE jaccard >= 0.5),
+             | e AS (SELECT a, b2 FROM p UNION SELECT b2, a FROM p),
+             | reach(id, r) AS (
+             |  SELECT a, a FROM e
+             |  UNION
+             |  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b2),
+             | cl AS (SELECT id AS doc_id, MIN(r) AS cluster
+             |  FROM reach GROUP BY id),
+             | g2 AS (SELECT k.doc_id, k.source, k.pct_ppm,
+             |   COALESCE(cl.cluster, k.doc_id) AS grp
+             |  FROM kept k LEFT JOIN cl ON cl.doc_id = k.doc_id),
+             | sp AS (SELECT *, CAST(('0x' || substr(md5(CAST(grp AS VARCHAR)),
+             |    1, 15)) AS BIGINT) % 10000 AS bk FROM g2),
+             | train AS (SELECT doc_id, source, pct_ppm, grp FROM sp
+             |  WHERE bk < 9000),
+             | h2 AS (SELECT *, md5('3:' || CAST(doc_id AS VARCHAR)) AS eh
+             |  FROM train),
+             | sh2 AS (SELECT *, CAST(CAST(('0x' || substr(eh, 1, 15))
+             |   AS BIGINT) % 8 AS INT) AS shard FROM h2)
+             |SELECT doc_id, source, pct_ppm, grp, shard,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+             |    ORDER BY eh, doc_id) AS BIGINT) AS pos
+             |FROM sh2 ORDER BY doc_id""".stripMargin))
   )
 
   // ============================================================= contract
