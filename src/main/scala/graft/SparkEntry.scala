@@ -4844,7 +4844,49 @@ object SparkEntry {
              |SELECT doc_id, source, pct_ppm, grp, shard,
              |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
              |    ORDER BY eh, doc_id) AS BIGINT) AS pos
-             |FROM sh2 ORDER BY doc_id""".stripMargin))
+             |FROM sh2 ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("x80_image_neardup",
+      // image dedup through the REAL codec path: every doc renders a
+      // 16x16 PNG seeded by doc_id % 250 (so 250 exact-duplicate
+      // image pairs exist under distinct ids), imageAHash fingerprints
+      // the DECODED pixels (all-integer average hash, grid 4), and
+      // prefix-blocked Hamming pairing surfaces the duplicates — the
+      // SimHash x08 shape on images. PNG is lossless, so the oracle
+      // re-derives hashes AND pairs from the closed-form pixels with
+      // no codec.
+      (s, dir) => {
+        val media = Multimodal.synthesizePng(
+          docs(s, dir).select(col("doc_id"),
+            (col("doc_id") % 250).as("seed")),
+          "doc_id", 16, 16, seedCol = Some("seed"))
+        Multimodal.imageNearDupPairs(
+            Multimodal.imageAHash(media, grid = 4),
+            maxDist = 2, blockShift = 8)
+          .orderBy("a", "b")
+      },
+      Some("""WITH px AS (SELECT doc_id, doc_id % 250 AS seed, x.x, y.y
+             |  FROM documents, generate_series(0, 15) x(x),
+             |       generate_series(0, 15) y(y)),
+             | g AS (SELECT doc_id,
+             |   ((seed*31 + x*7 + y*13) % 256 + (seed*17 + x*11 + y*3) % 256
+             |    + (seed*23 + x*5 + y*19) % 256) // 3 AS gray,
+             |   x // 4 AS bi, y // 4 AS bj FROM px),
+             | bm AS (SELECT doc_id, bi, bj,
+             |   CAST(SUM(gray) // 16 AS BIGINT) AS m
+             |  FROM g GROUP BY 1, 2, 3),
+             | th AS (SELECT doc_id, CAST(SUM(m) // 16 AS BIGINT) AS thr
+             |  FROM bm GROUP BY 1),
+             | ah AS (SELECT bm.doc_id, CAST(SUM(CASE WHEN m > thr
+             |    THEN CAST(1 AS BIGINT) << (bj*4 + bi) ELSE 0 END)
+             |    AS BIGINT) AS ahash
+             |  FROM bm JOIN th USING (doc_id) GROUP BY bm.doc_id)
+             |SELECT l.doc_id AS a, r.doc_id AS b,
+             |  CAST(bit_count(xor(l.ahash, r.ahash)) AS INT) AS hamming
+             |FROM ah l JOIN ah r
+             |  ON (l.ahash >> 8) = (r.ahash >> 8) AND l.doc_id < r.doc_id
+             |WHERE bit_count(xor(l.ahash, r.ahash)) <= 2
+             |ORDER BY a, b""".stripMargin))
   )
 
   // ============================================================= contract

@@ -95,14 +95,21 @@ object Multimodal {
     * contract), and PNG is lossless, so any engine can re-derive the
     * DECODED pixel values with no codec. This is the on-ramp that lets
     * the REAL [[decodeImage]] path be oracle-checked end to end. */
-  def synthesizePng(df: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
+  def synthesizePng(df: DataFrame, idCol: String, w: Int, h: Int,
+                    seedCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
-    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+    val cols = Seq(col(idCol).cast("long")) ++
+      seedCol.map(c => col(c).cast("long"))
+    val rdd = df.select(cols: _*).rdd.mapPartitions { it =>
       // memory-backed ImageIO streams: the default disk cache writes a
       // temp file per encode — a hidden fsync per row on the hot path
       javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
-        val id = r.getLong(0)
+        val mediaId = r.getLong(0)
+        // pixel seed defaults to the id; a separate seed column lets a
+        // corpus contain EXACT-duplicate images under distinct ids
+        // (the dedup test shape)
+        val id = if (r.size > 1) r.getLong(1) else mediaId
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
         var y = 0
@@ -119,10 +126,97 @@ object Multimodal {
         }
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
-        Row(id, "image", bos.toByteArray, "image/png", w, h, null)
+        Row(mediaId, "image", bos.toByteArray, "image/png", w, h, null)
       }
     }
     spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** Perceptual average-hash over REAL decoded pixels — the image
+    * near-dup fingerprint (re-encodes, metadata edits, and mild
+    * quality changes keep the hash close; distinct images diverge):
+    * grayscale = (r+g+b) DIV 3, the image splits into grid×grid
+    * blocks, bit (bj·grid+bi) is set iff that block's integer mean
+    * exceeds the integer mean-of-means. ALL-INTEGER (no float
+    * resampling), so for lossless inputs the hash re-derives from the
+    * source pixels on any engine. Returns (media_id, decode_ok,
+    * ahash); poison payloads degrade as in [[decodeImage]].
+    * Map-only — the 100 TB corpus is hashed in place. */
+  def imageAHash(media: DataFrame, grid: Int = 8): DataFrame = {
+    require(grid > 0 && grid * grid <= 64,
+      s"imageAHash: grid^2 must fit 64 bits, got $grid")
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decode_ok", BooleanType, nullable = false),
+      StructField("ahash", LongType, nullable = true)))
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val img =
+          if (r.isNullAt(1)) null
+          else try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) Row(id, false, null)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val sums = new Array[Long](grid * grid)
+          val counts = new Array[Long](grid * grid)
+          var y = 0
+          while (y < h) {
+            val bj = math.min(y * grid / h, grid - 1)
+            var x = 0
+            while (x < w) {
+              val bi = math.min(x * grid / w, grid - 1)
+              val p = img.getRGB(x, y)
+              val gray = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) +
+                (p & 0xff)) / 3
+              sums(bj * grid + bi) += gray
+              counts(bj * grid + bi) += 1L
+              x += 1
+            }
+            y += 1
+          }
+          val means = sums.indices.map(i =>
+            if (counts(i) == 0) 0L else sums(i) / counts(i))
+          val thr = means.sum / (grid * grid)
+          var hash = 0L
+          var i = 0
+          while (i < means.length) {
+            if (means(i) > thr) hash |= 1L << i
+            i += 1
+          }
+          Row(id, true, hash)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Blocked Hamming pairing over [[imageAHash]] fingerprints — the
+    * x08 SimHash shape on images: candidates share the top
+    * `blockShift`-shifted prefix (exact duplicates always do — equal
+    * hashes share every prefix), verified by exact bit_count. The
+    * self-join carries only (id, 8-byte hash) rows. */
+  def imageNearDupPairs(hashes: DataFrame, maxDist: Int,
+                        blockShift: Int = 48): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val ok = hashes.filter(col("decode_ok"))
+      .select(col("media_id"), col("ahash"),
+        shiftright(col("ahash"), blockShift).as("blk"))
+    val l = ok.select(col("media_id").as("a"), col("ahash").as("ha"),
+      col("blk"))
+    val rr = ok.select(col("media_id").as("b"), col("ahash").as("hb"),
+      col("blk"))
+    l.join(rr, Seq("blk"))
+      .filter(col("a") < col("b"))
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("a"), col("b"), col("hamming"))
   }
 
   /** REAL image decode + feature extraction via `javax.imageio`: PNG/

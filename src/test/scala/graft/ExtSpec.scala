@@ -960,6 +960,45 @@ class ExtSpec extends SparkSuite {
     assert(res.forall(_.isNullAt(6)))
   }
 
+  test("imageAHash: exact dups share the hash, perturbation stays close, poison degrades (X4)") {
+    // two ids rendering the SAME pixels (shared seed) + one distinct
+    val src = Seq((1L, 7L), (2L, 7L), (3L, 99L)).toDF("id", "seed")
+    val media = Multimodal.synthesizePng(src, "id", 32, 32,
+      seedCol = Some("seed"))
+    val hashes = Multimodal.imageAHash(media, grid = 8)
+    val m = hashes.as[(Long, Boolean, java.lang.Long)].collect()
+      .map(r => r._1 -> r._3.longValue).toMap
+    assert(m(1L) == m(2L)) // identical pixels, identical fingerprint
+    assert(m(1L) != m(3L))
+    // pairing finds exactly the duplicate pair at distance 0
+    val pairs = Multimodal.imageNearDupPairs(hashes, maxDist = 0)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+    // a single-pixel edit moves the hash at most a few bits: re-encode
+    // image 1 with one corner pixel blown out
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      media.filter(col("media_id") === 1L).select("payload")
+        .head().getAs[Array[Byte]](0)))
+    img.setRGB(0, 0, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(10L, "image", bos.toByteArray,
+        "image/png", 32, 32, null),
+      org.apache.spark.sql.Row(11L, "image",
+        Array.fill[Byte](16)(0x42), "image/png", null, null, null),
+      org.apache.spark.sql.Row(12L, "image", null, null, null, null, null))
+    val extra = Multimodal.imageAHash(
+        spark.createDataFrame(rows, Multimodal.mediaSchema), grid = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) null
+         else java.lang.Long.valueOf(r.getLong(2)))).toMap
+    assert(extra(10L)._1)
+    assert(java.lang.Long.bitCount(extra(10L)._2 ^ m(1L)) <= 3)
+    assert(!extra(11L)._1 && extra(11L)._2 == null) // garbage payload
+    assert(!extra(12L)._1) // null payload
+  }
+
   test("linear classifier: separable corpus classified correctly (X3)") {
     // class-pure vocabulary + shared filler: weights must be positive
     // for good-class terms, negative for bad, ~base-rate for filler
