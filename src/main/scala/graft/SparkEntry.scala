@@ -4886,7 +4886,42 @@ object SparkEntry {
              |FROM ah l JOIN ah r
              |  ON (l.ahash >> 8) = (r.ahash >> 8) AND l.doc_id < r.doc_id
              |WHERE bit_count(xor(l.ahash, r.ahash)) <= 2
-             |ORDER BY a, b""".stripMargin))
+             |ORDER BY a, b""".stripMargin)),
+
+    QueryDef("x81_audio_fingerprint",
+      // audio fingerprinting through the REAL codec path — the x80
+      // hash on sound: each doc renders a 256-sample WAV seeded by
+      // (doc_id % 250) * 997 (phases spread over the sawtooth period;
+      // 250 exact-duplicate clips exist under distinct ids),
+      // audioFingerprint hashes the DECODED PCM via all-integer
+      // window-energy bits. PCM is lossless, so the oracle re-derives
+      // every fingerprint from the closed-form samples with no codec;
+      // the blocked pairing over these prints runs in ExtSpec (the
+      // coarse synthetic ramps shadow too many docs per print for a
+      // corpus-scale pair listing to be meaningful).
+      (s, dir) => {
+        val media = Multimodal.synthesizeWav(
+          docs(s, dir).select(col("doc_id"),
+            ((col("doc_id") % 250) * 997).as("seed")),
+          "doc_id", nSamples = 256, seedCol = Some("seed"))
+        Multimodal.audioFingerprint(media, windows = 16)
+          .where(col("decode_ok"))
+          .select(col("media_id"), col("afp"))
+          .orderBy("media_id")
+      },
+      Some("""WITH sm AS (SELECT doc_id, (doc_id % 250) * 997 AS seed, i.i
+             |  FROM documents, generate_series(0, 255) i(i)),
+             | v AS (SELECT doc_id,
+             |   ABS((seed*31 + i*7) % 65536 - 32768) AS av,
+             |   CAST(i // 16 AS INT) AS w FROM sm),
+             | en AS (SELECT doc_id, w, CAST(SUM(av) AS BIGINT) AS e
+             |  FROM v GROUP BY 1, 2),
+             | th AS (SELECT doc_id, CAST(SUM(e) // 16 AS BIGINT) AS thr
+             |  FROM en GROUP BY 1)
+             |SELECT en.doc_id AS media_id, CAST(SUM(CASE WHEN e > thr
+             |   THEN CAST(1 AS BIGINT) << w ELSE 0 END) AS BIGINT) AS afp
+             |FROM en JOIN th USING (doc_id) GROUP BY en.doc_id
+             |ORDER BY media_id""".stripMargin))
   )
 
   // ============================================================= contract

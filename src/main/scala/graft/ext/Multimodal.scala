@@ -196,17 +196,19 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** Blocked Hamming pairing over [[imageAHash]] fingerprints — the
-    * x08 SimHash shape on images: candidates share the top
-    * `blockShift`-shifted prefix (exact duplicates always do — equal
-    * hashes share every prefix), verified by exact bit_count. The
-    * self-join carries only (id, 8-byte hash) rows. */
+  /** Blocked Hamming pairing over perceptual fingerprints
+    * ([[imageAHash]], [[audioFingerprint]]) — the x08 SimHash shape
+    * on media: candidates share the top `blockShift`-shifted prefix
+    * (exact duplicates always do — equal hashes share every prefix),
+    * verified by exact bit_count. The self-join carries only
+    * (id, 8-byte hash) rows. */
   def imageNearDupPairs(hashes: DataFrame, maxDist: Int,
-                        blockShift: Int = 48): DataFrame = {
+                        blockShift: Int = 48,
+                        hashCol: String = "ahash"): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     val ok = hashes.filter(col("decode_ok"))
-      .select(col("media_id"), col("ahash"),
-        shiftright(col("ahash"), blockShift).as("blk"))
+      .select(col("media_id"), col(hashCol).as("ahash"),
+        shiftright(col(hashCol), blockShift).as("blk"))
     val l = ok.select(col("media_id").as("a"), col("ahash").as("ha"),
       col("blk"))
     val rr = ok.select(col("media_id").as("b"), col("ahash").as("hb"),
@@ -282,13 +284,19 @@ object Multimodal {
     * Encoding goes through the real `javax.sound.sampled` writer (RIFF
     * header + interleaved frames), not a hand-rolled header. */
   def synthesizeWav(df: DataFrame, idCol: String, nSamples: Int,
-                    sampleRate: Int = 8000): DataFrame = {
+                    sampleRate: Int = 8000,
+                    seedCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
-    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+    val cols = Seq(col(idCol).cast("long")) ++
+      seedCol.map(c => col(c).cast("long"))
+    val rdd = df.select(cols: _*).rdd.mapPartitions { it =>
       val fmt = new javax.sound.sampled.AudioFormat(
         sampleRate.toFloat, 16, 1, true, false) // 16-bit signed mono LE
       it.map { r =>
-        val id = r.getLong(0)
+        val mediaId = r.getLong(0)
+        // sample seed defaults to the id; a seed column plants exact-
+        // duplicate clips under distinct ids (the dedup test shape)
+        val id = if (r.size > 1) r.getLong(1) else mediaId
         val pcm = new Array[Byte](nSamples * 2)
         var i = 0
         while (i < nSamples) {
@@ -302,7 +310,7 @@ object Multimodal {
         val bos = new java.io.ByteArrayOutputStream()
         javax.sound.sampled.AudioSystem.write(ais,
           javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-        Row(id, "audio", bos.toByteArray, "audio/wav", null, null,
+        Row(mediaId, "audio", bos.toByteArray, "audio/wav", null, null,
           nSamples.toLong * 1000L / sampleRate)
       }
     }
@@ -947,6 +955,67 @@ object Multimodal {
           }
         decoded.getOrElse(
           Row(id, false, null, null, null, null, null, null))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Perceptual audio fingerprint over REAL decoded PCM — the audio
+    * sibling of [[imageAHash]]: the clip splits into `windows` equal
+    * sample windows, each window's integer energy is Σ|pcm16|, and
+    * bit w is set iff that window's energy exceeds the integer
+    * mean-of-energies. ALL-INTEGER end to end, so for lossless inputs
+    * the fingerprint re-derives from the source samples on any
+    * engine; pair with [[imageNearDupPairs]] (hashCol = "afp") for
+    * blocked near-dup detection. Returns (media_id, decode_ok, afp);
+    * poison payloads degrade as in [[decodeAudio]]. Map-only. */
+  def audioFingerprint(media: DataFrame, windows: Int = 64): DataFrame = {
+    require(windows > 0 && windows <= 64,
+      s"audioFingerprint: windows must fit 64 bits, got $windows")
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decode_ok", BooleanType, nullable = false),
+      StructField("afp", LongType, nullable = true)))
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val decoded: Option[Row] =
+          if (r.isNullAt(1)) None
+          else try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            val f = ais.getFormat
+            val target = new javax.sound.sampled.AudioFormat(
+              f.getSampleRate, 16, f.getChannels, true, false)
+            val pcm16 =
+              if (f.getSampleSizeInBits == 16 && !f.isBigEndian &&
+                f.getEncoding ==
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) ais
+              else javax.sound.sampled.AudioSystem
+                .getAudioInputStream(target, ais)
+            val bytes = pcm16.readAllBytes()
+            val n = bytes.length / 2
+            if (n == 0) throw new java.io.IOException("empty clip")
+            val energy = new Array[Long](windows)
+            var i = 0
+            while (i < n) {
+              val v = ((bytes(2 * i) & 0xff) |
+                (bytes(2 * i + 1).toInt << 8)).toShort.toInt
+              val w = math.min(i.toLong * windows / n, windows - 1L).toInt
+              energy(w) += math.abs(v).toLong
+              i += 1
+            }
+            val thr = energy.sum / windows
+            var fp = 0L
+            var w = 0
+            while (w < windows) {
+              if (energy(w) > thr) fp |= 1L << w
+              w += 1
+            }
+            Some(Row(id, true, fp))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        decoded.getOrElse(Row(id, false, null))
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -999,6 +999,40 @@ class ExtSpec extends SparkSuite {
     assert(!extra(12L)._1) // null payload
   }
 
+  test("audioFingerprint: exact dups share the print, poison degrades (X4)") {
+    // seed 1009 puts the sawtooth's V-minimum INSIDE the 512-sample
+    // clip (phase 1009*31 = 31279, minimum near sample 213), so its
+    // energy profile differs from seed 7's monotone ramp — small
+    // seeds all render near-identical ramps and legitimately share a
+    // coarse fingerprint
+    val src = Seq((1L, 7L), (2L, 7L), (3L, 1009L)).toDF("id", "seed")
+    val media = Multimodal.synthesizeWav(src, "id", nSamples = 512,
+      seedCol = Some("seed"))
+    val fp = Multimodal.audioFingerprint(media, windows = 32)
+    val m = fp.as[(Long, Boolean, java.lang.Long)].collect()
+      .map(r => r._1 -> r._3.longValue).toMap
+    assert(m(1L) == m(2L)) // identical samples, identical fingerprint
+    assert(m(1L) != m(3L))
+    val pairs = Multimodal.imageNearDupPairs(fp, maxDist = 0,
+        blockShift = 16, hashCol = "afp")
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+    // the mu-law COMPRESSED path feeds the same fingerprint (decode
+    // via the real G.711 codec), and fingerprints stay deterministic
+    val ulaw = Multimodal.audioFingerprint(
+      Multimodal.synthesizeUlawWav(Seq(5L).toDF("id"), "id", 512),
+      windows = 32)
+    assert(ulaw.head().getBoolean(1))
+    // poison: garbage and null payloads
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(11L, "audio",
+        Array.fill[Byte](32)(0x13), "audio/wav", null, null, null),
+      org.apache.spark.sql.Row(12L, "audio", null, null, null, null, null))
+    val res = Multimodal.audioFingerprint(
+      spark.createDataFrame(rows, Multimodal.mediaSchema)).collect()
+    assert(res.forall(!_.getBoolean(1)))
+  }
+
   test("linear classifier: separable corpus classified correctly (X3)") {
     // class-pure vocabulary + shared filler: weights must be positive
     // for good-class terms, negative for bad, ~base-rate for filler
