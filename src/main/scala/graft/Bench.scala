@@ -122,7 +122,12 @@ object Bench {
             ",\"failed_passes\":" + failures(k) +
             ",\"samples\":[" + s.mkString(",") + "]}"
         }.mkString("{", ",", "}")},"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+    // Filtered/scale experiment runs must not clobber the full bench
+    // of record: redirect their artifact, keep BENCH_LOCAL.json for
+    // unfiltered runs only (overridable via SPARK_GRAFT_BENCH_OUT).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (nameFilter.isEmpty) "BENCH_LOCAL.json" else "BENCH_FILTERED.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       fullJson.getBytes("UTF-8"))
     catch { case _: Throwable => () }
     // Stdout contract line: the driver keeps only a ~2000-char tail of
