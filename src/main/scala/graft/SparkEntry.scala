@@ -4921,7 +4921,55 @@ object SparkEntry {
              |SELECT en.doc_id AS media_id, CAST(SUM(CASE WHEN e > thr
              |   THEN CAST(1 AS BIGINT) << w ELSE 0 END) AS BIGINT) AS afp
              |FROM en JOIN th USING (doc_id) GROUP BY en.doc_id
-             |ORDER BY media_id""".stripMargin))
+             |ORDER BY media_id""".stripMargin)),
+
+    QueryDef("x82_video_neardup",
+      // the video leg of the media-dedup triad: each doc renders an
+      // 8x6 2-frame PNG-in-AVI seeded by doc_id % 250 (250 planted
+      // duplicate clips), every frame decodes through the REAL
+      // ImageIO path and fingerprints with the integer average hash,
+      // and clips pair by SHARED FRAME HASHES — the text-shingle
+      // equi-join shape on video (join on the 8-byte hash, never
+      // all-pairs clips). minShared = 2 demands both frames match.
+      // Lossless frames -> hashes AND pairs re-derive in the oracle.
+      (s, dir) => {
+        val media = Multimodal.synthesizeAvi(
+          docs(s, dir).select(col("doc_id"),
+            (col("doc_id") % 250).as("seed")),
+          "doc_id", 8, 6, nFrames = 2, codec = "png",
+          seedCol = Some("seed"))
+        Multimodal.videoNearDupPairs(
+            Multimodal.videoFrameHashes(media, grid = 4),
+            minShared = 2L)
+          .orderBy("a", "b")
+      },
+      Some("""WITH px AS (SELECT doc_id, doc_id % 250 AS seed, f.f, x.x, y.y
+             |  FROM documents, (SELECT UNNEST([0, 1]) AS f) f,
+             |       generate_series(0, 7) x(x), generate_series(0, 5) y(y)),
+             | g AS (SELECT doc_id, f,
+             |   ((seed*31 + f*29 + x*7 + y*13) % 256
+             |    + (seed*17 + f*41 + x*11 + y*3) % 256
+             |    + (seed*23 + f*37 + x*5 + y*19) % 256) // 3 AS gray,
+             |   CAST(x // 2 AS INT) AS bi,
+             |   CAST(LEAST(y*4 // 6, 3) AS INT) AS bj
+             |  FROM px),
+             | bm AS (SELECT doc_id, f, bi, bj,
+             |   CAST(SUM(gray) // COUNT(*) AS BIGINT) AS m
+             |  FROM g GROUP BY 1, 2, 3, 4),
+             | th AS (SELECT doc_id, f, CAST(SUM(m) // 16 AS BIGINT) AS thr
+             |  FROM bm GROUP BY 1, 2),
+             | fh AS (SELECT bm.doc_id, bm.f, CAST(SUM(CASE WHEN m > thr
+             |    THEN CAST(1 AS BIGINT) << (bj*4 + bi) ELSE 0 END)
+             |    AS BIGINT) AS fhash
+             |  FROM bm JOIN th ON th.doc_id = bm.doc_id AND th.f = bm.f
+             |  GROUP BY 1, 2),
+             | dd AS (SELECT DISTINCT doc_id, fhash FROM fh)
+             |SELECT l.doc_id AS a, r.doc_id AS b,
+             |  CAST(COUNT(*) AS BIGINT) AS shared_frames
+             |FROM dd l JOIN dd r
+             |  ON l.fhash = r.fhash AND l.doc_id < r.doc_id
+             |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+             |ORDER BY a, b""".stripMargin))
   )
 
   // ============================================================= contract

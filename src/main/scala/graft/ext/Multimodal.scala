@@ -620,14 +620,17 @@ object Multimodal {
     * decoded pixels with no codec at all. */
   def synthesizeAvi(df: DataFrame, idCol: String, w: Int, h: Int,
                     nFrames: Int, codec: String = "png",
-                    fps: Int = 25): DataFrame = {
+                    fps: Int = 25,
+                    seedCol: Option[String] = None): DataFrame = {
     require(codec == "png" || codec == "mjpeg",
       s"synthesizeAvi: codec png|mjpeg, got $codec")
     val spark = df.sparkSession
     val (fmt, fcc, mime) =
       if (codec == "png") ("png", "MPNG", "video/avi")
       else ("jpg", "MJPG", "video/avi")
-    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+    val inCols = Seq(col(idCol).cast("long")) ++
+      seedCol.map(c => col(c).cast("long"))
+    val rdd = df.select(inCols: _*).rdd.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       val ascii = java.nio.charset.StandardCharsets.US_ASCII
       def chunk(id: String, data: Array[Byte]): Array[Byte] = {
@@ -643,7 +646,10 @@ object Multimodal {
         chunk("LIST", body)
       }
       it.map { r =>
-        val id = r.getLong(0)
+        val mediaId = r.getLong(0)
+        // pixel seed defaults to the id; a seed column plants exact-
+        // duplicate clips under distinct ids (the dedup test shape)
+        val id = if (r.size > 1) r.getLong(1) else mediaId
         val frames = (0 until nFrames).map { f =>
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -684,7 +690,7 @@ object Multimodal {
         val riffBody = "AVI ".getBytes(ascii) ++ hdrl ++ movi
         val bytes = "RIFF".getBytes(ascii) ++ le32(riffBody.length) ++
           riffBody
-        Row(id, "video", bytes, mime, w, h,
+        Row(mediaId, "video", bytes, mime, w, h,
           nFrames.toLong * 1000L / fps)
       }
     }
@@ -1019,6 +1025,121 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Per-frame perceptual hashes for a video payload — the video leg
+    * of the media-dedup triad: every sampled frame of an AVI payload
+    * decodes through ImageIO ([[decodeAviVideo]]'s container walk)
+    * and fingerprints with [[imageAHash]]'s all-integer average hash;
+    * the clip becomes (media_id, frame_idx, fhash) rows — the
+    * "shingles" of a video, joined on the 8-byte frame hash exactly
+    * like text shingle dedup ([[videoNearDupPairs]]). Lossless frame
+    * codecs keep every hash oracle-re-derivable. Poison payloads
+    * emit a single (media_id, -1, null, decode_ok=false) row. */
+  def videoFrameHashes(media: DataFrame, grid: Int = 8,
+                       every: Int = 1): DataFrame = {
+    require(grid > 0 && grid * grid <= 64,
+      s"videoFrameHashes: grid^2 must fit 64 bits, got $grid")
+    require(every >= 1, s"every must be >= 1, got $every")
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decode_ok", BooleanType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("fhash", LongType, nullable = true)))
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      def hashFrame(img: java.awt.image.BufferedImage): Long = {
+        val w = img.getWidth; val h = img.getHeight
+        val sums = new Array[Long](grid * grid)
+        val counts = new Array[Long](grid * grid)
+        var y = 0
+        while (y < h) {
+          val bj = math.min(y * grid / h, grid - 1)
+          var x = 0
+          while (x < w) {
+            val bi = math.min(x * grid / w, grid - 1)
+            val p = img.getRGB(x, y)
+            val gray = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) +
+              (p & 0xff)) / 3
+            sums(bj * grid + bi) += gray
+            counts(bj * grid + bi) += 1L
+            x += 1
+          }
+          y += 1
+        }
+        val means = sums.indices.map(i =>
+          if (counts(i) == 0) 0L else sums(i) / counts(i))
+        val thr = means.sum / (grid * grid)
+        var hash = 0L
+        var i = 0
+        while (i < means.length) {
+          if (means(i) > thr) hash |= 1L << i
+          i += 1
+        }
+        hash
+      }
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val frames: Option[Seq[Row]] =
+          if (r.isNullAt(1)) None
+          else try {
+            val b = r.getAs[Array[Byte]](1)
+            if (b.length < 12 || cc(b, 0) != "RIFF" || cc(b, 8) != "AVI ")
+              throw new java.io.IOException("not avi")
+            val riffEnd = math.min(8L + rd32(b, 4), b.length.toLong).toInt
+            val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+            var nFrames = 0L
+            var stack = List((12, riffEnd))
+            while (stack.nonEmpty) {
+              val (pos, end) = stack.head
+              stack = stack.tail
+              if (pos + 8 <= end) {
+                val id4 = cc(b, pos)
+                val size = rd32(b, pos + 4)
+                val dataStart = pos + 8
+                val next = dataStart + size + (size & 1)
+                if (size < 0 || dataStart + size > end)
+                  throw new java.io.IOException("truncated chunk")
+                if (next < end) stack = (next, end) :: stack
+                if (id4 == "LIST" && size >= 4)
+                  stack = (dataStart + 4, dataStart + size) :: stack
+                else if (id4.endsWith("dc") || id4.endsWith("db")) {
+                  if (nFrames % every == 0) {
+                    val img = javax.imageio.ImageIO.read(
+                      new java.io.ByteArrayInputStream(b, dataStart, size))
+                    if (img == null)
+                      throw new java.io.IOException("frame codec")
+                    out += Row(id, true, nFrames, hashFrame(img))
+                  }
+                  nFrames += 1L
+                }
+              }
+            }
+            if (nFrames == 0L) throw new java.io.IOException("no frames")
+            Some(out.toSeq)
+          } catch { case scala.util.control.NonFatal(_) => None }
+        frames.getOrElse(Seq(Row(id, false, -1L, null)))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Clip near-dup from shared frame hashes — join the frame-hash
+    * tables on the 8-byte hash (the text-shingle equi-join shape on
+    * video: candidates are clips sharing ≥ `minShared` identical
+    * perceptual frames, never an all-pairs clip comparison). Returns
+    * (a, b, shared_frames). */
+  def videoNearDupPairs(frameHashes: DataFrame,
+                        minShared: Long = 1L): DataFrame = {
+    val ok = frameHashes.filter(col("decode_ok"))
+      .select(col("media_id"), col("fhash")).distinct()
+    ok.select(col("media_id").as("a"), col("fhash"))
+      .join(ok.select(col("media_id").as("b"), col("fhash")), Seq("fhash"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minShared)
   }
 
   /** "Resize" stage stub: metadata-only transform (target dims recorded,

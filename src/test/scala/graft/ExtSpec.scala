@@ -1033,6 +1033,37 @@ class ExtSpec extends SparkSuite {
     assert(res.forall(!_.getBoolean(1)))
   }
 
+  test("videoFrameHashes: per-frame prints, shared-frame pairing, poison (X4)") {
+    // ids 1 and 2 render identical clips (shared seed); 3 differs
+    val src = Seq((1L, 7L), (2L, 7L), (3L, 1234L)).toDF("id", "seed")
+    val media = Multimodal.synthesizeAvi(src, "id", 16, 12, nFrames = 3,
+      codec = "png", seedCol = Some("seed"))
+    val fh = Multimodal.videoFrameHashes(media, grid = 4)
+    val rows = fh.as[(Long, Boolean, Long, java.lang.Long)].collect()
+    assert(rows.forall(_._2))
+    assert(rows.count(_._1 == 1L) == 3) // one hash per frame
+    // identical clips produce identical per-frame hash sequences
+    val seq1 = rows.filter(_._1 == 1L).sortBy(_._3).map(_._4.longValue).toSeq
+    val seq2 = rows.filter(_._1 == 2L).sortBy(_._3).map(_._4.longValue).toSeq
+    assert(seq1 == seq2)
+    // pairing: the duplicate pair shares all 3 frames
+    val pairs = Multimodal.videoNearDupPairs(fh, minShared = 3L)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 3L)))
+    // frame sampling halves the hash rows, hashes stay a subsequence
+    val sampled = Multimodal.videoFrameHashes(media, grid = 4, every = 2)
+      .filter(col("media_id") === 1L)
+      .as[(Long, Boolean, Long, java.lang.Long)].collect()
+    assert(sampled.map(_._3).sorted.toSeq == Seq(0L, 2L))
+    // poison: garbage payload degrades to one decode_ok=false row
+    val bad = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(9L, "video", Array.fill[Byte](40)(0x7f),
+        "video/avi", null, null, null))
+    val res = Multimodal.videoFrameHashes(
+      spark.createDataFrame(bad, Multimodal.mediaSchema)).collect()
+    assert(res.length == 1 && !res(0).getBoolean(1))
+  }
+
   test("linear classifier: separable corpus classified correctly (X3)") {
     // class-pure vocabulary + shared filler: weights must be positive
     // for good-class terms, negative for bad, ~base-rate for filler
