@@ -4969,7 +4969,40 @@ object SparkEntry {
              |FROM dd l JOIN dd r
              |  ON l.fhash = r.fhash AND l.doc_id < r.doc_id
              |GROUP BY 1, 2 HAVING COUNT(*) >= 2
-             |ORDER BY a, b""".stripMargin))
+             |ORDER BY a, b""".stripMargin)),
+
+    QueryDef("x83_media_health",
+      // the decode-health governance card: a mixed corpus (PNG image,
+      // WAV audio, PNG-AVI video, animated GIF per doc) with a
+      // deterministic poison plan (doc_id % 25 == 0 loses its
+      // payload) routes through the REAL decoders; the card reports
+      // per-modality decode rates in integer ppm. The oracle knows
+      // only the poison plan — the hash-match proves every healthy
+      // synthesized payload actually decodes through its codec.
+      (s, dir) => {
+        val ids = docs(s, dir).select("doc_id")
+        val poison = (m: DataFrame) => m.withColumn("payload",
+          when(col("media_id") % 25 === 0,
+            lit(null).cast("binary")).otherwise(col("payload")))
+        val mixed = poison(Multimodal.synthesizePng(ids, "doc_id", 8, 6))
+          .unionByName(poison(Multimodal.synthesizeWav(ids, "doc_id", 64)))
+          .unionByName(poison(Multimodal.synthesizeAvi(ids, "doc_id",
+            8, 6, nFrames = 2, codec = "png")))
+          .unionByName(poison(Multimodal.synthesizeGif(ids, "doc_id",
+            8, 6, nFrames = 2)))
+        Multimodal.mediaHealthCard(mixed).orderBy("modality")
+      },
+      Some("""WITH m AS (
+             |  SELECT 'image' AS modality, doc_id FROM documents
+             |  UNION ALL SELECT 'audio', doc_id FROM documents
+             |  UNION ALL SELECT 'video', doc_id FROM documents
+             |  UNION ALL SELECT 'video', doc_id FROM documents)
+             |SELECT modality, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CASE WHEN doc_id % 25 = 0 THEN 0 ELSE 1 END)
+             |    AS BIGINT) AS n_ok,
+             |  CAST(SUM(CASE WHEN doc_id % 25 = 0 THEN 0 ELSE 1 END)
+             |    * 1000000 // COUNT(*) AS BIGINT) AS ok_ppm
+             |FROM m GROUP BY modality ORDER BY modality""".stripMargin))
   )
 
   // ============================================================= contract

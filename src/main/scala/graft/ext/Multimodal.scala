@@ -1142,6 +1142,36 @@ object Multimodal {
       .filter(col("shared_frames") >= minShared)
   }
 
+  /** Decode-health card over a mixed media corpus — the per-modality
+    * governance row a 100 TB ingest records next to its manifests:
+    * route every row through its REAL decoder (image → ImageIO,
+    * audio → javax.sound, video → the AVI walk or the GIF reader by
+    * mime) and aggregate decode success as (modality, n, n_ok,
+    * ok_ppm). All counts, integer-ppm rate — two cards diff
+    * meaningfully across ingest days, and a codec regression or
+    * corrupt batch shows up as a moving ok_ppm rather than a buried
+    * task error. One decode pass per modality subset, map-only;
+    * the aggregation collapses map-side to |modalities| rows. */
+  def mediaHealthCard(media: DataFrame): DataFrame = {
+    def okOf(d: DataFrame, m: String): DataFrame =
+      d.select(col("media_id"), col("decode_ok"))
+        .withColumn("modality", lit(m))
+    val img = okOf(decodeImage(
+      media.filter(col("modality") === "image")), "image")
+    val aud = okOf(decodeAudio(
+      media.filter(col("modality") === "audio")), "audio")
+    val vid = media.filter(col("modality") === "video")
+    val gif = okOf(decodeGif(vid.filter(col("mime") === "image/gif")),
+      "video")
+    val avi = okOf(decodeAviVideo(vid.filter(col("mime") =!= "image/gif"
+      || col("mime").isNull)), "video")
+    img.unionByName(aud).unionByName(gif).unionByName(avi)
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("decode_ok"), 1L).otherwise(0L)).as("n_ok"))
+      .withColumn("ok_ppm", expr("n_ok * 1000000 DIV n"))
+  }
+
   /** "Resize" stage stub: metadata-only transform (target dims recorded,
     * payload passed through) — exercises the schema evolution path. */
   def resizeStub(media: DataFrame, w: Int, h: Int): DataFrame =

@@ -1064,6 +1064,26 @@ class ExtSpec extends SparkSuite {
     assert(res.length == 1 && !res(0).getBoolean(1))
   }
 
+  test("mediaHealthCard: per-modality decode rates; garbage and null both count as failures (X4)") {
+    val ids = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val healthy = Multimodal.synthesizePng(ids, "id", 8, 6)
+      .unionByName(Multimodal.synthesizeWav(ids, "id", 32))
+      .unionByName(Multimodal.synthesizeGif(ids, "id", 8, 6, nFrames = 1))
+    // corrupt one image (garbage bytes) and null one audio payload
+    val mixed = healthy.withColumn("payload",
+      when(col("modality") === "image" && col("media_id") === 1L,
+        lit(Array.fill[Byte](16)(0x2a)))
+        .when(col("modality") === "audio" && col("media_id") === 2L,
+          lit(null).cast("binary"))
+        .otherwise(col("payload")))
+    val card = Multimodal.mediaHealthCard(mixed)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(card("image") == (4L, 3L, 750000L))
+    assert(card("audio") == (4L, 3L, 750000L))
+    assert(card("video") == (4L, 4L, 1000000L)) // gif routes via mime
+  }
+
   test("linear classifier: separable corpus classified correctly (X3)") {
     // class-pure vocabulary + shared filler: weights must be positive
     // for good-class terms, negative for bad, ~base-rate for filler
