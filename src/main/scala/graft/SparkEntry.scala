@@ -2295,6 +2295,41 @@ object SparkEntry {
               |FROM pe p JOIN deg da ON da.i = p.a JOIN deg db ON db.i = p.b
               |ORDER BY jaccard DESC, p.a, p.b LIMIT 100""".stripMargin)),
 
+    QueryDef("g51_communities",
+      // community detection by MUTUAL BEST MATCH over the co-purchase
+      // projection: each part's best Jaccard neighbor (ties -> smaller
+      // id), mutual choices form the community graph, min-label
+      // components are the communities — deterministic where LPA /
+      // Louvain are visit-order-dependent, so the whole structure
+      // hash-matches the oracle (argmax QUALIFY + recursive closure).
+      (s, dir) => LinkAnalysis.bestMatchCommunities(
+          StarGraph.copurchaseGi(s, dir), 2)
+        .orderBy("id"),
+      Some(s"""WITH RECURSIVE $copurchaseSql,
+              |deg AS (SELECT i, COUNT(*) AS d FROM gi GROUP BY i),
+              |j AS (SELECT p.a, p.b,
+              |  CAST(p.w AS DOUBLE) / (da.d + db.d - p.w) AS jac
+              | FROM pe p JOIN deg da ON da.i = p.a
+              | JOIN deg db ON db.i = p.b),
+              |sym AS (SELECT a AS u, b AS v, jac FROM j
+              | UNION ALL SELECT b, a, jac FROM j),
+              |best AS (SELECT u, v AS bm FROM sym
+              | QUALIFY ROW_NUMBER() OVER (PARTITION BY u
+              |   ORDER BY jac DESC, v) = 1),
+              |mutual AS (SELECT x.u AS a, x.bm AS b FROM best x
+              | JOIN best y ON x.bm = y.u AND y.bm = x.u AND x.u < x.bm),
+              |e AS (SELECT a, b FROM mutual
+              | UNION SELECT b, a FROM mutual),
+              |reach(id, r) AS (
+              | SELECT a, a FROM e
+              | UNION
+              | SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b),
+              |cl AS (SELECT id, MIN(r) AS community FROM reach GROUP BY id),
+              |mem AS (SELECT DISTINCT i AS id FROM gi)
+              |SELECT m.id, COALESCE(cl.community, m.id) AS community
+              |FROM mem m LEFT JOIN cl ON cl.id = m.id
+              |ORDER BY m.id""".stripMargin)),
+
     QueryDef("g34_resource_alloc",
       // Resource-Allocation link-prediction index: Σ 1/deg(order) over
       // shared orders, quantized to floor(1e9/deg) BIGINTs so the sum

@@ -523,4 +523,41 @@ object LinkAnalysis {
       .unionAll(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
   }
+
+  /** Community detection by mutual best match — the deterministic,
+    * oracle-checkable community kernel (classic LPA is iteration-
+    * order-dependent and oscillates under synchronous update; Louvain
+    * depends on visit order — neither can hash-match an independent
+    * engine): every item's BEST neighbor is its argmax
+    * [[jaccardPairsFromGi]] similarity (ties → smaller id), edges
+    * where the choice is MUTUAL form the community graph, and its
+    * connected components (min-label) are the communities — the
+    * best-match/star-clustering family. Items with no qualifying pair
+    * are singletons. Returns (id, community).
+    *
+    * Scale shape: pair generation is the bounded co-occurrence join
+    * (support-thresholded, never unblocked); the argmax is a map-side
+    * combinable max-of-struct agg (no window sort); the component
+    * sweep runs on MUTUAL edges only — a subgraph with ≤ n/2 edges by
+    * construction (each node has at most one best match). */
+  def bestMatchCommunities(gi: DataFrame, minInter: Long = 2): DataFrame = {
+    val pairs = jaccardPairsFromGi(gi, minInter)
+      .select("a", "b", "jaccard").localCheckpoint()
+    val sym = pairs.select(col("a").as("u"), col("b").as("v"), col("jaccard"))
+      .unionByName(pairs.select(col("b").as("u"), col("a").as("v"),
+        col("jaccard")))
+    val best = sym.groupBy("u")
+      .agg(max(struct(col("jaccard"), (-col("v")).as("nv"))).as("m"))
+      .select(col("u"), (-col("m.nv")).as("bm"))
+    val mutual = best.alias("x")
+      .join(best.alias("y"),
+        col("x.bm") === col("y.u") && col("y.bm") === col("x.u") &&
+          col("x.u") < col("x.bm"))
+      .select(col("x.u").as("a"), col("x.bm").as("b"))
+    val cl = graft.ext.Dedup.nearDupClusters(mutual)
+      .select(col("doc_id").as("id"), col("cluster"))
+    gi.select(col("i").as("id")).distinct()
+      .join(cl, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("community"))
+  }
 }

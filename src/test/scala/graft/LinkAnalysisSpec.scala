@@ -327,6 +327,30 @@ class LinkAnalysisSpec extends SparkSuite {
     assert(r4 === r5, "peeling must have converged by the documented bound")
     assert(r4.nonEmpty)
   }
+
+  test("bestMatchCommunities: mutual argmax pairs cluster, weak links and loners stay out") {
+    // orders o1..o6 over items 1..5: {1,2} share two orders (jac 0.5),
+    // {3,4} share two (jac 2/3), (2,3) share only one -> below
+    // minInter; item 5 appears once -> singleton
+    val gi = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 3L), (12L, 4L), (13L, 3L), (13L, 4L),
+      (14L, 2L), (14L, 3L), (15L, 5L), (15L, 1L))
+      .toDF("g", "i")
+    val got = LinkAnalysis.bestMatchCommunities(gi, minInter = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L))
+    // a chain where the best match is NOT mutual: u's best picks v,
+    // but v's best is w -> u stays alone, v and w pair. Build items
+    // 6,7,8: (7,8) jac > (6,7) jac > anything else for 6.
+    val gi2 = Seq(
+      // 6-7 share 2 of 5 orders; 7-8 share 3 of 4 -> 7 prefers 8
+      (20L, 6L), (20L, 7L), (21L, 6L), (21L, 7L), (22L, 6L),
+      (23L, 7L), (23L, 8L), (24L, 7L), (24L, 8L), (25L, 7L), (25L, 8L),
+      (26L, 8L)).toDF("g", "i")
+    val got2 = LinkAnalysis.bestMatchCommunities(gi2, minInter = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == Map(6L -> 6L, 7L -> 7L, 8L -> 7L))
+  }
 }
 
 /** Funnel / retention / bigram-LM analytics fixtures. */
@@ -475,4 +499,5 @@ class PipelineAnalyticsSpec extends SparkSuite {
     val got = rows(TextOps.bigramPredictability(docs))
     assert(got === Set(Seq(1L, 3L, 3000000L, 1000000.0)))
   }
+
 }
