@@ -529,6 +529,56 @@ object InvariantProps extends Properties("GraftInvariants") {
     shards <- Gen.choose(1, 7)
   } yield (n, shards)
 
+  private val genGi = for {
+    groups <- Gen.choose(3, 10)
+    items <- Gen.choose(3, 8)
+    m <- Gen.choose(5, 30)
+    pairs <- Gen.listOfN(m,
+      Gen.zip(Gen.choose(0, groups - 1), Gen.choose(0, items - 1)))
+  } yield pairs.distinct
+
+  property("bestMatchCommunities == brute mutual-argmax closure on random bipartite data") =
+    forAll(genGi) { pairs =>
+      import spark.implicits._
+      val gi = pairs.map { case (g, i) => (g.toLong, i.toLong) }
+        .toDF("g", "i")
+      val got = graft.algos.LinkAnalysis.bestMatchCommunities(gi, 2)
+        .as[(Long, Long)].collect().toMap
+      // brute reference
+      val byItem = pairs.groupBy(_._2).view
+        .mapValues(_.map(_._1).toSet).toMap
+      val items = byItem.keys.map(_.toLong).toSet
+      val jac = (for {
+        a <- byItem.keys; b <- byItem.keys if a < b
+        inter = (byItem(a) & byItem(b)).size if inter >= 2
+      } yield (a.toLong, b.toLong) ->
+        inter.toDouble / (byItem(a) | byItem(b)).size).toMap
+      val best = items.flatMap { u =>
+        val cands = jac.collect {
+          case ((a, b), j) if a == u => (b, j)
+          case ((a, b), j) if b == u => (a, j)
+        }
+        if (cands.isEmpty) None
+        else Some(u -> cands.maxBy { case (v, j) => (j, -v) }._1)
+      }.toMap
+      val mutual = best.collect {
+        case (u, v) if u < v && best.get(v).contains(u) => (u, v)
+      }.toSet
+      // min-label components over mutual edges
+      var label = items.map(i => i -> i).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        mutual.foreach { case (a, b) =>
+          val m = math.min(label(a), label(b))
+          if (label(a) != m || label(b) != m) {
+            label += a -> m; label += b -> m; changed = true
+          }
+        }
+      }
+      got == label
+    }
+
   property("rendezvousShard: brute argmax; resize moves keys only TO the new shard") =
     forAll(genResize) { case (n, shards) =>
       import spark.implicits._
