@@ -1893,6 +1893,28 @@ object SparkEntry {
              |FROM win w JOIN e USING (vec_id)
              |ORDER BY vec_id""".stripMargin)),
 
+    QueryDef("x84_random_projection",
+      // JL sign projection to 16 dims: y_j = sum_i sign(md5("i:j")) *
+      // floor(x_i*1e6) — exact integer sums over micro-unit-quantized
+      // components, the projection matrix a FORMULA (md5 parity), so
+      // the reduced vectors re-derive bit-identically anywhere.
+      // Map-only over the corpus: the standard cheapener before ANN
+      // when dims are wide.
+      (s, dir) => Similarity.randomProjection(
+          t(s, dir, "embeddings").where(col("vec_id") < 500), 16)
+        .orderBy("vec_id", "dim"),
+      Some("""WITH q AS (SELECT vec_id, UNNEST(range(len(embedding))) AS i,
+             |  CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000)
+             |    AS BIGINT) AS q
+             | FROM embeddings WHERE vec_id < 500),
+             | s AS (SELECT vec_id, i, q, j.j,
+             |   (CAST(('0x' || substr(md5(i || ':' || j.j), 1, 15))
+             |     AS BIGINT) % 2) * 2 - 1 AS sgn
+             |  FROM q, (SELECT UNNEST(range(16)) AS j) j)
+             |SELECT vec_id, CAST(j AS INT) AS dim,
+             | CAST(SUM(sgn * q) AS BIGINT) AS y
+             |FROM s GROUP BY vec_id, j ORDER BY vec_id, dim""".stripMargin)),
+
     QueryDef("x15_asof_join",
       // as-of join (SURVEY §2.7 range/as-of row): latest click per
       // user at-or-before each purchase. Clicks pre-deduped per
@@ -2329,6 +2351,61 @@ object SparkEntry {
               |SELECT m.id, COALESCE(cl.community, m.id) AS community
               |FROM mem m LEFT JOIN cl ON cl.id = m.id
               |ORDER BY m.id""".stripMargin)),
+
+    QueryDef("g52_modularity",
+      // Newman modularity of the g51 communities over the SAME
+      // thresholded pair graph, per community in exact integers:
+      // contrib = 4*m*e_intra - d_sum^2 (Q = sum(contrib)/4m^2) — no
+      // division, so the decomposition hash-matches. The trivial
+      // one-community assignment sums contrib to exactly 0
+      // (LinkAnalysisSpec pins it).
+      (s, dir) => {
+        val gi = StarGraph.copurchaseGi(s, dir)
+        val pairs = LinkAnalysis.jaccardPairsFromGi(gi, 2)
+          .select("a", "b").localCheckpoint()
+        val assign = LinkAnalysis.bestMatchCommunities(gi, 2)
+        LinkAnalysis.modularityByCommunity(pairs, assign)
+          .orderBy("community")
+      },
+      Some(s"""WITH RECURSIVE $copurchaseSql,
+              |deg AS (SELECT i, COUNT(*) AS d FROM gi GROUP BY i),
+              |j AS (SELECT p.a, p.b,
+              |  CAST(p.w AS DOUBLE) / (da.d + db.d - p.w) AS jac
+              | FROM pe p JOIN deg da ON da.i = p.a
+              | JOIN deg db ON db.i = p.b),
+              |sym AS (SELECT a AS u, b AS v, jac FROM j
+              | UNION ALL SELECT b, a, jac FROM j),
+              |best AS (SELECT u, v AS bm FROM sym
+              | QUALIFY ROW_NUMBER() OVER (PARTITION BY u
+              |   ORDER BY jac DESC, v) = 1),
+              |mutual AS (SELECT x.u AS a, x.bm AS b FROM best x
+              | JOIN best y ON x.bm = y.u AND y.bm = x.u AND x.u < x.bm),
+              |e AS (SELECT a, b FROM mutual
+              | UNION SELECT b, a FROM mutual),
+              |reach(id, r) AS (
+              | SELECT a, a FROM e
+              | UNION
+              | SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b),
+              |cl AS (SELECT id, MIN(r) AS community FROM reach GROUP BY id),
+              |mem AS (SELECT DISTINCT i AS id FROM gi),
+              |asg AS (SELECT m.id, COALESCE(cl.community, m.id) AS community
+              | FROM mem m LEFT JOIN cl ON cl.id = m.id),
+              |pdeg AS (SELECT u AS id, COUNT(*) AS d FROM sym GROUP BY u),
+              |mtot AS (SELECT COUNT(*) AS m FROM j),
+              |nd AS (SELECT a.community, COALESCE(d.d, 0) AS d
+              | FROM asg a LEFT JOIN pdeg d ON d.id = a.id),
+              |intra AS (SELECT x.community, COUNT(*) AS e_intra
+              | FROM j JOIN asg x ON x.id = j.a JOIN asg y ON y.id = j.b
+              | WHERE x.community = y.community GROUP BY 1),
+              |per AS (SELECT community, COUNT(*) AS n_nodes,
+              |  SUM(d) AS d_sum FROM nd GROUP BY 1)
+              |SELECT p.community, p.n_nodes,
+              | CAST(COALESCE(i.e_intra, 0) AS BIGINT) AS e_intra,
+              | CAST(p.d_sum AS BIGINT) AS d_sum, t.m,
+              | CAST(4 * t.m * COALESCE(i.e_intra, 0)
+              |   - p.d_sum * p.d_sum AS BIGINT) AS contrib
+              |FROM per p LEFT JOIN intra i ON i.community = p.community,
+              | mtot t ORDER BY p.community""".stripMargin)),
 
     QueryDef("g34_resource_alloc",
       // Resource-Allocation link-prediction index: Σ 1/deg(order) over
@@ -2938,6 +3015,72 @@ object SparkEntry {
              |   PARTITION BY event_type ORDER BY d ROWS UNBOUNDED PRECEDING),
              |  0.0) AS filled_value
              |FROM j ORDER BY event_type, d""".stripMargin)),
+
+    QueryDef("q41_transitions",
+      // Markov transition matrix over per-user event sequences:
+      // (src, dst) counts + integer-ppm row-conditional probability.
+      // The ppm is an integer `div` on both engines — row totals at
+      // corpus scale exceed 2^53, where double division rounds.
+      (s, dir) => EventStreams.transitionMatrix(EventStreams.readEvents(s, dir))
+        .orderBy("src_type", "dst_type"),
+      Some("""WITH seq AS (SELECT user_id, event_type,
+             |  LEAD(event_type) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id) AS nxt
+             | FROM events),
+             | cnt AS (SELECT event_type AS src_type, nxt AS dst_type,
+             |   COUNT(*) AS n
+             |  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2)
+             |SELECT src_type, dst_type, n,
+             | CAST(1000000 * n // SUM(n) OVER (PARTITION BY src_type)
+             |   AS BIGINT) AS p_ppm
+             |FROM cnt ORDER BY src_type, dst_type""".stripMargin)),
+
+    QueryDef("q42_anomaly",
+      // daily spike detection over the gap-filled calendar grid:
+      // n > 2x the trailing-7-day mean, flagged by the integer
+      // cross-multiply n*t_days > 2*t_sum (no division — exact on
+      // both engines). Zero-event days participate in the mean.
+      (s, dir) => EventStreams.dailyAnomalies(EventStreams.readEvents(s, dir))
+        .orderBy("event_type", "d"),
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             | bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+             | spine AS (SELECT CAST(UNNEST(generate_series(lo, hi,
+             |   INTERVAL 1 DAY)) AS DATE) AS d FROM bounds),
+             | grid AS (SELECT t.event_type, s.d FROM spine s,
+             |   (SELECT DISTINCT event_type FROM events) t),
+             | j AS (SELECT g.event_type, g.d, COALESCE(dy.n, 0) AS n
+             |   FROM grid g LEFT JOIN daily dy
+             |     ON dy.event_type = g.event_type AND dy.d = g.d),
+             | wnd AS (SELECT event_type, d, n,
+             |   COALESCE(SUM(n) OVER w, 0) AS t_sum, COUNT(n) OVER w AS t_days
+             |  FROM j WINDOW w AS (PARTITION BY event_type ORDER BY d
+             |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+             |SELECT event_type, d, CAST(n AS BIGINT) AS n,
+             | CAST(t_sum AS BIGINT) AS t_sum, CAST(t_days AS BIGINT) AS t_days,
+             | (t_days > 0 AND n * t_days > 2 * t_sum) AS is_spike
+             |FROM wnd ORDER BY event_type, d""".stripMargin)),
+
+    QueryDef("q43_session_paths",
+      // clickstream path mining: 30-minute-gap sessions rendered as
+      // ordered '>'-joined event-type paths, counted corpus-wide.
+      // Both engines sessionize and concatenate over the same total
+      // (ts, event_id) order, so paths match byte-for-byte.
+      (s, dir) => EventStreams.sessionPaths(EventStreams.readEvents(s, dir))
+        .orderBy("path"),
+      Some("""WITH s AS (SELECT user_id, ts, event_id, event_type,
+             |  CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
+             |    THEN 0 ELSE 1 END AS brk
+             | FROM events WINDOW w AS (PARTITION BY user_id
+             |   ORDER BY ts, event_id)),
+             | t AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id) AS sess FROM s),
+             | p AS (SELECT user_id, sess,
+             |   STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path
+             |  FROM t GROUP BY 1, 2)
+             |SELECT path, COUNT(*) AS n_sessions
+             |FROM p GROUP BY path ORDER BY path""".stripMargin)),
 
     QueryDef("q37_sliding_window",
       // sliding windows (width 1h, slide 30m): every event lands in

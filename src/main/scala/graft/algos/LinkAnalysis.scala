@@ -560,4 +560,41 @@ object LinkAnalysis {
       .join(cl, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("community"))
   }
+
+  /** Newman modularity of a community assignment over an undirected
+    * pair graph, decomposed per community in EXACT integers:
+    * Q = Σ_c [e_c/m − (d_c/2m)²] = Σ_c contrib_c / (4m²) with
+    * contrib_c = 4·m·e_c − d_c² — every output column a BIGINT, no
+    * division, so the decomposition re-derives bit-identically on any
+    * engine (the caller divides by 4m² for the float Q; at 4·m·e ≤
+    * 2^63 that's graphs to ~10⁹ edges). `edges` = canonical (a, b)
+    * pairs; `assign` = (id, community) covering every node (nodes
+    * without edges contribute degree 0).
+    *
+    * Scale shape: degree table + intra-edge count are two
+    * map-side-combinable aggregations; the assignment joins onto the
+    * edge list by node key (edge list never widens); m arrives as a
+    * 1-row broadcast cross join. No windows, no collects. */
+  def modularityByCommunity(edges: DataFrame, assign: DataFrame): DataFrame = {
+    val e = edges.select("a", "b")
+    val m = e.agg(count(lit(1)).as("m"))
+    val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val nd = assign.join(deg, Seq("id"), "left")
+      .select(col("community"), coalesce(col("d"), lit(0L)).as("d"))
+    val intra = e
+      .join(assign.select(col("id").as("a"), col("community").as("ca")), "a")
+      .join(assign.select(col("id").as("b"), col("community").as("cb")), "b")
+      .where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_intra"))
+    nd.groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"), sum("d").cast("long").as("d_sum"))
+      .join(intra, Seq("community"), "left")
+      .withColumn("e_intra", coalesce(col("e_intra"), lit(0L)))
+      .crossJoin(m)
+      .select(col("community"), col("n_nodes"), col("e_intra"), col("d_sum"),
+        col("m"),
+        (lit(4L) * col("m") * col("e_intra")
+          - col("d_sum") * col("d_sum")).as("contrib"))
+  }
 }

@@ -51,6 +51,41 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Johnson-Lindenstrauss random projection to `outDims` dimensions
+    * with a ±1 md5-parity matrix (Achlioptas-style sign projection,
+    * the g49-PPMI trick applied to real embeddings): output component
+    * y_j = Σ_i sign(md5("i:j")) · floor(x_i·1e6). The input quantizes
+    * to micro-unit BIGINTs first, so the sums are exact integers and
+    * the projected vectors re-derive bit-identically on any
+    * engine/partitioning — a float projection would accumulate in
+    * shuffle order. The projection matrix is a FORMULA, not a table:
+    * nothing is broadcast, nothing is stored, and any row of it
+    * regenerates anywhere.
+    *
+    * Scale shape: map-only over the corpus (nested HOFs, one output
+    * row per (vector, out-dim) via posexplode) — no shuffle at all;
+    * the standard cheapener in front of ANN when dims are wide (a
+    * 1024-dim corpus at 100 TB becomes a 16-dim corpus at 1.6 TB
+    * before any bucketing join). Cosine/distance distortion follows
+    * the JL lemma; the spec pins sign-projection locality. */
+  def randomProjection(emb: DataFrame, outDims: Int = 16,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(outDims > 0, "randomProjection: outDims > 0")
+    val q = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
+    def sign(i: Column, j: Column): Column =
+      pmod(conv(substring(md5(concat(i.cast("string"), lit(":"),
+        j.cast("string"))), 1, 15), 16, 10).cast("long"), lit(2)) * 2 - 1
+    val proj = transform(sequence(lit(0), lit(outDims - 1)), j =>
+      aggregate(
+        zip_with(q, sequence(lit(0), size(col(vecCol)) - 1),
+          (qi, i) => sign(i, j) * qi),
+        lit(0L), (acc, t) => acc + t))
+    emb.select(col(idCol).as("vec_id"),
+      posexplode(proj).as(Seq("dim", "y")))
+  }
+
   /** Brute-force exact top-k neighbors for each query vector.
     * `queries` must be broadcast-small (it is sent to every corpus
     * partition). Returns (query_id, neighbor_id, cosine, rank). */

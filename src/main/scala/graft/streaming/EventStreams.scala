@@ -242,6 +242,89 @@ object EventStreams {
           .as("filled_value"))
   }
 
+  /** Markov transition matrix over the per-user event sequence:
+    * count + integer-ppm probability of each (event_type → next
+    * event_type) step, ordering within a user by (ts, event_id) so
+    * the sequence is total and engine-deterministic. One window
+    * shuffle on the user key (per-user partitions are bounded by a
+    * user's event count, never the table) collapses immediately into
+    * a map-side-combinable (src, dst) count — the |types|²-row
+    * result is where the second, trivial window runs. All-integer
+    * probabilities (`1000000·n div row-total`), so the matrix
+    * re-derives bit-identically on any engine. */
+  def transitionMatrix(events: DataFrame, userCol: String = "user_id",
+                       typeCol: String = "event_type", tsCol: String = "ts",
+                       idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val counts = events
+      .withColumn("__nxt", lead(col(typeCol), 1).over(w))
+      .where(col("__nxt").isNotNull)
+      .groupBy(col(typeCol).as("src_type"), col("__nxt").as("dst_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy("src_type")
+    // integer `div`, not `/`: row totals at corpus scale exceed 2^53,
+    // where double division starts rounding the ppm
+    counts.withColumn("__tot", sum("n").over(tot))
+      .withColumn("p_ppm", expr("1000000L * n div __tot"))
+      .drop("__tot")
+  }
+
+  /** Daily spike detection per key over the gap-filled calendar grid:
+    * a day is a spike when its count exceeds `factor`× the trailing
+    * `trailing`-day mean. The comparison is the integer cross-multiply
+    * `n·t_days > factor·t_sum` — no division, so the flags re-derive
+    * exactly on any engine — and the grid comes from [[gapFillDaily]],
+    * so "trailing 7 rows" IS "trailing 7 calendar days" (zero-event
+    * days count as 0 in the mean instead of silently vanishing).
+    * Days with no trailing history (t_days = 0) are never spikes.
+    * Cost: gapFill's aggregation collapses the table to (keys × days)
+    * rows; both windows run on that tiny grid. */
+  def dailyAnomalies(events: DataFrame, keyCol: String = "event_type",
+                     trailing: Int = 7, factor: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = gapFillDaily(events, keyCol)
+    val w = Window.partitionBy(keyCol).orderBy("d")
+      .rowsBetween(-trailing, -1)
+    grid.select(col(keyCol), col("d"), col("n"),
+        coalesce(sum("n").over(w), lit(0L)).as("t_sum"),
+        count("n").over(w).as("t_days"))
+      .withColumn("is_spike",
+        col("t_days") > 0 &&
+          col("n") * col("t_days") > lit(factor.toLong) * col("t_sum"))
+  }
+
+  /** Clickstream path mining: sessionize each user's events by a
+    * silence `gap`, render every session as its ordered `>`-joined
+    * event-type path, and count sessions per path corpus-wide. The
+    * session id is the running sum of gap breaks over the same
+    * (ts, event_id) total order the path concatenation uses, so the
+    * paths are engine-deterministic even with duplicate timestamps.
+    * One shuffle on the user key covers sessionization AND path
+    * assembly (sort_array over structs — per-session state only);
+    * the path histogram is map-side combined. */
+  def sessionPaths(events: DataFrame, gapMinutes: Int = 30,
+                   userCol: String = "user_id", typeCol: String = "event_type",
+                   tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gapMinutes > 0, "gap must be positive")
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val brk = when(
+      unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w))
+        <= lit(gapMicros), 0L).otherwise(1L)
+    val sess = events
+      .withColumn("__brk", brk)
+      .withColumn("__sess", sum(col("__brk")).over(w))
+      .groupBy(col(userCol), col("__sess"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col(tsCol).as("t"),
+            col(idCol).as("i"), col(typeCol).as("e")))),
+          x => x.getField("e")), ">").as("path"))
+    sess.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: running per-user
     * (count, total) emitted on every update — the mapGroupsWithState
     * family is the escape hatch for stateful logic windows can't

@@ -408,6 +408,49 @@ class ExtSpec extends SparkSuite {
     assert(top.find(_._2 == 3).map(_._1).contains(2L))
   }
 
+  test("JL random projection: independent md5-parity reference + invariances (X2)") {
+    // independent reference: JVM MessageDigest md5, same 15-hex-digit
+    // parity rule, same floor(x*1e6) quantization
+    def sgn(i: Int, j: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$j".getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.substring(0, 15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) -1L else 1L
+    }
+    def ref(v: Array[Float], outDims: Int): Seq[Long] =
+      (0 until outDims).map(j => v.zipWithIndex.map { case (x, i) =>
+        sgn(i, j) * math.floor(x.toDouble * 1000000.0).toLong }.sum)
+    val emb = Seq(
+      (0L, Array(1.0f, -0.5f, 0.25f)), (1L, Array(1.0f, -0.5f, 0.25f)),
+      (2L, Array(-2.0f, 0.125f, 3.5f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.randomProjection(emb, 4)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(got(0L) == ref(Array(1.0f, -0.5f, 0.25f), 4))
+    assert(got(2L) == ref(Array(-2.0f, 0.125f, 3.5f), 4))
+    // identical input vectors project identically
+    assert(got(0L) == got(1L))
+    // projection is repartitioning-invariant (map-only, no accumulation order)
+    val re = Similarity.randomProjection(emb.repartition(7), 4)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(re == got)
+  }
+
+  test("JL projection locality: near pair stays closer than far pair (X2)") {
+    val base = Array.tabulate(32)(i => math.sin(i + 1).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.001f
+    val far = Array.tabulate(32)(i => math.cos(3 * i + 2).toFloat)
+    val emb = Seq((0L, base), (1L, near), (2L, far)).toDF("vec_id", "embedding")
+    val p = Similarity.randomProjection(emb, 8)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    def l1(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => math.abs(x - y) }.sum
+    assert(l1(p(0L).toSeq, p(1L).toSeq) < l1(p(0L).toSeq, p(2L).toSeq))
+  }
+
   test("native cosine Expression == HOF cosine, and SQL registration works") {
     val emb = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(-1.0f, 0.5f, 2.0f)))

@@ -500,4 +500,38 @@ class PipelineAnalyticsSpec extends SparkSuite {
     assert(got === Set(Seq(1L, 3L, 3000000L, 1000000.0)))
   }
 
+  test("modularity: two triangles + bridge decomposes to the textbook Q") {
+    // triangles {1,2,3} and {4,5,6} joined by edge 3-4: Q = 5/14
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("a", "b")
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("id", "community")
+    val got = rows(LinkAnalysis.modularityByCommunity(edges, assign))
+    // m=7; each community: e_intra=3, d_sum=7, contrib=4*7*3-49=35
+    assert(got === Set(
+      Seq(1L, 3L, 3L, 7L, 7L, 35L),
+      Seq(4L, 3L, 3L, 7L, 7L, 35L)))
+    // Q = (35+35)/(4*m^2) = 70/196 = 5/14
+    assert(70.0 / 196.0 === 5.0 / 14.0)
+  }
+
+  test("modularity invariants: one community -> Q=0; singletons penalize by degree^2") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val one = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L)).toDF("id", "community")
+    val oneRow = LinkAnalysis.modularityByCommunity(edges, one).collect()
+    // all edges intra, d_sum = 2m -> contrib = 4m*m - 4m^2 = 0 exactly
+    assert(oneRow.map(_.getAs[Long]("contrib")).sum == 0L)
+    val solo = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("id", "community")
+    val soloRows = LinkAnalysis.modularityByCommunity(edges, solo).collect()
+    // no intra edges; each contrib = -d^2 (degrees 2,2,3,1)
+    assert(soloRows.forall(_.getAs[Long]("e_intra") == 0L))
+    assert(soloRows.map(_.getAs[Long]("contrib")).sum == -(4 + 4 + 9 + 1))
+    // an isolated node (in the assignment, no edges) contributes 0
+    val iso = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (9L, 9L))
+      .toDF("id", "community")
+    val isoRows = LinkAnalysis.modularityByCommunity(edges, iso).collect()
+    assert(isoRows.find(_.getAs[Long]("community") == 9L)
+      .exists(r => r.getAs[Long]("d_sum") == 0L && r.getAs[Long]("contrib") == 0L))
+  }
+
 }

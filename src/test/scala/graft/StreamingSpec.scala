@@ -162,7 +162,7 @@ class StreamingSpec extends SparkSuite {
       q.processAllAvailable()
       // append mode emits only watermark-closed windows; advance the
       // watermark far enough to flush them all
-      stream.addData((99L, Timestamp.valueOf("2026-01-01 13:00:00"), 1L, "view", 0.0, null))
+      stream.addData((99L, Timestamp.valueOf("2026-01-01 13:00:00"), 1L, "view", 0.0, "{}"))
       q.processAllAvailable()
       val written = spark.read.parquet(outDir)
         .select("window_start", "event_type", "n_events")
@@ -353,5 +353,64 @@ class StreamingSpec extends SparkSuite {
     val out = EventStreams.withProps(df, "k")
       .select("event_id", "prop_k").as[(Long, Option[Long])].collect().toMap
     assert(out(1L).contains(1L) && out(5L).isEmpty)
+  }
+
+  test("transition matrix: hand-computed counts and integer ppm shares") {
+    // one user, sequence a b a c a b -> (a,b):2 (a,c):1 (b,a):1 (c,a):1
+    val df = Seq(
+        (1L, ts(0), 7L, "a", 0.0, "{}"), (2L, ts(1), 7L, "b", 0.0, "{}"),
+        (3L, ts(2), 7L, "a", 0.0, "{}"), (4L, ts(3), 7L, "c", 0.0, "{}"),
+        (5L, ts(4), 7L, "a", 0.0, "{}"), (6L, ts(5), 7L, "b", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventStreams.transitionMatrix(df)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("a", "b", 2L, 666666L), ("a", "c", 1L, 333333L),
+      ("b", "a", 1L, 1000000L), ("c", "a", 1L, 1000000L)))
+  }
+
+  test("transition matrix orders ties by event_id, not arrival order") {
+    // same timestamp: event_id decides b-then-c, so a->b->c->d
+    val t0 = ts(0)
+    val df = Seq(
+        (1L, t0, 7L, "a", 0.0, "{}"), (3L, t0, 7L, "c", 0.0, "{}"),
+        (2L, t0, 7L, "b", 0.0, "{}"), (4L, t0, 7L, "d", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventStreams.transitionMatrix(df)
+      .select("src_type", "dst_type").as[(String, String)].collect().toSet
+    assert(out == Set(("a", "b"), ("b", "c"), ("c", "d")))
+  }
+
+  test("daily anomalies: spike = n*t_days > 2*t_sum over the filled grid") {
+    def day(d: Int): Timestamp = Timestamp.valueOf(f"2026-01-$d%02d 12:00:00")
+    val rows =
+      (1 to 8).map(d => (d.toLong, day(d), 1L, "a", 0.0, "{}")) ++     // a: 1/day
+      (90 to 94).map(i => (i.toLong, day(9), 1L, "a", 0.0, "{}")) ++   // a: 5 on Jan 9
+      Seq((100L, day(1), 2L, "b", 0.0, "{}"),                          // b: sparse
+        (101L, day(4), 2L, "b", 0.0, "{}"), (102L, day(4), 2L, "b", 0.0, "{}"))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventStreams.dailyAnomalies(df)
+      .as[(String, java.sql.Date, Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2.toString) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(out.size == 18)                       // 2 types x 9 grid days
+    assert(out(("a", "2026-01-09")) == ((5L, 7L, 7L, true)))   // 5 vs mean 1
+    assert(out(("a", "2026-01-01")) == ((1L, 0L, 0L, false)))  // no history
+    assert(out(("a", "2026-01-05")) == ((1L, 4L, 4L, false)))  // at the mean
+    assert(out(("b", "2026-01-02")) == ((0L, 1L, 1L, false)))  // gap day filled
+    assert(out(("b", "2026-01-04")) == ((2L, 1L, 3L, true)))   // 2 vs mean 1/3
+    assert(out(("b", "2026-01-09")) == ((0L, 2L, 7L, false)))
+  }
+
+  test("session paths: gap sessionization + ordered path strings") {
+    val df = events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // user 10: clicks 5 min apart; user 11: exactly-30-min gap stays
+    // one session (boundary inclusive); user 12: singleton
+    val out = EventStreams.sessionPaths(df, gapMinutes = 30)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("click>click" -> 1L, "view>click" -> 1L, "view" -> 1L))
+    // a 29-minute gap splits user 11's pair into two sessions
+    val tight = EventStreams.sessionPaths(df, gapMinutes = 29)
+      .as[(String, Long)].collect().toMap
+    assert(tight == Map("click>click" -> 1L, "view" -> 2L, "click" -> 1L))
   }
 }
