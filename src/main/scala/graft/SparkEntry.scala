@@ -220,6 +220,26 @@ object SparkEntry {
        |GROUP BY node ORDER BY node""".stripMargin
   }
 
+  /** DuckDB oracle for [[LinkAnalysis.ktruss]]: `rounds` chained
+    * support-and-peel CTEs (each round a wedge self-join counting
+    * common neighbors per edge, HAVING the k−2 support bar — the
+    * Spark side runs the identical bounded rounds). */
+  private def ktrussSql(k: Int, rounds: Int): String = {
+    val ctes = (1 to rounds).map { r =>
+      s"""u${r - 1} AS MATERIALIZED (SELECT a AS u, b AS v FROM e${r - 1}
+         | UNION ALL SELECT b, a FROM e${r - 1}),
+         |e$r AS MATERIALIZED (SELECT e.a, e.b, COUNT(*) AS support
+         | FROM e${r - 1} e JOIN u${r - 1} x ON x.u = e.a
+         | JOIN u${r - 1} y ON y.u = e.b AND y.v = x.v
+         | GROUP BY e.a, e.b HAVING COUNT(*) >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $copurchaseSql,
+       |e0 AS MATERIALIZED (SELECT a, b FROM pe),
+       |$ctes
+       |SELECT a, b, CAST(support AS BIGINT) AS support FROM e$rounds
+       |ORDER BY a, b""".stripMargin
+  }
+
   /** DuckDB oracle for [[VizData.forceLayout]] on the supplier-nation-
     * region slice: chained CTEs — p0 seeds positions from the portable
     * md5-48bit hash, then per iteration a repulsion agg (rK), an
@@ -2436,6 +2456,18 @@ object SparkEntry {
         .orderBy("node"),
       Some(kcoreSql(2, 8))),
 
+    QueryDef("g53_ktruss",
+      // bounded 3-truss peeling (3 rounds): drop edges in no triangle,
+      // recompute support on the survivors, repeat — the cohesive-
+      // subgraph cousin of g35's k-core, with the surviving edges'
+      // last-round support as evidence. (The co-purchase projection is
+      // triangle-sparse: its 4-truss is empty, so k=3 is the
+      // non-trivial gate here.)
+      (s, dir) => LinkAnalysis.ktruss(
+          StarGraph.copurchase(s, dir).select("a", "b"), 3, 3)
+        .orderBy("a", "b"),
+      Some(ktrussSql(3, 3))),
+
     QueryDef("g37_centrality",
       // closeness + harmonic centrality (multi-source BFS, every node
       // a source) on the undirected supplier-nation-region slice.
@@ -2608,6 +2640,68 @@ object SparkEntry {
               |SELECT node, n_reached_est, dist_sum_est, harmonic_q_est,
               | CAST(n_reached_est AS DOUBLE) / dist_sum_est AS closeness_est
               |FROM agg WHERE n_reached_est > 0 ORDER BY node""".stripMargin)),
+
+    QueryDef("g54_effective_diameter",
+      // ANF neighborhood function + effective diameter (smallest t
+      // reaching 90% of the t=4 pair count) over the same portable
+      // KMV sketch as g41, so the graph-level curve hash-matches the
+      // sketch-re-deriving oracle end to end — the "how far apart is
+      // this graph" audit row next to g41's per-node centralities.
+      (s, dir) => {
+        val sup = t(s, dir, "supplier").select(
+          concat(lit("supplier|"), col("s_suppkey").cast("string")).as("a"),
+          concat(lit("nation|"), col("s_nationkey").cast("string")).as("b"))
+        val nat = t(s, dir, "nation").select(
+          concat(lit("nation|"), col("n_nationkey").cast("string")).as("a"),
+          concat(lit("region|"), col("n_regionkey").cast("string")).as("b"))
+        LinkAnalysis.effectiveDiameter(sup.unionAll(nat), maxDepth = 4,
+            k = 16)
+          .orderBy("t")
+      },
+      Some(s"""$W, sub AS (SELECT source_layer || '|' || source_id AS a,
+              |   target_layer || '|' || target_id AS b
+              |  FROM edges
+              |  WHERE source_layer IN ('supplier', 'nation', 'region')
+              |    AND target_layer IN ('supplier', 'nation', 'region')),
+              | und AS (SELECT a, b FROM sub UNION SELECT b, a FROM sub),
+              | nodes AS (SELECT DISTINCT a AS node FROM und),
+              | walk(src, node, dist) AS (
+              |  SELECT node, node, 0 FROM nodes
+              |  UNION
+              |  SELECT w.src, u.b, w.dist + 1 FROM walk w
+              |   JOIN und u ON u.a = w.node WHERE w.dist < 4),
+              | md AS (SELECT src, node, MIN(dist) AS d FROM walk GROUP BY 1, 2),
+              | h AS (SELECT node,
+              |   CAST(('0x' || substr(md5(node), 1, 12)) AS BIGINT) AS h
+              |  FROM nodes),
+              | rt AS (SELECT DISTINCT m.src, r.t, hh.h
+              |  FROM md m
+              |  JOIN range(0, 5) r(t) ON m.d <= r.t
+              |  JOIN h hh ON hh.node = m.node),
+              | tk AS (SELECT src, t, h FROM (
+              |   SELECT src, t, h,
+              |    ROW_NUMBER() OVER (PARTITION BY src, t ORDER BY h) AS rn
+              |   FROM rt) WHERE rn <= 16),
+              | est AS (SELECT src, t,
+              |   CASE WHEN COUNT(*) < 16 THEN COUNT(*)
+              |        ELSE CAST(15 * 281474976710656 // GREATEST(MAX(h), 1) AS BIGINT)
+              |   END AS est
+              |  FROM tk GROUP BY 1, 2),
+              | nf AS (SELECT t, CAST(SUM(est - 1) AS BIGINT) AS n_pairs_est
+              |  FROM est GROUP BY t),
+              | fin AS (SELECT n_pairs_est AS nmax FROM nf WHERE t = 4),
+              | r AS (SELECT nf.t, nf.n_pairs_est,
+              |   CAST(1000000 * nf.n_pairs_est // GREATEST(f.nmax, 1)
+              |     AS BIGINT) AS ppm_of_final
+              |  FROM nf, fin f),
+              | fl AS (SELECT t, n_pairs_est, ppm_of_final,
+              |   ppm_of_final >= 900000 AS rb,
+              |   COALESCE(LAG(ppm_of_final >= 900000) OVER (ORDER BY t),
+              |     FALSE) AS prb
+              |  FROM r)
+              |SELECT CAST(t AS INT) AS t, n_pairs_est, ppm_of_final,
+              | (rb AND NOT prb) AS is_effective_diameter
+              |FROM fl ORDER BY t""".stripMargin)),
 
     QueryDef("g42_betweenness_pivots",
       // the 100 TB betweenness path: sigma BFS from the 20 pivots with

@@ -418,6 +418,74 @@ object LinkAnalysis {
     }
   }
 
+  /** ANF neighborhood function + effective diameter over the same
+    * bottom-k KMV round engine as [[kmvCentrality]] (Palmer et al.'s
+    * ANF / HyperBall, reduced to the graph-level curve): N(t) =
+    * Σ_node (|ball(node, t)|−1) estimated per round, and the effective
+    * diameter is the smallest t whose N(t) reaches `ppmBar` (default
+    * 90%) of N(maxDepth) — the classic "90% of connected pairs" form.
+    * One row per t: (t, n_pairs_est, ppm_of_final,
+    * is_effective_diameter), all-integer (ppm by integer div), so the
+    * sketched curve hash-matches an oracle re-deriving the identical
+    * sketch contents.
+    *
+    * Scale shape: identical to [[kmvCentrality]] — O(V·k) state, one
+    * equi-join + per-node bottom-k per round; the curve collapses to
+    * maxDepth+1 rows before the (trivial) flag window. */
+  def effectiveDiameter(edges: DataFrame, maxDepth: Int, k: Int = 64,
+                        ppmBar: Long = 900000L): DataFrame =
+      graft.SparkConfs.withoutConstraintPropagation(edges.sparkSession) {
+    require(k > 1 && k <= 32767, "effectiveDiameter: 1 < k <= 32767")
+    require(ppmBar >= 0 && ppmBar <= 1000000L, "ppmBar in [0, 1e6]")
+    val und = edges.select(col("a"), col("b"))
+      .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    val nodes = und.select(col("a").as("node")).distinct()
+    def estimate(state: DataFrame): DataFrame =
+      state.groupBy("node").agg(count(lit(1)).as("cnt"), max("h").as("vk"))
+        .select(col("node"),
+          when(col("cnt") < k, col("cnt"))
+            .otherwise(expr(
+              s"CAST(${k - 1}L * 281474976710656L DIV greatest(vk, 1L) AS BIGINT)"))
+            .as("est"))
+    var state = nodes.select(col("node"), h48(col("node")).as("h"))
+      .localCheckpoint()
+    var ests = estimate(state).withColumn("t", lit(0))
+    val stateBound = {
+      val n = nodes.count()
+      if (n > 300000000L) Long.MaxValue else n * k
+    }
+    graft.SparkConfs.maybeInterpreted(edges.sparkSession, stateBound) {
+      for (t <- 1 to maxDepth) {
+        val prop = state.alias("s")
+          .join(und.alias("u"), col("s.node") === col("u.a"))
+          .select(col("u.b").as("node"), col("s.h").as("h"))
+        val w = Window.partitionBy("node").orderBy("h")
+        state = state.unionAll(prop)
+          .distinct()
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= k).drop("rn")
+          .localCheckpoint()
+        ests = ests.unionAll(estimate(state).withColumn("t", lit(t)))
+      }
+      val nf = ests.groupBy("t")
+        .agg(sum(col("est") - 1).cast("long").as("n_pairs_est"))
+      val fin = nf.where(col("t") === maxDepth)
+        .select(col("n_pairs_est").as("nmax"))
+      val flagW = Window.orderBy("t")
+      nf.crossJoin(fin)
+        .withColumn("ppm_of_final",
+          expr("1000000L * n_pairs_est div greatest(nmax, 1L)"))
+        .withColumn("rb", col("ppm_of_final") >= ppmBar)
+        .withColumn("is_effective_diameter",
+          col("rb") && !coalesce(lag(col("rb"), 1).over(flagW), lit(false)))
+        .select(col("t"), col("n_pairs_est"), col("ppm_of_final"),
+          col("is_effective_diameter"))
+        .localCheckpoint()
+    }
+  }
+
   /** Pivot-sampled betweenness — the 100 TB path for [[betweenness]]'s
     * O(n²)-state / O(n³)-combine exact form. The `numPivots` pivots
     * are the nodes with the smallest (portable-md5-48bit hash, name)
@@ -522,6 +590,39 @@ object LinkAnalysis {
     e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
+  }
+
+  /** Bounded synchronous k-truss peeling over a canonical undirected
+    * edge list (the triangle-density cousin of [[kcore]], Cohen 2008):
+    * each round computes every edge's SUPPORT (its triangle count =
+    * common neighbors of its endpoints) and drops edges with support
+    * < k−2; surviving edges return with their last-round support.
+    * With `rounds` ≥ the peeling depth this is the exact k-truss; the
+    * bound makes the operator a fixed-length relational pipeline
+    * (mirrors the chained-CTE oracle, and the 100 TB plan is a known
+    * number of shuffles). Assumes no self-loops (a < b canonical).
+    *
+    * Scale shape per round: one wedge equi-join edge⋈adjacency on the
+    * endpoint key then a map-side-combinable (a, b) count — the same
+    * join profile as [[trianglesFromEdges]]; hot vertices bound the
+    * wedge fan-out, and the support threshold shrinks the edge set
+    * monotonically round over round. */
+  def ktruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3 && rounds >= 1, "ktruss: k >= 3, rounds >= 1")
+    var e = edges.select("a", "b")
+    for (_ <- 1 to rounds) {
+      val und = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      e = e
+        .join(und.select(col("u").as("a"), col("v").as("w")), Seq("a"))
+        .join(und.select(col("u").as("b"), col("v").as("w")), Seq("b", "w"))
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+        .where(col("support") >= k - 2)
+        // lineage would nest exponentially round-over-round (kcore
+        // pattern)
+        .localCheckpoint(eager = false)
+    }
+    e.select("a", "b", "support")
   }
 
   /** Community detection by mutual best match — the deterministic,

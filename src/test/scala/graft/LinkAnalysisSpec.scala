@@ -351,6 +351,47 @@ class LinkAnalysisSpec extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(got2 == Map(6L -> 6L, 7L -> 7L, 8L -> 7L))
   }
+
+  test("effectiveDiameter: exact ANF curve on a path graph, 90% bar at t=3") {
+    // path 1-2-3-4-5; k=64 >> ball sizes, so every estimate is exact.
+    // N(t) over ordered pairs: 0, 8, 14, 18, 20 — N(3)/N(4) = 90%
+    // exactly, so the effective diameter is 3 (bar is >=).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val out = LinkAnalysis.effectiveDiameter(edges, maxDepth = 4, k = 64)
+      .as[(Int, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2, r._4)).toSeq == Seq(
+      (0, 0L, false), (1, 8L, false), (2, 14L, false),
+      (3, 18L, true), (4, 20L, false)))
+    assert(out.find(_._1 == 3).get._3 == 900000L)
+    // a complete graph reaches everything in one hop
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("a", "b")
+    val k4out = LinkAnalysis.effectiveDiameter(k4, maxDepth = 2, k = 64)
+      .as[(Int, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(k4out.map(r => (r._1, r._4)).toSeq ==
+      Seq((0, false), (1, true), (2, false)))
+  }
+
+  test("ktruss: 4-truss keeps K4, peels the pendant triangle; 3-truss keeps both") {
+    // K4 on {1,2,3,4} + triangle {4,5,6} sharing vertex 4
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (4L, 6L)).toDF("a", "b")
+    val t4 = rows(LinkAnalysis.ktruss(edges, k = 4, rounds = 3))
+    // every K4 edge sits in exactly 2 triangles; triangle edges in 1
+    assert(t4 === Set(
+      Seq(1L, 2L, 2L), Seq(1L, 3L, 2L), Seq(1L, 4L, 2L),
+      Seq(2L, 3L, 2L), Seq(2L, 4L, 2L), Seq(3L, 4L, 2L)))
+    val t3 = rows(LinkAnalysis.ktruss(edges, k = 3, rounds = 3))
+    assert(t3.size == 9 &&
+      t3.count(_.last == 1L) == 3 && t3.count(_.last == 2L) == 6)
+    // bounded rounds are past fixpoint: more rounds change nothing
+    assert(rows(LinkAnalysis.ktruss(edges, k = 4, rounds = 6)) === t4)
+    // cascade: a path of triangles sharing single edges unravels
+    // entirely under k=4 — round 1 alone would keep the shared edges
+    val chain = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (2L, 4L), (3L, 4L)).toDF("a", "b")
+    assert(rows(LinkAnalysis.ktruss(chain, k = 4, rounds = 3)).isEmpty)
+  }
 }
 
 /** Funnel / retention / bigram-LM analytics fixtures. */
