@@ -83,14 +83,19 @@ object SparkEntry {
   /** The CTE chain of [[kmeansSql]] without the final SELECT — the
     * final assignment lands in CTE `a{iters+1}`, so downstream oracles
     * (x55 semantic dedup) can extend the WITH and join against it. */
-  private def kmeansCtes(k: Int, iters: Int): String = {
+  /** `sfx`/`lo`/`hi` (optional): re-instantiate the whole CTE chain
+    * under suffixed names over only dims [lo, hi) of the vector,
+    * re-zeroed — the per-subspace form product quantization trains
+    * on. Defaults reproduce the original full-vector chain. */
+  private def kmeansCtes(k: Int, iters: Int, sfx: String = "",
+                         lo: Int = 0, hi: Int = -1): String = {
     def assignCte(name: String, cents: String) =
       s"""$name AS (
          | SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS d2 FROM (
          |  SELECT q.vec_id, c.cluster, SUM((q.q - c.cq) * (q.q - c.cq)) AS d2,
          |   ROW_NUMBER() OVER (PARTITION BY q.vec_id
          |    ORDER BY SUM((q.q - c.cq) * (q.q - c.cq)), c.cluster) AS rk
-         |  FROM q JOIN $cents c ON c.dim = q.dim
+         |  FROM q$sfx q JOIN $cents c ON c.dim = q.dim
          |  GROUP BY q.vec_id, c.cluster)
          | WHERE rk = 1)""".stripMargin
     def updateCte(name: String, assign: String) =
@@ -98,19 +103,41 @@ object SparkEntry {
          | SELECT a.cluster, q.dim,
          |  CAST((SUM(q.q) - ((SUM(q.q) % COUNT(*)) + COUNT(*)) % COUNT(*))
          |    // COUNT(*) AS BIGINT) AS cq
-         | FROM q JOIN $assign a USING (vec_id)
+         | FROM q$sfx q JOIN $assign a USING (vec_id)
          | GROUP BY a.cluster, q.dim)""".stripMargin
+    val qCte =
+      if (hi < 0)
+        s"""q$sfx AS (SELECT vec_id, UNNEST(range(len(embedding))) AS dim,
+           |  CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+           | FROM embeddings)""".stripMargin
+      else
+        s"""q$sfx AS (SELECT vec_id, dim - $lo AS dim,
+           |  CAST(FLOOR(CAST(embedding[dim + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
+           | FROM (SELECT vec_id, embedding, UNNEST(range($lo, $hi)) AS dim
+           |   FROM embeddings))""".stripMargin
     val rounds = (1 to iters).map(i =>
-      assignCte(s"a$i", s"c${i - 1}") + ",\n" + updateCte(s"c$i", s"a$i"))
+      assignCte(s"a$i$sfx", s"c${i - 1}$sfx") + ",\n" +
+        updateCte(s"c$i$sfx", s"a$i$sfx"))
       .mkString(",\n")
     val sep = if (iters > 0) ",\n" else ""
-    s"""q AS (SELECT vec_id, UNNEST(range(len(embedding))) AS dim,
-       |  CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
-       | FROM embeddings),
-       |seeds AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cluster
+    s"""$qCte,
+       |seeds$sfx AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cluster
        | FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
-       |c0 AS (SELECT s.cluster, q.dim, q.q AS cq FROM q JOIN seeds s USING (vec_id)),
-       |$rounds$sep${assignCte(s"a${iters + 1}", s"c$iters")}""".stripMargin
+       |c0$sfx AS (SELECT s.cluster, q.dim, q.q AS cq
+       | FROM q$sfx q JOIN seeds$sfx s USING (vec_id)),
+       |$rounds$sep${assignCte(s"a${iters + 1}$sfx", s"c$iters$sfx")}""".stripMargin
+  }
+
+  /** DuckDB oracle for [[graft.ext.Clustering.pqEncode]]: one
+    * suffixed kmeans chain per subspace over its dim slice, unioned. */
+  private def pqSql(m: Int, sub: Int, k: Int, iters: Int): String = {
+    val parts = (0 until m)
+      .map(s => kmeansCtes(k, iters, s"_s$s", s * sub, (s + 1) * sub))
+      .mkString(",\n")
+    val sel = (0 until m).map(s =>
+      s"SELECT vec_id, $s AS subspace, cluster AS code, d2 FROM a${iters + 1}_s$s")
+      .mkString("\nUNION ALL ")
+    s"WITH $parts\n$sel\nORDER BY vec_id, subspace"
   }
 
   private def kmeansSql(k: Int, iters: Int): String =
@@ -2095,6 +2122,17 @@ object SparkEntry {
       (s, dir) => Clustering.kmeans(t(s, dir, "embeddings"), k = 4, iters = 2)
         .orderBy("vec_id"),
       Some(kmeansSql(4, 2))),
+
+    QueryDef("x85_pq_encode",
+      // product quantization (X2's compression leg): 4 independent
+      // integer-kmeans codebooks over 16-dim slices, every vector
+      // encoded as 4 one-byte codes + exact per-slice distortion —
+      // 64 floats become 4 bytes before any ANN join, and the codes
+      // themselves hash-match the per-subspace kmeans-CTE oracle.
+      (s, dir) => Clustering.pqEncode(t(s, dir, "embeddings"),
+          dims = 64, m = 4, k = 8, iters = 1)
+        .orderBy("vec_id", "subspace"),
+      Some(pqSql(4, 16, 8, 1))),
 
     QueryDef("x23_tfidf",
       // per-document distinctive terms: tf weighted by reciprocal

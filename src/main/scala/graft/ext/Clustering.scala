@@ -101,4 +101,38 @@ object Clustering {
       else assign(centroids)
     }
   }
+
+  /** Product quantization (Jégou et al. 2011): split the vector into
+    * `m` contiguous subspaces of dims/m dimensions, train an
+    * independent [[kmeans]] codebook of `k` centroids per subspace,
+    * and encode every vector as its per-subspace nearest-centroid
+    * code — m small ints (k ≤ 256 → m bytes) standing in for dims
+    * floats, the standard 10-100× memory compression in front of a
+    * billion-vector ANN index. Returns (vec_id, subspace, code, d2)
+    * with d2 the exact quantization distortion of that slice.
+    *
+    * Everything inherits [[kmeans]]'s determinism (micro-unit integer
+    * arithmetic, id-ordered seeds, floor-division centroid updates),
+    * so the CODES — the compressed corpus itself — re-derive
+    * bit-identically on any engine/partitioning.
+    *
+    * Scale shape: m independent kmeans trainings, each on a
+    * dims/m-wide slice (same broadcast-centroid join profile, smaller
+    * rows); encoding is the final assignment pass, corpus never
+    * shuffles. `dims` is the declared vector width (vectors shorter
+    * than a full slice would train on truncated slices — require the
+    * corpus schema to match). */
+  def pqEncode(emb: DataFrame, dims: Int, m: Int = 4, k: Int = 8,
+               iters: Int = 1, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    require(m > 0 && dims % m == 0, s"pqEncode: m must divide dims ($dims % $m)")
+    val sub = dims / m
+    (0 until m).map { s =>
+      val sliced = emb.select(col(idCol).as("vec_id"),
+        slice(col(vecCol), s * sub + 1, sub).as("embedding"))
+      kmeans(sliced, k, iters)
+        .select(col("vec_id"), lit(s).as("subspace"),
+          col("cluster").as("code"), col("d2"))
+    }.reduce(_ unionAll _)
+  }
 }

@@ -368,6 +368,31 @@ class ExtSpec extends SparkSuite {
     assert(got == again)
   }
 
+  test("pqEncode: per-subspace codes separate only where slices differ (X2)") {
+    // subspace 0 separates A={1,3} from B={2,4}; subspace 1 identical
+    // everywhere -> one code, zero distortion in both subspaces
+    val emb = Seq(
+      (1L, Array(1.0f, 1.0f, 7.0f, 7.0f)), (2L, Array(9.0f, 9.0f, 7.0f, 7.0f)),
+      (3L, Array(1.0f, 1.0f, 7.0f, 7.0f)), (4L, Array(9.0f, 9.0f, 7.0f, 7.0f)))
+      .toDF("vec_id", "embedding")
+    val got = rows(Clustering.pqEncode(emb, dims = 4, m = 2, k = 2, iters = 1))
+    assert(got === Set(
+      Seq(1L, 0, 1, 0L), Seq(2L, 0, 2, 0L), Seq(3L, 0, 1, 0L), Seq(4L, 0, 2, 0L),
+      Seq(1L, 1, 1, 0L), Seq(2L, 1, 1, 0L), Seq(3L, 1, 1, 0L), Seq(4L, 1, 1, 0L)))
+  }
+
+  test("pqEncode with m=1 degenerates to whole-vector kmeans (X2)") {
+    val emb = (0 until 10).map { i =>
+      val base = if (i < 5) 0.5f else -0.5f
+      (i.toLong, Array.fill(8)(base + i * 0.001f))
+    }.toDF("vec_id", "embedding")
+    val pq = Clustering.pqEncode(emb, dims = 8, m = 1, k = 2, iters = 2)
+      .select("vec_id", "code", "d2").as[(Long, Int, Long)].collect().toSet
+    val km = Clustering.kmeans(emb, k = 2, iters = 2)
+      .select("vec_id", "cluster", "d2").as[(Long, Int, Long)].collect().toSet
+    assert(pq == km)
+  }
+
   test("packByTokenBudget: docs join the pack their first token falls in (X3)") {
     val d = Seq((1L, "a b c", "s1"), (2L, "d e", "s1"), (3L, "f g h i", "s1"),
       (4L, "x", "s2"))
