@@ -140,6 +140,46 @@ object SparkEntry {
     s"WITH $parts\n$sel\nORDER BY vec_id, subspace"
   }
 
+  /** DuckDB oracle for [[graft.ext.Clustering.pqAdcTopK]]: the pq
+    * chains, plus per-subspace query LUTs against the FINAL-round
+    * centroids (c`iters`), code-join + sum, per-query top-k. */
+  private def pqAdcSql(m: Int, sub: Int, k: Int, iters: Int,
+                       topK: Int): String = {
+    val parts = (0 until m)
+      .map(s => kmeansCtes(k, iters, s"_s$s", s * sub, (s + 1) * sub))
+      .mkString(",\n")
+    val luts = (0 until m).map { s =>
+      val lo = s * sub; val hi = (s + 1) * sub
+      s"""qq_s$s AS (SELECT vec_id AS query_id, dim - $lo AS dim,
+         |  CAST(FLOOR(CAST(embedding[dim + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
+         | FROM (SELECT vec_id, embedding, UNNEST(range($lo, $hi)) AS dim
+         |   FROM embeddings WHERE vec_id < 5)),
+         |lut_s$s AS (SELECT query_id, c.cluster,
+         |  SUM((q.q - c.cq) * (q.q - c.cq)) AS adist
+         | FROM qq_s$s q JOIN c${iters}_s$s c ON c.dim = q.dim
+         | GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val codesU = (0 until m).map(s =>
+      s"SELECT vec_id, $s AS subspace, cluster AS code FROM a${iters + 1}_s$s")
+      .mkString(" UNION ALL ")
+    val lutU = (0 until m).map(s =>
+      s"SELECT query_id, $s AS subspace, cluster, adist FROM lut_s$s")
+      .mkString(" UNION ALL ")
+    s"""WITH $parts,
+       |$luts,
+       |codes AS ($codesU),
+       |lut AS ($lutU),
+       |dist AS (SELECT l.query_id, a.vec_id AS neighbor_id,
+       |  SUM(l.adist) AS adc_d2
+       | FROM codes a JOIN lut l
+       |   ON l.subspace = a.subspace AND l.cluster = a.code
+       | WHERE a.vec_id <> l.query_id GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, CAST(adc_d2 AS BIGINT) AS adc_d2,
+       | CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |   ORDER BY adc_d2, neighbor_id) AS INT) AS rank
+       |FROM dist QUALIFY rank <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+
   private def kmeansSql(k: Int, iters: Int): String =
     s"""WITH ${kmeansCtes(k, iters)}
        |SELECT vec_id, cluster, d2 FROM a${iters + 1} ORDER BY vec_id""".stripMargin
@@ -2133,6 +2173,22 @@ object SparkEntry {
           dims = 64, m = 4, k = 8, iters = 1)
         .orderBy("vec_id", "subspace"),
       Some(pqSql(4, 16, 8, 1))),
+
+    QueryDef("x86_pq_adc",
+      // ADC retrieval over the x85-compressed corpus: per-query
+      // (subspace, code) -> partial-d2 lookup tables against the
+      // codebook, broadcast; every corpus vector scores as m LUT
+      // probes on its CODES — the scan never touches a float. Exact
+      // integers end to end, so the approximate ranking hash-matches.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val (codes, codebook) = Clustering.pqModel(emb,
+          dims = 64, m = 4, k = 8, iters = 1)
+        Clustering.pqAdcTopK(codes, codebook,
+            emb.where(col("vec_id") < 5), dims = 64, m = 4, topK = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(pqAdcSql(4, 16, 8, 1, 10))),
 
     QueryDef("x23_tfidf",
       // per-document distinctive terms: tf weighted by reciprocal

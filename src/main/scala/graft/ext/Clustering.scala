@@ -59,7 +59,16 @@ object Clustering {
     * map-side. */
   def kmeans(emb: DataFrame, k: Int, iters: Int = 1,
              idCol: String = "vec_id",
-             vecCol: String = "embedding"): DataFrame = {
+             vecCol: String = "embedding"): DataFrame =
+    kmeansModel(emb, k, iters, idCol, vecCol)._1
+
+  /** [[kmeans]] exposing its MODEL too: returns (assignment,
+    * centroids) where centroids (cluster, dim, cq) are exactly the
+    * ones the final assignment ran against — the persistable codebook
+    * an incremental encoder or an ADC scorer needs. */
+  def kmeansModel(emb: DataFrame, k: Int, iters: Int = 1,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): (DataFrame, DataFrame) = {
     require(k > 0 && iters >= 0, "kmeans: k > 0, iters >= 0")
     val quant = quantize(emb, idCol, vecCol).localCheckpoint()
     val seedIds = emb.select(col(idCol).as("vec_id")).orderBy("vec_id").limit(k)
@@ -96,9 +105,11 @@ object Clustering {
       }
       // materialize the final assignment inside the gate when small —
       // returned lazily, it would otherwise compile under the caller
-      if (quantRows < graft.SparkConfs.InterpretedRows)
-        assign(centroids).localCheckpoint()
-      else assign(centroids)
+      val a =
+        if (quantRows < graft.SparkConfs.InterpretedRows)
+          assign(centroids).localCheckpoint()
+        else assign(centroids)
+      (a, centroids)
     }
   }
 
@@ -124,15 +135,71 @@ object Clustering {
     * corpus schema to match). */
   def pqEncode(emb: DataFrame, dims: Int, m: Int = 4, k: Int = 8,
                iters: Int = 1, idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
-    require(m > 0 && dims % m == 0, s"pqEncode: m must divide dims ($dims % $m)")
+               vecCol: String = "embedding"): DataFrame =
+    pqModel(emb, dims, m, k, iters, idCol, vecCol)._1
+
+  /** [[pqEncode]] exposing the trained CODEBOOK too: returns
+    * (codes, codebook) with codebook = (subspace, cluster, dim, cq) —
+    * m·k·(dims/m) rows, broadcast-small by construction, the artifact
+    * a standing corpus persists so later batches encode and ADC
+    * scoring runs without retraining. */
+  def pqModel(emb: DataFrame, dims: Int, m: Int = 4, k: Int = 8,
+              iters: Int = 1, idCol: String = "vec_id",
+              vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    require(m > 0 && dims % m == 0, s"pqModel: m must divide dims ($dims % $m)")
     val sub = dims / m
-    (0 until m).map { s =>
+    val parts = (0 until m).map { s =>
       val sliced = emb.select(col(idCol).as("vec_id"),
         slice(col(vecCol), s * sub + 1, sub).as("embedding"))
-      kmeans(sliced, k, iters)
-        .select(col("vec_id"), lit(s).as("subspace"),
-          col("cluster").as("code"), col("d2"))
+      val (a, c) = kmeansModel(sliced, k, iters)
+      (a.select(col("vec_id"), lit(s).as("subspace"),
+          col("cluster").as("code"), col("d2")),
+        c.select(lit(s).as("subspace"), col("cluster"), col("dim"), col("cq")))
+    }
+    (parts.map(_._1).reduce(_ unionAll _),
+      parts.map(_._2).reduce(_ unionAll _))
+  }
+
+  /** Asymmetric-distance (ADC) top-k retrieval over a PQ-compressed
+    * corpus: each query builds a tiny (subspace, cluster) → partial-d²
+    * lookup table against the codebook (|queries|·m·k rows), the LUT
+    * broadcasts, and every corpus vector scores as the SUM of m LUT
+    * probes on its codes — the scan touches m codes per vector, never
+    * a float, which is the entire point of PQ at 100 TB (4 bytes/row
+    * on the wire instead of 256). Exact integer arithmetic end to
+    * end, so the approximate distances — and the ranking — re-derive
+    * bit-identically on any engine. Returns (query_id, neighbor_id,
+    * adc_d2, rank), smaller distance = nearer, per-query top `topK`
+    * through the bounded-heap [[graft.plans.TopKPerGroup]] operator
+    * (map-side cap, one exchange — the corpus is never window-sorted
+    * whole). */
+  def pqAdcTopK(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
+                dims: Int, m: Int, topK: Int,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(m > 0 && dims % m == 0, s"pqAdcTopK: m must divide dims")
+    val sub = dims / m
+    val qq = (0 until m).map { s =>
+      quantize(queries.select(col(idCol).as("vec_id"),
+          slice(col(vecCol), s * sub + 1, sub).as("embedding")))
+        .select(col("vec_id").as("query_id"), lit(s).as("subspace"),
+          col("dim"), col("q"))
     }.reduce(_ unionAll _)
+    val lut = qq.join(codebook, Seq("subspace", "dim"))
+      .groupBy("query_id", "subspace", "cluster")
+      .agg(sum(((col("q") - col("cq")) * (col("q") - col("cq")))
+        .cast("decimal(38,0)")).cast("long").as("adist"))
+      .withColumnRenamed("cluster", "code")
+    val scored = codes.select("vec_id", "subspace", "code")
+      .join(broadcast(lut), Seq("subspace", "code"))
+      .where(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("adist").as("adc_d2"))
+    val top = graft.plans.TopKPerGroup(scored, Seq("query_id"),
+      Seq(("adc_d2", true), ("neighbor_id", true)), topK)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_d2"), col("neighbor_id"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("neighbor_id"), col("adc_d2"), col("rank"))
   }
 }

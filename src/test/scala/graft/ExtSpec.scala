@@ -393,6 +393,28 @@ class ExtSpec extends SparkSuite {
     assert(pq == km)
   }
 
+  test("pqAdcTopK: zero-distortion corpus makes ADC distances exact (X2)") {
+    // 4 slice combos x2 copies; centroids land exactly on the slice
+    // values (all d2=0), so ADC = true squared quantized distance:
+    // subspace deltas 8e6 and 4e6 -> 128e12 and 32e12 per subspace
+    val vals = Map(
+      1L -> Array(1.0f, 1.0f, 7.0f, 7.0f), 2L -> Array(9.0f, 9.0f, 3.0f, 3.0f),
+      3L -> Array(1.0f, 1.0f, 3.0f, 3.0f), 4L -> Array(9.0f, 9.0f, 7.0f, 7.0f))
+    val emb = (1L to 8L).map(i => (i, vals(if (i > 4) i - 4 else i)))
+      .toDF("vec_id", "embedding")
+    val (codes, codebook) = Clustering.pqModel(emb, dims = 4, m = 2, k = 2, iters = 1)
+    assert(codes.filter(col("d2") =!= 0L).count() == 0)
+    val got = Clustering.pqAdcTopK(codes, codebook,
+        emb.filter($"vec_id" === 1L), dims = 4, m = 2, topK = 7)
+      .select("neighbor_id", "adc_d2", "rank")
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(got.toSeq == Seq(
+      (5L, 0L, 1),                       // exact duplicate of the query
+      (3L, 32000000000000L, 2), (7L, 32000000000000L, 3),
+      (4L, 128000000000000L, 4), (8L, 128000000000000L, 5),
+      (2L, 160000000000000L, 6), (6L, 160000000000000L, 7)))
+  }
+
   test("packByTokenBudget: docs join the pack their first token falls in (X3)") {
     val d = Seq((1L, "a b c", "s1"), (2L, "d e", "s1"), (3L, "f g h i", "s1"),
       (4L, "x", "s2"))

@@ -252,4 +252,39 @@ class ScaleSpec extends SparkSuite {
         s"payload columns must not shuffle, got $names")
     }
   }
+
+  test("pqAdcTopK: the LUT broadcasts — the code scan joins without a corpus shuffle") {
+    import graft.ext.Clustering
+    val emb = (0 until 400).map(i =>
+      (i.toLong, Array.tabulate(8)(d => (math.sin(i * 7 + d) * 4).toFloat)))
+      .toDF("vec_id", "embedding")
+    val (codes, codebook) = Clustering.pqModel(emb, dims = 8, m = 2, k = 4, iters = 1)
+    // persist the compressed corpus as a table (the standing-index
+    // shape: ADC runs against CODES on disk, not the vectors)
+    val c = codes.localCheckpoint()
+    val out = Clustering.pqAdcTopK(c, codebook,
+      emb.filter(col("vec_id") < 3), dims = 8, m = 2, topK = 5)
+    out.collect()
+    val plan = (out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the query LUT must broadcast onto the code scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for the probe join:\n$plan")
+    // below the broadcast join (printed after it) sits the code scan:
+    // no hash exchange there — the only two exchanges in the whole
+    // plan are the (query, neighbor) score agg and the TopK final
+    val belowJoin = plan.split("BroadcastHashJoin").last
+    assert(!belowJoin.contains("Exchange hashpartitioning"),
+      s"code scan must not shuffle before the LUT probe:\n$plan")
+    // three exchanges total: the LUT's own build agg (|queries|*m*k
+    // rows — query-sized, never corpus-sized), the (query, neighbor)
+    // score agg, and the TopK final
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 3,
+      s"three exchanges (LUT agg + score agg + TopK final):\n$plan")
+  }
 }
