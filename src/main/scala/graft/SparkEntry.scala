@@ -2542,6 +2542,30 @@ object SparkEntry {
              |SELECT a, b, n_common, ra_score FROM pairs
              |ORDER BY ra_score DESC, a, b LIMIT 100""".stripMargin)),
 
+    QueryDef("x87_assoc_rules",
+      // market-basket association rules on the co-purchase relation:
+      // directional confidence + lift in integer ppm (div, not /), so
+      // the strongest-association ranking hash-matches. lift > 1e6 =
+      // bought together more than independence predicts.
+      (s, dir) => LinkAnalysis.associationRules(
+          StarGraph.copurchaseGi(s, dir), 2)
+        .orderBy(desc("lift_ppm"), col("a"), col("b")).limit(100),
+      Some("""WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+             |  FROM lineitem),
+             | n AS (SELECT COUNT(DISTINCT g) AS n_orders FROM gi),
+             | item AS (SELECT i, COUNT(*) AS ni FROM gi GROUP BY i),
+             | pairs AS (SELECT a.i AS a, b.i AS b, COUNT(*) AS w
+             |  FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+             |SELECT p.a, p.b, p.w, ia.ni AS n_a, ib.ni AS n_b,
+             | CAST(1000000 * p.w // ia.ni AS BIGINT) AS conf_ab_ppm,
+             | CAST(1000000 * p.w // ib.ni AS BIGINT) AS conf_ba_ppm,
+             | CAST(1000000 * p.w * n.n_orders // (ia.ni * ib.ni) AS BIGINT)
+             |   AS lift_ppm
+             |FROM pairs p JOIN item ia ON ia.i = p.a
+             | JOIN item ib ON ib.i = p.b, n
+             |ORDER BY lift_ppm DESC, a, b LIMIT 100""".stripMargin)),
+
     QueryDef("g35_kcore",
       // bounded synchronous 2-core peeling (8 rounds — fixpoint is at
       // 3 on this graph, LinkAnalysisSpec pins the convergence).

@@ -592,6 +592,38 @@ object LinkAnalysis {
       .groupBy("node").agg(count(lit(1)).as("degree"))
   }
 
+  /** Market-basket association rules over a distinct (group, item)
+    * relation: for item pairs sharing >= `minInter` groups,
+    * directional CONFIDENCE (share of a's groups also containing b)
+    * and LIFT (observed co-occurrence over the independence
+    * expectation), both in integer ppm — `div`, never `/`, so the
+    * rules re-derive bit-identically on any engine. lift_ppm > 1e6
+    * means positively associated. BIGINT arithmetic holds while
+    * 1e6·w·N < 2^63 (w·N ≤ 9.2e12 — route through DECIMAL(38,0)
+    * beyond that).
+    *
+    * Scale shape: the pair count is the bounded co-occurrence join
+    * (support-thresholded); item counts are one map-side-combinable
+    * agg joined back on the item key; N arrives as a 1-row broadcast
+    * cross join. */
+  def associationRules(gi: DataFrame, minInter: Long = 2): DataFrame = {
+    val n = gi.agg(count_distinct(col("g")).as("n_orders"))
+    val item = gi.groupBy("i").agg(count(lit(1)).as("ni"))
+    val pairs = gi.select(col("g"), col("i").as("a"))
+      .join(gi.select(col("g"), col("i").as("b")), "g")
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      .where(col("w") >= minInter)
+    pairs
+      .join(item.select(col("i").as("a"), col("ni").as("n_a")), "a")
+      .join(item.select(col("i").as("b"), col("ni").as("n_b")), "b")
+      .crossJoin(n)
+      .select(col("a"), col("b"), col("w"), col("n_a"), col("n_b"),
+        expr("1000000L * w div n_a").as("conf_ab_ppm"),
+        expr("1000000L * w div n_b").as("conf_ba_ppm"),
+        expr("1000000L * w * n_orders div (n_a * n_b)").as("lift_ppm"))
+  }
+
   /** Bounded synchronous k-truss peeling over a canonical undirected
     * edge list (the triangle-density cousin of [[kcore]], Cohen 2008):
     * each round computes every edge's SUPPORT (its triangle count =

@@ -160,6 +160,35 @@ object Clustering {
       parts.map(_._2).reduce(_ unionAll _))
   }
 
+  /** Encode a batch against an EXISTING codebook — the daily-ingest
+    * leg of a standing PQ index (the x42/x43 probe-and-append shape
+    * for vectors): no retraining, just the per-subspace nearest-
+    * centroid assignment, so appending a batch to the compressed
+    * corpus costs one broadcast join over the batch. Encoding the
+    * training corpus itself against its own codebook reproduces
+    * [[pqModel]]'s codes exactly (spec-pinned — it IS the same final
+    * assignment). */
+  def pqEncodeWith(batch: DataFrame, codebook: DataFrame, dims: Int, m: Int,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    require(m > 0 && dims % m == 0, "pqEncodeWith: m must divide dims")
+    val sub = dims / m
+    val qq = (0 until m).map { s =>
+      quantize(batch.select(col(idCol).as("vec_id"),
+          slice(col(vecCol), s * sub + 1, sub).as("embedding")))
+        .select(col("vec_id"), lit(s).as("subspace"), col("dim"), col("q"))
+    }.reduce(_ unionAll _)
+    val d2 = qq.join(broadcast(codebook), Seq("subspace", "dim"))
+      .groupBy("vec_id", "subspace", "cluster")
+      .agg(sum(((col("q") - col("cq")) * (col("q") - col("cq")))
+        .cast("decimal(38,0)")).as("d2"))
+    val w = Window.partitionBy("vec_id", "subspace")
+      .orderBy(col("d2"), col("cluster"))
+    d2.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("subspace"), col("cluster").as("code"),
+        col("d2").cast("long").as("d2"))
+  }
+
   /** Asymmetric-distance (ADC) top-k retrieval over a PQ-compressed
     * corpus: each query builds a tiny (subspace, cluster) → partial-d²
     * lookup table against the codebook (|queries|·m·k rows), the LUT

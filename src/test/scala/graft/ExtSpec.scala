@@ -415,6 +415,22 @@ class ExtSpec extends SparkSuite {
       (2L, 160000000000000L, 6), (6L, 160000000000000L, 7)))
   }
 
+  test("pqEncodeWith: encoding against the model's codebook reproduces its codes (X2)") {
+    val emb = (0 until 60).map(i =>
+      (i.toLong, Array.tabulate(8)(d => (math.sin(i * 3 + d) * 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val (codes, codebook) = Clustering.pqModel(emb, dims = 8, m = 2, k = 4, iters = 2)
+    val enc = Clustering.pqEncodeWith(emb, codebook, dims = 8, m = 2)
+    assert(rows(enc) === rows(codes))
+    // a fresh batch encodes against the persisted codebook without
+    // touching the training corpus
+    val batch = Seq((1000L, Array.tabulate(8)(d => (math.sin(d) * 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val bEnc = Clustering.pqEncodeWith(batch, codebook, dims = 8, m = 2)
+      .select("vec_id", "subspace").as[(Long, Int)].collect().toSet
+    assert(bEnc == Set((1000L, 0), (1000L, 1)))
+  }
+
   test("packByTokenBudget: docs join the pack their first token falls in (X3)") {
     val d = Seq((1L, "a b c", "s1"), (2L, "d e", "s1"), (3L, "f g h i", "s1"),
       (4L, "x", "s2"))

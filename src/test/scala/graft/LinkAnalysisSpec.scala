@@ -352,6 +352,19 @@ class LinkAnalysisSpec extends SparkSuite {
     assert(got2 == Map(6L -> 6L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("associationRules: hand-computed confidence and lift in ppm") {
+    // baskets: {1,2} {1,2} {1,3} {2,3} {3} -> only (1,2) has support 2
+    val gi = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 3L), (4L, 2L), (4L, 3L), (5L, 3L)).toDF("g", "i")
+    val got = rows(LinkAnalysis.associationRules(gi, minInter = 2))
+    // conf both ways = 2/3; lift = 2*5/(3*3) = 10/9
+    assert(got === Set(Seq(1L, 2L, 2L, 3L, 3L, 666666L, 666666L, 1111111L)))
+    // items always bought together and never apart: conf 100%, lift 1
+    val gi2 = Seq((6L, 7L), (6L, 8L), (7L, 7L), (7L, 8L)).toDF("g", "i")
+    val got2 = rows(LinkAnalysis.associationRules(gi2, minInter = 2))
+    assert(got2 === Set(Seq(7L, 8L, 2L, 2L, 2L, 1000000L, 1000000L, 1000000L)))
+  }
+
   test("effectiveDiameter: exact ANF curve on a path graph, 90% bar at t=3") {
     // path 1-2-3-4-5; k=64 >> ball sizes, so every estimate is exact.
     // N(t) over ordered pairs: 0, 8, 14, 18, 20 — N(3)/N(4) = 90%
