@@ -579,6 +579,91 @@ object InvariantProps extends Properties("GraftInvariants") {
       got == label
     }
 
+  private val genUndirectedEdges = for {
+    n <- Gen.choose(3, 12)
+    m <- Gen.choose(1, 25)
+    raw <- Gen.listOfN(m, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+  } yield raw.collect { case (a, b) if a != b =>
+    (math.min(a, b).toLong, math.max(a, b).toLong) }.distinct
+
+  property("ktruss == brute support-peeling fixpoint on random graphs") =
+    forAll(genUndirectedEdges, Gen.choose(3, 5)) { (edges, k) =>
+      import spark.implicits._
+      // brute: iterate support-and-peel to the true fixpoint
+      var cur = edges.toSet
+      var sup = Map.empty[(Long, Long), Int]
+      var roundsUsed = 0
+      var stable = false
+      while (!stable) {
+        roundsUsed += 1
+        val nbrs = cur.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupMap(_._1)(_._2).map { case (x, ys) => x -> ys.toSet }
+        sup = cur.map { case e @ (a, b) =>
+          e -> (nbrs.getOrElse(a, Set.empty) & nbrs.getOrElse(b, Set.empty)).size
+        }.toMap
+        val keep = sup.filter(_._2 >= k - 2).keySet
+        if (keep == cur) stable = true else cur = keep
+      }
+      val expect = cur.map(e => Seq[Any](e._1, e._2, sup(e).toLong))
+      val df =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("a", "b")
+        else edges.toDF("a", "b")
+      val got = graft.algos.LinkAnalysis.ktruss(df, k, roundsUsed + 1)
+        .collect().map(_.toSeq).toSet
+      got == expect
+    }
+
+  property("associationRules == brute confidence/lift on random baskets") =
+    forAll(for {
+      ng <- Gen.choose(2, 8); ni <- Gen.choose(2, 6); m <- Gen.choose(2, 25)
+      raw <- Gen.listOfN(m, Gen.zip(Gen.choose(0, ng - 1), Gen.choose(0, ni - 1)))
+    } yield raw.map { case (g, i) => (g.toLong, i.toLong) }.distinct) { gi =>
+      import spark.implicits._
+      val byItem = gi.groupMap(_._2)(_._1).map { case (i, gs) => i -> gs.toSet }
+      val nOrders = gi.map(_._1).distinct.size.toLong
+      val expect = (for {
+        a <- byItem.keys; b <- byItem.keys if a < b
+        w = (byItem(a) & byItem(b)).size.toLong if w >= 2
+      } yield {
+        val (na, nb) = (byItem(a).size.toLong, byItem(b).size.toLong)
+        Seq[Any](a, b, w, na, nb, 1000000L * w / na, 1000000L * w / nb,
+          1000000L * w * nOrders / (na * nb))
+      }).toSet
+      val got = graft.algos.LinkAnalysis
+        .associationRules(gi.toDF("g", "i"), 2).collect().map(_.toSeq).toSet
+      got == expect
+    }
+
+  property("effectiveDiameter == exact BFS curve when k exceeds every ball") =
+    forAll(genUndirectedEdges.suchThat(_.nonEmpty)) { edges =>
+      import spark.implicits._
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupMap(_._1)(_._2).map { case (x, ys) => x -> ys.toSet }
+      def ball(src: Long, h: Int): Int = {
+        var seen = Set(src)
+        var frontier = Set(src)
+        for (_ <- 1 to h) {
+          frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+          seen ++= frontier
+        }
+        seen.size
+      }
+      val maxDepth = 4
+      val nf = (0 to maxDepth).map(t => nodes.map(ball(_, t) - 1L).sum)
+      val nmax = math.max(nf(maxDepth), 1L)
+      val ppm = nf.map(v => 1000000L * v / nmax)
+      val rb = ppm.map(_ >= 900000L)
+      val flags = rb.zipWithIndex.map { case (r, t) =>
+        r && (t == 0 || !rb(t - 1)) }
+      val expect = (0 to maxDepth).map(t =>
+        Seq[Any](t, nf(t), ppm(t), flags(t))).toSet
+      val got = graft.algos.LinkAnalysis
+        .effectiveDiameter(edges.toDF("a", "b"), maxDepth, k = 64)
+        .collect().map(_.toSeq).toSet
+      got == expect
+    }
+
   property("rendezvousShard: brute argmax; resize moves keys only TO the new shard") =
     forAll(genResize) { case (n, shards) =>
       import spark.implicits._
