@@ -1072,6 +1072,33 @@ object SparkEntry {
               |SELECT MIN(member) AS component, COUNT(*) AS size
               |FROM members GROUP BY nkey ORDER BY component""".stripMargin)),
 
+    QueryDef("g55_graph_card",
+      // graph datasheet (the x71 dataset-card counterpart): sizes,
+      // layer/relation vocabularies, degree extremes, isolated count
+      // — every value a BIGINT, so ingest-day cards diff meaningfully
+      // and the card re-derives identically on any engine.
+      (s, dir) => graft.views.Exporter.graphCard(graph(s, dir))
+        .orderBy("metric"),
+      Some(s"""$W, outd AS (SELECT COUNT(*) AS d FROM edges
+              |   GROUP BY source_layer, source_id),
+              | ind AS (SELECT COUNT(*) AS d FROM edges
+              |   GROUP BY target_layer, target_id)
+              |SELECT * FROM (
+              | SELECT 'n_vertices' AS metric,
+              |  CAST(COUNT(*) AS BIGINT) AS value FROM vertices
+              | UNION ALL SELECT 'n_edges', COUNT(*) FROM edges
+              | UNION ALL SELECT 'n_layers', COUNT(DISTINCT layer)
+              |  FROM vertices
+              | UNION ALL SELECT 'n_relations', COUNT(DISTINCT relation)
+              |  FROM edges
+              | UNION ALL SELECT 'max_out_degree', (SELECT MAX(d) FROM outd)
+              | UNION ALL SELECT 'max_in_degree', (SELECT MAX(d) FROM ind)
+              | UNION ALL SELECT 'n_isolated', COUNT(*) FROM vertices v
+              |  WHERE NOT EXISTS (SELECT 1 FROM edges e
+              |   WHERE (e.source_layer = v.layer AND e.source_id = v.node_id)
+              |      OR (e.target_layer = v.layer AND e.target_id = v.node_id)))
+              |ORDER BY metric""".stripMargin)),
+
     QueryDef("g08_bipartite_summary",
       (s, dir) => {
         val b = graph(s, dir).bipartite("order", "part")

@@ -66,4 +66,40 @@ object Exporter {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** Graph datasheet — the [[graft.ext.Profiling.datasetCard]]
+    * counterpart for graphs: (metric, value) rows, every value a
+    * BIGINT so two cards from different ingest days diff meaningfully
+    * and any engine re-derives the identical card. Structure-only
+    * metrics (no closure): sizes, layer/relation vocabularies, degree
+    * extremes, isolated-vertex count.
+    *
+    * Scale shape: a handful of map-side-combinable aggregations +
+    * one anti-join for the isolated count; nothing collects, nothing
+    * is quadratic. */
+  def graphCard(g: OnionGraph): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    def row(metric: String, agg: Column, df: DataFrame): DataFrame =
+      df.agg(coalesce(agg.cast("long"), lit(0L)).as("value"))
+        .select(lit(metric).as("metric"), col("value"))
+    val outd = g.edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val ind = g.edges.groupBy("dst").agg(count(lit(1)).as("d"))
+    val touched = g.edges.select(col("src").as("vid"))
+      .unionAll(g.edges.select(col("dst").as("vid"))).distinct()
+    val isolated = g.vertices.join(touched, Seq("vid"), "left_anti")
+    row("n_vertices", count(lit(1)), g.vertices)
+      .unionAll(row("n_edges", count(lit(1)), g.edges))
+      .unionAll(row("n_layers", count_distinct(col("layer")), g.vertices))
+      // graphs without an explicit relation prop fall back to the
+      // (source layer, target layer) pair vocabulary
+      .unionAll(row("n_relations",
+        if (g.edges.columns.contains("relation"))
+          count_distinct(col("relation"))
+        else count_distinct(struct(col("srcLayer"), col("dstLayer"))),
+        g.edges))
+      .unionAll(row("max_out_degree", max(col("d")), outd))
+      .unionAll(row("max_in_degree", max(col("d")), ind))
+      .unionAll(row("n_isolated", count(lit(1)), isolated))
+  }
 }

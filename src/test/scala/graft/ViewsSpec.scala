@@ -138,4 +138,18 @@ class ViewsSpec extends SparkSuite {
       PropertyOps.getVertexProperty(g3, "L1", "b", "fresh").isEmpty ||
       PropertyOps.getVertexProperty(g3, "L1", "b", "fresh").get == null)
   }
+
+  test("graphCard: hand-computed datasheet; isolated vertex counted") {
+    val card = Exporter.graphCard(g).as[(String, Long)].collect().toMap
+    // 5 vertices, 4 edges, 3 layers; relation fallback = distinct
+    // (srcLayer, dstLayer) pairs (L1,L2),(L2,L3),(L1,L1); a has
+    // out-degree 2; every target hit once; nobody isolated
+    assert(card == Map("n_vertices" -> 5L, "n_edges" -> 4L,
+      "n_layers" -> 3L, "n_relations" -> 3L,
+      "max_out_degree" -> 2L, "max_in_degree" -> 1L, "n_isolated" -> 0L))
+    // drop all edges touching L3: e becomes isolated
+    val pruned = g.filterEdges(col("dstLayer") =!= "L3")
+    val card2 = Exporter.graphCard(pruned).as[(String, Long)].collect().toMap
+    assert(card2("n_isolated") == 1L && card2("n_edges") == 3L)
+  }
 }
