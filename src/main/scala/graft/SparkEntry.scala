@@ -3321,6 +3321,32 @@ object SparkEntry {
              |SELECT path, COUNT(*) AS n_sessions
              |FROM p GROUP BY path ORDER BY path""".stripMargin)),
 
+    QueryDef("q44_rolling_actives",
+      // DAU / trailing-7-day-actives / stickiness ppm per calendar
+      // day. Rolling DISTINCT is not a frame aggregate: the spine
+      // joins the (user, day) table on the day range (bounded 7x
+      // expansion of the already-collapsed distinct table), then one
+      // count-distinct per day.
+      (s, dir) => EventStreams.rollingActives(EventStreams.readEvents(s, dir))
+        .orderBy("d"),
+      Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+             |  FROM events),
+             | bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ud),
+             | spine AS (SELECT CAST(UNNEST(generate_series(lo, hi,
+             |   INTERVAL 1 DAY)) AS DATE) AS d FROM bounds),
+             | dau AS (SELECT day AS d, COUNT(*) AS dau FROM ud GROUP BY 1),
+             | wau AS (SELECT s.d, COUNT(DISTINCT u.user_id) AS wau
+             |  FROM spine s JOIN ud u ON u.day BETWEEN s.d - 6 AND s.d
+             |  GROUP BY 1)
+             |SELECT s.d, CAST(COALESCE(dau.dau, 0) AS BIGINT) AS dau,
+             | CAST(COALESCE(wau.wau, 0) AS BIGINT) AS wau,
+             | CAST(1000000 * COALESCE(dau.dau, 0)
+             |   // GREATEST(COALESCE(wau.wau, 0), 1) AS BIGINT)
+             |   AS stickiness_ppm
+             |FROM spine s LEFT JOIN dau ON dau.d = s.d
+             | LEFT JOIN wau ON wau.d = s.d
+             |ORDER BY s.d""".stripMargin)),
+
     QueryDef("q37_sliding_window",
       // sliding windows (width 1h, slide 30m): every event lands in
       // exactly width/slide = 2 windows; the oracle re-derives the two

@@ -242,6 +242,35 @@ object EventStreams {
           .as("filled_value"))
   }
 
+  /** Rolling engagement: per calendar day, the daily-active count,
+    * the trailing-`windowDays` distinct-active count, and their ratio
+    * in integer ppm (the DAU/WAU "stickiness" metric). Distinct-over-
+    * sliding-window is not a frame-window aggregate — the rolling
+    * distinct materializes as spine ⋈ (user, day) on the day-range
+    * predicate, a bounded ≤`windowDays`× expansion of the DISTINCT
+    * (user, day) table (already collapsed from the event table), then
+    * one count-distinct per day. The spine is generated, tiny, and
+    * broadcast; days with no activity emit 0s. */
+  def rollingActives(events: DataFrame, windowDays: Int = 7,
+                     userCol: String = "user_id",
+                     tsCol: String = "ts"): DataFrame = {
+    require(windowDays > 0, "windowDays must be positive")
+    val ud = events.select(col(userCol).as("u"),
+      col(tsCol).cast("date").as("day")).distinct()
+    val spine = ud.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+    val dau = ud.groupBy(col("day").as("d"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = broadcast(spine).join(ud,
+        datediff(col("d"), col("day")).between(0, windowDays - 1))
+      .groupBy("d").agg(count_distinct(col("u")).as("wau"))
+    spine.join(dau, Seq("d"), "left").join(wau, Seq("d"), "left")
+      .select(col("d"), coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"))
+      .withColumn("stickiness_ppm",
+        expr("1000000L * dau div greatest(wau, 1L)"))
+  }
+
   /** Markov transition matrix over the per-user event sequence:
     * count + integer-ppm probability of each (event_type → next
     * event_type) step, ordering within a user by (ts, event_id) so

@@ -401,6 +401,24 @@ class StreamingSpec extends SparkSuite {
     assert(out(("b", "2026-01-09")) == ((0L, 2L, 7L, false)))
   }
 
+  test("rolling actives: DAU/WAU/stickiness over the calendar spine") {
+    def day(d: Int): Timestamp = Timestamp.valueOf(f"2026-01-$d%02d 12:00:00")
+    // u1: days 1,2; u2: day 1; u3: day 9
+    val df = Seq(
+        (1L, day(1), 1L, "a", 0.0, "{}"), (2L, day(1), 2L, "a", 0.0, "{}"),
+        (3L, day(2), 1L, "a", 0.0, "{}"), (4L, day(9), 3L, "a", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventStreams.rollingActives(df)
+      .as[(java.sql.Date, Long, Long, Long)].collect()
+      .map(r => r._1.toString -> ((r._2, r._3, r._4))).toMap
+    assert(out.size == 9)
+    assert(out("2026-01-01") == ((2L, 2L, 1000000L)))
+    assert(out("2026-01-02") == ((1L, 2L, 500000L)))   // both in window
+    assert(out("2026-01-07") == ((0L, 2L, 0L)))        // day 1 still in
+    assert(out("2026-01-08") == ((0L, 1L, 0L)))        // only u1's day 2
+    assert(out("2026-01-09") == ((1L, 1L, 1000000L)))  // u3 alone
+  }
+
   test("session paths: gap sessionization + ordered path strings") {
     val df = events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     // user 10: clicks 5 min apart; user 11: exactly-30-min gap stays
