@@ -140,6 +140,36 @@ object SparkEntry {
     s"WITH $parts\n$sel\nORDER BY vec_id, subspace"
   }
 
+  /** DuckDB oracle for [[LinkAnalysis.labelSpread]] from region seeds
+    * over the star graph: chained frontier CTEs — per round, count
+    * frontier-neighbor labels for still-unlabeled vertices, QUALIFY
+    * the (n DESC, label) argmax, freeze. */
+  private def labelSpreadSql(rounds: Int): String = {
+    val ctes = (1 to rounds).map { r =>
+      s"""c$r AS MATERIALIZED (SELECT u.v AS id, f.label, COUNT(*) AS n
+         | FROM und u JOIN f${r - 1} f ON f.id = u.u
+         | WHERE u.v NOT IN (SELECT id FROM l${r - 1})
+         | GROUP BY 1, 2),
+         |f$r AS MATERIALIZED (SELECT id, label, $r AS round FROM c$r
+         | QUALIFY ROW_NUMBER() OVER (PARTITION BY id
+         |   ORDER BY n DESC, label) = 1),
+         |l$r AS MATERIALIZED (SELECT * FROM l${r - 1}
+         | UNION ALL SELECT * FROM f$r)""".stripMargin
+    }.mkString(",\n")
+    s"""$W, ids AS (SELECT source_layer || '|' || source_id AS a,
+       |   target_layer || '|' || target_id AS b FROM edges),
+       | und AS (SELECT a AS u, b AS v FROM ids
+       |  UNION ALL SELECT b, a FROM ids),
+       | l0 AS (SELECT 'region|' || node_id AS id,
+       |   CAST(node_id AS INT) AS label, 0 AS round
+       |  FROM vertices WHERE layer = 'region'),
+       | f0 AS (SELECT id, label, round FROM l0),
+       |$ctes
+       |SELECT split_part(id, '|', 1) AS layer,
+       | split_part(id, '|', 2) AS node_id, label, round
+       |FROM l$rounds ORDER BY layer, node_id""".stripMargin
+  }
+
   /** DuckDB oracle for [[graft.ext.Clustering.pqAdcTopK]]: the pq
     * chains, plus per-subspace query LUTs against the FINAL-round
     * centroids (c`iters`), code-join + sum, per-query top-k. */
@@ -2847,6 +2877,25 @@ object SparkEntry {
               |SELECT CAST(t AS INT) AS t, n_pairs_est, ppm_of_final,
               | (rb AND NOT prb) AS is_effective_diameter
               |FROM fl ORDER BY t""".stripMargin)),
+
+    QueryDef("g56_label_spread",
+      // seeded label spreading: region labels spread 4 undirected
+      // hops (region -> nation -> supplier/customer -> order -> part)
+      // with freeze-on-first-label + (count, min-label) argmax — the
+      // deterministic semi-supervised LPA that classic synchronous
+      // LPA's oscillation can never hash-match.
+      (s, dir) => {
+        val g = graph(s, dir)
+        val seeds = g.vertices.where(col("layer") === "region")
+          .select(col("vid").as("id"), col("nodeId").cast("int").as("label"))
+        LinkAnalysis.labelSpread(
+            g.edges.select(col("src").as("a"), col("dst").as("b")), seeds, 4)
+          .join(g.vertices, col("id") === col("vid"))
+          .select(col("layer"), col("nodeId").as("node_id"),
+            col("label"), col("round"))
+          .orderBy("layer", "node_id")
+      },
+      Some(labelSpreadSql(4))),
 
     QueryDef("g42_betweenness_pivots",
       // the 100 TB betweenness path: sigma BFS from the 20 pivots with

@@ -592,6 +592,50 @@ object LinkAnalysis {
       .groupBy("node").agg(count(lit(1)).as("degree"))
   }
 
+  /** Seeded label spreading (semi-supervised node classification):
+    * seed vertices carry fixed labels; each round, every still-
+    * unlabeled vertex adjacent to labeled ones takes the argmax
+    * (neighbor-label count, ties → smaller label) and FREEZES.
+    * Freezing makes the sweep monotone — classic synchronous LPA
+    * oscillates and is visit-order-dependent, so it can never
+    * hash-match an independent engine; this variant is deterministic
+    * by construction (the x62 knn-labeling idea transplanted onto
+    * graph adjacency). Bounded `rounds` = labels reach `rounds` hops
+    * from the seeds. Returns (vid, label, round) — round 0 = seed.
+    *
+    * Scale shape per round: one equi-join of the undirected edge list
+    * against the CURRENT label table restricted to the last frontier
+    * (labels ≪ vertices early on), then a map-side-combinable
+    * (vertex, label) count and a max-of-struct argmax — no window
+    * over the vertex set. */
+  def labelSpread(edges: DataFrame, seeds: DataFrame,
+                  rounds: Int): DataFrame = {
+    require(rounds >= 0, "labelSpread: rounds >= 0")
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    var labels = seeds.select(col("id"), col("label"), lit(0).as("round"))
+      .localCheckpoint()
+    var frontier = labels.select(col("id").as("u"), col("label"))
+    for (t <- 1 to rounds) {
+      // frontier-only neighbor counting IS all-labeled-neighbor
+      // counting: a vertex still unlabeled at round t cannot neighbor
+      // anything labeled before t-1 (it would have been labeled then)
+      val cand = und.join(frontier.select(col("u"), col("label")), Seq("u"))
+        .select(col("v").as("id"), col("label"))
+      val newly = cand
+        .join(labels.select("id"), Seq("id"), "left_anti")
+        .groupBy("id", "label").agg(count(lit(1)).as("n"))
+        .groupBy("id")
+        .agg(max(struct(col("n"), (-col("label")).as("nl"))).as("m"))
+        .select(col("id"), (-col("m.nl")).as("label"), lit(t).as("round"))
+        .localCheckpoint()
+      labels = labels.unionByName(newly).localCheckpoint()
+      frontier = newly.select(col("id").as("u"), col("label"))
+    }
+    labels
+  }
+
   /** Market-basket association rules over a distinct (group, item)
     * relation: for item pairs sharing >= `minInter` groups,
     * directional CONFIDENCE (share of a's groups also containing b)

@@ -352,6 +352,25 @@ class LinkAnalysisSpec extends SparkSuite {
     assert(got2 == Map(6L -> 6L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("labelSpread: frozen seeds, majority + min-label tie-break, hop rounds") {
+    // seeds: 1->label 1; 2,8->label 2. Vertex 5 ties (one neighbor
+    // of each label) -> min label 1; vertex 9 sees label 2 twice and
+    // label 1 once -> majority 2; vertex 6 is 2 hops out via 5.
+    val edges = Seq((1L, 3L), (3L, 4L), (2L, 4L), (1L, 5L), (2L, 5L),
+      (5L, 6L), (2L, 9L), (8L, 9L), (1L, 9L)).toDF("a", "b")
+    val seeds = Seq((1L, 1), (2L, 2), (8L, 2)).toDF("id", "label")
+    val got = LinkAnalysis.labelSpread(edges, seeds, 3)
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> ((1, 0)), 2L -> ((2, 0)), 8L -> ((2, 0)),
+      3L -> ((1, 1)), 4L -> ((2, 1)), 5L -> ((1, 1)), 9L -> ((2, 1)),
+      6L -> ((1, 2))))
+    // rounds bound the reach: with 1 round, vertex 6 stays unlabeled
+    val r1 = LinkAnalysis.labelSpread(edges, seeds, 1)
+      .select("id").as[Long].collect().toSet
+    assert(!r1.contains(6L) && r1.contains(5L))
+  }
+
   test("associationRules: hand-computed confidence and lift in ppm") {
     // baskets: {1,2} {1,2} {1,3} {2,3} {3} -> only (1,2) has support 2
     val gi = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
