@@ -3396,6 +3396,33 @@ object SparkEntry {
              | LEFT JOIN wau ON wau.d = s.d
              |ORDER BY s.d""".stripMargin)),
 
+    QueryDef("q45_streaks",
+      // longest activity streak per user — gaps-and-islands: the
+      // island key day-row_number is constant exactly along a run of
+      // consecutive days; best streak = (len DESC, start) argmax as a
+      // max-of-struct agg.
+      (s, dir) => EventStreams.activityStreaks(EventStreams.readEvents(s, dir))
+        .orderBy("user_id"),
+      Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+             |  FROM events),
+             | isl AS (SELECT user_id, d,
+             |   d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+             |     ORDER BY d) AS INT) AS g
+             |  FROM ud),
+             | st AS (SELECT user_id, g, COUNT(*) AS len, MIN(d) AS start
+             |  FROM isl GROUP BY 1, 2),
+             | best AS (SELECT user_id, len AS best_len,
+             |   start AS best_start FROM st
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+             |    ORDER BY len DESC, start) = 1),
+             | per AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_streaks,
+             |   CAST(SUM(len) AS BIGINT) AS n_active_days
+             |  FROM st GROUP BY 1)
+             |SELECT p.user_id, p.n_streaks, p.n_active_days,
+             | CAST(b.best_len AS BIGINT) AS best_len, b.best_start
+             |FROM per p JOIN best b USING (user_id)
+             |ORDER BY p.user_id""".stripMargin)),
+
     QueryDef("q37_sliding_window",
       // sliding windows (width 1h, slide 30m): every event lands in
       // exactly width/slide = 2 windows; the oracle re-derives the two

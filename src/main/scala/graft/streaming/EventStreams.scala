@@ -271,6 +271,33 @@ object EventStreams {
         expr("1000000L * dau div greatest(wau, 1L)"))
   }
 
+  /** Longest activity streaks per user — the gaps-and-islands
+    * pattern: consecutive active days share the island key
+    * `day − row_number` (the difference is constant exactly along a
+    * run), islands collapse to (length, start), and the best streak
+    * is the (length DESC, start ASC) argmax as a max-of-struct
+    * aggregation. Runs on the collapsed DISTINCT (user, day) table —
+    * the event table is touched once; both windows partition by user
+    * (bounded by a user's active days, never the corpus). */
+  def activityStreaks(events: DataFrame, userCol: String = "user_id",
+                      tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ud = events.select(col(userCol).as("user_id"),
+      col(tsCol).cast("date").as("d")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("d")
+    val isl = ud.withColumn("g", date_sub(col("d"), row_number().over(w)))
+    val st = isl.groupBy("user_id", "g")
+      .agg(count(lit(1)).as("len"), min("d").as("start"))
+    st.groupBy("user_id")
+      .agg(count(lit(1)).as("n_streaks"),
+        sum("len").cast("long").as("n_active_days"),
+        max(struct(col("len"),
+          (-datediff(col("start"), lit("1970-01-01"))).as("nd"))).as("m"))
+      .select(col("user_id"), col("n_streaks"), col("n_active_days"),
+        col("m.len").as("best_len"),
+        date_add(lit("1970-01-01"), -col("m.nd")).as("best_start"))
+  }
+
   /** Markov transition matrix over the per-user event sequence:
     * count + integer-ppm probability of each (event_type → next
     * event_type) step, ordering within a user by (ts, event_id) so

@@ -664,6 +664,39 @@ object InvariantProps extends Properties("GraftInvariants") {
       got == expect
     }
 
+  property("labelSpread == brute ALL-labeled-neighbor majority (frontier theorem)") =
+    forAll(genUndirectedEdges.suchThat(_.nonEmpty), Gen.choose(1, 3)) {
+      (edges, rounds) =>
+        import spark.implicits._
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupMap(_._1)(_._2).map { case (x, ys) => x -> ys.toSet }
+        val seedIds = nodes.take(2)
+        val seeds = seedIds.zipWithIndex.map { case (id, i) => (id, i + 1) }
+        // brute: count over ALL labeled neighbors each round — the
+        // implementation counts the last frontier only; they must
+        // agree (an unlabeled vertex cannot neighbor older labels)
+        var lab = seeds.map { case (id, l) => id -> ((l, 0)) }.toMap
+        for (t <- 1 to rounds) {
+          val newly = nodes.filterNot(lab.contains).flatMap { v =>
+            val counts = adj.getOrElse(v, Set.empty).toSeq
+              .flatMap(n => lab.get(n).map(_._1))
+              .groupBy(identity).view.mapValues(_.size).toMap
+            if (counts.isEmpty) None
+            else {
+              val best = counts.toSeq.map { case (l, n) => (n, -l) }.max
+              Some(v -> ((-best._2, t)))
+            }
+          }
+          lab = lab ++ newly
+        }
+        val got = graft.algos.LinkAnalysis.labelSpread(
+            edges.toDF("a", "b"), seeds.toDF("id", "label"), rounds)
+          .as[(Long, Int, Int)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+        got == lab
+    }
+
   property("rendezvousShard: brute argmax; resize moves keys only TO the new shard") =
     forAll(genResize) { case (n, shards) =>
       import spark.implicits._

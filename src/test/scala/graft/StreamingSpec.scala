@@ -419,6 +419,24 @@ class StreamingSpec extends SparkSuite {
     assert(out("2026-01-09") == ((1L, 1L, 1000000L)))  // u3 alone
   }
 
+  test("activity streaks: gaps-and-islands lengths + earliest-start tie-break") {
+    def day(d: Int): Timestamp = Timestamp.valueOf(f"2026-01-$d%02d 09:00:00")
+    // u1: 1,2,3 | 5,6 | 10 -> best 3 from Jan 1
+    // u2: 1,2 | 4,5 -> two len-2 streaks, tie -> earliest start
+    val rows =
+      Seq(1, 2, 3, 5, 6, 10).zipWithIndex.map { case (d, i) =>
+        (i.toLong, day(d), 1L, "a", 0.0, "{}") } ++
+      Seq(1, 2, 4, 5).zipWithIndex.map { case (d, i) =>
+        (100L + i, day(d), 2L, "a", 0.0, "{}") }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventStreams.activityStreaks(df)
+      .as[(Long, Long, Long, Long, java.sql.Date)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5.toString))).toMap
+    assert(out == Map(
+      1L -> ((3L, 6L, 3L, "2026-01-01")),
+      2L -> ((2L, 4L, 2L, "2026-01-01"))))
+  }
+
   test("session paths: gap sessionization + ordered path strings") {
     val df = events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     // user 10: clicks 5 min apart; user 11: exactly-30-min gap stays
