@@ -2247,6 +2247,25 @@ object SparkEntry {
       },
       Some(pqAdcSql(4, 16, 8, 1, 10))),
 
+    QueryDef("x88_pii_audit",
+      // PII detection audit (the report before x32's redaction):
+      // per-doc email/URL/digit-run counts from the same Java-and-RE2
+      // pattern family, so the evidence re-derives identically.
+      // Map-only over the corpus.
+      (s, dir) => TextOps.piiAudit(docs(s, dir)).orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             | CAST(len(regexp_extract_all(COALESCE(text, ''),
+             |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+             | CAST(len(regexp_extract_all(COALESCE(text, ''),
+             |   'https?://[^ \t\n\r\f\x0B]+')) AS BIGINT) AS n_urls,
+             | CAST(len(regexp_extract_all(COALESCE(text, ''),
+             |   '[0-9]+')) AS BIGINT) AS n_digit_runs,
+             | (len(regexp_extract_all(COALESCE(text, ''),
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) > 0
+             |  OR len(regexp_extract_all(COALESCE(text, ''),
+             |    'https?://[^ \t\n\r\f\x0B]+')) > 0) AS has_pii
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     QueryDef("x23_tfidf",
       // per-document distinctive terms: tf weighted by reciprocal
       // document frequency. The ranking key is the single IEEE

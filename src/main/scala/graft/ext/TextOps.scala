@@ -49,6 +49,27 @@ object TextOps {
         "https?://[^ \\t\\n\\r\\f\\x0B]+", "<URL>"),
       "[0-9]+", "<NUM>")
 
+  /** PII detection audit — the REPORT counterpart of [[scrub]]'s
+    * removal: per-document match counts for the same email / URL /
+    * digit-run pattern family (Java∩RE2 subset, so the counts
+    * re-derive identically on any engine), plus a has_pii flag on the
+    * identifying classes (emails, URLs — digit runs alone are not
+    * identifying). A privacy gate wants the evidence BEFORE the
+    * redaction: which slices of a crawl carry contact data, trending
+    * how, feeding the x71-style governance card. Map-only codegen'd
+    * column algebra over the corpus — no shuffle at all. */
+  def piiAudit(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    def cnt(pattern: String) =
+      size(regexp_extract_all(coalesce(col(textCol), lit("")),
+        lit(pattern), lit(0))).cast("long")
+    docs.select(col(idCol).as("doc_id"),
+        cnt("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+").as("n_emails"),
+        cnt("https?://[^ \\t\\n\\r\\f\\x0B]+").as("n_urls"),
+        cnt("[0-9]+").as("n_digit_runs"))
+      .withColumn("has_pii", col("n_emails") > 0 || col("n_urls") > 0)
+  }
+
   /** Strip HTML-ish markup from crawled text — the first cleaning
     * step of every web-corpus recipe: drop `<script>`/`<style>`
     * elements WITH their contents (code and CSS are not prose), drop

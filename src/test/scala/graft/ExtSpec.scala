@@ -431,6 +431,19 @@ class ExtSpec extends SparkSuite {
     assert(bEnc == Set((1000L, 0), (1000L, 1)))
   }
 
+  test("piiAudit: detection counts + identifying-class flag (X3)") {
+    val docs = Seq(
+      (1L, "mail a@b.com and c.d@e.org then see https://x.y/z page 42"),
+      (2L, "no pii here"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = rows(TextOps.piiAudit(docs))
+    assert(got === Set(
+      Seq(1L, 2L, 1L, 1L, true),
+      Seq(2L, 0L, 0L, 0L, false),
+      Seq(3L, 0L, 0L, 0L, false)))
+  }
+
   test("packByTokenBudget: docs join the pack their first token falls in (X3)") {
     val d = Seq((1L, "a b c", "s1"), (2L, "d e", "s1"), (3L, "f g h i", "s1"),
       (4L, "x", "s2"))
