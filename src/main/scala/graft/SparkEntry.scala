@@ -2266,6 +2266,30 @@ object SparkEntry {
              |    'https?://[^ \t\n\r\f\x0B]+')) > 0) AS has_pii
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("x89_curriculum",
+      // curriculum-ordered export: phase = length bucket (easy ->
+      // hard), within a phase the epoch-fresh md5 permutation of
+      // x56 — phase is column algebra, one shard exchange, no global
+      // sort; the (phase, shard, pos) layout is what a curriculum
+      // trainer consumes directory by directory.
+      (s, dir) => Sampling.curriculumShuffle(
+          t(s, dir, "documents"), "doc_id", "n_chars",
+          Seq(200L, 1000L), epoch = 1, shards = 4)
+        .select("doc_id", "n_chars", "phase", "shard", "pos")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, n_chars,
+             |  (CASE WHEN n_chars > 200 THEN 1 ELSE 0 END +
+             |   CASE WHEN n_chars > 1000 THEN 1 ELSE 0 END) AS phase,
+             |  md5(1 || ':' || doc_id) AS eh FROM documents),
+             | s AS (SELECT doc_id, n_chars, phase,
+             |   CAST(CAST(('0x' || substr(eh, 1, 15)) AS BIGINT) % 4
+             |     AS INT) AS shard, eh
+             |  FROM t)
+             |SELECT doc_id, n_chars, phase, shard,
+             | CAST(ROW_NUMBER() OVER (PARTITION BY phase, shard
+             |   ORDER BY eh, doc_id) AS BIGINT) AS pos
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
     QueryDef("x23_tfidf",
       // per-document distinctive terms: tf weighted by reciprocal
       // document frequency. The ranking key is the single IEEE

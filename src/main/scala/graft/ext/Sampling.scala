@@ -163,6 +163,36 @@ object Sampling {
       .drop("__eh")
   }
 
+  /** Curriculum-ordered export: [[epochShuffle]] with a PHASE major
+    * key — rows bucket by a difficulty measure (`measureCol` against
+    * ascending `edges`: phase p = # edges ≤ measure), a trainer
+    * consumes phase directories in order (easy → hard), and WITHIN a
+    * phase the order is the epoch-fresh md5 permutation. Same
+    * no-global-sort execution: the phase is pure column algebra, the
+    * shard id keys one exchange, and positions are independent
+    * per-(phase, shard) 8-byte-hash sorts — exactly the layout of a
+    * `write.partitionBy(phase, shard)` export. Deterministic on any
+    * engine/retry, like every sampler here. */
+  def curriculumShuffle(df: DataFrame, keyCol: String, measureCol: String,
+                        edges: Seq[Long], epoch: Int,
+                        shards: Int): DataFrame = {
+    require(shards > 0 && edges == edges.sorted,
+      "curriculumShuffle: shards > 0, edges ascending")
+    val phase = edges.foldLeft(lit(0)) { (acc, e) =>
+      acc + when(col(measureCol) > e, 1).otherwise(0) }
+    val h = md5(concat_ws(":", lit(epoch), col(keyCol).cast("string")))
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("phase", phase)
+      .withColumn("__eh", h)
+      .withColumn("shard",
+        pmod(conv(substring(col("__eh"), 1, 15), 16, 10).cast("long"),
+          lit(shards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("phase", "shard")
+          .orderBy(col("__eh"), col(keyCol))).cast("long"))
+      .drop("__eh")
+  }
+
   /** Distribution matching by importance resampling — the REPAIR to
     * the drift gate's detection ([[graft.ext.Profiling.histogramDrift]]
     * measures the mismatch; this removes it): the LARGEST

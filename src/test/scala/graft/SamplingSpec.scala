@@ -472,4 +472,25 @@ class SamplingSpec extends SparkSuite {
         }.nonEmpty, s"boundary window has no stratum filter below it:\n$w")
     }
   }
+
+  test("curriculumShuffle: phase buckets, per-(phase,shard) permutations, epoch freshness") {
+    val docs = (1 to 40).map(i => (i.toLong, i * 50L)).toDF("doc_id", "n_chars")
+    val out = Sampling.curriculumShuffle(docs, "doc_id", "n_chars",
+        Seq(200L, 1000L), epoch = 1, shards = 3)
+      .select("doc_id", "n_chars", "phase", "shard", "pos")
+      .as[(Long, Long, Int, Int, Long)].collect()
+    // boundary inclusive low: n_chars == 200 stays phase 0
+    assert(out.forall { case (_, n, p, _, _) =>
+      p == (if (n <= 200) 0 else if (n <= 1000) 1 else 2) })
+    // positions are a 1..k permutation within every (phase, shard)
+    out.groupBy(r => (r._3, r._4)).foreach { case (_, g) =>
+      assert(g.map(_._5).sorted.toSeq == (1L to g.length).toSeq) }
+    // a new epoch deals a different permutation (phases stay put)
+    val out2 = Sampling.curriculumShuffle(docs, "doc_id", "n_chars",
+        Seq(200L, 1000L), epoch = 2, shards = 3)
+      .select("doc_id", "phase", "shard", "pos")
+      .as[(Long, Int, Int, Long)].collect().toSet
+    assert(out.map(r => (r._1, r._3, r._4, r._5)).toSet != out2)
+    assert(out.map(r => (r._1, r._3)).toSet == out2.map(r => (r._1, r._2)))
+  }
 }
