@@ -2290,6 +2290,23 @@ object SparkEntry {
              |   ORDER BY eh, doc_id) AS BIGINT) AS pos
              |FROM s ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("x90_embedding_outliers",
+      // embedding-quality audit: flag vectors whose distance to their
+      // own kmeans centroid exceeds 2x the cell mean — the q42 spike
+      // rule in embedding space (d2*n_c > 2*sum_d2, integer cross-
+      // multiply, no division/sqrt).
+      (s, dir) => Clustering.embeddingOutliers(
+          t(s, dir, "embeddings"), k = 4, iters = 2)
+        .orderBy("vec_id"),
+      Some(s"""WITH ${kmeansCtes(4, 2)},
+              | stats AS (SELECT cluster, COUNT(*) AS n_c,
+              |   SUM(d2) AS sum_d2 FROM a3 GROUP BY cluster)
+              |SELECT a.vec_id, a.cluster, a.d2,
+              | CAST(s.n_c AS BIGINT) AS n_c,
+              | (a.d2 * s.n_c > 2 * s.sum_d2) AS is_outlier
+              |FROM a3 a JOIN stats s USING (cluster)
+              |ORDER BY a.vec_id""".stripMargin)),
+
     QueryDef("x23_tfidf",
       // per-document distinctive terms: tf weighted by reciprocal
       // document frequency. The ranking key is the single IEEE

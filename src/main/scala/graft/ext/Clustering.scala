@@ -160,6 +160,31 @@ object Clustering {
       parts.map(_._2).reduce(_ unionAll _))
   }
 
+  /** Embedding outlier flags — the embedding-quality audit next to
+    * the k-NN accuracy probe: cluster the corpus with the exact
+    * fixed-point [[kmeans]], then flag vectors whose quantized
+    * distance to their own centroid exceeds `factor`× the cell mean.
+    * The comparison is the integer cross-multiply
+    * `d2·n_c > factor·sum_d2(cell)` (the q42 spike rule on embedding
+    * space) — no division, no sqrt, so the flags re-derive
+    * bit-identically on any engine. Outliers are the mislabeled /
+    * corrupted / out-of-domain vectors a curation pass quarantines.
+    * One extra map-side agg + a broadcast-size join over the
+    * assignment; sums ride DECIMAL(38,0) (per-vector d2 reaches
+    * ~dims·1e12, so BIGINT cell sums would wrap near 10⁶ members). */
+  def embeddingOutliers(emb: DataFrame, k: Int, iters: Int = 2,
+                        factor: Int = 2, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val assign = kmeans(emb, k, iters, idCol, vecCol)
+    val stats = assign.groupBy("cluster")
+      .agg(count(lit(1)).as("n_c"),
+        sum(col("d2").cast("decimal(38,0)")).as("__sum"))
+    assign.join(broadcast(stats), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"), col("d2"), col("n_c"),
+        (col("d2").cast("decimal(38,0)") * col("n_c") >
+          lit(factor) * col("__sum")).as("is_outlier"))
+  }
+
   /** Encode a batch against an EXISTING codebook — the daily-ingest
     * leg of a standing PQ index (the x42/x43 probe-and-append shape
     * for vectors): no retraining, just the per-subspace nearest-

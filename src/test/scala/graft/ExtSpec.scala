@@ -444,6 +444,22 @@ class ExtSpec extends SparkSuite {
       Seq(3L, 0L, 0L, 0L, false)))
   }
 
+  test("embeddingOutliers: far vector in its cell flags, tight mass does not (X2)") {
+    val emb = ((0 until 5).map(i => (i.toLong, Array(0.0f, 0.0f))) :+
+        (9L, Array(10.0f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Clustering.embeddingOutliers(emb, k = 1, iters = 1)
+      .select("vec_id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(got(9L) && (0 until 5).forall(i => !got(i.toLong)))
+    // a uniform cell has no outliers: every d2*n == sum*1 < 2*sum
+    val uni = (0 until 6).map(i =>
+        (i.toLong, Array((i % 2).toFloat, 1.0f - (i % 2))))
+      .toDF("vec_id", "embedding")
+    val g2 = Clustering.embeddingOutliers(uni, k = 1, iters = 1)
+      .select("is_outlier").as[Boolean].collect()
+    assert(g2.forall(!_))
+  }
+
   test("packByTokenBudget: docs join the pack their first token falls in (X3)") {
     val d = Seq((1L, "a b c", "s1"), (2L, "d e", "s1"), (3L, "f g h i", "s1"),
       (4L, "x", "s2"))
