@@ -10,6 +10,9 @@ final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
 final case class UserState(count: Long, total: Double)
 final case class UserUpdate(user_id: Long, count: Long, total: Double)
 
+/** Bottom-k KMV sketch held as streaming keyed state. */
+final case class KmvSketchState(hashes: Seq[Long])
+
 /**
  * Structured Streaming surface over the `events` table (extension —
  * the reference is fully batch, SURVEY §2.7). Every transform is
@@ -379,6 +382,39 @@ object EventStreams {
             col(idCol).as("i"), col(typeCol).as("e")))),
           x => x.getField("e")), ">").as("path"))
     sess.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+  }
+
+  /** Streaming per-group approximate distinct counts via a mergeable
+    * bottom-k KMV sketch held in keyed state — the streaming form of
+    * [[graft.ext.Profiling.kmvDistinct]] (same portable 48-bit md5
+    * hash family, same `(k−1)·2^48 DIV v_k` estimator, exact below
+    * capacity), so the standing stream estimate equals the batch
+    * estimate over the same rows at every point (bottom-k merge is
+    * exact — spec-pinned parity). State is O(k) longs per group
+    * forever, unlike exact streaming distinct whose state grows with
+    * the true cardinality. Emits (group, n_k, distinct_est) updates. */
+  def streamingDistincts(df: DataFrame, groupCol: String, valueCol: String,
+                         k: Int = 256): Dataset[(String, Long, Long)] = {
+    require(k > 1, s"streamingDistincts: k must be > 1, got $k")
+    import df.sparkSession.implicits._
+    val typed = df.select(col(groupCol).cast("string"),
+        conv(substring(md5(col(valueCol).cast("string")), 1, 12), 16, 10)
+          .cast("long"))
+      .as[(String, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[KmvSketchState, (String, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g: String, batch: Iterator[(String, Long)],
+         state: GroupState[KmvSketchState]) =>
+          val old = state.getOption.map(_.hashes).getOrElse(Seq.empty)
+          val merged = (old ++ batch.map(_._2)).distinct.sorted.take(k)
+          state.update(KmvSketchState(merged))
+          val nk = merged.size.toLong
+          val est =
+            if (nk < k) nk
+            else (k - 1).toLong * 281474976710656L / math.max(merged.last, 1L)
+          Iterator((g, nk, est))
+      }
   }
 
   /** Custom keyed state via flatMapGroupsWithState: running per-user

@@ -355,6 +355,39 @@ class StreamingSpec extends SparkSuite {
     assert(out(1L).contains(1L) && out(5L).isEmpty)
   }
 
+  test("streaming KMV distinct state accumulates to the batch kmvDistinct") {
+    implicit val sqlCtx = spark.sqlContext
+    // group "a": 10 distinct values (over k=4 -> estimator path);
+    // group "b": 2 distinct (exact path); batch 2 repeats some of
+    // batch 1 (the sketch must dedup across batches)
+    val b1 = (0 until 6).map(i => ("a", s"v$i")) ++ Seq(("b", "x"))
+    val b2 = (3 until 10).map(i => ("a", s"v$i")) ++ Seq(("b", "y"), ("b", "x"))
+    val stream = MemoryStream[(String, String)]
+    val q = EventStreams.streamingDistincts(
+        stream.toDF().toDF("g", "v"), "g", "v", k = 4)
+      .toDF("g", "n_k", "distinct_est")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("kmv_out").start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      // latest update per group (highest n_k within a group is the
+      // newest state — the sketch only grows)
+      val streamed = spark.table("kmv_out")
+        .groupBy("g").agg(max(struct(col("n_k"), col("distinct_est"))).as("m"))
+        .select(col("g"), col("m.n_k"), col("m.distinct_est"))
+        .as[(String, Long, Long)].collect()
+        .map { case (g, n, e) => g -> ((n, e)) }.toMap
+      val batch = graft.ext.Profiling.kmvDistinct(
+          (b1 ++ b2).toDF("g", "v"), "g", "v", k = 4)
+        .as[(String, Long, Long)].collect()
+        .map { case (g, n, e) => g -> ((n, e)) }.toMap
+      assert(streamed == batch)
+      assert(batch("b")._1 == 2L && batch("b")._2 == 2L)  // exact path
+      assert(batch("a")._1 == 4L)                          // at capacity
+    } finally q.stop()
+  }
+
   test("transition matrix: hand-computed counts and integer ppm shares") {
     // one user, sequence a b a c a b -> (a,b):2 (a,c):1 (b,a):1 (c,a):1
     val df = Seq(
