@@ -140,6 +140,35 @@ object SparkEntry {
     s"WITH $parts\n$sel\nORDER BY vec_id, subspace"
   }
 
+  /** Shared DuckDB CTE chain re-deriving the md5-family MinHash+LSH
+    * pipeline over `documents` (x26's oracle body — signatures, banded
+    * candidates, `verified` pairs with exact Jaccard). */
+  private val portableMinhashCtes =
+    """toks AS (SELECT doc_id,
+      |  string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      | sh AS (SELECT doc_id, list_distinct(
+      |  [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+      |   for i in generate_series(1, len(tk) - 2)]) AS s FROM toks
+      |  WHERE len(tk) >= 3),
+      | hs AS (SELECT doc_id, s,
+      |  [CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 2147483647
+      |   for x in s] AS h FROM sh WHERE len(s) > 0),
+      | sig AS (SELECT doc_id, s,
+      |  [list_min([(hv * (2*k+1) + k) % 2147483647 for hv in h])
+      |   for k in generate_series(0, 15)] AS sig FROM hs),
+      | banded AS (SELECT doc_id, b,
+      |  array_to_string(sig[b*4+1 : b*4+4], ',') AS bkey
+      |  FROM sig, generate_series(0, 3) AS g(b)),
+      | cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      |  FROM banded l JOIN banded r
+      |    ON l.b = r.b AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+      | verified AS (SELECT c.a, c.b,
+      |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      |   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+      |   AS jaccard
+      |  FROM cand c JOIN sig sa ON sa.doc_id = c.a
+      |  JOIN sig sb ON sb.doc_id = c.b)""".stripMargin
+
   /** DuckDB oracle for [[LinkAnalysis.labelSpread]] from region seeds
     * over the star graph: chained frontier CTEs — per round, count
     * frontier-neighbor labels for still-unlabeled vertices, QUALIFY
@@ -2402,32 +2431,30 @@ object SparkEntry {
       (s, dir) => Dedup.minhashLshPortable(docs(s, dir), threshold = 0.7)
         .select(col("a"), col("b"), col("jaccard"))
         .orderBy("a", "b"),
-      Some("""WITH toks AS (SELECT doc_id,
-             |  string_split_regex(trim(text), '\s+') AS tk FROM documents),
-             | sh AS (SELECT doc_id, list_distinct(
-             |  [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
-             |   for i in generate_series(1, len(tk) - 2)]) AS s FROM toks
-             |  WHERE len(tk) >= 3),
-             | hs AS (SELECT doc_id, s,
-             |  [CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 2147483647
-             |   for x in s] AS h FROM sh WHERE len(s) > 0),
-             | sig AS (SELECT doc_id, s,
-             |  [list_min([(hv * (2*k+1) + k) % 2147483647 for hv in h])
-             |   for k in generate_series(0, 15)] AS sig FROM hs),
-             | banded AS (SELECT doc_id, b,
-             |  array_to_string(sig[b*4+1 : b*4+4], ',') AS bkey
-             |  FROM sig, generate_series(0, 3) AS g(b)),
-             | cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-             |  FROM banded l JOIN banded r
-             |    ON l.b = r.b AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
-             | verified AS (SELECT c.a, c.b,
-             |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-             |   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
-             |   AS jaccard
-             |  FROM cand c JOIN sig sa ON sa.doc_id = c.a
-             |  JOIN sig sb ON sb.doc_id = c.b)
-             |SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.7
-             |ORDER BY a, b""".stripMargin)),
+      Some(s"""WITH $portableMinhashCtes
+              |SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.7
+              |ORDER BY a, b""".stripMargin)),
+
+    QueryDef("x91_dup_rate_by_source",
+      // per-source duplication card: share of each source's docs that
+      // sit in at least one verified near-dup pair (the md5 minhash
+      // family) — "which sources repeat themselves", the pre-mixing
+      // audit next to x72's cross-source overlap matrix.
+      (s, dir) => Dedup.dupRateByGroup(docs(s, dir), "source", 0.7)
+        .orderBy("source"),
+      Some(s"""WITH $portableMinhashCtes,
+              | dup AS (SELECT DISTINCT doc_id FROM (
+              |   SELECT a AS doc_id FROM verified WHERE jaccard >= 0.7
+              |   UNION ALL
+              |   SELECT b FROM verified WHERE jaccard >= 0.7)),
+              | per AS (SELECT d.source, COUNT(*) AS n_docs,
+              |   CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+              |     AS BIGINT) AS n_dup_docs
+              |  FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
+              |  GROUP BY d.source)
+              |SELECT source, n_docs, n_dup_docs,
+              | CAST(1000000 * n_dup_docs // n_docs AS BIGINT) AS dup_ppm
+              |FROM per ORDER BY source""".stripMargin)),
 
     QueryDef("x27_simhash_portable",
       // md5-family SimHash (same fused bit-vote kernel, portable token

@@ -824,6 +824,32 @@ object Dedup {
         col("score"), coalesce(col("kept"), lit(true)).as("kept"))
   }
 
+  /** Per-group duplication-rate card: the share of each group's docs
+    * sitting in at least one verified near-dup pair (the portable
+    * [[minhashLshPortable]] family), in integer ppm — "which sources
+    * repeat themselves", the WITHIN-source audit next to
+    * [[sourceOverlap]]'s cross-source matrix, read before deciding
+    * per-source dedup budgets. Scale shape: the flagged-doc set ≪
+    * corpus (it is the pair graph's vertex set) and broadcasts onto
+    * one map-side-combinable per-group count. */
+  def dupRateByGroup(docs: DataFrame, groupCol: String,
+                     threshold: Double = 0.7,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val pairs = minhashLshPortable(docs, threshold, idCol = idCol,
+      textCol = textCol)
+    val dup = pairs.select(col("a").as(idCol))
+      .unionAll(pairs.select(col("b").as(idCol)))
+      .distinct()
+      .withColumn("__dup", lit(1L))
+    docs.select(col(idCol), col(groupCol))
+      .join(broadcast(dup), Seq(idCol), "left")
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("__dup"), lit(0L)).as("n_dup_docs"))
+      .withColumn("dup_ppm", expr("1000000L * n_dup_docs div n_docs"))
+  }
+
   /** Train/eval contamination check — the decontamination step every
     * benchmark-respecting pipeline runs: for each NON-train doc, count
     * the distinct w-token shingles it shares with any train doc (and

@@ -460,6 +460,20 @@ class ExtSpec extends SparkSuite {
     assert(g2.forall(!_))
   }
 
+  test("dupRateByGroup: sources with twin docs flag, clean sources rate 0 (X1)") {
+    val body = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, body, "web"), (2L, body, "web"),        // verbatim twins
+      (3L, "completely unrelated text one two three four five", "web"),
+      (4L, "another clean document with its own words entirely", "books"),
+      (5L, "fifth unique doc nothing shared with anything else", "books"))
+      .toDF("doc_id", "text", "source")
+    val got = rows(graft.ext.Dedup.dupRateByGroup(docs, "source", 0.7))
+    assert(got === Set(
+      Seq("web", 3L, 2L, 666666L),
+      Seq("books", 2L, 0L, 0L)))
+  }
+
   test("packByTokenBudget: docs join the pack their first token falls in (X3)") {
     val d = Seq((1L, "a b c", "s1"), (2L, "d e", "s1"), (3L, "f g h i", "s1"),
       (4L, "x", "s2"))
