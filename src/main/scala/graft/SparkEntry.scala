@@ -3688,6 +3688,28 @@ object SparkEntry {
              |    AS BIGINT) % 1000000 < r.ppm
              |ORDER BY d.doc_id""".stripMargin)),
 
+    QueryDef("x92_temperature_mix",
+      // temperature-scaled source mixing (share ~ n^(1/2), the
+      // multilingual-recipe flattening): weights are DERIVED sqrt(n)
+      // — IEEE sqrt is correctly rounded, unlike pow's libm drift —
+      // then the same K = min(n/w) largest-subsample derivation and
+      // md5-bucket keep as x45.
+      (s, dir) => Sampling.temperatureMixture(docs(s, dir), "source", "doc_id")
+        .select("doc_id", "source")
+        .orderBy("doc_id"),
+      Some("""WITH n AS (SELECT source AS cat, COUNT(*) AS n
+             |  FROM documents GROUP BY 1),
+             | w AS (SELECT cat, n, SQRT(CAST(n AS DOUBLE)) AS wt FROM n),
+             | k AS (SELECT MIN(n / wt) AS kk FROM w),
+             | r AS (SELECT cat,
+             |   CAST(FLOOR(wt * k.kk / n * 1000000) AS BIGINT) AS ppm
+             |  FROM w CROSS JOIN k)
+             |SELECT d.doc_id, d.source FROM documents d
+             | JOIN r ON r.cat = d.source
+             | WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+             |    AS BIGINT) % 1000000 < r.ppm
+             |ORDER BY d.doc_id""".stripMargin)),
+
     QueryDef("x36_countmin",
       // Count-Min frequency sketch over the token stream as a typed
       // Aggregator (exactly mergeable: elementwise-add matrix, any

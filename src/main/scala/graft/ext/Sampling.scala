@@ -99,6 +99,14 @@ object Sampling {
       .select("cat").as[String].collect()
     require(missing.isEmpty, "mixtureSample: weighted categories absent " +
       s"from the corpus: ${missing.mkString(", ")}")
+    mixtureSampleWith(df, strataCol, keyCol, w.select("cat", "wt"))
+  }
+
+  /** [[mixtureSample]]'s core with the weights as a DataFrame
+    * (cat, wt) — the form data-derived weightings feed. */
+  private def mixtureSampleWith(df: DataFrame, strataCol: String,
+                                keyCol: String, w: DataFrame): DataFrame = {
+    val n = df.groupBy(col(strataCol).as("cat")).agg(count(lit(1)).as("n"))
     val k = n.join(w, "cat").agg(min(col("n") / col("wt")).as("kk"))
     val rates = n.join(w, "cat").crossJoin(broadcast(k))
       .select(col("cat"),
@@ -107,6 +115,23 @@ object Sampling {
       df.join(broadcast(rates), df(strataCol) === rates("cat"))
         .drop("cat"),
       keyCol, col("ppm")).drop("ppm")
+  }
+
+  /** Temperature-scaled source mixing — the published multilingual /
+    * multi-source recipe trick (sample share ∝ n^(1/T), here T = 2):
+    * group weight = √n, so giant sources are down-weighted and small
+    * sources keep (relatively) more, flattening the mixture without
+    * hand-written shares. √ via IEEE sqrt — CORRECTLY ROUNDED by the
+    * 754 spec, so unlike pow/exp (libm, last-ulp drift across
+    * engines) the derived rates hash-match anywhere. Same derivation
+    * and md5-bucket selection as [[mixtureSample]]; the smallest
+    * group is the binding one and keeps everything. */
+  def temperatureMixture(df: DataFrame, strataCol: String,
+                         keyCol: String): DataFrame = {
+    val w = df.groupBy(col(strataCol).as("cat"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col("cat"), sqrt(col("__n").cast("double")).as("wt"))
+    mixtureSampleWith(df, strataCol, keyCol, w)
   }
 
   /** Per-group document cap — the "at most k pages per domain" rule

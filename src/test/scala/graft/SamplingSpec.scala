@@ -473,6 +473,25 @@ class SamplingSpec extends SparkSuite {
     }
   }
 
+  test("temperatureMixture: sqrt flattening — smallest source binds and keeps all") {
+    // sizes 100/16/4 -> sqrt weights 10/4/2 -> K = min(sqrt n) = 2 ->
+    // ppm rates 200000 / 500000 / 1000000
+    val docs = ((0 until 100).map(i => (i.toLong, "big")) ++
+        (200 until 216).map(i => (i.toLong, "small")) ++
+        (300 until 304).map(i => (i.toLong, "tiny")))
+      .toDF("doc_id", "source")
+    val kept = Sampling.temperatureMixture(docs, "source", "doc_id")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept("tiny") == 4L)                  // binding group keeps all
+    assert(kept("big") < 100L && kept("big") > 0L)
+    // flattening: the kept RATE rises as the source shrinks
+    assert(kept("big") / 100.0 < kept.getOrElse("small", 0L) / 16.0 + 0.2)
+    // deterministic under repartitioning
+    val again = Sampling.temperatureMixture(docs.repartition(7), "source", "doc_id")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(again == kept)
+  }
+
   test("curriculumShuffle: phase buckets, per-(phase,shard) permutations, epoch freshness") {
     val docs = (1 to 40).map(i => (i.toLong, i * 50L)).toDF("doc_id", "n_chars")
     val out = Sampling.curriculumShuffle(docs, "doc_id", "n_chars",
