@@ -664,6 +664,84 @@ object InvariantProps extends Properties("GraftInvariants") {
       got == expect
     }
 
+  // ---- behavioral-analytics brute pack: random per-user event logs
+
+  private val genEventLog = for {
+    nUsers <- Gen.choose(1, 4)
+    n <- Gen.choose(1, 30)
+    evs <- Gen.listOfN(n, for {
+      u <- Gen.choose(1, nUsers)
+      day <- Gen.choose(1, 12)
+      hourOffset <- Gen.choose(0, 47)   // some events share a day
+      typ <- Gen.oneOf("a", "b", "c")
+    } yield (u.toLong, day, hourOffset, typ))
+  } yield evs.zipWithIndex.map { case ((u, d, h, t), i) =>
+    // half-hour grid inside a 12-day January window, unique event ids
+    (i.toLong,
+      java.sql.Timestamp.valueOf(f"2026-01-$d%02d ${h / 2}%02d:${h % 2 * 30}%02d:00"),
+      u, t)
+  }
+
+  private def logDf(evs: List[(Long, java.sql.Timestamp, Long, String)]) = {
+    import spark.implicits._
+    evs.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+  }
+
+  property("transitionMatrix == brute LEAD counts over (ts, event_id) order") =
+    forAll(genEventLog) { evs =>
+      val seqs = evs.groupBy(_._3).view.mapValues(
+        _.sortBy(e => (e._2.getTime, e._1)).map(_._4))
+      val trans = seqs.values.toSeq.flatMap(s => s.zip(s.drop(1)))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expect = trans.map { case ((src, dst), n) =>
+        val tot = trans.collect { case ((s, _), m) if s == src => m }.sum
+        Seq[Any](src, dst, n, 1000000L * n / tot)
+      }.toSet
+      val got = graft.streaming.EventStreams.transitionMatrix(logDf(evs))
+        .collect().map(_.toSeq).toSet
+      got == expect
+    }
+
+  property("activityStreaks == brute consecutive-day runs") =
+    forAll(genEventLog) { evs =>
+      val expect = evs.groupBy(_._3).map { case (u, es) =>
+        val days = es.map(_._2.toLocalDateTime.toLocalDate).distinct.sorted
+        val runs = days.foldLeft(List.empty[List[java.time.LocalDate]]) {
+          case (acc, d) => acc match {
+            case (run @ (h :: _)) :: rest if h.plusDays(1) == d =>
+              (d :: run) :: rest
+            case _ => List(d) :: acc
+          }
+        }.map(_.reverse).reverse
+        val best = runs.map(r => (r.length.toLong, r.head)).sortBy {
+          case (len, st) => (-len, st.toEpochDay) }.head
+        Seq[Any](u, runs.size.toLong, days.size.toLong, best._1,
+          java.sql.Date.valueOf(best._2))
+      }.toSet
+      val got = graft.streaming.EventStreams.activityStreaks(logDf(evs))
+        .collect().map(_.toSeq).toSet
+      got == expect
+    }
+
+  property("rollingActives == brute window distinct over the calendar spine") =
+    forAll(genEventLog) { evs =>
+      val ud = evs.map(e => (e._3, e._2.toLocalDateTime.toLocalDate)).distinct
+      val days = ud.map(_._2)
+      val (lo, hi) = (days.min, days.max)
+      val spine = Iterator.iterate(lo)(_.plusDays(1)).takeWhile(!_.isAfter(hi)).toList
+      val expect = spine.map { d =>
+        val dau = ud.count(_._2 == d).toLong
+        val wau = ud.filter { case (_, ad) =>
+          !ad.isAfter(d) && ad.isAfter(d.minusDays(7)) }.map(_._1).distinct.size.toLong
+        Seq[Any](java.sql.Date.valueOf(d), dau, wau,
+          1000000L * dau / math.max(wau, 1L))
+      }.toSet
+      val got = graft.streaming.EventStreams.rollingActives(logDf(evs))
+        .collect().map(_.toSeq).toSet
+      got == expect
+    }
+
   property("labelSpread == brute ALL-labeled-neighbor majority (frontier theorem)") =
     forAll(genUndirectedEdges.suchThat(_.nonEmpty), Gen.choose(1, 3)) {
       (edges, rounds) =>
