@@ -742,6 +742,50 @@ object InvariantProps extends Properties("GraftInvariants") {
       got == expect
     }
 
+  property("sessionPaths == brute gap splitting + ordered concatenation") =
+    forAll(genEventLog, Gen.choose(1, 90)) { (evs, gapMin) =>
+      val expect = evs.groupBy(_._3).values.toSeq.flatMap { es =>
+        val sorted = es.sortBy(e => (e._2.getTime, e._1))
+        val sessions = sorted.foldLeft(
+          List.empty[List[(Long, java.sql.Timestamp, Long, String)]]) {
+          case (acc, e) => acc match {
+            case (cur @ (last :: _)) :: rest
+              if e._2.getTime - last._2.getTime <= gapMin * 60000L =>
+              (e :: cur) :: rest
+            case _ => List(e) :: acc
+          }
+        }
+        sessions.map(_.reverse.map(_._4).mkString(">"))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got = graft.streaming.EventStreams
+        .sessionPaths(logDf(evs), gapMinutes = gapMin)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      got == expect
+    }
+
+  property("dailyAnomalies == brute trailing-window rule on the filled grid") =
+    forAll(genEventLog, Gen.choose(1, 9)) { (evs, trailing) =>
+      val byKey = evs.groupBy(_._4)
+      val allDays = evs.map(_._2.toLocalDateTime.toLocalDate)
+      val (lo, hi) = (allDays.min, allDays.max)
+      val spine = Iterator.iterate(lo)(_.plusDays(1))
+        .takeWhile(!_.isAfter(hi)).toList
+      val expect = byKey.keys.flatMap { k =>
+        val counts = spine.map(d =>
+          byKey(k).count(_._2.toLocalDateTime.toLocalDate == d).toLong)
+        spine.zipWithIndex.map { case (d, i) =>
+          val win = counts.slice(math.max(0, i - trailing), i)
+          val (tSum, tDays) = (win.sum, win.size.toLong)
+          Seq[Any](k, java.sql.Date.valueOf(d), counts(i), tSum, tDays,
+            tDays > 0 && counts(i) * tDays > 2 * tSum)
+        }
+      }.toSet
+      val got = graft.streaming.EventStreams
+        .dailyAnomalies(logDf(evs), trailing = trailing)
+        .collect().map(_.toSeq).toSet
+      got == expect
+    }
+
   property("labelSpread == brute ALL-labeled-neighbor majority (frontier theorem)") =
     forAll(genUndirectedEdges.suchThat(_.nonEmpty), Gen.choose(1, 3)) {
       (edges, rounds) =>
