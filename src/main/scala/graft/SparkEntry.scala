@@ -2088,6 +2088,40 @@ object SparkEntry {
              | CAST(SUM(sgn * q) AS BIGINT) AS y
              |FROM s GROUP BY vec_id, j ORDER BY vec_id, dim""".stripMargin)),
 
+    QueryDef("x93_mutual_knn_clusters",
+      // parameter-free cluster discovery: in-cell kNN (the x62
+      // machinery), MUTUAL edges only (the standard noise filter),
+      // min-label components — no cluster count chosen anywhere.
+      // Deterministic kNN tie-break makes the discovered structure
+      // hash-match end to end.
+      (s, dir) => Similarity.mutualKnnClusters(
+          t(s, dir, "embeddings"), k = 3, cells = 4, iters = 2)
+        .orderBy("vec_id"),
+      Some(s"""WITH RECURSIVE ${kmeansCtes(4, 2)},
+              | e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+              |  FROM embeddings),
+              | sv AS (SELECT e.vec_id, a3.cluster, e.v
+              |  FROM e JOIN a3 USING (vec_id)),
+              | sc AS (SELECT q.vec_id AS a, n.vec_id AS b,
+              |   list_cosine_similarity(q.v, n.v) AS cos
+              |  FROM sv q JOIN sv n ON n.cluster = q.cluster
+              |   AND n.vec_id <> q.vec_id),
+              | top AS (SELECT a, b FROM sc QUALIFY ROW_NUMBER() OVER (
+              |   PARTITION BY a ORDER BY cos DESC, b) <= 3),
+              | mutual AS (SELECT x.a, x.b FROM top x
+              |  JOIN top y ON y.a = x.b AND y.b = x.a AND x.a < x.b),
+              | me AS (SELECT a, b FROM mutual
+              |  UNION SELECT b, a FROM mutual),
+              | reach(id, r) AS (
+              |  SELECT a, a FROM me
+              |  UNION
+              |  SELECT me.a, reach.r FROM me JOIN reach ON reach.id = me.b),
+              | cl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+              | mem AS (SELECT vec_id AS id FROM embeddings)
+              |SELECT m.id AS vec_id, COALESCE(cl.cluster_id, m.id) AS cluster_id
+              |FROM mem m LEFT JOIN cl ON cl.id = m.id
+              |ORDER BY vec_id""".stripMargin)),
+
     QueryDef("x15_asof_join",
       // as-of join (SURVEY §2.7 range/as-of row): latest click per
       // user at-or-before each purchase. Clicks pre-deduped per

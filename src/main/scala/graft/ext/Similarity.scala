@@ -308,6 +308,53 @@ object Similarity {
         col("nlabel").as("pred_label"), col("votes"))
   }
 
+  /** Parameter-free cluster DISCOVERY by mutual-kNN components — the
+    * vector-space sibling of [[graft.algos.LinkAnalysis.bestMatchCommunities]]:
+    * each vector's in-cell k nearest neighbors (the [[knnClassify]]
+    * pair machinery — kmeans cells scope the pair space,
+    * TopKPerGroup caps map-side), edges kept only where the kNN
+    * relation is MUTUAL (the standard noise filter: a point deep in
+    * cluster A may have B-points among its neighbors, but rarely
+    * mutually), and connected components of the mutual graph are the
+    * clusters — no cluster COUNT is chosen anywhere, unlike kmeans
+    * itself. Deterministic end to end ((cosine DESC, id) kNN
+    * tie-break, min-label components), so the discovered structure
+    * hash-matches an independent engine. Returns every vector as
+    * (vec_id, cluster_id), singletons labeled by their own id.
+    *
+    * Scale shape: pair generation is cell-bounded (never all-pairs),
+    * the mutual filter is a self-join of the ≤ n·k top table, and
+    * the component sweep runs on ≤ n·k/2 mutual edges. */
+  def mutualKnnClusters(emb: DataFrame, k: Int, cells: Int, iters: Int = 2,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && cells > 0, "mutualKnnClusters: k > 0, cells > 0")
+    val assign = graft.ext.Clustering.kmeans(emb, cells, iters, idCol, vecCol)
+      .select(col("vec_id"), col("cluster"))
+    val side = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .join(assign, Seq("vec_id")).localCheckpoint()
+    val scored = side.select(col("vec_id").as("a"), col("cluster"), col("v"))
+      .join(side.select(col("vec_id").as("b"), col("cluster"),
+        col("v").as("nv")), Seq("cluster"))
+      .filter(col("a") =!= col("b"))
+      .withColumn("cosine", cosine(col("v"), col("nv")))
+    val top = graft.plans.TopKPerGroup(
+        scored.select("a", "b", "cosine"),
+        Seq("a"), Seq(("cosine", false), ("b", true)), k)
+      .select("a", "b").localCheckpoint()
+    val mutual = top.alias("x")
+      .join(top.alias("y"),
+        col("y.a") === col("x.b") && col("y.b") === col("x.a") &&
+          col("x.a") < col("x.b"))
+      .select(col("x.a").as("a"), col("x.b").as("b"))
+    val cl = graft.ext.Dedup.nearDupClusters(mutual)
+      .select(col("doc_id").as("vec_id"), col("cluster").as("cluster_id"))
+    emb.select(col(idCol).as("vec_id"))
+      .join(cl, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+  }
+
   /** IVF-style variant: corpus assigned to nearest of `centroids`
     * (a small broadcast DataFrame of (centroid_id, cvec)); queries
     * probe their `nprobe` nearest centroids' cells only. */

@@ -393,6 +393,22 @@ class ExtSpec extends SparkSuite {
     assert(pq == km)
   }
 
+  test("mutualKnnClusters: separable groups form components, noise stays singleton (X2)") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.01f)), (3L, Array(0.98f, 0.02f)),
+      (4L, Array(0.0f, 1.0f)), (5L, Array(0.01f, 0.99f)), (6L, Array(0.02f, 0.98f)),
+      (9L, Array(0.7f, 0.7f)))  // equidistant noise: kNN never mutual
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mutualKnnClusters(emb, k = 2, cells = 1, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 9L -> 9L))
+    // repartitioning-invariant discovery
+    val again = Similarity.mutualKnnClusters(emb.repartition(5), k = 2,
+      cells = 1, iters = 1).as[(Long, Long)].collect().toMap
+    assert(again == got)
+  }
+
   test("pqAdcTopK: zero-distortion corpus makes ADC distances exact (X2)") {
     // 4 slice combos x2 copies; centroids land exactly on the slice
     // values (all d2=0), so ADC = true squared quantized distance:
