@@ -2548,6 +2548,54 @@ object SparkEntry {
              |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
              |ORDER BY query_id, rank""".stripMargin)),
 
+    QueryDef("x94_ann_recall",
+      // ANN recall eval: per-query share of the EXACT top-10 that the
+      // portable sign-LSH path also returns, in integer ppm — the
+      // nightly index-quality gate. Both legs and the rollup
+      // re-derive in the oracle (x09's brute chain + x28's LSH chain
+      // + a LEFT JOIN count).
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 5)
+        Similarity.annRecall(
+            Similarity.bruteForceTopK(emb, qs, 10),
+            Similarity.lshTopKPortable(emb, qs, 10), 10)
+          .orderBy("query_id")
+      },
+      Some("""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             | qz AS (SELECT vec_id, v,
+             |   [CAST(floor(x * 1e6) AS BIGINT) for x in v] AS q FROM emb),
+             | b AS (SELECT vec_id, v, CAST(list_sum([
+             |   CASE WHEN list_sum([q[i] *
+             |     (CASE WHEN CAST(('0x' || substr(md5(p || ':' || i), 1, 1)) AS BIGINT) % 2 = 0
+             |      THEN 1 ELSE -1 END)
+             |     for i in generate_series(1, len(q))]) >= 0
+             |   THEN CAST(1 AS BIGINT) << p ELSE 0 END
+             |   for p in generate_series(0, 5)]) AS BIGINT) AS bucket FROM qz),
+             | lsc AS (SELECT qq.vec_id AS query_id, nn.vec_id AS neighbor_id,
+             |   list_cosine_similarity(qq.v, nn.v) AS cos
+             |  FROM b qq JOIN b nn ON qq.bucket = nn.bucket
+             |    AND qq.vec_id <> nn.vec_id
+             |  WHERE qq.vec_id < 5),
+             | lrk AS (SELECT query_id, neighbor_id FROM lsc
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+             |    ORDER BY cos DESC, neighbor_id) <= 10),
+             | exs AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             |   list_cosine_similarity(q.v, e.v) AS cos
+             |  FROM emb q JOIN emb e ON e.vec_id <> q.vec_id
+             |  WHERE q.vec_id < 5),
+             | exr AS (SELECT query_id, neighbor_id FROM exs
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+             |    ORDER BY cos DESC, neighbor_id) <= 10)
+             |SELECT r.query_id, COUNT(*) AS k_exact,
+             | CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL
+             |   THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+             | CAST(1000000 * SUM(CASE WHEN l.neighbor_id IS NOT NULL
+             |   THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT) AS recall_ppm
+             |FROM exr r LEFT JOIN lrk l
+             |  ON l.query_id = r.query_id AND l.neighbor_id = r.neighbor_id
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     QueryDef("x30_topk_per_group",
       // the custom whole-operator (logical node + rule + strategy +
       // two-phase bounded-heap exec, graft.plans.TopKPerGroup): top-3

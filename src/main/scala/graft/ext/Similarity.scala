@@ -355,6 +355,28 @@ object Similarity {
         coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
   }
 
+  /** ANN recall evaluation — the nightly quality probe of an
+    * approximate index: per query, the share of the EXACT top-k
+    * (from [[bruteForceTopK]] on a query sample) that the
+    * approximate path also returned, in integer ppm. Run it on a
+    * hash-sampled query slice against a 100 TB index and the recall
+    * number is the gate for retuning (more planes / probes / a new
+    * codebook) — "measure, don't guess" applied to the index itself.
+    * Both inputs are (query_id, neighbor_id, rank) tables; rows
+    * beyond `k` are ignored on both sides. */
+  def annRecall(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "annRecall: k > 0")
+    val ex = exact.where(col("rank") <= k).select("query_id", "neighbor_id")
+    val ap = approx.where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+      .withColumn("__hit", lit(1L))
+    ex.join(ap, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k_exact"),
+        coalesce(sum("__hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall_ppm", expr("1000000L * n_hit div k_exact"))
+  }
+
   /** IVF-style variant: corpus assigned to nearest of `centroids`
     * (a small broadcast DataFrame of (centroid_id, cvec)); queries
     * probe their `nprobe` nearest centroids' cells only. */

@@ -393,6 +393,25 @@ class ExtSpec extends SparkSuite {
     assert(pq == km)
   }
 
+  test("annRecall: perfect approx scores 1e6 ppm; missing neighbors subtract (X2)") {
+    val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    // query 1: approx == exact; query 2: found 1 of 3 (+ a stray
+    // neighbor that must not count)
+    val approx = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 21L, 1), (2L, 99L, 2))
+      .toDF("query_id", "neighbor_id", "rank")
+    val got = rows(Similarity.annRecall(exact, approx, 3))
+    assert(got === Set(
+      Seq(1L, 3L, 3L, 1000000L),
+      Seq(2L, 3L, 1L, 333333L)))
+    // rows beyond k on either side are ignored
+    val deep = Similarity.annRecall(exact, approx, 2)
+      .select("query_id", "k_exact").as[(Long, Long)].collect().toMap
+    assert(deep == Map(1L -> 2L, 2L -> 2L))
+  }
+
   test("mutualKnnClusters: separable groups form components, noise stays singleton (X2)") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.01f)), (3L, Array(0.98f, 0.02f)),
