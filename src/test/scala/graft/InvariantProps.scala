@@ -819,6 +819,49 @@ object InvariantProps extends Properties("GraftInvariants") {
         got == lab
     }
 
+  property("mutualKnnClusters == brute kNN + mutual filter + union-find (cells=1)") =
+    forAll(for {
+      n <- Gen.choose(2, 10)
+      k <- Gen.choose(1, 3)
+      vecs <- Gen.listOfN(n, Gen.listOfN(3, Gen.choose(-8, 8)))
+    } yield (k, vecs.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.map(x => x.toFloat / 4).toArray) })) { case (k, vecs) =>
+      import spark.implicits._
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        // mirror the native kernel: double accumulate, 0 on zero norm
+        val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+        val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+        if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+      }
+      val byId = vecs.toMap
+      val ids = vecs.map(_._1)
+      val knn = ids.map { a =>
+        a -> ids.filter(_ != a)
+          .map(b => (b, cos(byId(a), byId(b))))
+          .sortBy { case (b, c) => (-c, b) }.take(k).map(_._1).toSet
+      }.toMap
+      val mutual = (for {
+        a <- ids; b <- ids if a < b
+        if knn(a).contains(b) && knn(b).contains(a)
+      } yield (a, b)).toList
+      var label = ids.map(i => i -> i).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        mutual.foreach { case (a, b) =>
+          val m = math.min(label(a), label(b))
+          if (label(a) != m || label(b) != m) {
+            label += a -> m; label += b -> m; changed = true
+          }
+        }
+      }
+      val got = graft.ext.Similarity.mutualKnnClusters(
+          vecs.toDF("vec_id", "embedding"), k, cells = 1, iters = 0)
+        .as[(Long, Long)].collect().toMap
+      got == label
+    }
+
   property("rendezvousShard: brute argmax; resize moves keys only TO the new shard") =
     forAll(genResize) { case (n, shards) =>
       import spark.implicits._
