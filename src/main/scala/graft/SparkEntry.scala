@@ -4536,6 +4536,34 @@ object SparkEntry {
              | CAST(pred_sum AS DOUBLE) / n_bigrams AS pred_score
              |FROM per ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("x95_collocations",
+      // collocation mining: adjacent-word PMI in integer ppm (the x87
+      // lift formula with adjacency as the basket) — the phrase-
+      // vocabulary step before tokenizer training. Top-100 by PMI.
+      (s, dir) => TextOps.collocations(docs(s, dir), minCount = 3)
+        .orderBy(desc("pmi_ppm"), col("a"), col("b")).limit(100),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(
+             |   trim(regexp_replace(regexp_replace(lower(text),
+             |     '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')),
+             |   '\s+') AS t FROM documents),
+             | uni AS (SELECT w, COUNT(*) AS n FROM (
+             |   SELECT UNNEST(t) AS w FROM toks) WHERE w <> ''
+             |  GROUP BY w),
+             | tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tokens FROM uni),
+             | bi AS (SELECT bg['w1'] AS a, bg['w2'] AS b FROM (
+             |   SELECT UNNEST([{'w1': t[i], 'w2': t[i+1]}
+             |     for i in generate_series(1, len(t)-1)]) AS bg
+             |   FROM toks)
+             |  WHERE bg['w1'] <> '' AND bg['w2'] <> ''),
+             | cb AS (SELECT a, b, COUNT(*) AS n_ab FROM bi
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+             |SELECT cb.a, cb.b, cb.n_ab, ua.n AS n_a, ub.n AS n_b,
+             | CAST(1000000 * cb.n_ab * t.n_tokens // (ua.n * ub.n)
+             |   AS BIGINT) AS pmi_ppm
+             |FROM cb JOIN uni ua ON ua.w = cb.a
+             | JOIN uni ub ON ub.w = cb.b, tot t
+             |ORDER BY pmi_ppm DESC, a, b LIMIT 100""".stripMargin)),
+
     // --------------------------------------------- pipeline: curation gates
     QueryDef("x53_cap_per_group",
       // per-domain document cap (the "≤k pages per host" crawl-curation

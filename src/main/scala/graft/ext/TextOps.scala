@@ -49,6 +49,41 @@ object TextOps {
         "https?://[^ \\t\\n\\r\\f\\x0B]+", "<URL>"),
       "[0-9]+", "<NUM>")
 
+  /** Collocation mining — adjacent-word PMI over the corpus (the
+    * "New York" / "machine learning" detector, the phrase-vocabulary
+    * step of tokenizer and embedding pipelines): for bigrams seen at
+    * least `minCount` times, pmi_ppm = 1e6·n_ab·N div (n_a·n_b) — the
+    * x87 lift formula with word-adjacency as the basket, all-integer
+    * (>1e6 = collocated above independence; the log is monotone in
+    * the ratio, so ranking survives dropping it). BIGINT holds while
+    * 1e6·n_ab·N < 2^63. One explode + two map-side-combinable counts;
+    * the pair table joins the unigram margins on the word key and N
+    * arrives as a 1-row broadcast. */
+  def collocations(df: DataFrame, minCount: Long = 3,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val toks = df.select(tokens(normalize(col(textCol))).as("t"))
+      .localCheckpoint()
+    val uni = toks.select(explode(col("t")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val nTotal = uni.agg(sum("n").cast("long").as("n_tokens"))
+    val bi = toks
+      .withColumn("bg", expr(
+        "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1)," +
+          " (x, y) -> struct(x AS w1, y AS w2))"))
+      .select(explode(col("bg")).as("p"))
+      .select(col("p.w1").as("a"), col("p.w2").as("b"))
+      .where(col("a") =!= "" && col("b") =!= "")
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCount)
+    bi.join(uni.select(col("w").as("a"), col("n").as("n_a")), "a")
+      .join(uni.select(col("w").as("b"), col("n").as("n_b")), "b")
+      .crossJoin(broadcast(nTotal))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("1000000L * n_ab * n_tokens div (n_a * n_b)").as("pmi_ppm"))
+  }
+
   /** PII detection audit — the REPORT counterpart of [[scrub]]'s
     * removal: per-document match counts for the same email / URL /
     * digit-run pattern family (Java∩RE2 subset, so the counts

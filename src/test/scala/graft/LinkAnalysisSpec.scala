@@ -564,6 +564,23 @@ class PipelineAnalyticsSpec extends SparkSuite {
       Seq(2L, 2L, 1L, 0.5)))
   }
 
+  test("collocations: hand-computed PMI; frequent-but-independent pair ranks below") {
+    import graft.ext.TextOps
+    // "new york" always adjacent (3/3); "the" is everywhere but "the end"
+    // appears once among many "the X" contexts
+    val docs = Seq(
+      (1L, "new york is the end"),
+      (2L, "new york was the start"),
+      (3L, "the city of new york")).toDF("doc_id", "text")
+    val got = TextOps.collocations(docs, minCount = 3)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // N = 15 tokens; new:3 york:3 pair:3 -> pmi = 1e6*3*15/(3*3) = 5e6
+    assert(got(("new", "york")) == (("new", "york", 3L, 3L, 3L, 5000000L)))
+    // only pairs with n_ab >= 3 survive
+    assert(got.keySet == Set(("new", "york")))
+  }
+
   test("bigramPredictability integer-exact scores") {
     val docs = Seq((1L, "a b a b"), (2L, "zz"), (3L, "")).toDF("doc_id", "text")
     // corpus bigrams: (a,b) x2, (b,a) x1 -> cp(a)=2, cp(b)=1
