@@ -720,15 +720,39 @@ object SparkEntry {
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
     QueryDef("q14_approx_distinct",
-      // HLL sketch vs exact distinct — the 100 TB cardinality path
-      // (sketches merge map-side; exact distinct shuffles every key).
-      // Sketch estimates are engine-specific -> rows-only check.
-      (s, dir) => t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(approx_count_distinct("l_partkey").as("approx_parts"),
-          countDistinct("l_partkey").as("exact_parts"))
-        .orderBy("l_returnflag"),
-      None),
+      // approximate-distinct, AUDITABLE form: the KMV bottom-k sketch
+      // (x76 machinery — 48-bit md5 hashes, exact-integer estimator)
+      // next to the exact count, so the error is visible in the
+      // result itself. Sketches merge map-side; exact distinct
+      // shuffles every key — the sketch is the 100 TB path. The HLL
+      // fast path (approx_count_distinct) is engine-internal and
+      // unhashable by design; it stays spec-pinned against the exact
+      // count and this KMV estimate in ExtSpec.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        ext.Profiling.kmvDistinct(li, "l_returnflag", "l_partkey", k = 64)
+          .join(li.groupBy("l_returnflag")
+            .agg(countDistinct("l_partkey").as("exact_parts")),
+            Seq("l_returnflag"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH h AS (SELECT DISTINCT l_returnflag AS g,
+             |   CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 12))
+             |     AS BIGINT) AS h
+             |  FROM lineitem),
+             | sk AS (SELECT g, h FROM h
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) <= 64),
+             | a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_k,
+             |   MAX(h) AS vk FROM sk GROUP BY g),
+             | ex AS (SELECT l_returnflag AS g,
+             |   CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+             |  FROM lineitem GROUP BY 1)
+             |SELECT a.g AS l_returnflag, n_k,
+             | CAST(CASE WHEN n_k < 64 THEN n_k
+             |      ELSE 63 * 281474976710656 // GREATEST(vk, 1) END
+             |   AS BIGINT) AS distinct_est,
+             | exact_parts
+             |FROM a JOIN ex ON ex.g = a.g ORDER BY l_returnflag""".stripMargin)),
 
     QueryDef("q17_exists_subquery",
       // correlated EXISTS -> LEFT SEMI join (q12's anti-join twin):
@@ -1476,15 +1500,45 @@ object SparkEntry {
              |ORDER BY a, b""".stripMargin)),
 
     QueryDef("x07_minhash_lsh",
-      (s, dir) => Dedup.minhashLsh(docs(s, dir), threshold = 0.7)
-        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+      // banded MinHash+LSH near-dup pairs at the LOOSE 0.5 threshold
+      // (x26 audits the tight 0.7 cut) under the portable md5 family,
+      // so signatures, banded candidates and verified pairs all
+      // re-derive in the oracle. The xxhash64 fast family
+      // (Dedup.minhashLsh) has engine-private seeds by design; it
+      // stays spec-pinned against this family in ExtSpec (verified
+      // pairs are a property of the documents, not the hash family).
+      (s, dir) => Dedup.minhashLshPortable(docs(s, dir), threshold = 0.5)
+        .select(col("a"), col("b"), col("jaccard"))
         .orderBy("a", "b"),
-      None), // xxhash64 seeds not reproducible in DuckDB -> rows-only check
+      Some(s"""WITH $portableMinhashCtes
+              |SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.5
+              |ORDER BY a, b""".stripMargin)),
 
     QueryDef("x08_simhash",
-      (s, dir) => Dedup.simhashPairs(docs(s, dir), maxDist = 6)
+      // SimHash pairs at the WIDE Hamming cut (<=10; x27 audits <=6)
+      // under the portable md5 token family — fingerprints, blocks
+      // and pair distances re-derive in the oracle. The xxhash64
+      // fast-family fingerprints are engine-private; spec-pinned in
+      // ExtSpec (identical docs collide at hamming 0 in both).
+      (s, dir) => Dedup.simhashPairs(docs(s, dir), maxDist = 10,
+          tokenHash = Dedup.md5TokenHash)
         .orderBy("a", "b"),
-      None),
+      Some("""WITH hs AS (SELECT doc_id,
+             |  [CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+             |   for t in string_split_regex(trim(text), '\s+')] AS h
+             |  FROM documents),
+             | fp AS (SELECT doc_id, CAST(list_sum([
+             |   CASE WHEN list_sum([CAST(((hv >> b) & 1) * 2 - 1 AS BIGINT)
+             |     for hv in h]) > 0
+             |   THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END
+             |   for b in generate_series(0, 59)]) AS BIGINT) AS fp FROM hs),
+             | blocked AS (SELECT doc_id, fp, fp >> 56 AS blk FROM fp),
+             | pairs AS (SELECT l.doc_id AS a, r.doc_id AS b,
+             |   CAST(bit_count(xor(l.fp, r.fp)) AS INT) AS hamming
+             |  FROM blocked l JOIN blocked r
+             |    ON l.blk = r.blk AND l.doc_id < r.doc_id)
+             |SELECT a, b, hamming FROM pairs WHERE hamming <= 10
+             |ORDER BY a, b""".stripMargin)),
 
     QueryDef("x09_sim_bruteforce",
       (s, dir) => {
@@ -1505,14 +1559,40 @@ object SparkEntry {
              |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
     QueryDef("x10_sim_lsh",
+      // sign-LSH ANN under the portable md5 plane family, WIDER query
+      // set than x28 (8 queries vs 5) and WITH the rounded cosine in
+      // the result (x09 precedent: one l-to-r float op re-derives to
+      // 4 decimals in DuckDB). The xxhash64 plane family
+      // (Similarity.lshTopK) stays spec-pinned in ExtSpec (recall
+      // floor vs brute force; identical vectors always co-bucket).
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), 10)
+        Similarity.lshTopKPortable(emb, emb.filter(col("vec_id") < 8), 10)
           .select(col("query_id"), col("neighbor_id"),
             round(col("cosine"), 4).as("cosine"), col("rank"))
           .orderBy("query_id", "rank")
       },
-      None),
+      Some("""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             | qz AS (SELECT vec_id, v,
+             |   [CAST(floor(x * 1e6) AS BIGINT) for x in v] AS q FROM emb),
+             | b AS (SELECT vec_id, v, CAST(list_sum([
+             |   CASE WHEN list_sum([q[i] *
+             |     (CASE WHEN CAST(('0x' || substr(md5(p || ':' || i), 1, 1)) AS BIGINT) % 2 = 0
+             |      THEN 1 ELSE -1 END)
+             |     for i in generate_series(1, len(q))]) >= 0
+             |   THEN CAST(1 AS BIGINT) << p ELSE 0 END
+             |   for p in generate_series(0, 5)]) AS BIGINT) AS bucket FROM qz),
+             | scored AS (SELECT qq.vec_id AS query_id, nn.vec_id AS neighbor_id,
+             |   list_cosine_similarity(qq.v, nn.v) AS cos
+             |  FROM b qq JOIN b nn ON qq.bucket = nn.bucket
+             |    AND qq.vec_id <> nn.vec_id
+             |  WHERE qq.vec_id < 8),
+             | ranked AS (SELECT query_id, neighbor_id, cos,
+             |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |     ORDER BY cos DESC, neighbor_id) AS INT) AS rank FROM scored)
+             |SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine, rank
+             |FROM ranked WHERE rank <= 10
+             |ORDER BY query_id, rank""".stripMargin)),
 
     QueryDef("x03_langid",
       (s, dir) => t(s, dir, "documents")
@@ -1654,17 +1734,21 @@ object SparkEntry {
              |FROM customer ORDER BY node_id""".stripMargin)),
 
     QueryDef("g20_pagerank",
-      // fixed iteration count, not tol-driven: a tolerance fixpoint has
-      // no worst-case bound, and floating ranks are not hash-stable
-      // anyway -> rows-only check; g27 is the hash-matched variant.
+      // deterministic fixed-point PageRank over the 3-layer supplier
+      // slice (g27 covers the 4-layer slice): BIGINT micro-units and
+      // integer division, exact under ANY partitioning or engine —
+      // hash-matches the oracle. The GraphX float fast path
+      // (pageRankStatic) is not hash-stable by nature; it stays
+      // spec-pinned against this kernel in GraphOpsSpec.
       (s, dir) => {
         val g = graph(s, dir).viewLayers(Seq("region", "nation", "supplier"))
-        GraphOps.pageRankStatic(g, numIter = 8)
+        GraphOps.pageRankFixedPoint(g, iters = PrFixedIters)
           .join(g.vertices, Seq("vid"))
-          .select(col("layer"), col("nodeId").as("node_id"), col("rank"))
+          .select(col("layer"), col("nodeId").as("node_id"), col("rank_fp"))
           .orderBy("layer", "node_id")
       },
-      None), // iterative floating fixpoint -> rows-only check
+      Some(pagerankFixedSql(Seq("region", "nation", "supplier"),
+        PrFixedIters))),
 
     QueryDef("g27_pagerank_fixed",
       // deterministic fixed-point PageRank (BIGINT micro-units,

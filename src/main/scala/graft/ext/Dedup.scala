@@ -829,9 +829,12 @@ object Dedup {
     * [[minhashLshPortable]] family), in integer ppm — "which sources
     * repeat themselves", the WITHIN-source audit next to
     * [[sourceOverlap]]'s cross-source matrix, read before deciding
-    * per-source dedup budgets. Scale shape: the flagged-doc set ≪
-    * corpus (it is the pair graph's vertex set) and broadcasts onto
-    * one map-side-combinable per-group count. */
+    * per-source dedup budgets. Scale shape: the flagged-doc set is
+    * the pair graph's vertex set — often small, but a crawl-heavy
+    * corpus can flag 30-50% of docs, so no broadcast hint is forced;
+    * AQE picks broadcast vs shuffle from the measured size and the
+    * plan degrades gracefully either way, into one
+    * map-side-combinable per-group count. */
   def dupRateByGroup(docs: DataFrame, groupCol: String,
                      threshold: Double = 0.7,
                      idCol: String = "doc_id",
@@ -843,7 +846,7 @@ object Dedup {
       .distinct()
       .withColumn("__dup", lit(1L))
     docs.select(col(idCol), col(groupCol))
-      .join(broadcast(dup), Seq(idCol), "left")
+      .join(dup, Seq(idCol), "left")
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum("__dup"), lit(0L)).as("n_dup_docs"))

@@ -190,7 +190,8 @@ object Sampling {
 
   /** Curriculum-ordered export: [[epochShuffle]] with a PHASE major
     * key — rows bucket by a difficulty measure (`measureCol` against
-    * ascending `edges`: phase p = # edges ≤ measure), a trainer
+    * ascending `edges`: phase p = # edges < measure, so a row whose
+    * measure equals an edge stays in the LOWER phase), a trainer
     * consumes phase directories in order (easy → hard), and WITHIN a
     * phase the order is the epoch-fresh md5 permutation. Same
     * no-global-sort execution: the phase is pure column algebra, the

@@ -82,8 +82,11 @@ object Similarity {
         zip_with(q, sequence(lit(0), size(col(vecCol)) - 1),
           (qi, i) => sign(i, j) * qi),
         lit(0L), (acc, t) => acc + t))
-    emb.select(col(idCol).as("vec_id"),
-      posexplode(proj).as(Seq("dim", "y")))
+    // Empty/null vectors are dropped explicitly: sequence(0, -1) would
+    // descend to [0,-1] and null-poison every output dim otherwise.
+    emb.where(size(col(vecCol)) > 0)
+      .select(col(idCol).as("vec_id"),
+        posexplode(proj).as(Seq("dim", "y")))
   }
 
   /** Brute-force exact top-k neighbors for each query vector.

@@ -55,8 +55,10 @@ object TextOps {
     * least `minCount` times, pmi_ppm = 1e6·n_ab·N div (n_a·n_b) — the
     * x87 lift formula with word-adjacency as the basket, all-integer
     * (>1e6 = collocated above independence; the log is monotone in
-    * the ratio, so ranking survives dropping it). BIGINT holds while
-    * 1e6·n_ab·N < 2^63. One explode + two map-side-combinable counts;
+    * the ratio, so ranking survives dropping it). The multiply is
+    * routed through DECIMAL(38,0) so 1e6·n_ab·N cannot wrap past 2^63
+    * at web-corpus token counts (~1e10+ tokens) — same routing as
+    * associationRules' cell sums. One explode + two map-side-combinable counts;
     * the pair table joins the unigram margins on the word key and N
     * arrives as a 1-row broadcast. */
   def collocations(df: DataFrame, minCount: Long = 3,
@@ -81,7 +83,8 @@ object TextOps {
       .join(uni.select(col("w").as("b"), col("n").as("n_b")), "b")
       .crossJoin(broadcast(nTotal))
       .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
-        expr("1000000L * n_ab * n_tokens div (n_a * n_b)").as("pmi_ppm"))
+        expr("cast(1000000 * cast(n_ab as decimal(38,0)) * n_tokens" +
+          " div (cast(n_a as decimal(38,0)) * n_b) as bigint)").as("pmi_ppm"))
   }
 
   /** PII detection audit — the REPORT counterpart of [[scrub]]'s

@@ -58,6 +58,12 @@ class ExtSpec extends SparkSuite {
     assert(fp(0L) == fp(1L))
     assert(java.lang.Long.bitCount(fp(0L) ^ fp(2L)) <
       java.lang.Long.bitCount(fp(0L) ^ fp(3L)))
+    // x08's corpus primary is the md5 family; the xxhash64 fast path
+    // is pinned here: the pairs kernel surfaces the exact dup at
+    // hamming 0 under BOTH families.
+    val pairs = Dedup.simhashPairs(docs, maxDist = 6)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
   }
 
   test("portable md5 simhash: 60-bit fingerprints, same dup structure (X1)") {

@@ -128,6 +128,27 @@ class GraphOpsSpec extends SparkSuite {
       "c" -> 1000000000L, "d" -> 575000000L))
   }
 
+  test("GraphX staticPageRank converges to the fixed-point kernel (g20's spec pin)") {
+    // g20's corpus primary is the exact integer kernel; the GraphX
+    // float fast path shares its stationary limit. At 20 iterations
+    // both transients are < (0.85)^20 ≈ 4%, so the NORMALIZED rank
+    // vectors must agree regardless of each kernel's initial scale.
+    val g = randomGraph(21, 30, 70)
+    val fx = GraphOps.pageRankFixedPoint(g, iters = 20)
+      .as[(Long, Long)].collect().toMap
+    val gx = GraphOps.pageRankStatic(g, numIter = 20)
+      .as[(Long, Double)].collect().toMap
+    assert(fx.keySet == gx.keySet)
+    val fxSum = fx.values.sum.toDouble
+    val gxSum = gx.values.sum
+    for ((vid, rfp) <- fx) {
+      val a = rfp / fxSum
+      val b = gx(vid) / gxSum
+      assert(math.abs(a - b) <= 0.05 * math.max(a, b) + 1e-4,
+        s"vid=$vid normalized fixed=$a graphx=$b")
+    }
+  }
+
   test("pageRankFixedPoint is invariant under repartitioning") {
     val g0 = randomGraph(13, 30, 70)
     val g1 = graft.model.OnionGraph(g0.vertices.repartition(7),

@@ -136,6 +136,25 @@ class ProfilingSpec extends SparkSuite {
     assert(again == out)
   }
 
+  test("HLL approx_count_distinct tracks exact and the KMV estimate (q14's spec pin)") {
+    // q14's corpus primary is the auditable KMV sketch; the HLL fast
+    // path (engine-internal, unhashable by design) is pinned here:
+    // both estimators must track the exact count on the same data.
+    val d = (0 until 6000)
+      .map(i => (s"g${i % 3}", (i * 2654435761L) % 1500)).toDF("g", "v")
+    val exact = d.groupBy("g").agg(countDistinct("v").as("n"))
+      .as[(String, Long)].collect().toMap
+    val hll = d.groupBy("g")
+      .agg(approx_count_distinct("v").as("n"))
+      .as[(String, Long)].collect().toMap
+    for ((g, n) <- exact) // default rsd 5% -> 3 sigma
+      assert(math.abs(hll(g) - n) <= 0.15 * n, s"HLL $g: ${hll(g)} vs $n")
+    val kmv = Profiling.kmvDistinct(d, "g", "v", k = 64)
+      .select("g", "distinct_est").as[(String, Long)].collect().toMap
+    for ((g, n) <- exact) // KMV error ~1/sqrt(62) ≈ 13% -> 3 sigma
+      assert(math.abs(kmv(g) - n) <= 0.4 * n, s"KMV $g: ${kmv(g)} vs $n")
+  }
+
   test("datasetCard: hand-computed metrics, all-BIGINT, partition-invariant") {
     val docs = Seq(
       (1L, "alpha beta", "en"),
