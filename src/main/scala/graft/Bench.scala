@@ -49,16 +49,14 @@ object Bench {
       .config("spark.appStateStore.asyncTracking.enable", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Pre-build the shared star graph AND its GraphX projection
-    // (ingest, not query time), then release every OTHER persistent
-    // RDD (BFS checkpoints etc.) after each query so the corpus's
-    // localCheckpoint blocks don't pile up.
-    val g = graft.builder.StarGraph.graph(spark, sfDir)
-    // ONE directed projection serves forward/backward/undirected
-    // sweeps (bidirectional messages) — half the resident edge blocks
-    // a symmetrized copy would pin for the run.
-    val gx = graft.algos.GraphOps.toGraphX(g)
-    gx.vertices.count(); gx.edges.count()
+    // Pre-build the shared star graph (ingest, not query time), then
+    // release every OTHER persistent RDD (BFS checkpoints etc.) after
+    // each query so the corpus's localCheckpoint blocks don't pile up.
+    // The GraphX projection is NOT pre-built: it materializes lazily
+    // on the first Pregel/PageRank/components query (memoized for the
+    // rest of the run — GraphOps.pinnedRddIds keeps the sweep off it),
+    // so a relational/pipeline-only bench subset never pays for it.
+    graft.builder.StarGraph.graph(spark, sfDir)
     // co-purchase membership + projection: ingest-time artifacts
     // shared by five link-analysis queries (must be warmed BEFORE the
     // keep snapshot or the per-query unpersist sweep would drop them)
@@ -82,8 +80,9 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         System.err.println(
           f"[bench] pass $pass ${d.name}%-24s ${sec}%8.2f s  ($n rows)")
+        val spare = keep ++ graft.algos.GraphOps.pinnedRddIds
         spark.sparkContext.getPersistentRDDs
-          .filterNot { case (id, _) => keep.contains(id) }
+          .filterNot { case (id, _) => spare.contains(id) }
           .foreach { case (_, rdd) => rdd.unpersist(false) }
         // Failed passes are EXCLUDED from samples: a 0.1 s throw must
         // not lower a query's median (it reads as a fast pass). The

@@ -2117,10 +2117,12 @@ object SparkEntry {
       // cells scope the pair space, TopKPerGroup caps map-side,
       // deterministic (votes DESC, label ASC) tie-break). The
       // accuracy column makes the query double as the embedding-
-      // quality probe.
+      // quality probe. Cell count is corpus-derived (autoCells —
+      // linear pair space at scale); at this SF it lands on the 4
+      // the oracle's kmeansCtes pin.
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        Similarity.knnClassify(emb, k = 5, cells = 4, iters = 2)
+        Similarity.knnClassify(emb, k = 5, iters = 2)
           .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
           .select(col("vec_id"), col("cluster"), col("label"),
             col("pred_label"), col("votes"),
@@ -2174,12 +2176,13 @@ object SparkEntry {
 
     QueryDef("x93_mutual_knn_clusters",
       // parameter-free cluster discovery: in-cell kNN (the x62
-      // machinery), MUTUAL edges only (the standard noise filter),
+      // machinery, corpus-derived cell count = 4 at this SF), MUTUAL
+      // edges only (the standard noise filter),
       // min-label components — no cluster count chosen anywhere.
       // Deterministic kNN tie-break makes the discovered structure
       // hash-match end to end.
       (s, dir) => Similarity.mutualKnnClusters(
-          t(s, dir, "embeddings"), k = 3, cells = 4, iters = 2)
+          t(s, dir, "embeddings"), k = 3, iters = 2)
         .orderBy("vec_id"),
       Some(s"""WITH RECURSIVE ${kmeansCtes(4, 2)},
               | e AS (SELECT vec_id, embedding::DOUBLE[] AS v
@@ -4699,12 +4702,13 @@ object SparkEntry {
 
     QueryDef("x55_semantic_dedup",
       // SemDeDup: k-means partitions the embedding space (exact
-      // integer fixed-point — the x22 centroids), pairs score only
-      // within a cluster, greedy keep-min-id above the cosine
-      // threshold. 0.35 targets the paraphrase regime this corpus
+      // integer fixed-point — the x22 centroids; cluster count is
+      // corpus-derived via autoCells and lands on the oracle's 4 at
+      // this SF), pairs score only within a cluster, greedy
+      // keep-min-id above the cosine threshold. 0.35 targets the paraphrase regime this corpus
       // actually contains (max pairwise cosine ~0.5); the verbatim-dup
       // regime is x40's LSH blocking.
-      (s, dir) => Dedup.semanticDedup(t(s, dir, "embeddings"), k = 4,
+      (s, dir) => Dedup.semanticDedup(t(s, dir, "embeddings"),
           threshold = 0.35, iters = 2)
         .orderBy("vec_id"),
       Some(s"""WITH ${kmeansCtes(4, 2)},
@@ -4733,7 +4737,7 @@ object SparkEntry {
         val kept = TextOps.scoreLinear(d, w)
           .filter(col("predicted"))
           .select("doc_id")
-        val dupIds = Dedup.semanticDedup(t(s, dir, "embeddings"), k = 4,
+        val dupIds = Dedup.semanticDedup(t(s, dir, "embeddings"),
             threshold = 0.35, iters = 2)
           .filter(col("is_dup")).select(col("vec_id").as("doc_id"))
         val curated = d.join(kept, Seq("doc_id"), "left_semi")

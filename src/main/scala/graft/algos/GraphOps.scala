@@ -35,6 +35,19 @@ object GraphOps {
   private val gxCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[OnionGraph, Graph[Unit, Double]]())
 
+  /** RDD ids pinned by memoized projections of PERSISTED graphs.
+    * The projection builds LAZILY on first GraphX use (a relational-
+    * or pipeline-only workload never pays for it — measured 370 s of
+    * the sf10 ingest), so a housekeeping sweep that unpersists stray
+    * RDDs between queries (Bench's per-query cleanup) must spare
+    * these ids or every later Pregel call would silently rebuild. */
+  private val pinned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  def pinnedRddIds: Set[Int] = {
+    import scala.jdk.CollectionConverters._
+    pinned.asScala.toSet
+  }
+
   /** Shared projection builder: `edgeMapper` decides the projection
     * kind (directed vs symmetrized). Blocks are pinned only for
     * long-lived (persisted) graphs — the StarGraph-style "ingest once"
@@ -68,9 +81,12 @@ object GraphOps {
     val vs: RDD[(VertexId, Unit)] =
       g.vertices.select("vid").rdd.map(r => (r.getLong(0), ())).coalesce(parts)
     val gx = Graph(vs, es).partitionBy(PartitionStrategy.EdgePartition2D, parts)
-    if (g.vertices.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    if (g.vertices.storageLevel != org.apache.spark.storage.StorageLevel.NONE) {
       gx.cache()
-    else gx
+      pinned.add(gx.vertices.id)
+      pinned.add(gx.edges.id)
+      gx
+    } else gx
   }
 
   def toGraphX(g: OnionGraph): Graph[Unit, Double] =

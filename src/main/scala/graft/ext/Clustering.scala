@@ -62,6 +62,19 @@ object Clustering {
              vecCol: String = "embedding"): DataFrame =
     kmeansModel(emb, k, iters, idCol, vecCol)._1
 
+  /** Corpus-derived kmeans cell count: max(4, n DIV 128) from one
+    * cheap count (parquet metadata at rest). Mean cell size stays
+    * ~128 as the corpus grows, so the within-cell pair space of the
+    * cell-scoped operators (Σ n_c² ≈ 64·n) stays LINEAR in the corpus
+    * — at ANY fixed cell count it is quadratic (measured: fixed k=4
+    * ×5.6 at ×10 data vs ~linear with scaled cells, SCALE.md). This
+    * is the DEFAULT for [[graft.ext.Dedup.semanticDedup]] /
+    * [[graft.ext.Similarity.knnClassify]] / [[graft.ext.Similarity
+    * .mutualKnnClusters]]; the floor of 4 keeps test-scale corpora on
+    * the constants their oracles pin. */
+  def autoCells(emb: DataFrame): Int =
+    math.max(4L, emb.count() / 128L).toInt
+
   /** [[kmeans]] exposing its MODEL too: returns (assignment,
     * centroids) where centroids (cluster, dim, cq) are exactly the
     * ones the final assignment ran against — the persistable codebook

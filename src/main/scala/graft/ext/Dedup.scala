@@ -651,11 +651,15 @@ object Dedup {
     * never shuffles); the pair join exchanges only (id, cluster,
     * vector) once on the cluster key, and the exact cosine verify
     * runs per cluster. */
-  def semanticDedup(emb: DataFrame, k: Int, threshold: Double,
+  def semanticDedup(emb: DataFrame, threshold: Double, k: Int = 0,
                     iters: Int = 2,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
-    val assign = Clustering.kmeans(emb, k, iters, idCol, vecCol)
+    // k <= 0 (the default) derives the cell count from the corpus so
+    // the pair space stays linear as data grows; the explicit knob
+    // remains for callers who size the codebook themselves.
+    val cells = if (k > 0) k else Clustering.autoCells(emb)
+    val assign = Clustering.kmeans(emb, cells, iters, idCol, vecCol)
       .select(col("vec_id"), col("cluster"))
     val side = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .join(assign, Seq("vec_id")).localCheckpoint()

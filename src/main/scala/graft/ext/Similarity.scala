@@ -285,11 +285,14 @@ object Similarity {
     * invisible — raise `cells` with corpus size like semanticDedup);
     * deterministic end to end, so predictions hash-match a SQL oracle
     * (x62). Returns (vec_id, cluster, pred_label, votes). */
-  def knnClassify(emb: DataFrame, k: Int, cells: Int, iters: Int = 2,
+  def knnClassify(emb: DataFrame, k: Int, cells: Int = 0, iters: Int = 2,
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   labelCol: String = "label"): DataFrame = {
-    require(k > 0 && cells > 0, "knnClassify: k > 0, cells > 0")
-    val assign = graft.ext.Clustering.kmeans(emb, cells, iters, idCol, vecCol)
+    require(k > 0, "knnClassify: k > 0")
+    // cells <= 0 (the default) derives the cell count from the corpus
+    // ([[Clustering.autoCells]]) so the pair space stays linear.
+    val nCells = if (cells > 0) cells else Clustering.autoCells(emb)
+    val assign = graft.ext.Clustering.kmeans(emb, nCells, iters, idCol, vecCol)
       .select(col("vec_id"), col("cluster"))
     val side = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
         col(labelCol).as("lbl"))
@@ -328,11 +331,15 @@ object Similarity {
     * Scale shape: pair generation is cell-bounded (never all-pairs),
     * the mutual filter is a self-join of the ≤ n·k top table, and
     * the component sweep runs on ≤ n·k/2 mutual edges. */
-  def mutualKnnClusters(emb: DataFrame, k: Int, cells: Int, iters: Int = 2,
+  def mutualKnnClusters(emb: DataFrame, k: Int, cells: Int = 0,
+                        iters: Int = 2,
                         idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
-    require(k > 0 && cells > 0, "mutualKnnClusters: k > 0, cells > 0")
-    val assign = graft.ext.Clustering.kmeans(emb, cells, iters, idCol, vecCol)
+    require(k > 0, "mutualKnnClusters: k > 0")
+    // cells <= 0 (the default) derives the cell count from the corpus
+    // ([[Clustering.autoCells]]) so the pair space stays linear.
+    val nCells = if (cells > 0) cells else Clustering.autoCells(emb)
+    val assign = graft.ext.Clustering.kmeans(emb, nCells, iters, idCol, vecCol)
       .select(col("vec_id"), col("cluster"))
     val side = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .join(assign, Seq("vec_id")).localCheckpoint()

@@ -1,11 +1,14 @@
 package graft.plans
 
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, File, FileInputStream, FileOutputStream}
+
 import scala.collection.mutable
 
+import org.apache.spark.TaskContext
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -106,10 +109,15 @@ object TopKPerGroupStrategy extends SparkStrategy {
   * the final phase to discard, and a row belonging to the partition's
   * true per-group top-k is never rejected (rejection requires k
   * better same-group rows in the current epoch, which are themselves
-  * emitted). The final phase holds the groups one shuffle partition
-  * owns — the same bound as hash aggregation pre-spill; a production
-  * hardening would integrate TaskMemoryManager-tracked spilling
-  * there. */
+  * emitted). The final phase SPILLS: past `spark.graft.topk.spillGroups`
+  * distinct groups (default = the partial flush cap), the heap table is
+  * written to a key-sorted local run (per group: its current top-k in
+  * sort order) and restarted; end-of-input merges all runs with the
+  * in-memory remainder by key. Per-run group survivors are each ≤ k and
+  * the global top-k of a group is contained in the union of its
+  * per-run top-ks, so the merge re-selects exactly — a reduce partition
+  * owning billions of groups holds at most `spillGroups × (k+1)` rows
+  * plus one group's ≤ runs×k merge buffer, never the partition. */
 case class TopKPerGroupExec(group: Seq[Expression], order: Seq[SortOrder],
                             k: Int, partial: Boolean, child: SparkPlan)
     extends UnaryExecNode {
@@ -126,13 +134,87 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Seq[SortOrder],
     val limit = k
     val isPartial = partial
     val childOutput = child.output
+    val spillGroups = conf.getConfString("spark.graft.topk.spillGroups",
+      TopKPerGroupExec.PartialFlushGroups.toString).toInt
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(groupExprs, childOutput)
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val ordering = RowOrdering.create(sortOrder, childOutput)
       // scala PQ surfaces its Ordering's MAX at `head`: under the row
       // ordering that is the row sorting LAST — the worst row kept,
       // exactly the one a better candidate should evict
       val heaps = mutable.HashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
+      val runs = mutable.ArrayBuffer.empty[File]
+      Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+        runs.foreach(f => if (f.exists()) f.delete())
+      })
+
+      /** Final-phase spill: write the heap table as a key-sorted run
+        * — per group its ≤k survivors in sort order — then reset.
+        * Sorted by the key's UNSAFE BYTES (any total order shared by
+        * every run works; UnsafeRow equality is bytes equality). */
+      def spillTable(): Unit = {
+        val file = File.createTempFile("graft-topk-spill", ".run")
+        runs += file
+        val out = new DataOutputStream(new BufferedOutputStream(
+          new FileOutputStream(file), 1 << 16))
+        try {
+          val entries = heaps.toArray.sortWith { (a, b) =>
+            java.util.Arrays.compareUnsigned(
+              a._1.asInstanceOf[UnsafeRow].getBytes,
+              b._1.asInstanceOf[UnsafeRow].getBytes) < 0
+          }
+          for ((key, heap) <- entries) {
+            val kb = key.asInstanceOf[UnsafeRow].getBytes
+            out.writeInt(kb.length); out.write(kb)
+            val rows = heap.dequeueAll.reverseIterator.toArray
+            out.writeInt(rows.length)
+            for (r <- rows) {
+              val rb = toUnsafe(r).getBytes
+              out.writeInt(rb.length); out.write(rb)
+            }
+          }
+          out.writeInt(-1)
+        } finally out.close()
+        heaps.clear()
+      }
+
+      /** K-way merge of the spilled runs (the in-memory remainder is
+        * spilled first so one code path reads everything): pop the
+        * smallest key across runs, pool that group's ≤ runs×k
+        * survivors, re-select its top-k. */
+      def mergeRuns(): Iterator[InternalRow] = {
+        if (heaps.nonEmpty) spillTable()
+        val readers = runs.toArray
+          .map(new TopKRunReader(_, childOutput.length))
+          .filter(_.advance())
+        // max-heap + reversed byte order = smallest key at head
+        val pq = mutable.PriorityQueue.empty[TopKRunReader](
+          (a: TopKRunReader, b: TopKRunReader) =>
+            java.util.Arrays.compareUnsigned(b.keyBytes, a.keyBytes))
+        readers.foreach(pq.enqueue(_))
+        new Iterator[InternalRow] {
+          private var cur: Iterator[InternalRow] = Iterator.empty
+          private def refill(): Unit = {
+            while (!cur.hasNext && pq.nonEmpty) {
+              val first = pq.dequeue()
+              val key = first.keyBytes
+              val pooled = mutable.ArrayBuffer.empty[UnsafeRow]
+              pooled ++= first.rows
+              val popped = mutable.ArrayBuffer[TopKRunReader](first)
+              while (pq.nonEmpty &&
+                  java.util.Arrays.equals(pq.head.keyBytes, key)) {
+                val r = pq.dequeue(); pooled ++= r.rows; popped += r
+              }
+              cur = pooled.sortWith(ordering.compare(_, _) < 0)
+                .take(limit).iterator
+              popped.foreach(r => if (r.advance()) pq.enqueue(r))
+            }
+          }
+          override def hasNext: Boolean = { refill(); cur.hasNext }
+          override def next(): InternalRow = { refill(); cur.next() }
+        }
+      }
 
       new Iterator[InternalRow] {
         private var out: Iterator[InternalRow] = Iterator.empty
@@ -160,6 +242,8 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Seq[SortOrder],
                   if (isPartial &&
                       heaps.size >= TopKPerGroupExec.PartialFlushGroups)
                     flushed = drain()
+                  else if (!isPartial && heaps.size >= spillGroups)
+                    spillTable()
                   val h = mutable.PriorityQueue.empty[InternalRow](ordering)
                   heaps.put(probe.copy(), h)
                   h
@@ -170,7 +254,10 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Seq[SortOrder],
               }
             }
             if (flushed.hasNext) out = flushed
-            else if (!iter.hasNext) { inputDone = true; out = drain() }
+            else if (!iter.hasNext) {
+              inputDone = true
+              out = if (runs.isEmpty) drain() else mergeRuns()
+            }
           }
         }
 
@@ -186,6 +273,29 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Seq[SortOrder],
 
 object TopKPerGroupExec {
   /** Partial-phase heap-table cap: past this many distinct groups in
-    * one map partition, flush-and-restart (soundness argued above). */
+    * one map partition, flush-and-restart (soundness argued above).
+    * Also the default for the final phase's disk-spill threshold
+    * (`spark.graft.topk.spillGroups`). */
   val PartialFlushGroups: Int = 1 << 16
+}
+
+/** Sequential reader over one spilled run: (keyBytes, that group's
+  * ≤k rows in sort order) per advance(); deletes the file at EOF. */
+private final class TopKRunReader(file: File, numRowFields: Int) {
+  private val in = new DataInputStream(new BufferedInputStream(
+    new FileInputStream(file), 1 << 16))
+  var keyBytes: Array[Byte] = _
+  var rows: Array[UnsafeRow] = _
+  def advance(): Boolean = {
+    val kl = in.readInt()
+    if (kl < 0) { in.close(); file.delete(); false }
+    else {
+      keyBytes = new Array[Byte](kl); in.readFully(keyBytes)
+      rows = Array.fill(in.readInt()) {
+        val rb = new Array[Byte](in.readInt()); in.readFully(rb)
+        val r = new UnsafeRow(numRowFields); r.pointTo(rb, rb.length); r
+      }
+      true
+    }
+  }
 }

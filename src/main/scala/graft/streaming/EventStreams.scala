@@ -28,10 +28,32 @@ object EventStreams {
     * long only under the nanosAsLong legacy conf) and plain
     * TIMESTAMP(MICROS); a reader that bakes in either assumption
     * breaks on the other, so branch on the loaded dtype. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    normalizeTs(raw)
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(withNanosConf(spark)(
+      spark.read.parquet(s"$dir/events.parquet"))(
+      _.schema("ts").dataType == LongType))
+
+  /** Run `read` with the nanosAsLong legacy conf up, RESTORING the
+    * caller's session value unless the loaded `ts` is actually
+    * nanos-as-long. The conf must be up during schema resolution (a
+    * TIMESTAMP(NANOS) footer throws without it), and scan building
+    * re-reads it at execution — so a genuinely-nanos plan needs it to
+    * stay up for its lifetime. Every other encoding (micros / NTZ —
+    * all driver drops since round 7) leaves the session untouched
+    * instead of silently flipping a legacy conf for co-resident
+    * readers. */
+  private def withNanosConf[T](spark: SparkSession)(read: => T)
+                              (isNanos: T => Boolean): T = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val old = spark.conf.getOption(key)
+    def restore(): Unit = old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    spark.conf.set(key, "true")
+    val r = try read catch { case e: Throwable => restore(); throw e }
+    if (!isNanos(r)) restore()
+    r
   }
 
   /** Normalize the `ts` column to TimestampType (micros), covering
@@ -91,8 +113,8 @@ object EventStreams {
     * arriving later must match the sniffed encoding — standard
     * streaming-source contract (schema is fixed at query start). */
   def readEventStream(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(path).schema
+    val raw = withNanosConf(spark)(spark.read.parquet(path).schema)(
+      _("ts").dataType == LongType)
     normalizeTs(spark.readStream.schema(raw).parquet(path))
   }
 

@@ -97,6 +97,14 @@ object BenchCuration {
       timed(s"knn_classify_cells${4 * n}", n) {
         graft.ext.Similarity.knnClassify(emb, k = 5, cells = 4 * n).count()
       }
+      // the DERIVED default (autoCells = max(4, n/128)) must land on
+      // the ~linear regime without the caller choosing anything
+      timed("semantic_dedup_auto", n) {
+        Dedup.semanticDedup(emb, threshold = 0.35).count()
+      }
+      timed("knn_classify_auto", n) {
+        graft.ext.Similarity.knnClassify(emb, k = 5).count()
+      }
       timed("profile_merge_3way", n) {
         val states = (0 until 3).map(i => graft.ext.Profiling.profileState(
           docs.filter(pmod(col("doc_id"), lit(3)) === i), "doc_id",

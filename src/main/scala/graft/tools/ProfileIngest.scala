@@ -32,13 +32,17 @@ object ProfileIngest {
     }
     phase("vertices recount") { g.vertices.count() }
     phase("edges recount") { g.edges.count() }
-    val gx = phase("toGraphX projection") {
+    phase("copurchase membership+proj") {
+      graft.builder.StarGraph.copurchase(spark, sfDir).count()
+    }
+    // END of the ingest path a relational/pipeline-only workload pays.
+    // The GraphX projection is LAZY: it builds (memoized) on first
+    // Pregel/PageRank/components use — profiled separately below so
+    // the moved cost stays visible.
+    val gx = phase("first GraphX use (lazy projection)") {
       val gx = graft.algos.GraphOps.toGraphX(g)
       gx.vertices.count(); gx.edges.count()
       gx
-    }
-    phase("copurchase membership+proj") {
-      graft.builder.StarGraph.copurchase(spark, sfDir).count()
     }
     System.err.println(s"[ingest] done: ${gx.edges.count()} gx edges")
     spark.stop()

@@ -1399,4 +1399,21 @@ class ExtSpec extends SparkSuite {
       .as[(Long, Int, Boolean)].collect()
     assert(none.forall(!_._3))
   }
+
+  test("autoCells: floor of 4 below 512 rows, then n DIV 128 (X1/X2 default)") {
+    import graft.ext.Clustering
+    assert(Clustering.autoCells(spark.range(9).toDF()) == 4)
+    assert(Clustering.autoCells(spark.range(500).toDF()) == 4)
+    assert(Clustering.autoCells(spark.range(2000).toDF()) == 15)
+    // the derived default IS the explicit call at the derived count
+    val base = (0L until 8L).map { i =>
+      (i, Array.tabulate(8)(d => if (d == i.toInt) 1.0f else 0.01f * i))
+    }
+    val emb = base.toDF("vec_id", "embedding")
+    val auto = Dedup.semanticDedup(emb, threshold = 0.95)
+      .as[(Long, Int, Boolean)].collect().toSet
+    val explicit = Dedup.semanticDedup(emb, threshold = 0.95, k = 4)
+      .as[(Long, Int, Boolean)].collect().toSet
+    assert(auto == explicit)
+  }
 }

@@ -862,6 +862,74 @@ object InvariantProps extends Properties("GraftInvariants") {
       got == label
     }
 
+  // tiny alphabet + punctuation noise: merge-count ties and
+  // normalization edges are the interesting BPE inputs
+  private val genBpe = for {
+    nDocs <- Gen.choose(1, 5)
+    docs <- Gen.listOfN(nDocs, Gen.choose(0, 8).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("ab", "ba", "abab", "a", "b", "bb",
+        "aab!", "b.a", "AB", "aa"))).map(_.mkString(" ")))
+    rounds <- Gen.choose(1, 5)
+  } yield (docs, rounds)
+
+  /** The in-JVM brute BPE: same normalize/tokenize, word histogram,
+    * (count DESC, lhs, rhs) argmax, greedy left-to-right fold. */
+  private def bruteBpeWords(text: String): Seq[String] = text.toLowerCase
+    .replaceAll("[^a-z0-9\\s]", " ").replaceAll("\\s+", " ").trim
+    .split("\\s+").toSeq.filter(_.nonEmpty)
+
+  private def bruteBpeFold(syms: Vector[String], a: String,
+                           b: String): Vector[String] =
+    syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+      if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+      else acc :+ x
+    }
+
+  private def bruteBpeTrain(docs: Seq[String], rounds: Int)
+      : (List[(Int, String, String, String, Long)], Map[String, Vector[String]]) = {
+    var state = docs.flatMap(bruteBpeWords).groupBy(identity).toSeq
+      .map { case (w, occ) => (w, w.split("").toVector, occ.size.toLong) }
+    val merges = scala.collection.mutable.ListBuffer
+      .empty[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((_, syms, c) <- state; i <- 0 until syms.length - 1)
+        pc((syms(i), syms(i + 1))) += c
+      if (pc.isEmpty) exhausted = true
+      else {
+        val ((a, b), c) = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((r, a, b, a + b, c))
+        state = state.map { case (w, syms, cnt) =>
+          (w, bruteBpeFold(syms, a, b), cnt) }
+        r += 1
+      }
+    }
+    (merges.toList, state.map { case (w, syms, _) => w -> syms }.toMap)
+  }
+
+  property("BPE train + encode == in-JVM brute reference") =
+    forAll(genBpe) { case (docs, rounds) =>
+      import spark.implicits._
+      val df = docs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val merges = graft.ext.TextOps.learnBpeMerges(df, rounds)
+      val gotMerges = merges.as[(Int, String, String, String, Long)]
+        .collect().toList.sortBy(_._1)
+      val (wantMerges, vocab) = bruteBpeTrain(docs, rounds)
+      val gotEnc = graft.ext.TextOps.applyBpe(df, merges)
+        .as[(Long, Long, Long)].collect()
+        .map { case (id, nw, nb) => id -> ((nw, nb)) }.toMap
+      val wantEnc = docs.zipWithIndex.map { case (t, i) =>
+        val ws = bruteBpeWords(t)
+        i.toLong -> (ws.size.toLong,
+          ws.map(w => vocab.getOrElse(w, w.split("").toVector).size.toLong).sum)
+      }.toMap
+      gotMerges == wantMerges && gotEnc == wantEnc
+    }
+
   property("rendezvousShard: brute argmax; resize moves keys only TO the new shard") =
     forAll(genResize) { case (n, shards) =>
       import spark.implicits._

@@ -80,6 +80,40 @@ class PlansSpec extends SparkSuite {
     assert(got.agg(max($"v")).head.getDouble(0) < 1.0) // never a second copy
   }
 
+  test("final-phase spill past the group threshold stays exact") {
+    // force the final phase onto the disk path with a tiny threshold:
+    // ~10k groups per reduce partition against spillGroups=512 means
+    // ~20 sorted runs each, re-merged by key — the result must still
+    // be the exact window-form top-k, ties and all
+    spark.conf.set("spark.graft.topk.spillGroups", "512")
+    try {
+      val d = spark.range(0, 60000)
+        .select(($"id" % 20000).as("g"), $"id",
+          (($"id" * 2654435761L) % 977).cast("double").as("v"))
+      val got = TopKPerGroup(d, Seq("g"), Seq(("v", true), ("id", true)), 2)
+      val w = Window.partitionBy("g").orderBy($"v", $"id")
+      val want = d.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 2).drop("rn")
+      assert(rows(got) == rows(want))
+    } finally spark.conf.unset("spark.graft.topk.spillGroups")
+  }
+
+  test("final phase survives 2^21 groups in ONE reduce partition (spill)") {
+    // the 100 TB shape the operator must not OOM on: a reduce
+    // partition owning millions of groups. 2^21 two-row groups forced
+    // through one shuffle partition crosses the default 64k spill
+    // threshold 32 times; min-v per group must survive the run merge.
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      val n = 1 << 21
+      val d = spark.range(0, 2L * n)
+        .select(($"id" % n).as("g"), ($"id" / n).cast("double").as("v"))
+      val got = TopKPerGroup(d, Seq("g"), Seq(("v", true), ("g", true)), 1)
+      assert(got.count() == n)
+      assert(got.agg(max($"v")).head.getDouble(0) < 1.0) // never a second copy
+    } finally spark.conf.set("spark.sql.shuffle.partitions", "32")
+  }
+
   test("null group keys and null order values match the window form") {
     val d = Seq(
       (Option("a"), 1L, Option(1.0)), (Option("a"), 2L, Option.empty[Double]),

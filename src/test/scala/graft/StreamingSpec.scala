@@ -146,6 +146,42 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("file-source streaming adapts to a nanos-as-long events encoding") {
+    // the OTHER physical encoding a foreign writer produces: ts as
+    // epoch-nanos INT64. Synthesized from the real driver file so the
+    // stream path (footer sniff -> explicit schema -> normalizeTs)
+    // is exercised against the same rows the micros test streams.
+    val src = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$src/events.parquet").exists())
+    val batchDf = EventStreams.readEvents(spark, src)
+    val dir = java.nio.file.Files.createTempDirectory("graft_nanos_stream")
+    batchDf.withColumn("ts",
+        (unix_micros($"ts") * 1000L).as("ts"))
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val q = EventStreams.streamTumblingAgg(spark, dir.toString,
+        "10 minutes", "6 hours")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("nanos_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("nanos_stream_out")
+        .as[(String, String, Long, Double)].collect().toSet
+      val batch = EventStreams.tumblingAgg(batchDf, "6 hours")
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("readEvents leaves the nanosAsLong session conf untouched on micros files") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val before = spark.conf.getOption(key)
+    // current driver encoding is micros/NTZ: the legacy conf must be
+    // restored (a library reader silently flipping a session-wide
+    // legacy conf surprises co-resident readers)
+    EventStreams.readEvents(spark, "/root/testdata/sf0.001").count()
+    assert(spark.conf.getOption(key) == before)
+  }
+
   test("streaming parquet sink round-trips the windowed aggregate") {
     implicit val sqlCtx = spark.sqlContext
     val outDir = java.nio.file.Files.createTempDirectory("graft_sink").toString
