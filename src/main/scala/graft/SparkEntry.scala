@@ -4651,6 +4651,55 @@ object SparkEntry {
              | JOIN uni ub ON ub.w = cb.b, tot t
              |ORDER BY pmi_ppm DESC, a, b LIMIT 100""".stripMargin)),
 
+    QueryDef("x96_adaptive_quality",
+      // per-language ADAPTIVE quality gate (FineWeb/Gopher practice):
+      // each doc competes against its OWN language's p25 quality
+      // quantile, not one absolute bar — integer-ppm scores, the
+      // threshold an actual element via percentile_disc, so the whole
+      // verdict re-derives. Thresholds broadcast back; the corpus
+      // never shuffles.
+      (s, dir) => TextOps.adaptiveQualityFilter(docs(s, dir), "lang",
+          pct = 0.25)
+        .orderBy("doc_id"),
+      Some("""WITH f AS (SELECT doc_id, lang,
+             |  string_split_regex(trim(text), '\s+') AS t, LENGTH(text) AS nc
+             | FROM documents),
+             | g AS (SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tokens,
+             |  (nc + 1.0) / (len(t) + 1.0) AS mtl,
+             |  len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','that','it','for')))
+             |    / GREATEST(CAST(len(t) AS DOUBLE), 1.0) AS sr
+             | FROM f),
+             | sc AS (SELECT doc_id, lang,
+             |  CAST(FLOOR((LEAST(1.0, n_tokens / 50.0) * 0.4
+             |   + CASE WHEN mtl BETWEEN 3.0 AND 12.0 THEN 0.3 ELSE 0.0 END
+             |   + LEAST(sr * 3.0, 1.0) * 0.3) * 1000000.0) AS BIGINT)
+             |    AS score_ppm
+             | FROM g),
+             | thr AS (SELECT lang, CAST(
+             |   percentile_disc(0.25) WITHIN GROUP (ORDER BY score_ppm)
+             |    AS BIGINT) AS thr_ppm
+             |  FROM sc GROUP BY lang)
+             |SELECT sc.doc_id, sc.lang, sc.score_ppm, thr.thr_ppm,
+             | sc.score_ppm >= thr.thr_ppm AS kept
+             |FROM sc JOIN thr USING (lang) ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("x97_minhash_estimate",
+      // the verification-FREE minhash leg: banded candidates scored by
+      // the unbiased signature estimator matches/k in integer ppm —
+      // what a 100 TB triage pass trusts instead of re-reading both
+      // shingle sets (x26's exact verify is the gate; this ranks).
+      // Same md5 family, so candidates AND estimates re-derive.
+      (s, dir) => Dedup.minhashEstimatePortable(docs(s, dir))
+        .orderBy("a", "b"),
+      Some(s"""WITH $portableMinhashCtes
+              |SELECT c.a, c.b,
+              | CAST(1000000 * len(list_filter(
+              |   [sa.sig[i] = sb.sig[i] for i in generate_series(1, 16)],
+              |   m -> m)) // 16 AS BIGINT) AS est_ppm
+              |FROM cand c JOIN sig sa ON sa.doc_id = c.a
+              | JOIN sig sb ON sb.doc_id = c.b
+              |ORDER BY a, b""".stripMargin)),
+
     // --------------------------------------------- pipeline: curation gates
     QueryDef("x53_cap_per_group",
       // per-domain document cap (the "≤k pages per host" crawl-curation

@@ -206,6 +206,57 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Signature-ESTIMATED Jaccard for banded candidate pairs — the
+    * verification-free leg of MinHash dedup. At the 100 TB tier most
+    * pipelines trust the unbiased estimator matches/k instead of
+    * re-reading both documents' shingle sets: the exact verify
+    * ([[minhashLshPortable]]) joins the full shingle SETS back
+    * through the candidate table, while the estimator touches only
+    * the k-component signatures the banding already carries — the
+    * candidate join shrinks from sets to k BIGINTs a side. Same md5
+    * signature family, so candidates, component matches and the
+    * integer-ppm estimate all re-derive in an external engine.
+    * Estimator std error ~1/√k (k=16 → ±25 points — rank/triage
+    * precision, not gate precision; gate on the exact leg). Pairs
+    * sharing no band never surface — identical recall to the exact
+    * leg by construction. Returns (a, b, est_ppm). */
+  def minhashEstimatePortable(docs: DataFrame, k: Int = 16, bands: Int = 4,
+                              w: Int = 3, idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    require(k % bands == 0,
+      s"minhashEstimatePortable: k=$k not divisible by bands=$bands")
+    val r = k / bands
+    val p = 2147483647L // 2^31 - 1
+    val based = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), w).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"),
+        transform(col("sh"), s =>
+          pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(p)))
+          .as("hs"))
+    val sig = based.select(col("id"),
+        array((0 until k).map(s =>
+          array_min(transform(col("hs"),
+            h => (h * lit(2L * s + 1) + lit(s.toLong)) % lit(p)))): _*).as("sig"))
+      .localCheckpoint()
+    val banded = sig.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        concat_ws(",", (0 until r).map(i =>
+          element_at(col("sig"), b * r + i + 1)): _*)): _*))
+        .as(Seq("band", "bandKey")))
+    val cand = banded.select(col("id").as("a"), col("band"), col("bandKey"))
+      .join(banded.select(col("id").as("b"), col("band"), col("bandKey")),
+        Seq("band", "bandKey"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    cand
+      .join(sig.select(col("id").as("a"), col("sig").as("sigA")), Seq("a"))
+      .join(sig.select(col("id").as("b"), col("sig").as("sigB")), Seq("b"))
+      .select(col("a"), col("b"),
+        expr(s"1000000L * size(filter(zip_with(sigA, sigB," +
+          s" (x, y) -> x = y), m -> m)) div $k").as("est_ppm"))
+  }
+
   // -----------------------------------------------------------------
   // Incremental near-dup: persisted LSH band index + batch probe
   // -----------------------------------------------------------------

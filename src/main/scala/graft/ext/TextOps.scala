@@ -237,6 +237,44 @@ object TextOps {
           + least(stopRatio * 3.0, lit(1.0)) * lit(0.3))
   }
 
+  /** Per-group ADAPTIVE quality gate — keep each doc at or above its
+    * OWN group's pct-quantile of the quality score (the FineWeb /
+    * Gopher practice: one absolute threshold over-prunes clean
+    * domains and under-prunes spammy ones, so each domain/language
+    * competes against itself). Scores are [[qualityFeatures]]'s blend
+    * floored to integer ppm, and the per-group threshold is
+    * `percentile_disc` — an ACTUAL element of the group (smallest
+    * value with cume_dist ≥ pct), no interpolation arithmetic — so
+    * scores, thresholds and verdicts all re-derive bit-identically on
+    * any engine. Returns (doc_id, group, score_ppm, thr_ppm, kept);
+    * the curated corpus is `filter(kept)`.
+    *
+    * Scale shape: scoring is map-only column math; the threshold agg
+    * collapses to |groups| rows that broadcast back onto the scored
+    * corpus — the corpus itself never shuffles. `percentile_disc`
+    * holds one group's values per agg buffer; a single group with
+    * billions of rows should gate on [[graft.ext.Profiling]]'s
+    * sampled quantiles instead (the x49 machinery). */
+  def adaptiveQualityFilter(docs: DataFrame, groupCol: String,
+                            pct: Double = 0.25,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    require(pct > 0.0 && pct < 1.0,
+      s"adaptiveQualityFilter: pct in (0,1), got $pct")
+    val scored = qualityFeatures(
+        docs.select(col(idCol).as("doc_id"), col(groupCol), col(textCol)),
+        textCol)
+      .select(col("doc_id"), col(groupCol),
+        floor(col("quality_score") * lit(1000000.0)).cast("long")
+          .as("score_ppm"))
+    val thr = scored.groupBy(groupCol)
+      .agg(expr(s"percentile_disc($pct) WITHIN GROUP (ORDER BY score_ppm)")
+        .cast("long").as("thr_ppm"))
+    scored.join(broadcast(thr), Seq(groupCol))
+      .select(col("doc_id"), col(groupCol), col("score_ppm"),
+        col("thr_ppm"), (col("score_ppm") >= col("thr_ppm")).as("kept"))
+  }
+
   /** Sequential token-budget packing — the "concat-and-chunk" rule
     * pretraining pipelines use to fill context windows: docs are laid
     * out in `orderCol` order inside each partition group and each doc

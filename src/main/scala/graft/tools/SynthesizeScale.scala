@@ -20,11 +20,19 @@ import org.apache.spark.sql.functions._
  *     data),
  *   - the mapping is invertible (original key = new MOD stride).
  *
- * Text/embedding payloads are replicated VERBATIM: a 10× corpus where
- * every document has 10 exact copies is a deliberate dedup/ANN stress
- * (the clusters the pipeline exists to find), not an artifact.
+ * Text/embedding payloads are replicated VERBATIM by default: a 10×
+ * corpus where every document has 10 exact copies is a deliberate
+ * dedup/ANN stress (the clusters the pipeline exists to find), not an
+ * artifact. `--mutate ppm` switches documents to a REALISTIC near-dup
+ * profile instead: replica r>0 substitutes each token with
+ * probability ppm/1e6, deterministically keyed on (replica, doc, pos)
+ * — so replicas of a doc sit at ~(1-3q)-Jaccard over 3-shingles
+ * (ppm=20000 → ~0.9), the web-crawl regime, rather than jaccard 1.0's
+ * worst-case pair explosion. Replica 0 stays verbatim (the original
+ * corpus is a subset of the scaled one in both modes).
  *
  * Usage: runMain graft.tools.SynthesizeScale <inDir> <outDir> [factor]
+ *          [--mutate ppm]
  */
 object SynthesizeScale {
 
@@ -39,7 +47,12 @@ object SynthesizeScale {
   def main(args: Array[String]): Unit = {
     val in = args(0)
     val out = args(1)
-    val factor = if (args.length > 2) args(2).toInt else 10
+    val mi = args.indexOf("--mutate")
+    val mutatePpm = if (mi == -1) 0 else args(mi + 1).toInt
+    val pos = args.zipWithIndex.drop(2)
+      .filterNot { case (a, i) => a.startsWith("--") || i == mi + 1 }
+      .map(_._1)
+    val factor = pos.headOption.map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder()
       .master(s"local[${Runtime.getRuntime.availableProcessors}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -64,8 +77,13 @@ object SynthesizeScale {
     val reps = spark.range(factor).select(col("id").as("rep"))
     // cross-join each table with the replica ids and shift the listed
     // key columns by rep*stride; everything else passes through
-    def replicate(df: DataFrame, shifts: (String, Long)*): DataFrame = {
-      val shifted = df.crossJoin(broadcast(reps))
+    def replicate(df: DataFrame, shifts: (String, Long)*): DataFrame =
+      replicate2(df, shifts: _*)(identity)
+    // variant exposing the replica id to a payload transform (the
+    // mutate mode) BEFORE key shifting drops it
+    def replicate2(df: DataFrame, shifts: (String, Long)*)
+                  (payload: DataFrame => DataFrame): DataFrame = {
+      val shifted = payload(df.crossJoin(broadcast(reps)))
       shifts.foldLeft(shifted) { case (d, (c, s)) =>
         d.withColumn(c, col(c) + col("rep") * s)
       }.drop("rep")
@@ -87,7 +105,18 @@ object SynthesizeScale {
       "l_partkey" -> partS, "l_suppkey" -> suppS), "lineitem")
     write(replicate(t("events"),
       "event_id" -> evS, "user_id" -> userS), "events")
-    write(replicate(t("documents"), "doc_id" -> docS), "documents")
+    val docsRep = replicate2(t("documents"), "doc_id" -> docS) { d =>
+      if (mutatePpm == 0) d
+      else d.withColumn("text", when(col("rep") === 0, col("text"))
+        .otherwise(array_join(transform(split(col("text"), " "),
+          (x, i) => when(
+            pmod(xxhash64(col("rep"), col("doc_id"), i), lit(1000000L))
+              < mutatePpm,
+            concat(lit("mut"),
+              pmod(xxhash64(lit("sub"), col("rep"), col("doc_id"), i),
+                lit(997L)))).otherwise(x)), " ")))
+    }
+    write(docsRep, "documents")
     write(replicate(t("embeddings"), "vec_id" -> vecS), "embeddings")
 
     // FK sanity: a dangling orders→customer or lineitem→orders edge

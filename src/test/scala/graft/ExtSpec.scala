@@ -1400,6 +1400,61 @@ class ExtSpec extends SparkSuite {
     assert(none.forall(!_._3))
   }
 
+  test("minhashEstimatePortable: exact dups estimate 1e6; candidates track the exact leg (X1)") {
+    val est = Dedup.minhashEstimatePortable(docs)
+      .as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // identical docs share every signature component
+    assert(est((0L, 1L)) == 1000000L)
+    assert(est.values.forall(v => v >= 0L && v <= 1000000L))
+    // the distinct doc shares no band with anything
+    assert(!est.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // identical candidate universe as the exact leg at threshold 0
+    // (same banding); the near pair surfaces in both
+    val exact = Dedup.minhashLshPortable(docs, threshold = 0.0)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(est.keySet == exact)
+    // content-keyed: repartitioning changes nothing
+    val again = Dedup.minhashEstimatePortable(docs.repartition(7))
+      .as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(again == est)
+  }
+
+  test("adaptiveQualityFilter: per-group percentile_disc thresholds and verdicts (X3)") {
+    // two language groups with spread-out quality (garbage tokens in
+    // some docs drive stopword/length components apart)
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and that is it for now", "en"),
+      (1L, "zz", "en"),
+      (2L, "the cat is on the mat and it is a fine day for all of us", "en"),
+      (3L, "qqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqq zz qq", "en"),
+      (4L, "el perro come la comida de la casa", "es"),
+      (5L, "x", "es"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.adaptiveQualityFilter(d, "lang", pct = 0.75)
+      .as[(Long, String, Long, Long, Boolean)].collect()
+    // verdict is exactly score >= group threshold
+    assert(out.forall { case (_, _, s, t, kept) => kept == (s >= t) })
+    // threshold is percentile_disc: smallest group value with
+    // cume_dist >= pct — re-derive driver-side from returned scores
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val scores = rows.map(_._3).sorted
+      val want = scores.find(v =>
+        scores.count(_ <= v).toDouble / scores.length >= 0.75).get
+      assert(rows.forall(_._4 == want))
+    }
+    // at p75 the bar is the best real doc per group: garbage docs are
+    // out, quality docs (at or above the bar) stay
+    val kept = out.map(r => r._1 -> r._5).toMap
+    assert(kept(0L) && kept(2L) && !kept(1L) && !kept(3L))
+    assert(kept(4L) && !kept(5L))
+    // repartition-invariant
+    val again = TextOps.adaptiveQualityFilter(d.repartition(5), "lang", 0.75)
+      .as[(Long, String, Long, Long, Boolean)].collect().toSet
+    assert(again == out.toSet)
+  }
+
   test("autoCells: floor of 4 below 512 rows, then n DIV 128 (X1/X2 default)") {
     import graft.ext.Clustering
     assert(Clustering.autoCells(spark.range(9).toDF()) == 4)

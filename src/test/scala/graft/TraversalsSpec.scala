@@ -161,6 +161,25 @@ class TraversalsSpec extends SparkSuite {
       Set("a", "b", "c"), Set("p", "q", "r"), Set("t"), Set("s")))
   }
 
+  test("strongComponents: path-of-cycles adversarial topology is exact") {
+    // the documented worst case for label-propagation SCC (SCALE.md):
+    // m 3-cycles chained head-to-tail by one-way bridges, plus a DAG
+    // tail — rounds scale with the chain, but the ANSWER must stay
+    // exact: every cycle its own component, tail nodes singletons.
+    val m = 40
+    val cyc = (0 until m).flatMap { i =>
+      Seq((s"c${i}_0", s"c${i}_1"), (s"c${i}_1", s"c${i}_2"),
+        (s"c${i}_2", s"c${i}_0"))
+    }
+    val bridges = (0 until m - 1).map(i => (s"c${i}_2", s"c${i + 1}_0"))
+    val tail = Seq((s"c${m - 1}_2", "t0"), ("t0", "t1"), ("t1", "t2"))
+    val g2 = graphOf(cyc ++ bridges ++ tail)
+    val expected = (0 until m)
+      .map(i => Set(s"c${i}_0", s"c${i}_1", s"c${i}_2")).toSet ++
+      Set(Set("t0"), Set("t1"), Set("t2"))
+    assert(sccNames(g2) === expected)
+  }
+
   test("strongComponents matches GraphX SCC and brute closure on random graphs") {
     for (seed <- Seq(61, 62, 63)) {
       val rnd = new scala.util.Random(seed)
