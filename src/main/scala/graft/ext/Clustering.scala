@@ -62,18 +62,21 @@ object Clustering {
              vecCol: String = "embedding"): DataFrame =
     kmeansModel(emb, k, iters, idCol, vecCol)._1
 
-  /** Corpus-derived kmeans cell count: max(4, n DIV 128) from one
-    * cheap count (parquet metadata at rest). Mean cell size stays
-    * ~128 as the corpus grows, so the within-cell pair space of the
-    * cell-scoped operators (Σ n_c² ≈ 64·n) stays LINEAR in the corpus
-    * — at ANY fixed cell count it is quadratic (measured: fixed k=4
-    * ×5.6 at ×10 data vs ~linear with scaled cells, SCALE.md). This
-    * is the DEFAULT for [[graft.ext.Dedup.semanticDedup]] /
-    * [[graft.ext.Similarity.knnClassify]] / [[graft.ext.Similarity
+  /** Corpus-derived kmeans cell count: max(4, ⌊√(n/32)⌋) from one
+    * cheap count (parquet metadata at rest). The cell-scoped
+    * operators pay TWO legs — in-cell pairing ~ n²/cells and kmeans
+    * assignment ~ n·cells (every vector scores every centroid) — so
+    * the total a·n²/cells + b·n·cells is minimized at cells ∝ √n,
+    * giving O(n^1.5) overall. Both mis-scalings are MEASURED
+    * (SCALE.md BenchCuration): any FIXED cell count makes pairing
+    * quadratic (×5.6 at ×10 data), and cells ∝ n makes the kmeans
+    * leg quadratic instead (17.2 s vs 6.2 s at ×10 under an n/128
+    * rule). This is the DEFAULT for [[graft.ext.Dedup.semanticDedup]]
+    * / [[graft.ext.Similarity.knnClassify]] / [[graft.ext.Similarity
     * .mutualKnnClusters]]; the floor of 4 keeps test-scale corpora on
     * the constants their oracles pin. */
   def autoCells(emb: DataFrame): Int =
-    math.max(4L, emb.count() / 128L).toInt
+    math.max(4L, math.sqrt(emb.count() / 32.0).toLong).toInt
 
   /** [[kmeans]] exposing its MODEL too: returns (assignment,
     * centroids) where centroids (cluster, dim, cq) are exactly the

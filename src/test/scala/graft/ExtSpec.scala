@@ -1455,11 +1455,12 @@ class ExtSpec extends SparkSuite {
     assert(again == out.toSet)
   }
 
-  test("autoCells: floor of 4 below 512 rows, then n DIV 128 (X1/X2 default)") {
+  test("autoCells: floor of 4, then sqrt(n/32) (X1/X2 default)") {
     import graft.ext.Clustering
     assert(Clustering.autoCells(spark.range(9).toDF()) == 4)
     assert(Clustering.autoCells(spark.range(500).toDF()) == 4)
-    assert(Clustering.autoCells(spark.range(2000).toDF()) == 15)
+    assert(Clustering.autoCells(spark.range(2000).toDF()) == 7)
+    assert(Clustering.autoCells(spark.range(20000).toDF()) == 25)
     // the derived default IS the explicit call at the derived count
     val base = (0L until 8L).map { i =>
       (i, Array.tabulate(8)(d => if (d == i.toInt) 1.0f else 0.01f * i))
