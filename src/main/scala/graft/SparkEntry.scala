@@ -1155,6 +1155,33 @@ object SparkEntry {
               |SELECT MIN(member) AS component, COUNT(*) AS size
               |FROM members GROUP BY nkey ORDER BY component""".stripMargin)),
 
+    QueryDef("g57_components_logstar",
+      // weak components via alternating large-star/small-star
+      // contraction (Kiveris et al. 2014): O(log n) rounds regardless
+      // of diameter, vs the label-prop kernel's Ω(diameter) — the
+      // WCC-side fix for the SccStress chain bound (SCALE.md). Same
+      // output contract as g07's kernel; per-vertex assignments
+      // checked, not just sizes.
+      (s, dir) => {
+        val g = graph(s, dir)
+          .viewLayers(Seq("customer", "nation"))
+          .filterEdges(col("relation") === "cust_nation")
+        Traversals.weakComponentsLogRounds(g)
+          .join(g.vertices, Seq("vid"))
+          .select(concat_ws(":", col("layer"), col("nodeId")).as("node"),
+            col("comp"))
+          .orderBy("node")
+      },
+      Some(s"""$W, members AS (
+              | SELECT 'nation:' || node_id AS member, node_id AS nkey
+              |  FROM vertices WHERE layer = 'nation'
+              | UNION ALL
+              | SELECT 'customer:' || source_id, target_id
+              | FROM edges WHERE relation = 'cust_nation')
+              |SELECT member AS node,
+              | MIN(member) OVER (PARTITION BY nkey) AS comp
+              |FROM members ORDER BY node""".stripMargin)),
+
     QueryDef("g55_graph_card",
       // graph datasheet (the x71 dataset-card counterpart): sizes,
       // layer/relation vocabularies, degree extremes, isolated count

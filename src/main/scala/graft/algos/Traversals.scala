@@ -265,6 +265,81 @@ object Traversals {
     cc.join(compLabel, Seq("compVid")).select(col("vid"), col("comp"))
   }
 
+  /** Weak components in O(log n) ROUNDS regardless of diameter — the
+    * alternating large-star/small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014).
+    * [[weakComponentsDataFrame]]'s min-label propagation needs
+    * Ω(diameter) rounds (a label crosses one edge per round) — the
+    * SccStress chain measurements show what that costs on
+    * mega-diameter graphs. Star contraction instead HALVES chain
+    * depth per round pair: large-star hangs every larger neighbor of
+    * u off min(Γ(u) ∪ {u}), small-star hangs u and its parents off
+    * their minimum, and the fixpoint is a star forest rooted at each
+    * component's min vid. Wholly deterministic (min-based, no
+    * ordering sensitivity), same output contract as
+    * [[weakComponents]]: (vid, comp) with comp = the component's
+    * lexicographic-min "layer:nodeId".
+    *
+    * Scale shape: each round is a groupBy + join on the 8-byte vid
+    * (same single-shuffle shape as the label loop) over an edge set
+    * that only SHRINKS (star edges collapse duplicates); rounds are
+    * O(log n) by the paper's potential argument, so a 100 TB graph
+    * with a pathological diameter pays tens of rounds, not millions.
+    * Convergence is checked exactly (two set-differences on the
+    * shrinking edge set), never probabilistically. */
+  def weakComponentsLogRounds(g: OnionGraph): DataFrame = {
+    // canonical (child, parent) with parent < child; self-loops drop
+    var e = g.edges
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var converged = e.isEmpty
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      val e1 = largeStarRound(e).localCheckpoint()
+      val e2 = smallStarRound(e1).localCheckpoint()
+      converged = e2.except(e).isEmpty && e.except(e2).isEmpty
+      e = e2
+    }
+    val assign = e.select(col("src").as("vid"), col("dst").as("compVid"))
+    val cc = g.vertices.select("vid")
+      .join(assign, Seq("vid"), "left")
+      .select(col("vid"),
+        coalesce(col("compVid"), col("vid")).as("compVid"))
+    val labels = g.vertices
+      .select(col("vid"), concat_ws(":", col("layer"), col("nodeId")).as("lbl"))
+    val compLabel = cc.join(labels, Seq("vid"))
+      .groupBy("compVid").agg(min("lbl").as("comp"))
+    cc.join(compLabel, Seq("compVid")).select(col("vid"), col("comp"))
+  }
+
+  /** Large-star: per node u over the symmetrized neighborhood, hang
+    * every strictly-larger neighbor on m(u) = min(Γ(u) ∪ {u}).
+    * Output stays canonical (parent < child). */
+  private def largeStarRound(e: DataFrame): DataFrame = {
+    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    val m = sym.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src"), least(col("mn"), col("src")).as("m"))
+    sym.join(m, Seq("src"))
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Small-star: per child u over its (already canonical) parent set
+    * P(u), hang u and every non-min parent on min(P(u)). */
+  private def smallStarRound(e: DataFrame): DataFrame = {
+    val m = e.groupBy("src").agg(min("dst").as("m"))
+    val withM = e.join(m, Seq("src"))
+    withM.select(col("src"), col("m").as("dst"))
+      .unionAll(withM.filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
   /** DataFrame-native min-label propagation — the fallback
     * weak-components path for deployments that exclude GraphX; same
     * output contract as [[weakComponents]]. */

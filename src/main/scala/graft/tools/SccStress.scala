@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions._
 object SccStress {
   def main(args: Array[String]): Unit = {
     val withGraphx = args.contains("--graphx")
+    val withWcc = args.contains("--wcc")
     val sizes = args.filterNot(_.startsWith("--")).map(_.toInt)
     val cpus = Runtime.getRuntime.availableProcessors
     val spark = SparkSession.builder()
@@ -48,17 +49,30 @@ object SccStress {
         graft.builder.OnionBuilder.GrowOptions())
       g.vertices.count(); g.edges.count()
 
-      def timed(name: String)(f: => Long): Unit = {
+      def timedN(name: String, want: Long)(f: => Long): Unit = {
         val t0 = System.nanoTime()
         val comps = f
         val sec = (System.nanoTime() - t0) / 1e9
-        val ok = if (comps == m) "ok" else s"WRONG ($comps != $m)"
+        val ok = if (comps == want) "ok" else s"WRONG ($comps != $want)"
         System.err.println(
-          f"[scc] m=$m%-7d diam~${2 * m}%-7d $name%-10s $sec%9.2f s  comps=$comps $ok")
+          f"[scc] m=$m%-7d diam~${2 * m}%-7d $name%-12s $sec%9.2f s  comps=$comps $ok")
       }
+      def timed(name: String)(f: => Long): Unit = timedN(name, m.toLong)(f)
       timed("dataframe") {
         graft.algos.Traversals.strongComponentsDataFrame(g)
           .select("compVid").distinct().count()
+      }
+      if (withWcc) {
+        // the SAME chain is one weak component: label propagation pays
+        // the diameter in rounds, star contraction pays ~log m
+        timedN("wcc_lprop", 1L) {
+          graft.algos.Traversals.weakComponentsDataFrame(g)
+            .select("comp").distinct().count()
+        }
+        timedN("wcc_logstar", 1L) {
+          graft.algos.Traversals.weakComponentsLogRounds(g)
+            .select("comp").distinct().count()
+        }
       }
       if (withGraphx) timed("graphx") {
         // numIter must cover the chain or the answer is silently wrong

@@ -161,6 +161,32 @@ class TraversalsSpec extends SparkSuite {
       Set("a", "b", "c"), Set("p", "q", "r"), Set("t"), Set("s")))
   }
 
+  test("weakComponentsLogRounds == label-prop kernel on random graphs + chains") {
+    // the O(log n)-round star-contraction kernel must produce the
+    // SAME (vid, comp) map as min-label propagation — including on
+    // the long chain where their round counts diverge most
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String)].collect().toMap
+    for (seed <- Seq(71, 72)) {
+      val rnd = new scala.util.Random(seed)
+      val es = (1 to 40).map(_ =>
+        ("n" + rnd.nextInt(25), "n" + rnd.nextInt(25)))
+        .filter(e => e._1 != e._2).distinct
+      val g2 = graphOf(es, Seq("iso1", "iso2"))
+      assert(asMap(Traversals.weakComponentsLogRounds(g2))
+        == asMap(Traversals.weakComponentsDataFrame(g2)), s"seed=$seed")
+    }
+    // 60-link chain: one component labeled by the lexicographic min
+    val chain = graphOf((0 until 60).map(i => (s"v$i", s"v${i + 1}")))
+    val got = asMap(Traversals.weakComponentsLogRounds(chain))
+    assert(got.values.toSet == Set("L:v0"))
+    assert(got.size == 61)
+    // edge-free graph: everyone their own component
+    val iso = graphOf(Nil, Seq("a", "b"))
+    assert(asMap(Traversals.weakComponentsLogRounds(iso))
+      .values.toSet == Set("L:a", "L:b"))
+  }
+
   test("strongComponents: path-of-cycles adversarial topology is exact") {
     // the documented worst case for label-propagation SCC (SCALE.md):
     // m 3-cycles chained head-to-tail by one-way bridges, plus a DAG
