@@ -4727,6 +4727,91 @@ object SparkEntry {
               | JOIN sig sb ON sb.doc_id = c.b
               |ORDER BY a, b""".stripMargin)),
 
+    QueryDef("x98_importance_weights",
+      // DSIR-style data selection (Xie et al. 2023): every raw doc
+      // scored by the target/raw likelihood ratio of its hashed
+      // unigram+bigram buckets — here target = the corpus's own 'en'
+      // slice, the classic "skew the crawl toward a trusted subset"
+      // setup. Add-one smoothing over the bucket universe, ratios in
+      // integer ppm clamped at 1e9, DECIMAL(38,0)-routed products, so
+      // the scores re-derive bit-identically; the ratio table is
+      // bucket-sized and broadcasts, the corpus never joins anything
+      // its own size.
+      (s, dir) => {
+        val d = docs(s, dir)
+        TextOps.importanceWeights(d, d.where(col("lang") === "en"),
+            buckets = 512)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, lang, string_split_regex(
+             |   trim(regexp_replace(regexp_replace(lower(text),
+             |     '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')),
+             |   '\s+') AS t FROM documents),
+             | feats AS (
+             |  SELECT doc_id, lang, w FROM (
+             |    SELECT doc_id, lang, UNNEST(t) AS w FROM toks)
+             |   WHERE w <> ''
+             |  UNION ALL
+             |  SELECT doc_id, lang, bg['w1'] || ' ' || bg['w2'] AS w
+             |  FROM (SELECT doc_id, lang,
+             |    UNNEST([{'w1': t[i], 'w2': t[i+1]}
+             |      for i in generate_series(1, len(t)-1)]) AS bg
+             |   FROM toks)
+             |  WHERE bg['w1'] <> '' AND bg['w2'] <> ''),
+             | fb AS (SELECT doc_id, lang,
+             |   CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 512 AS b
+             |  FROM feats),
+             | rb AS (SELECT b, COUNT(*) AS r FROM fb GROUP BY b),
+             | tb AS (SELECT b, COUNT(*) AS tc FROM fb WHERE lang = 'en'
+             |  GROUP BY b),
+             | tot AS (SELECT (SELECT COUNT(*) FROM fb) AS rr,
+             |   (SELECT COUNT(*) FROM fb WHERE lang = 'en') AS tt),
+             | dist AS (SELECT rb.b, CAST(LEAST(
+             |    (1000000::HUGEINT * (COALESCE(tb.tc, 0) + 1)
+             |      * (t.rr + 512))
+             |     // ((rb.r::HUGEINT + 1) * (t.tt + 512)),
+             |    1000000000) AS BIGINT) AS ratio_ppm
+             |  FROM rb LEFT JOIN tb USING (b), tot t),
+             | sc AS (SELECT doc_id, COUNT(*) AS n_feats,
+             |   SUM(ratio_ppm) AS score_sum
+             |  FROM fb JOIN dist USING (b) GROUP BY doc_id)
+             |SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+             | CAST(score_sum AS BIGINT) AS score_sum,
+             | CAST(score_sum // n_feats AS BIGINT) AS importance_ppm
+             |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("x99_retention_funnel",
+      // the per-stage survival table every curation paper reports
+      // (docs/tokens surviving each cumulative filter, per source) in
+      // ONE corpus pass: first-failing-stage index per row (chained
+      // CASE, map-side), one groupBy, stack to long form. stage_idx 0
+      // = ingest.
+      (s, dir) => ext.Profiling.retentionFunnel(docs(s, dir), "source", Seq(
+          "min_tokens" -> (TextOps.tokenCount(col("text")) >= 25),
+          "lang_known" -> col("lang").isin("en", "de", "fr", "es"),
+          "max_chars" -> (col("n_chars") <= 450)))
+        .orderBy("source", "stage_idx"),
+      Some("""WITH d AS (SELECT source, lang, n_chars,
+             |  len(string_split_regex(trim(text), '\s+')) AS nt
+             | FROM documents),
+             | f AS (SELECT source, CAST(nt AS BIGINT) AS nt,
+             |  CASE WHEN NOT nt >= 25 THEN 1
+             |       WHEN NOT lang IN ('en','de','fr','es') THEN 2
+             |       WHEN NOT n_chars <= 450 THEN 3
+             |       ELSE 4 END AS ff
+             | FROM d),
+             | stg AS (SELECT * FROM (VALUES (0, 'ingest'),
+             |   (1, 'min_tokens'), (2, 'lang_known'), (3, 'max_chars'))
+             |  AS v(stage_idx, stage))
+             |SELECT f.source, CAST(stg.stage_idx AS BIGINT) AS stage_idx,
+             | stg.stage,
+             | CAST(SUM(CASE WHEN f.ff > stg.stage_idx THEN 1 ELSE 0 END)
+             |   AS BIGINT) AS n_docs,
+             | CAST(SUM(CASE WHEN f.ff > stg.stage_idx THEN f.nt ELSE 0 END)
+             |   AS BIGINT) AS n_tokens
+             |FROM f, stg GROUP BY 1, 2, 3
+             |ORDER BY source, stage_idx""".stripMargin)),
+
     // --------------------------------------------- pipeline: curation gates
     QueryDef("x53_cap_per_group",
       // per-domain document cap (the "≤k pages per host" crawl-curation

@@ -286,6 +286,50 @@ object Profiling {
         Seq(groupCol), Seq(("__md5", true), (idCol, true)), k)
       .drop("__md5")
 
+  /** Curation retention funnel — the per-stage survival table every
+    * published pretraining recipe reports (how many docs/tokens each
+    * filter removed, per source), computed in ONE corpus pass. Stages
+    * are named predicates applied CUMULATIVELY: a row survives stage
+    * i iff predicates 1..i all pass. Per row we compute the index of
+    * the FIRST failing stage (a chained CASE — map-side, codegen'd),
+    * then a single groupBy(groupCol) produces every stage's survivor
+    * doc and token counts as conditional sums, unpivoted to long form
+    * with `stack`. stage_idx 0 is ingest (everything), so the funnel
+    * always starts from the raw counts. No per-stage scans, no
+    * intermediate materialization — 100 TB pays one scan + one
+    * groups-sized shuffle regardless of stage count.
+    *
+    * Output: (<groupCol>, stage_idx, stage, n_docs, n_tokens),
+    * n_tokens from `tokenCol` (defaults to whitespace token count of
+    * `text` if present — pass an explicit Column otherwise). */
+  def retentionFunnel(df: DataFrame, groupCol: String,
+                      stages: Seq[(String, Column)],
+                      tokenCol: Option[Column] = None): DataFrame = {
+    require(stages.nonEmpty, "retentionFunnel needs at least one stage")
+    val toks = tokenCol.getOrElse(TextOps.tokenCount(col("text"))).cast("long")
+    // first failing stage index, 1-based; stages.size+1 = all pass
+    val firstFail = stages.zipWithIndex.tail
+      .foldLeft(when(!stages.head._2, lit(1))) {
+        case (acc, ((_, pred), i)) => acc.when(!pred, lit(i + 1))
+      }.otherwise(lit(stages.size + 1))
+    val names = "ingest" +: stages.map(_._1)
+    val sums = (0 to stages.size).flatMap(i => Seq(
+      sum(when(col("ff") > i, 1L).otherwise(0L)).as(s"d$i"),
+      sum(when(col("ff") > i, col("tk")).otherwise(0L)).as(s"t$i")))
+    val agg = df
+      .select(col(groupCol), firstFail.as("ff"),
+        coalesce(toks, lit(0L)).as("tk"))
+      .groupBy(groupCol)
+      .agg(sums.head, sums.tail: _*)
+    val stackArgs = (0 to stages.size).map(i =>
+      s"$i, '${names(i)}', d$i, t$i").mkString(", ")
+    agg.select(col(groupCol), expr(
+      s"stack(${stages.size + 1}, $stackArgs)" +
+        " as (stage_idx, stage, n_docs, n_tokens)"))
+      .select(col(groupCol), col("stage_idx").cast("long"),
+        col("stage"), col("n_docs"), col("n_tokens"))
+  }
+
   /** [[profile]] per group (per-language / per-source corpus
     * profiles): exact moments from one grouped pass + sampled
     * order statistics from the per-group bottom-k sample. Output

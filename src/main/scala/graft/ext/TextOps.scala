@@ -87,6 +87,84 @@ object TextOps {
           " div (cast(n_a as decimal(38,0)) * n_b) as bigint)").as("pmi_ppm"))
   }
 
+  /** Hashed n-gram buckets shared by [[importanceWeights]] and its
+    * oracle: unigrams + adjacent bigrams over the [[normalize]]d
+    * token stream, each feature mapped to an md5-derived bucket in
+    * [0, buckets) (the [[Sampling.md5Bucket]] family, so buckets
+    * re-derive on any engine). Bigrams join on a single space —
+    * unambiguous vs unigrams because tokens cannot contain spaces. */
+  private def hashedNgramBuckets(df: DataFrame, buckets: Int,
+                                 idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        tokens(normalize(col(textCol))).as("t"))
+      .localCheckpoint()
+    val uni = toks.select(col("doc_id"), explode(col("t")).as("w"))
+      .where(col("w") =!= "")
+    val bi = toks
+      .withColumn("bg", expr(
+        "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1)," +
+          " (x, y) -> struct(x AS w1, y AS w2))"))
+      .select(col("doc_id"), explode(col("bg")).as("p"))
+      .where(col("p.w1") =!= "" && col("p.w2") =!= "")
+      .select(col("doc_id"),
+        concat(col("p.w1"), lit(" "), col("p.w2")).as("w"))
+    uni.unionByName(bi)
+      .select(col("doc_id"), Sampling.md5Bucket(col("w"), buckets).as("b"))
+  }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every RAW document by how much its hashed-n-gram distribution
+    * looks like the TARGET corpus, so selection can skew a crawl
+    * toward a trusted slice without training a model. Features are
+    * hashed unigram+bigram buckets; per bucket the smoothed
+    * likelihood ratio, in integer ppm with add-one smoothing over the
+    * bucket universe:
+    *
+    *   ratio_ppm(b) = 1e6·(t_b+1)·(R+B) div ((r_b+1)·(T+B)),
+    *
+    * clamped to ≤ 1e9 (a bucket common in target but near-absent in
+    * raw would otherwise dominate and overflow sums); the per-doc
+    * importance is the MEAN bucket ratio (score_sum div n_feats).
+    * Where the paper sums log-ratios, this sums the ratios
+    * themselves — the geometric→arithmetic substitution keeps the
+    * whole score in BIGINT (products routed through DECIMAL(38,0), the
+    * [[collocations]] overflow discipline), so scores re-derive
+    * bit-identically on any engine; docs rich in target-typical
+    * n-grams rank high under either mean.
+    *
+    * Scale shape: one explode per corpus; bucket histograms are two
+    * map-side-combined counts onto ≤ `buckets` rows; totals arrive as
+    * 1-row broadcasts; the ratio table (≤ `buckets` rows) broadcasts
+    * back onto the raw feature stream, which shuffles only on doc_id
+    * for the final agg — the corpus never joins anything its own
+    * size. Feed the scores to [[Sampling.weightedBernoulli]] /
+    * [[Sampling.selectByBudget]] for the resampling leg. */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+                        buckets: Int = 4096, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val rawF = hashedNgramBuckets(raw, buckets, idCol, textCol)
+      .localCheckpoint() // feeds the histogram AND the per-doc agg
+    val tgtF = hashedNgramBuckets(target, buckets, idCol, textCol)
+    val rb = rawF.groupBy("b").agg(count(lit(1)).as("r"))
+    val tb = tgtF.groupBy("b").agg(count(lit(1)).as("tc"))
+    val rTot = rb.agg(sum("r").cast("long").as("rr"))
+    val tTot = tb.agg(sum("tc").cast("long").as("tt"))
+    val dist = rb.join(tb, Seq("b"), "left")
+      .select(col("b"), col("r"), coalesce(col("tc"), lit(0L)).as("tc"))
+      .crossJoin(broadcast(rTot)).crossJoin(broadcast(tTot))
+      .select(col("b"), expr(
+        s"cast(least(1000000 * (cast(tc as decimal(38,0)) + 1)" +
+          s" * (rr + $buckets)" +
+          s" div ((cast(r as decimal(38,0)) + 1) * (tt + $buckets))," +
+          " 1000000000) as bigint)").as("ratio_ppm"))
+    rawF.join(broadcast(dist), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("ratio_ppm").as("score_sum"))
+      .select(col("doc_id"), col("n_feats"), col("score_sum"),
+        expr("cast(score_sum div n_feats as bigint)").as("importance_ppm"))
+  }
+
   /** PII detection audit — the REPORT counterpart of [[scrub]]'s
     * removal: per-document match counts for the same email / URL /
     * digit-run pattern family (Java∩RE2 subset, so the counts

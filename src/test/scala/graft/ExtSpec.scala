@@ -1472,4 +1472,57 @@ class ExtSpec extends SparkSuite {
       .as[(Long, Int, Boolean)].collect().toSet
     assert(auto == explicit)
   }
+
+  test("importanceWeights: target-typical docs rank higher; uniform when target==raw (X3)") {
+    val d = Seq(
+      (0L, "alpha beta alpha beta alpha beta"),   // pure target language
+      (1L, "gamma delta gamma delta gamma delta"), // pure off-target
+      (2L, "alpha beta gamma delta alpha beta"))   // mixed
+      .toDF("doc_id", "text")
+    val target = d.where($"doc_id" === 0L)
+    val out = TextOps.importanceWeights(d, target, buckets = 64)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out.keySet == Set(0L, 1L, 2L))
+    // ranking: pure-target > mixed > off-target
+    assert(out(0L) > out(2L) && out(2L) > out(1L))
+    // target == raw: every bucket ratio is the same smoothed constant
+    // family, so all docs score within the smoothing wobble of each
+    // other — and identically under repartition
+    val self = TextOps.importanceWeights(d, d, buckets = 64)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val again = TextOps.importanceWeights(d.repartition(5), d, buckets = 64)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(self == again)
+    // n_feats = unigrams + bigrams = 6 + 5 per doc here
+    val nf = TextOps.importanceWeights(d, target, buckets = 64)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(nf.values.toSet == Set(11L))
+  }
+
+  test("retentionFunnel: cumulative survivors match brute-force filtering (X14)") {
+    import graft.ext.Profiling
+    val d = Seq(
+      (0L, "a b c d e", "s1", "en"),    // passes all
+      (1L, "a b", "s1", "en"),          // fails min_tokens (stage 1)
+      (2L, "a b c d e f", "s1", "zz"),  // fails lang (stage 2)
+      (3L, "a b c d", "s2", "en"),      // fails min_tokens
+      (4L, "a b c d e f g", "s2", "xx") // fails lang
+    ).toDF("doc_id", "text", "source", "lang")
+    val out = Profiling.retentionFunnel(d, "source", Seq(
+        "min_tokens" -> (TextOps.tokenCount($"text") >= 5),
+        "lang_known" -> $"lang".isin("en")))
+      .as[(String, Long, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // s1: ingest 3 docs/13 tokens; >=5 tokens keeps 0,2 (11 tok);
+    // lang keeps 0 (5 tok)
+    assert(out(("s1", 0L)) == ("ingest", 3L, 13L))
+    assert(out(("s1", 1L)) == ("min_tokens", 2L, 11L))
+    assert(out(("s1", 2L)) == ("lang_known", 1L, 5L))
+    // s2: ingest 2/11; min_tokens keeps only doc4 (7 tok); lang kills it
+    assert(out(("s2", 0L)) == ("ingest", 2L, 11L))
+    assert(out(("s2", 1L)) == ("min_tokens", 1L, 7L))
+    assert(out(("s2", 2L)) == ("lang_known", 0L, 0L))
+    assert(out.size == 6)
+  }
 }
