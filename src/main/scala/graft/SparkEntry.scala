@@ -4812,6 +4812,82 @@ object SparkEntry {
              |FROM f, stg GROUP BY 1, 2, 3
              |ORDER BY source, stage_idx""".stripMargin)),
 
+    QueryDef("x100_fuzzy_join",
+      // entity resolution as a relational operator: fuzzy join the
+      // part master list against a dirtied variant feed (upper-cased,
+      // dash-separated) on normalized char-trigram Jaccard, banded
+      // minhash blocking (4 bands × 4 rows for the 0.8 regime), exact
+      // integer verify on candidates only — never a cross join. Keys
+      // carry an md5-octet discriminator (master lists have unique-ish
+      // entities; TPC-H serials alone are adversarially self-similar)
+      // and maxBucket=200 drops non-discriminative hot buckets — the
+      // LSH skew valve, exercised for real here because bare p_name
+      // repeats ~400× at bench SF.
+      (s, dir) => {
+        val part = t(s, dir, "part")
+        val key = concat(col("p_name"), lit(" "),
+          substring(md5(col("p_partkey").cast("string")), 1, 12))
+        val master = part.select(col("p_partkey"), key.as("name"))
+        val dirty = part.select((col("p_partkey") + 1000000L).as("v_id"),
+          translate(upper(key), " ", "-").as("vname"))
+        Dedup.fuzzyJoin(master, dirty, "p_partkey", "name",
+            "v_id", "vname", k = 16, bands = 4,
+            minJaccardPpm = 800000L, maxBucket = 200L)
+          .orderBy("a", "b")
+      },
+      {
+        // one gram/sig/band CTE chain per side — the oracle recomputes
+        // BOTH sides from raw strings (no normalization-invariance
+        // shortcut)
+        def side(pfx: String, src: String) =
+          s"""${pfx}nk AS (SELECT id, trim(regexp_replace(regexp_replace(
+             |   lower(ky), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))
+             |   AS nk FROM $src),
+             | ${pfx}h AS (SELECT id,
+             |  [CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 2147483647
+             |   for x in list_distinct([substr(nk, i, 3)
+             |     for i in generate_series(1, len(nk) - 2)])] AS h
+             |  FROM ${pfx}nk WHERE len(nk) >= 3),
+             | ${pfx}sig AS (SELECT id, h,
+             |  [list_min([(hv * (2*kk+1) + kk) % 2147483647 for hv in h])
+             |   for kk in generate_series(0, 15)] AS sig FROM ${pfx}h),
+             | ${pfx}band AS (SELECT id, b,
+             |  array_to_string(sig[b*4+1 : b*4+4], ',') AS bkey
+             |  FROM ${pfx}sig, generate_series(0, 3) AS g(b))""".stripMargin
+        Some(s"""WITH lsrc AS (SELECT p_partkey AS id,
+               |  p_name || ' ' || substr(md5(CAST(p_partkey AS VARCHAR)),
+               |    1, 12) AS ky FROM part),
+               | rsrc AS (SELECT p_partkey + 1000000 AS id,
+               |  replace(upper(p_name || ' ' ||
+               |    substr(md5(CAST(p_partkey AS VARCHAR)), 1, 12)),
+               |   ' ', '-') AS ky FROM part),
+               | ${side("l", "lsrc")},
+               | ${side("r", "rsrc")},
+               | okbk AS (SELECT lc.b, lc.bkey FROM
+               |   (SELECT b, bkey, COUNT(*) AS nl FROM lband
+               |    GROUP BY 1, 2) lc
+               |  JOIN (SELECT b, bkey, COUNT(*) AS nr FROM rband
+               |    GROUP BY 1, 2) rc
+               |   ON lc.b = rc.b AND lc.bkey = rc.bkey
+               |  WHERE lc.nl <= 200 AND rc.nr <= 200),
+               | cand AS (SELECT DISTINCT l.id AS a, r.id AS b
+               |  FROM lband l
+               |   JOIN okbk o ON l.b = o.b AND l.bkey = o.bkey
+               |   JOIN rband r ON l.b = r.b AND l.bkey = r.bkey),
+               | ver AS (SELECT c.a, c.b,
+               |  len(list_intersect(list_distinct(la.h),
+               |    list_distinct(rr.h))) AS inter,
+               |  len(list_distinct(la.h)) + len(list_distinct(rr.h))
+               |   - len(list_intersect(list_distinct(la.h),
+               |       list_distinct(rr.h))) AS uni
+               |  FROM cand c JOIN lh la ON la.id = c.a
+               |   JOIN rh rr ON rr.id = c.b)
+               |SELECT a, b,
+               | CAST(1000000 * inter // uni AS BIGINT) AS jaccard_ppm
+               |FROM ver WHERE 1000000 * inter // uni >= 800000
+               |ORDER BY a, b""".stripMargin)
+      }),
+
     // --------------------------------------------- pipeline: curation gates
     QueryDef("x53_cap_per_group",
       // per-domain document cap (the "≤k pages per host" crawl-curation

@@ -288,6 +288,19 @@ object Dedup {
           pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(p)))
           .as("hsRaw"))
       .localCheckpoint()
+    bandAndSets(based, k, bands)
+  }
+
+  /** Shared banding tail of the md5 minhash family: from a
+    * materialized (id, hsRaw gram-hash list) projection, produce the
+    * exploded band keys and the sorted-distinct gram sets. Factored
+    * out of [[md5BandedSets]] so [[fuzzyJoin]]'s char-gram leg uses
+    * the identical signature/banding arithmetic. */
+  private def bandAndSets(based: DataFrame, k: Int,
+                          bands: Int): (DataFrame, DataFrame) = {
+    require(k % bands == 0, s"bandAndSets: k=$k not divisible by bands=$bands")
+    val r = k / bands
+    val p = 2147483647L // 2^31 - 1
     val sig = based.select(col("id"),
       array((0 until k).map(s =>
         array_min(transform(col("hsRaw"),
@@ -300,6 +313,78 @@ object Dedup {
     val sets = based.select(col("id"),
       array_sort(array_distinct(col("hsRaw"))).as("hs"))
     (banded, sets)
+  }
+
+  /** Character w-gram md5 hashes of a normalized string key — the
+    * SHORT-key gram step of [[fuzzyJoin]] (token shingles are useless
+    * on 2-3-word entity names; char trigrams are the published ER
+    * blocking unit). Same md5 → mod-p hash family as the document
+    * leg, so every downstream artifact re-derives externally. Keys
+    * shorter than w grams are dropped (no grams, no evidence). */
+  private def charGramHashes(df: DataFrame, idCol: String, keyCol: String,
+                             w: Int): DataFrame = {
+    val p = 2147483647L
+    df.select(col(idCol).cast("long").as("id"),
+        TextOps.normalize(col(keyCol)).as("nk"))
+      .filter(length(col("nk")) >= w)
+      .select(col("id"), expr(
+        s"array_distinct(transform(sequence(1, length(nk) - ${w - 1})," +
+          s" i -> substr(nk, i, $w)))").as("g"))
+      .select(col("id"),
+        transform(col("g"), s =>
+          pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(p)))
+          .as("hsRaw"))
+      .localCheckpoint()
+  }
+
+  /** Fuzzy join (entity resolution) between two tables on string
+    * keys: emit (a, b, jaccard_ppm) for cross-table pairs whose
+    * normalized character-w-gram Jaccard meets `minJaccardPpm`. The
+    * scale shape is banded minhash blocking — each side maps to
+    * `bands` 8-byte-ish band keys, candidates come from the
+    * band-bucket equi-join (never a cross join), and only candidate
+    * pairs pull their gram sets for the exact integer verify
+    * (1e6·|∩| div |∪|, all BIGINT). This is the standard
+    * dirty-dimension reconciliation operator (vendor names vs master
+    * list, crawl hosts vs allowlist) the relational surface lacked;
+    * same md5 family as [[minhashLshPortable]], so blocking AND
+    * verdicts re-derive on any engine. Keys shorter than w chars
+    * after normalization never match (no grams, no evidence).
+    *
+    * `maxBucket` is the LSH skew valve (the [[repeatedSpans]] maxDf
+    * pattern): a band bucket holding more than `maxBucket` keys on
+    * EITHER side is non-discriminative (hundreds of entities sharing
+    * a signature band are not each other's match candidates — they
+    * are a hot key) and is dropped before the candidate join, so one
+    * pathological key family cannot go quadratic. Bucket counts are
+    * two band-sized aggregations; the cap re-derives externally. */
+  def fuzzyJoin(left: DataFrame, right: DataFrame,
+                leftId: String, leftKey: String,
+                rightId: String, rightKey: String,
+                w: Int = 3, k: Int = 16, bands: Int = 8,
+                minJaccardPpm: Long = 600000L,
+                maxBucket: Long = 10000L): DataFrame = {
+    val (lb, ls) = bandAndSets(charGramHashes(left, leftId, leftKey, w), k, bands)
+    val (rb, rs) = bandAndSets(charGramHashes(right, rightId, rightKey, w), k, bands)
+    val okBk = lb.groupBy("bk").agg(count(lit(1)).as("nl"))
+      .join(rb.groupBy("bk").agg(count(lit(1)).as("nr")), Seq("bk"))
+      .where(col("nl") <= maxBucket && col("nr") <= maxBucket)
+      .select("bk")
+    val cand = lb.select(col("bk"), col("id").as("a"))
+      .join(okBk, Seq("bk"))
+      .join(rb.select(col("bk"), col("id").as("b")), Seq("bk"))
+      .select(col("a"), col("b")).distinct()
+    cand
+      .join(ls.select(col("id").as("a"), col("hs").as("hsA")), Seq("a"))
+      .join(rs.select(col("id").as("b"), col("hs").as("hsB")), Seq("b"))
+      .withColumn("inter",
+        size(array_intersect(col("hsA"), col("hsB"))).cast("long"))
+      .withColumn("uni",
+        (size(col("hsA")) + size(col("hsB"))).cast("long") - col("inter"))
+      .withColumn("jaccard_ppm",
+        expr("cast(1000000 * inter div uni as bigint)"))
+      .filter(col("jaccard_ppm") >= minJaccardPpm)
+      .select(col("a"), col("b"), col("jaccard_ppm"))
   }
 
   /** Persist the near-dup LSH index for a corpus: `name_bands`

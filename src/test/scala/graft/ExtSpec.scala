@@ -1500,6 +1500,27 @@ class ExtSpec extends SparkSuite {
     assert(nf.values.toSet == Set(11L))
   }
 
+  test("fuzzyJoin: normalization-equal keys match at 1e6; disjoint keys don't; short keys drop (X1)") {
+    val master = Seq((1L, "Acme Widgets Inc"), (2L, "Globex Corporation"),
+      (3L, "ab")) // too short after normalization -> no grams
+      .toDF("mid", "mname")
+    val dirty = Seq((10L, "ACME-WIDGETS-INC!!"), (20L, "Initech LLC"),
+      (30L, "globex   corporation"))
+      .toDF("vid", "vname")
+    val out = graft.ext.Dedup.fuzzyJoin(master, dirty, "mid", "mname",
+        "vid", "vname", minJaccardPpm = 500000L)
+      .as[(Long, Long, Long)].collect().toSet
+    // 1↔10 and 2↔30 normalize to identical keys; nothing else crosses
+    // 0.5; key "ab" produces no grams and cannot match anything
+    assert(out == Set((1L, 10L, 1000000L), (2L, 30L, 1000000L)))
+    // bipartite: ids may collide across sides without canonical games
+    val selfish = graft.ext.Dedup.fuzzyJoin(master, master
+        .withColumnRenamed("mid", "vid").withColumnRenamed("mname", "vname"),
+      "mid", "mname", "vid", "vname", minJaccardPpm = 999999L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(selfish == Set((1L, 1L, 1000000L), (2L, 2L, 1000000L)))
+  }
+
   test("retentionFunnel: cumulative survivors match brute-force filtering (X14)") {
     import graft.ext.Profiling
     val d = Seq(
