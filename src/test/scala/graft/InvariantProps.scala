@@ -945,4 +945,57 @@ object InvariantProps extends Properties("GraftInvariants") {
           (b == a || b == shards)
       }
     }
+
+  private val fuzzyVocab = Vector("acme", "globex", "widget", "corp",
+    "inc", "trading", "united", "pacific")
+  private val genFuzzy = for {
+    nl <- Gen.choose(2, 6)
+    left <- Gen.listOfN(nl, Gen.choose(1, 3)
+      .flatMap(kw => Gen.listOfN(kw, Gen.oneOf(fuzzyVocab))
+        .map(_.mkString(" "))))
+    nr <- Gen.choose(1, 6)
+    right <- Gen.listOfN(nr, Gen.oneOf(
+      Gen.oneOf(left).map(k => k.toUpperCase.replace(" ", "-") + "!!"),
+      Gen.listOfN(2, Gen.oneOf(fuzzyVocab)).map(_.mkString(" "))))
+  } yield (left, right)
+
+  // SOUNDNESS is exact (every emitted pair's jaccard_ppm equals the
+  // brute hashed-trigram value and clears the threshold); banding
+  // COMPLETENESS is probabilistic by design, but identical normalized
+  // keys share the whole signature and MUST always be found at 1e6.
+  property("fuzzyJoin: exact sound; identical-key pairs always found") =
+    forAll(genFuzzy) { case (left, right) =>
+      import spark.implicits._
+      val p = 2147483647L
+      def norm(s: String) = s.toLowerCase
+        .replaceAll("[^a-z0-9\\s]", " ").replaceAll("\\s+", " ").trim
+      def grams(s: String): Set[Long] = {
+        val nk = norm(s)
+        if (nk.length < 3) Set.empty[Long]
+        else (0 to nk.length - 3).map(i => nk.substring(i, i + 3)).toSet
+          .map((g: String) =>
+            java.lang.Long.parseLong(md5Hex(g).take(15), 16) % p)
+      }
+      def jac(a: Set[Long], b: Set[Long]): Long =
+        if (a.isEmpty || b.isEmpty) 0L
+        else 1000000L * a.intersect(b).size / a.union(b).size
+      val ldf = left.zipWithIndex.map { case (k2, i) => (i.toLong, k2) }
+        .toDF("lid", "lkey")
+      val rdf = right.zipWithIndex.map { case (k2, i) => (100L + i, k2) }
+        .toDF("rid", "rkey")
+      val got = Dedup.fuzzyJoin(ldf, rdf, "lid", "lkey", "rid", "rkey",
+          minJaccardPpm = 500000L)
+        .as[(Long, Long, Long)].collect().toSet
+      val lg = left.zipWithIndex
+        .map { case (k2, i) => i.toLong -> grams(k2) }.toMap
+      val rg = right.zipWithIndex
+        .map { case (k2, i) => (100L + i) -> grams(k2) }.toMap
+      val sound = got.forall { case (a, b, j) =>
+        j == jac(lg(a), rg(b)) && j >= 500000L }
+      val mustFind = (for {
+        (a, ga) <- lg; (b, gb) <- rg
+        if ga.nonEmpty && ga == gb
+      } yield (a, b, 1000000L)).toSet
+      sound && mustFind.subsetOf(got)
+    }
 }
