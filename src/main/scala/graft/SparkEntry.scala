@@ -4888,6 +4888,188 @@ object SparkEntry {
                |ORDER BY a, b""".stripMargin)
       }),
 
+    QueryDef("x101_trigram_backoff",
+      // CCNet-shaped LM perplexity filter: trigram stupid-backoff LM
+      // trained on the trusted 'en' slice, scoring the WHOLE corpus
+      // (out-of-vocabulary trigrams genuinely back off: 0.4×bigram,
+      // 0.16×unigram, 0 — all integer micro-units), then head/middle/
+      // tail buckets per language at percentile_disc quartiles. The
+      // reference LM aggregates to vocab-sized weight tables that
+      // broadcast; the corpus shuffles only 8-byte n-gram hashes.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val scored = TextOps.trigramBackoffScore(
+          d.where(col("lang") === "en"), d)
+        TextOps.perplexityBuckets(
+            scored.join(d.select("doc_id", "lang"), "doc_id"), "lang")
+          .select("doc_id", "lang", "n_trigrams", "mean_q", "bucket")
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(
+             |   trim(regexp_replace(regexp_replace(lower(text),
+             |     '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')),
+             |   '\s+') AS t FROM documents),
+             | tri AS (SELECT doc_id, tg['w1'] AS w1, tg['w2'] AS w2,
+             |   tg['w3'] AS w3 FROM (
+             |   SELECT doc_id, UNNEST([{'w1': t[i], 'w2': t[i+1], 'w3': t[i+2]}
+             |     for i in generate_series(1, len(t)-2)]) AS tg
+             |   FROM toks)),
+             | ref AS (SELECT w1, w2, w3 FROM tri
+             |   WHERE doc_id IN (SELECT doc_id FROM documents
+             |                    WHERE lang = 'en')),
+             | nref AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ref),
+             | c3 AS (SELECT w1, w2, w3, COUNT(*) AS n3 FROM ref
+             |   GROUP BY 1, 2, 3),
+             | c12 AS (SELECT w1, w2, CAST(SUM(n3) AS BIGINT) AS n12
+             |   FROM c3 GROUP BY 1, 2),
+             | wtri AS (SELECT w1, w2, w3, n3 * 1000000 // n12 AS q_tri
+             |   FROM c3 JOIN c12 USING (w1, w2)),
+             | c23 AS (SELECT w2, w3, COUNT(*) AS n23 FROM ref GROUP BY 1, 2),
+             | c2 AS (SELECT w2, CAST(SUM(n23) AS BIGINT) AS n2
+             |   FROM c23 GROUP BY 1),
+             | wbi AS (SELECT w2, w3, n23 * 400000 // n2 AS q_bi
+             |   FROM c23 JOIN c2 USING (w2)),
+             | wuni AS (SELECT w3, n1 * 160000 // (SELECT n FROM nref) AS q_uni
+             |   FROM (SELECT w3, COUNT(*) AS n1 FROM ref GROUP BY 1)),
+             | q AS (SELECT tri.doc_id,
+             |   COALESCE(wtri.q_tri, wbi.q_bi, wuni.q_uni, 0) AS q
+             |  FROM tri
+             |  LEFT JOIN wtri ON wtri.w1 = tri.w1 AND wtri.w2 = tri.w2
+             |   AND wtri.w3 = tri.w3
+             |  LEFT JOIN wbi ON wbi.w2 = tri.w2 AND wbi.w3 = tri.w3
+             |  LEFT JOIN wuni ON wuni.w3 = tri.w3),
+             | per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+             |   CAST(SUM(q) AS BIGINT) AS score_sum FROM q GROUP BY doc_id),
+             | sc AS (SELECT per.doc_id, d.lang, per.n_trigrams,
+             |   CAST(per.score_sum // per.n_trigrams AS BIGINT) AS mean_q
+             |  FROM per JOIN documents d USING (doc_id)),
+             | thr AS (SELECT lang,
+             |   CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY mean_q)
+             |     AS BIGINT) AS p25,
+             |   CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY mean_q)
+             |     AS BIGINT) AS p75
+             |  FROM sc GROUP BY lang)
+             |SELECT sc.doc_id, sc.lang, sc.n_trigrams, sc.mean_q,
+             | CASE WHEN sc.mean_q <= thr.p25 THEN 'tail'
+             |      WHEN sc.mean_q > thr.p75 THEN 'head'
+             |      ELSE 'middle' END AS bucket
+             |FROM sc JOIN thr USING (lang) ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("x102_diversity_card",
+      // per-source diversity card: exact unigram/bigram type and token
+      // counts, hapax count, integer-ppm type-token ratios and top-
+      // token share — the mode-collapse detector for synthetic or
+      // over-deduped mix components. Two map-side-combined count
+      // aggregations over 8-byte hashed tokens; output is sources × 9.
+      (s, dir) => TextOps.diversityCard(docs(s, dir))
+        .orderBy("source"),
+      Some("""WITH toks AS (SELECT source, string_split_regex(
+             |   trim(regexp_replace(regexp_replace(lower(text),
+             |     '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')),
+             |   '\s+') AS t FROM documents),
+             | uni AS (SELECT source, w, COUNT(*) AS n FROM (
+             |   SELECT source, UNNEST(t) AS w FROM toks)
+             |  WHERE w <> '' GROUP BY 1, 2),
+             | ua AS (SELECT source,
+             |   CAST(COUNT(*) AS BIGINT) AS distinct_unigrams,
+             |   CAST(SUM(n) AS BIGINT) AS n_tokens,
+             |   CAST(COUNT(CASE WHEN n = 1 THEN 1 END) AS BIGINT)
+             |     AS hapax_unigrams,
+             |   CAST(MAX(n) AS BIGINT) AS top_n
+             |  FROM uni GROUP BY source),
+             | bi AS (SELECT source, bg['w1'] AS w1, bg['w2'] AS w2,
+             |   COUNT(*) AS n FROM (
+             |   SELECT source, UNNEST([{'w1': t[i], 'w2': t[i+1]}
+             |     for i in generate_series(1, len(t)-1)]) AS bg
+             |   FROM toks)
+             |  WHERE bg['w1'] <> '' AND bg['w2'] <> '' GROUP BY 1, 2, 3),
+             | ba AS (SELECT source,
+             |   CAST(COUNT(*) AS BIGINT) AS distinct_bigrams,
+             |   CAST(SUM(n) AS BIGINT) AS n_bigrams
+             |  FROM bi GROUP BY source),
+             | nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+             |  FROM documents GROUP BY source)
+             |SELECT nd.source, nd.n_docs,
+             | COALESCE(ua.distinct_unigrams, 0) AS distinct_unigrams,
+             | COALESCE(ua.n_tokens, 0) AS n_tokens,
+             | COALESCE(ua.hapax_unigrams, 0) AS hapax_unigrams,
+             | COALESCE(ba.distinct_bigrams, 0) AS distinct_bigrams,
+             | COALESCE(ba.n_bigrams, 0) AS n_bigrams,
+             | COALESCE(ua.distinct_unigrams, 0) * 1000000
+             |   // GREATEST(COALESCE(ua.n_tokens, 0), 1) AS ttr_ppm,
+             | COALESCE(ba.distinct_bigrams, 0) * 1000000
+             |   // GREATEST(COALESCE(ba.n_bigrams, 0), 1) AS bigram_ttr_ppm,
+             | COALESCE(ua.top_n, 0) * 1000000
+             |   // GREATEST(COALESCE(ua.n_tokens, 0), 1) AS top_share_ppm
+             |FROM nd LEFT JOIN ua USING (source) LEFT JOIN ba USING (source)
+             |ORDER BY source""".stripMargin)),
+
+    QueryDef("x103_zorder_layout",
+      // Z-order data-layout plan (the Delta/Iceberg OPTIMIZE ZORDER
+      // step): orders quantized on (custkey, order epoch-day) to 8
+      // bits each, bit-interleaved, fixed-width Z-range shards —
+      // map-only assignment, no global sort — and the per-shard
+      // bounding boxes that prove two-dimensional locality (a
+      // customer+date range predicate touches few shards). Integer
+      // arithmetic end to end.
+      (s, dir) => {
+        val d = t(s, dir, "orders").select(
+          col("o_custkey").as("a"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("b"))
+        Sampling.zorderPlan(d, "a", "b", bits = 8, shards = 16)
+          .orderBy("shard")
+      },
+      {
+        val interleave = (0 until 8).map { i =>
+          s"(((qa >> $i) & 1) << ${2 * i + 1}) + (((qb >> $i) & 1) << ${2 * i})"
+        }.mkString(" + ")
+        Some(s"""WITH d AS (SELECT CAST(o_custkey AS BIGINT) AS a,
+               |  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+               |    AS BIGINT) AS b FROM orders),
+               | r AS (SELECT CAST(MIN(a) AS BIGINT) AS amin,
+               |   CAST(MAX(a) AS BIGINT) AS amax,
+               |   CAST(MIN(b) AS BIGINT) AS bmin,
+               |   CAST(MAX(b) AS BIGINT) AS bmax FROM d),
+               | q AS (SELECT a, b,
+               |   (a - r.amin) * 255 // GREATEST(1, r.amax - r.amin) AS qa,
+               |   (b - r.bmin) * 255 // GREATEST(1, r.bmax - r.bmin) AS qb
+               |  FROM d, r),
+               | z AS (SELECT a, b, CAST($interleave AS BIGINT) AS z FROM q),
+               | s AS (SELECT a, b, z, z // 4096 AS shard FROM z)
+               |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               | MIN(a) AS a_min, MAX(a) AS a_max,
+               | MIN(b) AS b_min, MAX(b) AS b_max,
+               | MIN(z) AS z_min, MAX(z) AS z_max
+               |FROM s GROUP BY shard ORDER BY shard""".stripMargin)
+      }),
+
+    QueryDef("x104_contrastive_pairs",
+      // contrastive pair mining for embedding finetuning: same-cell
+      // positives at cosine >= 0.45, hard negatives in [0.35, 0.45) —
+      // in-cell proximity is what makes them hard; easy negatives are
+      // NOT materialized (in-batch sampling supplies them for free).
+      // kmeans cells scope the pair space (autoCells default lands on
+      // the oracle's 4 at verify SF); NaN cosines dropped explicitly
+      // (both engines sort NaN above every number).
+      (s, dir) => Similarity.contrastivePairs(t(s, dir, "embeddings"),
+          posMin = 0.45, negMin = 0.35, iters = 2)
+        .orderBy("a", "b"),
+      Some(s"""WITH ${kmeansCtes(4, 2)},
+             | emb2 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             |  FROM embeddings),
+             | sv AS (SELECT emb2.vec_id, a.cluster, emb2.v
+             |  FROM emb2 JOIN a3 a USING (vec_id)),
+             | pr AS (SELECT x.vec_id AS a, y.vec_id AS b, x.cluster,
+             |   list_cosine_similarity(x.v, y.v) AS cos
+             |  FROM sv x JOIN sv y ON x.cluster = y.cluster
+             |   AND x.vec_id < y.vec_id)
+             |SELECT a, b, cluster, ROUND(cos, 4) AS cosine,
+             | CASE WHEN cos >= 0.45 THEN 'positive'
+             |      ELSE 'hard_negative' END AS label
+             |FROM pr WHERE isfinite(cos) AND cos >= 0.35
+             |ORDER BY a, b""".stripMargin)),
+
     // --------------------------------------------- pipeline: curation gates
     QueryDef("x53_cap_per_group",
       // per-domain document cap (the "≤k pages per host" crawl-curation

@@ -495,4 +495,58 @@ object Sampling {
     }
     df.filter(b < threshold)
   }
+
+  /** Bit-interleaved Z-order value of two pre-quantized dimensions
+    * (each in [0, 2^bits)): bit i of `qa` lands at position 2i+1, of
+    * `qb` at 2i. A fixed sum of shift/mask terms — whole-stage
+    * codegen'd, no UDF — exactly the curve Delta/Iceberg OPTIMIZE
+    * ZORDER walks so range-partitioned writes co-locate rows close in
+    * BOTH dimensions. */
+  def zorderValue(qa: Column, qb: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"zorderValue: bits in [1,31], got $bits")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc +
+        shiftleft(shiftright(qa, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(qb, i).bitwiseAND(lit(1L)), 2 * i)
+    }
+  }
+
+  /** Z-order layout plan over two integer dimensions — the data-
+    * layout step a 100 TB store runs so multi-column range predicates
+    * prune files instead of scanning everything: quantize each dim to
+    * 2^bits buckets against its corpus min/max, interleave into a
+    * Z-value, assign fixed-width Z-range shards (`shard = z DIV
+    * (2^2bits / shards)` — MAP-ONLY, no global sort; a physical
+    * rewrite would `repartitionByRange` on the same z column), and
+    * report per shard the row count and the bounding box of both
+    * dimensions. Tight per-shard boxes = a point/range query touches
+    * few shards. All-integer arithmetic end to end (quantization is
+    * `(v-min)·(2^bits-1) DIV max(1, max-min)`), so the plan
+    * re-derives bit-identically. Min/max are two scalar aggregates
+    * (one cheap pass); the summary is one map-side-combined groupBy
+    * over `shards` keys. */
+  def zorderPlan(df: DataFrame, aCol: String, bCol: String,
+                 bits: Int = 8, shards: Int = 16): DataFrame = {
+    require(shards >= 1, s"zorderPlan: shards must be positive, got $shards")
+    val side = 1L << bits
+    val r = df.agg(min(col(aCol)).cast("long"), max(col(aCol)).cast("long"),
+      min(col(bCol)).cast("long"), max(col(bCol)).cast("long")).head()
+    val (aMin, aMax, bMin, bMax) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // integer division: Column./ on longs is floating — route via expr DIV
+    val qa = expr(s"CAST((CAST($aCol AS BIGINT) - ${aMin}L) * ${side - 1}L" +
+      s" DIV ${math.max(1L, aMax - aMin)}L AS BIGINT)")
+    val qb = expr(s"CAST((CAST($bCol AS BIGINT) - ${bMin}L) * ${side - 1}L" +
+      s" DIV ${math.max(1L, bMax - bMin)}L AS BIGINT)")
+    val width = math.max(1L, (side * side) / shards)
+    df.withColumn("z", zorderValue(qa, qb, bits))
+      .withColumn("shard", expr(s"CAST(z DIV ${width}L AS BIGINT)"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(aCol)).cast("long").as("a_min"),
+        max(col(aCol)).cast("long").as("a_max"),
+        min(col(bCol)).cast("long").as("b_min"),
+        max(col(bCol)).cast("long").as("b_max"),
+        min("z").as("z_min"), max("z").as("z_max"))
+  }
 }

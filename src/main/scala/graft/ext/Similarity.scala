@@ -365,6 +365,45 @@ object Similarity {
         coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
   }
 
+  /** Contrastive training-pair mining — the dataset-construction step
+    * for embedding-model finetuning (SimCSE/E5-style): positives are
+    * same-cell pairs at cosine ≥ `posMin`; hard negatives the
+    * same-cell pairs in [`negMin`, `posMin`) — close enough to share
+    * a kmeans cell (that is what makes them HARD) but below the
+    * positive bar. Pairs below `negMin` are dropped (easy negatives
+    * come free from in-batch sampling at train time; materializing
+    * them would be corpus²). Cells scope the pair space exactly as
+    * [[knnClassify]]/[[mutualKnnClusters]] (autoCells default keeps
+    * it ~linear); deterministic integer kmeans + one float cosine per
+    * pair, so the mined set hash-matches an independent engine.
+    * NaN cosines (zero-norm vectors) are dropped explicitly — both
+    * engines order NaN above every number, so an unguarded `>=`
+    * would silently label them positive. Returns
+    * (a, b, cluster, cosine rounded to 4, label). */
+  def contrastivePairs(emb: DataFrame, posMin: Double, negMin: Double,
+                       cells: Int = 0, iters: Int = 2,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(posMin > negMin,
+      s"contrastivePairs: posMin ($posMin) must exceed negMin ($negMin)")
+    val nCells = if (cells > 0) cells else Clustering.autoCells(emb)
+    val assign = graft.ext.Clustering.kmeans(emb, nCells, iters, idCol, vecCol)
+      .select(col("vec_id"), col("cluster"))
+    val side = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .join(assign, Seq("vec_id")).localCheckpoint()
+    side.select(col("vec_id").as("a"), col("cluster"), col("v"))
+      .join(side.select(col("vec_id").as("b"), col("cluster"),
+        col("v").as("nv")), Seq("cluster"))
+      .filter(col("a") < col("b"))
+      .withColumn("cosine", cosine(col("v"), col("nv")))
+      .filter(!isnan(col("cosine")) && col("cosine") >= lit(negMin))
+      .withColumn("label",
+        when(col("cosine") >= lit(posMin), lit("positive"))
+          .otherwise(lit("hard_negative")))
+      .select(col("a"), col("b"), col("cluster"),
+        round(col("cosine"), 4).as("cosine"), col("label"))
+  }
+
   /** ANN recall evaluation — the nightly quality probe of an
     * approximate index: per query, the share of the EXACT top-k
     * (from [[bruteForceTopK]] on a query sample) that the

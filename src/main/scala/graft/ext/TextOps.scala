@@ -750,4 +750,160 @@ object TextOps {
       .orderBy(col("score_ppm").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** The hashed trigram stream shared by [[trigramBackoffScore]]'s
+    * train and score legs: one row per trigram position with the
+    * xxhash64 keys of all backoff levels (trigram, conditioning
+    * bigram, backoff bigram, conditioning unigram, target unigram).
+    * Token strings die at the map side — every downstream shuffle
+    * carries five 8-byte keys (same injectivity argument as
+    * [[bigramPredictability]]; the raw-string oracle would surface a
+    * collision as a hash mismatch). Docs under 3 tokens contribute no
+    * rows (`greatest(size-2, 0)` keeps the slice length legal). */
+  private def trigramStream(df: DataFrame, idCol: String,
+                            textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        tokens(normalize(col(textCol))).as("t"))
+      // capture-free lambdas (the x33 lesson): bodies reference ONLY
+      // their own arguments, so filter pushdown cannot inline the
+      // tokenize chain into per-element evaluation
+      .withColumn("p12", expr(
+        "zip_with(slice(t, 1, greatest(size(t)-2, 0))," +
+          " slice(t, 2, greatest(size(t)-2, 0))," +
+          " (x, y) -> struct(x AS w1, y AS w2))"))
+      .withColumn("tg", expr(
+        "zip_with(p12, slice(t, 3, greatest(size(t)-2, 0))," +
+          " (p, z) -> struct(p.w1 AS w1, p.w2 AS w2, z AS w3))"))
+      .select(col("doc_id"), explode(col("tg")).as("g"))
+      .select(col("doc_id"),
+        xxhash64(col("g.w1"), col("g.w2"), col("g.w3")).as("k3"),
+        xxhash64(col("g.w1"), col("g.w2")).as("h12"),
+        xxhash64(col("g.w2"), col("g.w3")).as("k23"),
+        xxhash64(col("g.w2")).as("h2"),
+        xxhash64(col("g.w3")).as("h3"))
+
+  /** Trigram stupid-backoff LM scoring — the CCNet-style perplexity
+    * filter shape (train a reference LM on a trusted slice, score the
+    * whole crawl, bucket). Unlike [[bigramPredictability]] (self-
+    * trained, so every n-gram is in-vocabulary) the TRAIN and SCORE
+    * corpora differ, which is what makes backoff real: a scored
+    * trigram unseen in the reference falls to the bigram level at
+    * stupid-backoff weight 0.4, then to the unigram level at 0.16,
+    * then to 0 — all integer micro-units
+    * (`c3·10⁶ DIV c12`, `c23·4·10⁵ DIV c2`, `c1·16·10⁴ DIV N`), so
+    * per-doc sums are exact BIGINT and the mean is integer DIV:
+    * bit-identical under any partitioning and in DuckDB. Counts are
+    * slot-defined on the trigram stream (the conditioning bigram is
+    * slots 1-2, the backoff bigram slots 2-3) — self-consistent and
+    * mirrored exactly by the oracle.
+    *
+    * Scale: the reference stream aggregates to three vocabulary-sized
+    * weight tables (AQE broadcasts them); the score corpus shuffles
+    * only 8-byte keys and never joins anything its own size. Returns
+    * (doc_id, n_trigrams, score_sum, mean_q) for docs with ≥ 1
+    * trigram. */
+  def trigramBackoffScore(train: DataFrame, score: DataFrame,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    // materialized once: the stream feeds four count aggregations
+    val ref = trigramStream(train, idCol, textCol).localCheckpoint()
+    val nRef = ref.count()
+    require(nRef > 0, "trigramBackoffScore: reference corpus has no trigrams")
+    val c3 = ref.groupBy("k3")
+      .agg(count(lit(1)).as("n3"), first("h12").as("h12"))
+    val c12 = ref.groupBy("h12").agg(count(lit(1)).as("n12"))
+    val wTri = c3.join(c12, "h12")
+      .select(col("k3"), expr("CAST(n3 * 1000000 DIV n12 AS BIGINT)").as("q_tri"))
+    val c23 = ref.groupBy("k23")
+      .agg(count(lit(1)).as("n23"), first("h2").as("h2"))
+    val c2 = ref.groupBy("h2").agg(count(lit(1)).as("n2"))
+    val wBi = c23.join(c2, "h2")
+      .select(col("k23"), expr("CAST(n23 * 400000 DIV n2 AS BIGINT)").as("q_bi"))
+    val wUni = ref.groupBy("h3").agg(count(lit(1)).as("n1"))
+      .select(col("h3"),
+        expr(s"CAST(n1 * 160000 DIV CAST($nRef AS BIGINT) AS BIGINT)").as("q_uni"))
+    trigramStream(score, idCol, textCol)
+      .select("doc_id", "k3", "k23", "h3")
+      .join(wTri, Seq("k3"), "left")
+      .join(wBi, Seq("k23"), "left")
+      .join(wUni, Seq("h3"), "left")
+      .withColumn("q", coalesce(col("q_tri"), col("q_bi"), col("q_uni"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"), sum("q").as("score_sum"))
+      .withColumn("mean_q", expr("CAST(score_sum DIV n_trigrams AS BIGINT)"))
+  }
+
+  /** CCNet-style head/middle/tail bucketing of an LM score, per
+    * group: tail = bottom quartile, head = top quartile, middle = the
+    * rest. Thresholds are ACTUAL elements via percentile_disc (the
+    * proven x96 idiom — quartile boundaries, not CCNet's thirds, so
+    * the disc semantics match the engine pair exactly as q19/x96
+    * already pin), broadcast back; the corpus never re-shuffles. */
+  def perplexityBuckets(scored: DataFrame, groupCol: String,
+                        valueCol: String = "mean_q"): DataFrame = {
+    val thr = scored.groupBy(groupCol).agg(
+      expr(s"percentile_disc(0.25) WITHIN GROUP (ORDER BY $valueCol)")
+        .cast("long").as("p25"),
+      expr(s"percentile_disc(0.75) WITHIN GROUP (ORDER BY $valueCol)")
+        .cast("long").as("p75"))
+    scored.join(broadcast(thr), Seq(groupCol))
+      .withColumn("bucket",
+        when(col(valueCol) <= col("p25"), lit("tail"))
+          .when(col(valueCol) > col("p75"), lit("head"))
+          .otherwise(lit("middle")))
+      .drop("p25", "p75")
+  }
+
+  /** Per-source corpus diversity card — the governance report that
+    * catches mode collapse in a training mix (synthetic or over-
+    * deduped slices show depressed type-token ratios and inflated
+    * top-token shares): per source, exact token/type counts for
+    * unigrams and bigrams, hapax count, and all-integer ppm ratios
+    * (type-token ratio, bigram TTR, top-token share). Everything
+    * derives from two map-side-combined count aggregations over
+    * 8-byte hashed tokens (the x33 injectivity argument; the oracle
+    * counts raw strings) — output is sources × 9 integers, tiny.
+    *
+    * DECIMAL(38,0) routing on the ppm multiplies is unnecessary here:
+    * distinct ≤ tokens and tokens·10⁶ < 2⁶³ up to ~9·10¹² tokens per
+    * source — beyond that, route like [[collocations]]. */
+  def diversityCard(df: DataFrame, groupCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(groupCol).as("grp"),
+        tokens(normalize(col(textCol))).as("t"))
+      .localCheckpoint()
+    val uni = toks.select(col("grp"), explode(col("t")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("grp"), xxhash64(col("w")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("grp").agg(
+        count(lit(1)).as("distinct_unigrams"),
+        sum("n").as("n_tokens"),
+        count(when(col("n") === 1, 1)).as("hapax_unigrams"),
+        max("n").as("top_n"))
+    val bi = toks
+      .withColumn("bg", expr(
+        "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1)," +
+          " (x, y) -> struct(x AS w1, y AS w2))"))
+      .select(col("grp"), explode(col("bg")).as("b"))
+      .where(col("b.w1") =!= "" && col("b.w2") =!= "")
+      .groupBy(col("grp"), xxhash64(col("b.w1"), col("b.w2")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("grp").agg(
+        count(lit(1)).as("distinct_bigrams"),
+        sum("n").as("n_bigrams"))
+    val nDocs = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_docs"))
+    nDocs.join(uni, Seq("grp"), "left").join(bi, Seq("grp"), "left")
+      .na.fill(0L, Seq("distinct_unigrams", "n_tokens", "hapax_unigrams",
+        "top_n", "distinct_bigrams", "n_bigrams"))
+      .withColumn("ttr_ppm",
+        expr("CAST(distinct_unigrams * 1000000 DIV greatest(n_tokens, 1) AS BIGINT)"))
+      .withColumn("bigram_ttr_ppm",
+        expr("CAST(distinct_bigrams * 1000000 DIV greatest(n_bigrams, 1) AS BIGINT)"))
+      .withColumn("top_share_ppm",
+        expr("CAST(top_n * 1000000 DIV greatest(n_tokens, 1) AS BIGINT)"))
+      .withColumnRenamed("grp", groupCol)
+      .drop("top_n")
+  }
 }

@@ -1455,6 +1455,88 @@ class ExtSpec extends SparkSuite {
     assert(again == out.toSet)
   }
 
+  test("trigramBackoffScore: stupid-backoff levels fire exactly (X3)") {
+    // train: "a b c a b c" -> 4 trigram slots; hand-derived counts:
+    // c3(a,b,c)=2 c3(b,c,a)=1 c3(c,a,b)=1; c12(a,b)=2 (b,c)=1 (c,a)=1;
+    // c23(b,c)=2 (c,a)=1 (a,b)=1; c2(b)=2 (c)=1 (a)=1; c1(c)=2 (a)=1
+    // (b)=1; nRef=4
+    val train = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "a b c"),   // trigram hit: 2*1e6 DIV 2    = 1000000
+      (11L, "x b c"),   // bigram backoff: 2*4e5 DIV 2 =  400000
+      (12L, "x y c"),   // unigram backoff: 2*16e4 DIV 4 = 80000
+      (13L, "x y z"),   // fully OOV                   =       0
+      (14L, "a b"))     // < 3 tokens -> no output row
+      .toDF("doc_id", "text")
+    val out = TextOps.trigramBackoffScore(train, score)
+      .select("doc_id", "n_trigrams", "score_sum", "mean_q")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(10L, 11L, 12L, 13L))
+    assert(out(10L) == ((10L, 1L, 1000000L, 1000000L)))
+    assert(out(11L) == ((11L, 1L, 400000L, 400000L)))
+    assert(out(12L) == ((12L, 1L, 80000L, 80000L)))
+    assert(out(13L) == ((13L, 1L, 0L, 0L)))
+    // multi-trigram doc: integer mean of per-slot weights.
+    // "a b c a b c" scored on itself: slots 1e6, 1e6, 1e6, 1e6
+    val self = TextOps.trigramBackoffScore(train, train)
+      .select("mean_q").as[Long].head()
+    assert(self == 1000000L)
+    // repartition-invariant
+    val again = TextOps.trigramBackoffScore(
+        train.repartition(3), score.repartition(5))
+      .select("doc_id", "n_trigrams", "score_sum", "mean_q")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(again == out)
+  }
+
+  test("perplexityBuckets: disc-quartile head/middle/tail per group (X3)") {
+    val scored = (1L to 8L).map(v => (v, "g", v * 10L))
+      .toDF("doc_id", "lang", "mean_q")
+    val out = TextOps.perplexityBuckets(scored, "lang")
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    // values 10..80: p25 = 20 (disc), p75 = 60 -> tail <= 20,
+    // head > 60, middle otherwise
+    assert(out(1L) == "tail" && out(2L) == "tail")
+    assert((3L to 6L).forall(out(_) == "middle"))
+    assert(out(7L) == "head" && out(8L) == "head")
+  }
+
+  test("diversityCard: exact type/token counts and ppm ratios (X3)") {
+    val d = Seq(
+      (0L, "a b a", "A"), (1L, "a b", "A"),   // uni a:3 b:2, bi (a,b):2 (b,a):1
+      (2L, "z", "B"),                         // one hapax, no bigrams
+      (3L, "", "C"))                          // empty text -> zero tokens
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.diversityCard(d)
+      .select("source", "n_docs", "distinct_unigrams", "n_tokens",
+        "hapax_unigrams", "distinct_bigrams", "n_bigrams",
+        "ttr_ppm", "bigram_ttr_ppm", "top_share_ppm")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("A") == (("A", 2L, 2L, 5L, 0L, 2L, 3L,
+      400000L, 666666L, 600000L)))
+    assert(out("B") == (("B", 1L, 1L, 1L, 1L, 0L, 0L,
+      1000000L, 0L, 1000000L)))
+    assert(out("C") == (("C", 1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("contrastivePairs: band labels and NaN guard (X2)") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)),            // cos(0,1) = 1        -> positive
+      (2L, Array(0.4f, 0.9165151f)),      // cos(0,2)=cos(1,2)=.4 -> hard_neg
+      (3L, Array(0.0f, 1.0f)),            // cos(2,3) ~ .9165    -> positive
+      (4L, Array(0.0f, 0.0f)))            // zero norm -> NaN    -> dropped
+      .toDF("vec_id", "embedding")
+    val out = Similarity.contrastivePairs(emb, posMin = 0.45,
+        negMin = 0.35, cells = 1)
+      .select("a", "b", "label").as[(Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out == Map(
+      (0L, 1L) -> "positive", (2L, 3L) -> "positive",
+      (0L, 2L) -> "hard_negative", (1L, 2L) -> "hard_negative"))
+  }
+
   test("autoCells: floor of 4, then sqrt(n/32) (X1/X2 default)") {
     import graft.ext.Clustering
     assert(Clustering.autoCells(spark.range(9).toDF()) == 4)

@@ -512,4 +512,36 @@ class SamplingSpec extends SparkSuite {
     assert(out.map(r => (r._1, r._3, r._4, r._5)).toSet != out2)
     assert(out.map(r => (r._1, r._3)).toSet == out2.map(r => (r._1, r._2)))
   }
+
+  test("zorderValue: exact bit interleave") {
+    // qa=3 (11b) at odd positions -> 8+2; qb=1 (01b) at even -> 1
+    val z = Seq((3L, 1L)).toDF("qa", "qb")
+      .select(Sampling.zorderValue(col("qa"), col("qb"), 2).as("z"))
+      .as[Long].head()
+    assert(z == 11L)
+  }
+
+  test("zorderPlan: fixed-width shards are Z-curve quadrants") {
+    // the 4x4 grid at bits=2, shards=4: quantization is the identity
+    // ((v-0)*3 DIV 3 = v for v in 0..3), so shards must be exactly
+    // the four quadrants with tight bounding boxes
+    val pts = for { a <- 0L to 3L; b <- 0L to 3L } yield (a, b)
+    val out = Sampling.zorderPlan(pts.toDF("a", "b"), "a", "b",
+        bits = 2, shards = 4)
+      .select("shard", "n_rows", "a_min", "a_max", "b_min", "b_max")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L))
+    assert(out(0L) == ((0L, 4L, 0L, 1L, 0L, 1L)))
+    assert(out(1L) == ((1L, 4L, 0L, 1L, 2L, 3L)))
+    assert(out(2L) == ((2L, 4L, 2L, 3L, 0L, 1L)))
+    assert(out(3L) == ((3L, 4L, 2L, 3L, 2L, 3L)))
+    // repartition-invariant
+    val again = Sampling.zorderPlan(pts.toDF("a", "b").repartition(7),
+        "a", "b", bits = 2, shards = 4)
+      .select("shard", "n_rows", "a_min", "a_max", "b_min", "b_max")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(again == out)
+  }
 }
