@@ -346,6 +346,48 @@ object SparkEntry {
        |GROUP BY node ORDER BY node""".stripMargin
   }
 
+  /** DuckDB oracle for [[LinkAnalysis.louvainLocalMove]] over the
+    * co-purchase pair graph: `rounds` chained synchronous local-move
+    * CTEs — per round the per-(vertex, candidate-community) edge
+    * counts, community degree totals, exact integer modularity gains
+    * restricted to monotone (≤ current) labels, and the
+    * (g DESC, c) argmax via QUALIFY. */
+  private def louvainSql(rounds: Int): String = {
+    val ctes = (1 to rounds).map { r =>
+      s"""cand$r AS MATERIALIZED (SELECT s.u, a.community AS c,
+         |  CAST(COUNT(*) AS BIGINT) AS kuc
+         | FROM sym s JOIN a${r - 1} a ON a.id = s.v GROUP BY 1, 2),
+         |tot$r AS MATERIALIZED (SELECT a.community,
+         |  CAST(SUM(d.d) AS BIGINT) AS tot
+         | FROM a${r - 1} a JOIN deg d ON d.u = a.id GROUP BY 1),
+         |allc$r AS (SELECT u, c, MAX(kuc) AS kuc FROM (
+         |  SELECT u, c, kuc FROM cand$r
+         |  UNION ALL SELECT id, community, 0 FROM a${r - 1}) GROUP BY 1, 2),
+         |gain$r AS (SELECT x.u, x.c,
+         |  2 * mt.m * x.kuc - d.d * (t.tot -
+         |    CASE WHEN cur.community = x.c THEN d.d ELSE 0 END) AS g
+         | FROM allc$r x JOIN deg d ON d.u = x.u
+         |  JOIN a${r - 1} cur ON cur.id = x.u
+         |  JOIN tot$r t ON t.community = x.c, mt
+         | WHERE x.c <= cur.community),
+         |a$r AS MATERIALIZED (SELECT u AS id, c AS community FROM gain$r
+         | QUALIFY ROW_NUMBER() OVER (PARTITION BY u
+         |   ORDER BY g DESC, c) = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $copurchaseSql,
+       |sym AS MATERIALIZED (SELECT a AS u, b AS v FROM pe
+       | UNION ALL SELECT b, a FROM pe),
+       |deg AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS BIGINT) AS d
+       | FROM sym GROUP BY u),
+       |mt AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pe),
+       |a0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS community FROM sym),
+       |$ctes,
+       |mem AS (SELECT DISTINCT i AS id FROM gi)
+       |SELECT mm.id, COALESCE(ar.community, mm.id) AS community
+       |FROM mem mm LEFT JOIN a$rounds ar ON ar.id = mm.id
+       |ORDER BY mm.id""".stripMargin
+  }
+
   /** DuckDB oracle for [[LinkAnalysis.ktruss]]: `rounds` chained
     * support-and-peel CTEs (each round a wedge self-join counting
     * common neighbors per edge, HAVING the k−2 support bar — the
@@ -2770,6 +2812,26 @@ object SparkEntry {
               | CAST(p.w AS DOUBLE) / (da.d + db.d - p.w) AS jaccard
               |FROM pe p JOIN deg da ON da.i = p.a JOIN deg db ON db.i = p.b
               |ORDER BY jaccard DESC, p.a, p.b LIMIT 100""".stripMargin)),
+
+    QueryDef("g58_louvain_move",
+      // the Louvain move phase, deterministic: synchronous exact-
+      // integer modularity gains with monotone-label moves (labels
+      // only decrease -> no synchronous oscillation, so the whole
+      // assignment hash-matches an unrolled-CTE oracle — sequential
+      // Louvain's visit-order dependence makes that impossible).
+      // Complements g51's mutual-best-match: this one merges chains
+      // and stars that best-match splits.
+      (s, dir) => {
+        val gi = StarGraph.copurchaseGi(s, dir)
+        val pairs = LinkAnalysis.jaccardPairsFromGi(gi, 2).select("a", "b")
+        val assign = LinkAnalysis.louvainLocalMove(pairs, rounds = 4)
+        gi.select(col("i").as("id")).distinct()
+          .join(assign, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("community"), col("id")).as("community"))
+          .orderBy("id")
+      },
+      Some(louvainSql(4))),
 
     QueryDef("g51_communities",
       // community detection by MUTUAL BEST MATCH over the co-purchase

@@ -738,6 +738,71 @@ object LinkAnalysis {
       .select(col("id"), coalesce(col("cluster"), col("id")).as("community"))
   }
 
+  /** Synchronous modularity local-move — the Louvain move phase made
+    * deterministic (and therefore oracle-checkable, which sequential
+    * Louvain's visit-order dependence forbids — see
+    * [[bestMatchCommunities]]): every round, EVERY vertex
+    * simultaneously evaluates the exact integer modularity gain
+    * `g(u→C) = 2m·k_{u,C} − d_u·(totC − [u∈C]·d_u)` for each
+    * candidate community and adopts the argmax (ties → smaller
+    * label). Unconstrained synchronous moves oscillate on symmetric
+    * structures (two vertices can swap labels forever), so candidates
+    * are restricted to communities labeled ≤ the vertex's current
+    * label — labels are then non-increasing per vertex, which rules
+    * out oscillation by monotonicity while keeping every move a true
+    * modularity improvement. `rounds` bounds the sweep (labels drain
+    * toward community minima; a few rounds suffice on the tested
+    * graphs — the move phase of one Louvain level, not the full
+    * multi-level pyramid).
+    *
+    * Scale shape per round: one edge→assignment join + two map-side-
+    * combinable aggregations (k_{u,C}, totC) + a top-1-per-vertex via
+    * the bounded-heap [[graft.plans.TopKPerGroup]] (no window sort);
+    * assignment is checkpointed so lineage stays flat. Gain fits
+    * BIGINT while 4·m·d_max < 2⁶³ (route through DECIMAL beyond —
+    * ~10⁹ edges × 10⁹ max degree headroom).
+    * Returns (id, community) for every vertex incident to an edge. */
+  def louvainLocalMove(pairs: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, s"louvainLocalMove: rounds >= 1, got $rounds")
+    val e = pairs.select("a", "b").localCheckpoint()
+    val sym = e.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    val mEdges = e.count()
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
+    var assign = sym.select(col("u").as("id")).distinct()
+      .withColumn("community", col("id")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val cand = sym
+        .join(assign.select(col("id").as("v"), col("community").as("c")), "v")
+        .groupBy("u", "c").agg(count(lit(1)).as("kuc"))
+      val tot = assign
+        .join(deg.select(col("u").as("id"), col("d")), "id")
+        .groupBy("community").agg(sum("d").as("tot"))
+      // the stay candidate rides along at kuc=0; MAX restores the real
+      // edge count where the vertex does have intra-community edges
+      val allc = cand
+        .unionByName(assign.select(col("id").as("u"),
+          col("community").as("c"), lit(0L).as("kuc")))
+        .groupBy("u", "c").agg(max("kuc").as("kuc"))
+      val gain = allc
+        .join(deg, "u")
+        .join(assign.select(col("id").as("u"), col("community").as("cur")), "u")
+        .filter(col("c") <= col("cur"))  // monotone labels: no oscillation
+        .join(tot.select(col("community").as("c"), col("tot")), "c")
+        .withColumn("g",
+          lit(2L * mEdges) * col("kuc") - col("d") *
+            (col("tot") - when(col("cur") === col("c"), col("d"))
+              .otherwise(lit(0L))))
+      assign = graft.plans.TopKPerGroup(
+          gain.select("u", "c", "g"),
+          Seq("u"), Seq(("g", false), ("c", true)), 1)
+        .select(col("u").as("id"), col("c").as("community"))
+        .localCheckpoint()
+    }
+    assign
+  }
+
   /** Newman modularity of a community assignment over an undirected
     * pair graph, decomposed per community in EXACT integers:
     * Q = Σ_c [e_c/m − (d_c/2m)²] = Σ_c contrib_c / (4m²) with

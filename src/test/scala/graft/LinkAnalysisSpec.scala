@@ -624,4 +624,29 @@ class PipelineAnalyticsSpec extends SparkSuite {
       .exists(r => r.getAs[Long]("d_sum") == 0L && r.getAs[Long]("contrib") == 0L))
   }
 
+  test("louvainLocalMove: two bridged triangles separate; monotone labels converge") {
+    // hand-traced (m=7): r1 collapses {1,2,3}->1 and 4->3, 5->4, 6->5
+    // (singleton merges with positive gain under the monotone-label
+    // restriction); r2 pulls 5 into 3, 6 to 4; r3 pulls 6 into 3.
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val r3 = LinkAnalysis.louvainLocalMove(tri, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r3 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // converged: a fourth round changes nothing
+    val r4 = LinkAnalysis.louvainLocalMove(tri, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(r4 == r3)
+    // repartition-invariant (synchronous update, no visit order)
+    val again = LinkAnalysis.louvainLocalMove(tri.repartition(5), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(again == r3)
+    // a 3-path has positive merge gain everywhere -> one community
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val p = LinkAnalysis.louvainLocalMove(path, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(p == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
 }
