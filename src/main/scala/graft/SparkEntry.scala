@@ -3768,6 +3768,42 @@ object SparkEntry {
              |FROM per p JOIN best b USING (user_id)
              |ORDER BY p.user_id""".stripMargin)),
 
+    QueryDef("q46_recursive_cte",
+      // recursive CTE on the SQL surface (Spark 4.1 WITH RECURSIVE ==
+      // DuckDB WITH RECURSIVE): min-distance AND path-count closure
+      // from every 'order' vertex up the star DAG — path multiplicity
+      // (a region is reached once per order->...->region chain) is
+      // the genuinely recursive metric g05's frontier-join
+      // reachability does not expose. Bounded by the DAG depth guard.
+      (s, dir) => {
+        val g = graph(s, dir)
+        g.vertices.createOrReplaceTempView("graft_q46_v")
+        g.edges.createOrReplaceTempView("graft_q46_e")
+        s.sql("""WITH RECURSIVE up(layer, node_id, dist) AS (
+                |  SELECT layer, nodeId, 0 FROM graft_q46_v
+                |  WHERE layer = 'order'
+                |  UNION ALL
+                |  SELECT e.dstLayer, e.dstId, u.dist + 1
+                |  FROM up u JOIN graft_q46_e e
+                |    ON e.srcLayer = u.layer AND e.srcId = u.node_id
+                |  WHERE u.dist < 5)
+                |SELECT layer, node_id, MIN(dist) AS dist,
+                |  CAST(COUNT(*) AS BIGINT) AS n_paths
+                |FROM up GROUP BY layer, node_id
+                |ORDER BY layer, node_id""".stripMargin)
+      },
+      Some(s"""$W, up(layer, node_id, dist) AS (
+             |  SELECT layer, node_id, 0 FROM vertices WHERE layer = 'order'
+             |  UNION ALL
+             |  SELECT e.target_layer, e.target_id, u.dist + 1
+             |  FROM up u JOIN edges e
+             |    ON e.source_layer = u.layer AND e.source_id = u.node_id
+             |  WHERE u.dist < 5)
+             |SELECT layer, node_id, MIN(dist) AS dist,
+             | CAST(COUNT(*) AS BIGINT) AS n_paths
+             |FROM up GROUP BY layer, node_id
+             |ORDER BY layer, node_id""".stripMargin)),
+
     QueryDef("q37_sliding_window",
       // sliding windows (width 1h, slide 30m): every event lands in
       // exactly width/slide = 2 windows; the oracle re-derives the two

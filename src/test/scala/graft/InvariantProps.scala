@@ -460,6 +460,57 @@ object InvariantProps extends Properties("GraftInvariants") {
       got == want
     }
 
+  // small alphabet gives dense n-gram stats; 'x' in the score side is
+  // never in training, forcing genuine backoff-level transitions
+  private val genLmCorpus = for {
+    nt <- Gen.choose(1, 4)
+    train <- Gen.listOfN(nt,
+      Gen.listOfN(6, Gen.oneOf("a", "b", "c")).map(_.mkString(" ")))
+    ns <- Gen.choose(1, 5)
+    score <- Gen.listOfN(ns, Gen.choose(1, 7)
+      .flatMap(len => Gen.listOfN(len, Gen.oneOf("a", "b", "c", "x")))
+      .map(_.mkString(" ")))
+  } yield (train, score)
+
+  property("trigramBackoffScore == brute slot-count stupid backoff") =
+    forAll(genLmCorpus) { case (train, score) =>
+      import spark.implicits._
+      def tris(doc: String): List[(String, String, String)] =
+        doc.split("\\s+").toList.sliding(3)
+          .collect { case List(a, b, c) => (a, b, c) }.toList
+      val ref = train.flatMap(tris)
+      val n = ref.size.toLong
+      val c3 = ref.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val c12 = ref.groupBy(t => (t._1, t._2))
+        .map { case (k, v) => k -> v.size.toLong }
+      val c23 = ref.groupBy(t => (t._2, t._3))
+        .map { case (k, v) => k -> v.size.toLong }
+      val c2 = ref.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+      val c1 = ref.groupBy(_._3).map { case (k, v) => k -> v.size.toLong }
+      def q(t: (String, String, String)): Long =
+        c3.get(t).map(c => c * 1000000L / c12((t._1, t._2)))
+          .orElse(c23.get((t._2, t._3)).map(c => c * 400000L / c2(t._2)))
+          .orElse(c1.get(t._3).map(c => c * 160000L / n))
+          .getOrElse(0L)
+      val want = score.zipWithIndex.flatMap { case (doc, i) =>
+        val ts = tris(doc)
+        if (ts.isEmpty) None
+        else {
+          val s = ts.map(q).sum
+          Some(i.toLong -> ((ts.size.toLong, s, s / ts.size)))
+        }
+      }.toMap
+      val trainDf = train.zipWithIndex
+        .map { case (d, i) => (i.toLong, d) }.toDF("doc_id", "text")
+      val scoreDf = score.zipWithIndex
+        .map { case (d, i) => (i.toLong, d) }.toDF("doc_id", "text")
+      val got = graft.ext.TextOps.trigramBackoffScore(trainDf, scoreDf)
+        .select("doc_id", "n_trigrams", "score_sum", "mean_q")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      got == want
+    }
+
   // small alphabet forces dense pair statistics and deep merge chains
   private val genBpeCorpus = for {
     n <- Gen.choose(2, 6)
