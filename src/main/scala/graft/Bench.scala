@@ -38,6 +38,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
+      // q46 enumerates DAG paths; the 1M safety default trips at the
+      // scaled decades. Harness-level (the library never mutates a
+      // caller session).
+      .config("spark.sql.cteRecursionRowLimit", "100000000")
       .config("spark.ui.enabled", "false")
       .config(SparkConfs.kryoGraphConf())
       // 60+ queries x iterative sub-executions with large plans: cap

@@ -3771,17 +3771,28 @@ object SparkEntry {
     QueryDef("q46_recursive_cte",
       // recursive CTE on the SQL surface (Spark 4.1 WITH RECURSIVE ==
       // DuckDB WITH RECURSIVE): min-distance AND path-count closure
-      // from every 'order' vertex up the star DAG — path multiplicity
-      // (a region is reached once per order->...->region chain) is
-      // the genuinely recursive metric g05's frontier-join
-      // reachability does not expose. Bounded by the DAG depth guard.
+      // up the star DAG from the min nation's orders — path
+      // multiplicity (a region is reached once per order->...->region
+      // chain) is the genuinely recursive metric g05's frontier-join
+      // reachability does not expose. Recursive CTEs ENUMERATE paths,
+      // so the seed is a bounded slice: Spark's
+      // spark.sql.cteRecursionRowLimit safety conf (1M default) is
+      // the knob past that, and the frontier-join kernels remain the
+      // closure scale path — this query is the SQL-surface parity
+      // proof, not the 100 TB recursion engine.
       (s, dir) => {
         val g = graph(s, dir)
-        g.vertices.createOrReplaceTempView("graft_q46_v")
+        t(s, dir, "orders")
+          .join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation").agg(min("n_nationkey").as("mn")),
+            col("c_nationkey") === col("mn"))
+          .select(lit("order").as("layer"),
+            col("o_orderkey").cast("string").as("node_id"))
+          .createOrReplaceTempView("graft_q46_seed")
         g.edges.createOrReplaceTempView("graft_q46_e")
         s.sql("""WITH RECURSIVE up(layer, node_id, dist) AS (
-                |  SELECT layer, nodeId, 0 FROM graft_q46_v
-                |  WHERE layer = 'order'
+                |  SELECT layer, node_id, 0 FROM graft_q46_seed
                 |  UNION ALL
                 |  SELECT e.dstLayer, e.dstId, u.dist + 1
                 |  FROM up u JOIN graft_q46_e e
@@ -3793,7 +3804,9 @@ object SparkEntry {
                 |ORDER BY layer, node_id""".stripMargin)
       },
       Some(s"""$W, up(layer, node_id, dist) AS (
-             |  SELECT layer, node_id, 0 FROM vertices WHERE layer = 'order'
+             |  SELECT 'order', CAST(o_orderkey AS VARCHAR), 0
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  WHERE c_nationkey = (SELECT MIN(n_nationkey) FROM nation)
              |  UNION ALL
              |  SELECT e.target_layer, e.target_id, u.dist + 1
              |  FROM up u JOIN edges e

@@ -16,6 +16,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // q46 enumerates DAG paths; the 1M safety default trips at the
+      // scaled decades. Harness-level (the library never mutates a
+      // caller session).
+      .config("spark.sql.cteRecursionRowLimit", "100000000")
       .config("spark.ui.enabled", "false")
       .config(SparkConfs.kryoGraphConf())
       // cap status-store bookkeeping across the 50+ query dump
