@@ -5181,6 +5181,103 @@ object SparkEntry {
              |FROM pr WHERE isfinite(cos) AND cos >= 0.35
              |ORDER BY a, b""".stripMargin)),
 
+    QueryDef("x105_scd2_asof",
+      // time-travel read: TWO scd2 batches build a three-epoch history
+      // (1990 seed -> 2024 bump for k%7 -> 2025 bump for k%3), then
+      // asOf(2024-06-01) must reconstruct exactly the between-batches
+      // state — k%7 rows show the 2024 version (closed at 2025 iff
+      // also k%3), everything else the original (closed at 2025 iff
+      // k%3). One filter over the history, no joins.
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val cur = cust.select(col("c_custkey").as("k"),
+            col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
+          .withColumn("valid_from", lit("1990-01-01").cast("date"))
+          .withColumn("valid_to", lit(null).cast("date"))
+          .withColumn("is_current", lit(true))
+        val b1 = cust.where(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+            (col("c_acctbal") + 100).as("bal"))
+        val h1 = ext.Upserts.scd2(cur, b1, "k", Seq("seg", "bal"),
+          lit("2024-01-01").cast("date"))
+        val b2 = cust.where(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+            (col("c_acctbal") + 50).as("bal"))
+        val h2 = ext.Upserts.scd2(h1, b2, "k", Seq("seg", "bal"),
+          lit("2025-01-01").cast("date"))
+        ext.Upserts.scd2AsOf(h2, lit("2024-06-01"))
+          .withColumn("valid_to",
+            coalesce(col("valid_to"), lit("9999-12-31").cast("date")))
+          .orderBy("k")
+      },
+      Some("""SELECT c_custkey AS k, c_mktsegment AS seg,
+             | CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
+             |      ELSE c_acctbal END AS bal,
+             | CASE WHEN c_custkey % 7 = 0 THEN DATE '2024-01-01'
+             |      ELSE DATE '1990-01-01' END AS valid_from,
+             | CASE WHEN c_custkey % 3 = 0 THEN DATE '2025-01-01'
+             |      ELSE DATE '9999-12-31' END AS valid_to
+             |FROM customer ORDER BY k""".stripMargin)),
+
+    QueryDef("x106_skew_card",
+      // join-skew preflight: the top-10 heaviest l_partkey values with
+      // integer-ppm shares and the max/mean skew ratio — the number a
+      // 100 TB job reads BEFORE deciding to salt or trust AQE. One
+      // map-side-combined count; the top-10 rides TopKPerGroup, the
+      // key-count table is never sorted whole.
+      (s, dir) => ext.Profiling.skewCard(t(s, dir, "lineitem"), "l_partkey",
+          topN = 10)
+        .orderBy("rank"),
+      Some("""WITH c AS (SELECT CAST(l_partkey AS VARCHAR) AS key,
+             |   CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1),
+             | s AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+             |   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             |   CAST(MAX(n) AS BIGINT) AS n_max FROM c),
+             | r AS (SELECT key, n, CAST(ROW_NUMBER() OVER (
+             |   ORDER BY n DESC, key) AS INT) AS rank FROM c)
+             |SELECT r.rank, r.key, r.n,
+             | CAST(r.n * 1000000 // s.total AS BIGINT) AS share_ppm,
+             | CAST(s.n_max * s.n_distinct * 1000000 // s.total AS BIGINT)
+             |   AS max_over_mean_ppm
+             |FROM r, s WHERE r.rank <= 10 ORDER BY r.rank""".stripMargin)),
+
+    QueryDef("x107_multiprobe_lsh",
+      // multi-probe sign-LSH: x28's portable plane family, but every
+      // query also probes its 6 Hamming-1 buckets — recall recovery
+      // without more planes, passes, or index storage; the bucket
+      // layout is bit-identical to the single-probe one. Neighbors
+      // reachable via several probes count once.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.lshTopKMultiProbe(emb, emb.filter(col("vec_id") < 5), 10)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             | qz AS (SELECT vec_id, v,
+             |   [CAST(floor(x * 1e6) AS BIGINT) for x in v] AS q FROM emb),
+             | b AS (SELECT vec_id, v, CAST(list_sum([
+             |   CASE WHEN list_sum([q[i] *
+             |     (CASE WHEN CAST(('0x' || substr(md5(p || ':' || i), 1, 1)) AS BIGINT) % 2 = 0
+             |      THEN 1 ELSE -1 END)
+             |     for i in generate_series(1, len(q))]) >= 0
+             |   THEN CAST(1 AS BIGINT) << p ELSE 0 END
+             |   for p in generate_series(0, 5)]) AS BIGINT) AS bucket FROM qz),
+             | probes AS (SELECT vec_id, v, bucket FROM b WHERE vec_id < 5
+             |  UNION ALL
+             |  SELECT vec_id, v, xor(bucket, CAST(1 AS BIGINT) << p)
+             |  FROM b, generate_series(0, 5) AS g(p) WHERE vec_id < 5),
+             | scored AS (SELECT DISTINCT qq.vec_id AS query_id,
+             |   nn.vec_id AS neighbor_id,
+             |   list_cosine_similarity(qq.v, nn.v) AS cos
+             |  FROM probes qq JOIN b nn ON qq.bucket = nn.bucket
+             |    AND qq.vec_id <> nn.vec_id),
+             | ranked AS (SELECT query_id, neighbor_id,
+             |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |     ORDER BY cos DESC, neighbor_id) AS INT) AS rank FROM scored)
+             |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+             |ORDER BY query_id, rank""".stripMargin)),
+
     // --------------------------------------------- pipeline: curation gates
     QueryDef("x53_cap_per_group",
       // per-domain document cap (the "≤k pages per host" crawl-curation

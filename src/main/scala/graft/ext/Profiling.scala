@@ -367,4 +367,38 @@ object Profiling {
 
     exactLong.unionByName(qLong)
   }
+
+  /** Join-skew preflight card — the check a 100 TB job runs on a
+    * prospective join/groupBy key BEFORE paying the shuffle: the
+    * `topN` heaviest key values with their integer-ppm share of the
+    * table, plus the skew ratio `max_over_mean_ppm = n_max · distinct
+    * · 10⁶ DIV total` (1e6 = perfectly uniform; the salting / AQE-
+    * skew-join decision threshold). One map-side-combined count
+    * aggregation; the top-N rides [[graft.plans.TopKPerGroup]] under
+    * a constant group (per-partition bounded heaps, one exchange of
+    * ≤ topN·partitions rows — the key-count table is never sorted
+    * whole). Products routed through DECIMAL(38,0): n·distinct·10⁶
+    * wraps BIGINT at web-corpus counts. Returns
+    * (rank, key, n, share_ppm, max_over_mean_ppm). */
+  def skewCard(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
+    require(topN >= 1, s"skewCard: topN >= 1, got $topN")
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val stats = counts.agg(
+      sum("n").as("total"), count(lit(1)).as("n_distinct"),
+      max("n").as("n_max"))
+    val top = graft.plans.TopKPerGroup(
+      counts.withColumn("__g", lit(1)),
+      Seq("__g"), Seq(("n", false), ("key", true)), topN)
+    import org.apache.spark.sql.expressions.Window
+    top.crossJoin(broadcast(stats))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("__g").orderBy(col("n").desc, col("key"))))
+      .select(col("rank"), col("key"), col("n"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000" +
+          " DIV total AS BIGINT)").as("share_ppm"),
+        expr("CAST(CAST(n_max AS DECIMAL(38,0)) * n_distinct * 1000000" +
+          " DIV total AS BIGINT)").as("max_over_mean_ppm"))
+  }
 }

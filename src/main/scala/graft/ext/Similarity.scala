@@ -220,6 +220,39 @@ object Similarity {
     corpus.filter(col(vecCol).isNotNull)
       .select(size(col(vecCol))).take(1).headOption.map(_.getInt(0))
 
+  /** Multi-probe portable sign-LSH ANN: every query probes its own
+    * bucket PLUS each Hamming-1 neighbor bucket (one plane-bit flip
+    * per probe, `planes` extras) — the classic recall recovery for
+    * near neighbors that a single plane disagreement hides, at
+    * (planes+1)× probe fan-out and ZERO extra corpus passes, index
+    * storage, or plane-count changes. The corpus side is bit-for-bit
+    * [[lshTopKPortable]]'s (same persisted bucket layout serves both
+    * probe policies); the probe fan-out lives on the broadcast query
+    * side only. A neighbor reachable through several probes scores
+    * once (identical vectors → identical cosine, so the dedup is
+    * value-deterministic). */
+  def lshTopKMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int,
+                        planes: Int = 6, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val bucketFn: Column => Column = probeDim(corpus, vecCol) match {
+      case Some(dim) => lshBucketPortableStatic(_, planes, dim)
+      case None => lshBucketPortable(_, planes)
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      bucketFn(col(vecCol)).as("bucket"))
+    val probes = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qvec"), bucketFn(col(vecCol)).as("bucket0"))
+      .withColumn("p", explode(sequence(lit(-1), lit(planes - 1))))
+      .withColumn("bucket", when(col("p") === -1, col("bucket0"))
+        .otherwise(expr("bucket0 ^ shiftleft(CAST(1 AS BIGINT), p)")))
+      .select("query_id", "qvec", "bucket")
+    val scored = broadcast(probes).join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .dropDuplicates("query_id", "neighbor_id")
+    rankedTopK(scored, k)
+  }
+
   private def lshTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
                           bucketFn: Column => Column, idCol: String,
                           vecCol: String): DataFrame = {

@@ -54,6 +54,19 @@ object Upserts {
       .unionByName(inserts)
   }
 
+  /** Time-travel read over an SCD2 history — reconstruct the
+    * dimension exactly as it stood at `ts`: the version row whose
+    * `[valid_from, valid_to)` interval covers ts (open rows have NULL
+    * `valid_to`). ONE filter over the history — no joins, no windows —
+    * so at 100 TB it rides partition pruning when the history is
+    * stored partitioned/sorted on `valid_from`. Keys first inserted
+    * after ts simply produce no row. `is_current` is dropped: it
+    * describes the history head, not the reconstructed state. */
+  def scd2AsOf(history: DataFrame, ts: Column): DataFrame =
+    history.filter(col("valid_from") <= ts.cast("date") &&
+        (col("valid_to").isNull || ts.cast("date") < col("valid_to")))
+      .drop("is_current")
+
   /** Corpus snapshot diff — the audit step between two crawls /
     * ingest versions: which documents were `added`, `removed`, or
     * `changed` (content differs under the same key)? Unchanged rows

@@ -673,6 +673,37 @@ class ExtSpec extends SparkSuite {
     assert(static == buckets)
   }
 
+  test("multi-probe LSH: superset of single-probe; finds Hamming-1 neighbors (X2)") {
+    val emb = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 7.0 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val buckets = emb
+      .select($"vec_id", Similarity.lshBucketPortableStatic($"embedding", 6, 8).as("b"))
+      .as[(Long, Long)].collect().toMap
+    // fixture precondition: at least one pair of vectors whose buckets
+    // differ in exactly one plane bit (re-pick the corpus if this
+    // ever fails — the assertions below depend on it)
+    val h1 = (for {
+      q <- 0L until 5L; n <- 0L until 40L if q != n
+      if java.lang.Long.bitCount(buckets(q) ^ buckets(n)) == 1
+    } yield (q, n)).toSet
+    assert(h1.nonEmpty, "fixture has no Hamming-1 pair among queries 0-4")
+    val queries = emb.filter($"vec_id" < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val single = pairs(Similarity.lshTopKPortable(emb, queries, 40))
+    val multi = pairs(Similarity.lshTopKMultiProbe(emb, queries, 40))
+    // k=40 never truncates, so multi-probe candidates are a strict
+    // superset: everything single-probe found, plus every Hamming-1 pair
+    assert(single.subsetOf(multi))
+    assert(h1.subsetOf(multi))
+    assert(h1.intersect(single).isEmpty,
+      "a Hamming-1 pair is by definition in a DIFFERENT single-probe bucket")
+    // deterministic under repartitioning
+    val again = pairs(Similarity.lshTopKMultiProbe(emb.repartition(7), queries, 40))
+    assert(again == multi)
+  }
+
   test("portable static LSH matches dynamic on the corpus embeddings table") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dim = emb.select(size($"embedding")).head.getInt(0)

@@ -501,6 +501,31 @@ class PipelineAnalyticsSpec extends SparkSuite {
       Seq(3L, "z", dd("2024-06-01"), null, true)))              // fresh key
   }
 
+  test("scd2AsOf reconstructs each epoch of a three-version history") {
+    import graft.ext.Upserts
+    import org.apache.spark.sql.functions.lit
+    def dd(s: String) = java.sql.Date.valueOf(s)
+    val hist = Seq(
+      (1L, "x0", dd("2020-01-01"), Option(dd("2022-01-01")), false),
+      (1L, "x1", dd("2022-01-01"), Option(dd("2024-01-01")), false),
+      (1L, "x2", dd("2024-01-01"), None, true),
+      (2L, "y", dd("2021-01-01"), None, true)
+    ).toDF("k", "v", "valid_from", "valid_to", "is_current")
+    def asOf(d: String) = rows(Upserts.scd2AsOf(hist, lit(d)))
+    // mid-epoch, boundary-inclusive on valid_from, exclusive on valid_to
+    assert(asOf("2021-06-01") === Set(
+      Seq(1L, "x0", dd("2020-01-01"), dd("2022-01-01")),
+      Seq(2L, "y", dd("2021-01-01"), null)))
+    assert(asOf("2022-01-01") === Set(          // close date -> NEW version
+      Seq(1L, "x1", dd("2022-01-01"), dd("2024-01-01")),
+      Seq(2L, "y", dd("2021-01-01"), null)))
+    assert(asOf("2025-01-01") === Set(          // open rows cover forever
+      Seq(1L, "x2", dd("2024-01-01"), null),
+      Seq(2L, "y", dd("2021-01-01"), null)))
+    // before any insert: the key simply has no row
+    assert(asOf("2019-01-01") === Set.empty)
+  }
+
   test("weightedBernoulli is deterministic and monotone in weight") {
     import graft.ext.Sampling
     val df = (0L until 500L).toDF("doc_id")

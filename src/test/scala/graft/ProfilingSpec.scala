@@ -183,4 +183,26 @@ class ProfilingSpec extends SparkSuite {
       .as[(String, Long)].collect().toMap
     assert(again == card)
   }
+
+  test("skewCard: top-N shares and max/mean ratio, exact integers") {
+    // a:6 b:3 c:1 -> total 10, distinct 3, max 6
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+      .toDF("k")
+    val out = Profiling.skewCard(df, "k", topN = 2)
+      .select("rank", "key", "n", "share_ppm", "max_over_mean_ppm")
+      .as[(Int, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1, "a", 6L, 600000L, 1800000L),
+      (2, "b", 3L, 300000L, 1800000L)))
+    // uniform key -> ratio exactly 1e6
+    val uni = (0 until 8).map(i => s"k${i % 4}").toDF("k")
+    val r = Profiling.skewCard(uni, "k", topN = 1)
+      .select("max_over_mean_ppm").as[Long].head()
+    assert(r == 1000000L)
+    // repartition-invariant
+    val again = Profiling.skewCard(df.repartition(5), "k", topN = 2)
+      .select("rank", "key", "n", "share_ppm", "max_over_mean_ppm")
+      .as[(Int, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(again.toSeq == out.toSeq)
+  }
 }
