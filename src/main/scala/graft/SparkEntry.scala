@@ -388,6 +388,86 @@ object SparkEntry {
        |ORDER BY mm.id""".stripMargin
   }
 
+  /** DuckDB oracle for [[LinkAnalysis.louvainTwoLevel]]: the
+    * [[louvainSql]] level-1 chain, the community contraction
+    * (weighted super-graph with intra self-loops), `r2` WEIGHTED
+    * local-move rounds (SUM(w) attraction, degrees with 2×self-loop,
+    * m = Σd/2), and the composed map back. */
+  private def louvain2Sql(r1: Int, r2: Int): String = {
+    val lvl1 = (1 to r1).map { r =>
+      s"""cand$r AS MATERIALIZED (SELECT s.u, a.community AS c,
+         |  CAST(COUNT(*) AS BIGINT) AS kuc
+         | FROM sym s JOIN a${r - 1} a ON a.id = s.v GROUP BY 1, 2),
+         |tot$r AS MATERIALIZED (SELECT a.community,
+         |  CAST(SUM(d.d) AS BIGINT) AS tot
+         | FROM a${r - 1} a JOIN deg d ON d.u = a.id GROUP BY 1),
+         |allc$r AS (SELECT u, c, MAX(kuc) AS kuc FROM (
+         |  SELECT u, c, kuc FROM cand$r
+         |  UNION ALL SELECT id, community, 0 FROM a${r - 1}) GROUP BY 1, 2),
+         |gain$r AS (SELECT x.u, x.c,
+         |  2 * mt.m * x.kuc - d.d * (t.tot -
+         |    CASE WHEN cur.community = x.c THEN d.d ELSE 0 END) AS g
+         | FROM allc$r x JOIN deg d ON d.u = x.u
+         |  JOIN a${r - 1} cur ON cur.id = x.u
+         |  JOIN tot$r t ON t.community = x.c, mt
+         | WHERE x.c <= cur.community),
+         |a$r AS MATERIALIZED (SELECT u AS id, c AS community FROM gain$r
+         | QUALIFY ROW_NUMBER() OVER (PARTITION BY u
+         |   ORDER BY g DESC, c) = 1)""".stripMargin
+    }.mkString(",\n")
+    val lvl2 = (1 to r2).map { r =>
+      s"""wcand$r AS MATERIALIZED (SELECT s.u, a.community AS c,
+         |  CAST(SUM(s.w) AS BIGINT) AS kuc
+         | FROM sym2 s JOIN b${r - 1} a ON a.id = s.v GROUP BY 1, 2),
+         |wtot$r AS MATERIALIZED (SELECT a.community,
+         |  CAST(SUM(d.d) AS BIGINT) AS tot
+         | FROM b${r - 1} a JOIN deg2 d ON d.u = a.id GROUP BY 1),
+         |wallc$r AS (SELECT u, c, MAX(kuc) AS kuc FROM (
+         |  SELECT u, c, kuc FROM wcand$r
+         |  UNION ALL SELECT id, community, 0 FROM b${r - 1}) GROUP BY 1, 2),
+         |wgain$r AS (SELECT x.u, x.c,
+         |  2 * mt2.m * x.kuc - d.d * (t.tot -
+         |    CASE WHEN cur.community = x.c THEN d.d ELSE 0 END) AS g
+         | FROM wallc$r x JOIN deg2 d ON d.u = x.u
+         |  JOIN b${r - 1} cur ON cur.id = x.u
+         |  JOIN wtot$r t ON t.community = x.c, mt2
+         | WHERE x.c <= cur.community),
+         |b$r AS MATERIALIZED (SELECT u AS id, c AS community FROM wgain$r
+         | QUALIFY ROW_NUMBER() OVER (PARTITION BY u
+         |   ORDER BY g DESC, c) = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $copurchaseSql,
+       |sym AS MATERIALIZED (SELECT a AS u, b AS v FROM pe
+       | UNION ALL SELECT b, a FROM pe),
+       |deg AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS BIGINT) AS d
+       | FROM sym GROUP BY u),
+       |mt AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pe),
+       |a0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS community FROM sym),
+       |$lvl1,
+       |agg AS MATERIALIZED (SELECT LEAST(x.community, y.community) AS a,
+       |  GREATEST(x.community, y.community) AS b,
+       |  CAST(COUNT(*) AS BIGINT) AS w
+       | FROM pe p JOIN a$r1 x ON x.id = p.a JOIN a$r1 y ON y.id = p.b
+       | GROUP BY 1, 2),
+       |pair2 AS (SELECT a, b, w FROM agg WHERE a <> b),
+       |self2 AS (SELECT a AS u, 2 * w AS sw FROM agg WHERE a = b),
+       |sym2 AS MATERIALIZED (SELECT a AS u, b AS v, w FROM pair2
+       | UNION ALL SELECT b, a, w FROM pair2),
+       |deg2 AS MATERIALIZED (SELECT u, CAST(SUM(dw) AS BIGINT) AS d FROM (
+       |  SELECT u, w AS dw FROM sym2 UNION ALL SELECT u, sw FROM self2)
+       | GROUP BY u),
+       |mt2 AS (SELECT CAST(SUM(d) // 2 AS BIGINT) AS m FROM deg2),
+       |b0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS community FROM (
+       |  SELECT a AS u FROM agg UNION ALL SELECT b FROM agg)),
+       |$lvl2,
+       |mem AS (SELECT DISTINCT i AS id FROM gi)
+       |SELECT mm.id,
+       | COALESCE(bb.community, a1.community, mm.id) AS community
+       |FROM mem mm LEFT JOIN a$r1 a1 ON a1.id = mm.id
+       | LEFT JOIN b$r2 bb ON bb.id = a1.community
+       |ORDER BY mm.id""".stripMargin
+  }
+
   /** DuckDB oracle for [[LinkAnalysis.ktruss]]: `rounds` chained
     * support-and-peel CTEs (each round a wedge self-join counting
     * common neighbors per edge, HAVING the k−2 support bar — the
@@ -2832,6 +2912,26 @@ object SparkEntry {
           .orderBy("id")
       },
       Some(louvainSql(4))),
+
+    QueryDef("g59_louvain_two_level",
+      // the full multi-level Louvain pyramid cut at depth 2: g58's
+      // deterministic move phase, community contraction into the
+      // weighted super-graph (intra edges become self-loops — they
+      // move WITH their vertex, so they appear only in degrees/m),
+      // the WEIGHTED move phase on it, and the composed map back.
+      // Each further level repeats on an exponentially smaller graph.
+      (s, dir) => {
+        val gi = StarGraph.copurchaseGi(s, dir)
+        val pairs = LinkAnalysis.jaccardPairsFromGi(gi, 2).select("a", "b")
+        val assign = LinkAnalysis.louvainTwoLevel(pairs, rounds1 = 4,
+          rounds2 = 4)
+        gi.select(col("i").as("id")).distinct()
+          .join(assign, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("community"), col("id")).as("community"))
+          .orderBy("id")
+      },
+      Some(louvain2Sql(4, 4))),
 
     QueryDef("g51_communities",
       // community detection by MUTUAL BEST MATCH over the co-purchase

@@ -803,6 +803,91 @@ object LinkAnalysis {
     assign
   }
 
+  /** Weighted [[louvainLocalMove]] over a canonical edge list
+    * `(a ≤ b, w)` where `a = b` rows are self-loops (the aggregated
+    * graph a Louvain level-2 pass runs on): gains use edge WEIGHTS
+    * (`k_{u,C} = Σ w(u, v∈C, v≠u)`), degrees include 2×self-loop
+    * weight, `m` is the total weight — self-loops move WITH their
+    * vertex, so they cancel out of the argmax and correctly appear
+    * only in degrees/m. Same monotone-label determinism contract. */
+  def louvainLocalMoveWeighted(edges: DataFrame,
+                               rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, s"louvainLocalMoveWeighted: rounds >= 1, got $rounds")
+    val e = edges.select(col("a"), col("b"), col("w").cast("long").as("w"))
+      .localCheckpoint()
+    val pair = e.filter(col("a") =!= col("b"))
+    val self = e.filter(col("a") === col("b"))
+      .select(col("a").as("u"), (col("w") * 2).as("sw"))
+    val sym = pair.select(col("a").as("u"), col("b").as("v"), col("w"))
+      .unionByName(pair.select(col("b").as("u"), col("a").as("v"), col("w")))
+      .localCheckpoint()
+    val deg = sym.groupBy("u").agg(sum("w").as("dw"))
+      .unionByName(self.select(col("u"), col("sw").as("dw")))
+      .groupBy("u").agg(sum("dw").as("d"))
+    // m = total edge weight (self-loops once) = Σd / 2
+    val mW = deg.agg(sum("d")).head().getLong(0) / 2L
+    var assign = e.select(col("a").as("id"))
+      .unionByName(e.select(col("b").as("id"))).distinct()
+      .withColumn("community", col("id")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val cand = sym
+        .join(assign.select(col("id").as("v"), col("community").as("c")), "v")
+        .groupBy("u", "c").agg(sum("w").as("kuc"))
+      val tot = assign
+        .join(deg.select(col("u").as("id"), col("d")), "id")
+        .groupBy("community").agg(sum("d").as("tot"))
+      val allc = cand
+        .unionByName(assign.select(col("id").as("u"),
+          col("community").as("c"), lit(0L).as("kuc")))
+        .groupBy("u", "c").agg(max("kuc").as("kuc"))
+      val gain = allc
+        .join(deg, "u")
+        .join(assign.select(col("id").as("u"), col("community").as("cur")), "u")
+        .filter(col("c") <= col("cur"))
+        .join(tot.select(col("community").as("c"), col("tot")), "c")
+        .withColumn("g",
+          lit(2L * mW) * col("kuc") - col("d") *
+            (col("tot") - when(col("cur") === col("c"), col("d"))
+              .otherwise(lit(0L))))
+      assign = graft.plans.TopKPerGroup(
+          gain.select("u", "c", "g"),
+          Seq("u"), Seq(("g", false), ("c", true)), 1)
+        .select(col("u").as("id"), col("c").as("community"))
+        .localCheckpoint()
+    }
+    assign
+  }
+
+  /** Contract a pair graph by a community assignment into the
+    * weighted super-graph Louvain's next level runs on: canonical
+    * `(ca ≤ cb, w = inter-community edge count)`, with `ca = cb` rows
+    * carrying the intra-community edge counts as self-loops. One
+    * edge→assignment join per endpoint + one count — communities-
+    * sized output. */
+  def louvainAggregate(pairs: DataFrame, assign: DataFrame): DataFrame =
+    pairs
+      .join(assign.select(col("id").as("a"), col("community").as("ca")), "a")
+      .join(assign.select(col("id").as("b"), col("community").as("cb")), "b")
+      .select(least(col("ca"), col("cb")).as("a"),
+        greatest(col("ca"), col("cb")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+
+  /** Two Louvain levels, deterministically: [[louvainLocalMove]] on
+    * the raw pair graph, [[louvainAggregate]] contraction, the
+    * weighted move phase on the super-graph, and the composed map
+    * back to original vertices — the standard multi-level pyramid cut
+    * at depth 2 (each further level is another aggregate+move pair on
+    * an exponentially smaller graph). Returns (id, community) where
+    * the label is a level-2 community id. */
+  def louvainTwoLevel(pairs: DataFrame, rounds1: Int = 4,
+                      rounds2: Int = 4): DataFrame = {
+    val a1 = louvainLocalMove(pairs, rounds1).localCheckpoint()
+    val a2 = louvainLocalMoveWeighted(louvainAggregate(pairs, a1), rounds2)
+    a1.join(a2.select(col("id").as("community"),
+        col("community").as("c2")), "community")
+      .select(col("id"), col("c2").as("community"))
+  }
+
   /** Newman modularity of a community assignment over an undirected
     * pair graph, decomposed per community in EXACT integers:
     * Q = Σ_c [e_c/m − (d_c/2m)²] = Σ_c contrib_c / (4m²) with

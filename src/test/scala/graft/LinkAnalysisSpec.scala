@@ -526,6 +526,40 @@ class PipelineAnalyticsSpec extends SparkSuite {
     assert(asOf("2019-01-01") === Set.empty)
   }
 
+  test("louvainTwoLevel: coarsens level 1; bridged triangles stay separate") {
+    // two triangles + one bridge: level 1 gives {1,2,3}->1, {4,5,6}->3;
+    // the super-graph is two heavy self-loop vertices joined by w=1 —
+    // merging LOWERS modularity (gain 2m*1 - 7*7 < 0), so level 2 must
+    // keep them apart (hand-traced)
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val lvl1 = LinkAnalysis.louvainLocalMove(tri, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    val lvl2 = LinkAnalysis.louvainTwoLevel(tri, 4, 4)
+      .as[(Long, Long)].collect().toMap
+    assert(lvl2 == lvl1)
+    // aggregation fixture: intra edges become self-loops, inter keep counts
+    val agg = LinkAnalysis.louvainAggregate(tri,
+        lvl1.toSeq.toDF("id", "community"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(agg == Set((1L, 1L, 3L), (3L, 3L, 3L), (1L, 3L, 1L)))
+    // coarsening invariant: every level-1 community maps wholly into
+    // ONE level-2 community (never split)
+    val groups = lvl1.groupBy(_._2).values
+    assert(groups.forall(g => g.keys.map(lvl2).toSet.size == 1))
+    // repartition-invariant
+    val again = LinkAnalysis.louvainTwoLevel(tri.repartition(5), 4, 4)
+      .as[(Long, Long)].collect().toMap
+    assert(again == lvl2)
+    // weighted kernel sanity: a heavy pair (w=5) against a light
+    // chain-mate (w=1) adopts the heavy neighbor's label
+    val w = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 1L, 2L))
+      .toDF("a", "b", "w")
+    val wa = LinkAnalysis.louvainLocalMoveWeighted(w, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(wa(2L) == 1L && wa(1L) == 1L && wa(3L) == 1L)
+  }
+
   test("weightedBernoulli is deterministic and monotone in weight") {
     import graft.ext.Sampling
     val df = (0L until 500L).toDF("doc_id")
