@@ -3547,6 +3547,44 @@ object SparkEntry {
              |        // 5000000 AS bucket FROM orders)
              |GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
+    QueryDef("q47_equidepth_histogram",
+      // equi-DEPTH histogram (the selectivity-estimation shape q30's
+      // fixed-width form can't give): quartile edges via
+      // percentile_disc on exact integer cents — actual elements, no
+      // interpolation, no float boundary hazard — broadcast back,
+      // CASE-assigned, one count per bucket.
+      (s, dir) => {
+        val cents = t(s, dir, "orders").select(expr(
+          "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("v"))
+        val edges = cents.agg(
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v)")
+            .cast("long").as("p25"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)")
+            .cast("long").as("p50"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY v)")
+            .cast("long").as("p75"))
+        cents.crossJoin(broadcast(edges))
+          .withColumn("bucket",
+            when(col("v") <= col("p25"), lit(0))
+              .when(col("v") <= col("p50"), lit(1))
+              .when(col("v") <= col("p75"), lit(2)).otherwise(lit(3)))
+          .groupBy("bucket").agg(count(lit(1)).as("n_orders"),
+            min("v").as("lo_cents"), max("v").as("hi_cents"))
+          .orderBy("bucket")
+      },
+      Some("""WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             |   AS v FROM orders),
+             | e AS (SELECT
+             |   CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY v) AS BIGINT) AS p25,
+             |   CAST(percentile_disc(0.5)  WITHIN GROUP (ORDER BY v) AS BIGINT) AS p50,
+             |   CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY v) AS BIGINT) AS p75
+             |  FROM c)
+             |SELECT CASE WHEN v <= e.p25 THEN 0 WHEN v <= e.p50 THEN 1
+             |            WHEN v <= e.p75 THEN 2 ELSE 3 END AS bucket,
+             | CAST(COUNT(*) AS BIGINT) AS n_orders,
+             | MIN(v) AS lo_cents, MAX(v) AS hi_cents
+             |FROM c, e GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     QueryDef("q35_full_outer",
       // FULL OUTER JOIN coverage with genuinely asymmetric sides
       // (nations having deep-debit customers vs suppliers): USING-join
@@ -5377,6 +5415,45 @@ object SparkEntry {
              |     ORDER BY cos DESC, neighbor_id) AS INT) AS rank FROM scored)
              |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
              |ORDER BY query_id, rank""".stripMargin)),
+
+    QueryDef("x108_estimator_calibration",
+      // calibrate the x97 signature estimator against the x26 exact
+      // verify over their shared candidate universe: per estimator
+      // threshold, the confusion counts + integer-ppm precision/
+      // recall against exact-jaccard >= 0.5 ground truth — THE table
+      // that decides where the estimate-only triage leg is safe and
+      // where the set-verify gate must run. Banding misses are
+      // invisible to both legs, so fn counts estimator misses among
+      // candidates (the quantity the threshold controls).
+      (s, dir) => Dedup.estimatorCalibration(docs(s, dir),
+          thresholds = Seq(250000L, 375000L, 500000L, 625000L, 750000L))
+        .orderBy("thr_ppm"),
+      Some(s"""WITH $portableMinhashCtes,
+             | est AS (SELECT c.a, c.b,
+             |  CAST(1000000 * len(list_filter(
+             |    [sa.sig[i] = sb.sig[i] for i in generate_series(1, 16)],
+             |    m -> m)) // 16 AS BIGINT) AS est_ppm
+             |  FROM cand c JOIN sig sa ON sa.doc_id = c.a
+             |   JOIN sig sb ON sb.doc_id = c.b),
+             | pr AS (SELECT e.est_ppm, v.jaccard >= 0.5 AS gt
+             |  FROM est e JOIN verified v ON v.a = e.a AND v.b = e.b),
+             | thr AS (SELECT UNNEST([250000, 375000, 500000,
+             |   625000, 750000]) AS thr_ppm)
+             |SELECT t.thr_ppm,
+             | CAST(COUNT(CASE WHEN p.est_ppm >= t.thr_ppm AND p.gt
+             |   THEN 1 END) AS BIGINT) AS tp,
+             | CAST(COUNT(CASE WHEN p.est_ppm >= t.thr_ppm AND NOT p.gt
+             |   THEN 1 END) AS BIGINT) AS fp,
+             | CAST(COUNT(CASE WHEN p.est_ppm < t.thr_ppm AND p.gt
+             |   THEN 1 END) AS BIGINT) AS fn,
+             | CAST(COUNT(CASE WHEN p.est_ppm >= t.thr_ppm AND p.gt THEN 1 END)
+             |   * 1000000 // GREATEST(COUNT(CASE WHEN p.est_ppm >= t.thr_ppm
+             |     THEN 1 END), 1) AS BIGINT) AS precision_ppm,
+             | CAST(COUNT(CASE WHEN p.est_ppm >= t.thr_ppm AND p.gt THEN 1 END)
+             |   * 1000000 // GREATEST(COUNT(CASE WHEN p.gt THEN 1 END), 1)
+             |   AS BIGINT) AS recall_ppm
+             |FROM thr t CROSS JOIN pr p GROUP BY t.thr_ppm
+             |ORDER BY t.thr_ppm""".stripMargin)),
 
     // --------------------------------------------- pipeline: curation gates
     QueryDef("x53_cap_per_group",

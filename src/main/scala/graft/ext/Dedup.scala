@@ -257,6 +257,43 @@ object Dedup {
           s" (x, y) -> x = y), m -> m)) div $k").as("est_ppm"))
   }
 
+  /** Calibrate the signature estimator against the exact verify —
+    * "measure, don't guess" applied to [[minhashEstimatePortable]]'s
+    * own triage threshold: over the (shared-by-construction) banded
+    * candidate universe, for each candidate estimator threshold the
+    * exact-Jaccard-≥-`gtJaccard` confusion counts and integer-ppm
+    * precision/recall. THE table a pipeline reads before deciding
+    * where to run the estimate-only leg vs the set-verify gate.
+    * Banding misses are invisible to BOTH legs (identical recall by
+    * construction), so `fn` here counts estimator misses among
+    * candidates — the quantity the threshold actually controls.
+    *
+    * Scale: the candidate pair table is computed once (est + exact
+    * legs share banding); thresholds fan out via a |thresholds|-row
+    * broadcast cross join; one groupBy on |thresholds| keys. */
+  def estimatorCalibration(docs: DataFrame, thresholds: Seq[Long],
+                           gtJaccard: Double = 0.5, k: Int = 16,
+                           bands: Int = 4, w: Int = 3,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    require(thresholds.nonEmpty, "estimatorCalibration: no thresholds")
+    import docs.sparkSession.implicits._
+    val est = minhashEstimatePortable(docs, k, bands, w, idCol, textCol)
+    val exact = minhashLshPortable(docs, 0.0, k, bands, w, idCol, textCol)
+    val pr = est.join(exact, Seq("a", "b"))
+      .select(col("est_ppm"), (col("jaccard") >= lit(gtJaccard)).as("gt"))
+      .localCheckpoint()
+    broadcast(thresholds.toDF("thr_ppm")).crossJoin(pr)
+      .groupBy("thr_ppm").agg(
+        count(when(col("est_ppm") >= col("thr_ppm") && col("gt"), 1)).as("tp"),
+        count(when(col("est_ppm") >= col("thr_ppm") && !col("gt"), 1)).as("fp"),
+        count(when(col("est_ppm") < col("thr_ppm") && col("gt"), 1)).as("fn"))
+      .withColumn("precision_ppm",
+        expr("tp * 1000000 DIV greatest(tp + fp, 1)"))
+      .withColumn("recall_ppm",
+        expr("tp * 1000000 DIV greatest(tp + fn, 1)"))
+  }
+
   // -----------------------------------------------------------------
   // Incremental near-dup: persisted LSH band index + batch probe
   // -----------------------------------------------------------------

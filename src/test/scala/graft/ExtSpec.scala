@@ -673,6 +673,29 @@ class ExtSpec extends SparkSuite {
     assert(static == buckets)
   }
 
+  test("estimatorCalibration: confusion counts against the exact leg (X1)") {
+    val d = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "a b c d e f g h"),   // exact dup of 0: jaccard 1, est 1e6
+      (2L, "a b c d e f g x"),   // near dup: jaccard 5/7 >= 0.5
+      (3L, "p q r s t u v w"))   // disjoint
+      .toDF("doc_id", "text")
+    val nCand = Dedup.minhashLshPortable(d, 0.0).count()
+    val nGt = Dedup.minhashLshPortable(d, 0.5).count()
+    assert(nGt >= 2 && nCand >= nGt) // fixture sanity
+    val out = Dedup.estimatorCalibration(d, Seq(0L, 1000001L))
+      .select("thr_ppm", "tp", "fp", "fn", "precision_ppm", "recall_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // threshold 0: everything predicted positive -> no false negatives,
+    // recall exactly 1e6, confusion partitions the candidate universe
+    assert(out(0L) == ((0L, nGt, nCand - nGt, 0L,
+      nGt * 1000000L / nCand, 1000000L)))
+    // impossible threshold: nothing predicted -> tp = fp = 0, all GT
+    // pairs are misses, guarded divisions yield 0 not errors
+    assert(out(1000001L) == ((1000001L, 0L, 0L, nGt, 0L, 0L)))
+  }
+
   test("multi-probe LSH: superset of single-probe; finds Hamming-1 neighbors (X2)") {
     val emb = (0L until 40L).map { i =>
       (i, Array.tabulate(8)(j => math.sin(i * 7.0 + j).toFloat))
