@@ -769,16 +769,16 @@ object LinkAnalysis {
       .unionByName(e.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint()
     val mEdges = e.count()
+    // the assignment frame CARRIES the (static) degree, so each round
+    // reads (community, d, cur) off one join instead of three
     val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
-    var assign = sym.select(col("u").as("id")).distinct()
-      .withColumn("community", col("id")).localCheckpoint()
+    var assign = deg.select(col("u").as("id"), col("u").as("community"),
+      col("d")).localCheckpoint()
     for (_ <- 1 to rounds) {
       val cand = sym
         .join(assign.select(col("id").as("v"), col("community").as("c")), "v")
         .groupBy("u", "c").agg(count(lit(1)).as("kuc"))
-      val tot = assign
-        .join(deg.select(col("u").as("id"), col("d")), "id")
-        .groupBy("community").agg(sum("d").as("tot"))
+      val tot = assign.groupBy("community").agg(sum("d").as("tot"))
       // the stay candidate rides along at kuc=0; MAX restores the real
       // edge count where the vertex does have intra-community edges
       val allc = cand
@@ -786,8 +786,8 @@ object LinkAnalysis {
           col("community").as("c"), lit(0L).as("kuc")))
         .groupBy("u", "c").agg(max("kuc").as("kuc"))
       val gain = allc
-        .join(deg, "u")
-        .join(assign.select(col("id").as("u"), col("community").as("cur")), "u")
+        .join(assign.select(col("id").as("u"), col("community").as("cur"),
+          col("d")), "u")
         .filter(col("c") <= col("cur"))  // monotone labels: no oscillation
         .join(tot.select(col("community").as("c"), col("tot")), "c")
         .withColumn("g",
@@ -795,12 +795,12 @@ object LinkAnalysis {
             (col("tot") - when(col("cur") === col("c"), col("d"))
               .otherwise(lit(0L))))
       assign = graft.plans.TopKPerGroup(
-          gain.select("u", "c", "g"),
+          gain.select("u", "c", "g", "d"),
           Seq("u"), Seq(("g", false), ("c", true)), 1)
-        .select(col("u").as("id"), col("c").as("community"))
+        .select(col("u").as("id"), col("c").as("community"), col("d"))
         .localCheckpoint()
     }
-    assign
+    assign.select("id", "community")
   }
 
   /** Weighted [[louvainLocalMove]] over a canonical edge list
@@ -821,28 +821,29 @@ object LinkAnalysis {
     val sym = pair.select(col("a").as("u"), col("b").as("v"), col("w"))
       .unionByName(pair.select(col("b").as("u"), col("a").as("v"), col("w")))
       .localCheckpoint()
-    val deg = sym.groupBy("u").agg(sum("w").as("dw"))
+    // isolated super-vertices (only a self-loop) still need a row:
+    // union the self-loop side into the degree base at weight 2w
+    val deg = sym.select(col("u"), col("w").as("dw"))
       .unionByName(self.select(col("u"), col("sw").as("dw")))
       .groupBy("u").agg(sum("dw").as("d"))
     // m = total edge weight (self-loops once) = Σd / 2
     val mW = deg.agg(sum("d")).head().getLong(0) / 2L
-    var assign = e.select(col("a").as("id"))
-      .unionByName(e.select(col("b").as("id"))).distinct()
-      .withColumn("community", col("id")).localCheckpoint()
+    // degree rides inside the assignment frame (the unweighted
+    // kernel's join-count trick)
+    var assign = deg.select(col("u").as("id"), col("u").as("community"),
+      col("d")).localCheckpoint()
     for (_ <- 1 to rounds) {
       val cand = sym
         .join(assign.select(col("id").as("v"), col("community").as("c")), "v")
         .groupBy("u", "c").agg(sum("w").as("kuc"))
-      val tot = assign
-        .join(deg.select(col("u").as("id"), col("d")), "id")
-        .groupBy("community").agg(sum("d").as("tot"))
+      val tot = assign.groupBy("community").agg(sum("d").as("tot"))
       val allc = cand
         .unionByName(assign.select(col("id").as("u"),
           col("community").as("c"), lit(0L).as("kuc")))
         .groupBy("u", "c").agg(max("kuc").as("kuc"))
       val gain = allc
-        .join(deg, "u")
-        .join(assign.select(col("id").as("u"), col("community").as("cur")), "u")
+        .join(assign.select(col("id").as("u"), col("community").as("cur"),
+          col("d")), "u")
         .filter(col("c") <= col("cur"))
         .join(tot.select(col("community").as("c"), col("tot")), "c")
         .withColumn("g",
@@ -850,12 +851,12 @@ object LinkAnalysis {
             (col("tot") - when(col("cur") === col("c"), col("d"))
               .otherwise(lit(0L))))
       assign = graft.plans.TopKPerGroup(
-          gain.select("u", "c", "g"),
+          gain.select("u", "c", "g", "d"),
           Seq("u"), Seq(("g", false), ("c", true)), 1)
-        .select(col("u").as("id"), col("c").as("community"))
+        .select(col("u").as("id"), col("c").as("community"), col("d"))
         .localCheckpoint()
     }
-    assign
+    assign.select("id", "community")
   }
 
   /** Contract a pair graph by a community assignment into the
