@@ -5455,6 +5455,56 @@ object SparkEntry {
              |FROM thr t CROSS JOIN pr p GROUP BY t.thr_ppm
              |ORDER BY t.thr_ppm""".stripMargin)),
 
+    QueryDef("x109_lm_score_indexed",
+      // the train-once/score-forever LM layout: x101's backoff weights
+      // persisted as bucketed tables (probe-side-only exchange), a
+      // batch scored against the standing tables — bit-identical to
+      // the in-memory x101 leg (spec-pinned; the streaming probe in
+      // StreamingSpec reuses the same tables per micro-batch).
+      (s, dir) => {
+        val d = docs(s, dir)
+        TextOps.writeLmWeights("x109_lm", d.where(col("lang") === "en"))
+        TextOps.scoreWithLm(s, "x109_lm", d)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(
+             |   trim(regexp_replace(regexp_replace(lower(text),
+             |     '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')),
+             |   '\s+') AS t FROM documents),
+             | tri AS (SELECT doc_id, tg['w1'] AS w1, tg['w2'] AS w2,
+             |   tg['w3'] AS w3 FROM (
+             |   SELECT doc_id, UNNEST([{'w1': t[i], 'w2': t[i+1], 'w3': t[i+2]}
+             |     for i in generate_series(1, len(t)-2)]) AS tg
+             |   FROM toks)),
+             | ref AS (SELECT w1, w2, w3 FROM tri
+             |   WHERE doc_id IN (SELECT doc_id FROM documents
+             |                    WHERE lang = 'en')),
+             | nref AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ref),
+             | c3 AS (SELECT w1, w2, w3, COUNT(*) AS n3 FROM ref
+             |   GROUP BY 1, 2, 3),
+             | c12 AS (SELECT w1, w2, CAST(SUM(n3) AS BIGINT) AS n12
+             |   FROM c3 GROUP BY 1, 2),
+             | wtri AS (SELECT w1, w2, w3, n3 * 1000000 // n12 AS q_tri
+             |   FROM c3 JOIN c12 USING (w1, w2)),
+             | c23 AS (SELECT w2, w3, COUNT(*) AS n23 FROM ref GROUP BY 1, 2),
+             | c2 AS (SELECT w2, CAST(SUM(n23) AS BIGINT) AS n2
+             |   FROM c23 GROUP BY 1),
+             | wbi AS (SELECT w2, w3, n23 * 400000 // n2 AS q_bi
+             |   FROM c23 JOIN c2 USING (w2)),
+             | wuni AS (SELECT w3, n1 * 160000 // (SELECT n FROM nref) AS q_uni
+             |   FROM (SELECT w3, COUNT(*) AS n1 FROM ref GROUP BY 1)),
+             | q AS (SELECT tri.doc_id,
+             |   COALESCE(wtri.q_tri, wbi.q_bi, wuni.q_uni, 0) AS q
+             |  FROM tri
+             |  LEFT JOIN wtri ON wtri.w1 = tri.w1 AND wtri.w2 = tri.w2
+             |   AND wtri.w3 = tri.w3
+             |  LEFT JOIN wbi ON wbi.w2 = tri.w2 AND wbi.w3 = tri.w3
+             |  LEFT JOIN wuni ON wuni.w3 = tri.w3)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+             | CAST(SUM(q) AS BIGINT) AS score_sum,
+             | CAST(CAST(SUM(q) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_q
+             |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // --------------------------------------------- pipeline: curation gates
     QueryDef("x53_cap_per_group",
       // per-domain document cap (the "≤k pages per host" crawl-curation

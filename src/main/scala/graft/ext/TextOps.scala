@@ -805,6 +805,15 @@ object TextOps {
   def trigramBackoffScore(train: DataFrame, score: DataFrame,
                           idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
+    val (wTri, wBi, wUni) = lmWeights(train, idCol, textCol)
+    scoreWithWeights(score, wTri, wBi, wUni, idCol, textCol)
+  }
+
+  /** The three backoff weight tables of [[trigramBackoffScore]]'s
+    * reference LM — (k3, q_tri), (k23, q_bi), (h3, q_uni), all
+    * vocabulary-sized. */
+  private def lmWeights(train: DataFrame, idCol: String,
+                        textCol: String): (DataFrame, DataFrame, DataFrame) = {
     // materialized once: the stream feeds four count aggregations
     val ref = trigramStream(train, idCol, textCol).localCheckpoint()
     val nRef = ref.count()
@@ -822,6 +831,12 @@ object TextOps {
     val wUni = ref.groupBy("h3").agg(count(lit(1)).as("n1"))
       .select(col("h3"),
         expr(s"CAST(n1 * 160000 DIV CAST($nRef AS BIGINT) AS BIGINT)").as("q_uni"))
+    (wTri, wBi, wUni)
+  }
+
+  private def scoreWithWeights(score: DataFrame, wTri: DataFrame,
+                               wBi: DataFrame, wUni: DataFrame,
+                               idCol: String, textCol: String): DataFrame =
     trigramStream(score, idCol, textCol)
       .select("doc_id", "k3", "k23", "h3")
       .join(wTri, Seq("k3"), "left")
@@ -831,6 +846,55 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_trigrams"), sum("q").as("score_sum"))
       .withColumn("mean_q", expr("CAST(score_sum DIV n_trigrams AS BIGINT)"))
+
+  /** Persist [[trigramBackoffScore]]'s reference LM as three bucketed
+    * weight tables (`name_tri`/`name_bi`/`name_uni`, bucketed+sorted
+    * on their 8-byte key) — the train-once/score-forever layout: a
+    * scoring batch joins the standing tables with a probe-side-only
+    * exchange (the [[writeInvertedIndex]]/BucketedStore economics),
+    * and the corpus that trained the LM is never re-read. */
+  def writeLmWeights(name: String, train: DataFrame,
+                     buckets: Int = 8, idCol: String = "doc_id",
+                     textCol: String = "text"): Unit = {
+    val (wTri, wBi, wUni) = lmWeights(train, idCol, textCol)
+    wTri.write.mode(SaveMode.Overwrite).bucketBy(buckets, "k3")
+      .sortBy("k3").format("parquet").saveAsTable(s"${name}_tri")
+    wBi.write.mode(SaveMode.Overwrite).bucketBy(buckets, "k23")
+      .sortBy("k23").format("parquet").saveAsTable(s"${name}_bi")
+    wUni.write.mode(SaveMode.Overwrite).bucketBy(buckets, "h3")
+      .sortBy("h3").format("parquet").saveAsTable(s"${name}_uni")
+  }
+
+  /** Score a batch against a persisted [[writeLmWeights]] LM —
+    * bit-identical to [[trigramBackoffScore]] with the same train
+    * corpus (spec-pinned), without re-deriving the weights. */
+  def scoreWithLm(spark: SparkSession, name: String, batch: DataFrame,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    scoreWithWeights(batch, spark.table(s"${name}_tri"),
+      spark.table(s"${name}_bi"), spark.table(s"${name}_uni"),
+      idCol, textCol)
+
+  /** Continuous LM scoring over a document stream: each micro-batch
+    * scores against the standing [[writeLmWeights]] tables and its
+    * verdicts land in `outDir/epoch=N/` (per-epoch Overwrite —
+    * idempotent under foreachBatch's at-least-once replay; the
+    * [[graft.ext.Dedup.streamingNearDup]] pattern, minus the index
+    * append since scoring never mutates the LM). Accumulated epochs
+    * equal one-shot batch scoring of the same rows (StreamingSpec
+    * pins it). */
+  def streamingLmScore(name: String, stream: DataFrame, outDir: String,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        scoreWithLm(batch.sparkSession, name, batch, idCol, textCol)
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/epoch=$epoch")
+        ()
+    }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
   }
 
   /** CCNet-style head/middle/tail bucketing of an LM score, per

@@ -518,4 +518,29 @@ class StreamingSpec extends SparkSuite {
       .as[(String, Long)].collect().toMap
     assert(tight == Map("click>click" -> 1L, "view" -> 2L, "click" -> 1L))
   }
+
+  test("streamingLmScore: accumulated epochs == one-shot batch scoring") {
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq((10L, "a b c a b c d e"), (11L, "a b c x y z a b"))
+      .toDF("doc_id", "text")
+    graft.ext.TextOps.writeLmWeights("streamspec_lm", train)
+    val b1 = Seq((0L, "a b c d"), (1L, "x y z q"))
+    val b2 = Seq((2L, "a b x"), (3L, "c d e a b c"))
+    val outDir = java.nio.file.Files.createTempDirectory("lm_out").toString
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.ext.TextOps.streamingLmScore("streamspec_lm",
+      stream.toDF().toDF("doc_id", "text"), outDir)
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "n_trigrams", "score_sum", "mean_q")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val oneShot = graft.ext.TextOps.trigramBackoffScore(train,
+        (b1 ++ b2).toDF("doc_id", "text"))
+      .select("doc_id", "n_trigrams", "score_sum", "mean_q")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == oneShot)
+    assert(streamed.nonEmpty)
+  }
 }
