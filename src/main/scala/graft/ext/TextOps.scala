@@ -856,6 +856,16 @@ object TextOps {
   def writeLmWeights(name: String, train: DataFrame,
                      buckets: Int = 8, idCol: String = "doc_id",
                      textCol: String = "text"): Unit = {
+    val spark = train.sparkSession
+    Seq(s"${name}_tri", s"${name}_bi", s"${name}_uni").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // orphaned managed location from a previous JVM (the
+      // writeInvertedIndex hazard — DROP only reaches the live catalog)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     val (wTri, wBi, wUni) = lmWeights(train, idCol, textCol)
     wTri.write.mode(SaveMode.Overwrite).bucketBy(buckets, "k3")
       .sortBy("k3").format("parquet").saveAsTable(s"${name}_tri")
