@@ -511,6 +511,53 @@ object InvariantProps extends Properties("GraftInvariants") {
       got == want
     }
 
+  private val genPairGraph = for {
+    n <- Gen.choose(2, 12)
+    m <- Gen.choose(1, 20)
+    raw <- Gen.listOfN(m, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+    rounds <- Gen.choose(1, 3)
+  } yield (raw.collect { case (a, b) if a != b =>
+    (math.min(a, b).toLong, math.max(a, b).toLong) }.distinct, rounds)
+
+  property("louvainLocalMove == brute synchronous monotone-label reference") =
+    forAll(genPairGraph) { case (rawPairs, rounds) =>
+      // re-canonicalize: ScalaCheck shrinking ignores generator
+      // constraints and can produce pairs like (1, -1)
+      val pairs = rawPairs.filter(p => p._1 < p._2).distinct
+      pairs.isEmpty || {
+        import spark.implicits._
+        // brute: the same synchronous rule, computed naively
+        val sym = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        val vs = sym.map(_._1).distinct
+        val deg = vs.map(v => v -> sym.count(_._1 == v).toLong).toMap
+        val m = pairs.size.toLong
+        var c = vs.map(v => v -> v).toMap
+        for (_ <- 1 to rounds) {
+          // keysIterator, NOT keys.map: Set.map would collapse equal
+          // degree values before the sum
+          val tot = c.groupBy(_._2).map { case (cc, mem) =>
+            cc -> mem.keysIterator.map(deg).sum }
+          val prev = c
+          c = vs.map { u =>
+            val cur = prev(u)
+            val kuc = sym.filter(_._1 == u).groupBy(e => prev(e._2))
+              .map { case (cc, es) => cc -> es.size.toLong }
+            val cands = (kuc.keySet + cur).filter(_ <= cur)
+            val best = cands.map { cc =>
+              val g = 2L * m * kuc.getOrElse(cc, 0L) - deg(u) *
+                (tot(cc) - (if (cur == cc) deg(u) else 0L))
+              (cc, g)
+            }.toSeq.sortBy { case (cc, g) => (-g, cc) }.head._1
+            u -> best
+          }.toMap
+        }
+        val got = graft.algos.LinkAnalysis
+          .louvainLocalMove(pairs.toDF("a", "b"), rounds)
+          .as[(Long, Long)].collect().toMap
+        got == c
+      }
+    }
+
   // small alphabet forces dense pair statistics and deep merge chains
   private val genBpeCorpus = for {
     n <- Gen.choose(2, 6)
