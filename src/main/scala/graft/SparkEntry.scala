@@ -5505,6 +5505,53 @@ object SparkEntry {
              | CAST(CAST(SUM(q) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_q
              |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("x110_bloom_prefilter",
+      // portable Bloom join pruning + its honesty report: lineitem
+      // pre-filtered by the Bloom bits of the rich-supplier key set
+      // (2 md5 hash functions over 4096 bits, broadcast left-semi per
+      // function — the fact side never shuffles), then the exact
+      // semi-join audits it: zero false negatives by construction,
+      // false positives counted and rated in ppm over true negatives.
+      (s, dir) => {
+        val fact = t(s, dir, "lineitem").select(col("l_suppkey").as("k"))
+        val dim = t(s, dir, "supplier").where(col("s_acctbal") >= 5000)
+          .select(col("s_suppkey").as("k"))
+        val bits = ext.Skew.bloomBits(dim, "k", m = 4096, h = 2)
+        val kept = ext.Skew.bloomPrefilter(fact, "k", bits, m = 4096, h = 2)
+        val exact = fact.join(dim, Seq("k"), "left_semi")
+        fact.agg(count(lit(1)).as("n_fact"))
+          .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+          .crossJoin(exact.agg(count(lit(1)).as("n_match")))
+          .withColumn("false_pos", col("n_kept") - col("n_match"))
+          .withColumn("fp_ppm",
+            expr("false_pos * 1000000 DIV greatest(n_fact - n_match, 1)"))
+      },
+      Some("""WITH dim AS (SELECT s_suppkey AS k FROM supplier
+             |   WHERE s_acctbal >= 5000),
+             | bits AS (SELECT DISTINCT
+             |   CAST(('0x' || substr(md5(j || ':' || CAST(k AS VARCHAR)),
+             |     1, 15)) AS BIGINT) % 4096 AS bit
+             |  FROM dim, generate_series(0, 1) AS g(j)),
+             | fact AS (SELECT l_suppkey AS k FROM lineitem),
+             | kept AS (SELECT k FROM fact f
+             |  WHERE EXISTS (SELECT 1 FROM bits b WHERE b.bit =
+             |    CAST(('0x' || substr(md5('0:' || CAST(f.k AS VARCHAR)),
+             |      1, 15)) AS BIGINT) % 4096)
+             |   AND EXISTS (SELECT 1 FROM bits b WHERE b.bit =
+             |    CAST(('0x' || substr(md5('1:' || CAST(f.k AS VARCHAR)),
+             |      1, 15)) AS BIGINT) % 4096)),
+             | mt AS (SELECT COUNT(*) AS n_match FROM fact f
+             |  WHERE EXISTS (SELECT 1 FROM dim d WHERE d.k = f.k))
+             |SELECT CAST((SELECT COUNT(*) FROM fact) AS BIGINT) AS n_fact,
+             | CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS n_kept,
+             | CAST(mt.n_match AS BIGINT) AS n_match,
+             | CAST((SELECT COUNT(*) FROM kept) - mt.n_match AS BIGINT)
+             |   AS false_pos,
+             | CAST(((SELECT COUNT(*) FROM kept) - mt.n_match) * 1000000
+             |   // GREATEST((SELECT COUNT(*) FROM fact) - mt.n_match, 1)
+             |   AS BIGINT) AS fp_ppm
+             |FROM mt""".stripMargin)),
+
     // --------------------------------------------- pipeline: curation gates
     QueryDef("x53_cap_per_group",
       // per-domain document cap (the "≤k pages per host" crawl-curation

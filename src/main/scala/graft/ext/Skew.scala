@@ -47,4 +47,42 @@ object Skew {
       .agg(sum(col(valueCol).cast("decimal(38,6)")).as("__partial"))
       .groupBy(col(key))
       .agg(sum("__partial").cast("double").as(s"sum_$valueCol"))
+
+  /** Bit position `j` of the portable Bloom family: the md5-60-bit
+    * integer of `"j:key"` mod `m`. Deterministic and engine-
+    * re-derivable (the repo's md5 hash-family convention), unlike
+    * Spark's built-in runtime bloom (xxhash-based, opaque bits). */
+  private def bloomPos(key: Column, j: Int, m: Int): Column =
+    pmod(conv(substring(md5(
+      concat_ws(":", lit(j), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long"), lit(m.toLong))
+
+  /** Build the portable Bloom filter of a (small) key set as the
+    * DISTINCT set-bit positions — at most `|keys|·h` rows out of `m`
+    * bits, broadcastable by construction. Semantically identical to a
+    * bitmap; the set-of-positions form is what lets an external
+    * engine re-derive it row for row. */
+  def bloomBits(keys: DataFrame, keyCol: String, m: Int = 4096,
+                h: Int = 2): DataFrame = {
+    require(h >= 1 && m >= 2, s"bloomBits: need h >= 1, m >= 2 (got $h, $m)")
+    keys.select(explode(array((0 until h).map(j =>
+        bloomPos(col(keyCol), j, m)): _*)).as("bit"))
+      .distinct()
+  }
+
+  /** Pre-filter the BIG side of a prospective join by the small
+    * side's Bloom bits BEFORE any exchange: one broadcast left-semi
+    * join per hash function (h is 1-3 — each is map-side, the fact
+    * table never shuffles), keeping exactly the rows whose h
+    * positions are all set. No false negatives by construction —
+    * every true match survives; false positives (fp rate ~
+    * (set_bits/m)^h) are culled by the real join afterwards. The
+    * 100 TB shape: the exchange the REAL join pays afterwards moves
+    * only ~selectivity·fact rows instead of the whole table. */
+  def bloomPrefilter(fact: DataFrame, keyCol: String, bits: DataFrame,
+                     m: Int = 4096, h: Int = 2): DataFrame =
+    (0 until h).foldLeft(fact) { (df, j) =>
+      df.join(broadcast(bits.select(col("bit").as(s"__b$j"))),
+        bloomPos(col(keyCol), j, m) === col(s"__b$j"), "left_semi")
+    }
 }

@@ -673,6 +673,28 @@ class ExtSpec extends SparkSuite {
     assert(static == buckets)
   }
 
+  test("bloomPrefilter: no false negatives; saturation and precision regimes") {
+    import graft.ext.Skew
+    val dim = (0L until 10L).toDF("k")
+    val fact = (0L until 200L).toDF("k")
+    // generous m: Bloom keeps exactly the true matches (no FPs at this
+    // load factor is overwhelmingly likely but NOT guaranteed — assert
+    // the guaranteed direction, superset-of-matches, plus a sane cap)
+    val bits = Skew.bloomBits(dim, "k", m = 65536, h = 2)
+    val kept = Skew.bloomPrefilter(fact, "k", bits, m = 65536, h = 2)
+      .as[Long].collect().toSet
+    assert((0L until 10L).toSet.subsetOf(kept), "a Bloom filter never drops a true match")
+    assert(kept.size < 50, s"65536-bit filter over 10 keys should be precise, kept ${kept.size}")
+    // saturated m: every bit set -> everything kept (the degenerate end)
+    val satBits = Skew.bloomBits((0L until 64L).toDF("k"), "k", m = 4, h = 2)
+    val satKept = Skew.bloomPrefilter(fact, "k", satBits, m = 4, h = 2)
+    assert(satKept.count() == 200L)
+    // deterministic under repartitioning
+    val again = Skew.bloomPrefilter(fact.repartition(7), "k", bits,
+      m = 65536, h = 2).as[Long].collect().toSet
+    assert(again == kept)
+  }
+
   test("estimatorCalibration: confusion counts against the exact leg (X1)") {
     val d = Seq(
       (0L, "a b c d e f g h"),
