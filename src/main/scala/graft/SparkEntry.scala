@@ -5552,6 +5552,37 @@ object SparkEntry {
              |   AS BIGINT) AS fp_ppm
              |FROM mt""".stripMargin)),
 
+    QueryDef("x111_quota_sample",
+      // exact-N eval-set carving: 100 slots apportioned across sources
+      // by total characters (largest remainder — the quota sum is
+      // EXACTLY 100, where mixture/matching rules only approximate),
+      // each group's quota drawn as its smallest-md5 doc ids.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val w = d.groupBy("source")
+          .agg(sum(col("n_chars")).cast("long").as("w"))
+        val q = Sampling.apportionQuotas(w, "source", "w", n = 100L)
+        Sampling.quotaSample(d, "source", "doc_id", q)
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w
+             |  FROM documents GROUP BY source),
+             | tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w),
+             | base AS (SELECT source, w, 100 * w // t.tw AS quota,
+             |   100 * w % t.tw AS rem FROM w, tot t),
+             | short AS (SELECT 100 - CAST(SUM(quota) AS BIGINT) AS s
+             |  FROM base),
+             | fin AS (SELECT source, quota + CASE WHEN
+             |   ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+             |     <= (SELECT s FROM short) THEN 1 ELSE 0 END AS quota
+             |  FROM base),
+             | ranked AS (SELECT doc_id, source,
+             |   ROW_NUMBER() OVER (PARTITION BY source
+             |     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |  FROM documents)
+             |SELECT r.doc_id, r.source FROM ranked r JOIN fin USING (source)
+             |WHERE r.rk <= fin.quota ORDER BY r.doc_id""".stripMargin)),
+
     // --------------------------------------------- pipeline: curation gates
     QueryDef("x53_cap_per_group",
       // per-domain document cap (the "≤k pages per host" crawl-curation

@@ -496,6 +496,57 @@ object Sampling {
     df.filter(b < threshold)
   }
 
+  /** Largest-remainder (Hamilton) apportionment: split an EXACT total
+    * of `n` sample slots across groups proportionally to `wCol` —
+    * `quota = n·w DIV W` plus one extra slot to the `n − Σquota`
+    * largest remainders (ties → group order). The eval-set
+    * construction rule where "about 10%" is not acceptable and the
+    * slot count must be exact; [[mixtureSample]]/[[matchDistribution]]
+    * trade exactness for corpus-scale keep-rules, this trades the
+    * reverse. All integers, so the apportionment re-derives anywhere;
+    * `n·w` fits BIGINT to w ~ 9·10¹⁸/n (DECIMAL-route past that).
+    * The remainder rank is a global window over the GROUPS table
+    * (groups-sized, not corpus-sized). Returns (group, quota). */
+  def apportionQuotas(weights: DataFrame, groupCol: String, wCol: String,
+                      n: Long): DataFrame = {
+    require(n >= 0, s"apportionQuotas: n >= 0, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val totW = weights.agg(sum(col(wCol).cast("long"))).head().getLong(0)
+    require(totW > 0, "apportionQuotas: total weight must be positive")
+    val base = weights.select(col(groupCol), col(wCol).cast("long").as("w"))
+      .withColumn("quota", expr(s"CAST(${n}L * w DIV ${totW}L AS BIGINT)"))
+      .withColumn("rem", expr(s"CAST(${n}L * w % ${totW}L AS BIGINT)"))
+      .localCheckpoint()
+    val short = n - base.agg(sum("quota")).head().getLong(0)
+    val wnd = Window.orderBy(col("rem").desc, col(groupCol))
+    base.withColumn("quota", col("quota") +
+        when(row_number().over(wnd) <= short, 1L).otherwise(0L))
+      .select(col(groupCol), col("quota"))
+  }
+
+  /** Draw each group's exact [[apportionQuotas]] quota
+    * deterministically: the quota_g rows with the smallest
+    * `md5(id)` keys (the content-keyed convention — the same rows
+    * survive every run and every engine). Scale shape: TopKPerGroup
+    * caps every group at max-quota rows MAP-SIDE, so the final
+    * per-group rank windows over ≤ groups·maxQuota rows, never the
+    * corpus. Returns (id, group). */
+  def quotaSample(df: DataFrame, groupCol: String, idCol: String,
+                  quotas: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kmax = quotas.agg(max("quota")).head().getLong(0).toInt
+    val keyed = df.select(col(groupCol), col(idCol))
+      .withColumn("__mk", md5(col(idCol).cast("string")))
+    if (kmax <= 0) return keyed.filter(lit(false)).select(col(idCol), col(groupCol))
+    val top = graft.plans.TopKPerGroup(keyed, Seq(groupCol),
+      Seq(("__mk", true), (idCol, true)), kmax)
+    val wnd = Window.partitionBy(groupCol).orderBy(col("__mk"), col(idCol))
+    top.withColumn("__rk", row_number().over(wnd))
+      .join(broadcast(quotas), Seq(groupCol))
+      .filter(col("__rk") <= col("quota"))
+      .select(col(idCol), col(groupCol))
+  }
+
   /** Bit-interleaved Z-order value of two pre-quantized dimensions
     * (each in [0, 2^bits)): bit i of `qa` lands at position 2i+1, of
     * `qb` at 2i. A fixed sum of shift/mask terms — whole-stage

@@ -513,6 +513,37 @@ class SamplingSpec extends SparkSuite {
     assert(out.map(r => (r._1, r._3)).toSet == out2.map(r => (r._1, r._2)))
   }
 
+  test("apportionQuotas + quotaSample: exact-N largest remainder") {
+    // weights 5/3/2, n=7: floors 3/2/1 (remainders 5/1/4), one short
+    // slot -> largest remainder a: quotas 4/2/1
+    val w = Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("g", "w")
+    val q = Sampling.apportionQuotas(w, "g", "w", n = 7L)
+      .as[(String, Long)].collect().toMap
+    assert(q == Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+    // remainder tie -> group order
+    val t = Sampling.apportionQuotas(
+        Seq(("a", 1L), ("b", 1L)).toDF("g", "w"), "g", "w", n = 3L)
+      .as[(String, Long)].collect().toMap
+    assert(t == Map("a" -> 2L, "b" -> 1L))
+    // the draw honors quotas exactly and is content-keyed
+    val rows = (0L until 90L).map(i => (i, Seq("a", "b", "c")(i.toInt % 3)))
+      .toDF("id", "g")
+    val picked = Sampling.quotaSample(rows, "g", "id",
+        q.toSeq.toDF("g", "quota"))
+      .as[(Long, String)].collect()
+    assert(picked.length == 7)
+    assert(picked.groupBy(_._2).view.mapValues(_.length).toMap ==
+      Map("a" -> 4, "b" -> 2, "c" -> 1))
+    val again = Sampling.quotaSample(rows.repartition(5), "g", "id",
+        q.toSeq.toDF("g", "quota"))
+      .as[(Long, String)].collect()
+    assert(again.toSet == picked.toSet)
+    // zero-quota group contributes nothing; zero-n draws nothing
+    val z = Sampling.quotaSample(rows, "g", "id",
+      Seq(("a", 0L), ("b", 0L), ("c", 0L)).toDF("g", "quota"))
+    assert(z.count() == 0L)
+  }
+
   test("zorderValue: exact bit interleave") {
     // qa=3 (11b) at odd positions -> 8+2; qb=1 (01b) at even -> 1
     val z = Seq((3L, 1L)).toDF("qa", "qb")
