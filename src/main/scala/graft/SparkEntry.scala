@@ -3585,6 +3585,32 @@ object SparkEntry {
              | MIN(v) AS lo_cents, MAX(v) AS hi_cents
              |FROM c, e GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    QueryDef("q48_lateral_join",
+      // correlated LATERAL subquery with per-row ORDER BY LIMIT (the
+      // SQL-standard top-N-per-key shape; Spark plans it as a
+      // lateral join) — each deep-debit customer's two priciest
+      // orders, semantics pinned against DuckDB's LATERAL.
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("graft_q48_c")
+        t(s, dir, "orders").createOrReplaceTempView("graft_q48_o")
+        s.sql("""SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+                |FROM graft_q48_c c,
+                |LATERAL (SELECT o_orderkey, o_totalprice FROM graft_q48_o
+                |  WHERE o_custkey = c.c_custkey
+                |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+                |WHERE c.c_acctbal < -900
+                |ORDER BY c.c_custkey, l.o_totalprice DESC, l.o_orderkey"""
+          .stripMargin)
+      },
+      Some("""SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+             |FROM customer c,
+             |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             |  WHERE o_custkey = c.c_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+             |WHERE c.c_acctbal < -900
+             |ORDER BY c.c_custkey, l.o_totalprice DESC, l.o_orderkey"""
+        .stripMargin)),
+
     QueryDef("q35_full_outer",
       // FULL OUTER JOIN coverage with genuinely asymmetric sides
       // (nations having deep-debit customers vs suppliers): USING-join
@@ -5582,6 +5608,36 @@ object SparkEntry {
              |  FROM documents)
              |SELECT r.doc_id, r.source FROM ranked r JOIN fin USING (source)
              |WHERE r.rk <= fin.quota ORDER BY r.doc_id""".stripMargin)),
+
+    QueryDef("x112_weighted_draws",
+      // negative-sampling primitive: 3 source-weighted categorical
+      // draws per document, keyed on md5(doc:j) — the word2vec/
+      // contrastive candidate sampler with NO rand() and no alias
+      // table: cumulative ranges from one vocab-sized window,
+      // broadcast range join.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val w = d.groupBy("source").agg(count(lit(1)).cast("long").as("w"))
+        Sampling.weightedDraws(w, "source", "w",
+            d.select("doc_id"), "doc_id", k = 3)
+          .orderBy("doc_id", "j")
+      },
+      Some("""WITH w AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS w
+             |  FROM documents GROUP BY source),
+             | cum AS (SELECT source, w,
+             |   CAST(SUM(w) OVER (ORDER BY source
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |     AS BIGINT) AS hi
+             |  FROM w),
+             | rng AS (SELECT source, hi - w AS lo, hi FROM cum),
+             | tot AS (SELECT CAST(MAX(hi) AS BIGINT) AS tw FROM rng),
+             | probes AS (SELECT doc_id, j,
+             |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+             |     || ':' || j), 1, 15)) AS BIGINT) % t.tw AS u
+             |  FROM documents, generate_series(0, 2) AS g(j), tot t)
+             |SELECT p.doc_id, CAST(p.j AS INT) AS j, r.source
+             |FROM probes p JOIN rng r ON p.u >= r.lo AND p.u < r.hi
+             |ORDER BY p.doc_id, j""".stripMargin)),
 
     // --------------------------------------------- pipeline: curation gates
     QueryDef("x53_cap_per_group",

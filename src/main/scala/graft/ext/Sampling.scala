@@ -547,6 +547,38 @@ object Sampling {
       .select(col(idCol), col(groupCol))
   }
 
+  /** Deterministic weighted categorical draws — the negative-sampling
+    * primitive of embedding training (word2vec/contrastive candidate
+    * sampling): for every row of `draws` and j < k, pick one item
+    * with probability ∝ `wCol`, keyed on `md5(draw:j)` so the same
+    * negatives re-derive on every run and engine (no alias tables, no
+    * rand()). Items get cumulative ranges `[lo, hi)` from ONE window
+    * over the ITEMS table (vocab-sized); each draw maps its 60-bit
+    * md5 value mod W into the covering range via a broadcast range
+    * join. For vocabularies too large to broadcast-NLJ, bucketize the
+    * ranges first (the [[graft.ext.TemporalJoins]] interval-join
+    * economics); the draw key arithmetic is unchanged. Returns
+    * (draw, j, item). */
+  def weightedDraws(items: DataFrame, itemCol: String, wCol: String,
+                    draws: DataFrame, drawCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"weightedDraws: k >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val wnd = Window.orderBy(col(itemCol))
+    val cum = items.select(col(itemCol), col(wCol).cast("long").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("hi", sum("w").over(wnd))
+      .withColumn("lo", col("hi") - col("w"))
+      .localCheckpoint()
+    val totW = cum.agg(max("hi")).head().getLong(0)
+    draws.select(col(drawCol))
+      .withColumn("j", explode(array((0 until k).map(j => lit(j)): _*)))
+      .withColumn("u", pmod(conv(substring(md5(
+          concat_ws(":", col(drawCol).cast("string"), col("j"))), 1, 15),
+          16, 10).cast("long"), lit(totW)))
+      .join(broadcast(cum), col("u") >= col("lo") && col("u") < col("hi"))
+      .select(col(drawCol), col("j"), col(itemCol))
+  }
+
   /** Bit-interleaved Z-order value of two pre-quantized dimensions
     * (each in [0, 2^bits)): bit i of `qa` lands at position 2i+1, of
     * `qb` at 2i. A fixed sum of shift/mask terms — whole-stage

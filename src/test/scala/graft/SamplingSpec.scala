@@ -544,6 +544,24 @@ class SamplingSpec extends SparkSuite {
     assert(z.count() == 0L)
   }
 
+  test("weightedDraws: k per draw, weight-proportional, no rand()") {
+    val items = Seq(("a", 1L), ("b", 0L), ("c", 3L)).toDF("item", "w")
+    val draws = (0L until 200L).toDF("id")
+    val out = Sampling.weightedDraws(items, "item", "w", draws, "id", k = 2)
+      .as[(Long, Int, String)].collect()
+    assert(out.length == 400) // exactly k rows per draw
+    assert(out.groupBy(r => (r._1, r._2)).forall(_._2.length == 1))
+    val byItem = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(!byItem.contains("b"), "zero-weight item must never be drawn")
+    assert(byItem("c") > 250 && byItem("c") < 350, // ~75% of 400
+      s"c should take ~3/4 of draws, got ${byItem("c")}")
+    // same keys -> same negatives, any partitioning
+    val again = Sampling.weightedDraws(items, "item", "w",
+        draws.repartition(5), "id", k = 2)
+      .as[(Long, Int, String)].collect()
+    assert(again.toSet == out.toSet)
+  }
+
   test("zorderValue: exact bit interleave") {
     // qa=3 (11b) at odd positions -> 8+2; qb=1 (01b) at even -> 1
     val z = Seq((3L, 1L)).toDF("qa", "qb")
