@@ -468,6 +468,47 @@ object SparkEntry {
        |ORDER BY mm.id""".stripMargin
   }
 
+  /** DuckDB oracle for [[LinkAnalysis.lubyMis]] over the co-purchase
+    * pair graph: `rounds` chained priority-minimum CTEs (win iff
+    * md5-priority strictly below every undecided neighbor's; winners'
+    * neighbors drop out). Items outside the pair graph are isolated —
+    * trivially in the MIS. */
+  private def lubyMisSql(rounds: Int): String = {
+    val ctes = (1 to rounds).map { r =>
+      s"""und$r AS MATERIALIZED (SELECT id, prio FROM s${r - 1} WHERE st = 0),
+         |nm$r AS (SELECT e.u AS id, MIN(n.prio) AS mn
+         | FROM sym e JOIN und$r u0 ON u0.id = e.u
+         |  JOIN und$r n ON n.id = e.v
+         | GROUP BY e.u),
+         |win$r AS MATERIALIZED (SELECT u.id FROM und$r u
+         | LEFT JOIN nm$r m ON m.id = u.id
+         | WHERE m.mn IS NULL OR u.prio < m.mn),
+         |exc$r AS (SELECT DISTINCT e.v AS id FROM sym e
+         | JOIN win$r w ON w.id = e.u
+         | JOIN und$r u2 ON u2.id = e.v),
+         |s$r AS MATERIALIZED (SELECT s.id, s.prio,
+         |  CASE WHEN s.st <> 0 THEN s.st
+         |       WHEN w.id IS NOT NULL THEN 1
+         |       WHEN x.id IS NOT NULL THEN 2 ELSE 0 END AS st
+         | FROM s${r - 1} s LEFT JOIN win$r w ON w.id = s.id
+         |  LEFT JOIN exc$r x ON x.id = s.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $copurchaseSql,
+       |sym AS MATERIALIZED (SELECT a AS u, b AS v FROM pe
+       | UNION ALL SELECT b, a FROM pe),
+       |s0 AS MATERIALIZED (SELECT id,
+       |  CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |    AS prio, 0 AS st
+       | FROM (SELECT DISTINCT u AS id FROM sym)),
+       |$ctes,
+       |mem AS (SELECT DISTINCT i AS id FROM gi)
+       |SELECT mm.id, COALESCE(CASE WHEN s.st = 1 THEN 'mis'
+       |  WHEN s.st = 2 THEN 'excluded'
+       |  WHEN s.st = 0 THEN 'undecided' END, 'mis') AS status
+       |FROM mem mm LEFT JOIN s$rounds s ON s.id = mm.id
+       |ORDER BY mm.id""".stripMargin
+  }
+
   /** DuckDB oracle for [[LinkAnalysis.ktruss]]: `rounds` chained
     * support-and-peel CTEs (each round a wedge self-join counting
     * common neighbors per edge, HAVING the k−2 support bar — the
@@ -2912,6 +2953,23 @@ object SparkEntry {
           .orderBy("id")
       },
       Some(louvainSql(4))),
+
+    QueryDef("g60_luby_mis",
+      // Luby's maximal independent set over the co-purchase conflict
+      // graph — diverse-subset selection (no two chosen parts ever
+      // co-bought): md5-priority local minima join per round, their
+      // neighbors drop, 6 bounded rounds (O(log n) expected);
+      // isolated items are trivially in the set.
+      (s, dir) => {
+        val gi = StarGraph.copurchaseGi(s, dir)
+        val pairs = LinkAnalysis.jaccardPairsFromGi(gi, 2).select("a", "b")
+        val mis = LinkAnalysis.lubyMis(pairs, rounds = 6)
+        gi.select(col("i").as("id")).distinct()
+          .join(mis, Seq("id"), "left")
+          .select(col("id"), coalesce(col("status"), lit("mis")).as("status"))
+          .orderBy("id")
+      },
+      Some(lubyMisSql(6))),
 
     QueryDef("g59_louvain_two_level",
       // the full multi-level Louvain pyramid cut at depth 2: g58's

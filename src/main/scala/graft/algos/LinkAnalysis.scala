@@ -889,6 +889,66 @@ object LinkAnalysis {
       .select(col("id"), col("c2").as("community"))
   }
 
+  /** Luby's maximal independent set — the classic O(log n)-round
+    * symmetric-breaking kernel (diverse-subset selection: no two
+    * chosen items adjacent in the conflict graph): every undecided
+    * vertex with a priority STRICTLY below all its undecided
+    * neighbors' joins the MIS, its neighbors drop out, repeat.
+    * Priorities are the portable md5-60-bit family, so rounds —
+    * and therefore the whole set — re-derive on any engine. A
+    * priority tie between adjacent vertices (md5 collision, ~2⁻⁶⁰)
+    * stalls that pair rather than breaking determinism. `rounds`
+    * bounds the sweep; vertices still undecided after it are
+    * reported as such (the oracle runs the identical bound).
+    * Returns (id, status ∈ mis/excluded/undecided).
+    *
+    * Scale shape per round: one semi-join + one min-aggregation over
+    * the SHRINKING undecided subgraph + two status joins; state is
+    * checkpointed (the kcore round pattern). */
+  def lubyMis(pairs: DataFrame, rounds: Int = 6): DataFrame = {
+    require(rounds >= 1, s"lubyMis: rounds >= 1, got $rounds")
+    val e = pairs.select("a", "b").filter(col("a") =!= col("b"))
+      .localCheckpoint()
+    val sym = e.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    def prio(c: Column): Column =
+      conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    var st = sym.select(col("u").as("id")).distinct()
+      .withColumn("p", prio(col("id")))
+      .withColumn("status", lit(0)) // 0 undecided, 1 mis, 2 excluded
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val und = st.filter(col("status") === 0)
+      val nbrMin = sym
+        .join(und.select(col("id").as("u")), Seq("u"), "left_semi")
+        .join(und.select(col("id").as("v"), col("p").as("vp")), Seq("v"))
+        .groupBy("u").agg(min("vp").as("mn"))
+      val winners = und
+        .join(nbrMin.select(col("u").as("id"), col("mn")), Seq("id"), "left")
+        .filter(col("mn").isNull || col("p") < col("mn"))
+        .select("id")
+      val excluded = sym
+        .join(winners.select(col("id").as("u")), Seq("u"), "left_semi")
+        .select(col("v").as("id")).distinct()
+        .join(und.select("id"), Seq("id"), "left_semi")
+      st = st
+        .join(winners.withColumn("__w", lit(true)), Seq("id"), "left")
+        .join(excluded.withColumn("__x", lit(true)), Seq("id"), "left")
+        .withColumn("status",
+          when(col("status") =!= 0, col("status"))
+            .when(col("__w"), lit(1))
+            .when(col("__x"), lit(2))
+            .otherwise(lit(0)))
+        .select("id", "p", "status")
+        .localCheckpoint()
+    }
+    st.select(col("id"),
+      when(col("status") === 1, lit("mis"))
+        .when(col("status") === 2, lit("excluded"))
+        .otherwise(lit("undecided")).as("status"))
+  }
+
   /** Newman modularity of a community assignment over an undirected
     * pair graph, decomposed per community in EXACT integers:
     * Q = Σ_c [e_c/m − (d_c/2m)²] = Σ_c contrib_c / (4m²) with

@@ -560,6 +560,47 @@ class PipelineAnalyticsSpec extends SparkSuite {
     assert(wa(2L) == 1L && wa(1L) == 1L && wa(3L) == 1L)
   }
 
+  test("lubyMis: independent, maximal, equals an in-JVM Luby simulation") {
+    // a 30-vertex circulant graph (i ~ i+1, i ~ i+3 mod 30)
+    val edges = (0L until 30L).flatMap(i =>
+      Seq((i, (i + 1) % 30), (i, (i + 3) % 30)))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val got = LinkAnalysis.lubyMis(edges.toDF("a", "b"), rounds = 8)
+      .as[(Long, String)].collect().toMap
+    // independent: no edge inside the set; maximal: every excluded
+    // vertex has a chosen neighbor; converged: nothing undecided
+    assert(!got.values.exists(_ == "undecided"))
+    assert(edges.forall { case (a, b) =>
+      !(got(a) == "mis" && got(b) == "mis") })
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.collect { case (v, "excluded") => v }
+      .forall(v => adj(v).exists(got(_) == "mis")))
+    // equals the same algorithm run naively with the same md5 priorities
+    def prio(v: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val st = scala.collection.mutable.Map(adj.keys.map(_ -> 0).toSeq: _*)
+    for (_ <- 1 to 8) {
+      val und = st.filter(_._2 == 0).keySet.toSet
+      val winners = und.filter(v => adj(v).intersect(und)
+        .forall(n => prio(v) < prio(n)))
+      winners.foreach(st(_) = 1)
+      winners.flatMap(adj).intersect(und).diff(winners)
+        .foreach(st(_) = 2)
+    }
+    val want = st.map { case (v, s) =>
+      v -> (if (s == 1) "mis" else if (s == 2) "excluded" else "undecided") }
+    assert(got == want.toMap)
+    // repartition-invariant
+    val again = LinkAnalysis.lubyMis(edges.toDF("a", "b").repartition(5), 8)
+      .as[(Long, String)].collect().toMap
+    assert(again == got)
+  }
+
   test("weightedBernoulli is deterministic and monotone in weight") {
     import graft.ext.Sampling
     val df = (0L until 500L).toDF("doc_id")
