@@ -312,6 +312,55 @@ object SparkEntry {
        |SELECT layer, node_id, r AS rank_fp FROM r$iters ORDER BY layer, node_id""".stripMargin
   }
 
+  /** DuckDB oracle for [[GraphOps.hitsFixedPoint]] on the layer
+    * subgraph: per round a gather CTE for each direction (HUGEINT
+    * sums — exact like the Spark side's DECIMAL(38,0)) and a
+    * max-normalized rescale via a scalar subquery; `//` floors like
+    * Spark's DIV on the always-nonnegative scores. */
+  private def hitsFixedSql(layers: Seq[String], iters: Int): String = {
+    val inList = layers.map(l => s"'$l'").mkString(", ")
+    val iterCtes = (1 to iters).map { k =>
+      s"""ar$k AS MATERIALIZED (
+         | SELECT v.layer, v.node_id, COALESCE(SUM(c.x), 0) AS s
+         | FROM sg_v v LEFT JOIN (
+         |  SELECT e.target_layer AS tl, e.target_id AS ti, h.x
+         |  FROM sg_e e JOIN h${k - 1} h
+         |    ON h.layer = e.source_layer AND h.node_id = e.source_id) c
+         |  ON c.tl = v.layer AND c.ti = v.node_id
+         | GROUP BY v.layer, v.node_id),
+         |a$k AS MATERIALIZED (SELECT layer, node_id,
+         |  CASE WHEN (SELECT MAX(s) FROM ar$k) > 0
+         |   THEN CAST(s * 1000000 // (SELECT MAX(s) FROM ar$k) AS BIGINT)
+         |   ELSE 0 END AS x
+         | FROM ar$k),
+         |hr$k AS MATERIALIZED (
+         | SELECT v.layer, v.node_id, COALESCE(SUM(c.x), 0) AS s
+         | FROM sg_v v LEFT JOIN (
+         |  SELECT e.source_layer AS sl, e.source_id AS si, a.x
+         |  FROM sg_e e JOIN a$k a
+         |    ON a.layer = e.target_layer AND a.node_id = e.target_id) c
+         |  ON c.sl = v.layer AND c.si = v.node_id
+         | GROUP BY v.layer, v.node_id),
+         |h$k AS MATERIALIZED (SELECT layer, node_id,
+         |  CASE WHEN (SELECT MAX(s) FROM hr$k) > 0
+         |   THEN CAST(s * 1000000 // (SELECT MAX(s) FROM hr$k) AS BIGINT)
+         |   ELSE 0 END AS x
+         | FROM hr$k)""".stripMargin
+    }.mkString(",\n")
+    s"""$W, sg_v AS (SELECT layer, node_id FROM vertices
+       |  WHERE layer IN ($inList)),
+       |sg_e AS (SELECT source_layer, source_id, target_layer, target_id
+       |  FROM edges
+       |  WHERE source_layer IN ($inList) AND target_layer IN ($inList)),
+       |h0 AS (SELECT layer, node_id, CAST(1000000 AS BIGINT) AS x FROM sg_v),
+       |$iterCtes
+       |SELECT v.layer, v.node_id, a.x AS auth_fp, h.x AS hub_fp
+       |FROM sg_v v
+       |JOIN a$iters a ON a.layer = v.layer AND a.node_id = v.node_id
+       |JOIN h$iters h ON h.layer = v.layer AND h.node_id = v.node_id
+       |ORDER BY v.layer, v.node_id""".stripMargin
+  }
+
   /** DuckDB prelude for the co-purchase projection: parts sharing >= 2
     * orders, canonical a < b orientation (mirrors
     * [[LinkAnalysis.cooccurrenceEdges]] on (l_orderkey, l_partkey)). */
@@ -507,6 +556,43 @@ object SparkEntry {
        |  WHEN s.st = 0 THEN 'undecided' END, 'mis') AS status
        |FROM mem mm LEFT JOIN s$rounds s ON s.id = mm.id
        |ORDER BY mm.id""".stripMargin
+  }
+
+  /** DuckDB oracle for [[LinkAnalysis.maximalMatching]] over the
+    * co-purchase projection: per round a per-vertex best-edge QUALIFY
+    * over the (p, a, b) total order, the mutual-handshake win join,
+    * and the retired-endpoint residual; matched edges accumulate with
+    * their round, then unfold to the per-vertex (id, mate) view. */
+  private def matchingSql(rounds: Int): String = {
+    val ctes = (1 to rounds).map { r =>
+      s"""sym$r AS (SELECT a AS u, p, a, b FROM e${r - 1}
+         | UNION ALL SELECT b, p, a, b FROM e${r - 1}),
+         |best$r AS MATERIALIZED (SELECT u, a, b FROM sym$r
+         | QUALIFY ROW_NUMBER() OVER (PARTITION BY u ORDER BY p, a, b) = 1),
+         |win$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
+         | JOIN best$r x ON x.u = e.a AND x.a = e.a AND x.b = e.b
+         | JOIN best$r y ON y.u = e.b AND y.a = e.a AND y.b = e.b),
+         |mv$r AS (SELECT a AS id FROM win$r UNION SELECT b FROM win$r),
+         |e$r AS MATERIALIZED (SELECT e.a, e.b, e.p FROM e${r - 1} e
+         | WHERE e.a NOT IN (SELECT id FROM mv$r)
+         |   AND e.b NOT IN (SELECT id FROM mv$r))""".stripMargin
+    }.mkString(",\n")
+    val accU = (1 to rounds).map(r =>
+      s"SELECT a, b, $r AS round FROM win$r").mkString(" UNION ALL ")
+    s"""WITH $copurchaseSql,
+       |e0 AS MATERIALIZED (SELECT a, b,
+       |  CAST(('0x' || substr(md5(CAST(a AS VARCHAR) || ':' ||
+       |    CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) AS p
+       | FROM pe),
+       |$ctes,
+       |acc AS ($accU),
+       |pv AS (SELECT a AS id, b AS mate, round FROM acc
+       | UNION ALL SELECT b, a, round FROM acc),
+       |mem AS (SELECT DISTINCT i AS id FROM gi)
+       |SELECT m.id, CAST(COALESCE(pv.mate, -1) AS BIGINT) AS mate,
+       | CAST(COALESCE(pv.round, 0) AS INT) AS round
+       |FROM mem m LEFT JOIN pv ON pv.id = m.id
+       |ORDER BY m.id""".stripMargin
   }
 
   /** DuckDB oracle for [[LinkAnalysis.ktruss]]: `rounds` chained
@@ -2970,6 +3056,52 @@ object SparkEntry {
           .orderBy("id")
       },
       Some(lubyMisSql(6))),
+
+    QueryDef("g61_hits",
+      // HITS hubs & authorities on the 4-layer star slice — the
+      // second classic eigenvector centrality next to g27's PageRank,
+      // deterministic: BIGINT micro-unit gathers (DECIMAL(38,0) sums)
+      // with a max-normalize per half-step instead of L2 (same
+      // eigenvector direction, zero sqrt), so the whole score table
+      // hash-matches the unrolled-CTE oracle. Parents of many
+      // children score as authorities, pointers at popular parents
+      // as hubs.
+      (s, dir) => {
+        val g = graph(s, dir)
+          .viewLayers(Seq("region", "nation", "supplier", "customer"))
+        GraphOps.hitsFixedPoint(g, iters = PrFixedIters)
+          .join(g.vertices, Seq("vid"))
+          .select(col("layer"), col("nodeId").as("node_id"),
+            col("auth_fp"), col("hub_fp"))
+          .orderBy("layer", "node_id")
+      },
+      Some(hitsFixedSql(Seq("region", "nation", "supplier", "customer"),
+        PrFixedIters))),
+
+    QueryDef("g62_maximal_matching",
+      // deterministic greedy maximal matching over the co-purchase
+      // conflict graph (pair assignment under conflicts — A/B dedup
+      // arbitration, reviewer pairing): per round every part points
+      // at its minimum-(md5, a, b) live edge, mutual handshakes
+      // marry, endpoints retire; the fixpoint equals the sequential
+      // greedy matching by that priority order but runs synchronous
+      // and partitioned. Unmatched parts report mate = -1.
+      (s, dir) => {
+        val gi = StarGraph.copurchaseGi(s, dir)
+        val pairs = LinkAnalysis.jaccardPairsFromGi(gi, 2).select("a", "b")
+        val m = LinkAnalysis.maximalMatching(pairs, rounds = 6)
+        val perVertex = m
+          .select(col("a").as("id"), col("b").as("mate"), col("round"))
+          .unionByName(m.select(col("b").as("id"), col("a").as("mate"),
+            col("round")))
+        gi.select(col("i").as("id")).distinct()
+          .join(perVertex, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("mate"), lit(-1L)).cast("long").as("mate"),
+            coalesce(col("round"), lit(0)).cast("int").as("round"))
+          .orderBy("id")
+      },
+      Some(matchingSql(6))),
 
     QueryDef("g59_louvain_two_level",
       // the full multi-level Louvain pyramid cut at depth 2: g58's

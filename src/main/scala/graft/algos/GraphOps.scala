@@ -482,4 +482,57 @@ object GraphOps {
         coalesce(col("neg_score"), lit(0L)).as("neg_score"))
       .withColumn("concordant", col("pos_score") > col("neg_score"))
   }
+
+  /** HITS hubs-and-authorities (Kleinberg), deterministic fixed point
+    * — the second classic eigenvector centrality the graph-tool suite
+    * motivates (`/root/reference/README.md:5`) next to g27's PageRank:
+    *
+    *   a_t(v) = norm( Σ_{u→v} h_{t-1}(u) )   (authorities gather hubs)
+    *   h_t(u) = norm( Σ_{u→v} a_t(v) )       (hubs gather authorities)
+    *
+    * in BIGINT micro-units, where `norm` divides by the round's MAX
+    * (one integral divide) instead of the classical L2 norm — the same
+    * dominant-eigenvector direction, but exact integer arithmetic that
+    * re-derives bit-identically on any engine and any partitioning
+    * (an L2 norm needs sqrt, which no two engines round alike). The
+    * per-vertex gather sums ride DECIMAL(38,0) (a 1e9-in-degree hub
+    * would overflow a BIGINT sum of 1e6-scaled scores at the extreme),
+    * and the round max arrives as a 1-row broadcast cross join.
+    * Returns (vid, auth_fp, hub_fp), each scaled to [0, 1e6].
+    *
+    * Scale shape per round: two edge⋈score equi-joins + two map-side-
+    * combinable aggregations; scores are checkpointed so plan depth
+    * stays bounded (the g27 round pattern). */
+  def hitsFixedPoint(g: OnionGraph, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(iters >= 1, s"hitsFixedPoint: iters >= 1, got $iters")
+    val e = g.edges.select("src", "dst").localCheckpoint()
+    val v = g.vertices.select("vid").localCheckpoint()
+    // one half-step: gather `from`'s score across edges keyed on
+    // `joinKey`, grouped onto `gatherKey`, then max-normalize
+    def halfStep(joinKey: String, gatherKey: String,
+                 from: DataFrame): DataFrame = {
+      val raw = v.join(
+        e.join(from.withColumnRenamed("vid", joinKey), Seq(joinKey))
+          .groupBy(col(gatherKey).as("vid"))
+          .agg(sum(col("x").cast("decimal(38,0)")).as("s")),
+        Seq("vid"), "left")
+        .select(col("vid"),
+          coalesce(col("s"), lit(0).cast("decimal(38,0)")).as("s"))
+      val mx = raw.agg(max("s").as("m"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("vid"), when(col("m") > 0,
+          expr("CAST((s * 1000000) DIV m AS BIGINT)"))
+          .otherwise(lit(0L)).as("x"))
+        .localCheckpoint()
+    }
+    var hub = v.select(col("vid"), lit(1000000L).as("x"))
+    var auth = hub
+    for (_ <- 1 to iters) {
+      auth = halfStep("src", "dst", hub)
+      hub = halfStep("dst", "src", auth)
+    }
+    auth.select(col("vid"), col("x").as("auth_fp"))
+      .join(hub.select(col("vid"), col("x").as("hub_fp")), Seq("vid"))
+  }
 }

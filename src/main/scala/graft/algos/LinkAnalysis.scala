@@ -985,4 +985,59 @@ object LinkAnalysis {
         (lit(4L) * col("m") * col("e_intra")
           - col("d_sum") * col("d_sum")).as("contrib"))
   }
+
+  /** Deterministic greedy maximal matching — the "handshake" kernel
+    * (pair-assignment under conflicts: each vertex points at its best
+    * live edge, mutually-chosen edges marry, their endpoints retire,
+    * repeat): edge priority is the portable md5-60-bit hash of "a:b"
+    * with (p, a, b) as the total order, so every round — and the whole
+    * matching — re-derives bit-identically on any engine. The fixpoint
+    * EQUALS the sequential greedy matching by ascending (p, a, b)
+    * (a locally-minimum edge is exactly the next greedy pick among
+    * the edges that survive), but unlike the sequential scan it is
+    * synchronous and partitionable; the globally minimum live edge
+    * always marries, so progress is guaranteed and O(log n) rounds
+    * are expected. `rounds` bounds the sweep (the oracle runs the
+    * identical bound); edges still live after it stay unmatched.
+    * Input: canonical a < b pair rows. Returns one row per matched
+    * EDGE: (a, b, round).
+    *
+    * Scale shape per round: one map-side-combinable argmin (min of a
+    * (p, a, b) struct) over the symmetrized live edges + two joins
+    * back + two anti-joins to retire endpoints; the live edge set only
+    * SHRINKS and is checkpointed (the kcore round pattern). */
+  def maximalMatching(pairs: DataFrame, rounds: Int = 6): DataFrame = {
+    require(rounds >= 1, s"maximalMatching: rounds >= 1, got $rounds")
+    var live = pairs.select("a", "b").filter(col("a") < col("b")).distinct()
+      .withColumn("p", conv(substring(md5(concat(col("a").cast("string"),
+        lit(":"), col("b").cast("string"))), 1, 15), 16, 10).cast("long"))
+      .localCheckpoint()
+    var acc = live.select(col("a"), col("b"), lit(0).as("round"))
+      .where(lit(false))
+    for (r <- 1 to rounds) {
+      val sym = live.select(col("a").as("u"), col("p"), col("a"), col("b"))
+        .unionByName(live.select(col("b").as("u"), col("p"), col("a"),
+          col("b")))
+      val best = sym.groupBy("u")
+        .agg(min(struct(col("p"), col("a"), col("b"))).as("m"))
+        .select(col("u"), col("m.a").as("ma"), col("m.b").as("mb"))
+      val win = live
+        .join(best.select(col("u").as("a"), col("ma"), col("mb")), Seq("a"))
+        .where(col("ma") === col("a") && col("mb") === col("b"))
+        .drop("ma", "mb")
+        .join(best.select(col("u").as("b"), col("ma"), col("mb")), Seq("b"))
+        .where(col("ma") === col("a") && col("mb") === col("b"))
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      acc = acc.unionByName(win.withColumn("round", lit(r)))
+      val matched = win.select(col("a").as("id"))
+        .unionByName(win.select(col("b").as("id"))).distinct()
+      live = live
+        .join(matched.select(col("id").as("a")), Seq("a"), "left_anti")
+        .join(matched.select(col("id").as("b")), Seq("b"), "left_anti")
+        .select("a", "b", "p")
+        .localCheckpoint()
+    }
+    acc
+  }
 }

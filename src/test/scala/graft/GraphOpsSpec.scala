@@ -149,6 +149,40 @@ class GraphOpsSpec extends SparkSuite {
     }
   }
 
+  test("hitsFixedPoint: exact hand-computed scores on a two-hub fan") {
+    // a -> c, b -> c, b -> d: c is the strong authority, b the strong
+    // hub (it points at both authorities), a a weaker hub, d a weaker
+    // authority. Scale 1e6, max-normalized per half-step.
+    val nodes = Seq("a", "b", "c", "d").map((_, "L")).toDF("node_id", "layer")
+    val edges = Seq(("a", "c"), ("b", "c"), ("b", "d"))
+      .map { case (s2, t) => (s2, "L", t, "L") }
+      .toDF("source_id", "source_layer", "target_id", "target_layer")
+    val g = OnionBuilder.grow(nodes, edges, GrowOptions())
+    val got = GraphOps.hitsFixedPoint(g, iters = 2)
+      .join(g.vertices, Seq("vid"))
+      .select(col("nodeId"), col("auth_fp"), col("hub_fp"))
+      .as[(String, Long, Long)].collect()
+      .map { case (n, a2, h2) => n -> ((a2, h2)) }.toMap
+    // iter1: araw c=2e6, d=1e6, max 2e6 -> a_c=1e6, a_d=5e5
+    //        hraw a=1e6, b=1.5e6, max 1.5e6 -> h_a=666666, h_b=1e6
+    // iter2: araw c=1666666, d=1e6 -> a_c=1e6, a_d=1e12 DIV 1666666=600000
+    //        hraw a=1e6, b=1.6e6 -> h_a=1e12 DIV 1.6e6=625000, h_b=1e6
+    assert(got == Map(
+      "a" -> ((0L, 625000L)), "b" -> ((0L, 1000000L)),
+      "c" -> ((1000000L, 0L)), "d" -> ((600000L, 0L))))
+  }
+
+  test("hitsFixedPoint is invariant under repartitioning") {
+    val g0 = randomGraph(17, 30, 70)
+    val g1 = graft.model.OnionGraph(g0.vertices.repartition(7),
+      g0.edges.repartition(3))
+    val a = GraphOps.hitsFixedPoint(g0, iters = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = GraphOps.hitsFixedPoint(g1, iters = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("pageRankFixedPoint is invariant under repartitioning") {
     val g0 = randomGraph(13, 30, 70)
     val g1 = graft.model.OnionGraph(g0.vertices.repartition(7),

@@ -601,6 +601,40 @@ class PipelineAnalyticsSpec extends SparkSuite {
     assert(again == got)
   }
 
+  test("maximalMatching: a matching, maximal, equals sequential greedy") {
+    // the same 30-vertex circulant graph as the Luby case
+    val edges = (0L until 30L).flatMap(i =>
+      Seq((i, (i + 1) % 30), (i, (i + 3) % 30)))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val got = LinkAnalysis.maximalMatching(edges.toDF("a", "b"), rounds = 8)
+      .as[(Long, Long, Int)].collect()
+    // a matching: every vertex appears in at most one matched edge
+    val touched = got.flatMap { case (a, b, _) => Seq(a, b) }
+    assert(touched.distinct.length == touched.length)
+    // matched edges come from the input
+    assert(got.forall { case (a, b, _) => edges.contains((a, b)) })
+    // maximal at convergence: every input edge has a matched endpoint
+    val ts = touched.toSet
+    assert(edges.forall { case (a, b) => ts(a) || ts(b) })
+    // equals the sequential greedy matching by ascending (md5, a, b)
+    def prio(a: Long, b: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$a:$b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val free = scala.collection.mutable.Set((0L until 30L): _*)
+    val greedy = scala.collection.mutable.Set.empty[(Long, Long)]
+    for ((a, b) <- edges.sortBy { case (a, b) => (prio(a, b), a, b) })
+      if (free(a) && free(b)) { greedy += ((a, b)); free -= a; free -= b }
+    assert(got.map { case (a, b, _) => (a, b) }.toSet == greedy.toSet)
+    // repartition-invariant (rounds included)
+    val again = LinkAnalysis
+      .maximalMatching(edges.toDF("a", "b").repartition(5), rounds = 8)
+      .as[(Long, Long, Int)].collect()
+    assert(again.toSet == got.toSet)
+  }
+
   test("weightedBernoulli is deterministic and monotone in weight") {
     import graft.ext.Sampling
     val df = (0L until 500L).toDF("doc_id")
