@@ -5829,6 +5829,62 @@ object SparkEntry {
              |FROM probes p JOIN rng r ON p.u >= r.lo AND p.u < r.hi
              |ORDER BY p.doc_id, j""".stripMargin)),
 
+    QueryDef("x113_kfold_card",
+      // stratified 5-fold CV assignment + its balance audit: folds
+      // are the portable md5 bucket mod 5 (map-only, content-keyed —
+      // restartable eval protocol), the card reports each (fold,
+      // lang) cell's count, within-fold share, and |deviation| from
+      // the corpus-wide lang share, all integer ppm.
+      (s, dir) => Sampling.kfoldCard(docs(s, dir), "doc_id", "lang", k = 5)
+        .orderBy("fold", "stratum"),
+      Some("""WITH f AS (SELECT
+             |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+             |    1, 15)) AS BIGINT) % 5 AS INT) AS fold,
+             |  lang AS stratum FROM documents),
+             | cell AS (SELECT fold, stratum, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM f GROUP BY 1, 2),
+             | ft AS (SELECT fold, CAST(SUM(n) AS BIGINT) AS nf
+             |  FROM cell GROUP BY 1),
+             | st AS (SELECT stratum, CAST(SUM(n) AS BIGINT) AS ns
+             |  FROM cell GROUP BY 1),
+             | t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM cell)
+             |SELECT cell.fold, cell.stratum, cell.n,
+             | CAST(n * 1000000 // nf AS BIGINT) AS share_ppm,
+             | CAST(ABS(n * 1000000 // nf - ns * 1000000 // nt) AS BIGINT)
+             |   AS dev_ppm
+             |FROM cell JOIN ft USING (fold) JOIN st USING (stratum), t
+             |ORDER BY fold, stratum""".stripMargin)),
+
+    QueryDef("x114_embedding_drift",
+      // embedding-space drift card (x52's histogram gate lifted to
+      // vector space): whole-corpus kmeans cells are the bins — both
+      // slices bin identically — and the even/odd vec_id halves play
+      // ref vs current; per-cell shares and |Δ| in integer ppm, TV
+      // distance = Σ delta / 2.
+      (s, dir) => Clustering.cellShareDrift(t(s, dir, "embeddings"),
+          col("vec_id") % 2 === 0, k = 4, iters = 2)
+        .orderBy("cluster"),
+      Some(s"""WITH ${kmeansCtes(4, 2)},
+             | tag AS (SELECT vec_id, vec_id % 2 = 0 AS is_ref
+             |  FROM embeddings),
+             | cell AS (SELECT a.cluster,
+             |   CAST(SUM(CASE WHEN t.is_ref THEN 1 ELSE 0 END) AS BIGINT)
+             |     AS n_ref,
+             |   CAST(SUM(CASE WHEN t.is_ref THEN 0 ELSE 1 END) AS BIGINT)
+             |     AS n_cur
+             |  FROM a3 a JOIN tag t USING (vec_id) GROUP BY 1),
+             | tots AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+             |   CAST(SUM(n_cur) AS BIGINT) AS tc FROM cell)
+             |SELECT cluster, n_ref, n_cur,
+             | CAST(n_ref * 1000000 // GREATEST(tr, 1) AS BIGINT)
+             |   AS share_ref_ppm,
+             | CAST(n_cur * 1000000 // GREATEST(tc, 1) AS BIGINT)
+             |   AS share_cur_ppm,
+             | CAST(ABS(n_ref * 1000000 // GREATEST(tr, 1)
+             |   - n_cur * 1000000 // GREATEST(tc, 1)) AS BIGINT)
+             |   AS delta_ppm
+             |FROM cell, tots ORDER BY cluster""".stripMargin)),
+
     // --------------------------------------------- pipeline: curation gates
     QueryDef("x53_cap_per_group",
       // per-domain document cap (the "≤k pages per host" crawl-curation

@@ -272,4 +272,40 @@ object Clustering {
     top.withColumn("rank", row_number().over(w))
       .select(col("query_id"), col("neighbor_id"), col("adc_d2"), col("rank"))
   }
+
+  /** Embedding-space drift card — the x52 histogram-drift gate lifted
+    * to vector space: kmeans cells TRAINED ON THE WHOLE CORPUS (so
+    * both slices bin identically — training per-slice would confound
+    * drift with cell movement) become the histogram bins; the card is
+    * the per-cell ref/cur counts, shares, and |Δshare| in integer ppm
+    * (TV distance = Σ delta_ppm / 2, re-derivable from the rows — the
+    * all-integer alternative to libm-bound KL/PSI). `isRef` marks the
+    * reference slice (yesterday's corpus, the trusted source…);
+    * everything else is "current".
+    * Returns (cluster, n_ref, n_cur, share_ref_ppm, share_cur_ppm,
+    * delta_ppm).
+    *
+    * Scale shape: the corpus touches one broadcast-centroid kmeans
+    * assignment (vectors never shuffle) + one cells-sized aggregation;
+    * totals arrive as a 1-row broadcast cross join. */
+  def cellShareDrift(emb: DataFrame, isRef: Column, k: Int,
+                     iters: Int = 2, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val a = kmeans(emb, k, iters, idCol, vecCol)
+    val cell = emb.select(col(idCol).as("vec_id"), isRef.as("is_ref"))
+      .join(a.select("vec_id", "cluster"), Seq("vec_id"))
+      .groupBy("cluster")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+    val tots = cell.agg(sum("n_ref").cast("long").as("tr"),
+      sum("n_cur").cast("long").as("tc"))
+    cell.crossJoin(broadcast(tots))
+      .select(col("cluster"),
+        col("n_ref").cast("long").as("n_ref"),
+        col("n_cur").cast("long").as("n_cur"),
+        expr("n_ref * 1000000 DIV greatest(tr, 1)").as("share_ref_ppm"),
+        expr("n_cur * 1000000 DIV greatest(tc, 1)").as("share_cur_ppm"),
+        abs(expr("n_ref * 1000000 DIV greatest(tr, 1)")
+          - expr("n_cur * 1000000 DIV greatest(tc, 1)")).as("delta_ppm"))
+  }
 }

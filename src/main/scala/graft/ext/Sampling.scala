@@ -52,6 +52,43 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Stratified k-fold cross-validation assignment: fold =
+    * [[md5Bucket]](key) mod k — map-only, content-keyed, so every
+    * engine/run/partitioning deals the identical folds and eval runs
+    * are restartable (the x18 split family, with exactly-k equal-
+    * probability parts instead of named fractions). */
+  def kfold(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"kfold: k >= 2, got $k")
+    df.withColumn("fold", md5Bucket(col(keyCol), k))
+  }
+
+  /** The k-fold BALANCE AUDIT — the report a CV protocol wants before
+    * trusting fold-to-fold comparability: per (fold, stratum) the
+    * count, the within-fold stratum share, and its absolute deviation
+    * from the corpus-wide stratum share, all integer ppm so the card
+    * re-derives bit-identically on any engine.
+    *
+    * Scale shape: one map-side-combinable (fold, stratum) count; the
+    * fold/stratum/corpus totals re-aggregate those k×|strata| rows,
+    * and the corpus total arrives as a 1-row broadcast cross join —
+    * raw rows are touched exactly once. */
+  def kfoldCard(df: DataFrame, keyCol: String, strataCol: String,
+                k: Int): DataFrame = {
+    val cell = kfold(df, keyCol, k)
+      .groupBy(col("fold"), col(strataCol).as("stratum"))
+      .agg(count(lit(1)).as("n"))
+    val foldTot = cell.groupBy("fold").agg(sum("n").cast("long").as("nf"))
+    val stratTot = cell.groupBy("stratum")
+      .agg(sum("n").cast("long").as("ns"))
+    val tot = cell.agg(sum("n").cast("long").as("nt"))
+    cell.join(foldTot, Seq("fold")).join(stratTot, Seq("stratum"))
+      .crossJoin(broadcast(tot))
+      .select(col("fold"), col("stratum"), col("n"),
+        expr("n * 1000000 DIV nf").as("share_ppm"),
+        abs(expr("n * 1000000 DIV nf") - expr("ns * 1000000 DIV nt"))
+          .as("dev_ppm"))
+  }
+
   /** Per-row weighted Bernoulli keep in parts-per-million, md5 family:
     * a row survives iff its portable ppm bucket falls below
     * `weightPpm` (an INTEGER column — callers quantize their weight to

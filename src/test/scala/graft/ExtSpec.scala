@@ -501,6 +501,24 @@ class ExtSpec extends SparkSuite {
     assert(g2.forall(!_))
   }
 
+  test("cellShareDrift: separated slices max out, balanced slices read 0 (X14)") {
+    // two separable blobs; vec 1 seeds cell A, vec 2 seeds cell B
+    val emb = Seq(
+      (1L, Array(10.0f, 0.0f)), (3L, Array(10.0f, 0.0f)),
+      (5L, Array(10.0f, 1.0f)), (7L, Array(10.0f, 1.0f)),
+      (2L, Array(0.0f, 10.0f)), (4L, Array(0.0f, 10.0f)),
+      (6L, Array(1.0f, 10.0f)), (8L, Array(1.0f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    // ref = blob A exactly: each cell is pure, so both deltas max out
+    val sep = Clustering.cellShareDrift(emb, col("vec_id") % 2 === 1, k = 2)
+      .select("cluster", "delta_ppm").as[(Int, Long)].collect().toMap
+    assert(sep.size == 2 && sep.values.toSet == Set(1000000L))
+    // ref = a balanced half of each blob: zero drift everywhere
+    val bal = Clustering.cellShareDrift(emb, col("vec_id") <= 4, k = 2)
+      .select("delta_ppm").as[Long].collect()
+    assert(bal.length == 2 && bal.forall(_ == 0L))
+  }
+
   test("dupRateByGroup: sources with twin docs flag, clean sources rate 0 (X1)") {
     val body = "the quick brown fox jumps over the lazy dog again and again"
     val docs = Seq(

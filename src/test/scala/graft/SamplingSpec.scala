@@ -23,6 +23,35 @@ class SamplingSpec extends SparkSuite {
     assert(counts("train") > 1500 && counts("train") < 1700)
   }
 
+  test("kfold partitions the corpus; kfoldCard audits balance exactly") {
+    val out = Sampling.kfold(rows, "id", k = 5)
+    assert(out.count() == 2000)
+    val folds = out.select("fold").distinct().as[Int].collect().toSet
+    assert(folds == (0 until 5).toSet)
+    val a = out.select("id", "fold").as[(Long, Int)].collect().toMap
+    val b = Sampling.kfold(rows.repartition(7), "id", 5)
+      .select("id", "fold").as[(Long, Int)].collect().toMap
+    assert(a == b, "fold assignment is partition-independent")
+    // card equals a brute in-JVM derivation over the same md5 buckets
+    def bucket(id: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % 5).toInt
+    }
+    val data = (0L until 2000L).map(i => (i, if (i % 3 == 0) "en" else "es"))
+    val cell = data.groupBy { case (i, l) => (bucket(i), l) }
+      .view.mapValues(_.size.toLong).toMap
+    val nf = cell.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val ns = cell.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val want = cell.map { case ((f, l), n) =>
+      (f, l, n, n * 1000000L / nf(f),
+        math.abs(n * 1000000L / nf(f) - ns(l) * 1000000L / 2000L)) }.toSet
+    val got = Sampling.kfoldCard(rows, "id", "lang", 5)
+      .as[(Int, String, Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("hashSplit assignment is stable under repartitioning") {
     val a = Sampling.hashSplit(rows, "id", Seq("a" -> 0.5, "b" -> 0.5))
       .select("id", "split").as[(Long, String)].collect().toMap
