@@ -3801,6 +3801,55 @@ object SparkEntry {
              |ORDER BY c.c_custkey, l.o_totalprice DESC, l.o_orderkey"""
         .stripMargin)),
 
+    QueryDef("q49_null_safe_join",
+      // NULL-safe equality join (`<=>` / IS NOT DISTINCT FROM): both
+      // sides carve a nullable key (nationkey bucket 0 -> NULL) and
+      // the null-safe predicate MATCHES the NULL×NULL pairs a plain
+      // `=` silently drops — q39's three-valued-logic corner, on the
+      // join surface. Spark still plans it as a hash equi-join on the
+      // null-safe key (no BNLJ regression). NULL labels as -1.
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .select(expr("nullif(c_nationkey % 5, 0)").as("k"))
+        val su = t(s, dir, "supplier")
+          .select(expr("nullif(s_nationkey % 5, 0)").as("ks"))
+        c.join(su, col("k") <=> col("ks"))
+          .groupBy(coalesce(col("k"), lit(-1L)).cast("long").as("k_label"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("k_label")
+      },
+      Some("""WITH c AS (SELECT NULLIF(c_nationkey % 5, 0) AS k
+             |  FROM customer),
+             | s AS (SELECT NULLIF(s_nationkey % 5, 0) AS k FROM supplier)
+             |SELECT CAST(COALESCE(c.k, -1) AS BIGINT) AS k_label,
+             | CAST(COUNT(*) AS BIGINT) AS n_pairs
+             |FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+             |GROUP BY 1 ORDER BY k_label""".stripMargin)),
+
+    QueryDef("q50_percentile_cont",
+      // INTERPOLATED percentiles (percentile_cont semantics — q19/q47
+      // pin the _disc form): quartiles of exact integer cents per
+      // return flag. Power-of-two quantiles interpolate EXACTLY in
+      // binary floating point (frac and hi−lo scale by 2^-k, values
+      // ≪ 2^53), so even the interpolated doubles hash-match across
+      // engines — the one regime where float outputs are safe.
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"), expr(
+          "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("v"))
+        .groupBy("flag")
+        .agg(expr("percentile(v, 0.25)").as("p25"),
+          expr("percentile(v, 0.5)").as("p50"),
+          expr("percentile(v, 0.75)").as("p75"))
+        .orderBy("flag"),
+      Some("""SELECT l_returnflag AS flag,
+             | quantile_cont(v, 0.25) AS p25,
+             | quantile_cont(v, 0.5) AS p50,
+             | quantile_cont(v, 0.75) AS p75
+             |FROM (SELECT l_returnflag,
+             |  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+             | FROM lineitem)
+             |GROUP BY 1 ORDER BY flag""".stripMargin)),
+
     QueryDef("q35_full_outer",
       // FULL OUTER JOIN coverage with genuinely asymmetric sides
       // (nations having deep-debit customers vs suppliers): USING-join
