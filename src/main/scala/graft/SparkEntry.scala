@@ -6121,6 +6121,47 @@ object SparkEntry {
              |FROM documents d LEFT JOIN per USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("x115_bpe_fertility",
+      // tokenizer fertility card — the metric that decides whether a
+      // tokenizer is fit for a language mix (tokens-per-word ≫ 1 on a
+      // language means its text pays more sequence length per word):
+      // encode under the 10-round learned merges (x58/x59 machinery),
+      // roll up per language in integer ppm. One vocabulary-sized
+      // encode + one lang-sized aggregation over the per-doc counts.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val enc = TextOps.applyBpe(d, TextOps.learnBpeMerges(d, rounds = 10))
+        d.select(col("doc_id"), col("lang")).join(enc, Seq("doc_id"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_words").cast("long").as("n_words"),
+            sum("n_bpe").cast("long").as("n_bpe"))
+          .withColumn("fertility_ppm",
+            expr("n_bpe * 1000000 DIV greatest(n_words, 1)"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH ${bpeCtes(10)},
+             | wd AS (SELECT doc_id, w FROM (
+             |   SELECT doc_id, unnest(string_split_regex(trim(
+             |     regexp_replace(regexp_replace(lower(text),
+             |     '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')),
+             |     '\\s+')) AS w FROM documents)
+             |  WHERE w <> ''),
+             | per AS (SELECT wd.doc_id,
+             |   CAST(COUNT(*) AS BIGINT) AS n_words,
+             |   CAST(SUM(len(wk.s)) AS BIGINT) AS n_bpe
+             |  FROM wd JOIN w10 wk USING (w) GROUP BY wd.doc_id),
+             | j AS (SELECT d.doc_id, d.lang,
+             |   COALESCE(per.n_words, 0) AS n_words,
+             |   COALESCE(per.n_bpe, 0) AS n_bpe
+             |  FROM documents d LEFT JOIN per USING (doc_id))
+             |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             | CAST(SUM(n_words) AS BIGINT) AS n_words,
+             | CAST(SUM(n_bpe) AS BIGINT) AS n_bpe,
+             | CAST(SUM(n_bpe) * 1000000 // GREATEST(SUM(n_words), 1)
+             |   AS BIGINT) AS fertility_ppm
+             |FROM j GROUP BY 1 ORDER BY lang""".stripMargin)),
+
     QueryDef("x60_match_distribution",
       // the REPAIR to x52's drift GATE: largest deterministic
       // subsample of the non-English slice whose 200-char n_chars
