@@ -595,6 +595,51 @@ object SparkEntry {
        |ORDER BY m.id""".stripMargin
   }
 
+  /** DuckDB oracle for [[LinkAnalysis.boruvkaForest]] over the
+    * co-purchase projection: per round a cross-edge CTE, the
+    * per-component best-edge QUALIFY over (w DESC, a, b), the
+    * mutual-pair-rooted pointer CTE, `jumps` pointer-jumping CTEs,
+    * and the contracted assignment; selected edges accumulate with
+    * their round. */
+  private def boruvkaSql(rounds: Int, jumps: Int): String = {
+    val rs = (1 to rounds).map { r =>
+      val jumpCtes = (1 to jumps).map { j =>
+        s"""p${r}_$j AS MATERIALIZED (SELECT p.u, COALESCE(q.v, p.v) AS v
+           | FROM p${r}_${j - 1} p LEFT JOIN p${r}_${j - 1} q
+           |   ON q.u = p.v)""".stripMargin
+      }.mkString(",\n")
+      s"""ce$r AS MATERIALIZED (SELECT e.a, e.b, e.w, x.c AS ca, y.c AS cb
+         | FROM e0 e JOIN comp${r - 1} x ON x.id = e.a
+         |  JOIN comp${r - 1} y ON y.id = e.b
+         | WHERE x.c <> y.c),
+         |sym$r AS (SELECT ca AS u, cb AS v, w, a, b FROM ce$r
+         | UNION ALL SELECT cb, ca, w, a, b FROM ce$r),
+         |best$r AS MATERIALIZED (SELECT u, v, w, a, b FROM sym$r
+         | QUALIFY ROW_NUMBER() OVER (PARTITION BY u
+         |   ORDER BY w DESC, a, b) = 1),
+         |sel$r AS (SELECT DISTINCT a, b, w FROM best$r),
+         |p${r}_0 AS MATERIALIZED (SELECT x.u,
+         |  CASE WHEN y.u IS NOT NULL THEN LEAST(x.u, x.v) ELSE x.v END AS v
+         | FROM best$r x LEFT JOIN best$r y
+         |   ON y.u = x.v AND y.v = x.u),
+         |$jumpCtes,
+         |comp$r AS MATERIALIZED (SELECT c.id, COALESCE(p.v, c.c) AS c
+         | FROM comp${r - 1} c LEFT JOIN p${r}_$jumps p ON p.u = c.c)"""
+        .stripMargin
+    }.mkString(",\n")
+    val accU = (1 to rounds).map(r =>
+      s"SELECT a, b, w, $r AS round FROM sel$r").mkString(" UNION ALL ")
+    s"""WITH $copurchaseSql,
+       |e0 AS MATERIALIZED (SELECT a, b, CAST(w AS BIGINT) AS w FROM pe),
+       |verts AS (SELECT DISTINCT a AS id FROM e0
+       | UNION SELECT b FROM e0),
+       |comp0 AS MATERIALIZED (SELECT id, id AS c FROM verts),
+       |$rs,
+       |acc AS ($accU)
+       |SELECT a, b, w, CAST(round AS INT) AS round FROM acc
+       |ORDER BY a, b""".stripMargin
+  }
+
   /** DuckDB oracle for [[LinkAnalysis.ktruss]]: `rounds` chained
     * support-and-peel CTEs (each round a wedge self-join counting
     * common neighbors per edge, HAVING the k−2 support bar — the
@@ -3102,6 +3147,24 @@ object SparkEntry {
           .orderBy("id")
       },
       Some(matchingSql(6))),
+
+    QueryDef("g63_boruvka_msf",
+      // Borůvka MAXIMUM spanning forest of the co-purchase graph —
+      // the strongest-association backbone touching every part: per
+      // round each component claims its best incident cross edge
+      // under the (w DESC, a, b) total order (unique forest, as if
+      // weights were distinct), mutual pairs root the pointer trees,
+      // 6 pointer-jumps contract. 3 rounds reach the forest on this
+      // graph (O(log n) in general); equality with Kruskal under the
+      // same order is spec-pinned.
+      (s, dir) => {
+        val gi = StarGraph.copurchaseGi(s, dir)
+        val pairs = LinkAnalysis.cooccurrenceFromGi(gi, 2)
+        LinkAnalysis.boruvkaForest(pairs, rounds = 3, jumps = 6)
+          .withColumn("round", col("round").cast("int"))
+          .orderBy("a", "b")
+      },
+      Some(boruvkaSql(3, 6))),
 
     QueryDef("g59_louvain_two_level",
       // the full multi-level Louvain pyramid cut at depth 2: g58's

@@ -18,4 +18,30 @@ package object graftbridge {
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Eager localCheckpoint that DROPS the carried plan statistics.
+    *
+    * Spark 4's `Dataset.localCheckpoint` copies the ORIGIN plan's
+    * estimated `Statistics` onto the resulting `LogicalRDD`
+    * (ExistingRDD.scala `rewriteStatsAndConstraints`). In an iterative
+    * kernel that SELF-JOINS its own checkpointed output (pointer
+    * jumping, transitive closure), the carried `sizeInBytes` estimate
+    * SQUARES every round — the BigInt reaches millions of bits within
+    * ~15 rounds and the next checkpoint's stats walk becomes the
+    * entire job (observed: minutes of driver CPU inside
+    * BigInteger.multiply at 2k input rows). Rebuilding the LogicalRDD
+    * with originStats = None resets each round to the conf default, so
+    * per-round planning cost stays constant. Linear chains (frontier ⋈
+    * static edges) don't compound and keep the plain localCheckpoint. */
+  def statlessLocalCheckpoint(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    ck.queryExecution.logical match {
+      case lr: execution.LogicalRDD =>
+        ofRows(ck.sparkSession,
+          execution.LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+            lr.outputOrdering, lr.isStreaming, lr.stream)(
+            ck.sparkSession.asInstanceOf[classic.SparkSession], None, None))
+      case _ => ck
+    }
+  }
 }

@@ -635,6 +635,42 @@ class PipelineAnalyticsSpec extends SparkSuite {
     assert(again.toSet == got.toSet)
   }
 
+  test("boruvkaForest: a forest, spanning, equals Kruskal under the same order") {
+    // weighted circulant graph: w cycles 1..5 deterministically
+    val edges = (0L until 30L).flatMap(i =>
+      Seq((i, (i + 1) % 30), (i, (i + 3) % 30)))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      .map { case (a, b) => (a, b, (a * 7 + b * 3) % 5 + 1) }
+    val got = LinkAnalysis
+      .boruvkaForest(edges.toDF("a", "b", "w"), rounds = 6, jumps = 8)
+      .as[(Long, Long, Long, Int)].collect()
+    // forest: n_edges = n_vertices - n_components (here connected -> 29)
+    assert(got.length == 29)
+    // acyclic: union-find over the selected edges never closes a cycle
+    val parent = scala.collection.mutable.Map((0L until 30L).map(v => v -> v): _*)
+    def find(v: Long): Long =
+      if (parent(v) == v) v else { parent(v) = find(parent(v)); parent(v) }
+    got.foreach { case (a, b, _, _) =>
+      assert(find(a) != find(b), s"cycle at ($a,$b)"); parent(find(a)) = find(b) }
+    // equals Kruskal's maximum spanning forest under the SAME
+    // (w DESC, a, b) total order — the unique-MSF argument
+    def key(e: (Long, Long, Long)) = (-e._3, e._1, e._2)
+    val p2 = scala.collection.mutable.Map((0L until 30L).map(v => v -> v): _*)
+    def find2(v: Long): Long =
+      if (p2(v) == v) v else { p2(v) = find2(p2(v)); p2(v) }
+    val kruskal = edges.sortBy(key).filter { case (a, b, _) =>
+      val (ra, rb) = (find2(a), find2(b))
+      if (ra != rb) { p2(ra) = rb; true } else false
+    }
+    assert(got.map { case (a, b, w, _) => (a, b, w) }.toSet ==
+      kruskal.toSet)
+    // repartition-invariant
+    val again = LinkAnalysis
+      .boruvkaForest(edges.toDF("a", "b", "w").repartition(5), 6, 8)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(again.toSet == got.toSet)
+  }
+
   test("weightedBernoulli is deterministic and monotone in weight") {
     import graft.ext.Sampling
     val df = (0L until 500L).toDF("doc_id")
