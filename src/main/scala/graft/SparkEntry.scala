@@ -3913,6 +3913,31 @@ object SparkEntry {
              | FROM lineitem)
              |GROUP BY 1 ORDER BY flag""".stripMargin)),
 
+    QueryDef("q51_filter_agg",
+      // aggregate FILTER clause (SQL:2003): per-flag conditional
+      // aggregates without CASE contortions — counts, a decimal-
+      // routed filtered sum, and a filtered COUNT(DISTINCT), each
+      // planned as one hash aggregate pass (no self-joins).
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n_all"),
+          expr("count(*) FILTER (WHERE l_quantity > 25)").as("n_big"),
+          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))" +
+            " FILTER (WHERE l_discount > 0.05) AS DOUBLE)")
+            .as("sum_discounted"),
+          expr("count(DISTINCT l_suppkey) FILTER (WHERE l_quantity > 25)")
+            .as("n_big_supp"))
+        .orderBy("flag"),
+      Some("""SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n_all,
+             | CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT)
+             |   AS n_big,
+             | CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+             |   FILTER (WHERE l_discount > 0.05) AS DOUBLE)
+             |   AS sum_discounted,
+             | CAST(COUNT(DISTINCT l_suppkey) FILTER (WHERE l_quantity > 25)
+             |   AS BIGINT) AS n_big_supp
+             |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin)),
+
     QueryDef("q35_full_outer",
       // FULL OUTER JOIN coverage with genuinely asymmetric sides
       // (nations having deep-debit customers vs suppliers): USING-join
@@ -5940,6 +5965,27 @@ object SparkEntry {
              |SELECT p.doc_id, CAST(p.j AS INT) AS j, r.source
              |FROM probes p JOIN rng r ON p.u >= r.lo AND p.u < r.hi
              |ORDER BY p.doc_id, j""".stripMargin)),
+
+    QueryDef("x116_vocab_freq_card",
+      // frequency-of-frequencies vocabulary card (the Good-Turing /
+      // Zipf diagnostic): N_c = #distinct terms with count exactly c
+      // for the 20 LOWEST counts present (a templated corpus may have
+      // no hapax at all), with vocabulary shares in integer ppm —
+      // hapax mass, templating, and smoothing denominators in one
+      // tiny table. Term frequencies shuffle 8-byte hashes only.
+      (s, dir) => TextOps.vocabFreqCard(docs(s, dir), smallest = 20)
+        .orderBy("c"),
+      Some("""WITH tok AS (SELECT
+             |   unnest(string_split_regex(trim(text), '\s+')) AS w
+             |  FROM documents),
+             | tf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+             |  WHERE w <> '' GROUP BY w),
+             | fof AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n_terms
+             |  FROM tf GROUP BY c),
+             | v AS (SELECT CAST(SUM(n_terms) AS BIGINT) AS vocab FROM fof)
+             |SELECT c, n_terms,
+             | CAST(n_terms * 1000000 // vocab AS BIGINT) AS vocab_share_ppm
+             |FROM fof, v ORDER BY c LIMIT 20""".stripMargin)),
 
     QueryDef("x113_kfold_card",
       // stratified 5-fold CV assignment + its balance audit: folds

@@ -980,4 +980,33 @@ object TextOps {
       .withColumnRenamed("grp", groupCol)
       .drop("top_n")
   }
+
+  /** Frequency-of-frequencies vocabulary card — the Good-Turing /
+    * Zipf diagnostic of a corpus (how much of the vocabulary is
+    * hapax? is the low-count mass Zipfian or templated?): for each
+    * term count c ≤ `maxC`, the number of distinct terms occurring
+    * exactly c times plus its share of the whole vocabulary in
+    * integer ppm. Good-Turing smoothing and OOV-rate estimates read
+    * straight off these N_c rows.
+    *
+    * Scale shape: one token explode + two hashed aggregations (the
+    * term-frequency shuffle moves 8-byte xxhash64 keys, never
+    * strings — the x102 economics); the counts-of-counts table is
+    * tiny and the vocabulary total arrives as a 1-row broadcast. */
+  def vocabFreqCard(df: DataFrame, smallest: Int = 20,
+                    textCol: String = "text"): DataFrame = {
+    val tf = df.select(explode(tokens(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(xxhash64(col("w")).as("h")).agg(count(lit(1)).as("c"))
+    val fof = tf.groupBy("c").agg(count(lit(1)).as("n_terms"))
+      .localCheckpoint() // feeds both the low-count slice and the total
+    val vocab = fof.agg(sum("n_terms").cast("long").as("vocab"))
+    // the `smallest` LOWEST counts PRESENT (not a fixed c <= K cut —
+    // a templated corpus may have no hapax at all); fof is counts-of-
+    // counts sized, so the top-k is a partial TakeOrdered, never a sort
+    fof.orderBy("c").limit(smallest)
+      .crossJoin(broadcast(vocab))
+      .select(col("c"), col("n_terms"),
+        expr("n_terms * 1000000 DIV vocab").as("vocab_share_ppm"))
+  }
 }

@@ -501,6 +501,19 @@ class ExtSpec extends SparkSuite {
     assert(g2.forall(!_))
   }
 
+  test("vocabFreqCard: counts-of-counts with vocab shares (X3)") {
+    import graft.ext.TextOps
+    // a a a (c=3), b c (c=1 twice) -> N_1=2 (666666 ppm), N_3=1 (333333)
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextOps.vocabFreqCard(docs, smallest = 20)
+      .orderBy("c").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 666666L), (3L, 1L, 333333L)))
+    // `smallest` keeps only the lowest counts present
+    val one = TextOps.vocabFreqCard(docs, smallest = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(one == Seq((1L, 2L, 666666L)))
+  }
+
   test("cellShareDrift: separated slices max out, balanced slices read 0 (X14)") {
     // two separable blobs; vec 1 seeds cell A, vec 2 seeds cell B
     val emb = Seq(
