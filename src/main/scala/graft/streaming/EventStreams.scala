@@ -12,6 +12,11 @@ final case class UserUpdate(user_id: Long, count: Long, total: Double)
 
 /** Bottom-k KMV sketch held as streaming keyed state. */
 final case class KmvSketchState(hashes: Seq[Long])
+/** Open-session state for [[EventStreams.sessionCloseEvents]]:
+  * micros since epoch to keep the state row compact and exact. */
+final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+final case class ClosedSession(user_id: Long, start_us: Long,
+                               end_us: Long, n_events: Long)
 
 /**
  * Structured Streaming surface over the `events` table (extension —
@@ -436,6 +441,56 @@ object EventStreams {
             if (nk < k) nk
             else (k - 1).toLong * 281474976710656L / math.max(merged.last, 1L)
           Iterator((g, nk, est))
+      }
+  }
+
+  /** Streaming inactivity sessionizer with EVENT-TIME TIMEOUT — the
+    * push-based "session ended" signal a downstream pipeline consumes
+    * (the built-in session_window gives the same aggregate pull-based;
+    * this is the custom-state form that emits exactly one CLOSED
+    * session row per session, either when a later event arrives past
+    * the `gapUs` gap or when the WATERMARK passes last+gap and the
+    * engine times the state out). Expects a watermark set on `ts`.
+    * State is one (start, last, n) triple per ACTIVE user — expired
+    * by the engine, so state size tracks concurrent activity, not
+    * history. Emits [[ClosedSession]] rows (append semantics). */
+  def sessionCloseEvents(events: Dataset[UserEvent],
+                         gapUs: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    require(gapUs > 0, s"sessionCloseEvents: gapUs > 0, got $gapUs")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[UserEvent],
+         state: GroupState[OpenSession]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed last+gap: close and emit
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(uid, s.startUs, s.lastUs, s.n))
+          } else {
+            // fold this batch's events in event-time order; a gap
+            // INSIDE the batch closes the running session inline
+            val ts = batch.map(e => e.ts.getTime * 1000L).toSeq.sorted
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            ts.foreach { t =>
+              open match {
+                case Some(s) if t - s.lastUs <= gapUs =>
+                  open = Some(OpenSession(s.startUs, math.max(s.lastUs, t),
+                    s.n + 1))
+                case Some(s) =>
+                  closed += ClosedSession(uid, s.startUs, s.lastUs, s.n)
+                  open = Some(OpenSession(t, t, 1L))
+                case None => open = Some(OpenSession(t, t, 1L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000L)
+            }
+            closed.result().iterator
+          }
       }
   }
 

@@ -106,6 +106,39 @@ class StreamingSpec extends SparkSuite {
     assert(out == Set((10L, 2L), (11L, 1L), (12L, 1L)))
   }
 
+  test("sessionCloseEvents: closed sessions emit on in-batch gap AND on watermark timeout") {
+    import graft.streaming.{ClosedSession, UserEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val base = ts(0).getTime
+    def tsm(min: Int): Timestamp = new Timestamp(base + min * 60000L)
+    def usm(min: Int): Long = tsm(min).getTime * 1000L
+    val stream = MemoryStream[UserEvent]
+    val out = EventStreams.sessionCloseEvents(
+      stream.toDS().withWatermark("ts", "1 minute").as[UserEvent],
+      gapUs = 10L * 60 * 1000000) // 10-minute inactivity gap
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sess_close").start()
+    try {
+      // user 1: :00 and :05 form a session; :30 is past the gap, so
+      // the first session closes INLINE within the batch fold
+      stream.addData(UserEvent(1L, tsm(0), 1.0), UserEvent(1L, tsm(5), 1.0),
+        UserEvent(1L, tsm(30), 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_close").as[ClosedSession].collect().toSet
+        == Set(ClosedSession(1L, usm(0), usm(5), 2L)))
+      // another user's much later events advance the watermark past
+      // :30 + gap; the engine times user 1's open session out and the
+      // close event is PUSHED without any further user-1 activity
+      stream.addData(UserEvent(2L, tsm(120), 1.0))
+      q.processAllAvailable()
+      stream.addData(UserEvent(2L, tsm(121), 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_close").as[ClosedSession].collect().toSet
+      assert(closed.contains(ClosedSession(1L, usm(30), usm(30), 1L)),
+        s"expected the timed-out session close event, got $closed")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.{UserEvent, UserUpdate}
