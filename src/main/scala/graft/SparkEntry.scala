@@ -5987,6 +5987,65 @@ object SparkEntry {
              | CAST(n_terms * 1000000 // vocab AS BIGINT) AS vocab_share_ppm
              |FROM fof, v ORDER BY c LIMIT 20""".stripMargin)),
 
+    QueryDef("x117_int8_quant",
+      // scalar INT8 quantization + reconstruction-error audit: per-dim
+      // min/max calibration (one agg, broadcast back), integer code /
+      // dequant / error — the 4x-compression gate a deployment checks
+      // before swapping its float ANN index for codes. All-integer, so
+      // codes AND errors hash-match the oracle.
+      (s, dir) => Clustering.int8QuantCard(t(s, dir, "embeddings"))
+        .orderBy("vec_id"),
+      Some("""WITH q AS (SELECT vec_id, UNNEST(range(len(embedding))) AS dim,
+             |   CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000)
+             |     AS BIGINT) AS q
+             |  FROM embeddings),
+             | st AS (SELECT dim, MIN(q) AS mn, MAX(q) AS mx FROM q
+             |  GROUP BY dim),
+             | c AS (SELECT q.vec_id, q.q, st.mn, st.mx,
+             |   (q.q - st.mn) * 255 // GREATEST(st.mx - st.mn, 1) AS code
+             |  FROM q JOIN st USING (dim)),
+             | e AS (SELECT vec_id, code,
+             |   ABS(mn + code * (mx - mn) // 255 - q) AS err FROM c)
+             |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dims,
+             | CAST(SUM(code) AS BIGINT) AS sum_codes,
+             | CAST(MAX(err) AS BIGINT) AS max_err,
+             | CAST(SUM(err) AS BIGINT) AS sum_err
+             |FROM e GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
+    QueryDef("x118_bmp_image",
+      // REAL image decode through a HAND-ROLLED container: a minimal
+      // 24-bit BITMAPINFOHEADER BMP per document (bottom-up BGR rows,
+      // 4-byte padding — written byte by byte, no JDK encoder), read
+      // back by the ACTUAL ImageIO BMP parser. x12's PNG pins the
+      // JDK-encode->JDK-decode loop; this pins OUR writer against the
+      // JDK reader. Same closed-form pixels, so the no-codec oracle
+      // re-derives the decoded histogram.
+      (s, dir) => {
+        val media = Multimodal.synthesizeBmp(
+          docs(s, dir).select("doc_id"), "doc_id", 12, 8)
+        Multimodal.decodeImage(media, 16)
+          .where(col("decode_ok"))
+          .select(col("media_id"), col("width"), col("height"),
+            posexplode(col("hist")).as(Seq("bucket", "cnt")))
+          .where(col("cnt") > 0)
+          .select(col("media_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("bucket").cast("long").as("bucket"), col("cnt"))
+          .orderBy("media_id", "bucket")
+      },
+      Some("""WITH px AS (SELECT d.doc_id, x.x, y.y
+             |  FROM (SELECT doc_id FROM documents) d,
+             |       generate_series(0, 11) x(x), generate_series(0, 7) y(y)),
+             | b AS (SELECT doc_id,
+             |   ((doc_id*31 + x*7 + y*13) % 256 + (doc_id*17 + x*11 + y*3) % 256
+             |    + (doc_id*23 + x*5 + y*19) % 256) % 16 AS bucket
+             |  FROM px)
+             |SELECT doc_id AS media_id, CAST(12 AS BIGINT) AS width,
+             | CAST(8 AS BIGINT) AS height, CAST(bucket AS BIGINT) AS bucket,
+             | COUNT(*) AS cnt
+             |FROM b GROUP BY 1, 4 ORDER BY media_id, bucket""".stripMargin)),
+
     QueryDef("x113_kfold_card",
       // stratified 5-fold CV assignment + its balance audit: folds
       // are the portable md5 bucket mod 5 (map-only, content-keyed —

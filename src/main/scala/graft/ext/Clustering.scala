@@ -273,6 +273,37 @@ object Clustering {
       .select(col("query_id"), col("neighbor_id"), col("adc_d2"), col("rank"))
   }
 
+  /** Scalar INT8 quantization with per-dimension min/max calibration +
+    * the reconstruction-error card — the 4×-compression leg of an ANN
+    * index that PQ's codebooks (x85/x86) overshoot (scalar codes keep
+    * dot products SIMD-able and need no training): code_d(v) =
+    * (q − mn_d)·255 div max(mx_d − mn_d, 1) over micro-unit-quantized
+    * components, dequant = mn_d + code·(mx_d − mn_d) div 255, err =
+    * |dequant − q| — all exact integers, so codes AND the error audit
+    * re-derive bit-identically on any engine. Returns per vector:
+    * (vec_id, n_dims, sum_codes, max_err, sum_err) — the audit row a
+    * deployment gates on before swapping the float index out.
+    *
+    * Scale shape: calibration is one map-side-combinable per-dim
+    * min/max agg (dims-sized output, broadcast back); encode + error
+    * are map-only; the per-vector card is one groupBy on vec_id. */
+  def int8QuantCard(emb: DataFrame, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val quant = quantize(emb, idCol, vecCol)
+    val st = quant.groupBy("dim")
+      .agg(min("q").as("mn"), max("q").as("mx"))
+    quant.join(broadcast(st), Seq("dim"))
+      .withColumn("code",
+        expr("(q - mn) * 255 DIV greatest(mx - mn, 1)"))
+      .withColumn("err",
+        abs(expr("mn + code * (mx - mn) DIV 255") - col("q")))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dims"),
+        sum("code").cast("long").as("sum_codes"),
+        max("err").cast("long").as("max_err"),
+        sum("err").cast("long").as("sum_err"))
+  }
+
   /** Embedding-space drift card — the x52 histogram-drift gate lifted
     * to vector space: kmeans cells TRAINED ON THE WHOLE CORPUS (so
     * both slices bin identically — training per-slice would confound

@@ -132,6 +132,53 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaSchema)
   }
 
+  /** Deterministic synthetic BMP payloads — the same closed-form
+    * pixels as [[synthesizePng]] but through a HAND-ROLLED container:
+    * a minimal BITMAPINFOHEADER 24-bit BMP (bottom-up BGR rows,
+    * 4-byte row padding) written byte by byte, decoded by the REAL
+    * JDK ImageIO BMP reader in [[decodeImage]]. PNG pins the
+    * JDK-encode→JDK-decode loop; BMP pins OUR writer against the JDK
+    * parser — a second real container family on the image path, and
+    * lossless like PNG, so the no-codec oracle still re-derives every
+    * decoded pixel. */
+  def synthesizeBmp(df: DataFrame, idCol: String, w: Int,
+                    h: Int): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val rowBytes = w * 3
+        val pad = (4 - rowBytes % 4) % 4
+        val dataSize = (rowBytes + pad) * h
+        val fileSize = 54 + dataSize
+        val buf = java.nio.ByteBuffer.allocate(fileSize)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+          .putInt(0).putInt(54) // reserved, pixel-data offset
+        buf.putInt(40).putInt(w).putInt(h) // BITMAPINFOHEADER
+          .putShort(1.toShort).putShort(24.toShort) // planes, bpp
+          .putInt(0).putInt(dataSize) // BI_RGB, image size
+          .putInt(2835).putInt(2835).putInt(0).putInt(0) // dpi, palette
+        var y = h - 1 // bottom-up row order
+        while (y >= 0) {
+          var x = 0
+          while (x < w) {
+            val rr = ((id * 31 + x * 7 + y * 13) % 256).toInt
+            val gg = ((id * 17 + x * 11 + y * 3) % 256).toInt
+            val bb = ((id * 23 + x * 5 + y * 19) % 256).toInt
+            buf.put(bb.toByte).put(gg.toByte).put(rr.toByte)
+            x += 1
+          }
+          var p = 0
+          while (p < pad) { buf.put(0.toByte); p += 1 }
+          y -= 1
+        }
+        Row(id, "image", buf.array(), "image/bmp", w, h, null)
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
   /** Perceptual average-hash over REAL decoded pixels — the image
     * near-dup fingerprint (re-encodes, metadata edits, and mild
     * quality changes keep the hash close; distinct images diverge):

@@ -514,6 +514,41 @@ class ExtSpec extends SparkSuite {
     assert(one == Seq((1L, 2L, 666666L)))
   }
 
+  test("int8QuantCard: exact codes, extremes reconstruct exactly, midpoints audit (X2)") {
+    val emb = Seq(
+      (1L, Array(0.0f, 1.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val got = Clustering.int8QuantCard(emb)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // dims span [0, 1e6]: extremes code to 0/255 and reconstruct with
+    // zero error; 0.5 codes to 127 -> dequant 498039 -> err 1961
+    assert(got(1L) == ((2L, 255L, 0L, 0L)))
+    assert(got(2L) == ((2L, 255L, 0L, 0L)))
+    assert(got(3L) == ((2L, 254L, 1961L, 3922L)))
+    // a constant dimension (mx == mn) codes 0 with zero error
+    val const = Seq((1L, Array(0.25f)), (2L, Array(0.25f)))
+      .toDF("vec_id", "embedding")
+    val g2 = Clustering.int8QuantCard(const)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(g2.forall(r => r._3 == 0L && r._5 == 0L))
+  }
+
+  test("synthesizeBmp: the hand-rolled container decodes identically to PNG (X4)") {
+    import graft.ext.Multimodal
+    val ids = Seq(0L, 1L, 7L).toDF("doc_id")
+    val viaBmp = Multimodal.decodeImage(
+        Multimodal.synthesizeBmp(ids, "doc_id", 12, 8), 16)
+      .select("media_id", "decode_ok", "width", "height", "hist")
+      .as[(Long, Boolean, Int, Int, Seq[Long])].collect().toSet
+    val viaPng = Multimodal.decodeImage(
+        Multimodal.synthesizePng(ids, "doc_id", 12, 8), 16)
+      .select("media_id", "decode_ok", "width", "height", "hist")
+      .as[(Long, Boolean, Int, Int, Seq[Long])].collect().toSet
+    assert(viaBmp == viaPng && viaBmp.forall(_._2))
+  }
+
   test("cellShareDrift: separated slices max out, balanced slices read 0 (X14)") {
     // two separable blobs; vec 1 seeds cell A, vec 2 seeds cell B
     val emb = Seq(
