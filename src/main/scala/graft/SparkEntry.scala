@@ -395,6 +395,34 @@ object SparkEntry {
        |GROUP BY node ORDER BY node""".stripMargin
   }
 
+  /** DuckDB oracle for [[LinkAnalysis.corenessHIndex]]: `rounds`
+    * chained h-index sweeps over the co-purchase projection — per
+    * round, rank each vertex's neighbor values descending and take
+    * max(least(value, rank)) (tie order inside equal values cannot
+    * change that statistic), then clamp by the previous value. Fixed-
+    * length like [[kcoreSql]]; LinkAnalysisSpec pins brute-peel
+    * equality at the fixpoint on fixtures, and the corpus bound was
+    * measured to the sf0.01 fixpoint (g64 comment). */
+  private def corenessSql(rounds: Int): String = {
+    val ctes = (1 to rounds).map { r =>
+      s"""h$r AS MATERIALIZED (SELECT u, MAX(LEAST(nval, rn)) AS h FROM (
+         |  SELECT s.u, v.val AS nval,
+         |   ROW_NUMBER() OVER (PARTITION BY s.u ORDER BY v.val DESC) AS rn
+         |  FROM sym s JOIN v${r - 1} v ON v.id = s.v) GROUP BY u),
+         |v$r AS MATERIALIZED (SELECT p.id,
+         | LEAST(p.val, COALESCE(h$r.h, 0)) AS val
+         | FROM v${r - 1} p LEFT JOIN h$r ON h$r.u = p.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $copurchaseSql,
+       |sym AS MATERIALIZED (SELECT a AS u, b AS v FROM pe
+       | UNION ALL SELECT b, a FROM pe),
+       |v0 AS MATERIALIZED (SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS val
+       | FROM sym GROUP BY u),
+       |$ctes
+       |SELECT id, CAST(val AS BIGINT) AS coreness FROM v$rounds
+       |ORDER BY id""".stripMargin
+  }
+
   /** DuckDB oracle for [[LinkAnalysis.louvainLocalMove]] over the
     * co-purchase pair graph: `rounds` chained synchronous local-move
     * CTEs — per round the per-(vertex, candidate-community) edge
@@ -3166,6 +3194,26 @@ object SparkEntry {
       },
       Some(boruvkaSql(3, 6))),
 
+    QueryDef("g64_coreness",
+      // full core decomposition of the co-purchase graph via the
+      // iterated neighborhood h-index (Lü et al. 2016): val0 = degree,
+      // each round val' = min(val, H(neighbor vals)) — converges to
+      // the exact coreness of every vertex, generalizing g35's
+      // single-k peel to the whole core hierarchy in one sweep.
+      // 10 rounds reach the measured fixpoint at sf0.01 (the change
+      // count decays 959, 425, 208, 87, 16, 8, 4, 1, 0 — a tiny tail
+      // drives the last rounds); both sides run the same bound, so
+      // the hash-match holds at any SF (the g27/kcore bounded-round
+      // contract). Per round: one edge-vs-value join + a per-adjacency
+      // window, tie-order-free by construction.
+      (s, dir) => {
+        val pairs = LinkAnalysis.cooccurrenceFromGi(
+          StarGraph.copurchaseGi(s, dir), 2)
+        LinkAnalysis.corenessHIndex(pairs.select("a", "b"), rounds = 10)
+          .orderBy("id")
+      },
+      Some(corenessSql(10))),
+
     QueryDef("g59_louvain_two_level",
       // the full multi-level Louvain pyramid cut at depth 2: g58's
       // deterministic move phase, community contraction into the
@@ -3937,6 +3985,47 @@ object SparkEntry {
              | CAST(COUNT(DISTINCT l_suppkey) FILTER (WHERE l_quantity > 25)
              |   AS BIGINT) AS n_big_supp
              |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin)),
+
+    QueryDef("q52_unpivot",
+      // UNPIVOT / melt: the wide->long reshape (4 lineitem measures ->
+      // (measure, value) rows) feeding a per-measure profile. The
+      // measures route through integer micros BEFORE the melt so the
+      // value column is one exact type; Spark's native unpivot is a
+      // zero-shuffle Expand (4 rows per input, map-side), and the
+      // profile is one hash aggregate over 4 keys.
+      (s, dir) => {
+        val m = t(s, dir, "lineitem").select(
+          floor(col("l_quantity") * 1000000).cast("long").as("quantity"),
+          floor(col("l_extendedprice") * 1000000).cast("long")
+            .as("extendedprice"),
+          floor(col("l_discount") * 1000000).cast("long").as("discount"),
+          floor(col("l_tax") * 1000000).cast("long").as("tax"))
+        m.unpivot(Array.empty[Column],
+            Array(col("quantity"), col("extendedprice"),
+              col("discount"), col("tax")),
+            "measure", "micros")
+          .groupBy("measure")
+          .agg(count(lit(1)).as("n"),
+            // decimal-routed: a 100 TB micros sum exceeds 2^63
+            sum(col("micros").cast("decimal(38,0)")).cast("long")
+              .as("sum_micros"),
+            max("micros").cast("long").as("max_micros"))
+          .orderBy("measure")
+      },
+      Some("""WITH m AS (SELECT
+             |   CAST(FLOOR(l_quantity * 1000000) AS BIGINT) AS quantity,
+             |   CAST(FLOOR(l_extendedprice * 1000000) AS BIGINT)
+             |     AS extendedprice,
+             |   CAST(FLOOR(l_discount * 1000000) AS BIGINT) AS discount,
+             |   CAST(FLOOR(l_tax * 1000000) AS BIGINT) AS tax
+             |  FROM lineitem),
+             | u AS (SELECT measure, micros FROM m
+             |  UNPIVOT (micros FOR measure IN
+             |    (quantity, extendedprice, discount, tax)))
+             |SELECT measure, CAST(COUNT(*) AS BIGINT) AS n,
+             | CAST(SUM(micros) AS BIGINT) AS sum_micros,
+             | CAST(MAX(micros) AS BIGINT) AS max_micros
+             |FROM u GROUP BY 1 ORDER BY measure""".stripMargin)),
 
     QueryDef("q35_full_outer",
       // FULL OUTER JOIN coverage with genuinely asymmetric sides
@@ -6045,6 +6134,226 @@ object SparkEntry {
              | CAST(8 AS BIGINT) AS height, CAST(bucket AS BIGINT) AS bucket,
              | COUNT(*) AS cnt
              |FROM b GROUP BY 1, 4 ORDER BY media_id, bucket""".stripMargin)),
+
+    QueryDef("x119_heaps_curve",
+      // Heaps-law vocabulary-growth curve: cumulative distinct terms
+      // vs cumulative tokens at 10 doc-id checkpoints — the "will
+      // vocabulary saturate at 10x the data?" scaling card. Prefix-
+      // distinct WITHOUT prefix rescans: each term contributes its
+      // FIRST checkpoint (min over an 8-byte hash, one shuffle); the
+      // cumulative window touches <= 10 rows.
+      (s, dir) => TextOps.heapsCurve(docs(s, dir), buckets = 10)
+        .orderBy("checkpoint"),
+      Some("""WITH mx AS (SELECT MAX(doc_id) // 10 + 1 AS span
+             |  FROM documents),
+             | tok AS (SELECT CAST(doc_id // span AS INT) AS b,
+             |   unnest(string_split_regex(trim(text), '\s+')) AS w
+             |  FROM documents, mx),
+             | t2 AS (SELECT b, w FROM tok WHERE w <> ''),
+             | tb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS toks
+             |  FROM t2 GROUP BY b),
+             | nb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS new_terms
+             |  FROM (SELECT w, MIN(b) AS b FROM t2 GROUP BY w) GROUP BY b),
+             | j AS (SELECT COALESCE(tb.b, nb.b) AS b,
+             |   COALESCE(toks, 0) AS toks,
+             |   COALESCE(new_terms, 0) AS new_terms
+             |  FROM tb FULL OUTER JOIN nb ON tb.b = nb.b),
+             | c AS (SELECT CAST(b AS BIGINT) AS checkpoint,
+             |   CAST(SUM(toks) OVER (ORDER BY b
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |     AS BIGINT) AS cum_tokens,
+             |   CAST(SUM(new_terms) OVER (ORDER BY b
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |     AS BIGINT) AS cum_vocab
+             |  FROM j)
+             |SELECT checkpoint, cum_tokens, cum_vocab,
+             | CAST(cum_vocab * 1000000 // GREATEST(cum_tokens, 1)
+             |   AS BIGINT) AS vocab_per_mtok
+             |FROM c ORDER BY checkpoint""".stripMargin)),
+
+    QueryDef("x120_zipf_card",
+      // Zipf rank-frequency card: term frequency at probe ranks 1, 2,
+      // 4, ..., 4096 plus rank*freq (constant under ideal Zipf). The
+      // rank axis never ranks the vocabulary — freq(r) reads off the
+      // tiny counts-of-counts table via a cumulative-block range join,
+      // so the only corpus-sized work is the hashed term-frequency agg.
+      (s, dir) => TextOps.zipfCard(docs(s, dir), maxLogRank = 12),
+      Some("""WITH tok AS (SELECT
+             |   unnest(string_split_regex(trim(text), '\s+')) AS w
+             |  FROM documents),
+             | tf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+             |  WHERE w <> '' GROUP BY w),
+             | fof AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n_terms
+             |  FROM tf GROUP BY c),
+             | cum AS (SELECT c,
+             |   CAST(SUM(n_terms) OVER (ORDER BY c DESC
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |     AS BIGINT) AS cum_terms,
+             |   CAST(SUM(n_terms) OVER (ORDER BY c DESC
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |     - n_terms AS BIGINT) AS cum_before
+             |  FROM fof),
+             | r AS (SELECT CAST(1 AS BIGINT) << i AS rank
+             |  FROM generate_series(0, 12) g(i))
+             |SELECT r.rank, cum.c AS freq,
+             | CAST(r.rank * cum.c AS BIGINT) AS rank_x_freq
+             |FROM r JOIN cum
+             |  ON r.rank > cum.cum_before AND r.rank <= cum.cum_terms
+             |ORDER BY rank""".stripMargin)),
+
+    QueryDef("x121_audio_activity",
+      // per-clip audio QA card through the REAL javax.sound decode:
+      // silent-window count (dead air), clipped-sample count (gain
+      // damage), peak and total level — the capture-quality gates an
+      // audio ingest applies before training. Map-only decode, all-
+      // integer outputs, so the closed-form PCM clips hash-match the
+      // no-codec oracle.
+      (s, dir) => Multimodal.audioActivityCard(
+          Multimodal.synthesizeWav(docs(s, dir).select("doc_id"),
+            "doc_id", nSamples = 64),
+          windows = 8, silenceDiv = 4L, clipMag = 32700)
+        .where(col("decode_ok"))
+        .select(col("media_id"), col("n_samples"), col("silent_windows"),
+          col("clipped"), col("peak"), col("total_abs"))
+        .orderBy("media_id"),
+      Some("""WITH s AS (SELECT doc_id, i.i,
+             |   (doc_id*31 + i.i*7) % 65536 - 32768 AS v
+             |  FROM documents, generate_series(0, 63) i(i)),
+             | e AS (SELECT doc_id, i // 8 AS w,
+             |   CAST(SUM(ABS(v)) AS BIGINT) AS en,
+             |   CAST(SUM(CASE WHEN ABS(v) >= 32700 THEN 1 ELSE 0 END)
+             |     AS BIGINT) AS cl,
+             |   CAST(MAX(ABS(v)) AS BIGINT) AS pk
+             |  FROM s GROUP BY 1, 2),
+             | t AS (SELECT doc_id, CAST(SUM(en) AS BIGINT) AS total,
+             |   CAST(SUM(cl) AS BIGINT) AS clipped,
+             |   CAST(MAX(pk) AS BIGINT) AS peak FROM e GROUP BY 1),
+             | sw AS (SELECT e.doc_id,
+             |   CAST(SUM(CASE WHEN e.en * 8 * 4 < t.total THEN 1 ELSE 0
+             |     END) AS BIGINT) AS silent
+             |  FROM e JOIN t USING (doc_id) GROUP BY 1)
+             |SELECT t.doc_id AS media_id, CAST(64 AS BIGINT) AS n_samples,
+             | sw.silent AS silent_windows, t.clipped, t.peak,
+             | t.total AS total_abs
+             |FROM t JOIN sw USING (doc_id) ORDER BY media_id""".stripMargin)),
+
+    QueryDef("x122_shot_boundaries",
+      // shot-boundary detection: consecutive-frame aHash Hamming
+      // distance over a 4-frame PNG-in-AVI clip per doc, cut where
+      // distance >= 6 — the video-curation cut detector that picks
+      // one representative frame per shot. Frames decode through the
+      // REAL ImageIO path; the lag window is per-clip (bounded
+      // groups); xor + bit_count is codegen'd column math. Lossless
+      // frames keep every distance oracle-re-derivable.
+      (s, dir) => {
+        val media = Multimodal.synthesizeAvi(
+          docs(s, dir).select("doc_id"), "doc_id", 8, 6,
+          nFrames = 4, codec = "png")
+        Multimodal.shotBoundaries(
+            Multimodal.videoFrameHashes(media, grid = 4), cutAt = 6)
+          .select(col("media_id"), col("frame_idx"), col("hamming"),
+            col("is_cut").cast("long").as("is_cut"))
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH px AS (SELECT doc_id, f.f, x.x, y.y
+             |  FROM documents, (SELECT UNNEST([0, 1, 2, 3]) AS f) f,
+             |       generate_series(0, 7) x(x), generate_series(0, 5) y(y)),
+             | g AS (SELECT doc_id, f,
+             |   ((doc_id*31 + f*29 + x*7 + y*13) % 256
+             |    + (doc_id*17 + f*41 + x*11 + y*3) % 256
+             |    + (doc_id*23 + f*37 + x*5 + y*19) % 256) // 3 AS gray,
+             |   CAST(x // 2 AS INT) AS bi,
+             |   CAST(LEAST(y*4 // 6, 3) AS INT) AS bj
+             |  FROM px),
+             | bm AS (SELECT doc_id, f, bi, bj,
+             |   CAST(SUM(gray) // COUNT(*) AS BIGINT) AS m
+             |  FROM g GROUP BY 1, 2, 3, 4),
+             | th AS (SELECT doc_id, f, CAST(SUM(m) // 16 AS BIGINT) AS thr
+             |  FROM bm GROUP BY 1, 2),
+             | fh AS (SELECT bm.doc_id, bm.f, CAST(SUM(CASE WHEN m > thr
+             |    THEN CAST(1 AS BIGINT) << (bj*4 + bi) ELSE 0 END)
+             |    AS BIGINT) AS fhash
+             |  FROM bm JOIN th ON th.doc_id = bm.doc_id AND th.f = bm.f
+             |  GROUP BY 1, 2),
+             | lg AS (SELECT doc_id, f, fhash,
+             |   LAG(fhash) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+             |  FROM fh)
+             |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+             | CAST(bit_count(xor(fhash, prev)) AS BIGINT) AS hamming,
+             | CAST(CASE WHEN bit_count(xor(fhash, prev)) >= 6
+             |   THEN 1 ELSE 0 END AS BIGINT) AS is_cut
+             |FROM lg WHERE prev IS NOT NULL
+             |ORDER BY media_id, frame_idx""".stripMargin)),
+
+    QueryDef("x123_cdc_apply",
+      // CDC changelog compaction: fold a deterministic I/U/D change
+      // log into the orders snapshot — last writer per key wins under
+      // the (ts, seq) order, winning deletes drop the key, inserts add
+      // new keys, unlogged keys pass through. The log shuffles ONCE
+      // through a map-side-combinable max_by; the base never shuffles
+      // (anti join vs the winner set + union). Exercises both the
+      // ts-level and the seq-tie-break orderings.
+      (s, dir) => {
+        val base = t(s, dir, "orders").select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_c"),
+          col("o_orderstatus").as("status"))
+        val m5 = col("o_orderkey") % 5
+        def entry(cond: Column, ts: Int, seq: Int, op: String,
+                  price: Column, status: Column) =
+          base.where(cond).select(col("o_orderkey"),
+            lit(ts).as("ts"), lit(seq).as("seq"), lit(op).as("op"),
+            price.as("price_c"), status.as("status"))
+        val log =
+          // %5==0: update then a LATER delete -> key dropped
+          entry(m5 === 0, 1, 0, "U", col("price_c") + 100, col("status"))
+            .unionByName(entry(m5 === 0, 2, 0, "D",
+              col("price_c"), col("status")))
+            // %5==1: delete then a LATER update -> key survives doubled
+            .unionByName(entry(m5 === 1, 1, 0, "D",
+              col("price_c"), col("status")))
+            .unionByName(entry(m5 === 1, 2, 0, "U",
+              col("price_c") * 2, lit("X")))
+            // %5==2: insert under a fresh key
+            .unionByName(entry(m5 === 2, 1, 0, "I",
+              col("price_c") + 1, col("status"))
+              .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+            // %5==3: same-ts seq tie-break -> seq 2 wins
+            .unionByName(entry(m5 === 3, 1, 1, "U",
+              col("price_c") + 5, col("status")))
+            .unionByName(entry(m5 === 3, 1, 2, "U",
+              col("price_c") + 7, col("status")))
+        Upserts.applyChangelog(base, log, "o_orderkey")
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH base AS (SELECT o_orderkey,
+             |   CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c,
+             |   o_orderstatus AS status FROM orders),
+             | lg AS (
+             |  SELECT o_orderkey, 1 AS ts, 0 AS seq, 'U' AS op,
+             |    price_c + 100 AS price_c, status
+             |   FROM base WHERE o_orderkey % 5 = 0
+             |  UNION ALL SELECT o_orderkey, 2, 0, 'D', price_c, status
+             |   FROM base WHERE o_orderkey % 5 = 0
+             |  UNION ALL SELECT o_orderkey, 1, 0, 'D', price_c, status
+             |   FROM base WHERE o_orderkey % 5 = 1
+             |  UNION ALL SELECT o_orderkey, 2, 0, 'U', price_c * 2, 'X'
+             |   FROM base WHERE o_orderkey % 5 = 1
+             |  UNION ALL SELECT o_orderkey + 10000000, 1, 0, 'I',
+             |    price_c + 1, status
+             |   FROM base WHERE o_orderkey % 5 = 2
+             |  UNION ALL SELECT o_orderkey, 1, 1, 'U', price_c + 5, status
+             |   FROM base WHERE o_orderkey % 5 = 3
+             |  UNION ALL SELECT o_orderkey, 1, 2, 'U', price_c + 7, status
+             |   FROM base WHERE o_orderkey % 5 = 3),
+             | win AS (SELECT o_orderkey, op, price_c, status FROM lg
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey
+             |    ORDER BY ts DESC, seq DESC) = 1)
+             |SELECT b.o_orderkey, b.price_c, b.status FROM base b
+             | WHERE NOT EXISTS (SELECT 1 FROM win w
+             |   WHERE w.o_orderkey = b.o_orderkey)
+             |UNION ALL
+             |SELECT o_orderkey, price_c, status FROM win WHERE op <> 'D'
+             |ORDER BY o_orderkey""".stripMargin)),
 
     QueryDef("x113_kfold_card",
       // stratified 5-fold CV assignment + its balance audit: folds

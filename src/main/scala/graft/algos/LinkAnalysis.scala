@@ -1125,4 +1125,52 @@ object LinkAnalysis {
     }
     acc
   }
+
+  /** Full core decomposition via the iterated neighborhood h-index
+    * (Lü et al. 2016): val₀ = degree; each round every vertex takes
+    *   val'(u) = min(val(u), H({val(v) : v ~ u}))
+    * where H is the h-index (max h such that ≥ h neighbors hold value
+    * ≥ h). The sequence is component-wise non-increasing and its
+    * fixpoint is the EXACT coreness of every vertex — the full-graph
+    * generalization of [[kcore]]'s single-k peel (reference scope:
+    * onionnet exposes no core decomposition; this extends the T4/G1
+    * cohesion suite). `rounds` bounds the sweep; LinkAnalysisSpec pins
+    * brute-peel equality at the fixpoint on fixtures, and the g64
+    * corpus bound is measured to the sf0.01 fixpoint (10 rounds; the
+    * per-round change count decays geometrically — 959, 425, 208, 87,
+    * 16, 8, 4, 1, 0 — so the bound grows only slowly with SF).
+    *
+    * Scale shape per round: one equi-join of the symmetrized edge list
+    * against the value table, a per-vertex ROW_NUMBER window (groups =
+    * single adjacency lists, so partition size is bounded by max
+    * degree — the usual mega-hub skew caveat, not a corpus-sized
+    * sort), and a left join back. Ties inside equal neighbor values
+    * cannot change max(min(val, rank)), so the result is independent
+    * of any tie order — what makes it engine-portable and
+    * hash-matchable. Lineage is checkpoint-truncated per round. */
+  def corenessHIndex(edges: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 0, s"corenessHIndex: rounds >= 0, got $rounds")
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    var vals = und.groupBy(col("u").as("id"))
+      .agg(count(lit(1)).cast("long").as("val"))
+      .localCheckpoint()
+    val w = Window.partitionBy("u").orderBy(col("nval").desc)
+    for (_ <- 1 to rounds) {
+      val h = und
+        .join(vals.select(col("id").as("v"), col("val").as("nval")),
+          Seq("v"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .groupBy("u").agg(max(least(col("nval"), col("rn"))).as("h"))
+      vals = vals
+        .join(h.withColumnRenamed("u", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("val"), coalesce(col("h"), lit(0L))).cast("long")
+            .as("val"))
+        .localCheckpoint(eager = false)
+    }
+    vals.select(col("id"), col("val").as("coreness"))
+  }
 }

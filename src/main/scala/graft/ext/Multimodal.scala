@@ -1074,6 +1074,105 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Audio activity card — the per-clip quality row an audio-ingest
+    * pipeline records before training (reference scope: onionnet has
+    * no media path; this extends X4's decode plumbing with the
+    * standard capture-QA gates): decode through the REAL
+    * `javax.sound` path, split the clip into `windows` equal sample
+    * windows, and report
+    *   - `silent_windows`: windows whose Σ|pcm16| falls below
+    *     1/`silenceDiv` of the mean window energy (dead air /
+    *     truncated capture),
+    *   - `clipped`: samples with |pcm16| ≥ `clipMag` (limiter or
+    *     gain-stage damage),
+    *   - `peak` and `total_abs` for level normalization.
+    * All-integer, so synthesized closed-form clips hash-match a
+    * no-codec oracle. Map-only (one decode pass, no shuffle); poison
+    * payloads degrade to decode_ok = false like every decoder here. */
+  def audioActivityCard(media: DataFrame, windows: Int = 8,
+                        silenceDiv: Long = 4L,
+                        clipMag: Int = 32700): DataFrame = {
+    require(windows > 0, s"audioActivityCard: windows must be > 0")
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decode_ok", BooleanType, nullable = false),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("silent_windows", LongType, nullable = true),
+      StructField("clipped", LongType, nullable = true),
+      StructField("peak", LongType, nullable = true),
+      StructField("total_abs", LongType, nullable = true)))
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val decoded: Option[Row] =
+          if (r.isNullAt(1)) None
+          else try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            val f = ais.getFormat
+            val target = new javax.sound.sampled.AudioFormat(
+              f.getSampleRate, 16, f.getChannels, true, false)
+            val pcm16 =
+              if (f.getSampleSizeInBits == 16 && !f.isBigEndian &&
+                f.getEncoding ==
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) ais
+              else javax.sound.sampled.AudioSystem
+                .getAudioInputStream(target, ais)
+            val bytes = pcm16.readAllBytes()
+            val n = bytes.length / 2
+            if (n == 0) throw new java.io.IOException("empty clip")
+            val energy = new Array[Long](windows)
+            var clipped = 0L
+            var peak = 0L
+            var i = 0
+            while (i < n) {
+              val v = ((bytes(2 * i) & 0xff) |
+                (bytes(2 * i + 1).toInt << 8)).toShort.toInt
+              val a = math.abs(v).toLong
+              val w = math.min(i.toLong * windows / n, windows - 1L).toInt
+              energy(w) += a
+              if (a >= clipMag) clipped += 1L
+              if (a > peak) peak = a
+              i += 1
+            }
+            val total = energy.sum
+            // silent iff energy_w * windows * silenceDiv < total — the
+            // all-integer spelling of energy_w < mean / silenceDiv
+            val silent = energy.count(e =>
+              e * windows * silenceDiv < total).toLong
+            Some(Row(id, true, n.toLong, silent, clipped, peak, total))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        decoded.getOrElse(Row(id, false, null, null, null, null, null))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Shot-boundary detection over per-frame perceptual hashes (the
+    * video-curation cut detector): consecutive frames whose aHash
+    * Hamming distance reaches `cutAt` mark a hard cut — the rows a
+    * sampler keys on to pick one representative frame per shot.
+    * Consumes [[videoFrameHashes]] output, so the decode cost is
+    * shared with the near-dup leg.
+    *
+    * Scale shape: one window per clip ordered by frame index — groups
+    * are single clips (frame counts bounded by clip length, never
+    * corpus-sized), so the lag window is a per-key local sort after
+    * one hash partition by media_id; the Hamming distance is codegen'd
+    * integer column math (xor + bit_count), no UDF. */
+  def shotBoundaries(frameHashes: DataFrame, cutAt: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("media_id").orderBy("frame_idx")
+    frameHashes.filter(col("decode_ok"))
+      .withColumn("prev", lag(col("fhash"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(col("media_id"), col("frame_idx"),
+        bit_count(col("fhash").bitwiseXOR(col("prev"))).cast("long")
+          .as("hamming"))
+      .withColumn("is_cut", col("hamming") >= cutAt)
+  }
+
   /** Per-frame perceptual hashes for a video payload — the video leg
     * of the media-dedup triad: every sampled frame of an AVI payload
     * decodes through ImageIO ([[decodeAviVideo]]'s container walk)

@@ -1009,4 +1009,84 @@ object TextOps {
       .select(col("c"), col("n_terms"),
         expr("n_terms * 1000000 DIV vocab").as("vocab_share_ppm"))
   }
+
+  /** Heaps-law vocabulary-growth curve: cumulative distinct-term count
+    * vs cumulative token count at `buckets` equal-width doc-id
+    * checkpoints — the scaling-law card that answers "does vocabulary
+    * keep growing if we ingest 10× more of this source, or has it
+    * saturated?" (dedup'd corpora saturate; templated ones flatline
+    * immediately). `vocab_per_mtok` is the integer-ppm growth gauge.
+    *
+    * Scale shape: prefix-distinct WITHOUT rescanning prefixes — each
+    * term contributes its FIRST checkpoint of appearance (min over an
+    * 8-byte xxhash64 key, one shuffle, map-side partial min), so the
+    * whole curve is one token explode + two hashed aggregations. The
+    * cumulative window runs over ≤ `buckets` rows (single tiny
+    * partition by construction, same economics as [[vocabFreqCard]]'s
+    * counts-of-counts tail). */
+  def heapsCurve(df: DataFrame, buckets: Int = 10,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets > 0, "heapsCurve: buckets must be positive")
+    // single-scalar lookup (allowed collect class): the id domain
+    // bound that fixes checkpoint widths
+    val maxId = df.agg(max(col(idCol).cast("long"))).head.getLong(0)
+    val span = maxId / buckets + 1
+    val tok = df.select((col(idCol).cast("long") / span).cast("int").as("b"),
+        explode(tokens(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+      .localCheckpoint() // feeds both the token totals and the term table
+    val toksPerB = tok.groupBy("b").agg(count(lit(1)).as("toks"))
+    val newTerms = tok.groupBy(xxhash64(col("w")).as("h"))
+      .agg(min("b").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("new_terms"))
+    val wdw = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toksPerB.join(newTerms, Seq("b"), "full_outer")
+      .select(col("b"),
+        coalesce(col("toks"), lit(0L)).as("toks"),
+        coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+      .select(col("b").cast("long").as("checkpoint"),
+        sum("toks").over(wdw).cast("long").as("cum_tokens"),
+        sum("new_terms").over(wdw).cast("long").as("cum_vocab"))
+      .withColumn("vocab_per_mtok",
+        expr("cum_vocab * 1000000 DIV greatest(cum_tokens, 1)"))
+  }
+
+  /** Zipf rank-frequency card: the term frequency at probe ranks 1,
+    * 2, 4, …, 2^`maxLogRank` plus the rank·frequency product (constant
+    * under an ideal Zipf fit — a doubling product means a fatter-than-
+    * Zipf tail, a collapsing one means templating). Integer-only, so
+    * the card hash-matches an oracle; no float log fits.
+    *
+    * Scale shape: the rank axis NEVER materializes a ranked vocabulary
+    * (no vocab-sized sort/window). Rank r's frequency is read off the
+    * counts-of-counts table instead: with fof = (count c, n_terms) and
+    * a running Σ n_terms in descending-c order, rank r falls in the
+    * first block whose cumulative reaches r, so freq(r) is a probe-
+    * range join of ≤ maxLogRank+1 probes against the tiny fof table.
+    * The only corpus-sized work is the term-frequency aggregation
+    * (8-byte hash shuffle); the window runs over counts-of-counts
+    * rows (bounded by the number of DISTINCT frequencies). */
+  def zipfCard(df: DataFrame, maxLogRank: Int = 12,
+               textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fof = df.select(explode(tokens(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(xxhash64(col("w")).as("h")).agg(count(lit(1)).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("n_terms"))
+    val wdw = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = fof.select(col("c"),
+      sum("n_terms").over(wdw).cast("long").as("cum_terms"),
+      (sum("n_terms").over(wdw) - col("n_terms")).cast("long").as("cum_before"))
+    val probes = df.sparkSession.range(0, maxLogRank + 1L)
+      .select(expr("CAST(1 AS BIGINT) << CAST(id AS INT)").as("rank"))
+    probes.join(cum,
+        col("rank") > col("cum_before") && col("rank") <= col("cum_terms"))
+      .select(col("rank"), col("c").as("freq"),
+        (col("rank") * col("c")).as("rank_x_freq"))
+      .orderBy("rank")
+  }
 }

@@ -100,4 +100,36 @@ object Upserts {
       .select(col("key").as(keyCol), col("status"),
         col("old_md5"), col("new_md5"))
   }
+
+  /** CDC changelog compaction + apply — fold a change log (op ∈
+    * {I, U, D} rows stamped (ts, seq)) into a base snapshot: the
+    * LAST writer per key wins (max over the (ts, seq) total order —
+    * the caller's contract is that (ts, seq) is unique per key, the
+    * standard CDC guarantee), a winning D removes the key, a winning
+    * I/U replaces (or inserts) the payload, and unlogged base keys
+    * pass through untouched. This is the log-structured cousin of
+    * [[scd2]]: scd2 keeps every version as history; applyChangelog
+    * collapses the log into the next snapshot — the compaction step
+    * a CDC-fed lakehouse table runs per sync.
+    *
+    * Scale shape: ONE map-side-combinable max_by per key over the log
+    * (the log shuffles once, carrying only the winner out of each map
+    * partition), then one anti join against the (usually much
+    * smaller) winner set and a union — the base never shuffles at
+    * all when it is stored bucketed on the key. No windows, no
+    * per-key sorts. */
+  def applyChangelog(base: DataFrame, log: DataFrame, keyCol: String,
+                     tsCol: String = "ts", seqCol: String = "seq",
+                     opCol: String = "op"): DataFrame = {
+    val dataCols = base.columns.filterNot(_ == keyCol).toSeq
+    val winner = log.groupBy(col(keyCol))
+      .agg(max_by(struct((opCol +: dataCols).map(col): _*),
+        struct(col(tsCol), col(seqCol))).as("w"))
+      .localCheckpoint() // feeds both the anti join and the apply leg
+    val untouched = base.join(winner.select(col(keyCol)),
+      Seq(keyCol), "left_anti")
+    val applied = winner.where(col(s"w.$opCol") =!= "D")
+      .select(col(keyCol) +: dataCols.map(c => col(s"w.$c").as(c)): _*)
+    untouched.unionByName(applied)
+  }
 }

@@ -346,6 +346,29 @@ class ExtSpec extends SparkSuite {
     assert(ev._1 != null && ev._2 != null && ev._1 != ev._2)
   }
 
+  test("applyChangelog: last writer wins, D drops, I inserts, seq breaks ts ties") {
+    val base = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("k", "v")
+    val log = Seq(
+      (1L, 1, 0, "U", 11L), (1L, 2, 0, "D", 0L),   // delete wins
+      (2L, 1, 0, "D", 0L), (2L, 2, 0, "U", 22L),   // update wins
+      (3L, 1, 1, "U", 31L), (3L, 1, 2, "U", 32L),  // seq tie-break
+      (9L, 1, 0, "I", 90L))                        // fresh key insert
+      .toDF("k", "ts", "seq", "op", "v")
+    val out = graft.ext.Upserts.applyChangelog(base, log, "k")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(2L -> 22L, 3L -> 32L, 4L -> 40L, 9L -> 90L))
+  }
+
+  test("applyChangelog: empty log is identity") {
+    val base = Seq((1L, 10L)).toDF("k", "v")
+    val log = Seq.empty[(Long, Int, Int, String, Long)]
+      .toDF("k", "ts", "seq", "op", "v")
+    val out = graft.ext.Upserts.applyChangelog(base, log, "k")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 10L))
+  }
+
   test("snapshotDiff separator prevents payload-boundary ambiguity") {
     // ("ab","c") vs ("a","bc") concatenate identically without the
     // \u0001 separator — the diff must still see them as changed
@@ -512,6 +535,32 @@ class ExtSpec extends SparkSuite {
     val one = TextOps.vocabFreqCard(docs, smallest = 1)
       .as[(Long, Long, Long)].collect().toSeq
     assert(one == Seq((1L, 2L, 666666L)))
+  }
+
+  test("heapsCurve: cumulative vocab at doc-id checkpoints (X3)") {
+    import graft.ext.TextOps
+    // maxId=3, buckets=2 -> span=2: docs 0,1 -> b0; 2,3 -> b1.
+    // b0: 4 tokens, first-seen {a,b,c}; b1: 4 tokens, first-seen {d}
+    val d = Seq((0L, "a b"), (1L, "a c"), (2L, "c d d"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val got = TextOps.heapsCurve(d, buckets = 2)
+      .orderBy("checkpoint").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 4L, 3L, 750000L), (1L, 8L, 4L, 500000L)))
+    // a checkpoint with no new terms still reports the token growth
+    val d2 = Seq((0L, "a a"), (1L, "a a a")).toDF("doc_id", "text")
+    val g2 = TextOps.heapsCurve(d2, buckets = 2)
+      .orderBy("checkpoint").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(g2 == Seq((0L, 2L, 1L, 500000L), (1L, 5L, 1L, 200000L)))
+  }
+
+  test("zipfCard: freq at power-of-two ranks off counts-of-counts (X3)") {
+    import graft.ext.TextOps
+    // counts: a=5, b=3, c=3, d=1, e=1, f=1 -> ranked freqs 5,3,3,1,1,1
+    val d = Seq((0L, "a a a a a b b b c c c d e f")).toDF("doc_id", "text")
+    val got = TextOps.zipfCard(d, maxLogRank = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    // rank 8 exceeds the 6-term vocabulary -> dropped, not padded
+    assert(got == Seq((1L, 5L, 5L), (2L, 3L, 6L), (4L, 1L, 4L)))
   }
 
   test("int8QuantCard: exact codes, extremes reconstruct exactly, midpoints audit (X2)") {
@@ -1329,6 +1378,49 @@ class ExtSpec extends SparkSuite {
     assert(java.lang.Long.bitCount(extra(10L)._2 ^ m(1L)) <= 3)
     assert(!extra(11L)._1 && extra(11L)._2 == null) // garbage payload
     assert(!extra(12L)._1) // null payload
+  }
+
+  test("audioActivityCard: windowed silence/clipping match the closed form (X4)") {
+    val ids = Seq(0L, 5L, 1000L).toDF("doc_id")
+    val media = Multimodal.synthesizeWav(ids, "doc_id", nSamples = 64)
+    val got = Multimodal.audioActivityCard(media, windows = 8,
+        silenceDiv = 4L, clipMag = 32700)
+      .as[(Long, Boolean, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    // independent in-JVM reference over the synthesizeWav closed form
+    for (id <- Seq(0L, 5L, 1000L)) {
+      val v = (0 until 64).map(i => (((id * 31 + i * 7) % 65536) - 32768).toInt)
+      val en = v.grouped(8).map(_.map(x => math.abs(x).toLong).sum).toSeq
+      val total = en.sum
+      val silent = en.count(e => e * 8 * 4 < total).toLong
+      val clipped = v.count(x => math.abs(x) >= 32700).toLong
+      val peak = v.map(x => math.abs(x).toLong).max
+      assert(got(id) == ((64L, silent, clipped, peak, total)),
+        s"id=$id got=${got(id)}")
+    }
+    // id 0 renders a pure ramp from -32768: sample 0 clips
+    assert(got(0L)._3 >= 1L)
+    // poison payload degrades, never throws
+    val poisoned = media.withColumn("payload",
+      when($"media_id" === 5L, lit(null).cast("binary"))
+        .otherwise($"payload"))
+    val ok = Multimodal.audioActivityCard(poisoned)
+      .select("media_id", "decode_ok").as[(Long, Boolean)].collect().toMap
+    assert(!ok(5L) && ok(0L))
+  }
+
+  test("shotBoundaries: lagged Hamming distances + cut flags (X4)") {
+    val fh = Seq(
+      (1L, true, 0L, 0L), (1L, true, 1L, 255L),  // 8 bits flip -> cut
+      (1L, true, 2L, 254L),                      // 1 bit -> no cut
+      (2L, true, 0L, 7L), (2L, true, 1L, 7L),    // identical -> 0
+      (3L, false, -1L, 0L))                      // poison row dropped
+      .toDF("media_id", "decode_ok", "frame_idx", "fhash")
+    val out = Multimodal.shotBoundaries(fh, cutAt = 6)
+      .orderBy("media_id", "frame_idx")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 1L, 8L, true), (1L, 2L, 1L, false),
+      (2L, 1L, 0L, false)))
   }
 
   test("audioFingerprint: exact dups share the print, poison degrades (X4)") {

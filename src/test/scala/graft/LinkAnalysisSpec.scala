@@ -254,6 +254,45 @@ class LinkAnalysisSpec extends SparkSuite {
     assert(got === Set(Seq(5L, 2L), Seq(6L, 2L), Seq(7L, 2L)))
   }
 
+  test("corenessHIndex converges to brute-peel coreness") {
+    // pendant path (coreness 1) + triangle (2) + K4 (3), bridged
+    val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (6L, 7L), (7L, 8L), (7L, 9L), (7L, 10L), (8L, 9L),
+      (8L, 10L), (9L, 10L))
+    val got = rows(LinkAnalysis.corenessHIndex(e, rounds = 6))
+    // brute peel: repeatedly remove vertices of degree < k for k=1,2,…
+    def brute(es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val all = es.flatMap(p => Seq(p._1, p._2)).distinct
+      var core = Map.empty[Long, Long]
+      var live = es
+      var k = 1L
+      while (live.nonEmpty) {
+        var changed = true
+        while (changed) {
+          val deg = live.flatMap(p => Seq(p._1, p._2))
+            .groupBy(identity).view.mapValues(_.size.toLong).toMap
+          val drop = deg.filter(_._2 < k).keySet
+          changed = drop.nonEmpty
+          if (changed) {
+            drop.foreach(v => core += v -> (k - 1))
+            live = live.filterNot(p => drop(p._1) || drop(p._2))
+          }
+        }
+        if (live.nonEmpty) k += 1
+      }
+      // survivors of the last full peel hold the final k
+      all.filterNot(core.contains).foreach(v => core += v -> (k - 1))
+      core
+    }
+    val exp = brute(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (6L, 7L), (7L, 8L), (7L, 9L), (7L, 10L), (8L, 9L),
+      (8L, 10L), (9L, 10L)))
+    assert(got === exp.map { case (v, c) => Seq[Any](v, c) }.toSet)
+    // monotone: extra rounds past fixpoint change nothing
+    val more = rows(LinkAnalysis.corenessHIndex(e, rounds = 9))
+    assert(more === got)
+  }
+
   test("jaccardPairs matches a brute-force reference on random data") {
     for (seed <- Seq(11, 12)) {
       val rnd = new scala.util.Random(seed)
