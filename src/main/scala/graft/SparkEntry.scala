@@ -423,6 +423,66 @@ object SparkEntry {
        |ORDER BY id""".stripMargin
   }
 
+  /** DuckDB oracle for [[Traversals.dagLevels]] over the whole star
+    * graph (a DAG — singleton SCCs, so no condensation step): `rounds`
+    * unrolled max-plus sweeps; the sweep is monotone, so a bound ≥ the
+    * longest path length (3 here: order→customer→nation→region) is the
+    * fixpoint. */
+  private def dagLevelsSql(rounds: Int): String = {
+    val ctes = (1 to rounds).map { r =>
+      s"""u$r AS MATERIALIZED (SELECT e.target_layer AS layer,
+         |  e.target_id AS node_id, MAX(p.level + 1) AS nl
+         | FROM edges e JOIN v${r - 1} p ON p.layer = e.source_layer
+         |  AND p.node_id = e.source_id GROUP BY 1, 2),
+         |v$r AS MATERIALIZED (SELECT v.layer, v.node_id,
+         | GREATEST(v.level, COALESCE(u.nl, 0)) AS level
+         | FROM v${r - 1} v LEFT JOIN u$r u
+         |  ON u.layer = v.layer AND u.node_id = v.node_id)""".stripMargin
+    }.mkString(",\n")
+    s"""$W,
+       |v0 AS MATERIALIZED (SELECT layer, node_id,
+       | CAST(0 AS BIGINT) AS level FROM vertices),
+       |$ctes
+       |SELECT layer, node_id, CAST(level AS BIGINT) AS level
+       |FROM v$rounds ORDER BY layer, node_id""".stripMargin
+  }
+
+  /** DuckDB oracle for [[Clustering.dominantDirectionCard]]: the exact
+    * integer Gram matrix of n-scaled centered quantized embeddings,
+    * then `rounds` unrolled power-iteration CTEs (HUGEINT matvec +
+    * truncating `//` renormalization to micro-units — the same
+    * arithmetic the Spark side runs in BigInt), then the raw Σ y·v
+    * projection per vector. */
+  private def dominantDirSql(rounds: Int): String = {
+    val ctes = (1 to rounds).map { r =>
+      s"""w$r AS MATERIALIZED (SELECT g.i AS dim, SUM(g.g * v.v) AS w
+         | FROM g JOIN v${r - 1} v ON v.dim = g.j GROUP BY 1),
+         |m$r AS (SELECT MAX(ABS(w)) AS m FROM w$r),
+         |v$r AS (SELECT dim, CASE WHEN m.m = 0
+         |  THEN CAST(1000 AS HUGEINT)
+         |  ELSE w * 1000 // m.m END AS v FROM w$r, m$r m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (SELECT vec_id,
+       |  UNNEST(range(len(embedding))) AS dim,
+       |  CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000)
+       |    AS BIGINT) AS q
+       | FROM embeddings),
+       |nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM q),
+       |sd AS (SELECT dim, CAST(SUM(q) AS BIGINT) AS sd FROM q GROUP BY dim),
+       |y AS MATERIALIZED (SELECT q.vec_id, q.dim,
+       |  CAST(nn.n * q.q - sd.sd AS HUGEINT) AS y
+       | FROM q JOIN sd ON sd.dim = q.dim CROSS JOIN nn),
+       |g AS MATERIALIZED (SELECT l.dim AS i, r.dim AS j,
+       |  SUM(l.y * r.y) AS g
+       | FROM y l JOIN y r ON l.vec_id = r.vec_id GROUP BY 1, 2),
+       |v0 AS (SELECT DISTINCT i AS dim, CAST(1000 AS HUGEINT) AS v
+       | FROM g),
+       |$ctes
+       |SELECT y.vec_id, CAST(SUM(y.y * v.v) AS BIGINT) AS proj_q
+       |FROM y JOIN v$rounds v ON v.dim = y.dim
+       |GROUP BY 1 ORDER BY vec_id""".stripMargin
+  }
+
   /** DuckDB oracle for [[LinkAnalysis.louvainLocalMove]] over the
     * co-purchase pair graph: `rounds` chained synchronous local-move
     * CTEs — per round the per-(vertex, candidate-community) edge
@@ -3214,6 +3274,25 @@ object SparkEntry {
       },
       Some(corenessSql(10))),
 
+    QueryDef("g65_dag_levels",
+      // longest-path ("topological depth") levels of the whole star
+      // DAG: level(v) = max over in-edges of level(pred)+1 — the
+      // dependency-depth statistic of a lineage/build graph, derived
+      // from the edges where the reference's layer field is assigned
+      // (core.py:68). 5 bounded max-plus sweeps (fixpoint at 3, the
+      // longest path order→customer→nation→region; monotone, so the
+      // extra rounds are no-ops — spec-pinned). Cyclic inputs go
+      // through strongComponents condensation first (spec-pinned
+      // composition); the star graph needs none.
+      (s, dir) => {
+        val g = graph(s, dir)
+        Traversals.dagLevels(g.edges, g.vertices, rounds = 5)
+          .join(g.vertices, Seq("vid"))
+          .select(col("layer"), col("nodeId").as("node_id"), col("level"))
+          .orderBy("layer", "node_id")
+      },
+      Some(dagLevelsSql(5))),
+
     QueryDef("g59_louvain_two_level",
       // the full multi-level Louvain pyramid cut at depth 2: g58's
       // deterministic move phase, community contraction into the
@@ -4026,6 +4105,25 @@ object SparkEntry {
              | CAST(SUM(micros) AS BIGINT) AS sum_micros,
              | CAST(MAX(micros) AS BIGINT) AS max_micros
              |FROM u GROUP BY 1 ORDER BY measure""".stripMargin)),
+
+    QueryDef("q53_group_by_all",
+      // GROUP BY ALL / ORDER BY ALL (the DuckDB-originated shorthand
+      // adopted by Spark's parser): every non-aggregate select item
+      // becomes a grouping key. Analyzer-surface parity proof — the
+      // plan is the same single hash aggregate as an explicit GROUP
+      // BY; the sum is decimal-routed like every double sum here.
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("graft_q53_li")
+        s.sql("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                | CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                |   AS sum_qty
+                |FROM graft_q53_li
+                |GROUP BY ALL ORDER BY ALL""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+             | CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             |   AS sum_qty
+             |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin)),
 
     QueryDef("q35_full_outer",
       // FULL OUTER JOIN coverage with genuinely asymmetric sides
@@ -6284,6 +6382,20 @@ object SparkEntry {
              |   THEN 1 ELSE 0 END AS BIGINT) AS is_cut
              |FROM lg WHERE prev IS NOT NULL
              |ORDER BY media_id, frame_idx""".stripMargin)),
+
+    QueryDef("x124_dominant_direction",
+      // leading principal direction by power iteration on the EXACT
+      // integer Gram matrix of centered quantized embeddings: each
+      // vector's raw signed projection onto the corpus's top variance
+      // axis — the whitening diagnostic next to x114's drift card.
+      // Centering without division (y = n*q - S), Gram in
+      // DECIMAL(38,0) through one map-side-combinable posexplode^2
+      // pass, 6 power steps driver-side in BigInt (dims^2 collect —
+      // bounded by construction), projection as one broadcast join.
+      (s, dir) => Clustering.dominantDirectionCard(
+          t(s, dir, "embeddings"), rounds = 6)
+        .orderBy("vec_id"),
+      Some(dominantDirSql(6))),
 
     QueryDef("x123_cdc_apply",
       // CDC changelog compaction: fold a deterministic I/U/D change

@@ -549,6 +549,43 @@ object Traversals {
     depthScaledSizesAndText(g, layer, nodeId, minS, maxS, 8.0, 15.0)
       .drop("text_size")
 
+  /** Longest-path ("topological depth") levels of a DAG: level(v) =
+    * 0 for sources, else max over in-edges of level(pred) + 1 — the
+    * dependency-depth statistic a lineage/build/stage planner reads
+    * off a dependency graph (reference scope: onionnet's layer field
+    * is an ASSIGNED level, core.py:68; this derives the structural
+    * one from the edges). `rounds` bounds the max-plus sweep; on a
+    * DAG the fixpoint is reached once rounds ≥ the longest path
+    * length, and the sweep is monotone non-decreasing, so extra
+    * rounds change nothing (spec-pinned). CYCLIC inputs never
+    * converge by definition — condense first with
+    * [[strongComponentsDataFrame]] and feed the quotient edges
+    * (composition spec-pinned on a cyclic fixture).
+    *
+    * Scale shape per round: one equi-join of edges against the
+    * current level table + a map-side-combinable max per head vertex
+    * + a left join back — the frontier-join economics of every
+    * bounded kernel here, no windows. Lineage checkpoint-truncated
+    * per round. */
+  def dagLevels(edges: DataFrame, vertices: DataFrame,
+                rounds: Int): DataFrame = {
+    require(rounds >= 1, s"dagLevels: rounds >= 1, got $rounds")
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var lvl = vertices.select(col("vid")).distinct()
+      .withColumn("level", lit(0L)).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val upd = e.join(lvl.withColumnRenamed("vid", "src"), Seq("src"))
+        .groupBy(col("dst").as("vid"))
+        .agg(max(col("level") + 1L).as("nl"))
+      lvl = lvl.join(upd, Seq("vid"), "left")
+        .select(col("vid"),
+          greatest(col("level"), coalesce(col("nl"), lit(0L))).as("level"))
+        .localCheckpoint(eager = false)
+    }
+    lvl
+  }
+
   /** Reference-parity dual output (`visualisation.py:273-308` returns
     * v_size AND v_text_size): one undirected BFS sweep, two linear
     * rescalings of the same depth column. */

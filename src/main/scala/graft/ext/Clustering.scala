@@ -304,6 +304,74 @@ object Clustering {
         sum("err").cast("long").as("sum_err"))
   }
 
+  /** Dominant-direction card: every vector's signed projection onto
+    * the corpus's leading variance axis, computed by power iteration
+    * on the EXACT integer Gram matrix of centered quantized
+    * embeddings — the "is one axis dominating the space?" whitening
+    * diagnostic an embedding pipeline records next to the drift card
+    * ([[cellShareDrift]]), and a deterministic 1-D ordering a
+    * curriculum/diversity sampler can key on.
+    *
+    * Exactness: centering without a division — work in
+    * y = n·q − S_dim (the centered value TIMES n, exact integers);
+    * Gram G = Σ y⊗y accumulates in DECIMAL(38,0); `rounds` power
+    * steps run driver-side in BigInt on the dims×dims G (bounded by
+    * dims² by construction — the BPE-merge-table collect class),
+    * renormalizing each step to kilo-units by truncating division
+    * (JVM, DuckDB `//`, and Spark DIV all truncate toward zero, so
+    * the vector re-derives on any engine). The output keeps the RAW
+    * Σ y·v per vector — undivided, so no rounding-mode hazard.
+    *
+    * Scale shape: the corpus pays ONE posexplode² Gram pass
+    * (n·dims² rows through a map-side-combinable hash agg → dims²
+    * rows out) and ONE broadcast-vector projection pass; the
+    * iteration itself never touches the corpus. */
+  def dominantDirectionCard(emb: DataFrame, rounds: Int = 8,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    require(rounds >= 1, s"dominantDirectionCard: rounds >= 1")
+    val spark = emb.sparkSession
+    val q = quantize(emb, idCol, vecCol).localCheckpoint()
+    // single-scalar lookup (allowed collect class)
+    val n = q.agg(countDistinct("vec_id")).head.getLong(0)
+    val s = q.groupBy("dim").agg(sum("q").cast("long").as("sd"))
+    val y = q.join(broadcast(s), Seq("dim"))
+      .select(col("vec_id"), col("dim"),
+        (lit(n) * col("q") - col("sd")).cast("decimal(20,0)").as("y"))
+      .localCheckpoint() // feeds both the Gram pass and the projection
+    val gram = y.select(col("vec_id"), col("dim").as("i"), col("y").as("yi"))
+      .join(y.select(col("vec_id"), col("dim").as("j"), col("y").as("yj")),
+        Seq("vec_id"))
+      .groupBy("i", "j")
+      .agg(sum((col("yi") * col("yj")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("g"))
+    // dims² rows — bounded by construction, never corpus-sized
+    val gRows = gram.collect()
+    val dims = gRows.iterator.map(_.getInt(0)).max + 1
+    val big = Array.fill(dims, dims)(BigInt(0))
+    gRows.foreach(r =>
+      big(r.getInt(0))(r.getInt(1)) = BigInt(r.getDecimal(2).toBigInteger))
+    // v lives in KILO-units (±1000): keeps the final Σ y·v inside
+    // int64 up to ~1.4e8 vectors at 64 dims (the 100 TB regime for
+    // ~1 KB/row embedding tables) while still resolving the direction
+    // to 3 digits — the output must be exact int64 end to end
+    var v = Array.fill(dims)(BigInt(1000))
+    for (_ <- 1 to rounds) {
+      val w = Array.tabulate(dims)(i =>
+        (0 until dims).map(j => big(i)(j) * v(j)).sum)
+      val m = w.iterator.map(_.abs).max
+      v = if (m == 0) Array.fill(dims)(BigInt(1000))
+          else w.map(x => x * 1000 / m) // BigInt / truncates: == `//`
+    }
+    import spark.implicits._
+    val vDf = v.zipWithIndex.map { case (x, d) => (d, x.toLong) }.toSeq
+      .toDF("dim", "v")
+    y.join(broadcast(vDf), Seq("dim"))
+      .groupBy("vec_id")
+      .agg(sum((col("y") * col("v")).cast("decimal(38,0)"))
+        .cast("long").as("proj_q"))
+  }
+
   /** Embedding-space drift card — the x52 histogram-drift gate lifted
     * to vector space: kmeans cells TRAINED ON THE WHOLE CORPUS (so
     * both slices bin identically — training per-slice would confound

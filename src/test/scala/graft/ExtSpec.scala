@@ -563,6 +563,24 @@ class ExtSpec extends SparkSuite {
     assert(got == Seq((1L, 5L, 5L), (2L, 3L, 6L), (4L, 1L, 4L)))
   }
 
+  test("dominantDirectionCard: single-axis variance projects exactly (X2)") {
+    // only dim 0 varies -> Gram is rank-1 on e0, the iteration locks
+    // to (1000, 0), and proj = y0 * 1000 with y0 = n*q0 - S0
+    val emb = Seq(
+      (1L, Array(0.0f, 0.5f)), (2L, Array(1.0f, 0.5f)),
+      (3L, Array(2.0f, 0.5f)), (4L, Array(3.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val got = Clustering.dominantDirectionCard(emb, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> -6000000000L, 2L -> -2000000000L,
+      3L -> 2000000000L, 4L -> 6000000000L))
+    // identical vectors always project identically
+    val dup = Clustering.dominantDirectionCard(
+      emb.unionByName(Seq((5L, Array(3.0f, 0.5f))).toDF("vec_id", "embedding")),
+      rounds = 3).as[(Long, Long)].collect().toMap
+    assert(dup(4L) == dup(5L))
+  }
+
   test("int8QuantCard: exact codes, extremes reconstruct exactly, midpoints audit (X2)") {
     val emb = Seq(
       (1L, Array(0.0f, 1.0f)), (2L, Array(1.0f, 0.0f)),

@@ -32,6 +32,46 @@ class TraversalsSpec extends SparkSuite {
       .select(concat_ws(":", col("layer"), col("nodeId")), col("dist"))
       .as[(String, Int)].collect().toMap
 
+  test("dagLevels: diamond longest-path depths; extra rounds are no-ops") {
+    val vs = Seq(1L, 2L, 3L, 4L, 5L).toDF("vid")
+    // a->b, a->c, b->d, c->d, d->e: levels 0,1,1,2,3
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = Traversals.dagLevels(es, vs, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+    val more = Traversals.dagLevels(es, vs, rounds = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(more == got)
+  }
+
+  test("dagLevels composes with SCC condensation on cyclic input") {
+    // a -> (b <-> c) -> d: condensing the 2-cycle yields a 3-node
+    // path, so levels are a=0, {b,c}=1, d=2
+    val nodes = Seq(("a", "L"), ("b", "L"), ("c", "L"), ("d", "L"))
+      .toDF("node_id", "layer")
+    val edges = Seq(("a", "L", "b", "L"), ("b", "L", "c", "L"),
+      ("c", "L", "b", "L"), ("c", "L", "d", "L"))
+      .toDF("source_id", "source_layer", "target_id", "target_layer")
+    val cg = OnionBuilder.grow(nodes, edges, GrowOptions())
+    val scc = Traversals.strongComponentsDataFrame(cg)
+    val qe = cg.edges
+      .join(scc.select(col("vid").as("src"), col("compVid").as("csrc")),
+        Seq("src"))
+      .join(scc.select(col("vid").as("dst"), col("compVid").as("cdst")),
+        Seq("dst"))
+      .select(col("csrc").as("src"), col("cdst").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val lv = Traversals.dagLevels(qe,
+      scc.select(col("compVid").as("vid")), rounds = 4)
+    val byNode = scc
+      .join(lv.withColumnRenamed("vid", "compVid"), Seq("compVid"))
+      .join(cg.vertices, Seq("vid"))
+      .select(col("nodeId"), col("level"))
+      .as[(String, Long)].collect().toMap
+    assert(byNode == Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L))
+  }
+
   test("downstream k-hop BFS bounded by maxDist (searcher.py:208)") {
     assert(distMap("L1", "a", 2, Traversals.Downstream) ==
       Map("L1:a" -> 0, "L1:b" -> 1, "L1:c" -> 2))
