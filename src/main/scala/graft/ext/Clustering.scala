@@ -312,19 +312,26 @@ object Clustering {
     * ([[cellShareDrift]]), and a deterministic 1-D ordering a
     * curriculum/diversity sampler can key on.
     *
-    * Exactness: centering without a division — work in
-    * y = n·q − S_dim (the centered value TIMES n, exact integers);
-    * Gram G = Σ y⊗y accumulates in DECIMAL(38,0); `rounds` power
+    * Exactness: centering without a division — the target space is
+    * y = n·q − S_dim (the centered value TIMES n, exact integers),
+    * but the corpus never materializes y: the exact algebraic
+    * identity  G = n²·R − n·S·Sᵀ  (R = Σ q⊗q the raw second-moment
+    * matrix, S the per-dim sums) keeps every row-level multiply in
+    * codegen'd LONG arithmetic (|q| ≤ 1e6 → products ≤ 1e12); R
+    * accumulates through salted long partials (≤ n/16 terms each —
+    * sound to ~1.4e8 vectors, the same bound as the projection
+    * headroom) that decimal-merge at the end. The `rounds` power
     * steps run driver-side in BigInt on the dims×dims G (bounded by
     * dims² by construction — the BPE-merge-table collect class),
     * renormalizing each step to kilo-units by truncating division
     * (JVM, DuckDB `//`, and Spark DIV all truncate toward zero, so
     * the vector re-derives on any engine). The output keeps the RAW
-    * Σ y·v per vector — undivided, so no rounding-mode hazard.
+    * Σ y·v per vector (= n·(Σ q·v) − Σ S·v, same identity) —
+    * undivided, so no rounding-mode hazard.
     *
-    * Scale shape: the corpus pays ONE posexplode² Gram pass
-    * (n·dims² rows through a map-side-combinable hash agg → dims²
-    * rows out) and ONE broadcast-vector projection pass; the
+    * Scale shape: the corpus pays ONE posexplode² second-moment pass
+    * (n·dims² long products through a map-side-combinable hash agg →
+    * dims² rows out) and ONE broadcast-vector projection pass; the
     * iteration itself never touches the corpus. */
   def dominantDirectionCard(emb: DataFrame, rounds: Int = 8,
                             idCol: String = "vec_id",
@@ -334,23 +341,28 @@ object Clustering {
     val q = quantize(emb, idCol, vecCol).localCheckpoint()
     // single-scalar lookup (allowed collect class)
     val n = q.agg(countDistinct("vec_id")).head.getLong(0)
-    val s = q.groupBy("dim").agg(sum("q").cast("long").as("sd"))
-    val y = q.join(broadcast(s), Seq("dim"))
-      .select(col("vec_id"), col("dim"),
-        (lit(n) * col("q") - col("sd")).cast("decimal(20,0)").as("y"))
-      .localCheckpoint() // feeds both the Gram pass and the projection
-    val gram = y.select(col("vec_id"), col("dim").as("i"), col("y").as("yi"))
-      .join(y.select(col("vec_id"), col("dim").as("j"), col("y").as("yj")),
+    // dims-sized collect — bounded by construction
+    val sRows = q.groupBy("dim").agg(sum("q").cast("long").as("sd"))
+      .collect()
+    val rRows = q.select(col("vec_id"), col("dim").as("i"), col("q").as("qi"))
+      .join(q.select(col("vec_id"), col("dim").as("j"), col("q").as("qj")),
         Seq("vec_id"))
+      .groupBy(col("i"), col("j"), pmod(col("vec_id"), lit(16L)).as("slt"))
+      .agg(sum(col("qi") * col("qj")).as("ps")) // long partials, exact
       .groupBy("i", "j")
-      .agg(sum((col("yi") * col("yj")).cast("decimal(38,0)"))
-        .cast("decimal(38,0)").as("g"))
-    // dims² rows — bounded by construction, never corpus-sized
-    val gRows = gram.collect()
-    val dims = gRows.iterator.map(_.getInt(0)).max + 1
+      .agg(sum(col("ps").cast("decimal(38,0)")).cast("decimal(38,0)")
+        .as("r"))
+      .collect() // dims² rows — bounded by construction
+    val dims = rRows.iterator.map(_.getInt(0)).max + 1
+    val sArr = Array.fill(dims)(BigInt(0))
+    sRows.foreach(r => sArr(r.getInt(0)) = BigInt(r.getLong(1)))
+    val nB = BigInt(n)
     val big = Array.fill(dims, dims)(BigInt(0))
-    gRows.foreach(r =>
-      big(r.getInt(0))(r.getInt(1)) = BigInt(r.getDecimal(2).toBigInteger))
+    rRows.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      big(i)(j) = nB * nB * BigInt(r.getDecimal(2).toBigInteger) -
+        nB * sArr(i) * sArr(j)
+    }
     // v lives in KILO-units (±1000): keeps the final Σ y·v inside
     // int64 up to ~1.4e8 vectors at 64 dims (the 100 TB regime for
     // ~1 KB/row embedding tables) while still resolving the direction
@@ -366,10 +378,15 @@ object Clustering {
     import spark.implicits._
     val vDf = v.zipWithIndex.map { case (x, d) => (d, x.toLong) }.toSeq
       .toDF("dim", "v")
-    y.join(broadcast(vDf), Seq("dim"))
+    // Σ y·v == n·(Σ q·v) − Σ S·v: per-vec dot in LONG (≤ 64·1e9),
+    // the constant driver-side in BigInt, the combine decimal-routed
+    val c = (0 until dims).map(d => sArr(d) * v(d)).sum
+    q.join(broadcast(vDf), Seq("dim"))
       .groupBy("vec_id")
-      .agg(sum((col("y") * col("v")).cast("decimal(38,0)"))
-        .cast("long").as("proj_q"))
+      .agg(sum(col("q") * col("v")).as("dot"))
+      .select(col("vec_id"),
+        (lit(n).cast("decimal(38,0)") * col("dot") -
+          lit(c.toString).cast("decimal(38,0)")).cast("long").as("proj_q"))
   }
 
   /** Embedding-space drift card — the x52 histogram-drift gate lifted
