@@ -1096,4 +1096,111 @@ object InvariantProps extends Properties("GraftInvariants") {
       } yield (a, b, 1000000L)).toSet
       sound && mustFind.subsetOf(got)
     }
+
+  property("corenessHIndex fixpoint == brute peel on random graphs") =
+    forAll(genGraph) { case (n, edges) =>
+      import spark.implicits._
+      val simple = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2).toLong, math.max(e._1, e._2).toLong))
+        .distinct
+      simple.isEmpty || {
+        val e = simple.toDF("a", "b")
+        // rounds-to-fixpoint from an in-JVM h-index simulation (the
+        // TRUTH below stays the independent brute peel)
+        val adj = (simple.map(p => p._1 -> p._2) ++
+          simple.map(p => p._2 -> p._1))
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        var vals = adj.view.mapValues(_.size.toLong).toMap
+        var r = 0
+        var stable = false
+        while (!stable) {
+          val next = vals.map { case (u, vu) =>
+            val nv = adj(u).map(vals).sortBy(-_)
+            val h = nv.zipWithIndex
+              .map { case (x, i) => math.min(x, i + 1L) }.max
+            u -> math.min(vu, h)
+          }
+          stable = next == vals
+          if (!stable) { vals = next; r += 1 }
+        }
+        val got = graft.algos.LinkAnalysis
+          .corenessHIndex(e, rounds = r.max(1))
+          .as[(Long, Long)].collect().toMap
+        // brute peel: phase k removes everything of degree < k
+        // (INCLUDING vertices isolated mid-phase — degree 0 < k);
+        // a vertex removed in phase k has coreness k-1
+        var core = Map.empty[Long, Long]
+        var remaining = simple.flatMap(p => Seq(p._1, p._2)).distinct.toSet
+        var live = simple
+        var k = 1L
+        while (remaining.nonEmpty) {
+          var changed = true
+          while (changed) {
+            val deg = live.flatMap(p => Seq(p._1, p._2))
+              .groupBy(identity).view.mapValues(_.size.toLong).toMap
+            val drop = remaining.filter(v => deg.getOrElse(v, 0L) < k)
+            changed = drop.nonEmpty
+            if (changed) {
+              drop.foreach(v => core += v -> (k - 1))
+              remaining --= drop
+              live = live.filterNot(p => drop(p._1) || drop(p._2))
+            }
+          }
+          if (remaining.nonEmpty) k += 1
+        }
+        got == core
+      }
+    }
+
+  property("dagLevels fixpoint == brute longest-path DP on random DAGs") =
+    forAll(genGraph) { case (n, edges) =>
+      import spark.implicits._
+      // orient every edge low -> high: always a DAG
+      val dag = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2).toLong, math.max(e._1, e._2).toLong))
+        .distinct
+      val vs = (0 until n).map(_.toLong).toDF("vid")
+      val got = Traversals.dagLevels(
+          dag.toDF("src", "dst"), vs, rounds = n.max(1))
+        .as[(Long, Long)].collect().toMap
+      // DP in topological (numeric) order
+      val lvl = scala.collection.mutable.Map((0 until n)
+        .map(_.toLong -> 0L): _*)
+      dag.sorted.foreach { case (a, b) =>
+        lvl(b) = math.max(lvl(b), lvl(a) + 1) }
+      // one extra sweep guards multi-hop chains arriving out of order
+      var changed = true
+      while (changed) {
+        changed = false
+        dag.foreach { case (a, b) =>
+          if (lvl(a) + 1 > lvl(b)) { lvl(b) = lvl(a) + 1; changed = true } }
+      }
+      got == lvl.toMap
+    }
+
+  property("applyChangelog == sequential fold of the ordered log") =
+    forAll(
+      Gen.listOfN(8, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 99L))),
+      Gen.listOfN(12, Gen.zip(Gen.choose(0L, 7L), Gen.choose(1, 4),
+        Gen.choose(1, 3), Gen.oneOf("I", "U", "D"), Gen.choose(0L, 99L)))) {
+      (baseRaw, logRaw) =>
+      import spark.implicits._
+      val base = baseRaw.toMap.toSeq // unique keys
+      // unique (key, ts, seq) — the operator's stated CDC contract
+      val log = logRaw.groupBy(r => (r._1, r._2, r._3))
+        .map(_._2.head).toSeq
+      val out = graft.ext.Upserts.applyChangelog(
+          base.toDF("k", "v"), log.toDF("k", "ts", "seq", "op", "v"), "k")
+        .as[(Long, Long)].collect().toMap
+      val expected = {
+        val m = scala.collection.mutable.Map(base: _*)
+        log.sortBy(r => (r._2, r._3)).foreach { case (k2, _, _, op, v) =>
+          if (op == "D") m.remove(k2) else m(k2) = v }
+        // winner-only semantics: a D that is NOT last doesn't resurrect
+        // order; the sequential fold applies ops in (ts, seq) order and
+        // therefore agrees with last-writer-wins exactly
+        m.toMap
+      }
+      out == expected
+    }
 }

@@ -296,6 +296,40 @@ class StreamingSpec extends SparkSuite {
     assert(batch.exists { case (id, _, _, lang) => id == 2L && lang == "es" })
   }
 
+  test("streaming CDC fold: per-batch applyChangelog == one-shot batch apply") {
+    // the deploy shape for x123: a CDC stream folds into the standing
+    // snapshot per micro-batch (foreachBatch — the apply involves an
+    // anti join, so it rides foreachBatch like the LM/near-dup loops).
+    // With batches arriving in ts order (the watermarked-CDC
+    // guarantee), the incremental fold equals last-writer-wins over
+    // the whole log — pinned here against the one-shot batch apply.
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    val b1 = Seq((1L, 1, 0, "U", 11L), (4L, 1, 1, "I", 40L))
+    val b2 = Seq((1L, 2, 0, "D", 0L), (2L, 2, 1, "U", 22L))
+    var snap = base
+    val stream = MemoryStream[(Long, Int, Int, String, Long)]
+    val q = stream.toDF().toDF("k", "ts", "seq", "op", "v")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        snap.synchronized {
+          snap = graft.ext.Upserts.applyChangelog(snap, df, "k")
+            .localCheckpoint()
+        }
+        ()
+      }.start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = snap.as[(Long, Long)].collect().toMap
+    val oneShot = graft.ext.Upserts.applyChangelog(base,
+        (b1 ++ b2).toDF("k", "ts", "seq", "op", "v"), "k")
+      .as[(Long, Long)].collect().toMap
+    assert(streamed == oneShot)
+    assert(streamed == Map(2L -> 22L, 3L -> 30L, 4L -> 40L))
+  }
+
   test("streaming curation gate: pre-trained classifier + drift monitor per micro-batch") {
     // the deploy shape for the x54/x52 gates: weights are trained
     // offline (static, broadcast), each arriving micro-batch is
