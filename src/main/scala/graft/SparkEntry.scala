@@ -4125,6 +4125,35 @@ object SparkEntry {
              |   AS sum_qty
              |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin)),
 
+    QueryDef("q54_forward_fill",
+      // last_value ... IGNORE NULLS — the standard forward-fill
+      // (last-observation-carried-forward) window idiom: each order
+      // carries the customer's most recent FINALIZED price; windows
+      // partition per customer with a deterministic (date, key) tie
+      // order. No arithmetic on the filled doubles — raw values pass
+      // through, so the hash compare is exact.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            when(col("o_orderstatus") === "F", col("o_totalprice"))
+              .as("f_price"))
+          .withColumn("filled", last("f_price", ignoreNulls = true).over(w))
+          .select("o_custkey", "o_orderkey", "filled")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             | LAST_VALUE(CASE WHEN o_orderstatus = 'F'
+             |     THEN o_totalprice END IGNORE NULLS)
+             |   OVER (PARTITION BY o_custkey
+             |     ORDER BY o_orderdate, o_orderkey
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |   AS filled
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     QueryDef("q35_full_outer",
       // FULL OUTER JOIN coverage with genuinely asymmetric sides
       // (nations having deep-debit customers vs suppliers): USING-join
@@ -6396,6 +6425,35 @@ object SparkEntry {
           t(s, dir, "embeddings"), rounds = 6)
         .orderBy("vec_id"),
       Some(dominantDirSql(6))),
+
+    QueryDef("x125_k_anonymity",
+      // k-anonymity audit over the (lang, source, length-bucket)
+      // generalization ladder: per prefix level, equivalence groups,
+      // groups under k=10, and the ppm of rows sitting in them — the
+      // re-identification card a dataset release publishes. The whole
+      // ladder is ONE rollup pass (grouping-sets machinery — no
+      // per-level re-scan) + a levels-sized re-aggregation.
+      (s, dir) => ext.Profiling.kAnonymityAudit(
+          docs(s, dir).withColumn("len_bucket", expr("n_chars DIV 50")),
+          Seq("lang", "source", "len_bucket"), k = 10L)
+        .orderBy("level"),
+      Some("""WITH base AS (SELECT lang, source, n_chars // 50 AS len_bucket
+             |  FROM documents),
+             | g AS (SELECT lang, source, len_bucket,
+             |   CAST(COUNT(*) AS BIGINT) AS n,
+             |   CAST(3 - GROUPING(lang) - GROUPING(source)
+             |     - GROUPING(len_bucket) AS INT) AS level
+             |  FROM base GROUP BY ROLLUP (lang, source, len_bucket)),
+             | t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM base)
+             |SELECT level, CAST(COUNT(*) AS BIGINT) AS n_groups,
+             | CAST(SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+             |   AS risky_groups,
+             | CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+             |   AS rows_at_risk,
+             | CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) * 1000000
+             |   // t.total AS BIGINT) AS risk_ppm
+             |FROM g, t GROUP BY level, t.total
+             |ORDER BY level""".stripMargin)),
 
     QueryDef("x123_cdc_apply",
       // CDC changelog compaction: fold a deterministic I/U/D change

@@ -401,4 +401,37 @@ object Profiling {
         expr("CAST(CAST(n_max AS DECIMAL(38,0)) * n_distinct * 1000000" +
           " DIV total AS BIGINT)").as("max_over_mean_ppm"))
   }
+
+  /** k-anonymity audit over a generalization ladder — the re-
+    * identification governance card a dataset release runs per
+    * quasi-identifier set: for EVERY prefix level of `quasi` (full
+    * combination → progressively generalized → fully aggregated),
+    * how many equivalence groups exist, how many hold fewer than `k`
+    * rows, and how many rows sit in those risky groups (integer ppm
+    * share). Reading down the rows answers "how much generalization
+    * until everyone hides in a crowd of k".
+    *
+    * Spark-first: the whole ladder is ONE rollup aggregation (the
+    * grouping-sets machinery computes every prefix in a single pass —
+    * no per-level re-scan), then a levels-sized re-aggregation keyed
+    * off grouping_id. NULL quasi values are grouped as their own
+    * equivalence class by rollup; level L = first L quasi columns
+    * kept. */
+  def kAnonymityAudit(df: DataFrame, quasi: Seq[String],
+                      k: Long): DataFrame = {
+    require(quasi.nonEmpty, "kAnonymityAudit: need quasi-identifiers")
+    val total = df.count() // single-scalar lookup (allowed class)
+    df.rollup(quasi.map(col): _*)
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+      // rollup's gid sets one bit per AGGREGATED trailing column:
+      // level = #quasi columns still kept
+      .withColumn("level",
+        (lit(quasi.size) - expr("bit_count(gid)")).cast("int"))
+      .groupBy("level")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("risky_groups"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("rows_at_risk"))
+      .withColumn("risk_ppm",
+        expr(s"CAST(rows_at_risk * 1000000 DIV ${total.max(1L)} AS BIGINT)"))
+  }
 }

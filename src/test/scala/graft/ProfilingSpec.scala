@@ -205,4 +205,20 @@ class ProfilingSpec extends SparkSuite {
       .as[(Int, String, Long, Long, Long)].collect().sortBy(_._1)
     assert(again.toSeq == out.toSeq)
   }
+
+  test("kAnonymityAudit: hand-computed generalization ladder") {
+    // (lang, src): en/a x3, en/b x1, fr/a x1 -> full level 2:
+    // 3 groups, 2 risky (n<2... with k=2: groups en/b, fr/a), 2 rows
+    val df = Seq(("en", "a"), ("en", "a"), ("en", "a"), ("en", "b"),
+      ("fr", "a")).toDF("lang", "src")
+    val out = Profiling.kAnonymityAudit(df, Seq("lang", "src"), k = 2L)
+      .orderBy("level").as[(Int, Long, Long, Long, Long)].collect().toSeq
+    // level 0: the grand total (1 group of 5, never risky at k=2)
+    // level 1: en=4, fr=1 -> 1 risky group, 1 row (200000 ppm)
+    // level 2: en/a=3, en/b=1, fr/a=1 -> 2 risky, 2 rows (400000 ppm)
+    assert(out == Seq(
+      (0, 1L, 0L, 0L, 0L),
+      (1, 2L, 1L, 1L, 200000L),
+      (2, 3L, 2L, 2L, 400000L)))
+  }
 }

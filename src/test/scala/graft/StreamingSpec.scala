@@ -79,6 +79,44 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: unmatched rows null-pad only after the watermark") {
+    // the attribution-with-timeout shape: impressions LEFT OUTER join
+    // clicks within 15 minutes — matches emit inline; an impression
+    // with no click emits a null-padded row ONLY once both watermarks
+    // pass its join window (state is then safely evictable)
+    implicit val sqlCtx = spark.sqlContext
+    val imp = MemoryStream[(Long, Timestamp)]
+    val clk = MemoryStream[(Long, Timestamp)]
+    val joined = imp.toDF().toDF("imp_id", "its")
+      .withWatermark("its", "10 minutes")
+      .join(clk.toDF().toDF("clk_id", "cts")
+          .withWatermark("cts", "10 minutes"),
+        expr("imp_id = clk_id AND " +
+          "cts BETWEEN its AND its + INTERVAL 15 minutes"),
+        "left_outer")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("soj_out").start()
+    try {
+      imp.addData(Seq((1L, ts(0)), (2L, ts(1))))
+      clk.addData(Seq((1L, ts(5))))
+      q.processAllAvailable()
+      // impression 2 is unmatched but its window is still open: no
+      // null-padded row may exist yet
+      assert(spark.table("soj_out").where($"clk_id".isNull).count() == 0)
+      // push both watermarks far past impression 2's join window
+      imp.addData(Seq((99L, ts(300)))); clk.addData(Seq((98L, ts(300))))
+      q.processAllAvailable()
+      imp.addData(Seq((97L, ts(301)))); clk.addData(Seq((96L, ts(301))))
+      q.processAllAvailable()
+      val outer = spark.table("soj_out").where($"clk_id".isNull)
+        .select("imp_id").as[Long].collect().toSet
+      assert(outer.contains(2L))
+      val matched = spark.table("soj_out").where($"clk_id".isNotNull)
+        .select("imp_id", "clk_id").as[(Long, Long)].collect().toSet
+      assert(matched == Set((1L, 1L)))
+    } finally q.stop()
+  }
+
   test("stream dedup drops duplicate event ids within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Double)]
