@@ -6455,6 +6455,39 @@ object SparkEntry {
              |FROM g, t GROUP BY level, t.total
              |ORDER BY level""".stripMargin)),
 
+    QueryDef("x126_robust_outliers",
+      // robust per-group outlier gate on exact integer cents: median
+      // and MAD via percentile_disc (actual elements — no float
+      // interpolation), flag |x - med| > 2*MAD. The mean/stddev
+      // z-score this replaces has a 0% breakdown point — one corrupt
+      // price drags the gate; the median form doesn't.
+      (s, dir) => ext.Profiling.robustOutliers(
+          t(s, dir, "lineitem").select(col("l_returnflag"), expr(
+            "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+            .as("cents")),
+          "l_returnflag", "cents", madK = 2L)
+        .orderBy("l_returnflag"),
+      Some("""WITH v AS (SELECT l_returnflag AS grp,
+             |   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+             |  FROM lineitem),
+             | med AS (SELECT grp, CAST(percentile_disc(0.5)
+             |    WITHIN GROUP (ORDER BY v) AS BIGINT) AS med
+             |  FROM v GROUP BY grp),
+             | d AS (SELECT v.grp, med.med, ABS(v.v - med.med) AS ad
+             |  FROM v JOIN med USING (grp)),
+             | mad AS (SELECT grp, CAST(percentile_disc(0.5)
+             |    WITHIN GROUP (ORDER BY ad) AS BIGINT) AS mad
+             |  FROM d GROUP BY grp)
+             |SELECT d.grp AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             | CAST(MAX(d.med) AS BIGINT) AS med,
+             | CAST(MAX(mad.mad) AS BIGINT) AS mad,
+             | CAST(SUM(CASE WHEN d.ad > 2 * mad.mad THEN 1 ELSE 0 END)
+             |   AS BIGINT) AS n_outliers,
+             | CAST(SUM(CASE WHEN d.ad > 2 * mad.mad THEN 1 ELSE 0 END)
+             |   * 1000000 // COUNT(*) AS BIGINT) AS outlier_ppm
+             |FROM d JOIN mad USING (grp)
+             |GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
     QueryDef("x123_cdc_apply",
       // CDC changelog compaction: fold a deterministic I/U/D change
       // log into the orders snapshot — last writer per key wins under

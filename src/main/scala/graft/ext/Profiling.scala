@@ -402,6 +402,45 @@ object Profiling {
           " DIV total AS BIGINT)").as("max_over_mean_ppm"))
   }
 
+  /** Robust per-group outlier gate (median / MAD): flag values more
+    * than `madK` median-absolute-deviations from their group median —
+    * the outlier rule that, unlike mean/stddev z-scores, a single
+    * extreme value cannot drag (50% breakdown point). All arithmetic
+    * on exact integers (the caller supplies an integer value column —
+    * cents, micros, token counts), both quantiles via percentile_disc
+    * (actual elements, no interpolation, no float hazard), so the
+    * card re-derives bit-identically on any engine.
+    *
+    * Returns one row per group: (group, n, med, mad, n_outliers,
+    * outlier_ppm).
+    *
+    * Scale shape: two grouped percentile_disc aggregations (Spark
+    * plans each as a single shuffle on the group key) + one broadcast
+    * join back for the flag count — the value column never shuffles
+    * twice at once and no global sort exists. */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     madK: Long = 5L): DataFrame = {
+    val v = df.select(col(groupCol).as("grp"),
+      col(valueCol).cast("long").as("v"))
+    val med = v.groupBy("grp").agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)")
+        .cast("long").as("med"))
+    val dev = v.join(broadcast(med), Seq("grp"))
+      .withColumn("ad", abs(col("v") - col("med")))
+    val mad = dev.groupBy("grp").agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ad)")
+        .cast("long").as("mad"))
+    dev.join(broadcast(mad), Seq("grp"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        max("med").as("med"), max("mad").as("mad"),
+        sum(when(col("ad") > lit(madK) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_ppm",
+        expr("n_outliers * 1000000 DIV greatest(n, 1)"))
+      .withColumnRenamed("grp", groupCol)
+  }
+
   /** k-anonymity audit over a generalization ladder — the re-
     * identification governance card a dataset release runs per
     * quasi-identifier set: for EVERY prefix level of `quasi` (full

@@ -206,6 +206,21 @@ class ProfilingSpec extends SparkSuite {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("robustOutliers: hand-computed median/MAD; one extreme can't drag the gate") {
+    // 1..9 plus 1000: med = 5 (disc picks the 5th of 10), deviations
+    // sorted 0,1,1,2,2,3,3,4,4,995 -> mad = 2; only 1000 exceeds 5*2
+    val df = ((1L to 9L) :+ 1000L).map(("g", _)).toDF("grp", "v")
+    val out = Profiling.robustOutliers(df, "grp", "v", madK = 5L)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("g", 10L, 5L, 2L, 1L, 100000L)))
+    // a mean/stddev gate would have been dragged: med/mad ignore the
+    // extreme entirely — replacing 1000 with 10 changes no flag count
+    val calm = ((1L to 9L) :+ 10L).map(("g", _)).toDF("grp", "v")
+    val out2 = Profiling.robustOutliers(calm, "grp", "v", madK = 5L)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out2.head._5 == 0L)
+  }
+
   test("kAnonymityAudit: hand-computed generalization ladder") {
     // (lang, src): en/a x3, en/b x1, fr/a x1 -> full level 2:
     // 3 groups, 2 risky (n<2... with k=2: groups en/b, fr/a), 2 rows
