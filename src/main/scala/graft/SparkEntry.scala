@@ -6455,6 +6455,42 @@ object SparkEntry {
              |FROM g, t GROUP BY level, t.total
              |ORDER BY level""".stripMargin)),
 
+    QueryDef("x127_unimax_budget",
+      // UNIMAX allocation (Chung et al. 2023): split a 2x-corpus char
+      // budget across languages so no language repeats past 3 epochs
+      // and the rest waterfills uniformly — the repetition-minimizing
+      // alternative to temperature mixing for heavy-tailed language
+      // mixes. ONE grouped sum feeds a languages-sized waterfill; the
+      // oracle replays the ascending sweep as a recursive CTE. At
+      // this mix the smallest language epoch-caps and the other four
+      // waterfill (both branches exercised).
+      (s, dir) => {
+        val d = docs(s, dir)
+        val total = d.agg(sum("n_chars").cast("long")).head.getLong(0)
+        Sampling.unimaxBudgets(d, "lang", "n_chars",
+            totalBudget = 2 * total, maxEpochs = 3)
+          .orderBy("lang")
+      },
+      Some("""WITH RECURSIVE c AS (SELECT lang AS g,
+             |   CAST(SUM(n_chars) AS BIGINT) AS c
+             |  FROM documents GROUP BY 1),
+             | l AS (SELECT g, c,
+             |   CAST(ROW_NUMBER() OVER (ORDER BY c, g) AS BIGINT) AS rk
+             |  FROM c),
+             | ln AS (SELECT CAST(COUNT(*) AS BIGINT) AS L FROM l),
+             | tot AS (SELECT CAST(2 * SUM(n_chars) AS BIGINT) AS B
+             |  FROM documents),
+             | a(rk, b, rem) AS (
+             |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), t.B FROM tot t
+             |  UNION ALL
+             |  SELECT a.rk + 1,
+             |    LEAST(l.c * 3, a.rem // (ln.L - a.rk)),
+             |    a.rem - LEAST(l.c * 3, a.rem // (ln.L - a.rk))
+             |  FROM a, l, ln WHERE l.rk = a.rk + 1 AND a.rk < ln.L)
+             |SELECT l.g AS lang, l.c AS n_units, a.b AS budget_units,
+             | CAST(a.b * 1000000 // l.c AS BIGINT) AS epochs_ppm
+             |FROM a JOIN l ON l.rk = a.rk ORDER BY lang""".stripMargin)),
+
     QueryDef("x126_robust_outliers",
       // robust per-group outlier gate on exact integer cents: median
       // and MAD via percentile_disc (actual elements — no float

@@ -669,4 +669,41 @@ object Sampling {
         max(col(bCol)).cast("long").as("b_max"),
         min("z").as("z_min"), max("z").as("z_max"))
   }
+
+  /** UNIMAX budget allocation (Chung et al. 2023): split a total
+    * training budget across groups (languages, sources) so that no
+    * group repeats more than `maxEpochs` times and the remaining
+    * budget waterfills UNIFORMLY over the groups that still have
+    * headroom — the repetition-minimizing alternative to temperature
+    * mixing ([[temperatureMixture]]) for heavy-tailed multilingual
+    * corpora. Ascending-size sweep: group i of r remaining gets
+    * min(size_i · maxEpochs, remaining ÷ r), exact integers with
+    * truncating division throughout.
+    *
+    * Returns (group, n_units, budget_units, epochs_ppm) — epochs_ppm
+    * over 1e6 marks a group the budget asks to repeat.
+    *
+    * Scale shape: the corpus pays ONE grouped sum; the waterfill runs
+    * on the groups-sized collect (bounded by the group-key
+    * cardinality — languages/sources, never rows) and returns as a
+    * broadcast-joinable allocation table. */
+  def unimaxBudgets(df: DataFrame, groupCol: String, weightCol: String,
+                    totalBudget: Long, maxEpochs: Long): DataFrame = {
+    require(totalBudget >= 0 && maxEpochs >= 1, "unimaxBudgets: bad knobs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // groups-sized collect (allowed bounded class)
+    val counts = df.groupBy(col(groupCol).as("g"))
+      .agg(sum(col(weightCol)).cast("long").as("c"))
+      .as[(String, Long)].collect()
+      .sortBy { case (g, c) => (c, g) } // ascending size, name-stable ties
+    var rem = totalBudget
+    val alloc = counts.zipWithIndex.map { case ((g, c), i) =>
+      val r = counts.length - i
+      val b = math.min(c * maxEpochs, rem / r) // truncating == `//`
+      rem -= b
+      (g, c, b, if (c <= 0) 0L else b * 1000000L / c)
+    }
+    alloc.toSeq.toDF(groupCol, "n_units", "budget_units", "epochs_ppm")
+  }
 }

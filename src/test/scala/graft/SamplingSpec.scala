@@ -622,4 +622,26 @@ class SamplingSpec extends SparkSuite {
       .map(r => r._1 -> r).toMap
     assert(again == out)
   }
+
+  test("unimaxBudgets: hand-computed waterfill, both cap branches") {
+    // sizes 10/20/100, budget 100, maxEpochs 3 — ascending sweep:
+    //   10: min(30, 100/3=33) = 30  (EPOCH-capped)
+    //   20: min(60,  70/2=35) = 35  (waterfilled)
+    //  100: min(300, 35/1=35) = 35  (waterfilled)
+    val df = (Seq.fill(1)(("a", 10L)) ++ Seq(("b", 20L), ("c", 100L)))
+      .toDF("g", "w")
+    val out = Sampling.unimaxBudgets(df, "g", "w",
+        totalBudget = 100L, maxEpochs = 3L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("a") == ((10L, 30L, 3000000L)))
+    assert(out("b") == ((20L, 35L, 1750000L)))
+    assert(out("c") == ((100L, 35L, 350000L)))
+    // a budget big enough for everyone: every group epoch-caps
+    val all = Sampling.unimaxBudgets(df, "g", "w",
+        totalBudget = 1000L, maxEpochs = 3L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(all.values.forall(_._3 == 3000000L))
+  }
 }

@@ -40,6 +40,32 @@ class ScaleSpec extends SparkSuite {
     assert(joined.count() == g.numEdges)
   }
 
+  test("applyChangelog: a bucketed base anti-joins with NO base-side exchange") {
+    val dir = new java.io.File("spark-warehouse/scalespec_cdc_base")
+    if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
+    spark.sql("DROP TABLE IF EXISTS scalespec_cdc_base")
+    (0L until 1000L).map(k => (k, k * 10)).toDF("k", "v")
+      .write.bucketBy(4, "k").sortBy("k")
+      .saveAsTable("scalespec_cdc_base")
+    val base = spark.table("scalespec_cdc_base")
+    val log = Seq((1L, 1, 0, "U", 111L), (2L, 1, 0, "D", 0L), (3L, 2, 0, "U", 333L))
+      .toDF("k", "ts", "seq", "op", "v")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the SMJ shape (broadcast would hide the exchange question)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = graft.ext.Upserts.applyChangelog(base, log, "k")
+      val plan = out.queryExecution.executedPlan.toString
+      // expected exchanges: the winner aggregation (1) and the LOG side
+      // of the anti join (1). The bucketed base contributes NONE.
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges <= 2, s"base side must not shuffle, plan:\n$plan")
+      val got = out.as[(Long, Long)].collect().toMap
+      assert(got(1L) == 111L && !got.contains(2L) && got(3L) == 333L
+        && got(4L) == 40L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("asofJoin plans a single shuffle — never a nested-loop join") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
