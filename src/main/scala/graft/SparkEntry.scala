@@ -6262,6 +6262,41 @@ object SparkEntry {
              | COUNT(*) AS cnt
              |FROM b GROUP BY 1, 4 ORDER BY media_id, bucket""".stripMargin)),
 
+    QueryDef("x129_tiff_image",
+      // REAL image decode through a second HAND-ROLLED container: a
+      // baseline little-endian TIFF per document (raw RGB strip + a
+      // 9-entry IFD written byte by byte), read back by the ACTUAL
+      // javax.imageio TIFF plugin. x118's BMP pins offset-addressed
+      // pixels against the JDK; TIFF pins a tag DIRECTORY the reader
+      // must walk — a structurally different parser path. Same
+      // closed-form pixels, so the no-codec oracle re-derives the
+      // decoded histogram.
+      (s, dir) => {
+        val media = Multimodal.synthesizeTiff(
+          docs(s, dir).select("doc_id"), "doc_id", 12, 8)
+        Multimodal.decodeImage(media, 16)
+          .where(col("decode_ok"))
+          .select(col("media_id"), col("width"), col("height"),
+            posexplode(col("hist")).as(Seq("bucket", "cnt")))
+          .where(col("cnt") > 0)
+          .select(col("media_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("bucket").cast("long").as("bucket"), col("cnt"))
+          .orderBy("media_id", "bucket")
+      },
+      Some("""WITH px AS (SELECT d.doc_id, x.x, y.y
+             |  FROM (SELECT doc_id FROM documents) d,
+             |       generate_series(0, 11) x(x), generate_series(0, 7) y(y)),
+             | b AS (SELECT doc_id,
+             |   ((doc_id*31 + x*7 + y*13) % 256 + (doc_id*17 + x*11 + y*3) % 256
+             |    + (doc_id*23 + x*5 + y*19) % 256) % 16 AS bucket
+             |  FROM px)
+             |SELECT doc_id AS media_id, CAST(12 AS BIGINT) AS width,
+             | CAST(8 AS BIGINT) AS height, CAST(bucket AS BIGINT) AS bucket,
+             | COUNT(*) AS cnt
+             |FROM b GROUP BY 1, 4 ORDER BY media_id, bucket""".stripMargin)),
+
     QueryDef("x119_heaps_curve",
       // Heaps-law vocabulary-growth curve: cumulative distinct terms
       // vs cumulative tokens at 10 doc-id checkpoints — the "will
@@ -6490,6 +6525,55 @@ object SparkEntry {
              |SELECT l.g AS lang, l.c AS n_units, a.b AS budget_units,
              | CAST(a.b * 1000000 // l.c AS BIGINT) AS epochs_ppm
              |FROM a JOIN l ON l.rk = a.rk ORDER BY lang""".stripMargin)),
+
+    QueryDef("x128_unimax_cut",
+      // the x127 allocation APPLIED: languages receive their UNIMAX
+      // budgets (half-corpus char total, 2-epoch cap — every language
+      // waterfills below its size here, so every group genuinely
+      // cuts) and each keeps its best docs while its running total
+      // fits its budget — the end-to-end multilingual mix as one
+      // plan: grouped sum -> languages-sized waterfill -> the x74
+      // histogram-verdict cut (no global sort; only boundary strata
+      // ever see a per-doc window).
+      (s, dir) => {
+        val scored = docs(s, dir).select(col("doc_id"), col("lang"),
+          expr("n_chars DIV 50").as("score"),
+          col("n_chars").cast("long").as("n_chars"))
+        val total = scored.agg(sum("n_chars").cast("long")).head.getLong(0)
+        val budgets = Sampling.unimaxBudgets(scored, "lang", "n_chars",
+            totalBudget = total / 2, maxEpochs = 2)
+          .select(col("lang"), col("budget_units").as("budget"))
+        Sampling.selectByBudgetByGroup(scored, "lang", "doc_id",
+            "score", "n_chars", budgets)
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE s AS (SELECT doc_id, lang,
+             |   CAST(n_chars // 50 AS BIGINT) AS score,
+             |   CAST(n_chars AS BIGINT) AS n_chars
+             |  FROM documents),
+             | c AS (SELECT lang AS g, CAST(SUM(n_chars) AS BIGINT) AS c
+             |  FROM s GROUP BY 1),
+             | l AS (SELECT g, c,
+             |   CAST(ROW_NUMBER() OVER (ORDER BY c, g) AS BIGINT) AS rk
+             |  FROM c),
+             | ln AS (SELECT CAST(COUNT(*) AS BIGINT) AS L FROM l),
+             | tot AS (SELECT CAST(SUM(n_chars) // 2 AS BIGINT) AS B
+             |  FROM s),
+             | a(rk, b, rem) AS (
+             |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), t.B FROM tot t
+             |  UNION ALL
+             |  SELECT a.rk + 1,
+             |    LEAST(l.c * 2, a.rem // (ln.L - a.rk)),
+             |    a.rem - LEAST(l.c * 2, a.rem // (ln.L - a.rk))
+             |  FROM a, l, ln WHERE l.rk = a.rk + 1 AND a.rk < ln.L),
+             | bud AS (SELECT l.g AS lang, a.b AS budget
+             |  FROM a JOIN l ON l.rk = a.rk)
+             |SELECT s.doc_id, s.lang, s.score, s.n_chars,
+             |  SUM(s.n_chars) OVER (PARTITION BY s.lang
+             |    ORDER BY s.score DESC, md5(CAST(s.doc_id AS VARCHAR)),
+             |      s.doc_id
+             |    ROWS UNBOUNDED PRECEDING) <= bud.budget AS kept
+             |FROM s JOIN bud USING (lang) ORDER BY s.doc_id""".stripMargin)),
 
     QueryDef("x126_robust_outliers",
       // robust per-group outlier gate on exact integer cents: median

@@ -179,6 +179,70 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaSchema)
   }
 
+  /** Hand-rolled BASELINE TIFF payloads through byte-level IFD
+    * construction — the seventh real container family (after PNG,
+    * BMP, WAV/PCM, G.711, Y4M, AVI, GIF): little-endian header, the
+    * BitsPerSample array and the raw RGB strip placed before a
+    * 9-entry IFD (ImageWidth/Length, BitsPerSample 8-8-8,
+    * Compression=1, Photometric=RGB, StripOffsets, SamplesPerPixel=3,
+    * RowsPerStrip, StripByteCounts), entries in ascending tag order
+    * as the spec demands. Read back by the ACTUAL `javax.imageio`
+    * TIFF plugin (JDK 9+), so x118's writer-vs-JDK-parser check gets
+    * a second, structurally different container: BMP is offset-
+    * addressed pixels; TIFF is a tag directory the reader must walk.
+    * Same closed-form pixels as [[synthesizePng]]/[[synthesizeBmp]] —
+    * the no-codec oracle re-derives every decoded value. */
+  def synthesizeTiff(df: DataFrame, idCol: String, w: Int,
+                     h: Int): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val dataLen = w * h * 3
+        val bpsOff = 8            // BitsPerSample array (3 SHORTs)
+        val stripOff = bpsOff + 6 // raw RGB strip, rows top-down
+        val ifdOff = stripOff + dataLen + (dataLen & 1) // word-align
+        val n = 9
+        val buf = java.nio.ByteBuffer.allocate(ifdOff + 2 + n * 12 + 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put('I'.toByte).put('I'.toByte).putShort(42.toShort)
+          .putInt(ifdOff)
+        buf.putShort(8.toShort).putShort(8.toShort).putShort(8.toShort)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            buf.put(((id * 31 + x * 7 + y * 13) % 256).toByte)
+            buf.put(((id * 17 + x * 11 + y * 3) % 256).toByte)
+            buf.put(((id * 23 + x * 5 + y * 19) % 256).toByte)
+            x += 1
+          }
+          y += 1
+        }
+        if ((dataLen & 1) == 1) buf.put(0.toByte)
+        def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+          buf.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+          if (typ == 3 && count == 1) // SHORT: left-justified in 4 bytes
+            buf.putShort(value.toShort).putShort(0.toShort)
+          else buf.putInt(value)
+        }
+        buf.putShort(n.toShort)
+        entry(256, 3, 1, w)        // ImageWidth
+        entry(257, 3, 1, h)        // ImageLength
+        entry(258, 3, 3, bpsOff)   // BitsPerSample -> offset
+        entry(259, 3, 1, 1)        // Compression = none
+        entry(262, 3, 1, 2)        // Photometric = RGB
+        entry(273, 4, 1, stripOff) // StripOffsets
+        entry(277, 3, 1, 3)        // SamplesPerPixel
+        entry(278, 3, 1, h)        // RowsPerStrip
+        entry(279, 4, 1, dataLen)  // StripByteCounts
+        buf.putInt(0)              // no next IFD
+        Row(id, "image", buf.array(), "image/tiff", w, h, null)
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
   /** Perceptual average-hash over REAL decoded pixels — the image
     * near-dup fingerprint (re-encodes, metadata edits, and mild
     * quality changes keep the hash close; distinct images diverge):

@@ -616,6 +616,25 @@ class ExtSpec extends SparkSuite {
     assert(viaBmp == viaPng && viaBmp.forall(_._2))
   }
 
+  test("synthesizeTiff: the hand-rolled IFD decodes identically to PNG (X4)") {
+    import graft.ext.Multimodal
+    val ids = Seq(0L, 1L, 7L).toDF("doc_id")
+    val viaTiff = Multimodal.decodeImage(
+        Multimodal.synthesizeTiff(ids, "doc_id", 12, 8), 16)
+      .select("media_id", "decode_ok", "width", "height", "hist")
+      .as[(Long, Boolean, Int, Int, Seq[Long])].collect().toSet
+    val viaPng = Multimodal.decodeImage(
+        Multimodal.synthesizePng(ids, "doc_id", 12, 8), 16)
+      .select("media_id", "decode_ok", "width", "height", "hist")
+      .as[(Long, Boolean, Int, Int, Seq[Long])].collect().toSet
+    assert(viaTiff == viaPng && viaTiff.forall(_._2))
+    // odd strip length exercises the word-alignment pad before the IFD
+    val odd = Multimodal.decodeImage(
+        Multimodal.synthesizeTiff(ids, "doc_id", 3, 3), 16)
+      .select("decode_ok").as[Boolean].collect()
+    assert(odd.forall(identity))
+  }
+
   test("cellShareDrift: separated slices max out, balanced slices read 0 (X14)") {
     // two separable blobs; vec 1 seeds cell A, vec 2 seeds cell B
     val emb = Seq(
