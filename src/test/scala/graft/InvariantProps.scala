@@ -1178,6 +1178,92 @@ object InvariantProps extends Properties("GraftInvariants") {
       got == lvl.toMap
     }
 
+  private val genWordDocs = for {
+    n <- Gen.choose(1, 12)
+    docs <- Gen.listOfN(n, Gen.listOf(Gen.oneOf(
+      "ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen")))
+  } yield docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+
+  property("heapsCurve == brute prefix-distinct on random corpora") =
+    forAll(genWordDocs) { docs =>
+      import spark.implicits._
+      val got = graft.ext.TextOps.heapsCurve(
+          docs.toDF("doc_id", "text"), buckets = 3)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val span = docs.map(_._1).max / 3 + 1
+      val toks = docs.map { case (id, t) =>
+        (id / span, t.trim.split("\\s+").filter(_.nonEmpty).toSeq) }
+      // checkpoints appear only once they carry at least one token
+      val buckets = toks.filter(_._2.nonEmpty).map(_._1).distinct.sorted
+      var seen = Set.empty[String]
+      var (ct, cv) = (0L, 0L)
+      val exp = buckets.map { b =>
+        val ws = toks.filter(_._1 == b).flatMap(_._2)
+        ct += ws.size
+        val fresh = ws.toSet -- seen
+        seen ++= fresh; cv += fresh.size
+        b -> ((ct, cv, if (ct == 0) cv * 1000000L
+          else cv * 1000000L / ct))
+      }.toMap
+      got == exp
+    }
+
+  property("zipfCard == brute rank-frequency on random corpora") =
+    forAll(genWordDocs) { docs =>
+      import spark.implicits._
+      val got = graft.ext.TextOps.zipfCard(
+          docs.toDF("doc_id", "text"), maxLogRank = 3)
+        .as[(Long, Long, Long)].collect().toSet
+      val counts = docs.flatMap(_._2.trim.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).values.map(_.size.toLong).toSeq.sortBy(-_)
+      val exp = Seq(1L, 2L, 4L, 8L).filter(_ <= counts.size)
+        .map(r => (r, counts(r.toInt - 1), r * counts(r.toInt - 1))).toSet
+      got == exp
+    }
+
+  property("robustOutliers == brute sorted-median/MAD flag counts") =
+    forAll(Gen.listOfN(9, Gen.zip(Gen.oneOf("a", "b"),
+      Gen.choose(0L, 40L)))) { rows =>
+      import spark.implicits._
+      val got = graft.ext.Profiling.robustOutliers(
+          rows.toDF("grp", "v"), "grp", "v", madK = 2L)
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      def disc(xs: Seq[Long]): Long = {
+        val s = xs.sorted
+        s(math.ceil(0.5 * s.size).toInt - 1)
+      }
+      val exp = rows.groupBy(_._1).map { case (g, rs) =>
+        val vs = rs.map(_._2)
+        val med = disc(vs)
+        val mad = disc(vs.map(v => math.abs(v - med)))
+        val out = vs.count(v => math.abs(v - med) > 2 * mad).toLong
+        g -> ((vs.size.toLong, med, mad, out))
+      }
+      got == exp
+    }
+
+  property("unimaxBudgets: caps respected, budget never exceeded, waterfill exhausts") =
+    forAll(Gen.listOfN(5, Gen.choose(1L, 50L)), Gen.choose(0L, 300L)) {
+      (sizes, budget) =>
+      import spark.implicits._
+      val df = sizes.zipWithIndex.map { case (c, i) => (s"g$i", c) }
+        .toDF("g", "w")
+      val rowsOut = graft.ext.Sampling.unimaxBudgets(df, "g", "w",
+          totalBudget = budget, maxEpochs = 2L)
+        .as[(String, Long, Long, Long)].collect()
+      val capOk = rowsOut.forall(r => r._3 <= r._2 * 2 && r._3 >= 0)
+      val sumOk = rowsOut.map(_._3).sum <= budget
+      // either the budget is exhausted (to integer-division remainders,
+      // < #groups per sweep step) or every group hit its epoch cap
+      val allCapped = rowsOut.forall(r => r._3 == r._2 * 2)
+      val spent = rowsOut.map(_._3).sum
+      val exhausted = budget - spent < rowsOut.length.toLong.max(1L) *
+        rowsOut.length
+      capOk && sumOk && (allCapped || exhausted)
+    }
+
   property("applyChangelog == sequential fold of the ordered log") =
     forAll(
       Gen.listOfN(8, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 99L))),
