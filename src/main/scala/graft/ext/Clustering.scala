@@ -338,7 +338,9 @@ object Clustering {
                             vecCol: String = "embedding"): DataFrame = {
     require(rounds >= 1, s"dominantDirectionCard: rounds >= 1")
     val spark = emb.sparkSession
-    val q = quantize(emb, idCol, vecCol).localCheckpoint()
+    // NOT checkpointed: q is a map-only explode of the source — three
+    // cheap rescans beat materializing n·dims rows to local disk
+    val q = quantize(emb, idCol, vecCol)
     // single-scalar lookup (allowed collect class)
     val n = q.agg(countDistinct("vec_id")).head.getLong(0)
     // dims-sized collect — bounded by construction

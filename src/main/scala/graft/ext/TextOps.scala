@@ -1017,13 +1017,13 @@ object TextOps {
     * saturated?" (dedup'd corpora saturate; templated ones flatline
     * immediately). `vocab_per_mtok` is the integer-ppm growth gauge.
     *
-    * Scale shape: prefix-distinct WITHOUT rescanning prefixes — each
-    * term contributes its FIRST checkpoint of appearance (min over an
-    * 8-byte xxhash64 key, one shuffle, map-side partial min), so the
-    * whole curve is one token explode + two hashed aggregations. The
-    * cumulative window runs over ≤ `buckets` rows (single tiny
-    * partition by construction, same economics as [[vocabFreqCard]]'s
-    * counts-of-counts tail). */
+    * Scale shape: prefix-distinct WITHOUT rescanning prefixes — ONE
+    * corpus-sized hashed aggregation to (term-hash, checkpoint)
+    * counts (8-byte keys, map-side partial counts), from which both
+    * curve legs (token totals; first-checkpoint-per-term mins) derive
+    * on the vocab×buckets-sized table. The cumulative window runs
+    * over ≤ `buckets` rows (single tiny partition by construction,
+    * same economics as [[vocabFreqCard]]'s counts-of-counts tail). */
   def heapsCurve(df: DataFrame, buckets: Int = 10,
                  idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
@@ -1036,10 +1036,15 @@ object TextOps {
     val tok = df.select((col(idCol).cast("long") / span).cast("int").as("b"),
         explode(tokens(col(textCol))).as("w"))
       .where(col("w") =!= "")
-      .localCheckpoint() // feeds both the token totals and the term table
-    val toksPerB = tok.groupBy("b").agg(count(lit(1)).as("toks"))
-    val newTerms = tok.groupBy(xxhash64(col("w")).as("h"))
-      .agg(min("b").as("b"))
+    // ONE corpus-sized aggregation: per-(term, checkpoint) counts
+    // (vocab×buckets rows — the only thing worth materializing; never
+    // checkpoint the raw token stream itself); both curve legs then
+    // derive from this small table
+    val tb = tok.groupBy(xxhash64(col("w")).as("h"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val toksPerB = tb.groupBy("b").agg(sum("cnt").cast("long").as("toks"))
+    val newTerms = tb.groupBy("h").agg(min("b").as("b"))
       .groupBy("b").agg(count(lit(1)).as("new_terms"))
     val wdw = Window.orderBy("b")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
