@@ -6,13 +6,18 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line (driver contract).
   * Per-query progress goes to stderr for local profiling.
   *
-  * The corpus runs SPARK_GRAFT_BENCH_RUNS (default 3) full passes in
+  * The corpus runs SPARK_GRAFT_BENCH_RUNS (default 5) full passes in
   * this one JVM and reports per-query MEDIANS: single-shot numbers
   * carried 5-50× co-tenancy artifacts (GC/cleanup bleed from
   * neighboring queries, first-query graph-build cost) that cost a
   * round of misdiagnosis each for rounds 2-3. Whole-corpus passes —
   * not back-to-back repeats — so a pass-local disturbance lands on a
-  * different query's sample each time and the median discards it. */
+  * different query's sample each time and the median discards it.
+  * 5 passes (up from 3, r9 verdict #5) because a contended sample
+  * landing twice in 3 passes CAPTURES the median — with 5 it takes
+  * three bad landings; per-query `spread` (median/min) in
+  * BENCH_LOCAL.json is the trust diagnostic separating host noise
+  * from code regressions. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -21,7 +26,7 @@ object Bench {
     // default silently serializes the whole corpus.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt.max(1)
     // Optional name filter (substring regex) for LOCAL scale
     // experiments — e.g. excluding the declared bounded-slice exact
     // kernels at a synthesized sf1 (SCALE.md). The driver never sets
@@ -119,9 +124,14 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":${
         results.map { case (k, v) =>
           val s = samples(k)
+          val mn = if (s.isEmpty) 0.0 else s.min
+          // spread = median/min: ~1 means a quiet, trustworthy median;
+          // >>1 flags host co-tenancy, NOT a code regression
+          val spread = if (mn > 0) v / mn else 1.0
           "\"" + k + "\":{\"median\":" + v +
-            ",\"min\":" + (if (s.isEmpty) 0.0 else s.min) +
+            ",\"min\":" + mn +
             ",\"max\":" + (if (s.isEmpty) 0.0 else s.max) +
+            ",\"spread\":" + d3(spread) +
             ",\"failed_passes\":" + failures(k) +
             ",\"samples\":[" + s.mkString(",") + "]}"
         }.mkString("{", ",", "}")},"sf":"$sfDir"}"""

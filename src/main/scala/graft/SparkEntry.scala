@@ -429,11 +429,17 @@ object SparkEntry {
     * longest path length (3 here: order→customer→nation→region) is the
     * fixpoint. */
   private def dagLevelsSql(rounds: Int): String = {
+    // mirror Traversals.dagLevels' self-loop drop (src =!= dst) in the
+    // oracle's edge scan: without it a self-loop in a future fixture
+    // grows the oracle's level every round while the Spark side
+    // converges (r9 ADVICE). Dedup is implicit under MAX.
     val ctes = (1 to rounds).map { r =>
       s"""u$r AS MATERIALIZED (SELECT e.target_layer AS layer,
          |  e.target_id AS node_id, MAX(p.level + 1) AS nl
          | FROM edges e JOIN v${r - 1} p ON p.layer = e.source_layer
-         |  AND p.node_id = e.source_id GROUP BY 1, 2),
+         |  AND p.node_id = e.source_id
+         | WHERE NOT (e.source_layer = e.target_layer
+         |  AND e.source_id = e.target_id) GROUP BY 1, 2),
          |v$r AS MATERIALIZED (SELECT v.layer, v.node_id,
          | GREATEST(v.level, COALESCE(u.nl, 0)) AS level
          | FROM v${r - 1} v LEFT JOIN u$r u
@@ -4085,9 +4091,15 @@ object SparkEntry {
             "measure", "micros")
           .groupBy("measure")
           .agg(count(lit(1)).as("n"),
-            // decimal-routed: a 100 TB micros sum exceeds 2^63
-            sum(col("micros").cast("decimal(38,0)")).cast("long")
-              .as("sum_micros"),
+            // decimal-routed AND decimal-EMITTED: the extendedprice
+            // micros sum crosses 2^63 around sf~40, inside the stated
+            // 100 TB regime — a long output column would silently NULL
+            // there (r9 ADVICE). Emitted as the decimal's STRING form
+            // (exact at any scale, and canonicalization-stable: the
+            // harness' pandas path narrows a DECIMAL(38,0) column to
+            // float, which re-renders 2395890000 as '2395890000.0')
+            sum(col("micros").cast("decimal(38,0)"))
+              .cast("decimal(38,0)").cast("string").as("sum_micros"),
             max("micros").cast("long").as("max_micros"))
           .orderBy("measure")
       },
@@ -4102,7 +4114,7 @@ object SparkEntry {
              |  UNPIVOT (micros FOR measure IN
              |    (quantity, extendedprice, discount, tax)))
              |SELECT measure, CAST(COUNT(*) AS BIGINT) AS n,
-             | CAST(SUM(micros) AS BIGINT) AS sum_micros,
+             | CAST(CAST(SUM(micros) AS DECIMAL(38,0)) AS VARCHAR) AS sum_micros,
              | CAST(MAX(micros) AS BIGINT) AS max_micros
              |FROM u GROUP BY 1 ORDER BY measure""".stripMargin)),
 
@@ -6296,6 +6308,58 @@ object SparkEntry {
              | CAST(8 AS BIGINT) AS height, CAST(bucket AS BIGINT) AS bucket,
              | COUNT(*) AS cnt
              |FROM b GROUP BY 1, 4 ORDER BY media_id, bucket""".stripMargin)),
+
+    QueryDef("x130_embed_probe_index",
+      // the x42 probe-vs-rebuild guarantee in VECTOR space (r9 verdict
+      // #6): the corpus persists as a portable sign-LSH bucketed
+      // layout (writeBucketed — the ANN index IS the directory
+      // layout), then a BATCH of new vectors (id-offset copies of
+      // every 7th corpus vector — the injected-duplicate scenario)
+      // probes it WITHOUT re-bucketing the corpus: the batch's ≤2^6
+      // distinct buckets prune the read at planning time and the
+      // candidate join broadcasts the batch side, so the corpus pays
+      // no exchange (ScaleSpec plan-asserts it). The oracle re-derives
+      // the whole FULL-REBUILD pipeline (quantize → md5-parity planes
+      // → bucket join → cosine) restricted to batch-touching pairs —
+      // probe == rebuild, the incremental guarantee.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        // warehouse-anchored (not cwd-relative): Verify/Bench may run
+        // with any working directory
+        val path = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "x130_embed_index").toString
+        Similarity.writeBucketed(emb, path, planes = 6, portable = true)
+        val batch = emb.where(col("vec_id") % 7 === 0)
+          .withColumn("vec_id", col("vec_id") + lit(1000000L))
+        Similarity.probeBucketedNearDup(s, path, batch, 0.9, planes = 6)
+          .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
+          .orderBy("a", "b")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+             |   UNION ALL
+             |   SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings
+             |   WHERE vec_id % 7 = 0),
+             | qz AS (SELECT vec_id, v,
+             |   [CAST(floor(x * 1e6) AS BIGINT) for x in v] AS q FROM e),
+             | bk AS (SELECT vec_id, CAST(list_sum([
+             |   CASE WHEN list_sum([q[i] *
+             |     (CASE WHEN CAST(('0x' || substr(md5(p || ':' || i), 1, 1)) AS BIGINT) % 2 = 0
+             |      THEN 1 ELSE -1 END)
+             |     for i in generate_series(1, len(q))]) >= 0
+             |   THEN CAST(1 AS BIGINT) << p ELSE 0 END
+             |   for p in generate_series(0, 5)]) AS BIGINT) AS bucket
+             |  FROM qz),
+             | cand AS (SELECT DISTINCT l.vec_id AS a, rr.vec_id AS b
+             |  FROM bk l JOIN bk rr ON l.bucket = rr.bucket
+             |    AND l.vec_id < rr.vec_id
+             |  WHERE l.vec_id >= 1000000 OR rr.vec_id >= 1000000),
+             | sc AS (SELECT c.a, c.b,
+             |   list_cosine_similarity(ea.v, eb.v) AS cos
+             |  FROM cand c JOIN e ea ON ea.vec_id = c.a
+             |   JOIN e eb ON eb.vec_id = c.b)
+             |SELECT a, b, ROUND(cos, 4) AS cosine FROM sc
+             |WHERE cos >= 0.9 AND isfinite(cos)
+             |ORDER BY a, b""".stripMargin)),
 
     QueryDef("x119_heaps_curve",
       // Heaps-law vocabulary-growth curve: cumulative distinct terms

@@ -244,19 +244,28 @@ object Traversals {
   }
 
   /** `view_components` weak variant (T4): connected components of the
-    * symmetrized graph via min-label propagation; labels are
-    * RELABELED to the lexicographic min "layer:nodeId" of each
-    * component, so output is deterministic and oracle-comparable
-    * (SURVEY §7.4 determinism note). Returns
+    * symmetrized graph; labels are RELABELED to the lexicographic min
+    * "layer:nodeId" of each component, so output is deterministic and
+    * oracle-comparable (SURVEY §7.4 determinism note). Returns
     * (vid, component: string). Size thresholding
-    * (`searcher.py:296-297`) composes on top via groupBy. */
-  def weakComponents(g: OnionGraph): DataFrame = {
-    // GraphX connectedComponents propagates along both edge
-    // directions, so the MEMOIZED directed projection (built once at
-    // ingest) serves the weak variant directly; min-vid component ids
-    // are then relabeled to each component's lexicographic min
-    // "layer:nodeId" so output is deterministic and oracle-comparable
-    // regardless of vid hashing.
+    * (`searcher.py:296-297`) composes on top via groupBy.
+    *
+    * This is the engine's weak-components DEFAULT and it rides the
+    * O(log n)-round star-contraction kernel
+    * ([[weakComponentsLogRounds]]): the SccStress chain measurements
+    * showed both label-propagation kernels (GraphX min-label and the
+    * DataFrame loop) paying rounds = diameter, which a mega-diameter
+    * 100 TB graph cannot afford. The GraphX kernel survives as
+    * [[weakComponentsGraphX]] (spec-pinned equal on random graphs)
+    * for deployments that already hold the memoized projection. */
+  def weakComponents(g: OnionGraph): DataFrame =
+    weakComponentsLogRounds(g)
+
+  /** The pre-round-10 default: GraphX `connectedComponents` over the
+    * memoized directed projection (min-label propagation — Ω(diameter)
+    * rounds), relabeled to each component's lexicographic min
+    * "layer:nodeId". Same output contract as [[weakComponents]]. */
+  def weakComponentsGraphX(g: OnionGraph): DataFrame = {
     val cc = GraphOps.connectedComponents(g)
     val labels = g.vertices
       .select(col("vid"), concat_ws(":", col("layer"), col("nodeId")).as("lbl"))
@@ -285,8 +294,12 @@ object Traversals {
     * that only SHRINKS (star edges collapse duplicates); rounds are
     * O(log n) by the paper's potential argument, so a 100 TB graph
     * with a pathological diameter pays tens of rounds, not millions.
-    * Convergence is checked exactly (two set-differences on the
-    * shrinking edge set), never probabilistically. */
+    * Convergence is checked exactly — a SINGLE symmetric-difference
+    * job per round (both rounds' edge sets are distinct by
+    * construction, so the sets are equal iff every (src,dst) key of
+    * their union appears exactly twice), replacing the two
+    * `except`-based anti-join passes the first cut paid — never
+    * probabilistically. */
   def weakComponentsLogRounds(g: OnionGraph): DataFrame = {
     // canonical (child, parent) with parent < child; self-loops drop
     var e = g.edges
@@ -299,7 +312,12 @@ object Traversals {
       rounds += 1
       val e1 = largeStarRound(e).localCheckpoint()
       val e2 = smallStarRound(e1).localCheckpoint()
-      converged = e2.except(e).isEmpty && e.except(e2).isEmpty
+      // e and e2 are each duplicate-free, so |multiset union| grouped
+      // by key has count==2 everywhere iff e == e2: one shuffle + one
+      // isEmpty action, vs two full distinct-anti-join passes for the
+      // double `except` form.
+      converged = e.unionAll(e2).groupBy("src", "dst")
+        .agg(count(lit(1)).as("n")).filter(col("n") =!= 2).isEmpty
       e = e2
     }
     val assign = e.select(col("src").as("vid"), col("dst").as("compVid"))

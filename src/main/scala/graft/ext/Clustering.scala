@@ -349,7 +349,13 @@ object Clustering {
     val rRows = q.select(col("vec_id"), col("dim").as("i"), col("q").as("qi"))
       .join(q.select(col("vec_id"), col("dim").as("j"), col("q").as("qj")),
         Seq("vec_id"))
-      .groupBy(col("i"), col("j"), pmod(col("vec_id"), lit(16L)).as("slt"))
+      // salt on a HASH of the id, not the id itself: structured ids
+      // (e.g. all sharing a residue mod 16) would collapse into one
+      // bucket and overflow the long partial; xxhash64 spreads any id
+      // distribution uniformly, and the salt never reaches the output
+      // (partials decimal-merge below), so the result is unchanged
+      .groupBy(col("i"), col("j"),
+        pmod(xxhash64(col("vec_id")), lit(16L)).as("slt"))
       .agg(sum(col("qi") * col("qj")).as("ps")) // long partials, exact
       .groupBy("i", "j")
       .agg(sum(col("ps").cast("decimal(38,0)")).cast("decimal(38,0)")

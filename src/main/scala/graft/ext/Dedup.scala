@@ -283,11 +283,21 @@ object Dedup {
     val pr = est.join(exact, Seq("a", "b"))
       .select(col("est_ppm"), (col("jaccard") >= lit(gtJaccard)).as("gt"))
       .localCheckpoint()
-    broadcast(thresholds.toDF("thr_ppm")).crossJoin(pr)
+    val thr = thresholds.toDF("thr_ppm")
+    val counts = broadcast(thr).crossJoin(pr)
       .groupBy("thr_ppm").agg(
         count(when(col("est_ppm") >= col("thr_ppm") && col("gt"), 1)).as("tp"),
         count(when(col("est_ppm") >= col("thr_ppm") && !col("gt"), 1)).as("fp"),
         count(when(col("est_ppm") < col("thr_ppm") && col("gt"), 1)).as("fn"))
+    // a zero-candidate corpus must still report one all-zero row per
+    // threshold (the crossJoin of an empty pair table groups to
+    // NOTHING otherwise — caught by the r10 fuzz property): rebuild
+    // the full threshold axis with a left join
+    thr.join(counts, Seq("thr_ppm"), "left")
+      .select(col("thr_ppm"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("fp"), lit(0L)).as("fp"),
+        coalesce(col("fn"), lit(0L)).as("fn"))
       .withColumn("precision_ppm",
         expr("tp * 1000000 DIV greatest(tp + fp, 1)"))
       .withColumn("recall_ppm",

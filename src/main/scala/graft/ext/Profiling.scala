@@ -415,9 +415,15 @@ object Profiling {
     * outlier_ppm).
     *
     * Scale shape: two grouped percentile_disc aggregations (Spark
-    * plans each as a single shuffle on the group key) + one broadcast
-    * join back for the flag count — the value column never shuffles
-    * twice at once and no global sort exists. */
+    * plans each as a single shuffle on the group key) + one join back
+    * for the flag count — the value column never shuffles twice at
+    * once and no global sort exists. The med/mad tables are one row
+    * per group but the GROUP CARDINALITY IS CALLER-CONTROLLED (unlike
+    * the other broadcast legs here, nothing bounds it by
+    * construction), so the joins carry no forced broadcast hint: AQE
+    * picks broadcast when the group table is actually small and falls
+    * back to a shuffled join when a caller groups by a
+    * high-cardinality column, instead of OOMing the driver. */
   def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
                      madK: Long = 5L): DataFrame = {
     val v = df.select(col(groupCol).as("grp"),
@@ -425,12 +431,12 @@ object Profiling {
     val med = v.groupBy("grp").agg(
       expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)")
         .cast("long").as("med"))
-    val dev = v.join(broadcast(med), Seq("grp"))
+    val dev = v.join(med, Seq("grp"))
       .withColumn("ad", abs(col("v") - col("med")))
     val mad = dev.groupBy("grp").agg(
       expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ad)")
         .cast("long").as("mad"))
-    dev.join(broadcast(mad), Seq("grp"))
+    dev.join(mad, Seq("grp"))
       .groupBy("grp")
       .agg(count(lit(1)).as("n"),
         max("med").as("med"), max("mad").as("mad"),

@@ -13,6 +13,26 @@ import org.apache.spark.sql.functions._
  */
 object Sampling {
 
+  /** Guard for the two driver-side groups-sized sweeps
+    * ([[apportionQuotas]], [[unimaxBudgets]]): their collect class is
+    * bounded for the INTENDED group columns (languages, sources) but
+    * nothing in the API stops a caller passing a high-cardinality
+    * column, which would silently OOM the driver. Refuses past
+    * `spark.graft.sweep.maxGroups` (default 1,000,000 — generous for
+    * any legitimate allocation sweep, far under driver-OOM territory
+    * for 3-field rows) with an actionable message naming the knob. */
+  private def requireBoundedGroups(spark: org.apache.spark.sql.SparkSession,
+                                   groups: Long, op: String): Unit = {
+    val limit = spark.conf.getOption("spark.graft.sweep.maxGroups")
+      .map(_.toLong).getOrElse(1000000L)
+    require(groups <= limit,
+      s"$op: $groups groups exceeds the driver-side sweep bound $limit" +
+        " — the allocation sweep collects one row per group onto the" +
+        " driver and is meant for bounded vocabularies (languages," +
+        " sources); re-key the allocation or raise" +
+        " spark.graft.sweep.maxGroups if the cardinality is intended")
+  }
+
   /** Bucket id in [0, buckets) from the key column's xxhash64 —
     * stable, uniform, partition-independent. */
   def hashBucket(key: Column, buckets: Int = 10000): Column =
@@ -554,6 +574,8 @@ object Sampling {
       .withColumn("quota", expr(s"CAST(${n}L * w DIV ${totW}L AS BIGINT)"))
       .withColumn("rem", expr(s"CAST(${n}L * w % ${totW}L AS BIGINT)"))
       .localCheckpoint()
+    requireBoundedGroups(weights.sparkSession, base.count(),
+      "apportionQuotas")
     val short = n - base.agg(sum("quota")).head().getLong(0)
     val wnd = Window.orderBy(col("rem").desc, col(groupCol))
     base.withColumn("quota", col("quota") +
@@ -692,9 +714,15 @@ object Sampling {
     require(totalBudget >= 0 && maxEpochs >= 1, "unimaxBudgets: bad knobs")
     val spark = df.sparkSession
     import spark.implicits._
-    // groups-sized collect (allowed bounded class)
-    val counts = df.groupBy(col(groupCol).as("g"))
+    // groups-sized collect — bounded for the intended callers
+    // (languages/sources), but the group column is caller-controlled,
+    // so the sweep refuses past the documented knob instead of
+    // silently collecting a high-cardinality table onto the driver
+    val grouped = df.groupBy(col(groupCol).as("g"))
       .agg(sum(col(weightCol)).cast("long").as("c"))
+      .localCheckpoint()
+    requireBoundedGroups(spark, grouped.count(), "unimaxBudgets")
+    val counts = grouped
       .as[(String, Long)].collect()
       .sortBy { case (g, c) => (c, g) } // ascending size, name-stable ties
     var rem = totalBudget

@@ -302,6 +302,109 @@ object Similarity {
                   bucket: Long): DataFrame =
     spark.read.parquet(path).filter(col("bucket") === bucket)
 
+  /** Probe a persisted PORTABLE [[writeBucketed]] layout with a batch
+    * of NEW vectors (ids disjoint from the indexed corpus): embedding
+    * near-dup pairs (a, b, cosine ≥ threshold) with at least one batch
+    * side — the x42 band-index probe pattern in VECTOR space. The
+    * batch buckets under the layout's OWN plane family and width (a
+    * batch row of a different width would mis-bucket; the layout's dim
+    * wins), candidates are batch×corpus rows sharing a bucket plus the
+    * batch's own tiny self-pairs, and the exact cosine verify runs on
+    * candidates only.
+    *
+    * Scale shape: the batch's distinct buckets are BOUNDED BY
+    * CONSTRUCTION (≤ 2^planes, 64 at the default), so the corpus read
+    * carries a planning-time `bucket IN (...)` partition filter —
+    * un-probed directories are never read — and the candidate join
+    * broadcasts the batch side: the 100 TB corpus pays NO exchange
+    * (probe-side-only, plan-asserted in ScaleSpec). Equals
+    * [[graft.ext.Dedup.embeddingNearDupBlocked]] with reps=1 over
+    * corpus ∪ batch, restricted to pairs touching the batch
+    * (StreamingSpec pins it; the g43/x42 incremental-equals-rebuild
+    * guarantee for the embedding family). */
+  def probeBucketedNearDup(spark: org.apache.spark.sql.SparkSession,
+                           path: String, batch: DataFrame,
+                           threshold: Double, planes: Int = 6,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    val corpus = spark.read.parquet(path)
+    val dim = probeDim(corpus, vecCol).orElse(probeDim(batch, vecCol))
+      .getOrElse(return batch.select(col(idCol).as("a"),
+        col(idCol).as("b"), lit(0.0).as("cosine")).limit(0))
+    val b = batch
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        lshBucketPortableStatic(col(vecCol), planes, dim).as("bucket"))
+      .localCheckpoint() // feeds bucket collect + both join sides
+    // bounded collect: ≤ 2^planes distinct values by construction
+    val probedBuckets = b.select("bucket").distinct()
+      .collect().map(_.getLong(0))
+    val c = corpus.where(col("bucket").isin(probedBuckets: _*))
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("bucket"))
+    val crossPairs = c.select(col("bucket"), col("id").as("e"), col("v").as("ve"))
+      .join(broadcast(b.select(col("bucket"), col("id").as("n"),
+        col("v").as("vn"))), Seq("bucket"))
+      .filter(col("e") =!= col("n"))
+      // cosine is argument-order exact (same accumulation order, and
+      // IEEE multiplication commutes), so no orientation branch needed
+      .select(least(col("e"), col("n")).as("a"),
+        greatest(col("e"), col("n")).as("b"),
+        cosine(col("ve"), col("vn")).as("cosine"))
+    val selfPairs = b.select(col("bucket"), col("id").as("a"), col("v").as("va"))
+      .join(b.select(col("bucket"), col("id").as("b"), col("v").as("vb")),
+        Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cosine"))
+    crossPairs.unionAll(selfPairs)
+      .filter(col("cosine") >= threshold)
+      .dropDuplicates("a", "b")
+  }
+
+  /** Fold a probed batch into a [[writeBucketed]] PORTABLE layout:
+    * the batch's rows land as additional files under their bucket
+    * directories (nothing rewritten — the appendBandIndex economics),
+    * bucketed under the LAYOUT's plane family/width so later probes
+    * see one consistent index. */
+  def appendBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     batch: DataFrame, planes: Int = 6,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Unit = {
+    val dim = probeDim(spark.read.parquet(path), vecCol)
+      .orElse(probeDim(batch, vecCol)).getOrElse(return)
+    batch.select(col(idCol), col(vecCol),
+        lshBucketPortableStatic(col(vecCol), planes, dim).as("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(path)
+  }
+
+  /** Continuous embedding near-dup over a vector stream — the
+    * streaming leg of the ANN/semantic family (the minhash family has
+    * [[graft.ext.Dedup.streamingNearDup]]; this is its vector-space
+    * sibling): each micro-batch probes the persisted bucketed layout
+    * ([[probeBucketedNearDup]]), surviving pairs land in
+    * `pairsDir/epoch=N/` (per-epoch Overwrite — idempotent under
+    * foreachBatch's at-least-once replay), and the batch then folds in
+    * ([[appendBucketed]]) so later epochs dedup against it. The
+    * parquet write MATERIALIZES the probe before the append runs —
+    * order matters, or the batch would meet itself through the index.
+    * Accumulated pairs across epochs equal the one-shot blocked
+    * rebuild (StreamingSpec pins it). */
+  def streamingEmbeddingNearDup(path: String, stream: DataFrame,
+                                pairsDir: String, threshold: Double,
+                                planes: Int = 6, idCol: String = "vec_id",
+                                vecCol: String = "embedding",
+                                checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.localCheckpoint() // probe + append both consume it
+        probeBucketedNearDup(spark, path, b, threshold, planes, idCol, vecCol)
+          .write.mode("overwrite").parquet(s"$pairsDir/epoch=$epoch")
+        appendBucketed(spark, path, b, planes, idCol, vecCol)
+    }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+
   /** ANN k-NN label propagation — the model-free classifier / weak
     * labeler of an embedding pipeline (label the unlabeled corpus by
     * its neighbors; also the standard probe for "are these embeddings

@@ -5,6 +5,7 @@ import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, Data
 import scala.collection.mutable
 
 import org.apache.spark.TaskContext
+import org.apache.spark.memory.{MemoryConsumer, MemoryMode, TaskMemoryManager}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -102,22 +103,34 @@ object TopKPerGroupStrategy extends SparkStrategy {
 /** Physical operator: one bounded heap per group per partition.
   *
   * Memory: O(min(groups-in-partition, flush threshold) × k) rows in
-  * the partial phase — when a map partition sees more distinct groups
-  * than `PartialFlushGroups`, the heap table is FLUSHED to the output
-  * and restarted. Flushing is sound for the partial phase: a row the
-  * pre-flush heap would have rejected is only ever an EXTRA row for
-  * the final phase to discard, and a row belonging to the partition's
-  * true per-group top-k is never rejected (rejection requires k
-  * better same-group rows in the current epoch, which are themselves
-  * emitted). The final phase SPILLS: past `spark.graft.topk.spillGroups`
-  * distinct groups (default = the partial flush cap), the heap table is
-  * written to a key-sorted local run (per group: its current top-k in
-  * sort order) and restarted; end-of-input merges all runs with the
-  * in-memory remainder by key. Per-run group survivors are each ≤ k and
-  * the global top-k of a group is contained in the union of its
-  * per-run top-ks, so the merge re-selects exactly — a reduce partition
-  * owning billions of groups holds at most `spillGroups × (k+1)` rows
-  * plus one group's ≤ runs×k merge buffer, never the partition. */
+  * the partial phase — when a map partition's heap table exceeds
+  * `PartialFlushGroups` distinct groups OR `spark.graft.topk.spillBytes`
+  * tracked bytes (the byte bound is what protects WIDE rows — array
+  * columns can blow memory well below any group-count knob), the table
+  * is FLUSHED to the output and restarted. Flushing is sound for the
+  * partial phase: a row the pre-flush heap would have rejected is only
+  * ever an EXTRA row for the final phase to discard, and a row
+  * belonging to the partition's true per-group top-k is never rejected
+  * (rejection requires k better same-group rows in the current epoch,
+  * which are themselves emitted). The final phase SPILLS to disk past
+  * the same two bounds (`spark.graft.topk.spillGroups` for groups):
+  * the heap table is written as a key-sorted local run (per group: its
+  * ≤k survivors in sort order) and restarted; end-of-input merges all
+  * runs with the in-memory remainder by key. Per-run group survivors
+  * are each ≤ k and the global top-k of a group is contained in the
+  * union of its per-run top-ks, so the merge re-selects exactly — a
+  * reduce partition owning billions of groups holds at most the
+  * threshold's worth of rows plus one group's ≤ runs×k merge buffer,
+  * never the partition.
+  *
+  * The final phase additionally REGISTERS its tracked bytes with the
+  * task's `TaskMemoryManager` (as a `MemoryConsumer`): Spark's memory
+  * manager sees the heap table next to every other consumer in the
+  * task and can force it to spill under pressure, and an acquisition
+  * that comes back short triggers an immediate self-spill — so memory
+  * safety no longer depends on a human-sized knob at all (the knobs
+  * remain as hard caps). Byte accounting is exact UnsafeRow sizes plus
+  * a per-entry structure constant, not a SizeEstimator guess. */
 case class TopKPerGroupExec(group: Seq[Expression], order: Seq[SortOrder],
                             k: Int, partial: Boolean, child: SparkPlan)
     extends UnaryExecNode {
@@ -136,6 +149,8 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Seq[SortOrder],
     val childOutput = child.output
     val spillGroups = conf.getConfString("spark.graft.topk.spillGroups",
       TopKPerGroupExec.PartialFlushGroups.toString).toInt
+    val spillBytes = conf.getConfString("spark.graft.topk.spillBytes",
+      TopKPerGroupExec.DefaultSpillBytes.toString).toLong
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(groupExprs, childOutput)
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
@@ -145,8 +160,20 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Seq[SortOrder],
       // exactly the one a better candidate should evict
       val heaps = mutable.HashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
       val runs = mutable.ArrayBuffer.empty[File]
+      // exact-ish byte accounting for the heap table: UnsafeRow payload
+      // bytes + a flat per-entry constant for heap/hash-map structure
+      var tableBytes = 0L
+      var acquired = 0L // bytes currently held from the TaskMemoryManager
+      var consumer: MemoryConsumer = null
+      def entrySize(r: InternalRow): Long = 48L + (r match {
+        case u: UnsafeRow => u.getSizeInBytes.toLong
+        case _ => 16L * childOutput.length
+      })
       Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
         runs.foreach(f => if (f.exists()) f.delete())
+        if (consumer != null && acquired > 0) {
+          consumer.freeMemory(acquired); acquired = 0
+        }
       })
 
       /** Final-phase spill: write the heap table as a key-sorted run
@@ -177,6 +204,20 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Seq[SortOrder],
           out.writeInt(-1)
         } finally out.close()
         heaps.clear()
+        tableBytes = 0
+        if (consumer != null && acquired > 0) {
+          consumer.freeMemory(acquired); acquired = 0
+        }
+      }
+
+      // register the final phase's table with the task memory manager:
+      // an EXTERNAL pressure callback spills the table (safe out of
+      // band — the table only feeds output at end-of-input, and the
+      // task is single-threaded so the callback never races an insert)
+      if (!isPartial) Option(TaskContext.get()).foreach { tc =>
+        val tmm = org.apache.spark.sql.graftbridge.taskMemoryManager(tc)
+        consumer = new SpillableHeapTable(tmm,
+          () => if (heaps.isEmpty) 0L else { val f = acquired; spillTable(); f })
       }
 
       /** K-way merge of the spilled runs (the in-memory remainder is
@@ -225,6 +266,7 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Seq[SortOrder],
         private def drain(): Iterator[InternalRow] = {
           val groups = heaps.values.toArray
           heaps.clear()
+          tableBytes = 0
           groups.iterator.flatMap(_.dequeueAll.reverseIterator)
         }
 
@@ -245,12 +287,36 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Seq[SortOrder],
                   else if (!isPartial && heaps.size >= spillGroups)
                     spillTable()
                   val h = mutable.PriorityQueue.empty[InternalRow](ordering)
-                  heaps.put(probe.copy(), h)
+                  val key = probe.copy()
+                  heaps.put(key, h)
+                  tableBytes += entrySize(key) + 48L
                   h
               }
-              if (heap.size < limit) heap.enqueue(row.copy())
-              else if (ordering.compare(row, heap.head) < 0) {
-                heap.dequeue(); heap.enqueue(row.copy())
+              if (heap.size < limit) {
+                val kept = row.copy()
+                heap.enqueue(kept)
+                tableBytes += entrySize(kept)
+              } else if (ordering.compare(row, heap.head) < 0) {
+                tableBytes -= entrySize(heap.dequeue())
+                val kept = row.copy()
+                heap.enqueue(kept)
+                tableBytes += entrySize(kept)
+              }
+              // byte bounds: both phases respect the hard spillBytes
+              // cap (wide rows overwhelm group-count knobs); the final
+              // phase additionally keeps its TaskMemoryManager
+              // acquisition covering tableBytes and self-spills when
+              // the manager grants less than the table holds
+              if (isPartial) {
+                if (tableBytes > spillBytes && !flushed.hasNext)
+                  flushed = drain()
+              } else if (tableBytes > spillBytes) {
+                spillTable()
+              } else if (consumer != null && tableBytes > acquired) {
+                val granted = consumer.acquireMemory(
+                  math.max(tableBytes - acquired, 4L << 20))
+                acquired += granted
+                if (acquired < tableBytes) spillTable()
               }
             }
             if (flushed.hasNext) out = flushed
@@ -277,6 +343,27 @@ object TopKPerGroupExec {
     * Also the default for the final phase's disk-spill threshold
     * (`spark.graft.topk.spillGroups`). */
   val PartialFlushGroups: Int = 1 << 16
+
+  /** Default byte cap for the heap table in BOTH phases
+    * (`spark.graft.topk.spillBytes`): the bound that holds when rows
+    * are wide (array/embedding carry columns) and a group-count knob
+    * would OOM first. 64 MB per task is far under any sane executor
+    * memory / task-slot ratio. */
+  val DefaultSpillBytes: Long = 64L << 20
+}
+
+/** The final phase's `MemoryConsumer` registration: makes the heap
+  * table visible to Spark's task memory manager and lets the manager
+  * force a disk spill under pressure. A self-triggered request (the
+  * manager asking THIS consumer to free memory while it is inside its
+  * own `acquireMemory` call) returns 0 — the caller handles the
+  * shortfall by self-spilling, keeping the table mutation on exactly
+  * one code path. */
+private final class SpillableHeapTable(tmm: TaskMemoryManager,
+                                       doSpill: () => Long)
+    extends MemoryConsumer(tmm, tmm.pageSizeBytes(), MemoryMode.ON_HEAP) {
+  override def spill(size: Long, trigger: MemoryConsumer): Long =
+    if (trigger eq this) 0L else doSpill()
 }
 
 /** Sequential reader over one spilled run: (keyBytes, that group's

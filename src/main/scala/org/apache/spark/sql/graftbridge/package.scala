@@ -19,6 +19,15 @@ package object graftbridge {
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** `TaskContext.taskMemoryManager()` is `private[spark]`; graft's
+    * TopKPerGroup final phase registers its heap table with it (as a
+    * `MemoryConsumer`) so Spark's memory manager both SEES the table's
+    * bytes and can FORCE it to spill under pressure — the
+    * production-grade version of a row/group-count spill knob. */
+  def taskMemoryManager(tc: org.apache.spark.TaskContext)
+      : org.apache.spark.memory.TaskMemoryManager =
+    tc.taskMemoryManager()
+
   /** Eager localCheckpoint that DROPS the carried plan statistics.
     *
     * Spark 4's `Dataset.localCheckpoint` copies the ORIGIN plan's

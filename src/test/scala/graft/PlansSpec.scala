@@ -114,6 +114,29 @@ class PlansSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", "32")
   }
 
+  test("fat rows spill on the BYTE threshold below any group count") {
+    // wide carried columns (a 128-element array ≈ 1 KB/row) must hit
+    // the bytes-based bound (r9 verdict #3): 4000 groups × 2 × ~1.1 KB
+    // ≈ 9 MB against spillBytes=256 KB forces dozens of byte-triggered
+    // spills in the final phase AND byte-triggered flushes in the
+    // partial phase, with the group-count knobs far out of reach —
+    // the result must still be the exact window-form top-k
+    spark.conf.set("spark.graft.topk.spillBytes", (256L << 10).toString)
+    try {
+      val d = spark.range(0, 8000)
+        .select(($"id" % 4000).as("g"), $"id",
+          (($"id" * 2654435761L) % 977).cast("double").as("v"),
+          array((0 until 128).map(i => ($"id" + i).cast("double")): _*)
+            .as("payload"))
+      val got = TopKPerGroup(d, Seq("g"), Seq(("v", true), ("id", true)), 1)
+      val w = Window.partitionBy("g").orderBy($"v", $"id")
+      val want = d.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 1).drop("rn")
+      assert(rows(got) == rows(want))
+      assert(got.count() == 4000)
+    } finally spark.conf.unset("spark.graft.topk.spillBytes")
+  }
+
   test("null group keys and null order values match the window form") {
     val d = Seq(
       (Option("a"), 1L, Option(1.0)), (Option("a"), 2L, Option.empty[Double]),

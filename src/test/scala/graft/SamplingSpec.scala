@@ -644,4 +644,26 @@ class SamplingSpec extends SparkSuite {
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(all.values.forall(_._3 == 3000000L))
   }
+
+  test("driver-side sweeps refuse high-cardinality group columns") {
+    // apportionQuotas/unimaxBudgets collect one row per group; past
+    // spark.graft.sweep.maxGroups they must refuse with an actionable
+    // message instead of silently OOMing the driver (r9 verdict #8)
+    spark.conf.set("spark.graft.sweep.maxGroups", "3")
+    try {
+      val wide = (1 to 10).map(i => (s"g$i", 1L)).toDF("g", "w")
+      val e1 = intercept[IllegalArgumentException] {
+        Sampling.unimaxBudgets(wide, "g", "w", 100L, 2L)
+      }
+      assert(e1.getMessage.contains("spark.graft.sweep.maxGroups"))
+      assert(e1.getMessage.contains("unimaxBudgets"))
+      val e2 = intercept[IllegalArgumentException] {
+        Sampling.apportionQuotas(wide, "g", "w", 5L).collect()
+      }
+      assert(e2.getMessage.contains("spark.graft.sweep.maxGroups"))
+      // under the bound both still run
+      spark.conf.set("spark.graft.sweep.maxGroups", "1000000")
+      assert(Sampling.unimaxBudgets(wide, "g", "w", 100L, 2L).count() == 10)
+    } finally spark.conf.unset("spark.graft.sweep.maxGroups")
+  }
 }

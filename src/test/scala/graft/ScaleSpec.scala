@@ -174,6 +174,35 @@ class ScaleSpec extends SparkSuite {
     assert(exchanges <= 1, s"expected at most one exchange (probe side only):\n$plan")
   }
 
+  test("bucketed ANN probe: partition-pruned corpus scan, corpus side never shuffles") {
+    // the x130 probe economics (r9 verdict #6): the batch's ≤2^planes
+    // buckets must land as a PLANNING-TIME partition filter on the
+    // layout scan, and the candidate join must broadcast the batch
+    // side — the corpus contributes no hash exchange
+    val corpus = (0 until 300).map { i =>
+      (i.toLong, Array((i % 13 - 6).toFloat, (i % 7 - 3).toFloat,
+        (i % 5 - 2).toFloat, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("scalespec_ann").toString
+    graft.ext.Similarity.writeBucketed(corpus, path, planes = 4, portable = true)
+    val batch = (0 until 5).map { i =>
+      (1000L + i, Array((i - 2).toFloat, 1.0f, 0.5f, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val probe = graft.ext.Similarity.probeBucketedNearDup(
+      spark, path, batch, 0.5, planes = 4)
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("PartitionFilters: \\[[^\\]]*bucket[^\\]]*".r.findFirstIn(plan).isDefined,
+      s"layout scan must carry a bucket partition filter:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"batch side must broadcast into the corpus join:\n$plan")
+    // exchanges belong to the batch self-join + pair dedup only — the
+    // corpus side (broadcast join over the pruned scan) adds none
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 3, s"corpus side must not shuffle:\n$plan")
+  }
+
   test("scoreLinear: the weight table joins BROADCAST — the corpus never shuffles pre-agg") {
     val docs = (0 until 500).map(i => (i.toLong, s"tok${i % 7} tok${i % 5} filler"))
       .toDF("doc_id", "text")

@@ -489,6 +489,49 @@ class StreamingSpec extends SparkSuite {
     assert(dupes == 0L)
   }
 
+  test("streaming embedding near-dup: per-epoch probe+append == one-shot probe") {
+    // the vector-space sibling of the streamingNearDup pin (r9 verdict
+    // #6): each epoch probes the persisted writeBucketed layout, then
+    // folds in — accumulated pairs must equal a single probe of every
+    // batch at once against a fresh copy of the seed layout
+    implicit val sqlCtx = spark.sqlContext
+    def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val seed = Seq((0L, vec(1, 0, 0, 0)), (1L, vec(0, 1, 0, 0)),
+      (2L, vec(0, 0, 0.5, 0.5)))
+    val day1 = Seq((10L, vec(1, 0, 0, 0)),   // dup of seed 0
+      (11L, vec(0, 0, 1, 0)))
+    val day2 = Seq((20L, vec(0, 0, 1, 0)),   // dup of day-1's 11
+      (21L, vec(0, 1, 0.01, 0)))             // near-dup of seed 1
+    val idx = java.nio.file.Files.createTempDirectory("emb_idx").toString
+    graft.ext.Similarity.writeBucketed(seed.toDF("vec_id", "embedding"),
+      idx, planes = 4, portable = true)
+    val pairsDir = java.nio.file.Files.createTempDirectory("emb_pairs").toString
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = graft.ext.Similarity.streamingEmbeddingNearDup(idx,
+      stream.toDF().toDF("vec_id", "embedding"), pairsDir,
+      threshold = 0.9, planes = 4)
+    try {
+      stream.addData(day1); q.processAllAvailable()
+      stream.addData(day2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(pairsDir)
+      .select("a", "b", "cosine").as[(Long, Long, Double)].collect().toSet
+    val idx2 = java.nio.file.Files.createTempDirectory("emb_idx2").toString
+    graft.ext.Similarity.writeBucketed(seed.toDF("vec_id", "embedding"),
+      idx2, planes = 4, portable = true)
+    val full = graft.ext.Similarity.probeBucketedNearDup(spark, idx2,
+        (day1 ++ day2).toDF("vec_id", "embedding"), 0.9, planes = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == full)
+    assert(streamed.contains((0L, 10L, 1.0)))  // batch × seed corpus
+    // CROSS-epoch pair: day 2's 20 duplicates day 1's 11, visible only
+    // because epoch 1's batch was appended before epoch 2 probed
+    assert(streamed.contains((11L, 20L, 1.0)))
+    // the near-dup (21 vs seed 1) clears 0.9 but is not exactly 1
+    assert(streamed.exists { case (a, b, c) =>
+      a == 1L && b == 21L && c >= 0.9 && c < 1.0 })
+  }
+
   test("json props extraction (get_json_object path)") {
     val df = events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val out = EventStreams.withProps(df, "k")

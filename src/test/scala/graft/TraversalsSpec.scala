@@ -227,6 +227,23 @@ class TraversalsSpec extends SparkSuite {
       .values.toSet == Set("L:a", "L:b"))
   }
 
+  test("weakComponents default == GraphX kernel (round-10 reroute pin)") {
+    // weakComponents now rides the log-round star-contraction kernel;
+    // the GraphX min-label path survives as weakComponentsGraphX and
+    // must keep producing the identical (vid, comp) assignment
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String)].collect().toMap
+    for (seed <- Seq(73, 74)) {
+      val rnd = new scala.util.Random(seed)
+      val es = (1 to 50).map(_ =>
+        ("n" + rnd.nextInt(30), "n" + rnd.nextInt(30)))
+        .filter(e => e._1 != e._2).distinct
+      val g2 = graphOf(es, Seq("alone"))
+      assert(asMap(Traversals.weakComponents(g2))
+        == asMap(Traversals.weakComponentsGraphX(g2)), s"seed=$seed")
+    }
+  }
+
   test("strongComponents: path-of-cycles adversarial topology is exact") {
     // the documented worst case for label-propagation SCC (SCALE.md):
     // m 3-cycles chained head-to-tail by one-way bridges, plus a DAG
