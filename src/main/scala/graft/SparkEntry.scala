@@ -6361,6 +6361,325 @@ object SparkEntry {
              |WHERE cos >= 0.9 AND isfinite(cos)
              |ORDER BY a, b""".stripMargin)),
 
+    QueryDef("q55_pivot",
+      // PIVOT / wide reshape — the inverse of q52's UNPIVOT: per
+      // linestatus one column per return flag (DataFrame .pivot with
+      // EXPLICIT values, so the plan is one hash aggregate + a
+      // map-side Expand — no extra distinct-values job, no second
+      // shuffle). The oracle spells the same reshape as conditional
+      // aggregation (FILTER), which is exactly what pivot desugars to.
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(count(lit(1)))
+        .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+             | CAST(COUNT(*) FILTER (WHERE l_returnflag = 'A') AS BIGINT) AS "A",
+             | CAST(COUNT(*) FILTER (WHERE l_returnflag = 'N') AS BIGINT) AS "N",
+             | CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS "R"
+             |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin)),
+
+    QueryDef("q56_range_interval_frame",
+      // RANGE frame over a TIME axis (RANGE BETWEEN INTERVAL ...
+      // PRECEDING): per customer, trailing-90-day order count and
+      // integer-cents spend — the time-windowed aggregate a feature
+      // pipeline computes per entity. RANGE (value-based) vs q22's
+      // ROWS: equal order dates share one frame, so the result is
+      // deterministic without a tiebreak even under date ties. One
+      // exchange on the customer key; the frame evaluates in-partition.
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("graft_q56_orders")
+        s.sql("""SELECT o_orderkey, o_custkey, o_orderdate,
+                | COUNT(*) OVER w AS n_90d,
+                | CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                |   OVER w AS BIGINT) AS cents_90d
+                |FROM graft_q56_orders
+                |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                |  RANGE BETWEEN INTERVAL '90' DAY PRECEDING AND CURRENT ROW)
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderdate,
+             | CAST(COUNT(*) OVER w AS BIGINT) AS n_90d,
+             | CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+             |   OVER w AS BIGINT) AS cents_90d
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             |  RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef("q57_attribution",
+      // last-touch attribution: every purchase credits the most recent
+      // click by the same user within a 7-day lookback — the marketing
+      // /causality primitive behavioral stacks run daily. Rides the
+      // as-of join kernel (ONE exchange on the user key, union-tag +
+      // running last() — never an inequality join); same-timestamp
+      // touches collapse to max event_id first so the credit is
+      // deterministic. Unattributed purchases survive with NULLs.
+      (s, dir) => EventStreams.lastTouchAttribution(
+          EventStreams.readEvents(s, dir), "click", "purchase",
+          7L * 24 * 3600 * 1000)
+        .orderBy("conv_id"),
+      Some("""WITH t AS (SELECT user_id, ts, MAX(event_id) AS touch_id
+             |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+             | c AS (SELECT user_id, ts, event_id AS conv_id
+             |  FROM events WHERE event_type = 'purchase'),
+             | j AS (SELECT c.conv_id, c.user_id, c.ts AS conv_ts,
+             |   t.ts AS tts, t.touch_id,
+             |   ROW_NUMBER() OVER (PARTITION BY c.conv_id
+             |     ORDER BY t.ts DESC) AS rn
+             |  FROM c LEFT JOIN t
+             |   ON t.user_id = c.user_id AND t.ts <= c.ts),
+             | b AS (SELECT *, (tts IS NOT NULL AND
+             |    epoch_ms(conv_ts) - epoch_ms(tts) <= 604800000) AS inw
+             |  FROM j WHERE rn = 1)
+             |SELECT conv_id, user_id, conv_ts,
+             | CASE WHEN inw THEN touch_id END AS touch_id,
+             | CASE WHEN inw THEN tts END AS touch_ts,
+             | inw AS attributed
+             |FROM b ORDER BY conv_id""".stripMargin)),
+
+    QueryDef("x131_bm25_search",
+      // BM25-shaped retrieval against the persisted inverted index —
+      // x48's reciprocal-df ranking plus BM25's tf saturation and
+      // length normalization, integer-exact: at k1=1.2, b=0.75 the
+      // per-term score clears all fractions ×10·avgdl, the Robertson
+      // log-idf is replaced by the log-free monotone ratio
+      // (N−df)·1e6 DIV df, and avgdl quantizes to whole tokens from
+      // the persisted 1-row stats table. Term filter prunes index
+      // buckets at planning time; the doclen join touches matched
+      // docs only. The oracle re-derives postings, df, doc lengths,
+      // corpus stats AND the exact integer formula from raw text.
+      (s, dir) => {
+        TextOps.writeInvertedIndex(docs(s, dir), "x131_idx")
+        TextOps.searchIndexBm25(s, "x131_idx",
+          Seq("data", "hash", "batch"), k = 20)
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |  unnest(string_split_regex(trim(text), '\s+')) AS term
+             |  FROM documents),
+             | tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+             | p AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+             |  FROM tok2 GROUP BY 1, 2),
+             | d AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             |  FROM p GROUP BY 1),
+             | dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+             |  FROM p GROUP BY 1),
+             | st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |   CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+             | av AS (SELECT n_docs,
+             |   GREATEST(total_len // GREATEST(n_docs, 1), 1) AS avgdl
+             |  FROM st),
+             | sc AS (SELECT p.doc_id,
+             |   CAST(SUM(
+             |     (CAST((av.n_docs - d.df) * 1000000 // d.df AS HUGEINT)
+             |       * (22 * p.tf * av.avgdl))
+             |     // (10 * av.avgdl * p.tf + 3 * av.avgdl + 9 * dl.dl))
+             |    AS BIGINT) AS score_micro,
+             |   count(*) AS n_terms
+             |  FROM p JOIN d USING (term) JOIN dl USING (doc_id), av
+             |  WHERE term IN ('data', 'hash', 'batch')
+             |  GROUP BY 1)
+             |SELECT doc_id, score_micro, n_terms FROM sc
+             |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin)),
+
+    QueryDef("x132_url_canon",
+      // URL canonicalization + canonical-URL dedup — the crawl-dedup
+      // normalizer that collapses scheme/www/port/fragment/tracking-
+      // param variants of the same page before any content dedup
+      // runs. URLs are synthesized closed-form from doc_id (the
+      // multimodal oracle trick on strings), canonicalized by the
+      // documented regex+HOF chain (map-only, Java∩RE2 subset), and
+      // deduped exactly on the canonical form. The oracle re-derives
+      // synthesis, every canonicalization step, and the min-id
+      // canonical assignment.
+      (s, dir) => {
+        val urls = docs(s, dir).select(col("doc_id"),
+          concat(
+            element_at(array(lit("http://"), lit("https://"),
+              lit("HTTPS://")), (pmod(col("doc_id"), lit(3)) + 1).cast("int")),
+            when(pmod(col("doc_id"), lit(2)) === 0, lit("www."))
+              .otherwise(lit("")),
+            lit("Site"), pmod(col("doc_id"), lit(50)).cast("string"),
+            lit(".Example.com"),
+            when(pmod(col("doc_id"), lit(7)) === 0, lit(":443"))
+              .otherwise(lit("")),
+            lit("/P/"), pmod(col("doc_id"), lit(200)).cast("string"),
+            when(pmod(col("doc_id"), lit(2)) === 1, lit("/"))
+              .otherwise(lit("")),
+            lit("?utm_source=x&page="),
+            pmod(col("doc_id"), lit(10)).cast("string"),
+            when(pmod(col("doc_id"), lit(5)) === 0, lit("&utm_medium=y"))
+              .otherwise(lit("")),
+            lit("#frag"), col("doc_id").cast("string")).as("url"))
+        val canon = TextOps.canonicalUrls(urls, "doc_id", "url")
+        canon.join(Dedup.exact(canon, "doc_id", "url_canon"), Seq("doc_id"))
+          .select("doc_id", "host", "url_canon", "canonical_id",
+            "is_duplicate")
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (SELECT doc_id,
+             |   (CASE doc_id % 3 WHEN 0 THEN 'http://'
+             |     WHEN 1 THEN 'https://' ELSE 'HTTPS://' END)
+             |   || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+             |   || 'Site' || (doc_id % 50) || '.Example.com'
+             |   || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)
+             |   || '/P/' || (doc_id % 200)
+             |   || (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END)
+             |   || '?utm_source=x&page=' || (doc_id % 10)
+             |   || (CASE WHEN doc_id % 5 = 0 THEN '&utm_medium=y' ELSE '' END)
+             |   || '#frag' || doc_id AS url
+             |  FROM documents),
+             | s1 AS (SELECT doc_id, regexp_replace(regexp_replace(
+             |   trim(url), '#.*', ''), '(?i)^https?://', '') AS v FROM u),
+             | s2 AS (SELECT doc_id, v,
+             |   regexp_extract(v, '^([^/?#]*)', 1) AS host0 FROM s1),
+             | s3 AS (SELECT doc_id,
+             |   regexp_replace(regexp_replace(lower(host0), '^www\.', ''),
+             |     ':(80|443)$', '') AS host,
+             |   substr(v, length(host0) + 1) AS rest FROM s2),
+             | s4 AS (SELECT doc_id, host,
+             |   CASE WHEN strpos(rest, '?') = 0 THEN rest
+             |    ELSE substr(rest, 1, strpos(rest, '?') - 1) END AS path0,
+             |   CASE WHEN strpos(rest, '?') = 0 THEN ''
+             |    ELSE substr(rest, strpos(rest, '?') + 1) END AS q FROM s3),
+             | s5 AS (SELECT doc_id, host,
+             |   regexp_replace(path0, '/+$', '') AS path,
+             |   list_filter(string_split(q, '&'),
+             |     p -> p <> '' AND NOT starts_with(p, 'utm_')) AS params
+             |  FROM s4),
+             | c AS (SELECT doc_id, host,
+             |   host || path || (CASE WHEN len(params) > 0
+             |     THEN '?' || array_to_string(params, '&') ELSE '' END)
+             |   AS url_canon FROM s5),
+             | x AS (SELECT doc_id, host, url_canon,
+             |   MIN(doc_id) OVER (PARTITION BY url_canon) AS canonical_id
+             |  FROM c)
+             |SELECT doc_id, host, url_canon, canonical_id,
+             | canonical_id <> doc_id AS is_duplicate
+             |FROM x ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("x133_aiff_audio",
+      // REAL audio decode through a HAND-ROLLED AIFF container — the
+      // eighth real container family, and the audio sibling of the
+      // BMP/TIFF writer-vs-JDK-parser pins: our byte-level IFF writer
+      // (FORM/COMM with an 80-bit extended-float sample rate, SSND of
+      // BIG-endian PCM16) is parsed back by the actual javax.sound
+      // AIFF reader and byte-swap converter inside the unchanged
+      // decodeAudio path. Samples follow x39's closed form, so the
+      // no-codec oracle re-derives every decoded value.
+      (s, dir) => {
+        val media = Multimodal.synthesizeAiff(
+          docs(s, dir).select("doc_id"), "doc_id", 400, 8000)
+        Multimodal.decodeAudio(media, 16)
+          .where(col("decode_ok"))
+          .select(col("media_id"),
+            col("sample_rate").cast("long").as("sample_rate"),
+            col("n_samples"), col("sum_q"),
+            posexplode(col("hist")).as(Seq("bucket", "cnt")))
+          .where(col("cnt") > 0)
+          .select(col("media_id"), col("sample_rate"), col("n_samples"),
+            col("sum_q"), col("bucket").cast("long").as("bucket"), col("cnt"))
+          .orderBy("media_id", "bucket")
+      },
+      Some("""WITH smp AS (SELECT d.doc_id,
+             |   ((d.doc_id*31 + i.i*7) % 65536) - 32768 AS s
+             |  FROM (SELECT doc_id FROM documents) d,
+             |       generate_series(0, 399) i(i)),
+             | agg AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS sum_q
+             |  FROM smp GROUP BY 1),
+             | b AS (SELECT doc_id, (s + 32768) % 16 AS bucket FROM smp)
+             |SELECT b.doc_id AS media_id, CAST(8000 AS BIGINT) AS sample_rate,
+             | CAST(400 AS BIGINT) AS n_samples, a.sum_q AS sum_q,
+             | CAST(b.bucket AS BIGINT) AS bucket, COUNT(*) AS cnt
+             |FROM b JOIN agg a ON a.doc_id = b.doc_id
+             |GROUP BY 1, 2, 3, 4, 5
+             |ORDER BY media_id, bucket""".stripMargin)),
+
+    QueryDef("x134_expectations",
+      // data-quality expectations card — the machine-checkable ingest
+      // contract (the Great-Expectations shape): five named rules over
+      // lineitem evaluate map-side into ONE hash-aggregate row, then
+      // stack to long form; NULL rule results count as failures
+      // (three-valued logic made explicit). Integer pass/fail counts
+      // + ppm rates, so two ingest days' cards diff meaningfully.
+      (s, dir) => ext.Profiling.expectationsCard(t(s, dir, "lineitem"), Seq(
+          "qty_positive" -> (col("l_quantity") > 0),
+          "discount_range" -> (col("l_discount") >= 0.0 &&
+            col("l_discount") <= 0.1),
+          "ship_in_era" -> (col("l_shipdate") >= lit("1992-01-01") &&
+            col("l_shipdate") < lit("1999-01-01")),
+          "qty_le_50" -> (col("l_quantity") <= 50),
+          "flag_domain" -> col("l_returnflag").isin("A", "N", "R")))
+        .orderBy("rule_idx"),
+      Some("""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(COUNT(*) FILTER (WHERE COALESCE(l_quantity > 0, FALSE))
+             |    AS BIGINT) AS p0,
+             |  CAST(COUNT(*) FILTER (WHERE COALESCE(l_discount >= 0.0
+             |    AND l_discount <= 0.1, FALSE)) AS BIGINT) AS p1,
+             |  CAST(COUNT(*) FILTER (WHERE COALESCE(
+             |    l_shipdate >= TIMESTAMP '1992-01-01'
+             |    AND l_shipdate < TIMESTAMP '1999-01-01', FALSE))
+             |    AS BIGINT) AS p2,
+             |  CAST(COUNT(*) FILTER (WHERE COALESCE(l_quantity <= 50,
+             |    FALSE)) AS BIGINT) AS p3,
+             |  CAST(COUNT(*) FILTER (WHERE COALESCE(l_returnflag IN
+             |    ('A','N','R'), FALSE)) AS BIGINT) AS p4
+             | FROM lineitem),
+             | rules(rule_idx, rule) AS (VALUES
+             |  (CAST(0 AS BIGINT), 'qty_positive'),
+             |  (CAST(1 AS BIGINT), 'discount_range'),
+             |  (CAST(2 AS BIGINT), 'ship_in_era'),
+             |  (CAST(3 AS BIGINT), 'qty_le_50'),
+             |  (CAST(4 AS BIGINT), 'flag_domain'))
+             |SELECT rule_idx, rule, n_rows,
+             | CASE rule_idx WHEN 0 THEN p0 WHEN 1 THEN p1 WHEN 2 THEN p2
+             |  WHEN 3 THEN p3 ELSE p4 END AS n_pass,
+             | n_rows - (CASE rule_idx WHEN 0 THEN p0 WHEN 1 THEN p1
+             |  WHEN 2 THEN p2 WHEN 3 THEN p3 ELSE p4 END) AS n_fail,
+             | (CASE rule_idx WHEN 0 THEN p0 WHEN 1 THEN p1 WHEN 2 THEN p2
+             |  WHEN 3 THEN p3 ELSE p4 END) * 1000000
+             |   // GREATEST(n_rows, 1) AS pass_ppm
+             |FROM rules, n ORDER BY rule_idx""".stripMargin)),
+
+    QueryDef("g66_edge_card",
+      // edge-structure audit card: multiplicity, self-loops,
+      // reciprocity, and the exact integer Pearson moments of degree
+      // assortativity over the whole star graph — the one-row "what
+      // kind of graph is this" datasheet that decides partition/salt
+      // strategy at 100 TB (hub-attracts-hub vs hub-attracts-leaf).
+      // All BIGINT; one distinct + two degree joins; every aggregate
+      // is a 1-row broadcast.
+      (s, dir) => LinkAnalysis.edgeStructureCard(
+        graph(s, dir).edges.select("src", "dst")),
+      Some(s"""$W,
+              |e AS (SELECT source_layer || ':' || source_id AS s,
+              |  target_layer || ':' || target_id AS d FROM edges),
+              |dd AS (SELECT DISTINCT s, d FROM e),
+              |ns AS (SELECT * FROM dd WHERE s <> d),
+              |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM
+              |  (SELECT DISTINCT v, u FROM (SELECT s AS v, d AS u FROM ns
+              |    UNION ALL SELECT d, s FROM ns)) GROUP BY v),
+              |base AS (SELECT
+              |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edge_rows,
+              |  (SELECT CAST(COUNT(*) AS BIGINT) FROM dd) AS n_distinct,
+              |  (SELECT CAST(COUNT(*) AS BIGINT) FROM dd WHERE s = d)
+              |    AS self_loops,
+              |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ns a
+              |    WHERE EXISTS (SELECT 1 FROM ns b
+              |      WHERE b.s = a.d AND b.d = a.s)) AS n_reciprocal),
+              |mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_assort_edges,
+              |  CAST(SUM(dx.deg) AS BIGINT) AS sum_x,
+              |  CAST(SUM(dy.deg) AS BIGINT) AS sum_y,
+              |  CAST(SUM(dx.deg * dx.deg) AS BIGINT) AS sum_xx,
+              |  CAST(SUM(dy.deg * dy.deg) AS BIGINT) AS sum_yy,
+              |  CAST(SUM(dx.deg * dy.deg) AS BIGINT) AS sum_xy
+              | FROM ns JOIN deg dx ON dx.v = ns.s JOIN deg dy ON dy.v = ns.d)
+              |SELECT n_edge_rows, n_distinct, self_loops, n_reciprocal,
+              | n_reciprocal * 1000000 // GREATEST(n_distinct - self_loops, 1)
+              |   AS reciprocity_ppm,
+              | n_assort_edges, sum_x, sum_y, sum_xx, sum_yy, sum_xy
+              |FROM base, mom""".stripMargin)),
+
     QueryDef("x119_heaps_curve",
       // Heaps-law vocabulary-growth curve: cumulative distinct terms
       // vs cumulative tokens at 10 doc-id checkpoints — the "will

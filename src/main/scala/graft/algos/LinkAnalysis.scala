@@ -1183,6 +1183,62 @@ object LinkAnalysis {
     * each benched SF (r9 ADVICE; `tools.CorenessProbe`), the same
     * "measure, don't guess" treatment the round counts of the other
     * iterative kernels get. */
+  /** Edge-structure audit card (r10) — the one-row "what kind of graph
+    * is this" datasheet next to g55's size card: raw multiplicity
+    * (edge rows vs distinct pairs), self-loops, RECIPROCITY (the
+    * directed-graph mutuality rate — near 0 for a dependency DAG,
+    * high for a social graph; decides whether directed kernels are
+    * even meaningful), and the exact integer MOMENTS of degree
+    * ASSORTATIVITY (Σx, Σy, Σx², Σy², Σxy with x/y = symmetrized
+    * simple-graph degrees of each distinct non-self edge's endpoints
+    * — the Pearson numerator/denominator pieces; one IEEE op away
+    * from the coefficient, the q20 exact-moments treatment, and
+    * hub-attracts-hub vs hub-attracts-leaf decides salting and
+    * partition strategy at 100 TB). All BIGINT (moment sums
+    * decimal-routed), so the card diffs meaningfully across ingest
+    * days and re-derives on any engine.
+    *
+    * Scale shape: one distinct + two tiny joins against the degree
+    * table; every aggregate is one row, combined by broadcast cross
+    * joins. Returns one row: (n_edge_rows, n_distinct, self_loops,
+    * n_reciprocal, reciprocity_ppm, n_assort_edges, sum_x, sum_y,
+    * sum_xx, sum_yy, sum_xy). */
+  def edgeStructureCard(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val d = e.distinct().localCheckpoint()
+    val ns = d.filter(col("src") =!= col("dst")).localCheckpoint()
+    val base = e.agg(count(lit(1)).as("n_edge_rows")).crossJoin(
+      d.agg(count(lit(1)).as("n_distinct"),
+        sum(when(col("src") === col("dst"), 1L).otherwise(0L))
+          .as("self_loops")))
+    val recip = ns
+      .join(ns.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_reciprocal"))
+    val deg = ns.select(col("src").as("v"), col("dst").as("u"))
+      .unionAll(ns.select(col("dst").as("v"), col("src").as("u")))
+      .distinct()
+      .groupBy("v").agg(count(lit(1)).cast("long").as("deg"))
+    val mom = ns
+      .join(deg.select(col("v").as("src"), col("deg").as("x")), Seq("src"))
+      .join(deg.select(col("v").as("dst"), col("deg").as("y")), Seq("dst"))
+      .agg(count(lit(1)).as("n_assort_edges"),
+        sum(col("x").cast("decimal(38,0)")).cast("long").as("sum_x"),
+        sum(col("y").cast("decimal(38,0)")).cast("long").as("sum_y"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).cast("long")
+          .as("sum_xx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).cast("long")
+          .as("sum_yy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).cast("long")
+          .as("sum_xy"))
+    base.crossJoin(recip).crossJoin(mom)
+      .withColumn("reciprocity_ppm", expr(
+        "n_reciprocal * 1000000 DIV greatest(n_distinct - self_loops, 1)"))
+      .select("n_edge_rows", "n_distinct", "self_loops", "n_reciprocal",
+        "reciprocity_ppm", "n_assort_edges", "sum_x", "sum_y", "sum_xx",
+        "sum_yy", "sum_xy")
+  }
+
   def corenessLastRoundChanges(edges: DataFrame, rounds: Int): Long = {
     require(rounds >= 1, s"corenessLastRoundChanges: rounds >= 1")
     val prev = corenessHIndex(edges, rounds - 1)

@@ -330,6 +330,38 @@ object Profiling {
         col("stage"), col("n_docs"), col("n_tokens"))
   }
 
+  /** Data-quality expectations card (r10) — the machine-checkable
+    * contract a warehouse runs against every ingest batch (the
+    * Great-Expectations shape, engine-exact): each named rule is a
+    * boolean Column over the row (null-rate, range, regex-match,
+    * referential predicates…); the card reports per rule the pass /
+    * fail counts and the integer-ppm pass rate. A NULL rule result is
+    * a FAILURE (three-valued logic made explicit — an unknown is not
+    * a pass), which is what makes `col > 0` do the right thing on
+    * null columns without every caller remembering coalesce.
+    *
+    * Scale shape: ONE corpus pass — all rules evaluate map-side into
+    * a single hash-aggregate row, then `stack` reshapes to long form
+    * (rule count adds zero passes, the retentionFunnel economics).
+    * Returns (rule_idx, rule, n_rows, n_pass, n_fail, pass_ppm). */
+  def expectationsCard(df: DataFrame,
+                       rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "expectationsCard needs at least one rule")
+    val aggs = count(lit(1)).as("__n") +: rules.zipWithIndex.map {
+      case ((_, pred), i) =>
+        sum(when(coalesce(pred, lit(false)), 1L).otherwise(0L)).as(s"__p$i")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules.zipWithIndex.map { case ((name, _), i) =>
+      s"$i, '${name.replace("'", "''")}', __p$i" }.mkString(", ")
+    one.select(col("__n"), expr(
+        s"stack(${rules.size}, $stackArgs) AS (rule_idx, rule, n_pass)"))
+      .select(col("rule_idx").cast("long"), col("rule"),
+        col("__n").as("n_rows"), col("n_pass"),
+        (col("__n") - col("n_pass")).as("n_fail"),
+        expr("n_pass * 1000000 DIV greatest(__n, 1)").as("pass_ppm"))
+  }
+
   /** [[profile]] per group (per-language / per-source corpus
     * profiles): exact moments from one grouped pass + sampled
     * order statistics from the per-group bottom-k sample. Output

@@ -216,6 +216,51 @@ object TextOps {
     trim(regexp_replace(decoded, "[ \\t\\n\\r\\f\\x0B]+", " "))
   }
 
+  /** URL canonicalization — the crawl-dedup normalizer every web
+    * pipeline runs BEFORE content dedup (the same page is crawled as
+    * `http://`, `https://`, `www.`, with fragments and tracking
+    * params; canonical-URL dedup collapses them for free, no shingling
+    * needed). Documented step order, every pattern in the Java∩RE2
+    * subset and every list op a DuckDB-mirrorable HOF (the [[scrub]]/
+    * [[stripMarkup]] portability contract, so the oracle applies the
+    * identical chain):
+    * 1) trim; 2) drop the `#fragment`; 3) drop an http(s) scheme
+    * ((?i)); 4) split the host (through the first `/?#`) from the
+    * rest; 5) host: lowercase (hosts are case-insensitive; paths are
+    * NOT), drop one leading `www.`, drop a default `:80`/`:443` port;
+    * 6) path: drop trailing slashes; 7) query: drop `utm_*` tracking
+    * params and empty params, dropping the `?` when nothing survives
+    * (param ORDER is preserved — sorting would conflate genuinely
+    * order-sensitive endpoints). Map-only column algebra, no UDF.
+    * Returns (idCol, host, url_canon). */
+  def canonicalUrls(df: DataFrame, idCol: String,
+                    urlCol: String): DataFrame = {
+    val t1 = regexp_replace(
+      regexp_replace(trim(col(urlCol)), "#.*", ""),
+      "(?i)^https?://", "")
+    df.select(col(idCol), t1.as("__u"))
+      .withColumn("__host0", regexp_extract(col("__u"), "^([^/?#]*)", 1))
+      .withColumn("host", regexp_replace(regexp_replace(
+        lower(col("__host0")), "^www\\.", ""), ":(80|443)$", ""))
+      .withColumn("__rest",
+        col("__u").substr(length(col("__host0")) + 1, length(col("__u"))))
+      .withColumn("__q", instr(col("__rest"), "?"))
+      .withColumn("__path", regexp_replace(
+        when(col("__q") === 0, col("__rest"))
+          .otherwise(col("__rest").substr(lit(1), col("__q") - 1)),
+        "/+$", ""))
+      .withColumn("__params", filter(
+        split(when(col("__q") === 0, lit(""))
+          .otherwise(col("__rest").substr(col("__q") + 1,
+            length(col("__rest")))), "&"),
+        p => p =!= "" && !p.startsWith("utm_")))
+      .select(col(idCol), col("host"),
+        concat(col("host"), col("__path"),
+          when(size(col("__params")) > 0,
+            concat(lit("?"), array_join(col("__params"), "&")))
+            .otherwise(lit(""))).as("url_canon"))
+  }
+
   /** Overlapping token-window chunks — the context-window prep step of
     * a training pipeline: windows of `window` tokens starting every
     * `stride` tokens (stride < window ⇒ overlap). Start positions run
@@ -711,8 +756,17 @@ object TextOps {
         explode(tokens(col(textCol))).as("term"))
       .filter(col("term") =!= "")
     val postings = tok.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds df, doclen AND the postings write
     val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
-    Seq(s"${name}_postings", s"${name}_df").foreach { t =>
+    // per-doc length + 1-row corpus stats: the length-normalization
+    // side of BM25 ([[searchIndexBm25]]) — persisted at build time so
+    // a query never scans the corpus for its average document length
+    val doclen = postings.groupBy("doc_id")
+      .agg(sum("tf").cast("long").as("dl"))
+    val stats = doclen.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum("dl").cast("long").as("total_len"))
+    Seq(s"${name}_postings", s"${name}_df", s"${name}_doclen",
+        s"${name}_stats").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       // orphaned managed location from a previous JVM (same hazard as
       // Dedup.writeBandIndex — DROP only reaches the live catalog)
@@ -727,6 +781,11 @@ object TextOps {
     dfreq.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "term").sortBy("term")
       .format("parquet").saveAsTable(s"${name}_df")
+    doclen.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(s"${name}_doclen")
+    stats.write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${name}_stats")
   }
 
   /** Rank documents for a bag of query terms against a
@@ -748,6 +807,47 @@ object TextOps {
       .groupBy("doc_id")
       .agg(sum("contrib").as("score_ppm"), count(lit(1)).as("n_terms"))
       .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** BM25-shaped ranking against a [[writeInvertedIndex]] layout — the
+    * standard retrieval scorer with its length normalization, made
+    * ENGINE-EXACT: at k1 = 1.2, b = 0.75 the per-term score
+    * idf · tf(k1+1) / (tf + k1(1−b+b·dl/avgdl)) clears all fractions
+    * when multiplied through by 10·avgdl, giving
+    * `idf_ppm · 22·tf·avgdl DIV (10·avgdl·tf + 3·avgdl + 9·dl)` —
+    * integers end to end (the one product that can cross 2⁶³ at 100 TB
+    * doc counts is decimal-routed). Two documented deviations from
+    * textbook BM25, both monotone so rankings keep BM25's shape:
+    * the Robertson log-idf is replaced by the log-free ratio
+    * `(N−df)·10⁶ DIV df` (libm ln is not engine-portable — the x95
+    * collocations/PMI treatment), and avgdl quantizes to whole tokens
+    * (`total_len DIV n_docs`, identically derived by any engine from
+    * the persisted stats row).
+    *
+    * Scale shape: the term filter prunes postings/df buckets at
+    * planning time; the doclen join touches only MATCHED docs (the
+    * doclen table is doc_id-bucketed — exchange on the matched-postings
+    * side only); corpus stats are a persisted 1-row read. */
+  def searchIndexBm25(spark: SparkSession, name: String, terms: Seq[String],
+                      k: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "searchIndexBm25: empty term list")
+    val st = spark.table(s"${name}_stats").head()
+    val nDocs = st.getLong(0)
+    val avgdl = math.max(if (nDocs == 0) 1L else st.getLong(1) / nDocs, 1L)
+    val p = spark.table(s"${name}_postings")
+      .filter(col("term").isin(terms: _*))
+    val d = spark.table(s"${name}_df")
+      .filter(col("term").isin(terms: _*))
+    val dl = spark.table(s"${name}_doclen")
+    p.join(d, "term").join(dl, "doc_id")
+      .withColumn("idf_ppm", expr(s"(${nDocs}L - df) * 1000000 DIV df"))
+      .withColumn("contrib", expr(
+        s"CAST(CAST(idf_ppm AS DECIMAL(38,0)) * (22 * tf * ${avgdl}L) DIV " +
+          s"(10 * ${avgdl}L * tf + 3 * ${avgdl}L + 9 * dl) AS BIGINT)"))
+      .groupBy("doc_id")
+      .agg(sum("contrib").as("score_micro"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
       .limit(k)
   }
 

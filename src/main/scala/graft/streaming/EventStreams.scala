@@ -356,6 +356,49 @@ object EventStreams {
       .drop("__tot")
   }
 
+  /** Last-touch attribution (r10): every conversion event joins the
+    * MOST RECENT touch event by the same user at-or-before it — the
+    * marketing/causality primitive behavioral stacks run daily ("which
+    * click gets credit for this purchase"). A touch older than
+    * `lookbackMs` does not count (industry lookback windows); the
+    * conversion row survives either way with NULL touch columns, so
+    * the unattributed rate reads straight off the output.
+    *
+    * Touches collapse to one per (user, ts) first — max event_id wins
+    * — because the as-of kernel's running `last()` is order-undefined
+    * between SAME-timestamp rows; the collapse makes attribution
+    * deterministic (and mirrors the oracle exactly).
+    *
+    * Scale shape: rides [[graft.ext.TemporalJoins.asofJoin]] — ONE
+    * hash exchange on the user key, union-tag + running last(), never
+    * an inequality join (Spark would plan that as a broadcast nested
+    * loop). Returns (conv_id, user_id, conv_ts, touch_id, touch_ts,
+    * attributed). */
+  def lastTouchAttribution(events: DataFrame, touchType: String,
+                           convType: String, lookbackMs: Long,
+                           userCol: String = "user_id",
+                           typeCol: String = "event_type",
+                           tsCol: String = "ts",
+                           idCol: String = "event_id"): DataFrame = {
+    require(lookbackMs > 0, "lastTouchAttribution: lookbackMs must be positive")
+    val touches = events.filter(col(typeCol) === touchType)
+      .groupBy(col(userCol), col(tsCol))
+      .agg(max(col(idCol)).as("touch_id"))
+    val convs = events.filter(col(typeCol) === convType)
+      .select(col(userCol), col(tsCol), col(idCol).as("conv_id"))
+    graft.ext.TemporalJoins.asofJoin(convs, touches, userCol, tsCol,
+        Seq("touch_id"))
+      .withColumn("__in_window",
+        col("right_touch_id").isNotNull &&
+          unix_millis(col(tsCol)) - unix_millis(col(s"right_$tsCol"))
+            <= lookbackMs)
+      .select(col("conv_id"), col(userCol),
+        col(tsCol).as("conv_ts"),
+        when(col("__in_window"), col("right_touch_id")).as("touch_id"),
+        when(col("__in_window"), col(s"right_$tsCol")).as("touch_ts"),
+        col("__in_window").as("attributed"))
+  }
+
   /** Daily spike detection per key over the gap-filled calendar grid:
     * a day is a spike when its count exceeds `factor`× the trailing
     * `trailing`-day mean. The comparison is the integer cross-multiply

@@ -74,6 +74,16 @@ object SccStress {
             .select("comp").distinct().count()
         }
       }
+      if (args.contains("--wcc-logstar-only")) {
+        // mega-diameter sizes where the Ω(diameter) label loop is
+        // outright infeasible (m=1024 already cost it 1,347 s): run
+        // only the O(log n) kernel — the engine's weak-components
+        // DEFAULT since round 10 — through the facade entry point
+        timedN("wcc_default", 1L) {
+          graft.algos.Traversals.weakComponents(g)
+            .select("comp").distinct().count()
+        }
+      }
       if (withGraphx) timed("graphx") {
         // numIter must cover the chain or the answer is silently wrong
         graft.algos.GraphOps.stronglyConnectedComponents(g, numIter = 4 * m)

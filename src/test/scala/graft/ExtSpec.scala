@@ -635,6 +635,89 @@ class ExtSpec extends SparkSuite {
     assert(odd.forall(identity))
   }
 
+  test("synthesizeAiff: the hand-rolled IFF container decodes identically to WAV (X4)") {
+    import graft.ext.Multimodal
+    val ids = Seq(0L, 1L, 7L).toDF("doc_id")
+    val viaAiff = Multimodal.decodeAudio(
+        Multimodal.synthesizeAiff(ids, "doc_id", 200, 8000), 16)
+      .select("media_id", "decode_ok", "n_samples", "sum_q", "hist")
+      .as[(Long, Boolean, Long, Long, Seq[Long])].collect().toSet
+    val viaWav = Multimodal.decodeAudio(
+        Multimodal.synthesizeWav(ids, "doc_id", 200, 8000), 16)
+      .select("media_id", "decode_ok", "n_samples", "sum_q", "hist")
+      .as[(Long, Boolean, Long, Long, Seq[Long])].collect().toSet
+    assert(viaAiff == viaWav && viaAiff.forall(_._2))
+    // a non-power-of-two rate exercises the derived 80-bit extended
+    // float (22050 = 1.345...×2^14 — mantissa bits beyond the top byte)
+    val odd = Multimodal.decodeAudio(
+        Multimodal.synthesizeAiff(ids, "doc_id", 50, 22050), 16)
+      .select("decode_ok", "sample_rate").as[(Boolean, Int)].collect()
+    assert(odd.forall(r => r._1 && r._2 == 22050))
+    // poison degradation
+    val poison = Seq((9L, "audio", Array[Byte](70, 79, 82, 77, 0, 0),
+        "audio/aiff"))
+      .toDF("media_id", "modality", "payload", "mime")
+    assert(Multimodal.decodeAudio(poison, 16)
+      .select("decode_ok").as[Boolean].collect().forall(!_))
+  }
+
+  test("canonicalUrls: every documented step, hand-checked (X3)") {
+    import graft.ext.TextOps
+    val cases = Seq(
+      (1L, "HTTPS://www.Example.COM:443/A/B/?utm_source=g&x=1&utm_medium=m#frag",
+        "example.com", "example.com/A/B?x=1"),
+      (2L, "http://example.com:80/", "example.com", "example.com"),
+      (3L, "example.com/path", "example.com", "example.com/path"),   // no scheme
+      (4L, "https://Sub.Example.com/Q?utm_only=1", "sub.example.com",
+        "sub.example.com/Q"),                  // all params dropped -> no ?
+      (5L, "http://www.a.com/p?b=2&a=1", "a.com", "a.com/p?b=2&a=1"), // order kept
+      (6L, "  http://a.com/x//  ", "a.com", "a.com/x")) // trim + slash run
+      .toDF("id", "url", "want_host", "want_canon")
+    val got = TextOps.canonicalUrls(cases, "id", "url")
+      .join(cases.select("id", "want_host", "want_canon"), Seq("id"))
+      .as[(Long, String, String, String, String)].collect()
+    got.foreach { case (id, host, canon, wh, wc) =>
+      assert(host == wh, s"id=$id host $host != $wh")
+      assert(canon == wc, s"id=$id canon $canon != $wc")
+    }
+  }
+
+  test("expectationsCard: NULL rule results count as failures (X14)") {
+    import graft.ext.Profiling
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (5L, null))
+      .toDF("v", "s")
+    val out = Profiling.expectationsCard(df, Seq(
+        "v_pos" -> (col("v") > 0),        // null v -> NULL -> fail
+        "s_nonempty" -> (length(col("s")) > 0)))
+      .select("rule", "n_rows", "n_pass", "n_fail", "pass_ppm")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("v_pos") == ((3L, 2L, 1L, 666666L)))
+    assert(out("s_nonempty") == ((3L, 2L, 1L, 666666L)))
+  }
+
+  test("searchIndexBm25: saturation and length normalization rank as BM25 (X3)") {
+    import graft.ext.TextOps
+    // d1: one hit in a SHORT doc; d2: one hit in a LONG doc (length
+    // norm ranks d1 first); d3: many hits (saturating, still first)
+    val docs = Seq(
+      (1L, "apple pie"),
+      (2L, "apple " + Seq.fill(40)("filler").mkString(" ")),
+      (3L, "apple apple apple apple pie"),
+      (4L, "nothing relevant here at all"))
+      .toDF("doc_id", "text")
+    TextOps.writeInvertedIndex(docs, "extspec_bm25", buckets = 2)
+    val out = TextOps.searchIndexBm25(spark, "extspec_bm25",
+        Seq("apple"), k = 10)
+      .select("doc_id", "score_micro").as[(Long, Long)].collect()
+    val byDoc = out.toMap
+    assert(!byDoc.contains(4L))
+    assert(byDoc(3L) > byDoc(1L))            // more hits score higher
+    assert(byDoc(1L) > byDoc(2L))            // shorter doc wins at tf=1
+    // saturation: 4 hits score FAR less than 4x one hit
+    assert(byDoc(3L) < 3 * byDoc(1L))
+  }
+
   test("cellShareDrift: separated slices max out, balanced slices read 0 (X14)") {
     // two separable blobs; vec 1 seeds cell A, vec 2 seeds cell B
     val emb = Seq(

@@ -858,4 +858,26 @@ class PipelineAnalyticsSpec extends SparkSuite {
     assert(p == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("edgeStructureCard: hand-computed multiplicity/reciprocity/moments") {
+    // 1->2 (twice: multiplicity), 2->1 (reciprocal pair), 2->3, 3->3
+    // (self-loop). Distinct pairs: {1->2, 2->1, 2->3, 3->3} = 4;
+    // non-self = 3; reciprocal = 2 (both directions of 1<->2);
+    // reciprocity over non-self distinct = 2e6 DIV 3 = 666666.
+    // Symmetrized simple degrees: deg(1)=1 {2}, deg(2)=2 {1,3},
+    // deg(3)=1 {2}. Moments over the 3 non-self edges
+    // (x,y) = (1,2), (2,1), (2,1):
+    //  sum_x=5 sum_y=4 sum_xx=9 sum_yy=6 sum_xy=6
+    val e = Seq((1L, 2L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 3L))
+      .toDF("src", "dst")
+    val row = LinkAnalysis.edgeStructureCard(e).collect().head
+    assert(row.getLong(0) == 5L)   // n_edge_rows
+    assert(row.getLong(1) == 4L)   // n_distinct
+    assert(row.getLong(2) == 1L)   // self_loops
+    assert(row.getLong(3) == 2L)   // n_reciprocal
+    assert(row.getLong(4) == 666666L)
+    assert(row.getLong(5) == 3L)   // n_assort_edges
+    assert((row.getLong(6), row.getLong(7), row.getLong(8),
+      row.getLong(9), row.getLong(10)) == ((5L, 4L, 9L, 6L, 6L)))
+  }
+
 }

@@ -532,6 +532,28 @@ class StreamingSpec extends SparkSuite {
       a == 1L && b == 21L && c >= 0.9 && c < 1.0 })
   }
 
+  test("lastTouchAttribution: latest in-window click wins, ties by max id") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L, "click", 0.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 100L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 11:00:00"), 100L, "click", 0.0, "{}"), // ts tie w/ 2
+      (4L, ts("2024-01-01 12:00:00"), 100L, "purchase", 1.0, "{}"),
+      (5L, ts("2024-01-05 12:00:00"), 100L, "purchase", 1.0, "{}"),
+      (6L, ts("2024-02-01 12:00:00"), 100L, "purchase", 1.0, "{}"), // > 7d
+      (7L, ts("2024-01-01 12:00:00"), 200L, "purchase", 1.0, "{}")) // no click
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventStreams.lastTouchAttribution(
+        ev, "click", "purchase", 7L * 24 * 3600 * 1000)
+      .select("conv_id", "touch_id", "attributed")
+      .as[(Long, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(4L) == ((Some(3L), true)))  // same-ts tie: max event_id
+    assert(out(5L) == ((Some(3L), true)))  // 4 days back, inside 7d
+    assert(out(6L) == ((None, false)))     // click exists but stale
+    assert(out(7L) == ((None, false)))     // never touched
+  }
+
   test("json props extraction (get_json_object path)") {
     val df = events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val out = EventStreams.withProps(df, "k")
