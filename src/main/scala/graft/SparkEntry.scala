@@ -202,6 +202,59 @@ object SparkEntry {
   /** DuckDB oracle for [[graft.ext.Clustering.pqAdcTopK]]: the pq
     * chains, plus per-subspace query LUTs against the FINAL-round
     * centroids (c`iters`), code-join + sum, per-query top-k. */
+  /** DuckDB oracle for [[graft.ext.Clustering.ivfPqTopK]]: the coarse
+    * kmeans chain over FULL vectors + the per-subspace PQ chains +
+    * query probes (nProbe nearest coarse cells under the same
+    * (d2, cluster) tie order) + cell-restricted ADC scoring. */
+  private def ivfPqSql(cells: Int, cIters: Int, m: Int, sub: Int, k: Int,
+                       iters: Int, nProbe: Int, topK: Int): String = {
+    val coarse = kmeansCtes(cells, cIters, "_ivf")
+    val parts = (0 until m)
+      .map(s => kmeansCtes(k, iters, s"_s$s", s * sub, (s + 1) * sub))
+      .mkString(",\n")
+    val luts = (0 until m).map { s =>
+      val lo = s * sub; val hi = (s + 1) * sub
+      s"""qq_s$s AS (SELECT vec_id AS query_id, dim - $lo AS dim,
+         |  CAST(FLOOR(CAST(embedding[dim + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
+         | FROM (SELECT vec_id, embedding, UNNEST(range($lo, $hi)) AS dim
+         |   FROM embeddings WHERE vec_id < 5)),
+         |lut_s$s AS (SELECT query_id, c.cluster,
+         |  SUM((q.q - c.cq) * (q.q - c.cq)) AS adist
+         | FROM qq_s$s q JOIN c${iters}_s$s c ON c.dim = q.dim
+         | GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val codesU = (0 until m).map(s =>
+      s"SELECT vec_id, $s AS subspace, cluster AS code FROM a${iters + 1}_s$s")
+      .mkString(" UNION ALL ")
+    val lutU = (0 until m).map(s =>
+      s"SELECT query_id, $s AS subspace, cluster, adist FROM lut_s$s")
+      .mkString(" UNION ALL ")
+    s"""WITH $coarse,
+       |$parts,
+       |$luts,
+       |codes AS ($codesU),
+       |lut AS ($lutU),
+       |qprobe AS (SELECT query_id, cluster FROM (
+       |  SELECT q.vec_id AS query_id, c.cluster,
+       |   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |    ORDER BY SUM((q.q - c.cq) * (q.q - c.cq)), c.cluster) AS rk
+       |  FROM q_ivf q JOIN c${cIters}_ivf c ON c.dim = q.dim
+       |  WHERE q.vec_id < 5
+       |  GROUP BY q.vec_id, c.cluster) WHERE rk <= $nProbe),
+       |dist AS (SELECT l.query_id, a.vec_id AS neighbor_id,
+       |  SUM(l.adist) AS adc_d2
+       | FROM codes a
+       | JOIN a${cIters + 1}_ivf asg ON asg.vec_id = a.vec_id
+       | JOIN qprobe p ON p.cluster = asg.cluster
+       | JOIN lut l ON l.query_id = p.query_id
+       |   AND l.subspace = a.subspace AND l.cluster = a.code
+       | WHERE a.vec_id <> l.query_id GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, CAST(adc_d2 AS BIGINT) AS adc_d2,
+       | CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |   ORDER BY adc_d2, neighbor_id) AS INT) AS rank
+       |FROM dist QUALIFY rank <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+
   private def pqAdcSql(m: Int, sub: Int, k: Int, iters: Int,
                        topK: Int): String = {
     val parts = (0 until m)
@@ -2811,6 +2864,26 @@ object SparkEntry {
           .orderBy("query_id", "rank")
       },
       Some(pqAdcSql(4, 16, 8, 1, 10))),
+
+    QueryDef("x135_ivf_pq",
+      // IVF-PQ retrieval — the two scale levers COMPOSED the way a
+      // 100 TB vector index is actually served (IVFADC, Jégou 2011):
+      // a coarse integer-kmeans quantizer (4 cells) restricts every
+      // query to its 2 nearest cells, and within them ADC scores the
+      // PQ codes (x85/x86's artifacts — never a float on the scan).
+      // Probes and LUTs broadcast; candidates drop to ~nProbe/cells of
+      // the corpus BEFORE any scoring join. Deterministic end to end,
+      // so the composed pipeline (coarse kmeans -> probes -> PQ chains
+      // -> LUT -> cell-restricted ADC -> top-k) hash-matches one
+      // composed oracle.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Clustering.ivfPqTopK(emb, emb.where(col("vec_id") < 5),
+            dims = 64, cells = 4, nProbe = 2, m = 4, k = 8, iters = 1,
+            topK = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfPqSql(4, 1, 4, 16, 8, 1, 2, 10))),
 
     QueryDef("x88_pii_audit",
       // PII detection audit (the report before x32's redaction):
@@ -6406,6 +6479,24 @@ object SparkEntry {
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
              |  RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
              |ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef("q58_ntile",
+      // NTILE window bucketing — the equal-frequency cohorting shape
+      // (quartile a customer's orders by recency) next to q05's
+      // ranks and q38's PERCENT_RANK/CUME_DIST. Deterministic under
+      // a unique (date, key) tie order; one exchange on the customer
+      // key.
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("graft_q58_orders")
+        s.sql("""SELECT o_orderkey, o_custkey,
+                | ntile(4) OVER (PARTITION BY o_custkey
+                |   ORDER BY o_orderdate, o_orderkey) AS quartile
+                |FROM graft_q58_orders ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             | CAST(ntile(4) OVER (PARTITION BY o_custkey
+             |   ORDER BY o_orderdate, o_orderkey) AS INT) AS quartile
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
     QueryDef("q57_attribution",
       // last-touch attribution: every purchase credits the most recent

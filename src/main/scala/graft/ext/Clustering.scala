@@ -273,6 +273,74 @@ object Clustering {
       .select(col("query_id"), col("neighbor_id"), col("adc_d2"), col("rank"))
   }
 
+  /** IVF-PQ retrieval — the PRODUCTION ANN shape (Jégou et al. 2011's
+    * IVFADC, minus residual encoding — codes quantize raw vectors
+    * against global codebooks, which keeps every artifact the same as
+    * x85/x86's and the whole pipeline oracle-checkable): a COARSE
+    * exact-integer kmeans partitions the corpus into `cells`; each
+    * query probes only its `nProbe` nearest cells and scores ADC over
+    * the PQ CODES of those cells' vectors. This composes the two
+    * measured scale levers — IVF cuts the candidate count to
+    * ~nProbe/cells of the corpus, PQ cuts the bytes per candidate to
+    * m codes — exactly how a 100 TB vector index is actually served.
+    * Deterministic end to end (integer kmeans distances, (d2, cluster)
+    * probe tie-break, integer LUT sums), so the approximate ranking
+    * hash-matches the composed oracle (x135).
+    *
+    * Scale shape: probes (queries × nProbe) and the LUT
+    * (queries × m × k) both broadcast; the corpus-side join touches
+    * codes ∪ cell assignment only (never floats) and the per-query
+    * tail rides [[graft.plans.TopKPerGroup]]. */
+  def ivfPqTopK(emb: DataFrame, queries: DataFrame, dims: Int,
+                cells: Int, nProbe: Int, m: Int = 4, k: Int = 8,
+                iters: Int = 1, topK: Int = 10,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= cells, "ivfPqTopK: 1 <= nProbe <= cells")
+    require(m > 0 && dims % m == 0, "ivfPqTopK: m must divide dims")
+    val (assign, cents) = kmeansModel(emb, cells, iters, idCol, vecCol)
+    val (codes, codebook) = pqModel(emb, dims, m, k, iters, idCol, vecCol)
+    // nProbe nearest coarse cells per query — same distance arithmetic
+    // and (d2, cluster) tie order as the corpus assignment
+    val qfull = quantize(queries.select(col(idCol).as("vec_id"),
+        col(vecCol).as("embedding")))
+      .select(col("vec_id").as("query_id"), col("dim"), col("q"))
+    val wp = Window.partitionBy("query_id").orderBy(col("d2"), col("cluster"))
+    val probes = qfull.join(broadcast(cents), Seq("dim"))
+      .groupBy("query_id", "cluster")
+      .agg(sum(((col("q") - col("cq")) * (col("q") - col("cq")))
+        .cast("decimal(38,0)")).as("d2"))
+      .withColumn("rk", row_number().over(wp))
+      .filter(col("rk") <= nProbe)
+      .select(col("query_id"), col("cluster").as("cell"))
+    val sub = dims / m
+    val qq = (0 until m).map { s =>
+      quantize(queries.select(col(idCol).as("vec_id"),
+          slice(col(vecCol), s * sub + 1, sub).as("embedding")))
+        .select(col("vec_id").as("query_id"), lit(s).as("subspace"),
+          col("dim"), col("q"))
+    }.reduce(_ unionAll _)
+    val lut = qq.join(broadcast(codebook), Seq("subspace", "dim"))
+      .groupBy("query_id", "subspace", "cluster")
+      .agg(sum(((col("q") - col("cq")) * (col("q") - col("cq")))
+        .cast("decimal(38,0)")).cast("long").as("adist"))
+      .withColumnRenamed("cluster", "code")
+    val scored = codes.select("vec_id", "subspace", "code")
+      .join(assign.select(col("vec_id"), col("cluster").as("cell")),
+        Seq("vec_id"))
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(lut), Seq("query_id", "subspace", "code"))
+      .where(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("adist").as("adc_d2"))
+    val top = graft.plans.TopKPerGroup(scored, Seq("query_id"),
+      Seq(("adc_d2", true), ("neighbor_id", true)), topK)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_d2"), col("neighbor_id"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("neighbor_id"), col("adc_d2"), col("rank"))
+  }
+
   /** Scalar INT8 quantization with per-dimension min/max calibration +
     * the reconstruction-error card — the 4×-compression leg of an ANN
     * index that PQ's codebooks (x85/x86) overshoot (scalar codes keep

@@ -58,7 +58,10 @@ object SccStress {
           f"[scc] m=$m%-7d diam~${2 * m}%-7d $name%-12s $sec%9.2f s  comps=$comps $ok")
       }
       def timed(name: String)(f: => Long): Unit = timedN(name, m.toLong)(f)
-      timed("dataframe") {
+      // logstar-only mode skips BOTH Ω(diameter) kernels — at the
+      // mega-diameter sizes that mode exists for, the SCC kernel alone
+      // would run for hours (0.4 s/m measured)
+      if (!args.contains("--wcc-logstar-only")) timed("dataframe") {
         graft.algos.Traversals.strongComponentsDataFrame(g)
           .select("compVid").distinct().count()
       }

@@ -1391,6 +1391,27 @@ object InvariantProps extends Properties("GraftInvariants") {
       Gen.oneOf(-1.0, -0.5, 0.25, 0.5, 1.0)))
   } yield (vecs, qs)
 
+  property("probeBucketedNearDup == blocked rebuild restricted to batch pairs") =
+    forAll(genProbeVecs) { case (vecs, qs) =>
+      import spark.implicits._
+      val planes = 4
+      val corpus = vecs.zipWithIndex.map { case (v, i) =>
+        (i.toLong, v.map(_.toFloat).toArray) }.toDF("vec_id", "embedding")
+      val batch = qs.zipWithIndex.map { case (v, i) =>
+        (100L + i, v.map(_.toFloat).toArray) }.toDF("vec_id", "embedding")
+      val dir = java.nio.file.Files.createTempDirectory("prop_ann").toString
+      graft.ext.Similarity.writeBucketed(corpus, dir, planes,
+        portable = true)
+      val got = graft.ext.Similarity.probeBucketedNearDup(
+          spark, dir, batch, 0.0, planes)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      val want = graft.ext.Dedup.embeddingNearDupBlocked(
+          corpus.unionByName(batch), 0.0, planes, reps = 1)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+        .filter(p => p._1 >= 100L || p._2 >= 100L)
+      got == want
+    }
+
   property("lshTopKMultiProbe candidates == single-probe ∪ Hamming-1 buckets") =
     forAll(genProbeVecs) { case (vecs, qs) =>
       import spark.implicits._
