@@ -252,6 +252,23 @@ class ExtSpec extends SparkSuite {
     assert(sel.get.group(1).toInt < 4)
   }
 
+  test("searchIndexBm25 keeps the planning-time bucket pruning (X3)") {
+    // the BM25 leg adds a doclen join but the postings/df scans must
+    // still prune to the query terms' buckets — same pin as x48's
+    val corpus = Seq(
+      (1L, "data data data hash"), (2L, "data hash hash"),
+      (3L, "unrelated words only"), (4L, "data")).toDF("doc_id", "text")
+    TextOps.writeInvertedIndex(corpus, "extspec_bm25p", buckets = 4)
+    val plan = TextOps.searchIndexBm25(spark, "extspec_bm25p",
+        Seq("data", "hash"), k = 10)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val sel = "SelectedBucketsCount: (\\d+) out of 4".r
+      .findFirstMatchIn(plan)
+    assert(sel.nonEmpty, s"no bucket pruning in plan:\n$plan")
+    assert(sel.get.group(1).toInt < 4)
+  }
+
   test("sharedSpans: maximal eval<->train verbatim spans on diagonals (X1)") {
     val train = Seq((1L, "a b c d e f g h"), (2L, "x y z w v u"))
       .toDF("doc_id", "text")
@@ -716,6 +733,40 @@ class ExtSpec extends SparkSuite {
     assert(byDoc(1L) > byDoc(2L))            // shorter doc wins at tf=1
     // saturation: 4 hits score FAR less than 4x one hit
     assert(byDoc(3L) < 3 * byDoc(1L))
+  }
+
+  test("ivfPqTopK: probing every cell == full-corpus ADC; fewer probes only shrink (X2)") {
+    import graft.ext.Clustering
+    val emb = (1 to 40).map(i => (i.toLong,
+        Array.tabulate(8)(d => ((i * 7 + d * 3) % 11 - 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.where($"vec_id" <= 3)
+    // nProbe = cells degenerates to full ADC: every cell probed means
+    // every code scored — must EQUAL pqAdcTopK bit for bit (the same
+    // kmeans/PQ training arguments produce the same artifacts)
+    val (codes, cb) = Clustering.pqModel(emb, dims = 8, m = 2, k = 4,
+      iters = 1)
+    val full = Clustering.pqAdcTopK(codes, cb, queries, dims = 8, m = 2,
+        topK = 5)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val allProbes = Clustering.ivfPqTopK(emb, queries, dims = 8,
+        cells = 3, nProbe = 3, m = 2, k = 4, iters = 1, topK = 5)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(allProbes == full)
+    // fewer probes only SHRINK the candidate set: every returned pair
+    // must exist in the full ADC scoring with the same distance
+    val fullDist = full.map(r => (r._1, r._2) -> r._3).toMap ++
+      Clustering.pqAdcTopK(codes, cb, queries, dims = 8, m = 2,
+          topK = 1000)
+        .as[(Long, Long, Long, Int)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    val narrow = Clustering.ivfPqTopK(emb, queries, dims = 8,
+        cells = 3, nProbe = 1, m = 2, k = 4, iters = 1, topK = 5)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(narrow.nonEmpty)
+    narrow.foreach { case (q, n, d, _) =>
+      assert(fullDist.get((q, n)).contains(d), s"($q,$n) d=$d not in full ADC")
+    }
   }
 
   test("cellShareDrift: separated slices max out, balanced slices read 0 (X14)") {
