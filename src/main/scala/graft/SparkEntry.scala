@@ -6573,6 +6573,52 @@ object SparkEntry {
              |SELECT doc_id, score_micro, n_terms FROM sc
              |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin)),
 
+    QueryDef("x136_index_append",
+      // incremental inverted-index lifecycle — the x43 append pattern
+      // for text retrieval: the corpus indexes WITHOUT every 5th doc,
+      // the held-out slice then folds in via appendInvertedIndex
+      // (batch-sized work: new postings/doclen land as bucket-tagged
+      // files, df/stats append SEGMENT rows the query side sums), and
+      // BM25 search over the folded index must equal the oracle's
+      // FROM-SCRATCH full-corpus derivation — append == rebuild, so a
+      // daily crawl increment never re-tokenizes 100 TB.
+      (s, dir) => {
+        val d = docs(s, dir)
+        TextOps.writeInvertedIndex(
+          d.where(col("doc_id") % 5 =!= 0), "x136_idx")
+        TextOps.appendInvertedIndex(
+          d.where(col("doc_id") % 5 === 0), "x136_idx")
+        TextOps.searchIndexBm25(s, "x136_idx",
+          Seq("data", "hash", "batch"), k = 25)
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |  unnest(string_split_regex(trim(text), '\s+')) AS term
+             |  FROM documents),
+             | tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+             | p AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+             |  FROM tok2 GROUP BY 1, 2),
+             | d AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             |  FROM p GROUP BY 1),
+             | dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+             |  FROM p GROUP BY 1),
+             | st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |   CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+             | av AS (SELECT n_docs,
+             |   GREATEST(total_len // GREATEST(n_docs, 1), 1) AS avgdl
+             |  FROM st),
+             | sc AS (SELECT p.doc_id,
+             |   CAST(SUM(
+             |     (CAST((av.n_docs - d.df) * 1000000 // d.df AS HUGEINT)
+             |       * (22 * p.tf * av.avgdl))
+             |     // (10 * av.avgdl * p.tf + 3 * av.avgdl + 9 * dl.dl))
+             |    AS BIGINT) AS score_micro,
+             |   count(*) AS n_terms
+             |  FROM p JOIN d USING (term) JOIN dl USING (doc_id), av
+             |  WHERE term IN ('data', 'hash', 'batch')
+             |  GROUP BY 1)
+             |SELECT doc_id, score_micro, n_terms FROM sc
+             |ORDER BY score_micro DESC, doc_id LIMIT 25""".stripMargin)),
+
     QueryDef("x132_url_canon",
       // URL canonicalization + canonical-URL dedup — the crawl-dedup
       // normalizer that collapses scheme/www/port/fragment/tracking-

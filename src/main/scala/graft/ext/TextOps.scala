@@ -788,6 +788,46 @@ object TextOps {
       .format("parquet").saveAsTable(s"${name}_stats")
   }
 
+  /** Fold a NEW batch (ids disjoint from the indexed corpus) into a
+    * [[writeInvertedIndex]] layout — the appendBandIndex economics for
+    * text retrieval: the batch's postings/doclen rows land as
+    * additional bucket-tagged files (nothing rewritten, the corpus is
+    * never re-tokenized), and the df/stats tables append SEGMENT rows
+    * that the query side aggregates (`SUM(df)` per term over a
+    * term-bucketed table — no exchange; stats is a segments-sized
+    * sum). Search-after-N-appends == search over a from-scratch
+    * rebuild (spec-pinned + the x136 oracle), so a daily crawl
+    * increment costs batch-sized work, not a corpus re-index. */
+  def appendInvertedIndex(docs: DataFrame, name: String,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    val buckets = spark.sql(s"DESCRIBE FORMATTED ${name}_postings")
+      .filter(col("col_name") === "Num Buckets")
+      .select("data_type").head().getString(0).trim.toInt
+    val tok = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val postings = tok.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val doclen = postings.groupBy("doc_id")
+      .agg(sum("tf").cast("long").as("dl"))
+    val stats = doclen.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum("dl").cast("long").as("total_len"))
+    postings.write.mode(SaveMode.Append)
+      .bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(s"${name}_postings")
+    dfreq.write.mode(SaveMode.Append)
+      .bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(s"${name}_df")
+    doclen.write.mode(SaveMode.Append)
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(s"${name}_doclen")
+    stats.write.mode(SaveMode.Append)
+      .format("parquet").saveAsTable(s"${name}_stats")
+  }
+
   /** Rank documents for a bag of query terms against a
     * [[writeInvertedIndex]] layout: score = Σ_term tf·10⁶ DIV df
     * (reciprocal-df weighting, x23's ranking in INTEGER micro-units —
@@ -800,8 +840,12 @@ object TextOps {
     require(terms.nonEmpty, "searchIndex: empty term list")
     val p = spark.table(s"${name}_postings")
       .filter(col("term").isin(terms: _*))
+    // SUM over segment rows ([[appendInvertedIndex]] appends one df
+    // row per term per batch); term-bucketed, so the groupBy needs no
+    // exchange, and a never-appended index sums one row to itself
     val d = spark.table(s"${name}_df")
       .filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(sum("df").as("df"))
     p.join(d, "term")
       .withColumn("contrib", expr("tf * 1000000 DIV df"))
       .groupBy("doc_id")
@@ -832,13 +876,20 @@ object TextOps {
   def searchIndexBm25(spark: SparkSession, name: String, terms: Seq[String],
                       k: Int = 10): DataFrame = {
     require(terms.nonEmpty, "searchIndexBm25: empty term list")
-    val st = spark.table(s"${name}_stats").head()
-    val nDocs = st.getLong(0)
-    val avgdl = math.max(if (nDocs == 0) 1L else st.getLong(1) / nDocs, 1L)
+    // segments-sized sum: appendInvertedIndex adds one stats row per
+    // batch; the fold keeps N and avgdl corpus-accurate without a
+    // corpus scan
+    val st = spark.table(s"${name}_stats")
+      .agg(sum("n_docs"), sum("total_len")).head()
+    // an all-empty corpus writes (0, NULL) stats — degrade, don't NPE
+    val nDocs = if (st.isNullAt(0)) 0L else st.getLong(0)
+    val avgdl = math.max(
+      if (nDocs == 0 || st.isNullAt(1)) 1L else st.getLong(1) / nDocs, 1L)
     val p = spark.table(s"${name}_postings")
       .filter(col("term").isin(terms: _*))
     val d = spark.table(s"${name}_df")
       .filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(sum("df").as("df"))
     val dl = spark.table(s"${name}_doclen")
     p.join(d, "term").join(dl, "doc_id")
       .withColumn("idf_ppm", expr(s"(${nDocs}L - df) * 1000000 DIV df"))

@@ -252,6 +252,34 @@ class ExtSpec extends SparkSuite {
     assert(sel.get.group(1).toInt < 4)
   }
 
+  test("appendInvertedIndex: search after N appends == from-scratch rebuild (X3)") {
+    val all = Seq(
+      (1L, "data data data hash"), (2L, "data hash hash"),
+      (3L, "unrelated words only"), (4L, "data"),
+      (5L, "hash batch data data"), (6L, "batch batch"))
+      .toDF("doc_id", "text")
+    // two-batch incremental build
+    TextOps.writeInvertedIndex(all.where($"doc_id" <= 2), "extspec_x136i",
+      buckets = 2)
+    TextOps.appendInvertedIndex(all.where($"doc_id" > 2 && $"doc_id" <= 4),
+      "extspec_x136i")
+    TextOps.appendInvertedIndex(all.where($"doc_id" > 4), "extspec_x136i")
+    // from-scratch rebuild
+    TextOps.writeInvertedIndex(all, "extspec_x136f", buckets = 2)
+    for (terms <- Seq(Seq("data", "hash"), Seq("batch"))) {
+      val inc25 = TextOps.searchIndexBm25(spark, "extspec_x136i", terms, 10)
+        .as[(Long, Long, Long)].collect().toList
+      val full25 = TextOps.searchIndexBm25(spark, "extspec_x136f", terms, 10)
+        .as[(Long, Long, Long)].collect().toList
+      assert(inc25 == full25, s"bm25 terms=$terms")
+      val incR = TextOps.searchIndex(spark, "extspec_x136i", terms, 10)
+        .as[(Long, Long, Long)].collect().toList
+      val fullR = TextOps.searchIndex(spark, "extspec_x136f", terms, 10)
+        .as[(Long, Long, Long)].collect().toList
+      assert(incR == fullR, s"ranked terms=$terms")
+    }
+  }
+
   test("searchIndexBm25 keeps the planning-time bucket pruning (X3)") {
     // the BM25 leg adds a doclen join but the postings/df scans must
     // still prune to the query terms' buckets — same pin as x48's
