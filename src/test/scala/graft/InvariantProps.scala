@@ -1391,6 +1391,147 @@ object InvariantProps extends Properties("GraftInvariants") {
       Gen.oneOf(-1.0, -0.5, 0.25, 0.5, 1.0)))
   } yield (vecs, qs)
 
+  property("searchIndexBm25 == brute integer BM25 on random corpora") =
+    forAll(genEstDocs) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      graft.ext.TextOps.writeInvertedIndex(docs, "prop_bm25", buckets = 2)
+      val got = graft.ext.TextOps.searchIndexBm25(spark, "prop_bm25",
+          Seq("t0", "t1"), k = 20)
+        .as[(Long, Long, Long)].collect().toList
+      // brute: postings/df/dl/stats + the exact integer formula
+      val toks = texts.map(_.trim.split("\\s+").filter(_.nonEmpty))
+      val tf = toks.zipWithIndex
+        .flatMap { case (ts, i) => ts.map(t => (t, i.toLong)) }
+        .groupBy(identity).map { case (k2, v) => k2 -> v.size.toLong }
+      val dfq = tf.keys.toSeq.groupBy(_._1)
+        .map { case (t, v) => t -> v.size.toLong }
+      val dl = toks.zipWithIndex.filter(_._1.nonEmpty)
+        .map { case (ts, i) => i.toLong -> ts.length.toLong }.toMap
+      val n = dl.size.toLong
+      val avgdl = math.max(if (n == 0) 1L else dl.values.sum / n, 1L)
+      val terms = Seq("t0", "t1")
+      val scores = dl.keys.toSeq.flatMap { d =>
+        val hits = terms.filter(t => tf.contains((t, d)))
+        if (hits.isEmpty) None
+        else {
+          val s = hits.map { t =>
+            val idf = (n - dfq(t)) * 1000000L / dfq(t)
+            (BigInt(idf) * (22L * tf((t, d)) * avgdl) /
+              BigInt(10L * avgdl * tf((t, d)) + 3L * avgdl + 9L * dl(d)))
+              .toLong
+          }.sum
+          Some((d, s, hits.size.toLong))
+        }
+      }
+      val want = scores.sortBy { case (d, s, _) => (-s, d) }.take(20).toList
+      got == want
+    }
+
+  private val genAttr = for {
+    n <- Gen.choose(3, 14)
+    evs <- Gen.listOfN(n, Gen.zip(Gen.choose(0, 2), // user
+      Gen.oneOf("click", "purchase", "view"), Gen.choose(0, 40))) // ts sec
+  } yield evs
+
+  property("lastTouchAttribution == brute latest-in-window scan") =
+    forAll(genAttr) { evs =>
+      import spark.implicits._
+      val lookbackMs = 10000L // 10 s window over 0..40 s of events
+      def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+      val rows = evs.zipWithIndex.map { case ((u, ty, t), i) =>
+        (i.toLong, ts(t), u.toLong, ty) }
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type")
+      val got = graft.streaming.EventStreams.lastTouchAttribution(
+          df, "click", "purchase", lookbackMs)
+        .select("conv_id", "touch_id", "attributed")
+        .as[(Long, Option[Long], Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // brute: same-ts clicks collapse to max id, then latest ts wins
+      val clicks = rows.filter(_._4 == "click")
+        .groupBy(r => (r._3, r._2)).map { case ((u, t), v) =>
+          (u, t, v.map(_._1).max) }.toSeq
+      val want = rows.filter(_._4 == "purchase").map { c =>
+        val cand = clicks.filter(k => k._1 == c._3 && !k._2.after(c._2))
+        if (cand.isEmpty) c._1 -> ((Option.empty[Long], false))
+        else {
+          val best = cand.maxBy(k => (k._2.getTime, k._3))
+          val inw = c._2.getTime - best._2.getTime <= lookbackMs
+          c._1 -> ((if (inw) Some(best._3) else None, inw))
+        }
+      }.toMap
+      got == want
+    }
+
+  property("edgeStructureCard == brute multigraph audit") =
+    forAll(Gen.listOfN(14,
+      Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 5L)))) { es =>
+      import spark.implicits._
+      es.isEmpty || {
+        val row = graft.algos.LinkAnalysis.edgeStructureCard(
+          es.toDF("src", "dst")).collect().head
+        val dd = es.distinct
+        val ns = dd.filter(e => e._1 != e._2)
+        val deg = ns.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+          .distinct.groupBy(_._1).map { case (v, u) => v -> u.size.toLong }
+        val recip = ns.count(e => ns.contains((e._2, e._1))).toLong
+        val xy = ns.map(e => (deg(e._1), deg(e._2)))
+        val nonSelf = (dd.size - ns.size).toLong // self loop count check aid
+        row.getLong(0) == es.size.toLong &&
+          row.getLong(1) == dd.size.toLong &&
+          row.getLong(2) == nonSelf &&
+          row.getLong(3) == recip &&
+          row.getLong(4) == recip * 1000000L / math.max(ns.size.toLong, 1L) &&
+          row.getLong(5) == ns.size.toLong &&
+          row.getLong(6) == xy.map(_._1).sum &&
+          row.getLong(7) == xy.map(_._2).sum &&
+          row.getLong(8) == xy.map(p => p._1 * p._1).sum &&
+          row.getLong(9) == xy.map(p => p._2 * p._2).sum &&
+          row.getLong(10) == xy.map(p => p._1 * p._2).sum
+      }
+    }
+
+  private val genUrl = for {
+    scheme <- Gen.oneOf("http://", "https://", "HTTPS://", "HtTp://", "")
+    www <- Gen.oneOf("", "www.", "WWW.")
+    host <- Gen.listOfN(2, Gen.oneOf("Alpha", "beta", "G2")).map(_.mkString("."))
+    port <- Gen.oneOf("", ":80", ":443", ":8080")
+    path <- Gen.oneOf("", "/", "/A/b", "/A/b/", "/x//")
+    qs <- Gen.someOf(Seq("utm_source=g", "a=1", "utm_medium=m", "B=2", ""))
+    frag <- Gen.oneOf("", "#f", "#a/b?c")
+    pad <- Gen.oneOf("", "  ")
+  } yield pad + scheme + www + host + ".com" + port + path +
+    (if (qs.nonEmpty) "?" + qs.mkString("&") else "") + frag + pad
+
+  property("canonicalUrls == brute JVM chain on random URLs") =
+    forAll(Gen.listOfN(6, genUrl)) { urls =>
+      import spark.implicits._
+      val df = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+        .toDF("id", "url")
+      val got = graft.ext.TextOps.canonicalUrls(df, "id", "url")
+        .as[(Long, String, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      def brute(u0: String): (String, String) = {
+        val t1 = u0.trim.replaceAll("#.*", "")
+          .replaceAll("(?i)^https?://", "")
+        val m = java.util.regex.Pattern.compile("^([^/?#]*)")
+          .matcher(t1); m.find()
+        val host0 = m.group(1)
+        val host = host0.toLowerCase.replaceAll("^www\\.", "")
+          .replaceAll(":(80|443)$", "")
+        val rest = t1.substring(host0.length)
+        val q = rest.indexOf('?')
+        val path = (if (q < 0) rest else rest.substring(0, q))
+          .replaceAll("/+$", "")
+        val params = (if (q < 0) "" else rest.substring(q + 1))
+          .split("&", -1).filter(p => p.nonEmpty && !p.startsWith("utm_"))
+        (host, host + path +
+          (if (params.nonEmpty) "?" + params.mkString("&") else ""))
+      }
+      urls.zipWithIndex.forall { case (u, i) => got(i.toLong) == brute(u) }
+    }
+
   property("probeBucketedNearDup == blocked rebuild restricted to batch pairs") =
     forAll(genProbeVecs) { case (vecs, qs) =>
       import spark.implicits._
