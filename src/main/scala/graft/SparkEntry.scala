@@ -87,8 +87,14 @@ object SparkEntry {
     * under suffixed names over only dims [lo, hi) of the vector,
     * re-zeroed — the per-subspace form product quantization trains
     * on. Defaults reproduce the original full-vector chain. */
+  /** `qBody` (optional): use the given SELECT (vec_id, dim, q) as the
+    * quantized source CTE instead of deriving it from `embeddings` —
+    * the residual-PQ chains train on q − coarse_cq, which only exists
+    * as a prior CTE. Seeds still come from `embeddings` (mirroring
+    * the Scala side's seed-ids-from-corpus convention). */
   private def kmeansCtes(k: Int, iters: Int, sfx: String = "",
-                         lo: Int = 0, hi: Int = -1): String = {
+                         lo: Int = 0, hi: Int = -1,
+                         qBody: Option[String] = None): String = {
     def assignCte(name: String, cents: String) =
       s"""$name AS (
          | SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS d2 FROM (
@@ -106,7 +112,9 @@ object SparkEntry {
          | FROM q$sfx q JOIN $assign a USING (vec_id)
          | GROUP BY a.cluster, q.dim)""".stripMargin
     val qCte =
-      if (hi < 0)
+      if (qBody.isDefined)
+        s"q$sfx AS (${qBody.get})"
+      else if (hi < 0)
         s"""q$sfx AS (SELECT vec_id, UNNEST(range(len(embedding))) AS dim,
            |  CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
            | FROM embeddings)""".stripMargin
@@ -253,6 +261,153 @@ object SparkEntry {
        | CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |   ORDER BY adc_d2, neighbor_id) AS INT) AS rank
        |FROM dist QUALIFY rank <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB oracle for residual-encoded IVF-PQ (true IVFADC): the
+    * coarse chain, the corpus RESIDUAL table (q − coarse_cq), one
+    * per-subspace kmeans chain over each residual slice (via
+    * [[kmeansCtes]]'s qBody hook), probes, the PER-(query, cell)
+    * residual LUTs, and cell-restricted ADC scoring. */
+  private def ivfPqResidualSql(cells: Int, cIters: Int, m: Int, sub: Int,
+                               k: Int, iters: Int, nProbe: Int,
+                               topK: Int): String = {
+    val coarse = kmeansCtes(cells, cIters, "_ivf")
+    val resCte =
+      s"""qres AS MATERIALIZED (SELECT q.vec_id, q.dim, q.q - c.cq AS q
+         | FROM q_ivf q JOIN a${cIters + 1}_ivf a USING (vec_id)
+         | JOIN c${cIters}_ivf c ON c.cluster = a.cluster
+         |   AND c.dim = q.dim)""".stripMargin
+    val parts = (0 until m).map { s =>
+      val lo = s * sub; val hi = (s + 1) * sub
+      kmeansCtes(k, iters, s"_rs$s", qBody = Some(
+        s"SELECT vec_id, dim - $lo AS dim, q FROM qres" +
+          s" WHERE dim >= $lo AND dim < $hi"))
+    }.mkString(",\n")
+    val luts = (0 until m).map { s =>
+      val lo = s * sub; val hi = (s + 1) * sub
+      s"""lutr_s$s AS (SELECT r.query_id, r.cell, c.cluster,
+         |  SUM((r.q - c.cq) * (r.q - c.cq)) AS adist
+         | FROM (SELECT query_id, cell, dim - $lo AS dim, q FROM qrescell
+         |   WHERE dim >= $lo AND dim < $hi) r
+         | JOIN c${iters}_rs$s c ON c.dim = r.dim
+         | GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+    val codesU = (0 until m).map(s =>
+      s"SELECT vec_id, $s AS subspace, cluster AS code FROM a${iters + 1}_rs$s")
+      .mkString(" UNION ALL ")
+    val lutU = (0 until m).map(s =>
+      s"SELECT query_id, cell, $s AS subspace, cluster, adist FROM lutr_s$s")
+      .mkString(" UNION ALL ")
+    s"""WITH $coarse,
+       |$resCte,
+       |$parts,
+       |qprobe AS (SELECT query_id, cluster FROM (
+       |  SELECT q.vec_id AS query_id, c.cluster,
+       |   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |    ORDER BY SUM((q.q - c.cq) * (q.q - c.cq)), c.cluster) AS rk
+       |  FROM q_ivf q JOIN c${cIters}_ivf c ON c.dim = q.dim
+       |  WHERE q.vec_id < 5
+       |  GROUP BY q.vec_id, c.cluster) WHERE rk <= $nProbe),
+       |qrescell AS MATERIALIZED (SELECT p.query_id, p.cluster AS cell,
+       |  q.dim, q.q - c.cq AS q
+       | FROM qprobe p JOIN q_ivf q ON q.vec_id = p.query_id
+       | JOIN c${cIters}_ivf c ON c.cluster = p.cluster AND c.dim = q.dim),
+       |$luts,
+       |codes AS ($codesU),
+       |lut AS ($lutU),
+       |dist AS (SELECT l.query_id, a.vec_id AS neighbor_id,
+       |  SUM(l.adist) AS adc_d2
+       | FROM codes a
+       | JOIN a${cIters + 1}_ivf asg ON asg.vec_id = a.vec_id
+       | JOIN lut l ON l.cell = asg.cluster AND l.subspace = a.subspace
+       |   AND l.cluster = a.code
+       | WHERE a.vec_id <> l.query_id GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, CAST(adc_d2 AS BIGINT) AS adc_d2,
+       | CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |   ORDER BY adc_d2, neighbor_id) AS INT) AS rank
+       |FROM dist QUALIFY rank <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB oracle for [[graft.ext.Clustering.ivfPqRecallCard]] over
+    * the raw-vector layout: the shared coarse/PQ/LUT chains, the
+    * exact integer-L2 top-k ground truth, the probe ranking kept
+    * UNFILTERED (qprobeAll with rk), and per swept nProbe a
+    * cell-restricted ADC top-k + per-query recall ppm + the card
+    * rollup. */
+  private def ivfPqRecallSql(cells: Int, cIters: Int, m: Int, sub: Int,
+                             k: Int, iters: Int, topK: Int,
+                             nProbes: Seq[Int]): String = {
+    val coarse = kmeansCtes(cells, cIters, "_ivf")
+    val parts = (0 until m)
+      .map(s => kmeansCtes(k, iters, s"_s$s", s * sub, (s + 1) * sub))
+      .mkString(",\n")
+    val luts = (0 until m).map { s =>
+      val lo = s * sub; val hi = (s + 1) * sub
+      s"""qq_s$s AS (SELECT vec_id AS query_id, dim - $lo AS dim,
+         |  CAST(FLOOR(CAST(embedding[dim + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
+         | FROM (SELECT vec_id, embedding, UNNEST(range($lo, $hi)) AS dim
+         |   FROM embeddings WHERE vec_id < 5)),
+         |lut_s$s AS (SELECT query_id, c.cluster,
+         |  SUM((q.q - c.cq) * (q.q - c.cq)) AS adist
+         | FROM qq_s$s q JOIN c${iters}_s$s c ON c.dim = q.dim
+         | GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val codesU = (0 until m).map(s =>
+      s"SELECT vec_id, $s AS subspace, cluster AS code FROM a${iters + 1}_s$s")
+      .mkString(" UNION ALL ")
+    val lutU = (0 until m).map(s =>
+      s"SELECT query_id, $s AS subspace, cluster, adist FROM lut_s$s")
+      .mkString(" UNION ALL ")
+    val perNp = nProbes.map { np =>
+      s"""dist_$np AS (SELECT l.query_id, a.vec_id AS neighbor_id,
+         |  SUM(l.adist) AS adc_d2
+         | FROM codes a
+         | JOIN a${cIters + 1}_ivf asg ON asg.vec_id = a.vec_id
+         | JOIN qprobeall p ON p.cluster = asg.cluster AND p.rk <= $np
+         | JOIN lut l ON l.query_id = p.query_id
+         |   AND l.subspace = a.subspace AND l.cluster = a.code
+         | WHERE a.vec_id <> l.query_id GROUP BY 1, 2),
+         |top_$np AS (SELECT query_id, neighbor_id FROM dist_$np
+         | QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+         |   ORDER BY adc_d2, neighbor_id) <= $topK),
+         |rec_$np AS (SELECT e.query_id,
+         |  CAST(COUNT(*) AS BIGINT) AS k_exact,
+         |  CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hit
+         | FROM ex e LEFT JOIN top_$np t ON t.query_id = e.query_id
+         |   AND t.neighbor_id = e.neighbor_id
+         | GROUP BY 1),
+         |card_$np AS (SELECT $np AS n_probe,
+         |  CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |  CAST(SUM(1000000 * n_hit // k_exact) AS BIGINT)
+         |    AS sum_recall_ppm
+         | FROM rec_$np)""".stripMargin
+    }.mkString(",\n")
+    val cardU = nProbes.map(np => s"SELECT * FROM card_$np")
+      .mkString(" UNION ALL ")
+    s"""WITH $coarse,
+       |$parts,
+       |$luts,
+       |codes AS ($codesU),
+       |lut AS ($lutU),
+       |qprobeall AS MATERIALIZED (SELECT query_id, cluster, rk FROM (
+       |  SELECT q.vec_id AS query_id, c.cluster,
+       |   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |    ORDER BY SUM((q.q - c.cq) * (q.q - c.cq)), c.cluster) AS rk
+       |  FROM q_ivf q JOIN c${cIters}_ivf c ON c.dim = q.dim
+       |  WHERE q.vec_id < 5
+       |  GROUP BY q.vec_id, c.cluster)),
+       |exd AS MATERIALIZED (SELECT qq.vec_id AS query_id,
+       |  cc.vec_id AS neighbor_id, SUM((qq.q - cc.q) * (qq.q - cc.q)) AS d2
+       | FROM q_ivf qq JOIN q_ivf cc ON cc.dim = qq.dim
+       |   AND cc.vec_id <> qq.vec_id
+       | WHERE qq.vec_id < 5 GROUP BY 1, 2),
+       |ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM exd
+       | QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |   ORDER BY d2, neighbor_id) <= $topK),
+       |$perNp
+       |SELECT n_probe, n_queries, sum_recall_ppm,
+       | sum_recall_ppm // n_queries AS mean_recall_ppm
+       |FROM ($cardU) ORDER BY n_probe""".stripMargin
   }
 
   private def pqAdcSql(m: Int, sub: Int, k: Int, iters: Int,
@@ -581,6 +736,62 @@ object SparkEntry {
        |mem AS (SELECT DISTINCT i AS id FROM gi)
        |SELECT mm.id, COALESCE(ar.community, mm.id) AS community
        |FROM mem mm LEFT JOIN a$rounds ar ON ar.id = mm.id
+       |ORDER BY mm.id""".stripMargin
+  }
+
+  /** DuckDB oracle for [[LinkAnalysis.leidenRefine]] over the
+    * [[louvainSql]] move-phase assignment: the same unrolled move
+    * chain, then refinement — intra-community edges (both endpoints
+    * share an a`rounds` label), their symmetric closure via a
+    * recursive reachability CTE (UNION dedup ⇒ termination), and
+    * refined = MIN(reachable id) per member, i.e. the min member id
+    * of each within-community connected part. Members with no intra
+    * edge coalesce to themselves. */
+  private def leidenSql(rounds: Int): String = {
+    val ctes = (1 to rounds).map { r =>
+      s"""cand$r AS MATERIALIZED (SELECT s.u, a.community AS c,
+         |  CAST(COUNT(*) AS BIGINT) AS kuc
+         | FROM sym s JOIN a${r - 1} a ON a.id = s.v GROUP BY 1, 2),
+         |tot$r AS MATERIALIZED (SELECT a.community,
+         |  CAST(SUM(d.d) AS BIGINT) AS tot
+         | FROM a${r - 1} a JOIN deg d ON d.u = a.id GROUP BY 1),
+         |allc$r AS (SELECT u, c, MAX(kuc) AS kuc FROM (
+         |  SELECT u, c, kuc FROM cand$r
+         |  UNION ALL SELECT id, community, 0 FROM a${r - 1}) GROUP BY 1, 2),
+         |gain$r AS (SELECT x.u, x.c,
+         |  2 * mt.m * x.kuc - d.d * (t.tot -
+         |    CASE WHEN cur.community = x.c THEN d.d ELSE 0 END) AS g
+         | FROM allc$r x JOIN deg d ON d.u = x.u
+         |  JOIN a${r - 1} cur ON cur.id = x.u
+         |  JOIN tot$r t ON t.community = x.c, mt
+         | WHERE x.c <= cur.community),
+         |a$r AS MATERIALIZED (SELECT u AS id, c AS community FROM gain$r
+         | QUALIFY ROW_NUMBER() OVER (PARTITION BY u
+         |   ORDER BY g DESC, c) = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE $copurchaseSql,
+       |sym AS MATERIALIZED (SELECT a AS u, b AS v FROM pe
+       | UNION ALL SELECT b, a FROM pe),
+       |deg AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS BIGINT) AS d
+       | FROM sym GROUP BY u),
+       |mt AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pe),
+       |a0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS community FROM sym),
+       |$ctes,
+       |refedges AS MATERIALIZED (SELECT p.a, p.b FROM pe p
+       | JOIN a$rounds x ON x.id = p.a JOIN a$rounds y ON y.id = p.b
+       | WHERE x.community = y.community),
+       |rsym AS MATERIALIZED (SELECT a AS u, b AS v FROM refedges
+       | UNION ALL SELECT b, a FROM refedges),
+       |reach(id, r) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM rsym)
+       |  UNION
+       |  SELECT s.v, reach.r FROM reach JOIN rsym s ON s.u = reach.id),
+       |rcomp AS (SELECT id, MIN(r) AS refined FROM reach GROUP BY id),
+       |mem AS (SELECT DISTINCT i AS id FROM gi)
+       |SELECT mm.id, COALESCE(ar.community, mm.id) AS community,
+       | COALESCE(rc.refined, mm.id) AS refined
+       |FROM mem mm LEFT JOIN a$rounds ar ON ar.id = mm.id
+       | LEFT JOIN rcomp rc ON rc.id = mm.id
        |ORDER BY mm.id""".stripMargin
   }
 
@@ -2885,6 +3096,73 @@ object SparkEntry {
       },
       Some(ivfPqSql(4, 1, 4, 16, 8, 1, 2, 10))),
 
+    QueryDef("x137_ivf_pq_index",
+      // x135's one weak plan CLOSED (r10 verdict #1): the IVF-PQ index
+      // persists as a cell-keyed directory layout (writeIvfPq — codes
+      // carry their coarse cell and partition by it), so the probe
+      // reads exactly its nProbe cells via a PLANNING-TIME partition
+      // filter and the corpus pays no exchange (ScaleSpec plan-asserts
+      // it; the in-memory x135 paid a corpus-wide codes⋈assign shuffle
+      // per query batch). Same exact-integer training, so the probe
+      // hash-matches x135's composed oracle verbatim — index build
+      // changes WHERE the work happens, not the answer.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val path = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "x137_ivfpq_index").toString
+        Clustering.writeIvfPq(emb, path, dims = 64, cells = 4,
+          m = 4, k = 8, iters = 1)
+        Clustering.probeIvfPq(s, path, emb.where(col("vec_id") < 5),
+            dims = 64, nProbe = 2, m = 4, topK = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfPqSql(4, 1, 4, 16, 8, 1, 2, 10))),
+
+    QueryDef("x139_ivf_pq_residual",
+      // true IVFADC (Jégou 2011 §III.C): PQ codes quantize each
+      // vector's RESIDUAL against its coarse centroid instead of the
+      // raw vector — the codebooks spend their k centroids on the
+      // tighter within-cell distribution, strictly better quantization
+      // at the same bit budget (the recall card measures the gain;
+      // SCALE.md cites it). Residuals stay exact BIGINTs (micro-unit q
+      // minus BIGINT centroid, never re-floated), the query LUT
+      // becomes per-(query, probed-cell), and everything rides the
+      // x137 persisted cell-keyed layout — planning-time pruning
+      // included. The oracle re-derives coarse chain, residual table,
+      // per-slice codebook chains, per-cell LUTs and the ADC ranking.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val path = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "x139_ivfpq_res").toString
+        Clustering.writeIvfPq(emb, path, dims = 64, cells = 4,
+          m = 4, k = 8, iters = 1, residual = true)
+        Clustering.probeIvfPq(s, path, emb.where(col("vec_id") < 5),
+            dims = 64, nProbe = 2, m = 4, topK = 10, residual = true)
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfPqResidualSql(4, 1, 4, 16, 8, 1, 2, 10))),
+
+    QueryDef("x140_ivf_pq_recall_card",
+      // recall-vs-nProbe tuning card — "measure, don't guess" applied
+      // to the retrieval leg's own knob: per swept nProbe the mean
+      // recall@10 of the persisted IVF-PQ probe against the exact
+      // integer-L2 ground truth, integer ppm end to end (1e6·hits DIV
+      // k per query, largest aggregates in BIGINT). The chosen
+      // serving default cites this card in SCALE.md. Oracle re-derives
+      // the shared chains once and the probe filter per nProbe.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val path = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "x140_ivfpq_card").toString
+        Clustering.writeIvfPq(emb, path, dims = 64, cells = 4,
+          m = 4, k = 8, iters = 1)
+        Clustering.ivfPqRecallCard(s, path, emb,
+            emb.where(col("vec_id") < 5), dims = 64,
+            nProbes = Seq(1, 2, 3, 4), m = 4, topK = 10)
+          .orderBy("n_probe")
+      },
+      Some(ivfPqRecallSql(4, 1, 4, 16, 8, 1, 10, Seq(1, 2, 3, 4)))),
+
     QueryDef("x88_pii_audit",
       // PII detection audit (the report before x32's redaction):
       // per-doc email/URL/digit-run counts from the same Java-and-RE2
@@ -3251,6 +3529,31 @@ object SparkEntry {
           .orderBy("id")
       },
       Some(louvainSql(4))),
+
+    QueryDef("g67_leiden_refine",
+      // Leiden-style refinement over g58's move-phase assignment
+      // (r11): Louvain's documented defect is internally DISCONNECTED
+      // communities (Traag 2019); the refinement splits every
+      // community into its weakly-connected parts — intra-community
+      // edges feed the log-rounds star-contraction kernel (one global
+      // sweep IS the per-community sweep, since intra edges never
+      // cross labels), each part relabels to its min member. Strictly
+      // non-decreasing modularity by the exact g52 decomposition
+      // (spec-pinned, as is every-part-connected).
+      (s, dir) => {
+        val gi = StarGraph.copurchaseGi(s, dir)
+        val pairs = LinkAnalysis.jaccardPairsFromGi(gi, 2).select("a", "b")
+          .localCheckpoint() // feeds the move phase AND the refinement
+        val assign = LinkAnalysis.louvainLocalMove(pairs, rounds = 4)
+        val ref = LinkAnalysis.leidenRefine(pairs, assign)
+        gi.select(col("i").as("id")).distinct()
+          .join(ref, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("community"), col("id")).as("community"),
+            coalesce(col("refined"), col("id")).as("refined"))
+          .orderBy("id")
+      },
+      Some(leidenSql(4))),
 
     QueryDef("g60_luby_mis",
       // Luby's maximal independent set over the co-purchase conflict
@@ -6529,6 +6832,55 @@ object SparkEntry {
              | inw AS attributed
              |FROM b ORDER BY conv_id""".stripMargin)),
 
+    QueryDef("q59_multi_touch",
+      // multi-touch attribution (r11): every purchase credits its
+      // WHOLE 7-day in-window click set with integer-ppm shares that
+      // sum to exactly 10^6 per conversion (largest-remainder, the
+      // x111 apportionment trick) — linear, U-shaped 40/20/40
+      // position-based, and the last-touch degenerate case (== q57,
+      // spec-pinned) side by side. One equi-join on the user key
+      // (the range predicate filters after the hash join — never an
+      // inequality join plan); both windows partition per
+      // conversion, bounded by the lookback's touch count.
+      (s, dir) => EventStreams.multiTouchAttribution(
+          EventStreams.readEvents(s, dir), "click", "purchase",
+          7L * 24 * 3600 * 1000)
+        .orderBy(col("conv_id"), coalesce(col("position"), lit(0L))),
+      Some("""WITH t AS (SELECT user_id, ts, MAX(event_id) AS touch_id
+             |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+             | c AS (SELECT user_id, ts AS conv_ts, event_id AS conv_id
+             |  FROM events WHERE event_type = 'purchase'),
+             | iw AS (SELECT c.conv_id, c.conv_ts, t.ts AS touch_ts,
+             |   t.touch_id
+             |  FROM c JOIN t ON t.user_id = c.user_id
+             |   AND t.ts <= c.conv_ts
+             |   AND epoch_ms(c.conv_ts) - epoch_ms(t.ts) <= 604800000),
+             | p AS (SELECT *,
+             |   CAST(ROW_NUMBER() OVER (PARTITION BY conv_id
+             |     ORDER BY touch_ts, touch_id) AS BIGINT) AS position,
+             |   CAST(COUNT(*) OVER (PARTITION BY conv_id) AS BIGINT)
+             |     AS n_touches FROM iw),
+             | cr AS (SELECT *,
+             |   CAST(1000000 // n_touches + CASE WHEN position <=
+             |     1000000 % n_touches THEN 1 ELSE 0 END AS BIGINT)
+             |    AS credit_linear_ppm,
+             |   CAST(CASE WHEN n_touches = 1 THEN 1000000
+             |    WHEN n_touches = 2 THEN 500000
+             |    WHEN position = 1 OR position = n_touches THEN 400000
+             |    ELSE 200000 // (n_touches - 2) +
+             |     CASE WHEN position - 1 <= 200000 % (n_touches - 2)
+             |      THEN 1 ELSE 0 END END AS BIGINT)
+             |    AS credit_position_ppm,
+             |   CAST(CASE WHEN position = n_touches THEN 1000000
+             |    ELSE 0 END AS BIGINT) AS credit_last_ppm FROM p)
+             |SELECT c.conv_id, c.user_id, c.conv_ts, cr.touch_id,
+             | cr.touch_ts, cr.position,
+             | COALESCE(cr.n_touches, 0) AS n_touches,
+             | cr.credit_linear_ppm, cr.credit_position_ppm,
+             | cr.credit_last_ppm
+             |FROM c LEFT JOIN cr ON cr.conv_id = c.conv_id
+             |ORDER BY c.conv_id, COALESCE(cr.position, 0)""".stripMargin)),
+
     QueryDef("x131_bm25_search",
       // BM25-shaped retrieval against the persisted inverted index —
       // x48's reciprocal-df ranking plus BM25's tf saturation and
@@ -6589,6 +6941,68 @@ object SparkEntry {
         TextOps.appendInvertedIndex(
           d.where(col("doc_id") % 5 === 0), "x136_idx")
         TextOps.searchIndexBm25(s, "x136_idx",
+          Seq("data", "hash", "batch"), k = 25)
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |  unnest(string_split_regex(trim(text), '\s+')) AS term
+             |  FROM documents),
+             | tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+             | p AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+             |  FROM tok2 GROUP BY 1, 2),
+             | d AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             |  FROM p GROUP BY 1),
+             | dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+             |  FROM p GROUP BY 1),
+             | st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |   CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+             | av AS (SELECT n_docs,
+             |   GREATEST(total_len // GREATEST(n_docs, 1), 1) AS avgdl
+             |  FROM st),
+             | sc AS (SELECT p.doc_id,
+             |   CAST(SUM(
+             |     (CAST((av.n_docs - d.df) * 1000000 // d.df AS HUGEINT)
+             |       * (22 * p.tf * av.avgdl))
+             |     // (10 * av.avgdl * p.tf + 3 * av.avgdl + 9 * dl.dl))
+             |    AS BIGINT) AS score_micro,
+             |   count(*) AS n_terms
+             |  FROM p JOIN d USING (term) JOIN dl USING (doc_id), av
+             |  WHERE term IN ('data', 'hash', 'batch')
+             |  GROUP BY 1)
+             |SELECT doc_id, score_micro, n_terms FROM sc
+             |ORDER BY score_micro DESC, doc_id LIMIT 25""".stripMargin)),
+
+    QueryDef("x138_index_stream",
+      // streaming ingestion for the inverted index (r10 verdict #3 —
+      // the third application of the probe/append streaming pattern):
+      // the corpus indexes WITHOUT every 5th doc, the held-out slice
+      // lands as a real file-source STREAM (maxFilesPerTrigger=1 →
+      // multiple micro-batches, fully distributed — no driver
+      // collect), each micro-batch folds in via the epoch-gated
+      // ingestIndexBatch (batch-sized tokenize + bucket-tagged
+      // append; a checkpoint-restart replay applies exactly once),
+      // and BM25 search after the stream equals the oracle's
+      // from-scratch full-corpus derivation — stream == rebuild.
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+          col("text"))
+        TextOps.writeInvertedIndex(
+          d.where(col("doc_id") % 5 =!= 0), "x138_idx")
+        val held = d.where(col("doc_id") % 5 === 0)
+        val fs = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"))
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val src = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "x138_stream_src")
+        val ckpt = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "x138_stream_ckpt")
+        fs.delete(src, true); fs.delete(ckpt, true)
+        held.repartition(2).write.parquet(src.toString)
+        val stream = s.readStream.schema(held.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src.toString)
+        val q = TextOps.streamingIndexIngest("x138_idx", stream,
+          checkpointDir = Some(ckpt.toString))
+        try { q.processAllAvailable() } finally q.stop()
+        TextOps.searchIndexBm25(s, "x138_idx",
           Seq("data", "hash", "batch"), k = 25)
       },
       Some("""WITH tok AS (SELECT doc_id,
@@ -6778,6 +7192,62 @@ object SparkEntry {
              |   // GREATEST(n_rows, 1) AS pass_ppm
              |FROM rules, n ORDER BY rule_idx""".stripMargin)),
 
+    QueryDef("x141_expectations_stream",
+      // the expectations card as a STREAMING gate (r10 verdict #8):
+      // each micro-batch evaluates the same five rules into a tiny
+      // MERGEABLE state row set (counts are algebraic — the x63
+      // profileState economics on the data contract), and the live
+      // verdict is one state-sized aggregation. Here three disjoint
+      // hash slices of lineitem play the micro-batches (StreamingSpec
+      // pins the actual foreachBatch loop == batch); the merged card
+      // must equal the from-raw single-pass oracle over the whole
+      // table — merge == rescan, so the gate never re-reads history.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val rules = Seq(
+          "qty_positive" -> (col("l_quantity") > 0),
+          "discount_range" -> (col("l_discount") >= 0.0 &&
+            col("l_discount") <= 0.1),
+          "ship_in_era" -> (col("l_shipdate") >= lit("1992-01-01") &&
+            col("l_shipdate") < lit("1999-01-01")),
+          "qty_le_50" -> (col("l_quantity") <= 50),
+          "flag_domain" -> col("l_returnflag").isin("A", "N", "R"))
+        val states = (0 until 3).map(i => ext.Profiling.expectationsState(
+          li.where(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
+            lit(3)) === i), rules))
+        ext.Profiling.mergeExpectations(states.reduce(_ unionAll _))
+          .orderBy("rule_idx")
+      },
+      Some("""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(COUNT(*) FILTER (WHERE COALESCE(l_quantity > 0, FALSE))
+             |    AS BIGINT) AS p0,
+             |  CAST(COUNT(*) FILTER (WHERE COALESCE(l_discount >= 0.0
+             |    AND l_discount <= 0.1, FALSE)) AS BIGINT) AS p1,
+             |  CAST(COUNT(*) FILTER (WHERE COALESCE(
+             |    l_shipdate >= TIMESTAMP '1992-01-01'
+             |    AND l_shipdate < TIMESTAMP '1999-01-01', FALSE))
+             |    AS BIGINT) AS p2,
+             |  CAST(COUNT(*) FILTER (WHERE COALESCE(l_quantity <= 50,
+             |    FALSE)) AS BIGINT) AS p3,
+             |  CAST(COUNT(*) FILTER (WHERE COALESCE(l_returnflag IN
+             |    ('A','N','R'), FALSE)) AS BIGINT) AS p4
+             | FROM lineitem),
+             | rules(rule_idx, rule) AS (VALUES
+             |  (CAST(0 AS BIGINT), 'qty_positive'),
+             |  (CAST(1 AS BIGINT), 'discount_range'),
+             |  (CAST(2 AS BIGINT), 'ship_in_era'),
+             |  (CAST(3 AS BIGINT), 'qty_le_50'),
+             |  (CAST(4 AS BIGINT), 'flag_domain'))
+             |SELECT rule_idx, rule, n_rows,
+             | CASE rule_idx WHEN 0 THEN p0 WHEN 1 THEN p1 WHEN 2 THEN p2
+             |  WHEN 3 THEN p3 ELSE p4 END AS n_pass,
+             | n_rows - (CASE rule_idx WHEN 0 THEN p0 WHEN 1 THEN p1
+             |  WHEN 2 THEN p2 WHEN 3 THEN p3 ELSE p4 END) AS n_fail,
+             | (CASE rule_idx WHEN 0 THEN p0 WHEN 1 THEN p1 WHEN 2 THEN p2
+             |  WHEN 3 THEN p3 ELSE p4 END) * 1000000
+             |   // GREATEST(n_rows, 1) AS pass_ppm
+             |FROM rules, n ORDER BY rule_idx""".stripMargin)),
+
     QueryDef("g66_edge_card",
       // edge-structure audit card: multiplicity, self-loops,
       // reciprocity, and the exact integer Pearson moments of degree
@@ -6807,9 +7277,12 @@ object SparkEntry {
               |mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_assort_edges,
               |  CAST(SUM(dx.deg) AS BIGINT) AS sum_x,
               |  CAST(SUM(dy.deg) AS BIGINT) AS sum_y,
-              |  CAST(SUM(dx.deg * dx.deg) AS BIGINT) AS sum_xx,
-              |  CAST(SUM(dy.deg * dy.deg) AS BIGINT) AS sum_yy,
-              |  CAST(SUM(dx.deg * dy.deg) AS BIGINT) AS sum_xy
+              |  CAST(CAST(SUM(dx.deg * dx.deg) AS DECIMAL(38,0))
+              |    AS VARCHAR) AS sum_xx,
+              |  CAST(CAST(SUM(dy.deg * dy.deg) AS DECIMAL(38,0))
+              |    AS VARCHAR) AS sum_yy,
+              |  CAST(CAST(SUM(dx.deg * dy.deg) AS DECIMAL(38,0))
+              |    AS VARCHAR) AS sum_xy
               | FROM ns JOIN deg dx ON dx.v = ns.s JOIN deg dy ON dy.v = ns.d)
               |SELECT n_edge_rows, n_distinct, self_loops, n_reciprocal,
               | n_reciprocal * 1000000 // GREATEST(n_distinct - self_loops, 1)

@@ -889,6 +889,44 @@ object LinkAnalysis {
       .select(col("id"), col("c2").as("community"))
   }
 
+  /** Leiden-style refinement pass (r11) — the fix for Louvain's
+    * documented defect (Traag et al. 2019, "From Louvain to Leiden"):
+    * the move phase can leave a community INTERNALLY DISCONNECTED
+    * (a bridge vertex moves away and strands the two halves under one
+    * label). Refinement splits every community into its weakly-
+    * connected parts: intra-community edges (both endpoints share a
+    * label) feed the star-contraction components kernel
+    * ([[graft.algos.Traversals.componentsLogRoundsPairs]] — O(log n)
+    * rounds, and since intra edges never cross communities one global
+    * sweep IS the per-community sweep), and each part relabels to its
+    * min member id. Members isolated within their community become
+    * singletons. Splitting a disconnected community STRICTLY
+    * increases modularity (contrib difference = +2·d_A·d_B by the
+    * exact [[modularityByCommunity]] decomposition — spec-pinned as
+    * a non-decrease), and connected communities are untouched, so the
+    * pass composes safely before any contraction level.
+    *
+    * Returns (id, community, refined) — `refined` partitions every
+    * `community`, every refined part induces a connected subgraph
+    * (spec-pinned).
+    *
+    * Scale shape: two edge→assignment equi-joins + the shrinking
+    * star-contraction loop on the intra subgraph (≤ the edge list);
+    * no windows, no collects. */
+  def leidenRefine(pairs: DataFrame, assign: DataFrame): DataFrame = {
+    val a = assign.select(col("id"), col("community"))
+      .localCheckpoint() // feeds two edge joins + the final left join
+    val intra = pairs
+      .join(a.select(col("id").as("a"), col("community").as("ca")), "a")
+      .join(a.select(col("id").as("b"), col("community").as("cb")), "b")
+      .where(col("ca") === col("cb"))
+      .select("a", "b")
+    val comp = graft.algos.Traversals.componentsLogRoundsPairs(intra)
+    a.join(comp, Seq("id"), "left")
+      .select(col("id"), col("community"),
+        coalesce(col("comp"), col("id")).as("refined"))
+  }
+
   /** Luby's maximal independent set — the classic O(log n)-round
     * symmetric-breaking kernel (diverse-subset selection: no two
     * chosen items adjacent in the conflict graph): every undecided
@@ -1174,15 +1212,6 @@ object LinkAnalysis {
     vals.select(col("id"), col("val").as("coreness"))
   }
 
-  /** Convergence probe for [[corenessHIndex]]'s bounded-round
-    * contract: how many vertices' values still CHANGE in round
-    * `rounds` (i.e. between the (rounds−1)- and rounds-round
-    * decompositions). 0 means the bound is at/past the fixpoint at
-    * this data scale, so the published values are the exact coreness
-    * rather than a silent upper bound — the scale suite runs this at
-    * each benched SF (r9 ADVICE; `tools.CorenessProbe`), the same
-    * "measure, don't guess" treatment the round counts of the other
-    * iterative kernels get. */
   /** Edge-structure audit card (r10) — the one-row "what kind of graph
     * is this" datasheet next to g55's size card: raw multiplicity
     * (edge rows vs distinct pairs), self-loops, RECIPROCITY (the
@@ -1225,12 +1254,17 @@ object LinkAnalysis {
       .agg(count(lit(1)).as("n_assort_edges"),
         sum(col("x").cast("decimal(38,0)")).cast("long").as("sum_x"),
         sum(col("y").cast("decimal(38,0)")).cast("long").as("sum_y"),
-        sum((col("x") * col("x")).cast("decimal(38,0)")).cast("long")
-          .as("sum_xx"),
-        sum((col("y") * col("y")).cast("decimal(38,0)")).cast("long")
-          .as("sum_yy"),
-        sum((col("x") * col("y")).cast("decimal(38,0)")).cast("long")
-          .as("sum_xy"))
+        // quadratic moments stay DECIMAL(38,0) (string form for
+        // engine-portable hashing, the x52 sum_micros treatment):
+        // Σ deg² crosses 2^63 well inside the 100 TB regime (hub
+        // degrees ~1e6 over 1e12 edges), where a long cast would
+        // silently NULL
+        sum((col("x") * col("x")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").cast("string").as("sum_xx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").cast("string").as("sum_yy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").cast("string").as("sum_xy"))
     base.crossJoin(recip).crossJoin(mom)
       .withColumn("reciprocity_ppm", expr(
         "n_reciprocal * 1000000 DIV greatest(n_distinct - self_loops, 1)"))
@@ -1239,6 +1273,15 @@ object LinkAnalysis {
         "sum_yy", "sum_xy")
   }
 
+  /** Convergence probe for [[corenessHIndex]]'s bounded-round
+    * contract: how many vertices' values still CHANGE in round
+    * `rounds` (i.e. between the (rounds−1)- and rounds-round
+    * decompositions). 0 means the bound is at/past the fixpoint at
+    * this data scale, so the published values are the exact coreness
+    * rather than a silent upper bound — the scale suite runs this at
+    * each benched SF (r9 ADVICE; `tools.CorenessProbe`), the same
+    * "measure, don't guess" treatment the round counts of the other
+    * iterative kernels get. */
   def corenessLastRoundChanges(edges: DataFrame, rounds: Int): Long = {
     require(rounds >= 1, s"corenessLastRoundChanges: rounds >= 1")
     val prev = corenessHIndex(edges, rounds - 1)

@@ -301,10 +301,33 @@ object Traversals {
     * `except`-based anti-join passes the first cut paid — never
     * probabilistically. */
   def weakComponentsLogRounds(g: OnionGraph): DataFrame = {
+    val assign = componentsLogRoundsPairs(
+        g.edges.select(col("src").as("a"), col("dst").as("b")))
+      .select(col("id").as("vid"), col("comp").as("compVid"))
+    val cc = g.vertices.select("vid")
+      .join(assign, Seq("vid"), "left")
+      .select(col("vid"),
+        coalesce(col("compVid"), col("vid")).as("compVid"))
+    val labels = g.vertices
+      .select(col("vid"), concat_ws(":", col("layer"), col("nodeId")).as("lbl"))
+    val compLabel = cc.join(labels, Seq("vid"))
+      .groupBy("compVid").agg(min("lbl").as("comp"))
+    cc.join(compLabel, Seq("compVid")).select(col("vid"), col("comp"))
+  }
+
+  /** The star-contraction loop over a PLAIN pair list — the kernel
+    * [[weakComponentsLogRounds]] rides, exposed for any caller with
+    * (a, b) edges (the Leiden refinement scopes it per community).
+    * Returns the converged star forest as (id, comp) with comp = the
+    * component's MIN member id; roots and never-paired ids emit no
+    * row (they are trivially their own component — callers coalesce).
+    * Same O(log n)-rounds / shrinking-edge-set scale shape as the
+    * graph-level entry point. */
+  def componentsLogRoundsPairs(pairs: DataFrame): DataFrame = {
     // canonical (child, parent) with parent < child; self-loops drop
-    var e = g.edges
-      .select(greatest(col("src"), col("dst")).as("src"),
-        least(col("src"), col("dst")).as("dst"))
+    var e = pairs
+      .select(greatest(col("a"), col("b")).as("src"),
+        least(col("a"), col("b")).as("dst"))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
     var converged = e.isEmpty
     var rounds = 0
@@ -320,16 +343,7 @@ object Traversals {
         .agg(count(lit(1)).as("n")).filter(col("n") =!= 2).isEmpty
       e = e2
     }
-    val assign = e.select(col("src").as("vid"), col("dst").as("compVid"))
-    val cc = g.vertices.select("vid")
-      .join(assign, Seq("vid"), "left")
-      .select(col("vid"),
-        coalesce(col("compVid"), col("vid")).as("compVid"))
-    val labels = g.vertices
-      .select(col("vid"), concat_ws(":", col("layer"), col("nodeId")).as("lbl"))
-    val compLabel = cc.join(labels, Seq("vid"))
-      .groupBy("compVid").agg(min("lbl").as("comp"))
-    cc.join(compLabel, Seq("compVid")).select(col("vid"), col("comp"))
+    e.select(col("src").as("id"), col("dst").as("comp"))
   }
 
   /** Large-star: per node u over the symmetrized neighborhood, hang

@@ -86,9 +86,22 @@ object Clustering {
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): (DataFrame, DataFrame) = {
     require(k > 0 && iters >= 0, "kmeans: k > 0, iters >= 0")
-    val quant = quantize(emb, idCol, vecCol).localCheckpoint()
     val seedIds = emb.select(col(idCol).as("vec_id")).orderBy("vec_id").limit(k)
       .withColumn("cluster", row_number().over(Window.orderBy("vec_id")))
+    kmeansModelOnQuant(quantize(emb, idCol, vecCol), seedIds, iters)
+  }
+
+  /** The Lloyd loop of [[kmeansModel]] over a PRE-QUANTIZED
+    * (vec_id, dim, q) table — exposed for residual-space training
+    * (true IVFADC codebooks train on q − coarse_cq, which has no
+    * float-vector form that re-quantizes exactly: floor((q−cq)/10⁶
+    * ·10⁶) can land one unit off the integer difference). `seedIds` =
+    * the (vec_id, cluster) seed table; everything else is byte-
+    * identical to the array-input path ([[kmeansModel]] delegates
+    * here, so every existing oracle pins the equivalence). */
+  private[ext] def kmeansModelOnQuant(quant0: DataFrame, seedIds: DataFrame,
+                                      iters: Int): (DataFrame, DataFrame) = {
+    val quant = quant0.localCheckpoint()
     var centroids = quant.join(broadcast(seedIds), Seq("vec_id"))
       .select(col("cluster"), col("dim"), col("q").as("cq"))
       .localCheckpoint()
@@ -108,7 +121,7 @@ object Clustering {
     // time per stage per round for nothing — run them interpreted.
     // The count is cheap on the checkpointed quantized RDD.
     val quantRows = quant.count()
-    graft.SparkConfs.maybeInterpreted(emb.sparkSession, quantRows) {
+    graft.SparkConfs.maybeInterpreted(quant.sparkSession, quantRows) {
       for (_ <- 1 to iters) {
         val a = assign(centroids)
         centroids = quant.join(a.select("vec_id", "cluster"), Seq("vec_id"))
@@ -339,6 +352,244 @@ object Clustering {
       .orderBy(col("adc_d2"), col("neighbor_id"))
     top.withColumn("rank", row_number().over(w))
       .select(col("query_id"), col("neighbor_id"), col("adc_d2"), col("rank"))
+  }
+
+  /** Train and PERSIST an IVF-PQ index as a cell-keyed directory
+    * layout — the production fix for [[ivfPqTopK]]'s one scale defect
+    * (r10 verdict: its in-memory form joins corpus-sized codes to
+    * corpus-sized assignments on vec_id — a full corpus exchange —
+    * before the nProbe cell filter can prune). Here the codes are
+    * written WITH their coarse cell and partitioned by it
+    * (`path/codes/cell=N/…`), so the index IS the directory layout
+    * (the Similarity.writeBucketed / x42 band-index pattern): a probe
+    * reads exactly its nProbe cells' directories via a planning-time
+    * partition filter and the corpus pays NO exchange, ever. The
+    * coarse centroids (cells×dims rows) and PQ codebook (m·k·dims/m
+    * rows) persist beside the codes — both broadcast-small artifacts
+    * a probe batch trains nothing against.
+    *
+    * Training inherits [[kmeansModel]]/[[pqModel]]'s exact integer
+    * determinism, so a probe of the persisted layout hash-matches the
+    * in-memory [[ivfPqTopK]] on the same corpus (x137 == x135's
+    * oracle; spec-pinned). */
+  /** Train the RESIDUAL-encoded IVF-PQ model — true IVFADC (Jégou et
+    * al. 2011, §III.C): each vector's PQ codes quantize its residual
+    * q − coarse_cq(cell) rather than the raw vector, so the codebooks
+    * spend their k centroids on the (much tighter) within-cell
+    * distribution — same integer arithmetic, strictly better
+    * quantization at the same bit budget (measured via the x94 recall
+    * harness; the recall card cites it). Residuals stay exact BIGINTs
+    * (micro-unit q minus BIGINT centroid — never re-floated), so the
+    * whole model re-derives bit-identically on any engine. Returns
+    * (assign, cents, codes, codebook). */
+  private def ivfPqResidualModel(emb: DataFrame, dims: Int, cells: Int,
+                                 m: Int, k: Int, iters: Int,
+                                 idCol: String, vecCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (assign, cents) = kmeansModel(emb, cells, iters, idCol, vecCol)
+    val res = quantize(emb, idCol, vecCol)
+      .join(assign.select("vec_id", "cluster"), Seq("vec_id"))
+      .join(broadcast(cents), Seq("cluster", "dim"))
+      .select(col("vec_id"), col("dim"), (col("q") - col("cq")).as("q"))
+      .localCheckpoint() // feeds m subspace trainings
+    val sub = dims / m
+    val seedIds = emb.select(col(idCol).as("vec_id")).orderBy("vec_id")
+      .limit(k)
+      .withColumn("cluster", row_number().over(Window.orderBy("vec_id")))
+    val parts = (0 until m).map { s =>
+      val slice = res
+        .filter(col("dim") >= s * sub && col("dim") < (s + 1) * sub)
+        .select(col("vec_id"), (col("dim") - s * sub).as("dim"), col("q"))
+      val (a, c) = kmeansModelOnQuant(slice, seedIds, iters)
+      (a.select(col("vec_id"), lit(s).as("subspace"),
+          col("cluster").as("code")),
+        c.select(lit(s).as("subspace"), col("cluster"), col("dim"),
+          col("cq")))
+    }
+    (assign, cents, parts.map(_._1).reduce(_ unionAll _),
+      parts.map(_._2).reduce(_ unionAll _))
+  }
+
+  def writeIvfPq(emb: DataFrame, path: String, dims: Int, cells: Int,
+                 m: Int = 4, k: Int = 8, iters: Int = 1,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding",
+                 residual: Boolean = false): Unit = {
+    require(m > 0 && dims % m == 0, "writeIvfPq: m must divide dims")
+    val (assign, cents, codes, codebook) =
+      if (residual)
+        ivfPqResidualModel(emb, dims, cells, m, k, iters, idCol, vecCol)
+      else {
+        val (a, c) = kmeansModel(emb, cells, iters, idCol, vecCol)
+        val (cd, cb) = pqModel(emb, dims, m, k, iters, idCol, vecCol)
+        (a, c, cd.select("vec_id", "subspace", "code"), cb)
+      }
+    // ONE corpus-sized equi-join at BUILD time (codes ⋈ assign on
+    // vec_id) buys every future probe its planning-time prune — the
+    // amortization that makes 100 TB retrieval serveable
+    codes.select("vec_id", "subspace", "code")
+      .join(assign.select(col("vec_id"), col("cluster").as("cell")),
+        Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/codes")
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    codebook.write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** ADC top-k retrieval against a persisted [[writeIvfPq]] layout.
+    * Each query ranks the broadcast-small persisted centroids to pick
+    * its nProbe cells, the batch's distinct probed cells (bounded by
+    * the layout's cell count — the ≤2^planes collect class) become a
+    * planning-time `cell IN (…)` partition filter on the codes read,
+    * and scoring is the same broadcast-LUT integer ADC as
+    * [[ivfPqTopK]] with the [[graft.plans.TopKPerGroup]] tail. The
+    * corpus-side plan is scan-filter-join-agg with NO exchange of
+    * code rows before the prune (ScaleSpec plan-asserts both the
+    * partition filter and the absence of a corpus shuffle). */
+  def probeIvfPq(spark: org.apache.spark.sql.SparkSession, path: String,
+                 queries: DataFrame, dims: Int, nProbe: Int, m: Int = 4,
+                 topK: Int = 10, idCol: String = "vec_id",
+                 vecCol: String = "embedding",
+                 residual: Boolean = false): DataFrame = {
+    require(nProbe >= 1, "probeIvfPq: nProbe >= 1")
+    require(m > 0 && dims % m == 0, "probeIvfPq: m must divide dims")
+    val cents = spark.read.parquet(s"$path/centroids")
+    val codebook = spark.read.parquet(s"$path/codebook")
+    // nProbe nearest coarse cells per query — the same distance
+    // arithmetic and (d2, cluster) tie order the corpus was assigned
+    // under at build time
+    val qfull = quantize(queries.select(col(idCol).as("vec_id"),
+        col(vecCol).as("embedding")))
+      .select(col("vec_id").as("query_id"), col("dim"), col("q"))
+      .localCheckpoint() // feeds probes + (residual) the per-cell LUT
+    val wp = Window.partitionBy("query_id").orderBy(col("d2"), col("cluster"))
+    val probes = qfull.join(broadcast(cents), Seq("dim"))
+      .groupBy("query_id", "cluster")
+      .agg(sum(((col("q") - col("cq")) * (col("q") - col("cq")))
+        .cast("decimal(38,0)")).as("d2"))
+      .withColumn("rk", row_number().over(wp))
+      .filter(col("rk") <= nProbe)
+      .select(col("query_id"), col("cluster").as("cell"))
+      .localCheckpoint() // feeds the cell collect + the candidate join
+    // bounded collect: ≤ the layout's cell count by construction
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0))
+    val codes = spark.read.parquet(s"$path/codes")
+      .where(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+    val sub = dims / m
+    // the ADC lookup table. Raw-vector layout: one entry per
+    // (query, subspace, code). Residual layout: the query residual
+    // differs per probed cell (q − cq(cell)), so the LUT is per
+    // (query, CELL, subspace, code) — queries × nProbe × m × k rows,
+    // still broadcast-tiny.
+    val lut =
+      if (!residual) {
+        val qq = (0 until m).map { s =>
+          quantize(queries.select(col(idCol).as("vec_id"),
+              slice(col(vecCol), s * sub + 1, sub).as("embedding")))
+            .select(col("vec_id").as("query_id"), lit(s).as("subspace"),
+              col("dim"), col("q"))
+        }.reduce(_ unionAll _)
+        qq.join(broadcast(codebook), Seq("subspace", "dim"))
+          .groupBy("query_id", "subspace", "cluster")
+          .agg(sum(((col("q") - col("cq")) * (col("q") - col("cq")))
+            .cast("decimal(38,0)")).cast("long").as("adist"))
+          .withColumnRenamed("cluster", "code")
+      } else {
+        val qres = probes.join(qfull, Seq("query_id"))
+          .join(broadcast(cents.select(col("cluster").as("cell"),
+            col("dim"), col("cq"))), Seq("cell", "dim"))
+          .select(col("query_id"), col("cell"), col("dim"),
+            (col("q") - col("cq")).as("q"))
+        (0 until m).map { s =>
+          qres.filter(col("dim") >= s * sub && col("dim") < (s + 1) * sub)
+            .select(col("query_id"), col("cell"), lit(s).as("subspace"),
+              (col("dim") - s * sub).as("dim"), col("q"))
+        }.reduce(_ unionAll _)
+          .join(broadcast(codebook), Seq("subspace", "dim"))
+          .groupBy("query_id", "cell", "subspace", "cluster")
+          .agg(sum(((col("q") - col("cq")) * (col("q") - col("cq")))
+            .cast("decimal(38,0)")).cast("long").as("adist"))
+          .withColumnRenamed("cluster", "code")
+      }
+    val scored = (
+      if (!residual)
+        codes.join(broadcast(probes), Seq("cell"))
+          .join(broadcast(lut), Seq("query_id", "subspace", "code"))
+      else
+        // the cell join key doubles as the probe filter: lut only
+        // holds probed (query, cell) combinations
+        codes.join(broadcast(lut), Seq("cell", "subspace", "code")))
+      .where(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("adist").as("adc_d2"))
+    val top = graft.plans.TopKPerGroup(scored, Seq("query_id"),
+      Seq(("adc_d2", true), ("neighbor_id", true)), topK)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_d2"), col("neighbor_id"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("neighbor_id"), col("adc_d2"), col("rank"))
+  }
+
+  /** Exact integer-L2 top-k — the ground truth the ANN recall cards
+    * compare against: per query the true `topK` nearest corpus
+    * vectors under Σ(q_a − q_b)² over micro-unit quantized
+    * components, (d2, neighbor_id) tie order. Same output shape as
+    * the IVF-PQ probes, so [[graft.ext.Similarity.annRecall]] joins
+    * them directly. Deterministic integers end to end.
+    *
+    * Scale shape: the query set broadcasts onto the corpus's
+    * quantized explode (corpus never shuffles pre-agg; the
+    * (query, neighbor) partial d² combines map-side) and the tail
+    * rides [[graft.plans.TopKPerGroup]] — the brute baseline you run
+    * on a hash-sampled query slice, not the serving path. */
+  def exactL2TopK(emb: DataFrame, queries: DataFrame, topK: Int,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(topK > 0, "exactL2TopK: topK > 0")
+    val c = quantize(emb, idCol, vecCol)
+    val q = quantize(queries, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("dim"), col("q").as("qq"))
+    val scored = c.join(broadcast(q), Seq("dim"))
+      .where(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(((col("qq") - col("q")) * (col("qq") - col("q")))
+        .cast("decimal(38,0)")).cast("long").as("d2"))
+    val top = graft.plans.TopKPerGroup(scored, Seq("query_id"),
+      Seq(("d2", true), ("neighbor_id", true)), topK)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("d2"), col("neighbor_id"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("neighbor_id"), col("d2"), col("rank"))
+  }
+
+  /** Recall-vs-nProbe tuning card for a persisted [[writeIvfPq]]
+    * layout — "measure, don't guess" applied to the retrieval leg's
+    * own knob: one row per probed nProbe with the mean recall@topK
+    * against the exact integer-L2 ground truth ([[exactL2TopK]] +
+    * [[graft.ext.Similarity.annRecall]], integer ppm throughout).
+    * Run it on a hash-sampled query slice; the chosen default goes in
+    * SCALE.md next to the card. Returns
+    * (n_probe, n_queries, sum_recall_ppm, mean_recall_ppm). */
+  def ivfPqRecallCard(spark: org.apache.spark.sql.SparkSession,
+                      path: String, emb: DataFrame, queries: DataFrame,
+                      dims: Int, nProbes: Seq[Int], m: Int = 4,
+                      topK: Int = 10, idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      residual: Boolean = false): DataFrame = {
+    require(nProbes.nonEmpty, "ivfPqRecallCard: nProbes must be non-empty")
+    val exact = exactL2TopK(emb, queries, topK, idCol, vecCol)
+      .localCheckpoint() // shared across the nProbe sweep
+    nProbes.map { np =>
+      val approx = probeIvfPq(spark, path, queries, dims, np, m, topK,
+        idCol, vecCol, residual)
+      graft.ext.Similarity.annRecall(exact, approx, topK)
+        .agg(count(lit(1)).as("n_queries"),
+          sum("recall_ppm").cast("long").as("sum_recall_ppm"))
+        .select(lit(np).as("n_probe"), col("n_queries"),
+          col("sum_recall_ppm"),
+          expr("sum_recall_ppm DIV n_queries").as("mean_recall_ppm"))
+    }.reduce(_ unionAll _)
   }
 
   /** Scalar INT8 quantization with per-dimension min/max calibration +

@@ -52,6 +52,16 @@ object Multimodal {
   private final class ImageReaderPool {
     private var cached: List[javax.imageio.ImageReader] = Nil
 
+    // plugin readers can hold native/plugin resources; dispose them at
+    // partition end rather than leaving them to GC finalization on a
+    // long-running executor (constructed once per mapPartitions
+    // closure, so the listener fires exactly once per task)
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit] { _ =>
+        cached.foreach(r => try r.dispose() catch { case _: Throwable => () })
+        cached = Nil
+      })
+
     /** A reader positioned over the byte range with input set, or null
       * if no installed plugin recognizes the payload. The pool owns
       * the reader; callers must not dispose it. */
@@ -71,7 +81,11 @@ object Multimodal {
         val rs = javax.imageio.ImageIO.getImageReaders(iis)
         if (!rs.hasNext) return null
         reader = rs.next()
-        cached = (reader :: cached).take(4)
+        val next = (reader :: cached).take(4)
+        // dispose what the 4-entry cache evicts, not just drop it
+        cached.drop(3).foreach(r =>
+          try r.dispose() catch { case _: Throwable => () })
+        cached = next
       }
       iis.seek(0)
       reader.setInput(iis, false, true)

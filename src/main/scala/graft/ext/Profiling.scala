@@ -362,6 +362,69 @@ object Profiling {
         expr("n_pass * 1000000 DIV greatest(__n, 1)").as("pass_ppm"))
   }
 
+  /** The algebraic half of [[expectationsCard]] (r11) — one batch's
+    * rule counters as MERGEABLE rows (rule_idx, rule, n_rows, n_pass):
+    * counts add, so a standing contract gate absorbs a new micro-batch
+    * without rescanning history (the x63 profileState economics
+    * applied to the data-contract card). Same one-pass / map-side
+    * evaluation and NULL-is-a-failure semantics as the card. */
+  def expectationsState(df: DataFrame,
+                        rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "expectationsState needs at least one rule")
+    val aggs = count(lit(1)).as("__n") +: rules.zipWithIndex.map {
+      case ((_, pred), i) =>
+        sum(when(coalesce(pred, lit(false)), 1L).otherwise(0L)).as(s"__p$i")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules.zipWithIndex.map { case ((name, _), i) =>
+      s"$i, '${name.replace("'", "''")}', __p$i" }.mkString(", ")
+    one.select(col("__n"), expr(
+        s"stack(${rules.size}, $stackArgs) AS (rule_idx, rule, n_pass)"))
+      .select(col("rule_idx").cast("long"), col("rule"),
+        col("__n").as("n_rows"),
+        // an empty batch aggregates sums to NULL — a zero-row state
+        // row must carry 0, not NULL, to merge
+        coalesce(col("n_pass"), lit(0L)).as("n_pass"))
+  }
+
+  /** Fold accumulated [[expectationsState]] rows into the card —
+    * row-for-row equal to [[expectationsCard]] over the union of every
+    * absorbed batch (StreamingSpec pins it; x141 hash-matches the
+    * from-raw oracle). One groups-sized aggregation, never a corpus
+    * rescan. */
+  def mergeExpectations(states: DataFrame): DataFrame =
+    states.groupBy("rule_idx", "rule")
+      .agg(sum("n_rows").cast("long").as("n_rows"),
+        sum("n_pass").cast("long").as("n_pass"))
+      .select(col("rule_idx"), col("rule"), col("n_rows"), col("n_pass"),
+        (col("n_rows") - col("n_pass")).as("n_fail"),
+        expr("n_pass * 1000000 DIV greatest(n_rows, 1)").as("pass_ppm"))
+
+  /** Streaming expectations gate (r11) — the data-contract verdict as
+    * a CONTINUOUS signal over a live ingest: each micro-batch's rule
+    * counters land under `stateDir/epoch=N/` (per-epoch Overwrite —
+    * idempotent under foreachBatch's at-least-once replay, the
+    * streamingNearDup pairs convention), and the up-to-now card at
+    * any moment is `mergeExpectations(spark.read.parquet(stateDir))`
+    * — a state-sized aggregation, no history rescan, no state store
+    * growth beyond rules × epochs rows. */
+  def streamingExpectationsGate(stream: DataFrame,
+                                rules: Seq[(String, Column)],
+                                stateDir: String,
+                                checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       epoch: Long) =>
+        expectationsState(batch, rules)
+          .coalesce(1) // rules-sized output: one tiny file per epoch
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/epoch=$epoch")
+    }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+
   /** [[profile]] per group (per-language / per-source corpus
     * profiles): exact moments from one grouped pass + sampled
     * order statistics from the per-group bottom-k sample. Output

@@ -375,6 +375,63 @@ object Similarity {
       .write.mode("append").partitionBy("bucket").parquet(path)
   }
 
+  /** [[appendBucketed]] made replay-safe for foreachBatch's
+    * at-least-once delivery: a replayed epoch folds into the layout
+    * exactly ONCE. Protocol (all under the layout root, `_`-prefixed
+    * paths are invisible to partition discovery):
+    *  1. a committed-epoch marker `_epochs/<epoch>` short-circuits a
+    *     fully-applied replay;
+    *  2. the batch stages under `_staging/epoch=<epoch>` with
+    *     mode(Overwrite) — re-staging is idempotent;
+    *  3. any `epoch-<epoch>-*` files a crashed earlier attempt already
+    *     moved into the staged buckets are DELETED (bucketing is
+    *     deterministic, so replays stage the identical bucket set),
+    *     then the staged files move in under deterministic
+    *     `epoch-<epoch>-<i>` names;
+    *  4. the marker commits.
+    * A crash at any step leaves a state the replay repairs to the
+    * exact single-application layout. Concurrent external readers can
+    * observe a mid-move torn epoch (inherent to multi-file commit on
+    * a plain filesystem); the streaming loop itself is sequential. */
+  def appendBucketedIdempotent(spark: org.apache.spark.sql.SparkSession,
+                               path: String, batch: DataFrame, epoch: Long,
+                               planes: Int = 6, idCol: String = "vec_id",
+                               vecCol: String = "embedding"): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(root, s"_epochs/$epoch")
+    if (fs.exists(marker)) return // epoch already committed
+    val dim = probeDim(spark.read.parquet(path), vecCol)
+      .orElse(probeDim(batch, vecCol)).getOrElse(return)
+    val staging = new Path(root, s"_staging/epoch=$epoch")
+    batch.select(col(idCol), col(vecCol),
+        lshBucketPortableStatic(col(vecCol), planes, dim).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(staging.toString)
+    val stagedBuckets = fs.listStatus(staging)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+    for (b <- stagedBuckets) {
+      val dest = new Path(root, b.getPath.getName)
+      fs.mkdirs(dest)
+      // clear a crashed attempt's partial move of THIS epoch first —
+      // part-file counts may differ between attempts, so skipping
+      // name collisions alone could mix two attempts' files
+      fs.listStatus(dest)
+        .filter(_.getPath.getName.startsWith(s"epoch-$epoch-"))
+        .foreach(f => fs.delete(f.getPath, false))
+      val staged = fs.listStatus(b.getPath)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+        .sortBy(_.getPath.getName)
+      staged.zipWithIndex.foreach { case (f, i) =>
+        fs.rename(f.getPath, new Path(dest, s"epoch-$epoch-$i.parquet"))
+      }
+    }
+    fs.delete(new Path(root, "_staging"), true)
+    fs.mkdirs(marker)
+  }
+
   /** Continuous embedding near-dup over a vector stream — the
     * streaming leg of the ANN/semantic family (the minhash family has
     * [[graft.ext.Dedup.streamingNearDup]]; this is its vector-space
@@ -382,11 +439,13 @@ object Similarity {
     * ([[probeBucketedNearDup]]), surviving pairs land in
     * `pairsDir/epoch=N/` (per-epoch Overwrite — idempotent under
     * foreachBatch's at-least-once replay), and the batch then folds in
-    * ([[appendBucketed]]) so later epochs dedup against it. The
-    * parquet write MATERIALIZES the probe before the append runs —
-    * order matters, or the batch would meet itself through the index.
-    * Accumulated pairs across epochs equal the one-shot blocked
-    * rebuild (StreamingSpec pins it). */
+    * via [[appendBucketedIdempotent]] (epoch-marker + staged
+    * deterministic-name move, so a replayed epoch folds in exactly
+    * once) so later epochs dedup against it. The parquet write
+    * MATERIALIZES the probe before the append runs — order matters,
+    * or the batch would meet itself through the index. Accumulated
+    * pairs across epochs equal the one-shot blocked rebuild
+    * (StreamingSpec pins it, including the double-append replay). */
   def streamingEmbeddingNearDup(path: String, stream: DataFrame,
                                 pairsDir: String, threshold: Double,
                                 planes: Int = 6, idCol: String = "vec_id",
@@ -399,7 +458,7 @@ object Similarity {
         val b = batch.localCheckpoint() // probe + append both consume it
         probeBucketedNearDup(spark, path, b, threshold, planes, idCol, vecCol)
           .write.mode("overwrite").parquet(s"$pairsDir/epoch=$epoch")
-        appendBucketed(spark, path, b, planes, idCol, vecCol)
+        appendBucketedIdempotent(spark, path, b, epoch, planes, idCol, vecCol)
     }
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))
     writer.start()

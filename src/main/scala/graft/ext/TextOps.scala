@@ -766,7 +766,7 @@ object TextOps {
     val stats = doclen.agg(count(lit(1)).cast("long").as("n_docs"),
       sum("dl").cast("long").as("total_len"))
     Seq(s"${name}_postings", s"${name}_df", s"${name}_doclen",
-        s"${name}_stats").foreach { t =>
+        s"${name}_stats", s"${name}_epochs").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       // orphaned managed location from a previous JVM (same hazard as
       // Dedup.writeBandIndex — DROP only reaches the live catalog)
@@ -826,6 +826,57 @@ object TextOps {
       .format("parquet").saveAsTable(s"${name}_doclen")
     stats.write.mode(SaveMode.Append)
       .format("parquet").saveAsTable(s"${name}_stats")
+  }
+
+  /** [[appendInvertedIndex]] gated for exactly-once application under
+    * foreachBatch's at-least-once replay: a `${name}_epochs` sidecar
+    * table records committed epochs, and a replayed epoch (restart
+    * from checkpoint after the batch function succeeded but before
+    * the sink commit landed — the common replay) short-circuits
+    * before touching the index. The marker commits AFTER the four
+    * segment appends; a crash strictly inside the append sequence
+    * leaves a torn segment that needs a rebuild (documented — the
+    * same boundary Dedup.streamingNearDup declares; closing it fully
+    * needs a transactional table format). */
+  def ingestIndexBatch(batch: DataFrame, name: String, epoch: Long,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): Unit = {
+    val spark = batch.sparkSession
+    val epochsTable = s"${name}_epochs"
+    if (spark.catalog.tableExists(epochsTable) &&
+        spark.table(epochsTable).filter(col("epoch") === epoch)
+          .head(1).nonEmpty)
+      return // epoch already committed — replay is a no-op
+    appendInvertedIndex(batch, name, idCol, textCol)
+    spark.range(1).select(lit(epoch).as("epoch"))
+      .write.mode(SaveMode.Append).format("parquet")
+      .saveAsTable(epochsTable)
+  }
+
+  /** Streaming ingestion for the inverted index — the third
+    * application of the engine's probe/append streaming pattern
+    * (Dedup.streamingNearDup for minhash, Similarity
+    * .streamingEmbeddingNearDup for vectors; this one feeds the BM25
+    * index): each micro-batch tokenizes ONLY ITSELF and folds in via
+    * [[ingestIndexBatch]] (bucket-tagged postings/doclen files plus
+    * df/stats segment rows — batch-sized work, the corpus is never
+    * re-tokenized), epoch-gated so a checkpoint-restart replay
+    * applies exactly once. Search-after-stream equals the from-raw
+    * rebuild (StreamingSpec pins accumulated == one-shot AND the
+    * double-append replay; the x138 oracle re-derives the full
+    * corpus). */
+  def streamingIndexIngest(name: String, stream: DataFrame,
+                           idCol: String = "doc_id",
+                           textCol: String = "text",
+                           checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       epoch: Long) =>
+        ingestIndexBatch(batch, name, epoch, idCol, textCol)
+    }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
   }
 
   /** Rank documents for a bag of query terms against a

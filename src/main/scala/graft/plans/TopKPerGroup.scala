@@ -267,6 +267,12 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Seq[SortOrder],
           val groups = heaps.values.toArray
           heaps.clear()
           tableBytes = 0
+          // release the acquisition too: after the clear the consumer's
+          // spill() returns 0, so holding `acquired` would show the
+          // TaskMemoryManager phantom pressure no callback can reclaim
+          if (consumer != null && acquired > 0) {
+            consumer.freeMemory(acquired); acquired = 0
+          }
           groups.iterator.flatMap(_.dequeueAll.reverseIterator)
         }
 

@@ -399,6 +399,83 @@ object EventStreams {
         col("__in_window").as("attributed"))
   }
 
+  /** Multi-touch attribution (r11) — [[lastTouchAttribution]]
+    * generalized to credit the WHOLE in-window touch set, the shape
+    * real marketing analytics asks for next: every conversion fans
+    * out to all touches by the same user at-or-before it within
+    * `lookbackMs`, and each touch carries three integer-ppm credit
+    * columns whose per-conversion sum is EXACTLY 10⁶ (largest-
+    * remainder apportionment — the x111 trick — with the extra
+    * micros going to the earliest positions in (ts, id) order):
+    *
+    *  - `credit_linear_ppm`: 10⁶ DIV n, +1 for the first 10⁶ MOD n
+    *    positions;
+    *  - `credit_position_ppm`: U-shaped 40/20/40 — n=1 → 10⁶,
+    *    n=2 → 500 000 each, n≥3 → 400 000 to the first and last
+    *    touch and 200 000 largest-remainder-split over the middle;
+    *  - `credit_last_ppm`: 10⁶ to the last touch — the degenerate
+    *    case that reproduces [[lastTouchAttribution]] exactly
+    *    (spec-pinned).
+    *
+    * Same-timestamp touches collapse to max event_id first (the q57
+    * determinism rule); a conversion with NO in-window touch
+    * survives with NULL touch columns and n_touches = 0.
+    *
+    * Scale shape: ONE equi-join on the user key (never an
+    * inequality join — the range predicate filters after the hash
+    * join), per-conversion fan-out bounded by the lookback window's
+    * touch count, and both windows partition by conv_id — bounded
+    * partitions, never the table. All credit arithmetic is integer
+    * DIV/MOD, so the apportionment re-derives on any engine. */
+  def multiTouchAttribution(events: DataFrame, touchType: String,
+                            convType: String, lookbackMs: Long,
+                            userCol: String = "user_id",
+                            typeCol: String = "event_type",
+                            tsCol: String = "ts",
+                            idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(lookbackMs > 0, "multiTouchAttribution: lookbackMs must be positive")
+    val touches = events.filter(col(typeCol) === touchType)
+      .groupBy(col(userCol), col(tsCol))
+      .agg(max(col(idCol)).as("touch_id"))
+      .select(col(userCol), col(tsCol).as("touch_ts"), col("touch_id"))
+    val convs = events.filter(col(typeCol) === convType)
+      .select(col(userCol), col(tsCol).as("conv_ts"),
+        col(idCol).as("conv_id"))
+    val inw = convs.join(touches, Seq(userCol))
+      .where(col("touch_ts") <= col("conv_ts") &&
+        unix_millis(col("conv_ts")) - unix_millis(col("touch_ts"))
+          <= lookbackMs)
+    val wOrd = Window.partitionBy("conv_id")
+      .orderBy(col("touch_ts"), col("touch_id"))
+    val wAll = Window.partitionBy("conv_id")
+    val credited = inw
+      .withColumn("position", row_number().over(wOrd).cast("long"))
+      .withColumn("n_touches", count(lit(1)).over(wAll))
+      .withColumn("credit_linear_ppm", expr(
+        "1000000L DIV n_touches + CASE WHEN position <= 1000000L % n_touches" +
+          " THEN 1L ELSE 0L END"))
+      .withColumn("credit_position_ppm", expr(
+        """CASE WHEN n_touches = 1 THEN 1000000L
+          | WHEN n_touches = 2 THEN 500000L
+          | WHEN position = 1 OR position = n_touches THEN 400000L
+          | ELSE 200000L DIV (n_touches - 2) +
+          |  CASE WHEN position - 1 <= 200000L % (n_touches - 2)
+          |   THEN 1L ELSE 0L END END""".stripMargin))
+      .withColumn("credit_last_ppm",
+        when(col("position") === col("n_touches"), 1000000L)
+          .otherwise(0L))
+    convs.join(credited.select(col("conv_id"), col("touch_id"),
+        col("touch_ts"), col("position"), col("n_touches"),
+        col("credit_linear_ppm"), col("credit_position_ppm"),
+        col("credit_last_ppm")), Seq("conv_id"), "left")
+      .select(col("conv_id"), col(userCol), col("conv_ts"),
+        col("touch_id"), col("touch_ts"), col("position"),
+        coalesce(col("n_touches"), lit(0L)).as("n_touches"),
+        col("credit_linear_ppm"), col("credit_position_ppm"),
+        col("credit_last_ppm"))
+  }
+
   /** Daily spike detection per key over the gap-filled calendar grid:
     * a day is a spike when its count exceeds `factor`× the trailing
     * `trailing`-day mean. The comparison is the integer cross-multiply

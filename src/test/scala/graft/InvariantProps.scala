@@ -1486,9 +1486,11 @@ object InvariantProps extends Properties("GraftInvariants") {
           row.getLong(5) == ns.size.toLong &&
           row.getLong(6) == xy.map(_._1).sum &&
           row.getLong(7) == xy.map(_._2).sum &&
-          row.getLong(8) == xy.map(p => p._1 * p._1).sum &&
-          row.getLong(9) == xy.map(p => p._2 * p._2).sum &&
-          row.getLong(10) == xy.map(p => p._1 * p._2).sum
+          // quadratic moments carry as DECIMAL(38,0) strings (the x52
+          // overflow treatment — Σ deg² crosses 2^63 at 100 TB)
+          row.getString(8) == xy.map(p => p._1 * p._1).sum.toString &&
+          row.getString(9) == xy.map(p => p._2 * p._2).sum.toString &&
+          row.getString(10) == xy.map(p => p._1 * p._2).sum.toString
       }
     }
 

@@ -876,8 +876,65 @@ class PipelineAnalyticsSpec extends SparkSuite {
     assert(row.getLong(3) == 2L)   // n_reciprocal
     assert(row.getLong(4) == 666666L)
     assert(row.getLong(5) == 3L)   // n_assort_edges
-    assert((row.getLong(6), row.getLong(7), row.getLong(8),
-      row.getLong(9), row.getLong(10)) == ((5L, 4L, 9L, 6L, 6L)))
+    // quadratic moments carry as DECIMAL(38,0) strings (Σ deg² crosses
+    // 2^63 inside the 100 TB regime — the x52 sum_micros treatment)
+    assert((row.getLong(6), row.getLong(7), row.getString(8),
+      row.getString(9), row.getString(10)) == ((5L, 4L, "9", "6", "6")))
+  }
+
+  test("leidenRefine: disconnected communities split into connected parts; modularity never decreases") {
+    // community 1 = {1,2,3,4} but only (1-2) and (3-4) edges exist —
+    // internally disconnected, the exact defect Traag 2019 fixes;
+    // community 5 = {5,6} is connected and must be untouched
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (5L, 5L), (6L, 5L)).toDF("id", "community")
+    val ref = LinkAnalysis.leidenRefine(pairs, assign)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(ref == Set((1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 3L),
+      (4L, 1L, 3L), (5L, 5L, 5L), (6L, 5L, 5L)))
+    // the refinement is a true refinement: each refined label lives
+    // inside exactly one community
+    assert(ref.groupBy(_._3).forall(_._2.map(_._2).size == 1))
+    // exact modularity non-decrease via the g52 decomposition
+    // (contrib = 4m·e_c − d_c²; splitting zero-cross parts adds
+    // +2·d_A·d_B)
+    def q(a: DataFrame) = LinkAnalysis.modularityByCommunity(pairs, a)
+      .agg(sum("contrib")).head().getLong(0)
+    val refAssign = LinkAnalysis.leidenRefine(pairs, assign)
+      .select(col("id"), col("refined").as("community"))
+    assert(q(refAssign) > q(assign))
+    // every refined part induces a connected subgraph: re-refining the
+    // refined assignment is a fixpoint
+    val twice = LinkAnalysis.leidenRefine(pairs, refAssign)
+      .as[(Long, Long, Long)].collect()
+    assert(twice.forall(r => r._2 == r._3))
+    // a vertex isolated within its community becomes a singleton
+    val strayAssign = Seq((1L, 1L), (2L, 1L), (9L, 1L))
+      .toDF("id", "community")
+    val stray = LinkAnalysis.leidenRefine(
+        Seq((1L, 2L)).toDF("a", "b"), strayAssign)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(stray == Set((1L, 1L, 1L), (2L, 1L, 1L), (9L, 1L, 9L)))
+  }
+
+  test("leidenRefine: connected louvain communities are a fixpoint on the bridged triangles") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("a", "b")
+    val assign = LinkAnalysis.louvainLocalMove(tri, rounds = 4)
+    val ref = LinkAnalysis.leidenRefine(tri, assign)
+      .as[(Long, Long, Long)].collect()
+    // both triangle communities are connected -> refinement keeps the
+    // PARTITION (labels may differ: a louvain label is a drained
+    // historical label, a refined label is the part's min member —
+    // e.g. {4,5,6} can carry louvain label 3 after vertex 3 moved
+    // away over the bridge, and refines to label 4)
+    val byCommunity = ref.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    val byRefined = ref.groupBy(_._3).values.map(_.map(_._1).toSet).toSet
+    assert(byCommunity == byRefined, s"unexpected split: ${ref.toList}")
+    // and each refined label IS its part's min member
+    assert(ref.groupBy(_._3).forall { case (lbl, rows) =>
+      lbl == rows.map(_._1).min })
   }
 
 }

@@ -532,6 +532,161 @@ class StreamingSpec extends SparkSuite {
       a == 1L && b == 21L && c >= 0.9 && c < 1.0 })
   }
 
+  test("streaming index ingest: accumulated micro-batches == one-shot build (r10 verdict #3)") {
+    implicit val sqlCtx = spark.sqlContext
+    val day1 = Seq((1L, "data data data hash"), (2L, "data hash hash"))
+    val day2 = Seq((3L, "unrelated words only"), (4L, "data"))
+    val day3 = Seq((5L, "hash batch data data"), (6L, "batch batch"))
+    graft.ext.TextOps.writeInvertedIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "streamspec_idx",
+      buckets = 2)
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.ext.TextOps.streamingIndexIngest("streamspec_idx",
+      stream.toDF().toDF("doc_id", "text"))
+    try {
+      stream.addData(day1); q.processAllAvailable()
+      stream.addData(day2); q.processAllAvailable()
+      stream.addData(day3); q.processAllAvailable()
+    } finally q.stop()
+    graft.ext.TextOps.writeInvertedIndex(
+      (day1 ++ day2 ++ day3).toDF("doc_id", "text"), "streamspec_idx_f",
+      buckets = 2)
+    for (terms <- Seq(Seq("data", "hash"), Seq("batch"))) {
+      val streamed = graft.ext.TextOps.searchIndexBm25(spark,
+        "streamspec_idx", terms, 10).as[(Long, Long, Long)].collect().toList
+      val oneShot = graft.ext.TextOps.searchIndexBm25(spark,
+        "streamspec_idx_f", terms, 10).as[(Long, Long, Long)].collect().toList
+      assert(streamed == oneShot, s"terms=$terms")
+    }
+  }
+
+  test("streaming index ingest: a replayed epoch applies exactly once") {
+    // foreachBatch is at-least-once: a restart can re-deliver the last
+    // epoch. The ${name}_epochs sidecar must make the re-delivery a
+    // no-op — same search result after a deliberate double-ingest.
+    graft.ext.TextOps.writeInvertedIndex(
+      Seq((1L, "data hash")).toDF("doc_id", "text"), "streamspec_idxr",
+      buckets = 2)
+    val batch = Seq((2L, "data data batch")).toDF("doc_id", "text")
+    graft.ext.TextOps.ingestIndexBatch(batch, "streamspec_idxr", epoch = 0L)
+    val once = graft.ext.TextOps.searchIndexBm25(spark, "streamspec_idxr",
+      Seq("data", "batch"), 10).as[(Long, Long, Long)].collect().toList
+    graft.ext.TextOps.ingestIndexBatch(batch, "streamspec_idxr", epoch = 0L)
+    val twice = graft.ext.TextOps.searchIndexBm25(spark, "streamspec_idxr",
+      Seq("data", "batch"), 10).as[(Long, Long, Long)].collect().toList
+    assert(once == twice, "replayed epoch must not double-count postings")
+    // a NEW epoch still folds in
+    graft.ext.TextOps.ingestIndexBatch(
+      Seq((3L, "batch batch")).toDF("doc_id", "text"), "streamspec_idxr",
+      epoch = 1L)
+    val after = graft.ext.TextOps.searchIndexBm25(spark, "streamspec_idxr",
+      Seq("batch"), 10).as[(Long, Long, Long)].collect().toList
+    assert(after.map(_._1).contains(3L))
+  }
+
+  test("appendBucketedIdempotent: a replayed epoch folds into the ANN layout exactly once (r10 advice)") {
+    def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val seed = Seq((0L, vec(1, 0, 0, 0)), (1L, vec(0, 1, 0, 0)))
+    val idx = java.nio.file.Files.createTempDirectory("emb_idem").toString
+    graft.ext.Similarity.writeBucketed(seed.toDF("vec_id", "embedding"),
+      idx, planes = 4, portable = true)
+    val batch = Seq((10L, vec(1, 0, 0, 0)), (11L, vec(0, 0, 1, 0)))
+      .toDF("vec_id", "embedding")
+    graft.ext.Similarity.appendBucketedIdempotent(spark, idx, batch,
+      epoch = 7L, planes = 4)
+    graft.ext.Similarity.appendBucketedIdempotent(spark, idx, batch,
+      epoch = 7L, planes = 4)
+    val ids = spark.read.parquet(idx).groupBy("vec_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(ids == Map(0L -> 1L, 1L -> 1L, 10L -> 1L, 11L -> 1L),
+      s"every vector exactly once, got $ids")
+    // a fresh epoch still appends
+    graft.ext.Similarity.appendBucketedIdempotent(spark, idx,
+      Seq((12L, vec(0, 1, 0.5, 0))).toDF("vec_id", "embedding"),
+      epoch = 8L, planes = 4)
+    assert(spark.read.parquet(idx).count() == 5L)
+  }
+
+  test("streaming expectations gate: merged per-epoch states == one-shot card") {
+    implicit val sqlCtx = spark.sqlContext
+    val rules = Seq(
+      "positive" -> (col("v") > 0L),
+      "small" -> (col("v") < 100L))
+    val day1 = Seq((1L, 5L), (2L, -3L), (3L, 200L))
+    val day2 = Seq((4L, 7L), (5L, 50L))
+    val stateDir = java.nio.file.Files.createTempDirectory("exp_state")
+      .toString
+    val stream = MemoryStream[(Long, Long)]
+    val q = graft.ext.Profiling.streamingExpectationsGate(
+      stream.toDF().toDF("id", "v"), rules, stateDir)
+    try {
+      stream.addData(day1); q.processAllAvailable()
+      stream.addData(day2); q.processAllAvailable()
+    } finally q.stop()
+    val merged = graft.ext.Profiling.mergeExpectations(
+        spark.read.parquet(stateDir))
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+    val oneShot = graft.ext.Profiling.expectationsCard(
+        (day1 ++ day2).toDF("id", "v"), rules)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+    assert(merged == oneShot)
+    // a replayed epoch overwrites its own state dir — card unchanged
+    graft.ext.Profiling.expectationsState(day2.toDF("id", "v"), rules)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$stateDir/epoch=1")
+    val replayed = graft.ext.Profiling.mergeExpectations(
+        spark.read.parquet(stateDir))
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+    assert(replayed == oneShot)
+  }
+
+  test("multiTouchAttribution: ppm credits sum to exactly 1e6; last-touch column degenerates to q57's kernel") {
+    // user 10: clicks at :00 and :05, purchase at :10 -> 2 touches
+    // user 11: view only -> purchase (if any) unattributed
+    val ev = Seq(
+      (1L, ts(0), 10L, "click", 1.0),
+      (2L, ts(5), 10L, "click", 2.0),
+      (3L, ts(10), 10L, "purchase", 9.0),
+      (4L, ts(1), 11L, "view", 3.0),
+      (5L, ts(20), 11L, "purchase", 8.0),
+      (6L, ts(30), 12L, "click", 1.0),
+      (7L, ts(31), 12L, "click", 1.0),
+      (8L, ts(32), 12L, "click", 1.0),
+      (9L, ts(40), 12L, "purchase", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventStreams.multiTouchAttribution(ev, "click", "purchase",
+      lookbackMs = 3600L * 1000)
+    // per-conversion sums are EXACTLY 10^6 for every credit model
+    val sums = out.filter(col("touch_id").isNotNull)
+      .groupBy("conv_id")
+      .agg(sum("credit_linear_ppm").as("l"), sum("credit_position_ppm").as("p"),
+        sum("credit_last_ppm").as("z"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(sums == Set((3L, 1000000L, 1000000L, 1000000L),
+      (9L, 1000000L, 1000000L, 1000000L)))
+    // 3 touches for conv 9: linear 333334/333333/333333 (largest
+    // remainder to the earliest position); U-shape 400000/200000/400000
+    val c9 = out.filter(col("conv_id") === 9L)
+      .orderBy("position")
+      .select("credit_linear_ppm", "credit_position_ppm")
+      .as[(Long, Long)].collect().toList
+    assert(c9 == List((333334L, 400000L), (333333L, 200000L),
+      (333333L, 400000L)))
+    // unattributed purchase survives with NULL touch and 0 touches
+    val u = out.filter(col("conv_id") === 5L)
+      .select(col("touch_id").isNull, col("n_touches"))
+      .as[(Boolean, Long)].collect().toList
+    assert(u == List((true, 0L)))
+    // last-touch degenerate case == lastTouchAttribution
+    val lt = EventStreams.lastTouchAttribution(ev, "click", "purchase",
+        3600L * 1000)
+      .filter(col("attributed"))
+      .select("conv_id", "touch_id").as[(Long, Long)].collect().toSet
+    val mt = out.filter(col("credit_last_ppm") === 1000000L)
+      .select("conv_id", "touch_id").as[(Long, Long)].collect().toSet
+    assert(mt == lt)
+  }
+
   test("lastTouchAttribution: latest in-window click wins, ties by max id") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
