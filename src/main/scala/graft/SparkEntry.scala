@@ -92,9 +92,13 @@ object SparkEntry {
     * the residual-PQ chains train on q − coarse_cq, which only exists
     * as a prior CTE. Seeds still come from `embeddings` (mirroring
     * the Scala side's seed-ids-from-corpus convention). */
+  /** `srcTable`: train over a different relation than `embeddings`
+    * (e.g. the base-corpus CTE of an append oracle) — affects both
+    * the quantized source and the seed ids. */
   private def kmeansCtes(k: Int, iters: Int, sfx: String = "",
                          lo: Int = 0, hi: Int = -1,
-                         qBody: Option[String] = None): String = {
+                         qBody: Option[String] = None,
+                         srcTable: String = "embeddings"): String = {
     def assignCte(name: String, cents: String) =
       s"""$name AS (
          | SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS d2 FROM (
@@ -117,12 +121,12 @@ object SparkEntry {
       else if (hi < 0)
         s"""q$sfx AS (SELECT vec_id, UNNEST(range(len(embedding))) AS dim,
            |  CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
-           | FROM embeddings)""".stripMargin
+           | FROM $srcTable)""".stripMargin
       else
         s"""q$sfx AS (SELECT vec_id, dim - $lo AS dim,
            |  CAST(FLOOR(CAST(embedding[dim + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
            | FROM (SELECT vec_id, embedding, UNNEST(range($lo, $hi)) AS dim
-           |   FROM embeddings))""".stripMargin
+           |   FROM $srcTable))""".stripMargin
     val rounds = (1 to iters).map(i =>
       assignCte(s"a$i$sfx", s"c${i - 1}$sfx") + ",\n" +
         updateCte(s"c$i$sfx", s"a$i$sfx"))
@@ -130,7 +134,7 @@ object SparkEntry {
     val sep = if (iters > 0) ",\n" else ""
     s"""$qCte,
        |seeds$sfx AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cluster
-       | FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+       | FROM (SELECT DISTINCT vec_id FROM $srcTable ORDER BY vec_id LIMIT $k)),
        |c0$sfx AS (SELECT s.cluster, q.dim, q.q AS cq
        | FROM q$sfx q JOIN seeds$sfx s USING (vec_id)),
        |$rounds$sep${assignCte(s"a${iters + 1}$sfx", s"c$iters$sfx")}""".stripMargin
@@ -408,6 +412,85 @@ object SparkEntry {
        |SELECT n_probe, n_queries, sum_recall_ppm,
        | sum_recall_ppm // n_queries AS mean_recall_ppm
        |FROM ($cardU) ORDER BY n_probe""".stripMargin
+  }
+
+  /** DuckDB oracle for [[graft.ext.Clustering.appendIvfPq]]: train
+    * the coarse + PQ chains on the BASE slice only (`srcTable`),
+    * then re-derive the FULL corpus's assignment and codes against
+    * the final (frozen) model — encoding the training slice against
+    * its own model reproduces its training codes exactly, so the
+    * union equals base-codes ∪ appended-batch-codes — and probe as
+    * usual. `baseCond` filters `embeddings` to the base slice. */
+  private def ivfPqAppendSql(cells: Int, cIters: Int, m: Int, sub: Int,
+                             k: Int, iters: Int, nProbe: Int, topK: Int,
+                             baseCond: String): String = {
+    val coarse = kmeansCtes(cells, cIters, "_ivf", srcTable = "embbase")
+    val parts = (0 until m)
+      .map(s => kmeansCtes(k, iters, s"_s$s", s * sub, (s + 1) * sub,
+        srcTable = "embbase"))
+      .mkString(",\n")
+    val encodes = (0 until m).map { s =>
+      val lo = s * sub; val hi = (s + 1) * sub
+      s"""qa_s$s AS (SELECT vec_id, dim - $lo AS dim, q FROM qall
+         |  WHERE dim >= $lo AND dim < $hi),
+         |ca_s$s AS (SELECT vec_id, cluster AS code FROM (
+         |  SELECT q.vec_id, c.cluster,
+         |   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |    ORDER BY SUM((q.q - c.cq) * (q.q - c.cq)), c.cluster) AS rk
+         |  FROM qa_s$s q JOIN c${iters}_s$s c ON c.dim = q.dim
+         |  GROUP BY q.vec_id, c.cluster) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val luts = (0 until m).map { s =>
+      s"""lut_s$s AS (SELECT query_id, c.cluster,
+         |  SUM((q.q - c.cq) * (q.q - c.cq)) AS adist
+         | FROM (SELECT vec_id AS query_id, dim, q FROM qa_s$s
+         |   WHERE vec_id < 5) q
+         | JOIN c${iters}_s$s c ON c.dim = q.dim
+         | GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val codesU = (0 until m).map(s =>
+      s"SELECT vec_id, $s AS subspace, code FROM ca_s$s")
+      .mkString(" UNION ALL ")
+    val lutU = (0 until m).map(s =>
+      s"SELECT query_id, $s AS subspace, cluster, adist FROM lut_s$s")
+      .mkString(" UNION ALL ")
+    s"""WITH embbase AS MATERIALIZED (SELECT * FROM embeddings
+       |  WHERE $baseCond),
+       |$coarse,
+       |$parts,
+       |qall AS MATERIALIZED (SELECT vec_id,
+       |  UNNEST(range(len(embedding))) AS dim,
+       |  CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+       | FROM embeddings),
+       |asgall AS MATERIALIZED (SELECT vec_id, cluster FROM (
+       |  SELECT q.vec_id, c.cluster,
+       |   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |    ORDER BY SUM((q.q - c.cq) * (q.q - c.cq)), c.cluster) AS rk
+       |  FROM qall q JOIN c${cIters}_ivf c ON c.dim = q.dim
+       |  GROUP BY q.vec_id, c.cluster) WHERE rk = 1),
+       |$encodes,
+       |$luts,
+       |codes AS ($codesU),
+       |lut AS ($lutU),
+       |qprobe AS (SELECT query_id, cluster FROM (
+       |  SELECT q.vec_id AS query_id, c.cluster,
+       |   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |    ORDER BY SUM((q.q - c.cq) * (q.q - c.cq)), c.cluster) AS rk
+       |  FROM qall q JOIN c${cIters}_ivf c ON c.dim = q.dim
+       |  WHERE q.vec_id < 5
+       |  GROUP BY q.vec_id, c.cluster) WHERE rk <= $nProbe),
+       |dist AS (SELECT l.query_id, a.vec_id AS neighbor_id,
+       |  SUM(l.adist) AS adc_d2
+       | FROM codes a
+       | JOIN asgall asg ON asg.vec_id = a.vec_id
+       | JOIN qprobe p ON p.cluster = asg.cluster
+       | JOIN lut l ON l.query_id = p.query_id
+       |   AND l.subspace = a.subspace AND l.cluster = a.code
+       | WHERE a.vec_id <> l.query_id GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, CAST(adc_d2 AS BIGINT) AS adc_d2,
+       | CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |   ORDER BY adc_d2, neighbor_id) AS INT) AS rank
+       |FROM dist QUALIFY rank <= $topK ORDER BY query_id, rank""".stripMargin
   }
 
   private def pqAdcSql(m: Int, sub: Int, k: Int, iters: Int,
@@ -792,6 +875,99 @@ object SparkEntry {
        | COALESCE(rc.refined, mm.id) AS refined
        |FROM mem mm LEFT JOIN a$rounds ar ON ar.id = mm.id
        | LEFT JOIN rcomp rc ON rc.id = mm.id
+       |ORDER BY mm.id""".stripMargin
+  }
+
+  /** DuckDB oracle for [[LinkAnalysis.leidenTwoLevel]]: the level-1
+    * move chain, the [[leidenSql]] refinement (recursive closure →
+    * refined = min member of each within-community connected part),
+    * contraction BY REFINED PARTS into the weighted super-graph, the
+    * weighted move phase, and the composed map back. */
+  private def leiden2Sql(r1: Int, r2: Int): String = {
+    val lvl1 = (1 to r1).map { r =>
+      s"""cand$r AS MATERIALIZED (SELECT s.u, a.community AS c,
+         |  CAST(COUNT(*) AS BIGINT) AS kuc
+         | FROM sym s JOIN a${r - 1} a ON a.id = s.v GROUP BY 1, 2),
+         |tot$r AS MATERIALIZED (SELECT a.community,
+         |  CAST(SUM(d.d) AS BIGINT) AS tot
+         | FROM a${r - 1} a JOIN deg d ON d.u = a.id GROUP BY 1),
+         |allc$r AS (SELECT u, c, MAX(kuc) AS kuc FROM (
+         |  SELECT u, c, kuc FROM cand$r
+         |  UNION ALL SELECT id, community, 0 FROM a${r - 1}) GROUP BY 1, 2),
+         |gain$r AS (SELECT x.u, x.c,
+         |  2 * mt.m * x.kuc - d.d * (t.tot -
+         |    CASE WHEN cur.community = x.c THEN d.d ELSE 0 END) AS g
+         | FROM allc$r x JOIN deg d ON d.u = x.u
+         |  JOIN a${r - 1} cur ON cur.id = x.u
+         |  JOIN tot$r t ON t.community = x.c, mt
+         | WHERE x.c <= cur.community),
+         |a$r AS MATERIALIZED (SELECT u AS id, c AS community FROM gain$r
+         | QUALIFY ROW_NUMBER() OVER (PARTITION BY u
+         |   ORDER BY g DESC, c) = 1)""".stripMargin
+    }.mkString(",\n")
+    val lvl2 = (1 to r2).map { r =>
+      s"""wcand$r AS MATERIALIZED (SELECT s.u, a.community AS c,
+         |  CAST(SUM(s.w) AS BIGINT) AS kuc
+         | FROM sym2 s JOIN b${r - 1} a ON a.id = s.v GROUP BY 1, 2),
+         |wtot$r AS MATERIALIZED (SELECT a.community,
+         |  CAST(SUM(d.d) AS BIGINT) AS tot
+         | FROM b${r - 1} a JOIN deg2 d ON d.u = a.id GROUP BY 1),
+         |wallc$r AS (SELECT u, c, MAX(kuc) AS kuc FROM (
+         |  SELECT u, c, kuc FROM wcand$r
+         |  UNION ALL SELECT id, community, 0 FROM b${r - 1}) GROUP BY 1, 2),
+         |wgain$r AS (SELECT x.u, x.c,
+         |  2 * mt2.m * x.kuc - d.d * (t.tot -
+         |    CASE WHEN cur.community = x.c THEN d.d ELSE 0 END) AS g
+         | FROM wallc$r x JOIN deg2 d ON d.u = x.u
+         |  JOIN b${r - 1} cur ON cur.id = x.u
+         |  JOIN wtot$r t ON t.community = x.c, mt2
+         | WHERE x.c <= cur.community),
+         |b$r AS MATERIALIZED (SELECT u AS id, c AS community FROM wgain$r
+         | QUALIFY ROW_NUMBER() OVER (PARTITION BY u
+         |   ORDER BY g DESC, c) = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE $copurchaseSql,
+       |sym AS MATERIALIZED (SELECT a AS u, b AS v FROM pe
+       | UNION ALL SELECT b, a FROM pe),
+       |deg AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS BIGINT) AS d
+       | FROM sym GROUP BY u),
+       |mt AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pe),
+       |a0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS community FROM sym),
+       |$lvl1,
+       |refedges AS MATERIALIZED (SELECT p.a, p.b FROM pe p
+       | JOIN a$r1 x ON x.id = p.a JOIN a$r1 y ON y.id = p.b
+       | WHERE x.community = y.community),
+       |rsym AS MATERIALIZED (SELECT a AS u, b AS v FROM refedges
+       | UNION ALL SELECT b, a FROM refedges),
+       |reach(id, r) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM rsym)
+       |  UNION
+       |  SELECT s.v, reach.r FROM reach JOIN rsym s ON s.u = reach.id),
+       |rcomp AS (SELECT id, MIN(r) AS refined FROM reach GROUP BY id),
+       |r1m AS MATERIALIZED (SELECT a.id,
+       |  COALESCE(rc.refined, a.id) AS refined
+       | FROM a$r1 a LEFT JOIN rcomp rc ON rc.id = a.id),
+       |agg AS MATERIALIZED (SELECT LEAST(x.refined, y.refined) AS a,
+       |  GREATEST(x.refined, y.refined) AS b,
+       |  CAST(COUNT(*) AS BIGINT) AS w
+       | FROM pe p JOIN r1m x ON x.id = p.a JOIN r1m y ON y.id = p.b
+       | GROUP BY 1, 2),
+       |pair2 AS (SELECT a, b, w FROM agg WHERE a <> b),
+       |self2 AS (SELECT a AS u, 2 * w AS sw FROM agg WHERE a = b),
+       |sym2 AS MATERIALIZED (SELECT a AS u, b AS v, w FROM pair2
+       | UNION ALL SELECT b, a, w FROM pair2),
+       |deg2 AS MATERIALIZED (SELECT u, CAST(SUM(dw) AS BIGINT) AS d FROM (
+       |  SELECT u, w AS dw FROM sym2 UNION ALL SELECT u, sw FROM self2)
+       | GROUP BY u),
+       |mt2 AS (SELECT CAST(SUM(d) // 2 AS BIGINT) AS m FROM deg2),
+       |b0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS community FROM (
+       |  SELECT a AS u FROM agg UNION ALL SELECT b FROM agg)),
+       |$lvl2,
+       |mem AS (SELECT DISTINCT i AS id FROM gi)
+       |SELECT mm.id,
+       | COALESCE(bb.community, rr.refined, mm.id) AS community
+       |FROM mem mm LEFT JOIN r1m rr ON rr.id = mm.id
+       | LEFT JOIN b$r2 bb ON bb.id = rr.refined
        |ORDER BY mm.id""".stripMargin
   }
 
@@ -1449,6 +1625,37 @@ object SparkEntry {
              | JOIN region ON n_regionkey = r_regionkey
              |GROUP BY ROLLUP (r_name, n_name)
              |ORDER BY region, nation""".stripMargin)),
+
+    QueryDef("q60_grouping_sets",
+      // explicit GROUPING SETS with non-hierarchical combinations —
+      // the surface ROLLUP (q15) and CUBE (q18) can't express: the
+      // (flag, status), (status), () levels skip the (flag) level a
+      // rollup would force. One Expand pass, one shuffle, no per-level
+      // re-scan; GROUPING() disambiguates real NULLs from subtotal
+      // rows on both engines.
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql(s"""SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+                 | COALESCE(l_linestatus, 'ALL') AS status,
+                 | CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+                 | CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+                 | CAST(COUNT(*) AS BIGINT) AS n,
+                 | ${dsumSql("l_quantity")} AS qty_sum
+                 |FROM lineitem
+                 |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                 |  (l_linestatus), ())
+                 |ORDER BY g_flag, g_status, flag, status""".stripMargin)
+      },
+      Some(s"""SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+             | COALESCE(l_linestatus, 'ALL') AS status,
+             | CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+             | CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+             | CAST(COUNT(*) AS BIGINT) AS n,
+             | ${dsumSql("l_quantity")} AS qty_sum
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+             |  (l_linestatus), ())
+             |ORDER BY g_flag, g_status, flag, status""".stripMargin)),
 
     QueryDef("q16_pivot",
       // pivot with an EXPLICIT value list (deterministic output schema
@@ -3142,6 +3349,33 @@ object SparkEntry {
       },
       Some(ivfPqResidualSql(4, 1, 4, 16, 8, 1, 2, 10))),
 
+    QueryDef("x142_ivf_pq_append",
+      // the index LIFECYCLE completed (the x42/x43 band-index
+      // economics for vector retrieval): the layout builds WITHOUT
+      // every 7th vector, the held-out batch then folds in via
+      // appendIvfPq — coarse-assigned against the PERSISTED centroids
+      // and encoded against the PERSISTED codebook (one broadcast-join
+      // pass over the batch; the corpus is never re-encoded, the model
+      // intentionally never drifts on append), landing as additional
+      // files under its cell directories — and the probe sees one
+      // consistent index. The oracle trains on the base slice only and
+      // re-derives the full corpus's codes against the frozen model
+      // (encoding the training slice against its own model reproduces
+      // its codes exactly — the pqEncodeWith-pinned identity).
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val path = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "x142_ivfpq_app").toString
+        Clustering.writeIvfPq(emb.where(col("vec_id") % 7 =!= 0), path,
+          dims = 64, cells = 4, m = 4, k = 8, iters = 1)
+        Clustering.appendIvfPq(s, path,
+          emb.where(col("vec_id") % 7 === 0), dims = 64, m = 4)
+        Clustering.probeIvfPq(s, path, emb.where(col("vec_id") < 5),
+            dims = 64, nProbe = 2, m = 4, topK = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfPqAppendSql(4, 1, 4, 16, 8, 1, 2, 10, "vec_id % 7 <> 0"))),
+
     QueryDef("x140_ivf_pq_recall_card",
       // recall-vs-nProbe tuning card — "measure, don't guess" applied
       // to the retrieval leg's own knob: per swept nProbe the mean
@@ -3554,6 +3788,29 @@ object SparkEntry {
           .orderBy("id")
       },
       Some(leidenSql(4))),
+
+    QueryDef("g68_leiden_two_level",
+      // the FULL Leiden pyramid at depth 2 (Traag 2019): move →
+      // refine → contract BY REFINED PARTS → weighted move → compose.
+      // The paper's structural fix over g59's Louvain pyramid: Louvain
+      // contracts possibly-disconnected communities into single
+      // super-vertices (freezing the defect forever); Leiden contracts
+      // connected parts, so every level's super-graph is an honest
+      // quotient. Same exact-integer determinism; the oracle unrolls
+      // both move chains AND the recursive-closure refinement.
+      (s, dir) => {
+        val gi = StarGraph.copurchaseGi(s, dir)
+        val pairs = LinkAnalysis.jaccardPairsFromGi(gi, 2).select("a", "b")
+          .localCheckpoint() // feeds move, refine AND contraction
+        val assign = LinkAnalysis.leidenTwoLevel(pairs, rounds1 = 4,
+          rounds2 = 4)
+        gi.select(col("i").as("id")).distinct()
+          .join(assign, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("community"), col("id")).as("community"))
+          .orderBy("id")
+      },
+      Some(leiden2Sql(4, 4))),
 
     QueryDef("g60_luby_mis",
       // Luby's maximal independent set over the co-purchase conflict

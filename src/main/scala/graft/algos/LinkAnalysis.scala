@@ -927,6 +927,28 @@ object LinkAnalysis {
         coalesce(col("comp"), col("id")).as("refined"))
   }
 
+  /** The full Leiden pyramid cut at depth 2 (Traag et al. 2019):
+    * [[louvainLocalMove]], then the [[leidenRefine]] connectivity
+    * pass, then contraction BY THE REFINED PARTS — the paper's key
+    * structural fix: Louvain contracts possibly-disconnected
+    * communities into single super-vertices (the defect then frozen
+    * forever), Leiden contracts connected parts, so every level's
+    * super-graph is an honest quotient — then the weighted move phase
+    * and the composed map back. Same determinism contract as
+    * [[louvainTwoLevel]] (monotone labels, exact integer gains), so
+    * the whole pyramid hash-matches an unrolled oracle (g68). */
+  def leidenTwoLevel(pairs: DataFrame, rounds1: Int = 4,
+                     rounds2: Int = 4): DataFrame = {
+    val a1 = louvainLocalMove(pairs, rounds1).localCheckpoint()
+    val r1 = leidenRefine(pairs, a1).localCheckpoint()
+    val agg = louvainAggregate(pairs,
+      r1.select(col("id"), col("refined").as("community")))
+    val a2 = louvainLocalMoveWeighted(agg, rounds2)
+    r1.join(a2.select(col("id").as("refined"),
+        col("community").as("c2")), "refined")
+      .select(col("id"), col("c2").as("community"))
+  }
+
   /** Luby's maximal independent set — the classic O(log n)-round
     * symmetric-breaking kernel (diverse-subset selection: no two
     * chosen items adjacent in the conflict graph): every undecided

@@ -531,6 +531,111 @@ object Clustering {
       .select(col("query_id"), col("neighbor_id"), col("adc_d2"), col("rank"))
   }
 
+  /** Per-subspace nearest-codebook-entry encoding over a
+    * PRE-QUANTIZED (vec_id, dim, q) table (raw or residual) — the
+    * shared encode kernel of [[appendIvfPq]]'s two branches. Returns
+    * (vec_id, subspace, code). */
+  private def encodeAgainst(quant: DataFrame, codebook: DataFrame,
+                            dims: Int, m: Int): DataFrame = {
+    val sub = dims / m
+    val sliced = (0 until m).map { s =>
+      quant.filter(col("dim") >= s * sub && col("dim") < (s + 1) * sub)
+        .select(col("vec_id"), lit(s).as("subspace"),
+          (col("dim") - s * sub).as("dim"), col("q"))
+    }.reduce(_ unionAll _)
+    val d2 = sliced.join(broadcast(codebook), Seq("subspace", "dim"))
+      .groupBy("vec_id", "subspace", "cluster")
+      .agg(sum(((col("q") - col("cq")) * (col("q") - col("cq")))
+        .cast("decimal(38,0)")).as("d2"))
+    val w = Window.partitionBy("vec_id", "subspace")
+      .orderBy(col("d2"), col("cluster"))
+    d2.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("subspace"), col("cluster").as("code"))
+  }
+
+  /** Fold a NEW batch (ids disjoint from the indexed corpus) into a
+    * [[writeIvfPq]] layout WITHOUT retraining — the daily-ingest leg
+    * that completes the index lifecycle (build / probe / append, the
+    * x42/x43 band-index economics for vector retrieval): the batch
+    * assigns to the PERSISTED coarse centroids (same distance
+    * arithmetic and tie order as the build), encodes against the
+    * PERSISTED codebook (raw or residual to match the layout), and
+    * its code rows land as additional files under their cell
+    * directories — nothing rewritten, the corpus is never re-encoded.
+    * Probe-after-append equals a probe of a layout built from the
+    * same MODEL over corpus ∪ batch (x142 hash-matches the composed
+    * oracle; the model itself intentionally never drifts on append —
+    * retraining cadence is a build-time decision). Cost: one
+    * broadcast-join encode over the batch. */
+  def appendIvfPq(spark: org.apache.spark.sql.SparkSession, path: String,
+                  batch: DataFrame, dims: Int, m: Int = 4,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  residual: Boolean = false): Unit = {
+    require(m > 0 && dims % m == 0, "appendIvfPq: m must divide dims")
+    encodeBatchFor(spark, path, batch, dims, m, idCol, vecCol, residual)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** The encode half of [[appendIvfPq]] — (vec_id, subspace, code,
+    * cell) rows for a batch against the persisted model. */
+  private def encodeBatchFor(spark: org.apache.spark.sql.SparkSession,
+                             path: String, batch: DataFrame, dims: Int,
+                             m: Int, idCol: String, vecCol: String,
+                             residual: Boolean): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val codebook = spark.read.parquet(s"$path/codebook")
+    val q = quantize(batch, idCol, vecCol).localCheckpoint()
+    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
+    val assign = q.join(broadcast(cents), Seq("dim"))
+      .groupBy("vec_id", "cluster")
+      .agg(sum(((col("q") - col("cq")) * (col("q") - col("cq")))
+        .cast("decimal(38,0)")).as("d2"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("cluster").as("cell"))
+      .localCheckpoint()
+    val encodeInput =
+      if (!residual) q
+      else q.join(assign.select(col("vec_id"), col("cell").as("cluster")),
+          Seq("vec_id"))
+        .join(broadcast(cents), Seq("cluster", "dim"))
+        .select(col("vec_id"), col("dim"), (col("q") - col("cq")).as("q"))
+    encodeAgainst(encodeInput, codebook, dims, m).join(assign, Seq("vec_id"))
+  }
+
+  /** Continuous IVF-PQ retrieval over a vector stream — the fourth
+    * application of the engine's probe/append streaming pattern (the
+    * band index, the sign-LSH layout, the inverted index; now the
+    * production retrieval layout): each micro-batch probes the
+    * persisted [[writeIvfPq]] layout (its top-k lands in
+    * `resultDir/epoch=N/`, per-epoch Overwrite — replay-idempotent),
+    * then folds in through the shared exactly-once staged-move
+    * protocol ([[graft.sources.IdempotentAppend]] on the cell
+    * partition — a replayed epoch appends once), so later epochs
+    * retrieve against it. Probe before append — order matters, or the
+    * batch would meet itself through the index. */
+  def streamingIvfPq(path: String, stream: DataFrame, resultDir: String,
+                     dims: Int, nProbe: Int, m: Int = 4, topK: Int = 10,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     residual: Boolean = false,
+                     checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       epoch: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.localCheckpoint() // probe + append both consume it
+        probeIvfPq(spark, path, b, dims, nProbe, m, topK, idCol, vecCol,
+            residual)
+          .write.mode("overwrite").parquet(s"$resultDir/epoch=$epoch")
+        graft.sources.IdempotentAppend.append(spark, s"$path/codes",
+          encodeBatchFor(spark, path, b, dims, m, idCol, vecCol, residual),
+          "cell", epoch)
+        ()
+    }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+
   /** Exact integer-L2 top-k — the ground truth the ANN recall cards
     * compare against: per query the true `topK` nearest corpus
     * vectors under Σ(q_a − q_b)² over micro-unit quantized

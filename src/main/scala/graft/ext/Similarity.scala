@@ -377,59 +377,22 @@ object Similarity {
 
   /** [[appendBucketed]] made replay-safe for foreachBatch's
     * at-least-once delivery: a replayed epoch folds into the layout
-    * exactly ONCE. Protocol (all under the layout root, `_`-prefixed
-    * paths are invisible to partition discovery):
-    *  1. a committed-epoch marker `_epochs/<epoch>` short-circuits a
-    *     fully-applied replay;
-    *  2. the batch stages under `_staging/epoch=<epoch>` with
-    *     mode(Overwrite) — re-staging is idempotent;
-    *  3. any `epoch-<epoch>-*` files a crashed earlier attempt already
-    *     moved into the staged buckets are DELETED (bucketing is
-    *     deterministic, so replays stage the identical bucket set),
-    *     then the staged files move in under deterministic
-    *     `epoch-<epoch>-<i>` names;
-    *  4. the marker commits.
-    * A crash at any step leaves a state the replay repairs to the
-    * exact single-application layout. Concurrent external readers can
-    * observe a mid-move torn epoch (inherent to multi-file commit on
-    * a plain filesystem); the streaming loop itself is sequential. */
+    * exactly ONCE via the shared staged-move protocol
+    * ([[graft.sources.IdempotentAppend]] — marker short-circuit,
+    * Overwrite staging, delete-then-move under deterministic
+    * epoch-tagged names, marker commit). Bucketing is a deterministic
+    * function of the batch, which is what makes the protocol's
+    * delete-and-redo repair exact. */
   def appendBucketedIdempotent(spark: org.apache.spark.sql.SparkSession,
                                path: String, batch: DataFrame, epoch: Long,
                                planes: Int = 6, idCol: String = "vec_id",
                                vecCol: String = "embedding"): Unit = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new Path(root, s"_epochs/$epoch")
-    if (fs.exists(marker)) return // epoch already committed
     val dim = probeDim(spark.read.parquet(path), vecCol)
       .orElse(probeDim(batch, vecCol)).getOrElse(return)
-    val staging = new Path(root, s"_staging/epoch=$epoch")
-    batch.select(col(idCol), col(vecCol),
-        lshBucketPortableStatic(col(vecCol), planes, dim).as("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(staging.toString)
-    val stagedBuckets = fs.listStatus(staging)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-    for (b <- stagedBuckets) {
-      val dest = new Path(root, b.getPath.getName)
-      fs.mkdirs(dest)
-      // clear a crashed attempt's partial move of THIS epoch first —
-      // part-file counts may differ between attempts, so skipping
-      // name collisions alone could mix two attempts' files
-      fs.listStatus(dest)
-        .filter(_.getPath.getName.startsWith(s"epoch-$epoch-"))
-        .foreach(f => fs.delete(f.getPath, false))
-      val staged = fs.listStatus(b.getPath)
-        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
-          !f.getPath.getName.startsWith("."))
-        .sortBy(_.getPath.getName)
-      staged.zipWithIndex.foreach { case (f, i) =>
-        fs.rename(f.getPath, new Path(dest, s"epoch-$epoch-$i.parquet"))
-      }
-    }
-    fs.delete(new Path(root, "_staging"), true)
-    fs.mkdirs(marker)
+    graft.sources.IdempotentAppend.append(spark, path,
+      batch.select(col(idCol), col(vecCol),
+        lshBucketPortableStatic(col(vecCol), planes, dim).as("bucket")),
+      "bucket", epoch)
   }
 
   /** Continuous embedding near-dup over a vector stream — the

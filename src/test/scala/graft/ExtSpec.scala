@@ -540,6 +540,46 @@ class ExtSpec extends SparkSuite {
     assert(bEnc == Set((1000L, 0), (1000L, 1)))
   }
 
+  test("appendIvfPq: re-appended training vectors reproduce their cells and codes (r11)") {
+    // the pqEncodeWith identity lifted to the whole persisted layout:
+    // appending the training slice under offset ids must land every
+    // vector in the SAME cell with the SAME codes — raw and residual
+    val emb = (0 until 80).map(i =>
+      (i.toLong, Array.tabulate(8)(d => (math.sin(i * 3 + d) * 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    for (res <- Seq(false, true)) {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"ivfpq_app_$res").toString
+      Clustering.writeIvfPq(emb, path, dims = 8, cells = 3, m = 2, k = 4,
+        iters = 1, residual = res)
+      Clustering.appendIvfPq(spark,
+        path, emb.withColumn("vec_id", $"vec_id" + 10000L), dims = 8,
+        m = 2, residual = res)
+      val codes = spark.read.parquet(s"$path/codes")
+      val mismatch = codes.filter($"vec_id" < 10000L)
+        .join(codes.filter($"vec_id" >= 10000L)
+            .select(($"vec_id" - 10000L).as("vec_id"), $"subspace",
+              $"code".as("code2"), $"cell".as("cell2")),
+          Seq("vec_id", "subspace"))
+        .filter($"code" =!= $"code2" || $"cell" =!= $"cell2")
+      assert(mismatch.count() == 0L, s"residual=$res")
+      // every appended row exists (same multiplicity)
+      assert(codes.filter($"vec_id" >= 10000L).count() ==
+        codes.filter($"vec_id" < 10000L).count())
+    }
+  }
+
+  test("leidenTwoLevel: equals louvainTwoLevel's partition when every community is connected (r11)") {
+    import graft.algos.LinkAnalysis
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("a", "b")
+    def parts(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().groupBy(_._2)
+        .values.map(_.map(_._1).toSet).toSet
+    assert(parts(LinkAnalysis.leidenTwoLevel(tri, 4, 4)) ==
+      parts(LinkAnalysis.louvainTwoLevel(tri, 4, 4)))
+  }
+
   test("piiAudit: detection counts + identifying-class flag (X3)") {
     val docs = Seq(
       (1L, "mail a@b.com and c.d@e.org then see https://x.y/z page 42"),

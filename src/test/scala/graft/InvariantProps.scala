@@ -1587,4 +1587,130 @@ object InvariantProps extends Properties("GraftInvariants") {
       } yield (100L + qi, vi.toLong)).toSet
       got == want
     }
+
+  property("multiTouchAttribution credits == brute largest-remainder apportionment") =
+    forAll(genAttr) { evs =>
+      import spark.implicits._
+      val lookbackMs = 10000L
+      def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+      val rows = evs.zipWithIndex.map { case ((u, ty, t), i) =>
+        (i.toLong, ts(t), u.toLong, ty) }
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type")
+      val got = graft.streaming.EventStreams.multiTouchAttribution(
+          df, "click", "purchase", lookbackMs)
+        .select("conv_id", "touch_id", "position", "n_touches",
+          "credit_linear_ppm", "credit_position_ppm", "credit_last_ppm")
+        .as[(Long, Option[Long], Option[Long], Long, Option[Long],
+          Option[Long], Option[Long])].collect().toSet
+      // brute: same-ts clicks collapse to max id; in-window =
+      // touch_ts <= conv_ts && conv_ts - touch_ts <= lookback;
+      // position order (ts, id); integer largest-remainder shares
+      val clicks = rows.filter(_._4 == "click")
+        .groupBy(r => (r._3, r._2)).map { case ((u, t), v) =>
+          (u, t, v.map(_._1).max) }.toSeq
+      val want = rows.filter(_._4 == "purchase").flatMap { c =>
+        val inw = clicks.filter(k => k._1 == c._3 && !k._2.after(c._2) &&
+            c._2.getTime - k._2.getTime <= lookbackMs)
+          .sortBy(k => (k._2.getTime, k._3))
+        if (inw.isEmpty)
+          Seq((c._1, None, None, 0L, None, None, None))
+        else {
+          val n = inw.size.toLong
+          inw.zipWithIndex.map { case (k, i0) =>
+            val pos = i0 + 1L
+            val lin = 1000000L / n + (if (pos <= 1000000L % n) 1L else 0L)
+            val posCr =
+              if (n == 1) 1000000L
+              else if (n == 2) 500000L
+              else if (pos == 1 || pos == n) 400000L
+              else 200000L / (n - 2) +
+                (if (pos - 1 <= 200000L % (n - 2)) 1L else 0L)
+            val last = if (pos == n) 1000000L else 0L
+            (c._1, Some(k._3), Some(pos), n, Some(lin), Some(posCr),
+              Some(last))
+          }
+        }
+      }.toSet
+      got == want
+    }
+
+  property("leidenRefine == brute per-community union-find") =
+    forAll(genGraph) { case (n, edges) =>
+      import spark.implicits._
+      val pairs = edges.filter(e => e._1 != e._2)
+        .map(e => (e._1.toLong, e._2.toLong))
+      pairs.isEmpty || {
+        // arbitrary assignment: community = id % 3 of the min member
+        val ids = pairs.flatMap(e => Seq(e._1, e._2)).distinct
+        val assign = ids.map(i => (i, i % 3))
+        val got = graft.algos.LinkAnalysis.leidenRefine(
+            pairs.toDF("a", "b"), assign.toDF("id", "community"))
+          .as[(Long, Long, Long)].collect().toSet
+        // brute union-find over intra-community edges only
+        val comm = assign.toMap
+        val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+        def find(x: Long): Long =
+          if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+        for ((a, b) <- pairs if comm(a) == comm(b)) {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = ids.map { i =>
+          // path-compress fully: root is the min member by construction
+          (i, comm(i), find(i))
+        }.toSet
+        got == want
+      }
+    }
+
+  property("mergeExpectations over random slices == one-shot expectationsCard") =
+    forAll(for {
+      n <- Gen.choose(1, 24)
+      vals <- Gen.listOfN(n, Gen.choose(-50L, 150L))
+      th <- Gen.choose(0L, 100L)
+    } yield (vals, th)) { case (vals, th) =>
+      import spark.implicits._
+      val rules = Seq(
+        "positive" -> (col("v") > 0L),
+        "below_th" -> (col("v") < th))
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      // three hash slices (some possibly empty — a zero-row state must
+      // merge as zeros, not NULLs)
+      val parts = (0 until 3).map(i =>
+        graft.ext.Profiling.expectationsState(
+          df.where(pmod(col("id"), lit(3)) === i), rules))
+      val merged = graft.ext.Profiling.mergeExpectations(
+          parts.reduce(_ unionAll _))
+        .collect().map(_.toSeq).toSet
+      val one = graft.ext.Profiling.expectationsCard(df, rules)
+        .collect().map(_.toSeq).toSet
+      merged == one
+    }
+
+  property("exactL2TopK == brute integer L2 ranking") =
+    forAll(genVecs) { vecs =>
+      import spark.implicits._
+      val corpus = vecs.zipWithIndex.map { case (v, i) =>
+        (i.toLong, v) }.toDF("vec_id", "embedding")
+      val qs = vecs.take(2)
+      val queries = qs.zipWithIndex.map { case (v, i) =>
+        (100L + i, v) }.toDF("vec_id", "embedding")
+      val k = 3
+      val got = graft.ext.Clustering.exactL2TopK(corpus, queries, k)
+        .select("query_id", "neighbor_id", "d2", "rank")
+        .as[(Long, Long, Long, Int)].collect().toSet
+      def quant(v: Array[Float]): Array[Long] =
+        v.map(x => math.floor(x.toDouble * 1e6).toLong)
+      val want = (for ((q, qi) <- qs.zipWithIndex) yield {
+        val qq = quant(q)
+        vecs.zipWithIndex.map { case (v, vi) =>
+          val d2 = quant(v).zip(qq).map { case (a, b) =>
+            (a - b) * (a - b) }.sum
+          (vi.toLong, d2)
+        }.sortBy { case (id, d2) => (d2, id) }.take(k).zipWithIndex
+          .map { case ((id, d2), r) => (100L + qi, id, d2, r + 1) }
+      }).flatten.toSet
+      got == want
+    }
 }

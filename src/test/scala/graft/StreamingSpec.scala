@@ -607,6 +607,59 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(idx).count() == 5L)
   }
 
+  test("streamingIvfPq: per-epoch probe+append == the batch lifecycle; replay appends once") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Clustering
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(8)(d => (math.sin(i * 3 + d) * 5).toFloat)
+    val corpus = (0 until 40).map(i => (i.toLong, vec(i)))
+    val day1 = Seq((100L, vec(1)), (101L, vec(25)))
+    val day2 = Seq((200L, vec(100)), (201L, vec(1)))
+    // streaming leg
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_s").toString
+    Clustering.writeIvfPq(corpus.toDF("vec_id", "embedding"), idx,
+      dims = 8, cells = 2, m = 2, k = 4, iters = 1)
+    val resDir = java.nio.file.Files.createTempDirectory("ivfpq_r").toString
+    val stream = MemoryStream[(Long, Array[Float])]
+    // topK covers the whole probed cell so the cross-epoch duplicate
+    // cannot be displaced by code-collision ties
+    val q = Clustering.streamingIvfPq(idx,
+      stream.toDF().toDF("vec_id", "embedding"), resDir,
+      dims = 8, nProbe = 1, m = 2, topK = 50)
+    try {
+      stream.addData(day1); q.processAllAvailable()
+      stream.addData(day2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(resDir)
+      .select("query_id", "neighbor_id", "adc_d2", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    // batch lifecycle twin on a fresh copy of the layout
+    val idx2 = java.nio.file.Files.createTempDirectory("ivfpq_s2").toString
+    Clustering.writeIvfPq(corpus.toDF("vec_id", "embedding"), idx2,
+      dims = 8, cells = 2, m = 2, k = 4, iters = 1)
+    val p1 = Clustering.probeIvfPq(spark, idx2, day1.toDF("vec_id", "embedding"),
+      dims = 8, nProbe = 1, m = 2, topK = 50)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    Clustering.appendIvfPq(spark, idx2, day1.toDF("vec_id", "embedding"),
+      dims = 8, m = 2)
+    val p2 = Clustering.probeIvfPq(spark, idx2, day2.toDF("vec_id", "embedding"),
+      dims = 8, nProbe = 1, m = 2, topK = 50)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(streamed == (p1 ++ p2))
+    // cross-epoch retrieval: day 2's 201 duplicates day 1's 100 (both
+    // vec(1)) — visible only because epoch 1's batch was appended
+    // before epoch 2 probed (ADC distance = the query's own
+    // quantization distortion, ties with corpus vec 1)
+    assert(streamed.exists { case (qid, nb, _, _) =>
+      qid == 201L && nb == 100L })
+    // replayed epoch: re-running the epoch-1 append through the
+    // idempotent protocol leaves the layout unchanged
+    val before = spark.read.parquet(s"$idx/codes").count()
+    graft.sources.IdempotentAppend.append(spark, s"$idx/codes",
+      spark.read.parquet(s"$idx2/codes").limit(1), "cell", 0L)
+    assert(spark.read.parquet(s"$idx/codes").count() == before)
+  }
+
   test("streaming expectations gate: merged per-epoch states == one-shot card") {
     implicit val sqlCtx = spark.sqlContext
     val rules = Seq(
