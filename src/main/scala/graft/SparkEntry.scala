@@ -44,6 +44,30 @@ object SparkEntry {
   private def graph(s: SparkSession, dir: String): OnionGraph =
     StarGraph.graph(s, dir)
 
+  /** Memoized IVF-PQ layout per (session, dir, residual) — x137/x139/
+    * x140 consume an IDENTICAL immutable trained layout (same corpus,
+    * dims=64, cells=4, m=4, k=8, iters=1), so one training per JVM
+    * serves them all; training is deterministic, so which query
+    * triggers the build cannot change any answer. x142 is NOT
+    * memoized: its append MUTATES the layout, so it builds its own.
+    * Same stopped-session sweep as [[minSeed]]. */
+  private val ivfPqCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Boolean), String]
+  private def ivfPqLayout(s: SparkSession, dir: String,
+                          residual: Boolean): String = {
+    ivfPqCache.forEach((k, v) =>
+      if (k._1.sparkContext.isStopped) ivfPqCache.remove(k, v))
+    ivfPqCache.computeIfAbsent((s, dir, residual), _ => {
+      val tag = if (residual) "res" else "raw"
+      val path = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"),
+        s"ivfpq_${tag}_${math.abs(dir.hashCode)}").toString
+      Clustering.writeIvfPq(t(s, dir, "embeddings"), path, dims = 64,
+        cells = 4, m = 4, k = 8, iters = 1, residual = residual)
+      path
+    })
+  }
+
   /** Memoized `min(keyCol)` seed lookup as a string. A dozen corpus
     * queries anchor a traversal at the smallest key of a dimension
     * table; the value is a constant of the dataset, so one parquet-agg
@@ -491,6 +515,100 @@ object SparkEntry {
        | CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |   ORDER BY adc_d2, neighbor_id) AS INT) AS rank
        |FROM dist QUALIFY rank <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB oracle for the RESIDUAL layout's recall card: the x139
+    * chains (coarse + residual-table + per-slice codebooks), the
+    * probe ranking kept unfiltered, per-(query, cell) residual LUTs
+    * over EVERY cell (the card sweeps nProbe up to `cells`), the
+    * exact-L2 ground truth, and per swept nProbe the ADC top-k +
+    * recall rollup. */
+  private def ivfPqResidualRecallSql(cells: Int, cIters: Int, m: Int,
+                                     sub: Int, k: Int, iters: Int,
+                                     topK: Int, nProbes: Seq[Int]): String = {
+    val coarse = kmeansCtes(cells, cIters, "_ivf")
+    val resCte =
+      s"""qres AS MATERIALIZED (SELECT q.vec_id, q.dim, q.q - c.cq AS q
+         | FROM q_ivf q JOIN a${cIters + 1}_ivf a USING (vec_id)
+         | JOIN c${cIters}_ivf c ON c.cluster = a.cluster
+         |   AND c.dim = q.dim)""".stripMargin
+    val parts = (0 until m).map { s =>
+      val lo = s * sub; val hi = (s + 1) * sub
+      kmeansCtes(k, iters, s"_rs$s", qBody = Some(
+        s"SELECT vec_id, dim - $lo AS dim, q FROM qres" +
+          s" WHERE dim >= $lo AND dim < $hi"))
+    }.mkString(",\n")
+    val luts = (0 until m).map { s =>
+      val lo = s * sub; val hi = (s + 1) * sub
+      s"""lutr_s$s AS (SELECT r.query_id, r.cell, c.cluster,
+         |  SUM((r.q - c.cq) * (r.q - c.cq)) AS adist
+         | FROM (SELECT query_id, cell, dim - $lo AS dim, q FROM qrescell
+         |   WHERE dim >= $lo AND dim < $hi) r
+         | JOIN c${iters}_rs$s c ON c.dim = r.dim
+         | GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+    val codesU = (0 until m).map(s =>
+      s"SELECT vec_id, $s AS subspace, cluster AS code FROM a${iters + 1}_rs$s")
+      .mkString(" UNION ALL ")
+    val lutU = (0 until m).map(s =>
+      s"SELECT query_id, cell, $s AS subspace, cluster, adist FROM lutr_s$s")
+      .mkString(" UNION ALL ")
+    val perNp = nProbes.map { np =>
+      s"""dist_$np AS (SELECT l.query_id, a.vec_id AS neighbor_id,
+         |  SUM(l.adist) AS adc_d2
+         | FROM codes a
+         | JOIN a${cIters + 1}_ivf asg ON asg.vec_id = a.vec_id
+         | JOIN lut l ON l.cell = asg.cluster AND l.subspace = a.subspace
+         |   AND l.cluster = a.code
+         | JOIN qprobeall p ON p.cluster = asg.cluster
+         |   AND p.query_id = l.query_id AND p.rk <= $np
+         | WHERE a.vec_id <> l.query_id GROUP BY 1, 2),
+         |top_$np AS (SELECT query_id, neighbor_id FROM dist_$np
+         | QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+         |   ORDER BY adc_d2, neighbor_id) <= $topK),
+         |rec_$np AS (SELECT e.query_id,
+         |  CAST(COUNT(*) AS BIGINT) AS k_exact,
+         |  CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hit
+         | FROM ex e LEFT JOIN top_$np t ON t.query_id = e.query_id
+         |   AND t.neighbor_id = e.neighbor_id
+         | GROUP BY 1),
+         |card_$np AS (SELECT $np AS n_probe,
+         |  CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |  CAST(SUM(1000000 * n_hit // k_exact) AS BIGINT)
+         |    AS sum_recall_ppm
+         | FROM rec_$np)""".stripMargin
+    }.mkString(",\n")
+    val cardU = nProbes.map(np => s"SELECT * FROM card_$np")
+      .mkString(" UNION ALL ")
+    s"""WITH $coarse,
+       |$resCte,
+       |$parts,
+       |qprobeall AS MATERIALIZED (SELECT query_id, cluster, rk FROM (
+       |  SELECT q.vec_id AS query_id, c.cluster,
+       |   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |    ORDER BY SUM((q.q - c.cq) * (q.q - c.cq)), c.cluster) AS rk
+       |  FROM q_ivf q JOIN c${cIters}_ivf c ON c.dim = q.dim
+       |  WHERE q.vec_id < 5
+       |  GROUP BY q.vec_id, c.cluster)),
+       |qrescell AS MATERIALIZED (SELECT p.query_id, p.cluster AS cell,
+       |  q.dim, q.q - c.cq AS q
+       | FROM qprobeall p JOIN q_ivf q ON q.vec_id = p.query_id
+       | JOIN c${cIters}_ivf c ON c.cluster = p.cluster AND c.dim = q.dim),
+       |$luts,
+       |codes AS ($codesU),
+       |lut AS ($lutU),
+       |exd AS MATERIALIZED (SELECT qq.vec_id AS query_id,
+       |  cc.vec_id AS neighbor_id, SUM((qq.q - cc.q) * (qq.q - cc.q)) AS d2
+       | FROM q_ivf qq JOIN q_ivf cc ON cc.dim = qq.dim
+       |   AND cc.vec_id <> qq.vec_id
+       | WHERE qq.vec_id < 5 GROUP BY 1, 2),
+       |ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM exd
+       | QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |   ORDER BY d2, neighbor_id) <= $topK),
+       |$perNp
+       |SELECT n_probe, n_queries, sum_recall_ppm,
+       | sum_recall_ppm // n_queries AS mean_recall_ppm
+       |FROM ($cardU) ORDER BY n_probe""".stripMargin
   }
 
   private def pqAdcSql(m: Int, sub: Int, k: Int, iters: Int,
@@ -3315,10 +3433,7 @@ object SparkEntry {
       // changes WHERE the work happens, not the answer.
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val path = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), "x137_ivfpq_index").toString
-        Clustering.writeIvfPq(emb, path, dims = 64, cells = 4,
-          m = 4, k = 8, iters = 1)
+        val path = ivfPqLayout(s, dir, residual = false)
         Clustering.probeIvfPq(s, path, emb.where(col("vec_id") < 5),
             dims = 64, nProbe = 2, m = 4, topK = 10)
           .orderBy("query_id", "rank")
@@ -3339,10 +3454,7 @@ object SparkEntry {
       // per-slice codebook chains, per-cell LUTs and the ADC ranking.
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val path = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), "x139_ivfpq_res").toString
-        Clustering.writeIvfPq(emb, path, dims = 64, cells = 4,
-          m = 4, k = 8, iters = 1, residual = true)
+        val path = ivfPqLayout(s, dir, residual = true)
         Clustering.probeIvfPq(s, path, emb.where(col("vec_id") < 5),
             dims = 64, nProbe = 2, m = 4, topK = 10, residual = true)
           .orderBy("query_id", "rank")
@@ -3376,6 +3488,42 @@ object SparkEntry {
       },
       Some(ivfPqAppendSql(4, 1, 4, 16, 8, 1, 2, 10, "vec_id % 7 <> 0"))),
 
+    QueryDef("x144_zorder_layout",
+      // Z-order (Morton) clustering card — the multi-dimensional
+      // layout lever: sorting a 100 TB table by the interleaved key
+      // makes parquet row-group min/max stats prune on BOTH dimensions
+      // (a plain sort clusters one and leaves the other useless). The
+      // card groups rows by the zkey's 4-bit prefix and shows every
+      // bucket is a small RECTANGLE in (a, b) space (≤256-wide spans
+      // of the 1024-wide domain per dimension) — exactly the bound a
+      // min/max-pruned scan exploits. Map-only key, exact integers,
+      // one groups-sized aggregation.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          pmod(col("l_orderkey"), lit(1024)).cast("long").as("a"),
+          pmod(col("l_partkey"), lit(1024)).cast("long").as("b"))
+        li.withColumn("zkey",
+            ext.Sampling.zorderKey(col("a"), col("b"), bits = 10))
+          .withColumn("bucket", expr("zkey DIV 65536"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            min("a").as("min_a"), max("a").as("max_a"),
+            min("b").as("min_b"), max("b").as("max_b"))
+          .orderBy("bucket")
+      },
+      Some("""WITH z AS (SELECT
+             |  CAST(l_orderkey % 1024 AS BIGINT) AS a,
+             |  CAST(l_partkey % 1024 AS BIGINT) AS b FROM lineitem),
+             | k AS (SELECT a, b, CAST(list_sum([
+             |    ((a >> i) & 1) * (CAST(1 AS BIGINT) << (2*i)) +
+             |    ((b >> i) & 1) * (CAST(1 AS BIGINT) << (2*i+1))
+             |   for i in generate_series(0, 9)]) AS BIGINT) AS zkey FROM z)
+             |SELECT CAST(zkey // 65536 AS BIGINT) AS bucket,
+             | CAST(COUNT(*) AS BIGINT) AS n,
+             | MIN(a) AS min_a, MAX(a) AS max_a,
+             | MIN(b) AS min_b, MAX(b) AS max_b
+             |FROM k GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     QueryDef("x140_ivf_pq_recall_card",
       // recall-vs-nProbe tuning card — "measure, don't guess" applied
       // to the retrieval leg's own knob: per swept nProbe the mean
@@ -3386,16 +3534,32 @@ object SparkEntry {
       // the shared chains once and the probe filter per nProbe.
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val path = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), "x140_ivfpq_card").toString
-        Clustering.writeIvfPq(emb, path, dims = 64, cells = 4,
-          m = 4, k = 8, iters = 1)
+        val path = ivfPqLayout(s, dir, residual = false)
         Clustering.ivfPqRecallCard(s, path, emb,
             emb.where(col("vec_id") < 5), dims = 64,
             nProbes = Seq(1, 2, 3, 4), m = 4, topK = 10)
           .orderBy("n_probe")
       },
       Some(ivfPqRecallSql(4, 1, 4, 16, 8, 1, 10, Seq(1, 2, 3, 4)))),
+
+    QueryDef("x143_ivf_pq_recall_residual",
+      // the recall card over the RESIDUAL layout — the two serving
+      // candidates (x137 raw vs x139 residual) measured on the same
+      // axis, so the per-corpus encoding decision reads straight off
+      // two hash-matched cards (tools.RecallGain showed the choice is
+      // corpus-dependent: residual sweeps 19%→100% on clustered data
+      // and is neutral on cluster-free data). Per-(query, cell)
+      // residual LUTs over every cell; the nProbe filter applies at
+      // scoring time.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val path = ivfPqLayout(s, dir, residual = true)
+        Clustering.ivfPqRecallCard(s, path, emb,
+            emb.where(col("vec_id") < 5), dims = 64,
+            nProbes = Seq(1, 2, 3, 4), m = 4, topK = 10, residual = true)
+          .orderBy("n_probe")
+      },
+      Some(ivfPqResidualRecallSql(4, 1, 4, 16, 8, 1, 10, Seq(1, 2, 3, 4)))),
 
     QueryDef("x88_pii_audit",
       // PII detection audit (the report before x32's redaction):

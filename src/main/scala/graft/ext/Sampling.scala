@@ -484,6 +484,34 @@ object Sampling {
     best("s")
   }
 
+  /** Z-order (Morton) interleave key of two bounded non-negative
+    * integer columns (r11) — the MULTI-dimensional clustering key a
+    * 100 TB layout sorts by at write time so parquet row-group
+    * min/max statistics prune scans on BOTH dimensions at once (a
+    * plain sort clusters one column and leaves the other's stats
+    * useless; Z-ordering keeps every key-range bucket a small
+    * RECTANGLE in (a, b) space — the x144 card proves it in exact
+    * integers). Bit i of `a` lands at bit 2i, bit i of `b` at 2i+1;
+    * inputs must fit in `bits` bits (callers bucket/clamp first).
+    *
+    * Scale shape: a map-only codegen'd fold over sequence(0, bits−1)
+    * — no shuffle, no UDF; the write-side
+    * `repartitionByRange(zkey).sortWithinPartitions(zkey)` is the one
+    * range exchange any clustered rewrite pays. Exact integer
+    * arithmetic, so the key re-derives on any engine. */
+  def zorderKey(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"zorderKey: 1 <= bits <= 31")
+    // high-to-low fold (acc·4 + 2·bit_b + bit_a) keeps every shift a
+    // COLUMN-valued right shift (the DSL's shiftleft only takes a
+    // literal amount; call_function reaches the SQL form)
+    def bit(x: Column, i: Column): Column =
+      call_function("shiftright", x.cast("long"), i).bitwiseAND(lit(1L))
+    aggregate(
+      sequence(lit(bits - 1), lit(0), lit(-1)),
+      lit(0L),
+      (acc, i) => acc * 4L + bit(b, i) * 2L + bit(a, i))
+  }
+
   /** Leakage-free train/eval split: docs of the SAME near-dup cluster
     * land in the SAME split — the published-recipe rule that plain
     * per-doc splitting violates (a near-duplicate of a training doc

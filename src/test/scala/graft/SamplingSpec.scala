@@ -666,4 +666,32 @@ class SamplingSpec extends SparkSuite {
       assert(Sampling.unimaxBudgets(wide, "g", "w", 100L, 2L).count() == 10)
     } finally spark.conf.unset("spark.graft.sweep.maxGroups")
   }
+
+  test("zorderKey: hand-computed Morton interleave + brute parity on random pairs (r11)") {
+    import org.apache.spark.sql.functions.col
+    // a=3 (0011), b=5 (0101): bits of a land at even positions, b at
+    // odd -> 1 + 2 + 4 + 32 = 39
+    val hand = Seq((3L, 5L)).toDF("a", "b")
+      .select(Sampling.zorderKey(col("a"), col("b"), bits = 4))
+      .as[Long].head()
+    assert(hand == 39L)
+    def brute(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).map(i =>
+        (((a >> i) & 1L) << (2 * i)) + (((b >> i) & 1L) << (2 * i + 1))).sum
+    val rnd = new scala.util.Random(7)
+    val pairs = (0 until 64).map(_ => (rnd.nextInt(1024).toLong,
+      rnd.nextInt(1024).toLong))
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        Sampling.zorderKey(col("a"), col("b"), bits = 10).as("z"))
+      .as[(Long, Long, Long)].collect()
+    assert(got.forall { case (a, b, z) => z == brute(a, b, 10) })
+    // Z-order locality: any fixed-prefix bucket is a rectangle of
+    // side 2^(bits - prefix/2): check the 4-bit-prefix spans
+    val spans = got.groupBy(_._3 >> 16).values.map { rows =>
+      (rows.map(_._1).max - rows.map(_._1).min,
+        rows.map(_._2).max - rows.map(_._2).min)
+    }
+    assert(spans.forall { case (sa, sb) => sa <= 255 && sb <= 255 })
+  }
 }

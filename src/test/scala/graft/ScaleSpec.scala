@@ -381,6 +381,42 @@ class ScaleSpec extends SparkSuite {
       "persisted-layout probe must equal the in-memory retrieval")
   }
 
+  test("runtime bloom-filter pruning: a selective dim filter reaches the fact scan as a row-level filter (r11)") {
+    // the shuffle-join analogue of broadcast pruning: when the small
+    // side is too big to broadcast but carries a selective filter,
+    // Catalyst's runtime bloom filter cuts the fact side BEFORE the
+    // exchange — at 100 TB this is the difference between shuffling
+    // the table and shuffling the matching slice. Thresholds are
+    // production-scale; lower them to exercise the rewrite here.
+    val dim = (0 until 2000).map(i => (i.toLong, s"cat${i % 40}"))
+      .toDF("dim_id", "cat")
+    val fact = (0 until 20000).map(i => (i.toLong, (i % 2000).toLong))
+      .toDF("fact_id", "dim_id")
+    dim.write.mode("overwrite").parquet("/tmp/scalespec_bf_dim")
+    fact.write.mode("overwrite").parquet("/tmp/scalespec_bf_fact")
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val joined = spark.read.parquet("/tmp/scalespec_bf_fact")
+        .join(spark.read.parquet("/tmp/scalespec_bf_dim")
+          .filter(col("cat") === "cat7"), Seq("dim_id"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("might_contain"),
+        s"fact scan must carry the runtime bloom filter:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("pqAdcTopK: the LUT broadcasts — the code scan joins without a corpus shuffle") {
     import graft.ext.Clustering
     val emb = (0 until 400).map(i =>
