@@ -611,6 +611,39 @@ object SparkEntry {
        |FROM ($cardU) ORDER BY n_probe""".stripMargin
   }
 
+  /** DuckDB oracle for [[graft.ext.Profiling.correlationCard]]: the
+    * same micro-unit quantization, HUGEINT moment sums (↔ Spark's
+    * DECIMAL(38,0)), and the identical IEEE corr chain per pair. */
+  private def corrCardSql(table: String, cols: Seq[String]): String = {
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val qsel = cols.map(c =>
+      s"CAST(FLOOR(CAST($c AS DOUBLE) * 1000000) AS HUGEINT) AS q_$c")
+      .mkString(",\n  ")
+    val notNull = cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+    val sums = (Seq("COUNT(*) AS n") ++
+      cols.map(c => s"SUM(q_$c) AS s_$c") ++
+      cols.map(c => s"SUM(q_$c * q_$c) AS ss_$c") ++
+      pairs.map { case (a, b) => s"SUM(q_$a * q_$b) AS sp_${a}__$b" })
+      .mkString(",\n  ")
+    val rows = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(n AS BIGINT) AS n,
+         | CAST(n * sp_${a}__$b - s_$a * s_$b AS DOUBLE) /
+         |  (sqrt(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE)) *
+         |   sqrt(CAST(n * ss_$b - s_$b * s_$b AS DOUBLE))) AS corr
+         |FROM sums""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH qt AS (SELECT
+       |  $qsel
+       | FROM $table WHERE $notNull),
+       |sums AS (SELECT
+       |  $sums
+       | FROM qt)
+       |$rows
+       |ORDER BY col_a, col_b""".stripMargin
+  }
+
   private def pqAdcSql(m: Int, sub: Int, k: Int, iters: Int,
                        topK: Int): String = {
     val parts = (0 until m)
@@ -3487,6 +3520,21 @@ object SparkEntry {
           .orderBy("query_id", "rank")
       },
       Some(ivfPqAppendSql(4, 1, 4, 16, 8, 1, 2, 10, "vec_id % 7 <> 0"))),
+
+    QueryDef("x145_correlation_card",
+      // pairwise Pearson card: q20's exact-moment treatment lifted to
+      // ALL C(4,2) column pairs in ONE corpus pass — micro-unit
+      // quantization, DECIMAL(38,0)/HUGEINT moment sums, one IEEE
+      // chain per correlation (sqrt and division are exactly-rounded,
+      // so the card re-derives bit-identically where native corr's
+      // Welford partial order drifts). The feature-redundancy /
+      // leakage screen a training pipeline runs over its numeric
+      // columns before fitting anything.
+      (s, dir) => ext.Profiling.correlationCard(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_a", "col_b"),
+      Some(corrCardSql("lineitem",
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")))),
 
     QueryDef("x144_zorder_layout",
       // Z-order (Morton) clustering card — the multi-dimensional

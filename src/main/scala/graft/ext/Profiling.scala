@@ -425,6 +425,49 @@ object Profiling {
     writer.start()
   }
 
+  /** Pairwise Pearson correlation card (r11) — q20's exact-moment
+    * treatment lifted to ALL C(k,2) column pairs in ONE corpus pass:
+    * values quantize to micro-units (floor(v·10⁶), the kmeans trick —
+    * exact on any engine), a single aggregation computes n, Σq, Σq²
+    * and every pairwise Σq_a·q_b as DECIMAL(38,0) (per-row products
+    * ride decimal(18,0)² so 10¹¹-scale quantized values cannot wrap a
+    * long), and each correlation is the one IEEE chain
+    * (n·Σxy − ΣxΣy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)) — sqrt and
+    * division are exactly-rounded IEEE ops, so the card re-derives
+    * bit-identically (native corr is Welford partial-order-dependent).
+    * Rows with a NULL in ANY profiled column are dropped first (the
+    * listwise convention, so every pair sees the same n). Headroom:
+    * moments are exact to 10³⁸ — same bound as q20.
+    *
+    * Scale shape: one map-side-combinable aggregation to a single
+    * row; `stack` reshapes to C(k,2) long-form rows. O(k²) sum slots
+    * per partition — fine for profiling-sized column sets. */
+  def correlationCard(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlationCard needs at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val base = df.na.drop(cols).select(cols.map(c =>
+      floor(col(c).cast("double") * 1e6).cast("long")
+        .cast("decimal(18,0)").as(s"__q_$c")): _*)
+    val aggs = count(lit(1)).cast("decimal(38,0)").as("__n") +:
+      (cols.map(c => sum(col(s"__q_$c")).cast("decimal(38,0)")
+          .as(s"__s_$c")) ++
+        cols.map(c => sum(col(s"__q_$c") * col(s"__q_$c"))
+          .cast("decimal(38,0)").as(s"__ss_$c")) ++
+        pairs.map { case (a, b) => sum(col(s"__q_$a") * col(s"__q_$b"))
+          .cast("decimal(38,0)").as(s"__sp_${a}__$b") })
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = pairs.map { case (a, b) =>
+      s"'$a', '$b', CAST(__n AS BIGINT), " +
+        s"CAST(__n * `__sp_${a}__$b` - `__s_$a` * `__s_$b` AS DOUBLE) / " +
+        s"(sqrt(CAST(__n * `__ss_$a` - `__s_$a` * `__s_$a` AS DOUBLE)) * " +
+        s"sqrt(CAST(__n * `__ss_$b` - `__s_$b` * `__s_$b` AS DOUBLE)))"
+    }.mkString(", ")
+    one.selectExpr(
+      s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, n, corr)")
+  }
+
   /** [[profile]] per group (per-language / per-source corpus
     * profiles): exact moments from one grouped pass + sampled
     * order statistics from the per-group bottom-k sample. Output

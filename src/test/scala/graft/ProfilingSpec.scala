@@ -236,4 +236,36 @@ class ProfilingSpec extends SparkSuite {
       (1, 2L, 1L, 1L, 200000L),
       (2, 3L, 2L, 2L, 400000L)))
   }
+
+  test("correlationCard: perfect / anti / intermediate correlations, listwise null drop (r11)") {
+    val df = Seq(
+      (1.0, 2.0, -1.0, 1.0),
+      (2.0, 4.0, -2.0, 5.0),
+      (3.0, 6.0, -3.0, 2.0)).toDF("x", "y", "z", "w")
+    val out = Profiling.correlationCard(df, Seq("x", "y", "z", "w"))
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out.size == 6 && out.values.forall(_._1 == 3L))
+    assert(math.abs(out(("x", "y"))._2 - 1.0) < 1e-12)  // y = 2x
+    assert(math.abs(out(("x", "z"))._2 + 1.0) < 1e-12)  // z = -x
+    assert(math.abs(out(("y", "z"))._2 + 1.0) < 1e-12)
+    // brute Pearson for the non-degenerate pair
+    def pearson(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.size
+      val (sa, sb) = (a.sum, b.sum)
+      val num = n * a.zip(b).map { case (p, q) => p * q }.sum - sa * sb
+      num / (math.sqrt(n * a.map(p => p * p).sum - sa * sa) *
+        math.sqrt(n * b.map(q => q * q).sum - sb * sb))
+    }
+    assert(math.abs(out(("x", "w"))._2 -
+      pearson(Seq(1, 2, 3), Seq(1, 5, 2))) < 1e-9)
+    // a NULL in any profiled column drops the row for EVERY pair
+    val withNull = Seq(
+      (Some(1.0), Some(2.0), Some(3.0)),
+      (Some(2.0), None, Some(5.0)),
+      (Some(3.0), Some(6.0), Some(4.0))).toDF("x", "y", "w")
+    val n2 = Profiling.correlationCard(withNull, Seq("x", "y", "w"))
+      .select("n").as[Long].collect()
+    assert(n2.forall(_ == 2L))
+  }
 }
