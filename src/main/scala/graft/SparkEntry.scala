@@ -7440,6 +7440,75 @@ object SparkEntry {
              |SELECT doc_id, score_micro, n_terms FROM sc
              |ORDER BY score_micro DESC, doc_id LIMIT 25""".stripMargin)),
 
+    QueryDef("x146_hybrid_rrf",
+      // reciprocal-rank fusion — the hybrid-retrieval combiner every
+      // RAG stack runs over its incomparably-scored rankers: here the
+      // index's TWO ranking legs (BM25 with length normalization vs
+      // the raw reciprocal-df scorer) fuse by Σ 10^6 DIV (60 + rank).
+      // Integer micro-units (the published float 1/(k+r) sum is
+      // addition-order-dependent), ties on doc_id; the fuse window
+      // sorts candidate lists only, never the corpus. The oracle
+      // re-derives both rankers from raw text AND the fusion.
+      (s, dir) => {
+        TextOps.writeInvertedIndex(docs(s, dir), "x146_idx")
+        val terms = Seq("data", "hash", "batch")
+        val w = Window.orderBy(col("score_micro").desc, col("doc_id"))
+        val bm = TextOps.searchIndexBm25(s, "x146_idx", terms, k = 20)
+          .withColumn("rank", row_number().over(w))
+        val w2 = Window.orderBy(col("score_ppm").desc, col("doc_id"))
+        val rd = TextOps.searchIndex(s, "x146_idx", terms, k = 20)
+          .withColumn("rank", row_number().over(w2))
+        TextOps.rrfFuse(Seq(bm, rd), k = 60, topK = 15)
+          .orderBy("rank")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |  unnest(string_split_regex(trim(text), '\s+')) AS term
+             |  FROM documents),
+             | tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+             | p AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+             |  FROM tok2 GROUP BY 1, 2),
+             | d AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             |  FROM p GROUP BY 1),
+             | dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+             |  FROM p GROUP BY 1),
+             | st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |   CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+             | av AS (SELECT n_docs,
+             |   GREATEST(total_len // GREATEST(n_docs, 1), 1) AS avgdl
+             |  FROM st),
+             | bmsc AS (SELECT p.doc_id,
+             |   CAST(SUM(
+             |     (CAST((av.n_docs - d.df) * 1000000 // d.df AS HUGEINT)
+             |       * (22 * p.tf * av.avgdl))
+             |     // (10 * av.avgdl * p.tf + 3 * av.avgdl + 9 * dl.dl))
+             |    AS BIGINT) AS score_micro
+             |  FROM p JOIN d USING (term) JOIN dl USING (doc_id), av
+             |  WHERE term IN ('data', 'hash', 'batch')
+             |  GROUP BY 1),
+             | bmr AS (SELECT doc_id,
+             |   CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id)
+             |     AS BIGINT) AS rank
+             |  FROM bmsc QUALIFY rank <= 20),
+             | rsc AS (SELECT p.doc_id,
+             |   CAST(SUM(p.tf * 1000000 // d.df) AS BIGINT) AS score_ppm
+             |  FROM p JOIN d USING (term)
+             |  WHERE term IN ('data', 'hash', 'batch')
+             |  GROUP BY 1),
+             | rr AS (SELECT doc_id,
+             |   CAST(ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id)
+             |     AS BIGINT) AS rank
+             |  FROM rsc QUALIFY rank <= 20),
+             | uni AS (SELECT doc_id, rank FROM bmr
+             |  UNION ALL SELECT doc_id, rank FROM rr),
+             | f AS (SELECT doc_id,
+             |   CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro,
+             |   CAST(COUNT(*) AS BIGINT) AS n_lists
+             |  FROM uni GROUP BY 1)
+             |SELECT doc_id, rrf_micro, n_lists,
+             | CAST(ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id)
+             |   AS INT) AS rank
+             |FROM f QUALIFY rank <= 15 ORDER BY rank""".stripMargin)),
+
     QueryDef("x138_index_stream",
       // streaming ingestion for the inverted index (r10 verdict #3 —
       // the third application of the probe/append streaming pattern):

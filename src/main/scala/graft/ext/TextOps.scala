@@ -953,6 +953,36 @@ object TextOps {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) — the
+    * standard hybrid-retrieval combiner (BM25 ∪ ANN ∪ anything that
+    * emits a ranking): each candidate scores Σ_lists 10⁶ DIV
+    * (k + rank), which rewards appearing NEAR THE TOP of several
+    * rankers without ever comparing their incomparable raw scores.
+    * Integer micro-units end to end (the published 1/(k+r) sum is a
+    * float whose addition order is engine-dependent; the DIV form
+    * re-derives bit-identically), ties break on doc_id. Inputs are
+    * (idCol, rankCol) tables — top-k lists, bounded by construction,
+    * so the global fuse window sorts ≤ Σ list sizes, never a corpus.
+    * Returns (doc_id, rrf_micro, n_lists, rank) for the fused top
+    * `topK`. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 60, topK: Int = 10,
+              idCol: String = "doc_id",
+              rankCol: String = "rank"): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: need at least one ranking")
+    require(k >= 1 && topK >= 1, "rrfFuse: k >= 1, topK >= 1")
+    val all = rankings.map(_.select(col(idCol).as("doc_id"),
+      col(rankCol).cast("long").as("rank"))).reduce(_ unionAll _)
+    val scored = all
+      .withColumn("contrib", expr(s"1000000L DIV (${k}L + rank)"))
+      .groupBy("doc_id")
+      .agg(sum("contrib").as("rrf_micro"), count(lit(1)).as("n_lists"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("doc_id", "rrf_micro", "n_lists", "rank")
+  }
+
   /** The hashed trigram stream shared by [[trigramBackoffScore]]'s
     * train and score legs: one row per trigram position with the
     * xxhash64 keys of all backoff levels (trigram, conditioning

@@ -580,6 +580,19 @@ class ExtSpec extends SparkSuite {
       parts(LinkAnalysis.louvainTwoLevel(tri, 4, 4)))
   }
 
+  test("rrfFuse: hand-computed reciprocal-rank fusion; appearing in both lists beats one top rank (r11)") {
+    // list A: doc1@1, doc2@2; list B: doc2@1, doc3@2 — doc2 fuses
+    // 1e6/62 + 1e6/61 = 16129 + 16393 = 32522 > doc1's 1e6/61 = 16393
+    val a = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1L), (3L, 2L)).toDF("doc_id", "rank")
+    val out = graft.ext.TextOps.rrfFuse(Seq(a, b), k = 60, topK = 10)
+      .as[(Long, Long, Long, Int)].collect().toList
+    assert(out == List(
+      (2L, 32522L, 2L, 1),
+      (1L, 16393L, 1L, 2),
+      (3L, 16129L, 1L, 3)))
+  }
+
   test("piiAudit: detection counts + identifying-class flag (X3)") {
     val docs = Seq(
       (1L, "mail a@b.com and c.d@e.org then see https://x.y/z page 42"),
