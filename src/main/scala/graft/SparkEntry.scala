@@ -754,6 +754,282 @@ object SparkEntry {
        |SELECT layer, node_id, r AS rank_fp FROM r$iters ORDER BY layer, node_id""".stripMargin
   }
 
+  /** DuckDB oracle for [[GraphOps.katzFixedPoint]] on the layer
+    * subgraph: one chained CTE per round (iteration count is a
+    * compile-time constant); `//` floors like Spark's `DIV` on the
+    * always-nonnegative scores, and SUM(BIGINT) is HUGEINT — exact
+    * like the Spark side's DECIMAL(38,0) gather. */
+  private def katzFixedSql(layers: Seq[String], iters: Int,
+                           alphaDen: Long, betaMicro: Long): String = {
+    val inList = layers.map(l => s"'$l'").mkString(", ")
+    val iterCtes = (0 until iters).map { k =>
+      s"""k${k + 1} AS (
+         | SELECT v.layer, v.node_id,
+         |  $betaMicro + COALESCE(CAST(SUM(c.x) // $alphaDen AS BIGINT), 0) AS x
+         | FROM sg_v v LEFT JOIN (
+         |  SELECT e.target_layer AS tl, e.target_id AS ti, kk.x
+         |  FROM sg_e e
+         |  JOIN k$k kk ON kk.layer = e.source_layer AND kk.node_id = e.source_id
+         | ) c ON c.tl = v.layer AND c.ti = v.node_id
+         | GROUP BY v.layer, v.node_id)""".stripMargin
+    }.mkString(",\n")
+    s"""$W, sg_v AS (SELECT layer, node_id FROM vertices WHERE layer IN ($inList)),
+       |sg_e AS (SELECT source_layer, source_id, target_layer, target_id FROM edges
+       |  WHERE source_layer IN ($inList) AND target_layer IN ($inList)),
+       |k0 AS (SELECT layer, node_id, CAST($betaMicro AS BIGINT) AS x FROM sg_v),
+       |$iterCtes
+       |SELECT layer, node_id, x AS katz_fp FROM k$iters
+       |ORDER BY layer, node_id""".stripMargin
+  }
+
+  /** Shared quantized-embedding CTE for the exact-L2 oracles below:
+    * every (vec_id, dim, q) in micro-units — the DuckDB mirror of
+    * `Clustering.quantize`. */
+  private val QaCte =
+    """qa AS MATERIALIZED (SELECT vec_id, dim,
+      |  CAST(FLOOR(CAST(embedding[dim + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      | FROM (SELECT vec_id, embedding, UNNEST(range(0, 64)) AS dim
+      |   FROM embeddings))""".stripMargin
+
+  /** Full-dimension exact-L2 ground-truth CTEs (`exd`/`ex`) over the
+    * `vec_id < 5` query slice — shared by the recall-card oracles. */
+  private def exactGroundCtes(topK: Int): String =
+    s"""exd AS MATERIALIZED (SELECT qq.vec_id AS query_id,
+       |  cc.vec_id AS neighbor_id, SUM((qq.q - cc.q) * (qq.q - cc.q)) AS d2
+       | FROM qa qq JOIN qa cc ON cc.dim = qq.dim AND cc.vec_id <> qq.vec_id
+       | WHERE qq.vec_id < 5 GROUP BY 1, 2),
+       |ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM exd
+       | QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |   ORDER BY d2, neighbor_id) <= $topK)""".stripMargin
+
+  /** DuckDB oracle for [[graft.ext.Clustering.matryoshkaRecallCard]]:
+    * per swept prefix an exact top-k restricted to `dim < d`, then
+    * the shared recall rollup against the full-dim ground truth. */
+  private def matryoshkaRecallSql(prefixes: Seq[Int], topK: Int): String = {
+    val per = prefixes.map { d =>
+      s"""apx_$d AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+         |   SUM((qq.q - cc.q) * (qq.q - cc.q)) AS d2
+         |  FROM qa qq JOIN qa cc ON cc.dim = qq.dim AND cc.vec_id <> qq.vec_id
+         |  WHERE qq.vec_id < 5 AND qq.dim < $d GROUP BY 1, 2)
+         | QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+         |   ORDER BY d2, neighbor_id) <= $topK),
+         |rec_$d AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS k_exact,
+         |  CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hit
+         | FROM ex e LEFT JOIN apx_$d t ON t.query_id = e.query_id
+         |   AND t.neighbor_id = e.neighbor_id
+         | GROUP BY 1),
+         |card_$d AS (SELECT $d AS prefix_dims,
+         |  CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |  CAST(SUM(1000000 * n_hit // k_exact) AS BIGINT) AS sum_recall_ppm
+         | FROM rec_$d)""".stripMargin
+    }.mkString(",\n")
+    val cardU = prefixes.map(d => s"SELECT * FROM card_$d")
+      .mkString(" UNION ALL ")
+    s"""WITH $QaCte,
+       |${exactGroundCtes(topK)},
+       |$per
+       |SELECT prefix_dims, n_queries, sum_recall_ppm,
+       | sum_recall_ppm // n_queries AS mean_recall_ppm
+       |FROM ($cardU) ORDER BY prefix_dims""".stripMargin
+  }
+
+  /** DuckDB oracle for
+    * [[graft.ext.Clustering.binaryRerankRecallCard]]: re-derives the
+    * per-dim sign thresholds, the packed (code_lo, code_hi) words,
+    * brute Hamming ranks, and per swept rerank depth the exact-L2
+    * rerank of the Hamming survivors + the shared recall rollup. */
+  private def binaryRerankRecallSql(rerankRs: Seq[Int], topK: Int): String = {
+    val per = rerankRs.map { r =>
+      s"""rer_$r AS (SELECT h.query_id, h.neighbor_id,
+         |  SUM((qq.q - cc.q) * (qq.q - cc.q)) AS d2
+         | FROM hr h
+         | JOIN qa qq ON qq.vec_id = h.query_id
+         | JOIN qa cc ON cc.vec_id = h.neighbor_id AND cc.dim = qq.dim
+         | WHERE h.hrank <= $r GROUP BY 1, 2),
+         |top_$r AS (SELECT query_id, neighbor_id FROM rer_$r
+         | QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+         |   ORDER BY d2, neighbor_id) <= $topK),
+         |rec_$r AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS k_exact,
+         |  CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hit
+         | FROM ex e LEFT JOIN top_$r t ON t.query_id = e.query_id
+         |   AND t.neighbor_id = e.neighbor_id
+         | GROUP BY 1),
+         |card_$r AS (SELECT $r AS rerank_r,
+         |  CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |  CAST(SUM(1000000 * n_hit // k_exact) AS BIGINT) AS sum_recall_ppm
+         | FROM rec_$r)""".stripMargin
+    }.mkString(",\n")
+    val cardU = rerankRs.map(r => s"SELECT * FROM card_$r")
+      .mkString(" UNION ALL ")
+    s"""WITH $QaCte,
+       |th AS (SELECT dim, SUM(q) AS sq, COUNT(*) AS n FROM qa GROUP BY dim),
+       |codes AS MATERIALIZED (SELECT vec_id,
+       |  COALESCE(SUM(CASE WHEN qa.q * th.n > th.sq AND dim < 32
+       |    THEN (CAST(1 AS BIGINT) << dim) ELSE 0 END), 0) AS code_lo,
+       |  COALESCE(SUM(CASE WHEN qa.q * th.n > th.sq AND dim >= 32
+       |    THEN (CAST(1 AS BIGINT) << (dim - 32)) ELSE 0 END), 0) AS code_hi
+       | FROM qa JOIN th USING (dim) GROUP BY vec_id),
+       |ham AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  CAST(bit_count(xor(q.code_lo, c.code_lo))
+       |    + bit_count(xor(q.code_hi, c.code_hi)) AS BIGINT) AS hamming
+       | FROM codes q JOIN codes c ON c.vec_id <> q.vec_id
+       | WHERE q.vec_id < 5),
+       |hr AS MATERIALIZED (SELECT query_id, neighbor_id, hamming,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY hamming, neighbor_id) AS hrank FROM ham),
+       |${exactGroundCtes(topK)},
+       |$per
+       |SELECT rerank_r, n_queries, sum_recall_ppm,
+       | sum_recall_ppm // n_queries AS mean_recall_ppm
+       |FROM ($cardU) ORDER BY rerank_r""".stripMargin
+  }
+
+  /** DuckDB oracle for [[graft.ext.Clustering.probeBinaryIndex]]:
+    * the same threshold/packing/Hamming chain as the recall-card
+    * oracle, emitting the exact-reranked serving rows themselves.
+    * `thCond` restricts the threshold calibration to the base slice
+    * (the [[graft.ext.Clustering.appendBinaryIndex]] frozen-model
+    * contract: appended vectors encode against the BASE cuts). */
+  private def binaryProbeSql(rerankR: Int, topK: Int,
+                             thCond: String = "TRUE"): String =
+    s"""WITH $QaCte,
+       |th AS (SELECT dim, SUM(q) AS sq, COUNT(*) AS n FROM qa
+       | WHERE $thCond GROUP BY dim),
+       |codes AS MATERIALIZED (SELECT vec_id,
+       |  COALESCE(SUM(CASE WHEN qa.q * th.n > th.sq AND dim < 32
+       |    THEN (CAST(1 AS BIGINT) << dim) ELSE 0 END), 0) AS code_lo,
+       |  COALESCE(SUM(CASE WHEN qa.q * th.n > th.sq AND dim >= 32
+       |    THEN (CAST(1 AS BIGINT) << (dim - 32)) ELSE 0 END), 0) AS code_hi
+       | FROM qa JOIN th USING (dim) GROUP BY vec_id),
+       |ham AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  CAST(bit_count(xor(q.code_lo, c.code_lo))
+       |    + bit_count(xor(q.code_hi, c.code_hi)) AS BIGINT) AS hamming
+       | FROM codes q JOIN codes c ON c.vec_id <> q.vec_id
+       | WHERE q.vec_id < 5),
+       |hr AS (SELECT query_id, neighbor_id FROM ham
+       | QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |   ORDER BY hamming, neighbor_id) <= $rerankR),
+       |rer AS (SELECT h.query_id, h.neighbor_id,
+       |  CAST(SUM((qq.q - cc.q) * (qq.q - cc.q)) AS BIGINT) AS d2
+       | FROM hr h
+       | JOIN qa qq ON qq.vec_id = h.query_id
+       | JOIN qa cc ON cc.vec_id = h.neighbor_id AND cc.dim = qq.dim
+       | GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, d2,
+       | CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |   ORDER BY d2, neighbor_id) AS INT) AS rank
+       |FROM rer QUALIFY rank <= $topK ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB oracle for [[graft.ext.Clustering.kcenterSeeds]]: seed 1
+    * = min id, then one unrolled CTE round per later seed — min-d2
+    * to the selected set, (min_d2 DESC, vec_id ASC) argmax. */
+  private def kcenterSql(k: Int): String = {
+    val rounds = (2 to k).map { i =>
+      s"""selq_${i - 1} AS (SELECT s.sel_id, q2.dim, q2.q AS sq
+         | FROM selset_${i - 1} s JOIN qa q2 ON q2.vec_id = s.sel_id),
+         |pick_$i AS (SELECT vec_id, min_d2 FROM (
+         |  SELECT vec_id, MIN(d2) AS min_d2 FROM (
+         |   SELECT q.vec_id, s.sel_id,
+         |    SUM((q.q - s.sq) * (q.q - s.sq)) AS d2
+         |   FROM qa q JOIN selq_${i - 1} s ON s.dim = q.dim
+         |   WHERE q.vec_id NOT IN (SELECT sel_id FROM selset_${i - 1})
+         |   GROUP BY 1, 2) GROUP BY 1)
+         | QUALIFY ROW_NUMBER() OVER (ORDER BY min_d2 DESC, vec_id) = 1),
+         |selset_$i AS (SELECT sel_id FROM selset_${i - 1}
+         | UNION ALL SELECT vec_id FROM pick_$i)""".stripMargin
+    }.mkString(",\n")
+    val picks = (2 to k).map(i =>
+      s"""SELECT vec_id, CAST($i AS INT) AS seed_rank,
+         | CAST(min_d2 AS BIGINT) AS min_d2 FROM pick_$i""".stripMargin)
+      .mkString(" UNION ALL ")
+    s"""WITH $QaCte,
+       |selset_1 AS (SELECT MIN(vec_id) AS sel_id FROM qa),
+       |$rounds
+       |SELECT vec_id, seed_rank, min_d2 FROM (
+       | SELECT sel_id AS vec_id, CAST(1 AS INT) AS seed_rank,
+       |  CAST(0 AS BIGINT) AS min_d2 FROM selset_1
+       | UNION ALL $picks)
+       |ORDER BY seed_rank""".stripMargin
+  }
+
+  /** DuckDB oracle for [[graft.ext.Similarity.hardNegatives]]: the
+    * exact pair scores with BOTH endpoint labels joined, the
+    * label-inequality cut BEFORE the top-k (so near ties survive the
+    * cut), then the (d2, neighbor_id) rank. */
+  private def hardNegativesSql(k: Int): String =
+    s"""WITH $QaCte,
+       |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+       | FROM embeddings),
+       |exd AS (SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+       |  CAST(SUM((qq.q - cc.q) * (qq.q - cc.q)) AS BIGINT) AS d2
+       | FROM qa qq JOIN qa cc ON cc.dim = qq.dim AND cc.vec_id <> qq.vec_id
+       | WHERE qq.vec_id < 5 GROUP BY 1, 2),
+       |neg AS (SELECT e.query_id, e.neighbor_id,
+       |  nl.label AS neighbor_label, e.d2
+       | FROM exd e
+       | JOIN lab nl ON nl.vec_id = e.neighbor_id
+       | JOIN lab ql ON ql.vec_id = e.query_id
+       | WHERE nl.label <> ql.label)
+       |SELECT query_id, neighbor_id, neighbor_label, d2,
+       | CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |   ORDER BY d2, neighbor_id) AS INT) AS rank
+       |FROM neg QUALIFY rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB oracle for [[graft.ext.Similarity.mmrRerank]]: the exact
+    * top-`candidateN` candidate lists, the pairwise candidate d2
+    * table, then `k` unrolled greedy steps — step 1 the pure argmin
+    * d2, step i the argmax of (1000−λ)·min_sel_d2 − λ·d2 over the
+    * not-yet-selected (score DESC, neighbor_id ASC) — exactly the
+    * Spark kernel's integer arithmetic. */
+  private def mmrSql(k: Int, candidateN: Int, lambdaPpt: Long): String = {
+    require(k >= 2, "mmrSql: unrolled oracle expects k >= 2")
+    val steps = (2 to k).map { i =>
+      s"""r$i AS (SELECT c.query_id, c.neighbor_id, c.d2,
+         |  ((1000 - $lambdaPpt) * m.min_sel_d2 - $lambdaPpt * c.d2) AS score
+         | FROM cand c
+         | JOIN (SELECT p.query_id, p.c1 AS neighbor_id,
+         |    MIN(p.pd2) AS min_sel_d2
+         |   FROM pd p JOIN sel${i - 1} s ON s.query_id = p.query_id
+         |     AND s.neighbor_id = p.c2
+         |   GROUP BY 1, 2) m ON m.query_id = c.query_id
+         |   AND m.neighbor_id = c.neighbor_id
+         | WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} s
+         |   WHERE s.query_id = c.query_id
+         |     AND s.neighbor_id = c.neighbor_id)),
+         |s$i AS (SELECT query_id, neighbor_id, d2, $i AS mmr_rank FROM r$i
+         | QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+         |   ORDER BY score DESC, neighbor_id) = 1),
+         |sel$i AS (SELECT query_id, neighbor_id FROM sel${i - 1}
+         | UNION ALL SELECT query_id, neighbor_id FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    val unionAllSteps = (1 to k).map(i => s"SELECT * FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""WITH $QaCte,
+       |exd AS (SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+       |  CAST(SUM((qq.q - cc.q) * (qq.q - cc.q)) AS BIGINT) AS d2
+       | FROM qa qq JOIN qa cc ON cc.dim = qq.dim AND cc.vec_id <> qq.vec_id
+       | WHERE qq.vec_id < 5 GROUP BY 1, 2),
+       |cand AS MATERIALIZED (SELECT query_id, neighbor_id, d2 FROM exd
+       | QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |   ORDER BY d2, neighbor_id) <= $candidateN),
+       |pd AS MATERIALIZED (SELECT c1.query_id, c1.neighbor_id AS c1,
+       |  c2.neighbor_id AS c2, SUM((a1.q - a2.q) * (a1.q - a2.q)) AS pd2
+       | FROM cand c1
+       | JOIN cand c2 ON c2.query_id = c1.query_id
+       |   AND c2.neighbor_id <> c1.neighbor_id
+       | JOIN qa a1 ON a1.vec_id = c1.neighbor_id
+       | JOIN qa a2 ON a2.vec_id = c2.neighbor_id AND a2.dim = a1.dim
+       | GROUP BY 1, 2, 3),
+       |s1 AS (SELECT query_id, neighbor_id, d2, 1 AS mmr_rank FROM cand
+       | QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |   ORDER BY d2, neighbor_id) = 1),
+       |sel1 AS (SELECT query_id, neighbor_id FROM s1),
+       |$steps
+       |SELECT query_id, neighbor_id, d2, mmr_rank FROM ($unionAllSteps)
+       |ORDER BY query_id, mmr_rank""".stripMargin
+  }
+
   /** DuckDB oracle for [[GraphOps.hitsFixedPoint]] on the layer
     * subgraph: per round a gather CTE for each direction (HUGEINT
     * sums — exact like the Spark side's DECIMAL(38,0)) and a
@@ -7508,6 +7784,229 @@ object SparkEntry {
              | CAST(ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id)
              |   AS INT) AS rank
              |FROM f QUALIFY rank <= 15 ORDER BY rank""".stripMargin)),
+
+    QueryDef("g69_katz",
+      // Katz centrality on the 3-layer supplier slice — the third
+      // classic centrality next to g20/g27's PageRank and g61's
+      // HITS, crediting ALL attenuated incoming walks: BIGINT
+      // micro-units, α = 1/8 as one integral divide per round, exact
+      // under any partitioning or engine — hash-matches the
+      // chained-CTE oracle.
+      (s, dir) => {
+        val g = graph(s, dir).viewLayers(Seq("region", "nation", "supplier"))
+        GraphOps.katzFixedPoint(g, iters = 4, alphaDen = 8L)
+          .join(g.vertices, Seq("vid"))
+          .select(col("layer"), col("nodeId").as("node_id"), col("katz_fp"))
+          .orderBy("layer", "node_id")
+      },
+      Some(katzFixedSql(Seq("region", "nation", "supplier"), 4, 8L,
+        1000000L))),
+
+    QueryDef("g70_butterflies",
+      // butterfly (bipartite 4-cycle) census over the order⋈part
+      // incidence — the bipartite analogue of g32's triangle count
+      // (triangles cannot exist in a bipartite layer): exact wedge /
+      // butterfly tallies, quadratic sums decimal-routed and emitted
+      // as strings (the g66 2^63 treatment).
+      (s, dir) => LinkAnalysis.butterflyCard(
+        t(s, dir, "lineitem").select(col("l_partkey").as("a"),
+          col("l_orderkey").as("b"))),
+      Some("""WITH e AS (SELECT DISTINCT l_partkey AS a, l_orderkey AS b
+             |  FROM lineitem),
+             | deg AS (SELECT a, COUNT(*) AS d FROM e GROUP BY a),
+             | kept AS (SELECT e.a, e.b FROM e JOIN deg USING (a)
+             |  WHERE d <= 10000),
+             | wg AS (SELECT l.b AS b1, r.b AS b2, COUNT(*) AS w
+             |  FROM kept l JOIN kept r ON l.a = r.a AND l.b < r.b
+             |  GROUP BY 1, 2),
+             | tot AS (SELECT CAST(COUNT(DISTINCT a) AS BIGINT) AS n_left,
+             |   CAST(COUNT(DISTINCT b) AS BIGINT) AS n_right,
+             |   CAST(COUNT(*) AS BIGINT) AS n_edges FROM e),
+             | wt AS (SELECT CAST(COALESCE(SUM((d * (d - 1)) // 2), 0)
+             |    AS VARCHAR) AS n_wedges FROM deg WHERE d <= 10000),
+             | bf AS (SELECT CAST(COALESCE(SUM((w * (w - 1)) // 2), 0)
+             |    AS VARCHAR) AS n_butterflies FROM wg)
+             |SELECT n_left, n_right, n_edges, n_wedges, n_butterflies
+             |FROM tot, wt, bf""".stripMargin)),
+
+    QueryDef("x147_matryoshka_recall",
+      // Matryoshka truncation recall card — per swept prefix length
+      // the mean recall@10 of exact search over only the first d
+      // dims vs the full-dim ground truth: the measured basis for
+      // the "how many dims can this corpus drop" serving decision
+      // (a 4× prefix cut = a 4× index/scan cut at 100 TB). Integer
+      // ppm end to end.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Clustering.matryoshkaRecallCard(emb,
+            emb.where(col("vec_id") < 5),
+            prefixDims = Seq(4, 8, 16, 32, 64), topK = 10)
+          .orderBy("prefix_dims")
+      },
+      Some(matryoshkaRecallSql(Seq(4, 8, 16, 32, 64), 10))),
+
+    QueryDef("x148_binary_rerank_recall",
+      // 1-bit (sign) quantization + exact rerank recall card — the
+      // 32×-compression rung of the quantization ladder (INT8 x117,
+      // PQ x135): Hamming prefilter over two packed BIGINT words,
+      // exact-L2 rerank of the top-R survivors, recall@10 per swept
+      // R against the same exact ground truth. Sign thresholds are
+      // corpus means decided by integer cross-multiply (no division,
+      // no float threshold).
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Clustering.binaryRerankRecallCard(emb,
+            emb.where(col("vec_id") < 5), dims = 64,
+            rerankRs = Seq(10, 20, 50, 100), topK = 10)
+          .orderBy("rerank_r")
+      },
+      Some(binaryRerankRecallSql(Seq(10, 20, 50, 100), 10))),
+
+    QueryDef("x149_repetition_card",
+      // Gopher-style repetition gates per document (Rae 2021 §A1.1)
+      // in integer ppm: duplicate-token fraction, most-common
+      // bigram/trigram mass, and the composed pass verdict at the
+      // published 0.20/0.18 thresholds — exact integer division so
+      // the verdicts hash-match (a float gate would cut differently
+      // per engine at the boundary).
+      (s, dir) => TextOps.repetitionCard(docs(s, dir)).orderBy("doc_id"),
+      Some("""WITH tok AS (SELECT doc_id,
+             |  string_split_regex(trim(text), '\s+') AS t FROM documents),
+             | n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             |   CAST(len(list_distinct(t)) AS BIGINT) AS nd FROM tok),
+             | g2 AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS sh
+             |  FROM (SELECT doc_id, t, UNNEST(range(1, len(t))) AS i
+             |    FROM tok)),
+             | m2 AS (SELECT doc_id, MAX(c) AS m FROM (
+             |   SELECT doc_id, sh, COUNT(*) AS c FROM g2 GROUP BY 1, 2)
+             |  GROUP BY 1),
+             | g3 AS (SELECT doc_id,
+             |   t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS sh
+             |  FROM (SELECT doc_id, t, UNNEST(range(1, len(t) - 1)) AS i
+             |    FROM tok)),
+             | m3 AS (SELECT doc_id, MAX(c) AS m FROM (
+             |   SELECT doc_id, sh, COUNT(*) AS c FROM g3 GROUP BY 1, 2)
+             |  GROUP BY 1)
+             |SELECT n.doc_id, n.n_tokens,
+             | CAST(1000000 * (n.n_tokens - n.nd) // n.n_tokens AS BIGINT)
+             |   AS dup_token_ppm,
+             | CAST(LEAST(1000000,
+             |   1000000 * (2 * COALESCE(m2.m, 0)) // n.n_tokens)
+             |   AS BIGINT) AS top_bigram_ppm,
+             | CAST(LEAST(1000000,
+             |   1000000 * (3 * COALESCE(m3.m, 0)) // n.n_tokens)
+             |   AS BIGINT) AS top_trigram_ppm,
+             | (LEAST(1000000,
+             |    1000000 * (2 * COALESCE(m2.m, 0)) // n.n_tokens) <= 200000
+             |  AND LEAST(1000000,
+             |    1000000 * (3 * COALESCE(m3.m, 0)) // n.n_tokens) <= 180000)
+             |   AS passes
+             |FROM n LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("x150_hard_negatives",
+      // hard-negative mining for contrastive retrieval training
+      // (DPR/SBERT): each query's 5 nearest corpus neighbors with a
+      // DIFFERENT label — the near-misses a bi-encoder learns from.
+      // Label cut happens BEFORE the top-k (near ties survive); d2
+      // is the exact integer L2 of the recall cards.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.hardNegatives(emb, emb.where(col("vec_id") < 5), k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(hardNegativesSql(5))),
+
+    QueryDef("x151_mmr_rerank",
+      // MMR diversified re-ranking (Carbonell 1998) — the diversity
+      // leg of the retrieval stack next to x146's RRF fusion: from
+      // each query's 8 exact-nearest candidates greedily pick 3
+      // maximizing (1000−λ)·min-dist-to-selected − λ·dist-to-query,
+      // λ = 700‰ — pure BIGINT arithmetic, no division, total tie
+      // order, so the selection hash-matches the unrolled-greedy
+      // oracle.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.mmrRerank(emb, emb.where(col("vec_id") < 5),
+            k = 3, candidateN = 8, lambdaPpt = 700L)
+          .orderBy("query_id", "mmr_rank")
+      },
+      Some(mmrSql(3, 8, 700L))),
+
+    QueryDef("x152_binary_probe_index",
+      // binary retrieval over the PERSISTED 1-bit layout — the
+      // index-is-the-layout treatment (x137's lesson) applied to the
+      // binary rung: codes (16 bytes + id per vector) and the frozen
+      // sign thresholds persist once, every probe scans the code
+      // words with the query codes broadcast and reranks survivors
+      // only. In-query build+probe lifecycle (the x142 honesty);
+      // ExtSpec pins probe == the in-memory binaryRerankTopK.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val path = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"),
+          s"binidx_${math.abs(dir.hashCode)}").toString
+        Clustering.writeBinaryIndex(emb, path, dims = 64)
+        Clustering.probeBinaryIndex(s, path, emb,
+            emb.where(col("vec_id") < 5), dims = 64,
+            rerankR = 50, topK = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(binaryProbeSql(50, 10))),
+
+    QueryDef("x154_binary_append",
+      // the binary index's APPEND leg (its x142): the batch packs
+      // against the PERSISTED thresholds — the frozen-model contract,
+      // so the oracle calibrates on the base slice only and encodes
+      // the full corpus against those cuts; probing the base∪batch
+      // layout must hash-match it.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val path = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"),
+          s"binidx_app_${math.abs(dir.hashCode)}").toString
+        Clustering.writeBinaryIndex(emb.where(col("vec_id") < 400),
+          path, dims = 64)
+        Clustering.appendBinaryIndex(s, path,
+          emb.where(col("vec_id") >= 400), dims = 64)
+        Clustering.probeBinaryIndex(s, path, emb,
+            emb.where(col("vec_id") < 5), dims = 64,
+            rerankR = 50, topK = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(binaryProbeSql(50, 10, thCond = "vec_id < 400"))),
+
+    QueryDef("q61_explode_outer",
+      // generator OUTER semantics: a customer whose collected
+      // order-priority array is EMPTY keeps a NULL row (plain explode
+      // drops it — the LEFT JOIN of the generator world). The oracle
+      // is the equivalent left join against the raw orders.
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_custkey"))
+        val o = t(s, dir, "orders")
+          .groupBy(col("o_custkey").as("c_custkey"))
+          .agg(sort_array(collect_list(col("o_orderpriority")))
+            .as("prios"))
+        c.join(o, Seq("c_custkey"), "left")
+          .select(col("c_custkey"),
+            explode_outer(col("prios")).as("prio"))
+          .orderBy(col("c_custkey"), col("prio"))
+      },
+      Some("""SELECT c.c_custkey, o.o_orderpriority AS prio
+             |FROM customer c LEFT JOIN orders o
+             |  ON o.o_custkey = c.c_custkey
+             |ORDER BY c.c_custkey, prio NULLS FIRST""".stripMargin)),
+
+    QueryDef("x153_kcenter_seeds",
+      // farthest-first traversal (greedy k-center): the deterministic
+      // diverse-exemplar selector — seed 1 = min id, each later seed
+      // maximizes its min exact-L2 distance to the seeds so far
+      // ((min_d2 DESC, id ASC) total order). The covering-radius
+      // ladder in min_d2 is the "how spread is this corpus" card; the
+      // seeds are a diversity-aware kmeans init / curation exemplars.
+      (s, dir) => Clustering.kcenterSeeds(t(s, dir, "embeddings"), k = 5)
+        .orderBy("seed_rank"),
+      Some(kcenterSql(5))),
 
     QueryDef("x138_index_stream",
       // streaming ingestion for the inverted index (r10 verdict #3 —

@@ -535,4 +535,52 @@ object GraphOps {
     auth.select(col("vid"), col("x").as("auth_fp"))
       .join(hub.select(col("vid"), col("x").as("hub_fp")), Seq("vid"))
   }
+
+  /** Katz centrality, deterministic fixed point — the third classic
+    * centrality next to g27's PageRank and g61's HITS, and the one
+    * that credits a vertex for ALL incoming walks (attenuated by
+    * length), not just the stationary mass:
+    *
+    *   x_0(v)     = beta
+    *   x_{t+1}(v) = beta + (Σ_{u→v} x_t(u)) div alphaDen
+    *
+    * in BIGINT micro-units (`beta` = 1e6 = 1.0) with attenuation
+    * α = 1/alphaDen applied as one integral divide per round — exact
+    * integer arithmetic, bit-identical on any engine, partitioning,
+    * or retry order (the textbook float iteration is not: partial-sum
+    * order varies run to run at scale). After `iters` rounds the
+    * score is the truncated-arithmetic form of
+    * β·Σ_{k≤iters} α^k |walks of length k into v| — a fixed, exactly
+    * defined computation whether or not α < 1/λ_max (convergence is
+    * the caller's knob; the bounded iteration is the deterministic
+    * contract). Returns (vid, katz_fp).
+    *
+    * Scale shape per round: ONE edge⋈score equi-join + one map-side-
+    * combinable gather whose per-vertex sum rides DECIMAL(38,0) (a
+    * 1e9-in-degree hub would overflow a BIGINT sum of micro-unit
+    * scores), then one integral divide back to BIGINT; scores are
+    * checkpointed per round so plan depth stays bounded (the g27
+    * round pattern). */
+  def katzFixedPoint(g: OnionGraph, iters: Int = 4,
+                     alphaDen: Long = 8L,
+                     betaMicro: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(iters >= 1, s"katzFixedPoint: iters >= 1, got $iters")
+    require(alphaDen >= 2, s"katzFixedPoint: alphaDen >= 2, got $alphaDen")
+    val e = g.edges.select("src", "dst").localCheckpoint()
+    val v = g.vertices.select("vid").localCheckpoint()
+    var x = v.select(col("vid"), lit(betaMicro).as("x"))
+    for (_ <- 1 to iters) {
+      val gathered = e.join(x.withColumnRenamed("vid", "src"), Seq("src"))
+        .groupBy(col("dst").as("vid"))
+        .agg(sum(col("x").cast("decimal(38,0)")).as("s"))
+      x = v.join(gathered, Seq("vid"), "left")
+        .select(col("vid"),
+          (lit(betaMicro)
+            + coalesce(expr(s"CAST(s DIV $alphaDen AS BIGINT)"), lit(0L)))
+            .as("x"))
+        .localCheckpoint()
+    }
+    x.select(col("vid"), col("x").as("katz_fp"))
+  }
 }

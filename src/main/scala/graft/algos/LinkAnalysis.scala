@@ -1312,4 +1312,61 @@ object LinkAnalysis {
       .withColumnRenamed("coreness", "c")
     prev.join(cur, Seq("id")).filter(col("p") =!= col("c")).count()
   }
+
+  /** Butterfly (bipartite 4-cycle) census card — the bipartite
+    * analogue of the triangle count (g32): a butterfly is two
+    * left-nodes sharing two right-nodes, the smallest cohesive motif
+    * a bipartite graph has (triangles cannot exist), and the standard
+    * density signal for bipartite layers (F5's views expose exactly
+    * such order⋈part / customer⋈order structures). One row out:
+    *
+    *   (n_left, n_right, n_edges, n_wedges, n_butterflies)
+    *
+    * where a wedge is a right-pair sharing one left-node
+    * (Σ_a C(deg a, 2) over LEFT nodes) and n_butterflies =
+    * Σ_{b1<b2} C(|common left|, 2) — exact integer counts, so the
+    * card hash-matches on any engine. The two quadratic tallies are
+    * DECIMAL(38,0)-summed and emitted as their string form (the g66
+    * treatment: Σ C(·,2) crosses 2^63 well inside the 100 TB regime);
+    * per-pair C(w,2) stays a LONG product, sound to w ≤ 4.3e9 common
+    * neighbors per right pair — beyond any real co-engagement table.
+    *
+    * Input `edges`: (a, b) left/right endpoints, multi-edges dropped
+    * here (the motif is defined on the simple graph).
+    *
+    * Scale shape: the wedge enumeration self-joins the edge list on
+    * the LEFT key, so per-left fan-out is C(deg, 2) — `maxLeftDegree`
+    * caps it (hubs above the cap are EXCLUDED from wedge/butterfly
+    * counts — documented estimate-from-below, the maxDf economics of
+    * x42: at 100 TB a single 1e6-degree hub is 5e11 wedge rows, and
+    * every published butterfly counter bounds or samples it). Counts
+    * aggregate map-side; the wedge groupBy keys on the right pair. */
+  def butterflyCard(edges: DataFrame, maxLeftDegree: Long = 10000L)
+      : DataFrame = {
+    require(maxLeftDegree >= 2,
+      s"butterflyCard: maxLeftDegree >= 2, got $maxLeftDegree")
+    val e = edges.select(col("a"), col("b")).distinct()
+      .localCheckpoint() // reused four times below
+    val deg = e.groupBy("a").agg(count(lit(1)).as("d"))
+    val kept = e.join(deg.where(col("d") <= maxLeftDegree)
+      .select("a"), Seq("a"))
+    // wedges per right-pair (b1 < b2): |common left nodes|
+    val wedges = kept.as("l").join(kept.as("r"), Seq("a"))
+      .where(col("l.b") < col("r.b"))
+      .groupBy(col("l.b").as("b1"), col("r.b").as("b2"))
+      .agg(count(lit(1)).as("w"))
+    val totals = e.agg(
+      countDistinct(col("a")).as("n_left"),
+      countDistinct(col("b")).as("n_right"),
+      count(lit(1)).as("n_edges"))
+    val wedgeTot = deg.where(col("d") <= maxLeftDegree)
+      .agg(coalesce(sum(expr("d * (d - 1) DIV 2").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).cast("string").as("n_wedges"))
+    val bfly = wedges
+      .agg(coalesce(sum(expr("w * (w - 1) DIV 2").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).cast("string").as("n_butterflies"))
+    totals.crossJoin(broadcast(wedgeTot)).crossJoin(broadcast(bfly))
+      .select(col("n_left"), col("n_right"), col("n_edges"),
+        col("n_wedges"), col("n_butterflies"))
+  }
 }

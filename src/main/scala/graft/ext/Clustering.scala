@@ -650,22 +650,43 @@ object Clustering {
     * on a hash-sampled query slice, not the serving path. */
   def exactL2TopK(emb: DataFrame, queries: DataFrame, topK: Int,
                   idCol: String = "vec_id",
-                  vecCol: String = "embedding"): DataFrame = {
+                  vecCol: String = "embedding",
+                  useDims: Int = Int.MaxValue): DataFrame = {
     require(topK > 0, "exactL2TopK: topK > 0")
-    val c = quantize(emb, idCol, vecCol)
-    val q = quantize(queries, idCol, vecCol)
-      .select(col("vec_id").as("query_id"), col("dim"), col("q").as("qq"))
-    val scored = c.join(broadcast(q), Seq("dim"))
-      .where(col("query_id") =!= col("vec_id"))
-      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
-      .agg(sum(((col("qq") - col("q")) * (col("qq") - col("q")))
-        .cast("decimal(38,0)")).cast("long").as("d2"))
+    require(useDims > 0, "exactL2TopK: useDims > 0")
+    // `useDims` restricts the distance to the vector PREFIX — the
+    // matryoshka serving question ([[matryoshkaRecallCard]]); the
+    // default keeps every dimension (the exact ground truth).
+    val scored = exactL2Scores(emb, queries, idCol, vecCol, useDims)
     val top = graft.plans.TopKPerGroup(scored, Seq("query_id"),
       Seq(("d2", true), ("neighbor_id", true)), topK)
     val w = Window.partitionBy("query_id")
       .orderBy(col("d2"), col("neighbor_id"))
     top.withColumn("rank", row_number().over(w))
       .select(col("query_id"), col("neighbor_id"), col("d2"), col("rank"))
+  }
+
+  /** The pre-top-k pair scores behind [[exactL2TopK]]: every
+    * (query, corpus) exact integer-L2 d2 with self-pairs dropped —
+    * exposed so consumers that filter pairs BEFORE the tail (e.g.
+    * [[graft.ext.Similarity.hardNegatives]]'s label-inequality cut)
+    * don't lose near ties to a premature top-k. Same scale shape as
+    * the parent: queries broadcast onto the corpus's quantized
+    * explode, partial d² combines map-side. */
+  private[ext] def exactL2Scores(emb: DataFrame, queries: DataFrame,
+                                 idCol: String = "vec_id",
+                                 vecCol: String = "embedding",
+                                 useDims: Int = Int.MaxValue): DataFrame = {
+    def pfx(df: DataFrame): DataFrame =
+      if (useDims == Int.MaxValue) df else df.where(col("dim") < useDims)
+    val c = pfx(quantize(emb, idCol, vecCol))
+    val q = pfx(quantize(queries, idCol, vecCol))
+      .select(col("vec_id").as("query_id"), col("dim"), col("q").as("qq"))
+    c.join(broadcast(q), Seq("dim"))
+      .where(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(((col("qq") - col("q")) * (col("qq") - col("q")))
+        .cast("decimal(38,0)")).cast("long").as("d2"))
   }
 
   /** Recall-vs-nProbe tuning card for a persisted [[writeIvfPq]]
@@ -695,6 +716,323 @@ object Clustering {
           col("sum_recall_ppm"),
           expr("sum_recall_ppm DIV n_queries").as("mean_recall_ppm"))
     }.reduce(_ unionAll _)
+  }
+
+  /** Matryoshka truncation recall card — the serving decision behind
+    * MRL-style embeddings (Kusupati 2022: nested prefixes of one
+    * vector are themselves usable embeddings): per swept prefix
+    * length, the mean recall@topK of exact search over ONLY the first
+    * `d` dimensions against the full-dimension exact ground truth.
+    * The card answers "how many dims can this corpus drop before
+    * retrieval degrades" — a 4× prefix cut is a 4× index-size and
+    * scan-cost cut at 100 TB, which is why the decision deserves a
+    * measured card, not a guess. Integer ppm end to end (the
+    * [[ivfPqRecallCard]] rollup on the same exact-L2 axis). Returns
+    * (prefix_dims, n_queries, sum_recall_ppm, mean_recall_ppm).
+    *
+    * Scale shape: one [[exactL2TopK]] pass per swept prefix over the
+    * hash-sampled query slice you run cards on — each pass broadcasts
+    * the queries onto the corpus's quantized explode (filtered to the
+    * prefix BEFORE the join: the scan shrinks with d), combines d²
+    * partials map-side, and tails through TopKPerGroup. */
+  def matryoshkaRecallCard(emb: DataFrame, queries: DataFrame,
+                           prefixDims: Seq[Int], topK: Int = 10,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    require(prefixDims.nonEmpty,
+      "matryoshkaRecallCard: prefixDims must be non-empty")
+    val exact = exactL2TopK(emb, queries, topK, idCol, vecCol)
+      .localCheckpoint() // shared across the prefix sweep
+    prefixDims.map { d =>
+      val approx = exactL2TopK(emb, queries, topK, idCol, vecCol,
+        useDims = d)
+      graft.ext.Similarity.annRecall(exact, approx, topK)
+        .agg(count(lit(1)).as("n_queries"),
+          sum("recall_ppm").cast("long").as("sum_recall_ppm"))
+        .select(lit(d).as("prefix_dims"), col("n_queries"),
+          col("sum_recall_ppm"),
+          expr("sum_recall_ppm DIV n_queries").as("mean_recall_ppm"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** 1-bit (sign) quantization against per-dimension corpus means —
+    * the 32×-compression leg of the quantization ladder (INT8 x117,
+    * PQ x85/x135): bit_d(v) = [q_d · n > Σ_corpus q_d], i.e. "above
+    * the corpus mean", decided by exact integer CROSS-MULTIPLY (no
+    * mean division, no float threshold — the same trick as the q42
+    * spike rule), so codes re-derive bit-identically on any engine.
+    * Dimensions pack 32 per BIGINT into (code_lo, code_hi) words —
+    * two words cover 64 dims; shifts stay ≤ 31 so the packing is
+    * overflow-free on engines that check `<<` (DuckDB).
+    *
+    * Exactness bound: q·n with |q| ≤ 1e6 micro-units stays inside
+    * LONG to n ≈ 9e12 vectors — past any single corpus; the per-dim
+    * sums ride DECIMAL(38,0) and the comparison cross-multiplies in
+    * decimal. Returns (vec_id, code_lo, code_hi).
+    *
+    * Scale shape: one map-side-combinable per-dim (sum, count) agg —
+    * dims rows out, broadcast back — then a map-only encode + one
+    * groupBy(vec_id) pack; the corpus never shuffles raw floats. */
+  def binaryCodes(emb: DataFrame, dims: Int,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(dims >= 1 && dims <= 64, s"binaryCodes: 1 <= dims <= 64")
+    val quant = quantize(emb, idCol, vecCol).where(col("dim") < dims)
+    val th = quant.groupBy("dim")
+      .agg(sum(col("q").cast("decimal(38,0)")).as("sq"),
+        count(lit(1)).cast("decimal(38,0)").as("n"))
+    packBits(quant, broadcast(th))
+  }
+
+  /** Pack the above-threshold bits of a quantized explode into the
+    * two 32-dim BIGINT words — shared by the in-memory encoder
+    * ([[binaryCodes]]) and the persisted-layout query encoder
+    * ([[probeBinaryIndex]], which packs against FROZEN thresholds so
+    * out-of-corpus queries encode consistently). */
+  private def packBits(quant: DataFrame, th: DataFrame): DataFrame =
+    quant.join(th, Seq("dim"))
+      .withColumn("bit",
+        (col("q").cast("decimal(38,0)") * col("n") > col("sq"))
+          .cast("long"))
+      .groupBy("vec_id")
+      .agg(
+        coalesce(sum(when(col("dim") < 32,
+          expr("bit * shiftleft(CAST(1 AS BIGINT), dim)"))), lit(0L))
+          .as("code_lo"),
+        coalesce(sum(when(col("dim") >= 32,
+          expr("bit * shiftleft(CAST(1 AS BIGINT), dim - 32)"))), lit(0L))
+          .as("code_hi"))
+
+  /** Persist the 1-bit index as its own layout — the engine's
+    * index-is-the-layout treatment ([[writeIvfPq]], the band index,
+    * the sign-LSH buckets) applied to the binary rung: `codes/`
+    * (vec_id, code_lo, code_hi — 16 bytes + id per corpus vector)
+    * plus `thresholds/` (the frozen per-dim sign cuts, dims rows), so
+    * every future probe pays a 16-byte-per-vector scan instead of
+    * re-deriving codes with a corpus-wide pack exchange per call, and
+    * OUT-OF-CORPUS queries encode against the same frozen cuts. The
+    * model intentionally never drifts on probe (the x142 economics);
+    * re-write to re-calibrate. */
+  def writeBinaryIndex(emb: DataFrame, path: String, dims: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    require(dims >= 1 && dims <= 64, s"writeBinaryIndex: 1 <= dims <= 64")
+    val quant = quantize(emb, idCol, vecCol).where(col("dim") < dims)
+    quant.groupBy("dim")
+      .agg(sum(col("q").cast("decimal(38,0)")).as("sq"),
+        count(lit(1)).cast("decimal(38,0)").as("n"))
+      .write.mode("overwrite").parquet(s"$path/thresholds")
+    val th = broadcast(emb.sparkSession.read.parquet(s"$path/thresholds"))
+    packBits(quant, th).write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Binary retrieval over a persisted [[writeBinaryIndex]] layout:
+    * queries encode against the FROZEN thresholds (map-only — they
+    * need not be corpus members), Hamming top-`rerankR` scans the
+    * 16-byte code words with the query codes broadcast (the corpus
+    * contributes no exchange before the bounded-heap tail), then the
+    * exact integer-L2 rerank reads full vectors for the survivors
+    * only (`emb` is the vector source; candidates broadcast onto its
+    * column-pruned scan). Same output shape as [[exactL2TopK]]:
+    * (query_id, neighbor_id, d2, rank). */
+  def probeBinaryIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, emb: DataFrame, queries: DataFrame,
+                       dims: Int, rerankR: Int, topK: Int = 10,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(rerankR >= topK, "probeBinaryIndex: rerankR >= topK")
+    val th = broadcast(spark.read.parquet(s"$path/thresholds"))
+    val codes = spark.read.parquet(s"$path/codes")
+    val qCodes = packBits(
+        quantize(queries, idCol, vecCol).where(col("dim") < dims), th)
+      .select(col("vec_id").as("query_id"), col("code_lo").as("qlo"),
+        col("code_hi").as("qhi"))
+    val ham = codes.crossJoin(broadcast(qCodes))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("CAST(bit_count(code_lo ^ qlo) + bit_count(code_hi ^ qhi)" +
+          " AS BIGINT)").as("hamming"))
+    val cands = graft.plans.TopKPerGroup(ham, Seq("query_id"),
+      Seq(("hamming", true), ("neighbor_id", true)), rerankR)
+    rerankExactL2(emb, queries, cands, topK, idCol, vecCol)
+  }
+
+  /** Binary-quantization retrieval with exact rerank — the serving
+    * pattern every 1-bit deployment runs (Hamming prefilter over the
+    * packed codes, exact distance only on the survivors) — and its
+    * recall card: per swept rerank depth R, the mean recall@topK of
+    * "Hamming top-R candidates, exact-L2 rerank to topK" against the
+    * full exact ground truth, integer ppm. R is THE knob (R = topK is
+    * pure Hamming; R → corpus is exact search); the card prices it.
+    * `queries` is a hash-sampled CORPUS slice (its packed codes — and
+    * the sign thresholds — resolve against the corpus table, the same
+    * contract as the other recall cards). Returns
+    * (rerank_r, n_queries, sum_recall_ppm, mean_recall_ppm).
+    *
+    * Scale shape: the Hamming pass scans 16 BYTES per corpus vector
+    * (two packed words — the 32× cut is why this ladder rung exists)
+    * with query codes broadcast and the tail in TopKPerGroup; the
+    * rerank joins the queries×R candidate set (broadcast-small by
+    * construction) back to the quantized corpus, so the full-width
+    * vectors are read for survivors only. */
+  def binaryRerankRecallCard(emb: DataFrame, queries: DataFrame,
+                             dims: Int, rerankRs: Seq[Int],
+                             topK: Int = 10,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    require(rerankRs.nonEmpty,
+      "binaryRerankRecallCard: rerankRs must be non-empty")
+    require(rerankRs.forall(_ >= topK),
+      s"binaryRerankRecallCard: every rerank depth must be >= topK=$topK")
+    val exact = exactL2TopK(emb, queries, topK, idCol, vecCol)
+      .localCheckpoint() // shared across the rerank sweep
+    val ranked = hammingRanks(emb, queries, dims, rerankRs.max,
+        idCol, vecCol)
+      .localCheckpoint() // one Hamming pass serves every swept R
+    rerankRs.map { r =>
+      val approx = rerankExactL2(emb, queries,
+        ranked.where(col("hrank") <= r), topK, idCol, vecCol)
+      graft.ext.Similarity.annRecall(exact, approx, topK)
+        .agg(count(lit(1)).as("n_queries"),
+          sum("recall_ppm").cast("long").as("sum_recall_ppm"))
+        .select(lit(r).as("rerank_r"), col("n_queries"),
+          col("sum_recall_ppm"),
+          expr("sum_recall_ppm DIV n_queries").as("mean_recall_ppm"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** The Hamming-prefilter half of the binary retrieval path: per
+    * query the `topR` corpus vectors nearest in packed-code Hamming
+    * distance, ranked (hamming, neighbor_id). The scan touches 16
+    * bytes + id per corpus vector (query codes broadcast, tail in
+    * TopKPerGroup). Returns (query_id, neighbor_id, hamming, hrank). */
+  private[ext] def hammingRanks(emb: DataFrame, queries: DataFrame,
+                                dims: Int, topR: Int,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding"): DataFrame = {
+    val codes = binaryCodes(emb, dims, idCol, vecCol)
+      .localCheckpoint() // thresholds come from the CORPUS side only
+    val qIds = queries.select(col(idCol).as("query_id")).distinct()
+    val qCodes = codes.join(qIds,
+        codes("vec_id") === qIds("query_id"))
+      .select(col("query_id"), col("code_lo").as("qlo"),
+        col("code_hi").as("qhi"))
+    val ham = codes.crossJoin(broadcast(qCodes))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("CAST(bit_count(code_lo ^ qlo) + bit_count(code_hi ^ qhi)" +
+          " AS BIGINT)").as("hamming"))
+    val cands = graft.plans.TopKPerGroup(ham, Seq("query_id"),
+      Seq(("hamming", true), ("neighbor_id", true)), topR)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming"), col("neighbor_id"))
+    cands.withColumn("hrank", row_number().over(w))
+  }
+
+  /** The exact-rerank half: full-width integer L2 on the candidate
+    * set only (candidates broadcast onto the quantized corpus — the
+    * full vectors are read for survivors, never the whole corpus).
+    * Returns (query_id, neighbor_id, d2, rank). */
+  private[ext] def rerankExactL2(emb: DataFrame, queries: DataFrame,
+                                 cand: DataFrame, topK: Int,
+                                 idCol: String = "vec_id",
+                                 vecCol: String = "embedding"): DataFrame = {
+    val quant = quantize(emb, idCol, vecCol)
+    val qq = quantize(queries, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("dim"), col("q").as("qq"))
+    val rer = broadcast(cand.select("query_id", "neighbor_id"))
+      .join(quant.withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"))
+      .join(broadcast(qq), Seq("query_id", "dim"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(((col("qq") - col("q")) * (col("qq") - col("q")))
+        .cast("decimal(38,0)")).cast("long").as("d2"))
+    val top = graft.plans.TopKPerGroup(rer, Seq("query_id"),
+      Seq(("d2", true), ("neighbor_id", true)), topK)
+    val rw = Window.partitionBy("query_id")
+      .orderBy(col("d2"), col("neighbor_id"))
+    top.withColumn("rank", row_number().over(rw))
+  }
+
+  /** The binary-quantization SERVING path ([[binaryRerankRecallCard]]
+    * prices its `rerankR` knob): Hamming top-R over the packed sign
+    * codes, exact integer-L2 rerank of the survivors to topK.
+    * Returns (query_id, neighbor_id, d2, rank) — the same shape as
+    * [[exactL2TopK]], which it approaches as R → corpus. */
+  def binaryRerankTopK(emb: DataFrame, queries: DataFrame, dims: Int,
+                       rerankR: Int, topK: Int = 10,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(rerankR >= topK, "binaryRerankTopK: rerankR >= topK")
+    rerankExactL2(emb, queries,
+      hammingRanks(emb, queries, dims, rerankR, idCol, vecCol),
+      topK, idCol, vecCol)
+  }
+
+  /** Fold a new vector batch into a [[writeBinaryIndex]] layout
+    * WITHOUT re-calibrating: the batch packs against the PERSISTED
+    * thresholds (one broadcast-join map pass — the same frozen-model
+    * economics as [[appendIvfPq]] and the inverted-index append) and
+    * lands as new files under `codes/`. Thresholds intentionally
+    * never drift on append — re-appending a calibration vector
+    * reproduces its original code exactly (spec-pinned), so probe
+    * results over base ∪ batch equal a probe over codes encoded
+    * against the base calibration. Re-write to re-calibrate. */
+  def appendBinaryIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, batch: DataFrame, dims: Int,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): Unit = {
+    val th = broadcast(spark.read.parquet(s"$path/thresholds"))
+    packBits(quantize(batch, idCol, vecCol).where(col("dim") < dims), th)
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** Farthest-first traversal (greedy k-center, Gonzalez 1985) — the
+    * deterministic diverse-subset selector: seed 1 is the smallest id
+    * (the kmeans seeding convention), each later seed is the corpus
+    * vector MAXIMIZING its min exact-L2 distance to the seeds so far
+    * ((min_d2 DESC, vec_id ASC) total order). The classic uses: a
+    * diversity-aware kmeans++-style init for [[kmeansModel]], and a
+    * "pick k maximally-different exemplars" curation card (the
+    * corpus-wide cousin of [[graft.ext.Similarity.mmrRerank]]'s
+    * per-query greedy). 2-approximation to the optimal k-center
+    * cover, exact integer arithmetic throughout. Returns
+    * (vec_id, seed_rank, min_d2) — min_d2 the selection-time distance
+    * (0 for seed 1), i.e. the covering radius ladder.
+    *
+    * Scale shape: each round is ONE map pass over the corpus's
+    * quantized explode against the ≤k·dims broadcast seed table
+    * (partial d² combines map-side) + a global top-1
+    * (TakeOrderedAndProject — no corpus sort); the k−1 driver-side
+    * single-row collects are bounded by k (the minSeed collect
+    * class). The corpus never shuffles. */
+  def kcenterSeeds(emb: DataFrame, k: Int,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "kcenterSeeds: k >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val quant = quantize(emb, idCol, vecCol).localCheckpoint()
+    val first = quant.agg(min("vec_id")).head().getLong(0)
+    var seeds = Vector((first, 1, 0L)) // (vec_id, seed_rank, min_d2)
+    for (step <- 2 to k) {
+      val sel = quant.where(col("vec_id")
+          .isin(seeds.map(_._1): _*))
+        .select(col("vec_id").as("sel_id"), col("dim"),
+          col("q").as("sq"))
+      val next = quant.join(broadcast(sel), Seq("dim"))
+        .where(!col("vec_id").isin(seeds.map(_._1): _*))
+        .groupBy(col("vec_id"), col("sel_id"))
+        .agg(sum(((col("q") - col("sq")) * (col("q") - col("sq")))
+          .cast("decimal(38,0)")).cast("long").as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min("d2").as("min_d2"))
+        .orderBy(col("min_d2").desc, col("vec_id"))
+        .limit(1)
+        .as[(Long, Long)].head()
+      seeds = seeds :+ ((next._1, step, next._2))
+    }
+    seeds.toDF("vec_id", "seed_rank", "min_d2")
   }
 
   /** Scalar INT8 quantization with per-dimension min/max calibration +

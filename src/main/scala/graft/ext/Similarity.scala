@@ -610,4 +610,136 @@ object Similarity {
       .withColumn("cosine", cosine(col("qvec"), col("cvec")))
     rankedTopK(scored, k)
   }
+
+  /** Hard-negative mining — the data-prep step of contrastive
+    * retrieval training (DPR/SBERT recipes): for every query vector,
+    * its `k` nearest corpus neighbors whose `labelCol` DIFFERS from
+    * the query's — the near-misses a bi-encoder must learn to push
+    * away (random negatives are too easy; same-label neighbors are
+    * positives, not negatives — [[contrastivePairs]] mines those).
+    * Distances are the exact integer L2 of the recall cards
+    * (micro-unit quantized, DECIMAL-summed), (d2, neighbor_id) tie
+    * order, so the mined set hash-matches on any engine. Returns
+    * (query_id, neighbor_id, neighbor_label, d2, rank).
+    *
+    * Scale shape: the query slice broadcasts onto the corpus's
+    * quantized explode (corpus never shuffles raw vectors); labels
+    * join onto the PAIR set (queries×corpus partials combine
+    * map-side first), and the tail rides TopKPerGroup. */
+  def hardNegatives(emb: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    require(k > 0, "hardNegatives: k > 0")
+    val labels = emb.select(col(idCol).as("neighbor_id"),
+      col(labelCol).cast("long").as("neighbor_label"))
+    val qLabels = broadcast(queries.select(col(idCol).as("query_id"),
+      col(labelCol).cast("long").as("query_label")))
+    val scored = graft.ext.Clustering
+      .exactL2Scores(emb, queries, idCol, vecCol)
+      .join(labels, Seq("neighbor_id"))
+      .join(qLabels, Seq("query_id"))
+      .where(col("neighbor_label") =!= col("query_label"))
+    val top = graft.plans.TopKPerGroup(scored, Seq("query_id"),
+      Seq(("d2", true), ("neighbor_id", true)), k)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("d2"), col("neighbor_id"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        col("d2"), col("rank"))
+  }
+
+  /** MMR (maximal-marginal-relevance) diversified re-ranking
+    * (Carbonell & Goldstein 1998) — the diversity leg of the
+    * retrieval stack next to x146's RRF fusion: from each query's
+    * `candidateN` exact-nearest candidates, greedily select `k`
+    * maximizing
+    *
+    *   score(c) = (1000 − λ‰)·min_{s ∈ selected} d2(c, s) − λ‰·d2(q, c)
+    *
+    * i.e. near the query AND far from everything already picked —
+    * λ is in INTEGER THOUSANDTHS and both terms are exact integer
+    * d2, so each greedy step is pure BIGINT arithmetic with NO
+    * division (λ‰·d2 ≤ 1000 · 2.6e14 keeps well inside LONG for
+    * micro-unit vectors of ≤ 4096 dims) and a total (score DESC,
+    * neighbor_id ASC) order — the selection hash-matches on any
+    * engine. Step 1 (nothing selected yet) is the pure-relevance
+    * argmin d2. Returns (query_id, neighbor_id, d2, mmr_rank).
+    *
+    * Scale shape: candidates come from one [[graft.ext.Clustering
+    * .exactL2TopK]] pass (swap in any ANN probe upstream at scale);
+    * the pairwise candidate distances are queries × C(candidateN, 2)
+    * rows — bounded by construction, never corpus-sized — and each
+    * of the k greedy rounds is one equi-join + TopKPerGroup(1) on
+    * that bounded set. k and candidateN are card-sized knobs (the
+    * unrolled plan is k joins deep), not corpus parameters. */
+  def mmrRerank(emb: DataFrame, queries: DataFrame, k: Int,
+                candidateN: Int, lambdaPpt: Long = 700L,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(candidateN >= k, "mmrRerank: candidateN >= k")
+    mmrRerankCandidates(emb,
+      graft.ext.Clustering
+        .exactL2TopK(emb, queries, candidateN, idCol, vecCol)
+        .select(col("query_id"), col("neighbor_id"), col("d2")),
+      k, lambdaPpt, idCol, vecCol)
+  }
+
+  /** [[mmrRerank]] over an INJECTED candidate list — the production
+    * composition: feed any ANN leg's (query_id, neighbor_id, d2)
+    * output (`probeIvfPq`, `probeBinaryIndex`, `exactL2TopK` — all
+    * share the shape) and diversify its tail; the greedy arithmetic
+    * and tie order are identical, so swapping the candidate source
+    * never changes the selection RULE, only the pool. `emb` supplies
+    * the vectors for the pairwise candidate distances. */
+  def mmrRerankCandidates(emb: DataFrame, candidates: DataFrame, k: Int,
+                          lambdaPpt: Long = 700L,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "mmrRerank: k >= 1")
+    require(lambdaPpt >= 0 && lambdaPpt <= 1000,
+      s"mmrRerank: lambdaPpt in [0, 1000], got $lambdaPpt")
+    val cand = candidates
+      .select(col("query_id"), col("neighbor_id"), col("d2"))
+      .localCheckpoint() // anchors the greedy rounds AND the pair set
+    // pairwise candidate-candidate exact d2 within each query's list
+    val cvec = cand.select(col("query_id"), col("neighbor_id"))
+      .join(graft.ext.Clustering.quantize(emb, idCol, vecCol)
+        .withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+    val pair = cvec.as("l")
+      .join(cvec.as("r"), Seq("query_id", "dim"))
+      .where(col("l.neighbor_id") =!= col("r.neighbor_id"))
+      .groupBy(col("query_id"), col("l.neighbor_id").as("c1"),
+        col("r.neighbor_id").as("c2"))
+      .agg(sum(((col("l.q") - col("r.q")) * (col("l.q") - col("r.q")))
+        .cast("decimal(38,0)")).cast("long").as("pd2"))
+      .localCheckpoint()
+    var selected = graft.plans.TopKPerGroup(cand, Seq("query_id"),
+        Seq(("d2", true), ("neighbor_id", true)), 1)
+      .select(col("query_id"), col("neighbor_id"), col("d2"),
+        lit(1).as("mmr_rank"))
+      .localCheckpoint()
+    for (step <- 2 to k) {
+      val selIds = selected.select(col("query_id"),
+        col("neighbor_id").as("c2"))
+      val remaining = cand.join(
+        selIds.withColumnRenamed("c2", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      // min distance from each remaining candidate to the selected set
+      val minSel = pair.join(selIds, Seq("query_id", "c2"))
+        .groupBy(col("query_id"), col("c1").as("neighbor_id"))
+        .agg(min("pd2").as("min_sel_d2"))
+      val scoredStep = remaining
+        .join(minSel, Seq("query_id", "neighbor_id"))
+        .withColumn("mmr_score",
+          lit(1000L - lambdaPpt) * col("min_sel_d2")
+            - lit(lambdaPpt) * col("d2"))
+      val next = graft.plans.TopKPerGroup(scoredStep, Seq("query_id"),
+          Seq(("mmr_score", false), ("neighbor_id", true)), 1)
+        .select(col("query_id"), col("neighbor_id"), col("d2"),
+          lit(step).as("mmr_rank"))
+      selected = selected.unionAll(next).localCheckpoint()
+    }
+    selected
+  }
 }

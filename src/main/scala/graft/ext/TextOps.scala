@@ -1326,4 +1326,62 @@ object TextOps {
         (col("rank") * col("c")).as("rank_x_freq"))
       .orderBy("rank")
   }
+
+  /** Gopher-style repetition gates, per document, in integer ppm —
+    * the named repetition rules of the published pretraining recipe
+    * (Rae 2021 §A1.1: "fraction of {tokens in duplicate n-grams,
+    * most-common n-gram}") next to [[repetitionRatio]]'s single
+    * float signal:
+    *
+    *   dup_token_ppm   = 1e6·(n − distinct tokens) div n
+    *   top_bigram_ppm  = min(1e6, 1e6·2·(max bigram count) div n)
+    *   top_trigram_ppm = min(1e6, 1e6·3·(max trigram count) div n)
+    *   passes          = top_bigram ≤ maxTopBigramPpm
+    *                     AND top_trigram ≤ maxTopTrigramPpm
+    *
+    * All integer arithmetic (truncating div, both engines agree on
+    * the nonnegative operands), so verdicts hash-match — the
+    * "fraction of chars" float form would gate differently per
+    * engine at the threshold boundary. Docs shorter than w tokens
+    * score 0 for that gate (no n-gram exists to repeat). Default
+    * thresholds are Gopher's 0.20 / 0.18.
+    *
+    * Scale shape: token/distinct counts are map-only column math;
+    * each n-gram max is one explode → (doc, shingle) count → (doc)
+    * max chain, both aggregations map-side combinable, shuffles
+    * keyed on doc_id — no corpus-wide vocabulary, no window sort. */
+  def repetitionCard(df: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     maxTopBigramPpm: Long = 200000L,
+                     maxTopTrigramPpm: Long = 180000L): DataFrame = {
+    val t = tokens(col(textCol))
+    val base = df.select(col(idCol),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("__nd"))
+    def maxNgram(w: Int): DataFrame = {
+      val sh = transform(Dedup.shingleWindows(tokens(col(textCol)), w),
+        arr => array_join(arr, " "))
+      df.select(col(idCol),
+          explode(when(size(tokens(col(textCol))) < w,
+              array().cast("array<string>"))
+            .otherwise(sh)).as("sh"))
+        .groupBy(col(idCol), col("sh")).agg(count(lit(1)).as("c"))
+        .groupBy(col(idCol)).agg(max("c").as(s"__m$w"))
+    }
+    base
+      .join(maxNgram(2), Seq(idCol), "left")
+      .join(maxNgram(3), Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        expr("1000000 * (n_tokens - __nd) DIV n_tokens")
+          .as("dup_token_ppm"),
+        least(lit(1000000L),
+          expr("1000000 * (2 * coalesce(__m2, 0)) DIV n_tokens"))
+          .as("top_bigram_ppm"),
+        least(lit(1000000L),
+          expr("1000000 * (3 * coalesce(__m3, 0)) DIV n_tokens"))
+          .as("top_trigram_ppm"))
+      .withColumn("passes",
+        col("top_bigram_ppm") <= maxTopBigramPpm
+          && col("top_trigram_ppm") <= maxTopTrigramPpm)
+  }
 }

@@ -2114,4 +2114,187 @@ class ExtSpec extends SparkSuite {
     assert(out(("s2", 2L)) == ("lang_known", 0L, 0L))
     assert(out.size == 6)
   }
+
+  private lazy val recallEmb = Seq(
+    0L -> Array(0.10f, 0.20f, -0.30f, 0.40f),
+    1L -> Array(0.12f, 0.18f, -0.28f, 0.41f),
+    2L -> Array(-0.50f, 0.60f, 0.10f, -0.20f),
+    3L -> Array(0.90f, -0.10f, 0.30f, 0.70f),
+    4L -> Array(-0.90f, -0.80f, 0.20f, 0.10f),
+    5L -> Array(0.11f, 0.19f, -0.29f, 0.40f),
+    6L -> Array(0.50f, 0.50f, 0.50f, 0.50f),
+    7L -> Array(-0.10f, -0.20f, -0.30f, -0.40f))
+    .toDF("vec_id", "embedding")
+
+  test("matryoshkaRecallCard: the full-width prefix is exact recall 1e6 (X2)") {
+    val card = Clustering.matryoshkaRecallCard(recallEmb,
+        recallEmb.filter($"vec_id" < 2), prefixDims = Seq(1, 4), topK = 3)
+      .as[(Int, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    assert(card(4) == 1000000L)   // prefix == all dims: identical ranking
+    assert(card(1) <= 1000000L)   // a 1-dim prefix can only lose recall
+  }
+
+  test("binaryRerankRecallCard: rerank depth = corpus is exact recall 1e6 (X2)") {
+    val card = Clustering.binaryRerankRecallCard(recallEmb,
+        recallEmb.filter($"vec_id" < 2), dims = 4,
+        rerankRs = Seq(3, 7), topK = 3)
+      .as[(Int, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    // R = 7 = every non-self corpus vector survives the Hamming cut,
+    // so the exact rerank IS exact search
+    assert(card(7) == 1000000L)
+    assert(card(3) <= 1000000L)
+  }
+
+  test("binaryCodes: packed sign bits match the per-dim mean rule (X2)") {
+    val codes = Clustering.binaryCodes(recallEmb, dims = 4)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // brute: micro-quantize, per-dim mean via cross-multiply
+    val vs = Seq(
+      Array(0.10f, 0.20f, -0.30f, 0.40f), Array(0.12f, 0.18f, -0.28f, 0.41f),
+      Array(-0.50f, 0.60f, 0.10f, -0.20f), Array(0.90f, -0.10f, 0.30f, 0.70f),
+      Array(-0.90f, -0.80f, 0.20f, 0.10f), Array(0.11f, 0.19f, -0.29f, 0.40f),
+      Array(0.50f, 0.50f, 0.50f, 0.50f), Array(-0.10f, -0.20f, -0.30f, -0.40f))
+    val q = vs.map(_.map(x => math.floor(x.toDouble * 1e6).toLong))
+    val n = q.length.toLong
+    val sums = (0 until 4).map(d => q.map(_(d)).sum)
+    for ((v, i) <- q.zipWithIndex) {
+      val want = (0 until 4).map(d => if (v(d) * n > sums(d)) 1L << d else 0L).sum
+      assert(codes(i.toLong) == (want, 0L), s"vec $i")
+    }
+  }
+
+  test("probeBinaryIndex == in-memory binaryRerankTopK; out-of-corpus queries encode (X2)") {
+    val path = java.nio.file.Files
+      .createTempDirectory("extspec_binidx").toString
+    Clustering.writeBinaryIndex(recallEmb, path, dims = 4)
+    val q = recallEmb.filter($"vec_id" < 2)
+    val probe = Clustering.probeBinaryIndex(spark, path, recallEmb, q,
+        dims = 4, rerankR = 5, topK = 3)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val mem = Clustering.binaryRerankTopK(recallEmb, q, dims = 4,
+        rerankR = 5, topK = 3)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(probe == mem && probe.nonEmpty)
+    // an out-of-corpus query encodes against the FROZEN thresholds
+    // and retrieves without error (no self-exclusion id collision)
+    val fresh = Seq((100L, Array(0.1f, 0.2f, -0.3f, 0.4f)))
+      .toDF("vec_id", "embedding")
+    val got = Clustering.probeBinaryIndex(spark, path, recallEmb, fresh,
+        dims = 4, rerankR = 5, topK = 3)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(got.length == 3 && got.forall(_._1 == 100L))
+    // vec 0 has the identical embedding -> it is the exact-L2 top hit
+    assert(got.find(_._4 == 1).get._2 == 0L)
+  }
+
+  test("appendBinaryIndex: re-appended vectors reproduce their codes against the frozen thresholds (X2)") {
+    val path = java.nio.file.Files
+      .createTempDirectory("extspec_binapp").toString
+    Clustering.writeBinaryIndex(recallEmb, path, dims = 4)
+    Clustering.appendBinaryIndex(spark, path, recallEmb, dims = 4)
+    val codes = spark.read.parquet(s"$path/codes")
+    assert(codes.count() == 16L)
+    // every vector's appended code == its build-time code
+    assert(codes.distinct().count() == 8L)
+  }
+
+  test("mmrRerankCandidates: diversifies an injected binary-probe candidate list (X2)") {
+    val path = java.nio.file.Files
+      .createTempDirectory("extspec_binmmr").toString
+    Clustering.writeBinaryIndex(recallEmb, path, dims = 4)
+    val q = recallEmb.filter($"vec_id" < 2)
+    val cand = Clustering.probeBinaryIndex(spark, path, recallEmb, q,
+      dims = 4, rerankR = 6, topK = 6)
+    val out = Similarity.mmrRerankCandidates(recallEmb, cand, k = 3)
+      .as[(Long, Long, Long, Int)].collect()
+    for ((_, g) <- out.groupBy(_._1)) {
+      assert(g.map(_._4).sorted.toSeq == Seq(1, 2, 3))
+      assert(g.map(_._2).distinct.length == 3)
+    }
+    assert(out.groupBy(_._1).size == 2)
+  }
+
+  test("mmrRerank: lambda = 1000 degenerates to the pure exact top-k (X2)") {
+    val q = recallEmb.filter($"vec_id" < 2)
+    val mmr = Similarity.mmrRerank(recallEmb, q, k = 3, candidateN = 5,
+        lambdaPpt = 1000L)
+      .select("query_id", "neighbor_id", "mmr_rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val exact = Clustering.exactL2TopK(recallEmb, q, topK = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(mmr == exact)
+  }
+
+  test("mmrRerank: lambda = 0 spreads — step 2 is the farthest-from-step-1 candidate (X2)") {
+    val q = recallEmb.filter($"vec_id" === 0)
+    val out = Similarity.mmrRerank(recallEmb, q, k = 2, candidateN = 4,
+        lambdaPpt = 0L)
+      .select("mmr_rank", "neighbor_id").as[(Int, Long)].collect().toMap
+    // brute the expectation: candidates = exact top-4 (self excluded),
+    // step 1 = nearest, step 2 (lambda = 0) = candidate maximizing
+    // d2 to step 1, (score DESC, id ASC)
+    val cand = Clustering.exactL2TopK(recallEmb, q, topK = 4)
+      .select("neighbor_id").as[Long].collect().toSeq
+    val vecs = recallEmb.as[(Long, Array[Float])].collect().toMap
+    def d2(a: Long, b: Long): Long =
+      vecs(a).zip(vecs(b)).map { case (x, y) =>
+        val qx = math.floor(x.toDouble * 1e6).toLong
+        val qy = math.floor(y.toDouble * 1e6).toLong
+        (qx - qy) * (qx - qy)
+      }.sum
+    val s1 = out(1)
+    val want2 = cand.filter(_ != s1)
+      .map(c => (d2(c, s1), c)).sortBy { case (d, c) => (-d, c) }.head._2
+    assert(cand.contains(s1))
+    assert(out(2) == want2)
+  }
+
+  test("hardNegatives: same-label neighbors are never mined; ranks are dense (X2)") {
+    val lab = recallEmb.withColumn("label", (col("vec_id") % 2).cast("int"))
+    val out = Similarity.hardNegatives(lab, lab.filter($"vec_id" < 2), k = 3)
+      .as[(Long, Long, Long, Long, Int)].collect()
+    assert(out.nonEmpty)
+    for ((qid, _, nlab, _, _) <- out) assert(nlab != qid % 2)
+    for ((_, g) <- out.groupBy(_._1))
+      assert(g.map(_._5).sorted.toSeq == (1 to g.length))
+  }
+
+  test("kcenterSeeds: brute farthest-first on the fixture; radii non-increasing (X2)") {
+    val got = Clustering.kcenterSeeds(recallEmb, k = 4)
+      .as[(Long, Int, Long)].collect().sortBy(_._2)
+    val vecs = recallEmb.as[(Long, Array[Float])].collect().toMap
+    def d2(a: Long, b: Long): Long =
+      vecs(a).zip(vecs(b)).map { case (x, y) =>
+        val qx = math.floor(x.toDouble * 1e6).toLong
+        val qy = math.floor(y.toDouble * 1e6).toLong
+        (qx - qy) * (qx - qy)
+      }.sum
+    var sel = Vector(0L) // min id
+    var want = Vector((0L, 1, 0L))
+    for (step <- 2 to 4) {
+      val (id, md) = vecs.keys.toSeq.filterNot(sel.contains).map(c =>
+          (c, sel.map(s => d2(c, s)).min))
+        .sortBy { case (c, m) => (-m, c) }.head
+      sel = sel :+ id
+      want = want :+ ((id, step, md))
+    }
+    assert(got.toVector == want)
+    // covering-radius ladder never increases
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.drop(1)).forall { case (a, b) => b <= a })
+  }
+
+  test("repetitionCard: hand-computed gates on a 4-token doc (X3)") {
+    val d = Seq((0L, "a a a b"), (1L, "w x y z w x y z w x")).toDF("doc_id", "text")
+    val out = TextOps.repetitionCard(d)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 0: n=4, distinct=2 -> dup 500000; bigram "a a" x2 -> 2*2/4 = 1e6 cap
+    assert(out(0L) == ((0L, 4L, 500000L, 1000000L, 750000L, false)))
+    // doc 1: n=10, distinct=4 -> dup 600000; "w x" x3 -> 600000;
+    // "w x y" x2 -> 600000: both gates fail
+    assert(out(1L) == ((1L, 10L, 600000L, 600000L, 600000L, false)))
+  }
 }

@@ -192,6 +192,32 @@ class GraphOpsSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("katzFixedPoint: exact hand-computed scores on a 3-chain") {
+    // a -> b -> c, beta = 1e6, alpha = 1/8, 2 rounds:
+    //   round 1: a = 1e6; b = 1e6 + 1e6 div 8 = 1125000; c = 1125000
+    //   round 2: a = 1e6; b = 1e6 + 1e6 div 8 = 1125000
+    //            c = 1e6 + 1125000 div 8 = 1140625
+    val nodes = Seq("a", "b", "c").map((_, "L")).toDF("node_id", "layer")
+    val edges = Seq(("a", "b"), ("b", "c"))
+      .map { case (s2, t) => (s2, "L", t, "L") }
+      .toDF("source_id", "source_layer", "target_id", "target_layer")
+    val g = OnionBuilder.grow(nodes, edges, GrowOptions())
+    val got = GraphOps.katzFixedPoint(g, iters = 2, alphaDen = 8L)
+      .join(g.vertices, Seq("vid"))
+      .select(col("nodeId"), col("katz_fp"))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 1000000L, "b" -> 1125000L, "c" -> 1140625L))
+  }
+
+  test("katzFixedPoint is invariant under repartitioning") {
+    val g0 = randomGraph(13, 30, 70)
+    val g1 = graft.model.OnionGraph(g0.vertices.repartition(7),
+      g0.edges.repartition(3))
+    val a = GraphOps.katzFixedPoint(g0, 3).as[(Long, Long)].collect().toMap
+    val b = GraphOps.katzFixedPoint(g1, 3).as[(Long, Long)].collect().toMap
+    assert(a == b && a.nonEmpty)
+  }
+
   test("deterministicWalks: md5-chosen steps follow real edges, end at sinks") {
     // star: hub 0 -> {1, 2, 3}; 1 -> {4}; 2, 3, 4 are sinks
     val nodes = Seq("0", "1", "2", "3", "4").map((_, "L0"))

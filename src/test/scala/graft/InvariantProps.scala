@@ -1713,4 +1713,119 @@ object InvariantProps extends Properties("GraftInvariants") {
       }).flatten.toSet
       got == want
     }
+
+  property("mmrRerank == brute greedy maximal-marginal-relevance") =
+    forAll(genVecs, Gen.oneOf(0L, 300L, 700L, 1000L)) { (vecs, lam) =>
+      import spark.implicits._
+      val corpus = vecs.zipWithIndex.map { case (v, i) =>
+        (i.toLong, v) }.toDF("vec_id", "embedding")
+      val qs = vecs.take(2)
+      val queries = qs.zipWithIndex.map { case (v, i) =>
+        (100L + i, v) }.toDF("vec_id", "embedding")
+      val (candN, k) = (4, 3)
+      val got = graft.ext.Similarity
+        .mmrRerank(corpus, queries, k, candN, lam)
+        .select("query_id", "neighbor_id", "mmr_rank")
+        .as[(Long, Long, Int)].collect().toSet
+      def quant(v: Array[Float]): Array[Long] =
+        v.map(x => math.floor(x.toDouble * 1e6).toLong)
+      def d2(a: Array[Float], b: Array[Float]): Long =
+        quant(a).zip(quant(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+      val want = (for ((q, qi) <- qs.zipWithIndex) yield {
+        val cand = vecs.zipWithIndex
+          .map { case (v, vi) => (vi.toLong, d2(q, v)) }
+          .sortBy { case (id, d) => (d, id) }.take(candN)
+        var selected = Vector(cand.head._1)
+        for (_ <- 2 to k) {
+          val next = cand.filterNot { case (id, _) => selected.contains(id) }
+            .map { case (id, dq) =>
+              val minSel = selected
+                .map(s => d2(vecs(id.toInt), vecs(s.toInt))).min
+              (id, (1000L - lam) * minSel - lam * dq)
+            }
+            .sortBy { case (id, score) => (-score, id) }.head._1
+          selected = selected :+ next
+        }
+        selected.zipWithIndex.map { case (id, r) => (100L + qi, id, r + 1) }
+      }).flatten.toSet
+      got == want
+    }
+
+  private val genBipartite = for {
+    la <- Gen.choose(1, 6)
+    lb <- Gen.choose(1, 6)
+    m <- Gen.choose(1, 25)
+    es <- Gen.listOfN(m, Gen.zip(Gen.choose(0, la - 1), Gen.choose(0, lb - 1)))
+  } yield es
+
+  property("butterflyCard == brute 4-cycle census (incl. degree cap)") =
+    forAll(genBipartite, Gen.oneOf(2L, 3L, 10000L)) { (es, cap) =>
+      import spark.implicits._
+      val df = es.map { case (a, b) => (a.toLong, b.toLong) }.toDF("a", "b")
+      val row = graft.algos.LinkAnalysis.butterflyCard(df, cap)
+        .as[(Long, Long, Long, String, String)].collect().head
+      val e = es.distinct
+      val deg = e.groupBy(_._1).map { case (a, l) => a -> l.size.toLong }
+      val kept = e.filter(p => deg(p._1) <= cap)
+      val wedges = deg.values.filter(_ <= cap).map(d => d * (d - 1) / 2).sum
+      val byA = kept.groupBy(_._1).map { case (_, l) => l.map(_._2).toSet }
+      val rights = kept.map(_._2).distinct.sorted
+      val bf = (for {
+        i <- rights; j <- rights if i < j
+        w = byA.count(s => s(i) && s(j)).toLong
+      } yield w * (w - 1) / 2).sum
+      row == ((e.map(_._1).distinct.size.toLong,
+        e.map(_._2).distinct.size.toLong, e.size.toLong,
+        wedges.toString, bf.toString))
+    }
+
+  property("kcenterSeeds == brute farthest-first traversal") =
+    forAll(genVecs, Gen.choose(1, 4)) { (vecs, k) =>
+      import spark.implicits._
+      val corpus = vecs.zipWithIndex.map { case (v, i) =>
+        (i.toLong, v) }.toDF("vec_id", "embedding")
+      val got = graft.ext.Clustering.kcenterSeeds(corpus, k)
+        .as[(Long, Int, Long)].collect().sortBy(_._2).toVector
+      def quant(v: Array[Float]): Array[Long] =
+        v.map(x => math.floor(x.toDouble * 1e6).toLong)
+      def d2(a: Int, b: Int): Long =
+        quant(vecs(a)).zip(quant(vecs(b))).map { case (x, y) =>
+          (x - y) * (x - y) }.sum
+      var sel = Vector(0L)
+      var want = Vector((0L, 1, 0L))
+      for (step <- 2 to k) {
+        val (id, md) = vecs.indices.map(_.toLong).filterNot(sel.contains)
+          .map(c => (c, sel.map(s => d2(c.toInt, s.toInt)).min))
+          .sortBy { case (c, m) => (-m, c) }.head
+        sel = sel :+ id
+        want = want :+ ((id, step, md))
+      }
+      got == want
+    }
+
+  property("hardNegatives == brute label-filtered exact ranking") =
+    forAll(genVecs) { vecs =>
+      import spark.implicits._
+      val labeled = vecs.zipWithIndex.map { case (v, i) =>
+        (i.toLong, v, (i % 3).toLong) }
+      val corpus = labeled.toDF("vec_id", "embedding", "label")
+      val queries = labeled.take(2).map { case (id, v, l) =>
+        (100L + id, v, l) }.toDF("vec_id", "embedding", "label")
+      val k = 2
+      val got = graft.ext.Similarity.hardNegatives(corpus, queries, k)
+        .as[(Long, Long, Long, Long, Int)].collect().toSet
+      def quant(v: Array[Float]): Array[Long] =
+        v.map(x => math.floor(x.toDouble * 1e6).toLong)
+      val want = (for (((q, ql), qi) <- labeled.take(2)
+          .map(t => (t._2, t._3)).zipWithIndex) yield {
+        val qq = quant(q)
+        labeled.filter(_._3 != ql).map { case (vi, v, vl) =>
+          val d2 = quant(v).zip(qq).map { case (a, b) =>
+            (a - b) * (a - b) }.sum
+          (vi, vl, d2)
+        }.sortBy { case (id, _, d) => (d, id) }.take(k).zipWithIndex
+          .map { case ((id, vl, d), r) => (100L + qi, id, vl, d, r + 1) }
+      }).flatten.toSet
+      got == want
+    }
 }

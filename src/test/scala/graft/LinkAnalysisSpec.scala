@@ -937,4 +937,19 @@ class PipelineAnalyticsSpec extends SparkSuite {
       lbl == rows.map(_._1).min })
   }
 
+  test("butterflyCard: hand-computed census; degree cap excludes hub wedges") {
+    // left {1,2}, right {10,20,30}; (1,10) duplicated -> 5 simple edges
+    // deg(1)=3, deg(2)=2 -> wedges C(3,2)+C(2,2)=4
+    // right pair (10,20) shares {1,2} -> C(2,2)=1 butterfly; others 0
+    val e = Seq((1L, 10L), (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L)).toDF("a", "b")
+    val full = LinkAnalysis.butterflyCard(e)
+      .as[(Long, Long, Long, String, String)].collect().head
+    assert(full == ((2L, 3L, 5L, "4", "1")))
+    // cap 2 drops left hub 1 from the wedge census entirely (totals
+    // still describe the whole simple graph)
+    val capped = LinkAnalysis.butterflyCard(e, maxLeftDegree = 2)
+      .as[(Long, Long, Long, String, String)].collect().head
+    assert(capped == ((2L, 3L, 5L, "1", "0")))
+  }
 }

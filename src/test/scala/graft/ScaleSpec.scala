@@ -381,6 +381,37 @@ class ScaleSpec extends SparkSuite {
       "persisted-layout probe must equal the in-memory retrieval")
   }
 
+  test("probeBinaryIndex: 16-byte code scan stays map-only — query codes broadcast, no corpus exchange before the bounded tail (r11)") {
+    import graft.ext.Clustering
+    // the binary rung's index-is-the-layout treatment: the Hamming
+    // pass must scan the persisted code WORDS (not re-derive codes —
+    // no corpus-wide pack exchange per probe) with the query codes
+    // broadcast in, and the exact rerank must broadcast the candidate
+    // set onto the vector scan
+    val emb = (0 until 400).map(i =>
+      (i.toLong, Array.tabulate(8)(d => (math.sin(i * 7 + d) * 4).toFloat)))
+      .toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("scalespec_binidx")
+      .toString
+    Clustering.writeBinaryIndex(emb, path, dims = 8)
+    val out = Clustering.probeBinaryIndex(spark, path, emb,
+      emb.filter(col("vec_id") < 3), dims = 8, rerankR = 20, topK = 5)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // query codes arrive by broadcast (nested-loop: the probe is a
+    // broadcast cross join filtered on id), never a shuffled join
+    assert(plan.contains("BroadcastNestedLoopJoin")
+        || plan.contains("BroadcastHashJoin"),
+      s"query codes must broadcast into the code scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for the probe:\n$plan")
+    // exchanges: the rerank d2 agg + the final rank window + the tiny
+    // query-code pack — the corpus-sized code scan itself adds none
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 4, s"code scan side must not shuffle:\n$plan")
+  }
+
   test("runtime bloom-filter pruning: a selective dim filter reaches the fact scan as a row-level filter (r11)") {
     // the shuffle-join analogue of broadcast pruning: when the small
     // side is too big to broadcast but carries a selective filter,
