@@ -782,6 +782,41 @@ object SparkEntry {
        |ORDER BY layer, node_id""".stripMargin
   }
 
+  /** DuckDB oracle for [[GraphOps.pageRankWeightedFixedPoint]]:
+    * [[pagerankFixedSql]] with the contribution split proportional
+    * to the edge's centi-unit weight; the r·w product rides HUGEINT
+    * (DuckDB's BIGINT·BIGINT overflow-checks; the Spark side routes
+    * the same product through DECIMAL(38,0)). */
+  private def weightedPagerankSql(layers: Seq[String],
+                                  iters: Int): String = {
+    val inList = layers.map(l => s"'$l'").mkString(", ")
+    val iterCtes = (0 until iters).map { k =>
+      s"""r${k + 1} AS (
+         | SELECT v.layer, v.node_id,
+         |  150000000 + COALESCE(CAST((85 * SUM(c.contrib)) // 100 AS BIGINT), 0) AS r
+         | FROM sg_v v LEFT JOIN (
+         |  SELECT e.target_layer AS tl, e.target_id AS ti,
+         |   (CAST(r.r AS HUGEINT) * e.w) // o.wdeg AS contrib
+         |  FROM sg_e e
+         |  JOIN r$k r ON r.layer = e.source_layer AND r.node_id = e.source_id
+         |  JOIN wdeg o ON o.source_layer = e.source_layer AND o.source_id = e.source_id
+         | ) c ON c.tl = v.layer AND c.ti = v.node_id
+         | GROUP BY v.layer, v.node_id)""".stripMargin
+    }.mkString(",\n")
+    s"""$W, sg_v AS (SELECT layer, node_id FROM vertices WHERE layer IN ($inList)),
+       |sg_e AS (SELECT source_layer, source_id, target_layer, target_id,
+       |  CAST(floor(COALESCE(qty, 1.0) * 100 + 0.5) AS BIGINT) AS w FROM edges
+       |  WHERE source_layer IN ($inList) AND target_layer IN ($inList)
+       |    AND CAST(floor(COALESCE(qty, 1.0) * 100 + 0.5) AS BIGINT) > 0),
+       |wdeg AS (SELECT source_layer, source_id, SUM(w) AS wdeg FROM sg_e
+       |  GROUP BY source_layer, source_id),
+       |r0 AS (SELECT layer, node_id, CAST(1000000000 AS BIGINT) AS r
+       |  FROM sg_v),
+       |$iterCtes
+       |SELECT layer, node_id, r AS rank_fp FROM r$iters
+       |ORDER BY layer, node_id""".stripMargin
+  }
+
   /** Shared quantized-embedding CTE for the exact-L2 oracles below:
     * every (vec_id, dim, q) in micro-units — the DuckDB mirror of
     * `Clustering.quantize`. */
@@ -982,8 +1017,13 @@ object SparkEntry {
     * d2, step i the argmax of (1000−λ)·min_sel_d2 − λ·d2 over the
     * not-yet-selected (score DESC, neighbor_id ASC) — exactly the
     * Spark kernel's integer arithmetic. */
-  private def mmrSql(k: Int, candidateN: Int, lambdaPpt: Long): String = {
-    require(k >= 2, "mmrSql: unrolled oracle expects k >= 2")
+  /** The unrolled greedy-MMR CTE chain, shared by the exact-L2
+    * oracle ([[mmrSql]]) and the composed hybrid-retrieval oracle
+    * (x155): expects upstream CTEs `cand`(query_id, neighbor_id, d2)
+    * and `pd`(query_id, c1, c2, pd2). Emits CTEs s1..s$k (the picks)
+    * plus the bookkeeping sel/r chains. */
+  private def mmrGreedyCtes(k: Int, lambdaPpt: Long): String = {
+    require(k >= 2, "mmrGreedyCtes: unrolled oracle expects k >= 2")
     val steps = (2 to k).map { i =>
       s"""r$i AS (SELECT c.query_id, c.neighbor_id, c.d2,
          |  ((1000 - $lambdaPpt) * m.min_sel_d2 - $lambdaPpt * c.d2) AS score
@@ -1003,8 +1043,17 @@ object SparkEntry {
          |sel$i AS (SELECT query_id, neighbor_id FROM sel${i - 1}
          | UNION ALL SELECT query_id, neighbor_id FROM s$i)""".stripMargin
     }.mkString(",\n")
-    val unionAllSteps = (1 to k).map(i => s"SELECT * FROM s$i")
-      .mkString(" UNION ALL ")
+    s"""s1 AS (SELECT query_id, neighbor_id, d2, 1 AS mmr_rank FROM cand
+       | QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |   ORDER BY d2, neighbor_id) = 1),
+       |sel1 AS (SELECT query_id, neighbor_id FROM s1),
+       |$steps""".stripMargin
+  }
+
+  private def mmrPicksUnion(k: Int): String =
+    (1 to k).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+
+  private def mmrSql(k: Int, candidateN: Int, lambdaPpt: Long): String = {
     s"""WITH $QaCte,
        |exd AS (SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
        |  CAST(SUM((qq.q - cc.q) * (qq.q - cc.q)) AS BIGINT) AS d2
@@ -1021,14 +1070,86 @@ object SparkEntry {
        | JOIN qa a1 ON a1.vec_id = c1.neighbor_id
        | JOIN qa a2 ON a2.vec_id = c2.neighbor_id AND a2.dim = a1.dim
        | GROUP BY 1, 2, 3),
-       |s1 AS (SELECT query_id, neighbor_id, d2, 1 AS mmr_rank FROM cand
-       | QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
-       |   ORDER BY d2, neighbor_id) = 1),
-       |sel1 AS (SELECT query_id, neighbor_id FROM s1),
-       |$steps
-       |SELECT query_id, neighbor_id, d2, mmr_rank FROM ($unionAllSteps)
+       |${mmrGreedyCtes(k, lambdaPpt)}
+       |SELECT query_id, neighbor_id, d2, mmr_rank FROM (${mmrPicksUnion(k)})
        |ORDER BY query_id, mmr_rank""".stripMargin
   }
+
+  /** DuckDB oracle for the x155 composed hybrid-retrieval recipe:
+    * repetition gates (x149's hashed-shingle CTEs) → BM25 over the
+    * GATED corpus (x146's integer formula, stats re-derived from the
+    * gated slice) → top-`candN` candidate list (score DESC, doc_id)
+    * → embedding-MMR greedy over the candidates (d2 := −score_micro,
+    * pairwise distances from the embeddings table). */
+  private def hybridDiversifiedSql(k: Int, candN: Int,
+                                   lambdaPpt: Long): String =
+    s"""WITH tok AS (SELECT doc_id,
+       |  string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       | n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM tok),
+       | g2 AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS sh
+       |  FROM (SELECT doc_id, t, UNNEST(range(1, len(t))) AS i FROM tok)),
+       | m2 AS (SELECT doc_id, MAX(c) AS m FROM (
+       |   SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15))
+       |     AS BIGINT) AS h, COUNT(*) AS c FROM g2 GROUP BY 1, 2)
+       |  GROUP BY 1),
+       | g3 AS (SELECT doc_id,
+       |   t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS sh
+       |  FROM (SELECT doc_id, t, UNNEST(range(1, len(t) - 1)) AS i
+       |    FROM tok)),
+       | m3 AS (SELECT doc_id, MAX(c) AS m FROM (
+       |   SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15))
+       |     AS BIGINT) AS h, COUNT(*) AS c FROM g3 GROUP BY 1, 2)
+       |  GROUP BY 1),
+       | gated AS (SELECT n.doc_id FROM n
+       |  LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
+       |  WHERE LEAST(1000000,
+       |    1000000 * (2 * COALESCE(m2.m, 0)) // n.n_tokens) <= 200000
+       |   AND LEAST(1000000,
+       |    1000000 * (3 * COALESCE(m3.m, 0)) // n.n_tokens) <= 180000),
+       | tokg AS (SELECT tok.doc_id,
+       |   unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM documents tok JOIN gated USING (doc_id)),
+       | p AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tokg WHERE term <> '' GROUP BY 1, 2),
+       | d AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |  FROM p GROUP BY 1),
+       | dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+       |  FROM p GROUP BY 1),
+       | st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |   CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+       | av AS (SELECT n_docs,
+       |   GREATEST(total_len // GREATEST(n_docs, 1), 1) AS avgdl
+       |  FROM st),
+       | bmsc AS (SELECT p.doc_id,
+       |   CAST(SUM(
+       |     (CAST((av.n_docs - d.df) * 1000000 // d.df AS HUGEINT)
+       |       * (22 * p.tf * av.avgdl))
+       |     // (10 * av.avgdl * p.tf + 3 * av.avgdl + 9 * dl.dl))
+       |    AS BIGINT) AS score_micro
+       |  FROM p JOIN d USING (term) JOIN dl USING (doc_id), av
+       |  WHERE term IN ('data', 'hash', 'batch')
+       |  GROUP BY 1),
+       | cand AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS query_id,
+       |   doc_id AS neighbor_id, -score_micro AS d2
+       |  FROM bmsc
+       |  QUALIFY ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id)
+       |    <= $candN),
+       | qa AS (SELECT vec_id, dim,
+       |   CAST(FLOOR(CAST(embedding[dim + 1] AS DOUBLE) * 1000000)
+       |     AS BIGINT) AS q
+       |  FROM (SELECT vec_id, embedding, UNNEST(range(0, 64)) AS dim
+       |    FROM embeddings)),
+       | pd AS MATERIALIZED (SELECT c1.query_id, c1.neighbor_id AS c1,
+       |   c2.neighbor_id AS c2, SUM((a1.q - a2.q) * (a1.q - a2.q)) AS pd2
+       |  FROM cand c1
+       |  JOIN cand c2 ON c2.query_id = c1.query_id
+       |    AND c2.neighbor_id <> c1.neighbor_id
+       |  JOIN qa a1 ON a1.vec_id = c1.neighbor_id
+       |  JOIN qa a2 ON a2.vec_id = c2.neighbor_id AND a2.dim = a1.dim
+       |  GROUP BY 1, 2, 3),
+       |${mmrGreedyCtes(k, lambdaPpt)}
+       |SELECT neighbor_id AS doc_id, -d2 AS bm25_micro, mmr_rank
+       |FROM (${mmrPicksUnion(k)}) ORDER BY mmr_rank""".stripMargin
 
   /** DuckDB oracle for [[GraphOps.hitsFixedPoint]] on the layer
     * subgraph: per round a gather CTE for each direction (HUGEINT
@@ -7802,6 +7923,22 @@ object SparkEntry {
       Some(katzFixedSql(Seq("region", "nation", "supplier"), 4, 8L,
         1000000L))),
 
+    QueryDef("g71_weighted_pagerank",
+      // weighted PageRank over the order→part/supplier slice — the
+      // one slice whose edges carry REAL weights (summed lineitem
+      // quantities): rank mass splits proportionally to quantity, in
+      // centi-unit integer weights with the r·w product
+      // decimal-routed — exact under any partitioning or engine.
+      // Uniform weights reproduce g20's kernel (spec-pinned).
+      (s, dir) => {
+        val g = graph(s, dir).viewLayers(Seq("order", "part", "supplier"))
+        GraphOps.pageRankWeightedFixedPoint(g, iters = 3)
+          .join(g.vertices, Seq("vid"))
+          .select(col("layer"), col("nodeId").as("node_id"), col("rank_fp"))
+          .orderBy("layer", "node_id")
+      },
+      Some(weightedPagerankSql(Seq("order", "part", "supplier"), 3))),
+
     QueryDef("g70_butterflies",
       // butterfly (bipartite 4-cycle) census over the order⋈part
       // incidence — the bipartite analogue of g32's triangle count
@@ -7878,14 +8015,16 @@ object SparkEntry {
              |  FROM (SELECT doc_id, t, UNNEST(range(1, len(t))) AS i
              |    FROM tok)),
              | m2 AS (SELECT doc_id, MAX(c) AS m FROM (
-             |   SELECT doc_id, sh, COUNT(*) AS c FROM g2 GROUP BY 1, 2)
+             |   SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15))
+             |     AS BIGINT) AS h, COUNT(*) AS c FROM g2 GROUP BY 1, 2)
              |  GROUP BY 1),
              | g3 AS (SELECT doc_id,
              |   t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS sh
              |  FROM (SELECT doc_id, t, UNNEST(range(1, len(t) - 1)) AS i
              |    FROM tok)),
              | m3 AS (SELECT doc_id, MAX(c) AS m FROM (
-             |   SELECT doc_id, sh, COUNT(*) AS c FROM g3 GROUP BY 1, 2)
+             |   SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15))
+             |     AS BIGINT) AS h, COUNT(*) AS c FROM g3 GROUP BY 1, 2)
              |  GROUP BY 1)
              |SELECT n.doc_id, n.n_tokens,
              | CAST(1000000 * (n.n_tokens - n.nd) // n.n_tokens AS BIGINT)
@@ -8007,6 +8146,33 @@ object SparkEntry {
       (s, dir) => Clustering.kcenterSeeds(t(s, dir, "embeddings"), k = 5)
         .orderBy("seed_rank"),
       Some(kcenterSql(5))),
+
+    QueryDef("x155_hybrid_diversified",
+      // the retrieval stack as ONE dataflow (the x57 composed-recipe
+      // proof applied to serving): repetition-gate the corpus (x149's
+      // verdict), index only the survivors, BM25-rank the query terms
+      // (x131's integer formula — stats re-derived from the gated
+      // slice), then diversify the top-20 with embedding-MMR (x151's
+      // greedy; relevance enters as d2 := −score_micro — λ trades the
+      // two units, the published MMR contract). Every stage exact
+      // integers, so the COMPOSITION hash-matches end to end.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val gate = TextOps.repetitionCard(d).where(col("passes"))
+          .select("doc_id")
+        TextOps.writeInvertedIndex(d.join(gate, Seq("doc_id")), "x155_idx")
+        val bm = TextOps.searchIndexBm25(s, "x155_idx",
+          Seq("data", "hash", "batch"), k = 20)
+        val cand = bm.select(lit(0L).as("query_id"),
+          col("doc_id").as("neighbor_id"),
+          (-col("score_micro")).as("d2"))
+        Similarity.mmrRerankCandidates(t(s, dir, "embeddings"), cand,
+            k = 5, lambdaPpt = 700L)
+          .select(col("neighbor_id").as("doc_id"),
+            (-col("d2")).as("bm25_micro"), col("mmr_rank"))
+          .orderBy("mmr_rank")
+      },
+      Some(hybridDiversifiedSql(5, 20, 700L))),
 
     QueryDef("x138_index_stream",
       // streaming ingestion for the inverted index (r10 verdict #3 —

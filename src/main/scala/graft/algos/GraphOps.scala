@@ -280,6 +280,55 @@ object GraphOps {
     ranks.select(col("vid"), col("r").as("rank_fp"))
   }
 
+  /** Weighted PageRank, deterministic fixed point — [[
+    * pageRankFixedPoint]] with rank mass split PROPORTIONALLY to edge
+    * weight instead of uniformly (the co-engagement intensity form:
+    * an order routes more mass to the part it bought 40 of than the
+    * part it bought 1 of):
+    *
+    *   r_0(v)     = Scale
+    *   r_{k+1}(v) = 0.15·Scale
+    *                + (85 · Σ_{u→v} (r_k(u)·w(u,v) div W(u))) div 100
+    *
+    * with w = the edge's `weightCol` in integer CENTI-units
+    * (floor(qty·100 + 0.5) — exactly representable for the graph's
+    * decimal-summed quantities; NULL relaxes to 1.0, the
+    * [[weightedSssp]] convention; non-positive weights drop) and
+    * W(u) = Σ out-weights. The per-edge product r·w routes through
+    * DECIMAL(38,0) before its integral divide, so no hub rank can
+    * overflow the multiply; gathers DECIMAL-sum as in the unweighted
+    * kernel. Uniform weights reproduce [[pageRankFixedPoint]]
+    * bit-for-bit (spec-pinned). Returns (vid, rank_fp). */
+  def pageRankWeightedFixedPoint(g: OnionGraph, iters: Int = 5,
+                                 weightCol: String = "qty"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val Scale = 1000000000L
+    val e = g.edges.select(col("src"), col("dst"),
+        expr(s"CAST(floor(coalesce($weightCol, 1.0) * 100 + 0.5)" +
+          " AS BIGINT)").as("w"))
+      .where(col("w") > 0)
+    val out = e.groupBy("src")
+      .agg(sum(col("w").cast("decimal(38,0)")).cast("long").as("wdeg"))
+      .localCheckpoint()
+    val v = g.vertices.select("vid").localCheckpoint()
+    var ranks = v.select(col("vid"), lit(Scale).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks.withColumnRenamed("vid", "src"), Seq("src"))
+        .join(out, Seq("src"))
+        .select(col("dst").as("vid"),
+          expr("CAST((CAST(r AS DECIMAL(38,0)) * w) DIV wdeg AS BIGINT)")
+            .as("c"))
+      ranks = v
+        .join(contrib.groupBy("vid")
+          .agg(sum(col("c").cast("decimal(38,0)")).as("s")), Seq("vid"), "left")
+        .select(col("vid"),
+          (lit(Scale * 15 / 100)
+            + coalesce(expr("(85 * s) DIV 100"), lit(0L))).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("vid"), col("r").as("rank_fp"))
+  }
+
   /** Deterministic random-walk corpus generation — the data-prep step
     * of DeepWalk/node2vec-style graph embeddings (walk sequences
     * become the "sentences" a skip-gram model trains on), made

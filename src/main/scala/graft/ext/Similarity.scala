@@ -623,21 +623,34 @@ object Similarity {
     * (query_id, neighbor_id, neighbor_label, d2, rank).
     *
     * Scale shape: the query slice broadcasts onto the corpus's
-    * quantized explode (corpus never shuffles raw vectors); labels
-    * join onto the PAIR set (queries×corpus partials combine
-    * map-side first), and the tail rides TopKPerGroup. */
+    * quantized explode (corpus never shuffles raw vectors); the
+    * corpus label RIDES the explode into the d² aggregation key
+    * (functionally dependent on the id — no cardinality change, and
+    * no corpus-sized label table shuffling onto the pair set), the
+    * query labels broadcast, and the tail rides TopKPerGroup. */
   def hardNegatives(emb: DataFrame, queries: DataFrame, k: Int,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding",
                     labelCol: String = "label"): DataFrame = {
     require(k > 0, "hardNegatives: k > 0")
-    val labels = emb.select(col(idCol).as("neighbor_id"),
-      col(labelCol).cast("long").as("neighbor_label"))
+    val c = emb.select(col(idCol).as("neighbor_id"),
+        col(labelCol).cast("long").as("neighbor_label"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("neighbor_id"), col("neighbor_label"), col("dim"),
+        floor(col("v").cast("double") * lit(1000000.0)).cast("long")
+          .as("q"))
+    val q = queries.select(col(idCol).as("query_id"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("query_id"), col("dim"),
+        floor(col("v").cast("double") * lit(1000000.0)).cast("long")
+          .as("qq"))
     val qLabels = broadcast(queries.select(col(idCol).as("query_id"),
       col(labelCol).cast("long").as("query_label")))
-    val scored = graft.ext.Clustering
-      .exactL2Scores(emb, queries, idCol, vecCol)
-      .join(labels, Seq("neighbor_id"))
+    val scored = c.join(broadcast(q), Seq("dim"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("neighbor_label"))
+      .agg(sum(((col("qq") - col("q")) * (col("qq") - col("q")))
+        .cast("decimal(38,0)")).cast("long").as("d2"))
       .join(qLabels, Seq("query_id"))
       .where(col("neighbor_label") =!= col("query_label"))
     val top = graft.plans.TopKPerGroup(scored, Seq("query_id"),
@@ -702,8 +715,10 @@ object Similarity {
     val cand = candidates
       .select(col("query_id"), col("neighbor_id"), col("d2"))
       .localCheckpoint() // anchors the greedy rounds AND the pair set
-    // pairwise candidate-candidate exact d2 within each query's list
-    val cvec = cand.select(col("query_id"), col("neighbor_id"))
+    // pairwise candidate-candidate exact d2 within each query's list;
+    // the candidate ids BROADCAST onto the corpus's quantized explode
+    // (plan-stable map-only corpus scan, the rerankExactL2 shape)
+    val cvec = broadcast(cand.select(col("query_id"), col("neighbor_id")))
       .join(graft.ext.Clustering.quantize(emb, idCol, vecCol)
         .withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
     val pair = cvec.as("l")

@@ -1347,9 +1347,12 @@ object TextOps {
     * thresholds are Gopher's 0.20 / 0.18.
     *
     * Scale shape: token/distinct counts are map-only column math;
-    * each n-gram max is one explode → (doc, shingle) count → (doc)
-    * max chain, both aggregations map-side combinable, shuffles
-    * keyed on doc_id — no corpus-wide vocabulary, no window sort. */
+    * each n-gram max is one explode → (doc, shingle-hash) count →
+    * (doc) max chain, both aggregations map-side combinable —
+    * shingles hash to md5-60bit BEFORE the exchange (the x47 "text
+    * never shuffles" treatment; an in-doc collision would only ever
+    * merge two counts, and the oracle derives the identical keys),
+    * no corpus-wide vocabulary, no window sort. */
   def repetitionCard(df: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text",
                      maxTopBigramPpm: Long = 200000L,
@@ -1365,7 +1368,10 @@ object TextOps {
           explode(when(size(tokens(col(textCol))) < w,
               array().cast("array<string>"))
             .otherwise(sh)).as("sh"))
-        .groupBy(col(idCol), col("sh")).agg(count(lit(1)).as("c"))
+        .groupBy(col(idCol),
+          conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long")
+            .as("h"))
+        .agg(count(lit(1)).as("c"))
         .groupBy(col(idCol)).agg(max("c").as(s"__m$w"))
     }
     base

@@ -192,6 +192,28 @@ class GraphOpsSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("pageRankWeightedFixedPoint: uniform weights == unweighted kernel; real weights shift mass; repartition-invariant") {
+    val g0 = randomGraph(19, 25, 60)
+    val gu = graft.model.OnionGraph(g0.vertices,
+      g0.edges.withColumn("qty", lit(1.0)))
+    val unw = GraphOps.pageRankFixedPoint(g0, 3)
+      .as[(Long, Long)].collect().toMap
+    val uni = GraphOps.pageRankWeightedFixedPoint(gu, 3)
+      .as[(Long, Long)].collect().toMap
+    // floor(100r / 100W) == floor(r / W): uniform centi-weights cancel
+    assert(uni == unw)
+    val gw = graft.model.OnionGraph(g0.vertices,
+      g0.edges.withColumn("qty", (pmod(col("dst"), lit(3)) + 1).cast("double")))
+    val w0 = GraphOps.pageRankWeightedFixedPoint(gw, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(w0 != uni) // unequal weights actually move mass
+    val gw2 = graft.model.OnionGraph(gw.vertices.repartition(7),
+      gw.edges.repartition(3))
+    val w1 = GraphOps.pageRankWeightedFixedPoint(gw2, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(w0 == w1)
+  }
+
   test("katzFixedPoint: exact hand-computed scores on a 3-chain") {
     // a -> b -> c, beta = 1e6, alpha = 1/8, 2 rounds:
     //   round 1: a = 1e6; b = 1e6 + 1e6 div 8 = 1125000; c = 1125000
