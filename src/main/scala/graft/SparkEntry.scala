@@ -1105,7 +1105,8 @@ object SparkEntry {
        |  WHERE LEAST(1000000,
        |    1000000 * (2 * COALESCE(m2.m, 0)) // n.n_tokens) <= 200000
        |   AND LEAST(1000000,
-       |    1000000 * (3 * COALESCE(m3.m, 0)) // n.n_tokens) <= 180000),
+       |    1000000 * (3 * COALESCE(m3.m, 0)) // n.n_tokens) <= 180000
+       |   AND n.doc_id IN (SELECT vec_id FROM embeddings)),
        | tokg AS (SELECT tok.doc_id,
        |   unnest(string_split_regex(trim(text), '\\s+')) AS term
        |  FROM documents tok JOIN gated USING (doc_id)),
@@ -8150,16 +8151,22 @@ object SparkEntry {
     QueryDef("x155_hybrid_diversified",
       // the retrieval stack as ONE dataflow (the x57 composed-recipe
       // proof applied to serving): repetition-gate the corpus (x149's
-      // verdict), index only the survivors, BM25-rank the query terms
-      // (x131's integer formula — stats re-derived from the gated
-      // slice), then diversify the top-20 with embedding-MMR (x151's
-      // greedy; relevance enters as d2 := −score_micro — λ trades the
-      // two units, the published MMR contract). Every stage exact
-      // integers, so the COMPOSITION hash-matches end to end.
+      // verdict) AND restrict to embeddable docs (MMR can only
+      // diversify what it can embed — at sf0.1 the embeddings table
+      // covers a doc subset, and a candidate without a vector would
+      // strand the greedy), index only the survivors, BM25-rank the
+      // query terms (x131's integer formula — stats re-derived from
+      // the gated slice), then diversify the top-20 with
+      // embedding-MMR (x151's greedy; relevance enters as
+      // d2 := −score_micro — λ trades the two units, the published
+      // MMR contract). Every stage exact integers, so the COMPOSITION
+      // hash-matches end to end.
       (s, dir) => {
         val d = docs(s, dir)
         val gate = TextOps.repetitionCard(d).where(col("passes"))
           .select("doc_id")
+          .join(t(s, dir, "embeddings")
+            .select(col("vec_id").as("doc_id")), Seq("doc_id"))
         TextOps.writeInvertedIndex(d.join(gate, Seq("doc_id")), "x155_idx")
         val bm = TextOps.searchIndexBm25(s, "x155_idx",
           Seq("data", "hash", "batch"), k = 20)

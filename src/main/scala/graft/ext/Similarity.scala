@@ -704,7 +704,12 @@ object Similarity {
     * share the shape) and diversify its tail; the greedy arithmetic
     * and tie order are identical, so swapping the candidate source
     * never changes the selection RULE, only the pool. `emb` supplies
-    * the vectors for the pairwise candidate distances. */
+    * the vectors for the pairwise candidate distances — every
+    * candidate id MUST resolve in it (a vector-less candidate has no
+    * pair distances, so it can never be picked after step 1 and, if
+    * it IS the step-1 pick, strands the whole greedy); filter the
+    * candidate list to embeddable ids upstream (the x155 recipe joins
+    * its gate against the embeddings table for exactly this). */
   def mmrRerankCandidates(emb: DataFrame, candidates: DataFrame, k: Int,
                           lambdaPpt: Long = 700L,
                           idCol: String = "vec_id",
