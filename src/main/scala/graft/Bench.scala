@@ -17,7 +17,26 @@ import org.apache.spark.sql.SparkSession
   * landing twice in 3 passes CAPTURES the median — with 5 it takes
   * three bad landings; per-query `spread` (median/min) in
   * BENCH_LOCAL.json is the trust diagnostic separating host noise
-  * from code regressions. */
+  * from code regressions.
+  *
+  * Round-12 harness hardening (r11 verdict #1 — BENCH_r11.json was
+  * rc 124 / parsed null because the driver's 60-minute kill landed one
+  * second after the final pass):
+  *  - the artifact AND the compact stdout line are rewritten after
+  *    EVERY pass (overwrite semantics), so a timeout leaves the last
+  *    completed pass parseable instead of nothing;
+  *  - adaptive passes: queries whose running median after pass 3
+  *    exceeds 3 s stop at 3 samples (the 39 heavy queries cost
+  *    ~225 s/pass — two skipped passes save ~7.5 min), the rest get
+  *    the full 5;
+  *  - a wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_SECS, default
+  *    2700 s measured from JVM start, leaving sbt launch + teardown
+  *    headroom inside the driver's 60-minute window) stops cleanly
+  *    between passes — and mid-pass as a last resort — with the
+  *    artifact already on disk;
+  *  - every failed pass records its exception class per query
+  *    (`errors` in the artifact), so contention kills are
+  *    diagnosable after the fact. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -75,31 +94,19 @@ object Bench {
       .withDefaultValue(Vector.empty)
     // Failed passes must be distinguishable from fast passes: a query
     // that throws in 0.1 s would otherwise read as a 0.1 s query.
-    val failures = scala.collection.mutable.Map.empty[String, Int]
-      .withDefaultValue(0)
-    for (pass <- 1 to runs) {
-      defs.foreach { d =>
-        val t0 = System.nanoTime()
-        val n = try d.fn(spark, sfDir).count() catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] ${d.name} FAILED: ${e.getMessage}")
-            failures(d.name) += 1
-            -1L
-        }
-        val sec = (System.nanoTime() - t0) / 1e9
-        System.err.println(
-          f"[bench] pass $pass ${d.name}%-24s ${sec}%8.2f s  ($n rows)")
-        val spare = keep ++ graft.algos.GraphOps.pinnedRddIds
-        spark.sparkContext.getPersistentRDDs
-          .filterNot { case (id, _) => spare.contains(id) }
-          .foreach { case (_, rdd) => rdd.unpersist(false) }
-        // Failed passes are EXCLUDED from samples: a 0.1 s throw must
-        // not lower a query's median (it reads as a fast pass). The
-        // failure is carried by failed_passes + the compact line's
-        // failed list instead.
-        if (n >= 0L) samples(d.name) = samples(d.name) :+ sec
-      }
-    }
+    // Per failed pass we keep the exception CLASS (r11's 58 one-pass
+    // failures were undiagnosable from a bare count).
+    val failures = scala.collection.mutable.Map.empty[String, Vector[String]]
+      .withDefaultValue(Vector.empty)
+    val jvmStart = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getStartTime
+    def elapsedSecs: Double = (System.currentTimeMillis() - jvmStart) / 1e3
+    val budgetSecs = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_BUDGET_SECS", "2700").toDouble
+    // Queries whose running median exceeds this after 3 passes stop
+    // sampling (3 samples still yield a contention-resistant median).
+    val heavySecs = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_HEAVY_SECS", "3").toDouble
     // All-passes-failed queries have no samples; report 0 with the
     // failure flag set rather than NaN (which would break the JSON).
     def median(v: Vector[Double]): Double = {
@@ -108,8 +115,6 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val results = defs.map(d => d.name -> median(samples(d.name)))
-    val total = results.map(_._2).sum
     // Locale.ROOT explicitly: the f"" interpolator formats with the JVM
     // default locale, and a comma-decimal locale (de_DE) would turn the
     // contract line into invalid JSON.
@@ -118,61 +123,130 @@ object Bench {
     def jmap(entries: Seq[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + d3(v) }
       .mkString("{", ",", "}")
-    // Full-precision medians + raw samples -> file (survives any log
-    // mangling; the spread column is the bench-trust diagnostic).
-    val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":${
-        results.map { case (k, v) =>
-          val s = samples(k)
-          val mn = if (s.isEmpty) 0.0 else s.min
-          // spread = median/min: ~1 means a quiet, trustworthy median;
-          // >>1 flags host co-tenancy, NOT a code regression
-          val spread = if (mn > 0) v / mn else 1.0
-          "\"" + k + "\":{\"median\":" + v +
-            ",\"min\":" + mn +
-            ",\"max\":" + (if (s.isEmpty) 0.0 else s.max) +
-            ",\"spread\":" + d3(spread) +
-            ",\"failed_passes\":" + failures(k) +
-            ",\"samples\":[" + s.mkString(",") + "]}"
-        }.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+    def jstrs(ss: Seq[String]): String =
+      ss.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Filtered/scale experiment runs must not clobber the full bench
     // of record: redirect their artifact, keep BENCH_LOCAL.json for
     // unfiltered runs only (overridable via SPARK_GRAFT_BENCH_OUT).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (nameFilter.isEmpty) "BENCH_LOCAL.json" else "BENCH_FILTERED.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      fullJson.getBytes("UTF-8"))
-    catch { case _: Throwable => () }
-    // Stdout contract line: the driver keeps only a ~2000-char tail of
-    // the run's output, and the full per-query map (~4 KB) overflowed
-    // it in rounds 1-2 ("parsed": null). Emit a COMPACT line instead:
-    // total + per-family rollups + a stable headline subset, all 3 dp,
-    // printed last so it always lands inside the tail window.
-    val headline = Seq(
-      "q01_pricing_summary", "q04_nation_revenue", "q05_window_top_orders",
-      "q09_events_json", "q11_events_sessions", "q15_rollup",
-      "q17_exists_subquery", "g01_vertices", "g04_khop_downstream",
-      "g05_reachability", "g07_components", "g09_on_shortest",
-      "g16_depth_sizes", "g20_pagerank", "g21_scc", "g23_upstream_children",
-      "x01_dedup_exact", "x06_ngram_jaccard", "x07_minhash_lsh",
-      "x09_sim_bruteforce", "x11_sim_ivf", "x15_asof_join",
-      "x21_dedup_clusters", "x23_tfidf", "x30_topk_per_group")
-    val byName = results.toMap
-    val fam = results.groupBy(_._1.take(1)).toSeq.sortBy(_._1)
-      .map { case (p, rs) => (p match {
-        case "q" => "relational"; case "g" => "graph"; case "x" => "pipeline"
-        case o => o
-      }) -> rs.map(_._2).sum }
-    // Name which queries failed (not just how many): an aggregate count
-    // alone can't be traced back to the offending query from the
-    // driver-kept output tail.
-    val failedList = defs.map(_.name).filter(failures(_) > 0)
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json =
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec","n":${results.size},"runs":$runs,"failures":${failures.values.sum},"failed":$failedList,"groups":${
-        jmap(fam)},"queries":${
-        jmap(headline.flatMap(h => byName.get(h).map(h -> _)))},"sf":"$sfDir"}"""
-    println(json)
+    // Emit the artifact AND the compact stdout contract line from the
+    // samples accumulated SO FAR. Called after every pass (overwrite
+    // semantics): if the driver's 60-minute kill lands mid-run, the
+    // last completed pass is still fully parseable — r11 lost its
+    // entire bench evidence to a kill one second before this point.
+    def emit(passesDone: Int): Unit = {
+      val results = defs.map(d => d.name -> median(samples(d.name)))
+      val total = results.map(_._2).sum
+      // Full-precision medians + raw samples -> file (survives any log
+      // mangling; the spread column is the bench-trust diagnostic).
+      val fullJson =
+        s"""{"metric":"total","value":$total,"unit":"sec","runs":$passesDone,"queries":${
+          results.map { case (k, v) =>
+            val s = samples(k)
+            val mn = if (s.isEmpty) 0.0 else s.min
+            // spread = median/min: ~1 means a quiet, trustworthy
+            // median; >>1 flags host co-tenancy, NOT a code regression
+            val spread = if (mn > 0) v / mn else 1.0
+            "\"" + k + "\":{\"median\":" + v +
+              ",\"min\":" + mn +
+              ",\"max\":" + (if (s.isEmpty) 0.0 else s.max) +
+              ",\"spread\":" + d3(spread) +
+              ",\"failed_passes\":" + failures(k).size +
+              ",\"errors\":" + jstrs(failures(k)) +
+              ",\"samples\":[" + s.mkString(",") + "]}"
+          }.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        fullJson.getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+      // Stdout contract line: the driver keeps only a ~2000-char tail
+      // of the run's output, and the full per-query map (~4 KB)
+      // overflowed it in rounds 1-2 ("parsed": null). Emit a COMPACT
+      // line instead: total + per-family rollups + a stable headline
+      // subset, all 3 dp. Re-printed after every pass so the LAST line
+      // in the kept tail always reflects the last completed pass.
+      val headline = Seq(
+        "q01_pricing_summary", "q04_nation_revenue", "q05_window_top_orders",
+        "q09_events_json", "q11_events_sessions", "q15_rollup",
+        "q17_exists_subquery", "g01_vertices", "g04_khop_downstream",
+        "g05_reachability", "g07_components", "g09_on_shortest",
+        "g16_depth_sizes", "g20_pagerank", "g21_scc", "g23_upstream_children",
+        "x01_dedup_exact", "x06_ngram_jaccard", "x07_minhash_lsh",
+        "x09_sim_bruteforce", "x11_sim_ivf", "x15_asof_join",
+        "x21_dedup_clusters", "x23_tfidf", "x30_topk_per_group")
+      val byName = results.toMap
+      val fam = results.groupBy(_._1.take(1)).toSeq.sortBy(_._1)
+        .map { case (p, rs) => (p match {
+          case "q" => "relational"; case "g" => "graph"; case "x" => "pipeline"
+          case o => o
+        }) -> rs.map(_._2).sum }
+      // Name which queries failed (not just how many): an aggregate
+      // count alone can't be traced back to the offending query from
+      // the driver-kept output tail.
+      val failedList = jstrs(defs.map(_.name).filter(failures(_).nonEmpty))
+      val json =
+        s"""{"metric":"total","value":${d3(total)},"unit":"sec","n":${results.size},"runs":$passesDone,"failures":${failures.values.map(_.size).sum},"failed":$failedList,"groups":${
+          jmap(fam)},"queries":${
+          jmap(headline.flatMap(h => byName.get(h).map(h -> _)))},"sf":"$sfDir"}"""
+      println(json)
+      System.out.flush()
+    }
+    var passesDone = 0
+    var stop = false
+    for (pass <- 1 to runs if !stop) {
+      // Adaptive passes: after 3 full passes, heavy queries (running
+      // median > heavySecs) already have a trustworthy median — two
+      // more samples of a 5-8 s query buy noise resistance the spread
+      // diagnostic covers anyway, at ~450 s/corpus the 60-minute
+      // window can't afford. All-failed queries (median 0) keep
+      // running: they may yet land one good sample.
+      val passDefs =
+        if (pass <= 3) defs
+        else defs.filter(d => median(samples(d.name)) <= heavySecs)
+      passDefs.foreach { d =>
+        if (!stop) {
+          val t0 = System.nanoTime()
+          val n = try d.fn(spark, sfDir).count() catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] ${d.name} FAILED: " +
+                s"${e.getClass.getName}: ${e.getMessage}")
+              failures(d.name) = failures(d.name) :+ e.getClass.getName
+              -1L
+          }
+          val sec = (System.nanoTime() - t0) / 1e9
+          System.err.println(
+            f"[bench] pass $pass ${d.name}%-24s ${sec}%8.2f s  ($n rows)")
+          val spare = keep ++ graft.algos.GraphOps.pinnedRddIds
+          spark.sparkContext.getPersistentRDDs
+            .filterNot { case (id, _) => spare.contains(id) }
+            .foreach { case (_, rdd) => rdd.unpersist(false) }
+          // Failed passes are EXCLUDED from samples: a 0.1 s throw must
+          // not lower a query's median (it reads as a fast pass). The
+          // failure is carried by failed_passes/errors + the compact
+          // line's failed list instead.
+          if (n >= 0L) samples(d.name) = samples(d.name) :+ sec
+          // Mid-pass last resort: past the hard budget the driver's
+          // kill is imminent — emit() below still records a complete
+          // artifact for every pass finished so far.
+          if (elapsedSecs > budgetSecs) stop = true
+        }
+      }
+      passesDone = pass
+      emit(passesDone)
+      // Clean stop between passes when the next full pass can't fit:
+      // estimate it at this pass's per-query cost over the next pass's
+      // query set.
+      val nextDefs =
+        if (pass + 1 <= 3) defs
+        else defs.filter(d => median(samples(d.name)) <= heavySecs)
+      val nextCost = nextDefs.map(d => median(samples(d.name))).sum
+      if (pass < runs && elapsedSecs + nextCost * 1.15 > budgetSecs) {
+        System.err.println(f"[bench] budget stop after pass $pass: " +
+          f"elapsed $elapsedSecs%.0f s + est next $nextCost%.0f s > " +
+          f"budget $budgetSecs%.0f s")
+        stop = true
+      }
+    }
     spark.stop()
   }
 }

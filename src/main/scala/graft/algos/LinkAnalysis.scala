@@ -1328,8 +1328,9 @@ object LinkAnalysis {
     * card hash-matches on any engine. The two quadratic tallies are
     * DECIMAL(38,0)-summed and emitted as their string form (the g66
     * treatment: Σ C(·,2) crosses 2^63 well inside the 100 TB regime);
-    * per-pair C(w,2) stays a LONG product, sound to w ≤ 4.3e9 common
-    * neighbors per right pair — beyond any real co-engagement table.
+    * per-pair C(·,2) halves the even factor BEFORE a decimal multiply
+    * (r11 ADVICE — a LONG n*(n-1) product wraps at n > ~3.04e9), so
+    * the per-pair term is exact for ANY LONG count.
     *
     * Input `edges`: (a, b) left/right endpoints, multi-edges dropped
     * here (the motif is defined on the simple graph).
@@ -1359,12 +1360,19 @@ object LinkAnalysis {
       countDistinct(col("a")).as("n_left"),
       countDistinct(col("b")).as("n_right"),
       count(lit(1)).as("n_edges"))
+    // C(n,2) with the halving BEFORE the multiply and the product in
+    // DECIMAL(38,0) (r11 ADVICE): n*(n-1) as a LONG product overflows
+    // at n > ~3.04e9; halving the even factor first and multiplying
+    // in decimal is exact for any LONG n (product ≤ ~8.5e37 < 1e38).
+    def choose2(c: String): Column = expr(
+      s"CASE WHEN $c % 2 = 0 THEN CAST($c DIV 2 AS DECIMAL(38,0)) * ($c - 1)" +
+      s" ELSE CAST($c AS DECIMAL(38,0)) * (($c - 1) DIV 2) END")
     val wedgeTot = deg.where(col("d") <= maxLeftDegree)
-      .agg(coalesce(sum(expr("d * (d - 1) DIV 2").cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)")).cast("string").as("n_wedges"))
+      .agg(coalesce(sum(choose2("d")), lit(0).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").cast("string").as("n_wedges"))
     val bfly = wedges
-      .agg(coalesce(sum(expr("w * (w - 1) DIV 2").cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)")).cast("string").as("n_butterflies"))
+      .agg(coalesce(sum(choose2("w")), lit(0).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").cast("string").as("n_butterflies"))
     totals.crossJoin(broadcast(wedgeTot)).crossJoin(broadcast(bfly))
       .select(col("n_left"), col("n_right"), col("n_edges"),
         col("n_wedges"), col("n_butterflies"))

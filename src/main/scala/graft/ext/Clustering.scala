@@ -354,24 +354,6 @@ object Clustering {
       .select(col("query_id"), col("neighbor_id"), col("adc_d2"), col("rank"))
   }
 
-  /** Train and PERSIST an IVF-PQ index as a cell-keyed directory
-    * layout — the production fix for [[ivfPqTopK]]'s one scale defect
-    * (r10 verdict: its in-memory form joins corpus-sized codes to
-    * corpus-sized assignments on vec_id — a full corpus exchange —
-    * before the nProbe cell filter can prune). Here the codes are
-    * written WITH their coarse cell and partitioned by it
-    * (`path/codes/cell=N/…`), so the index IS the directory layout
-    * (the Similarity.writeBucketed / x42 band-index pattern): a probe
-    * reads exactly its nProbe cells' directories via a planning-time
-    * partition filter and the corpus pays NO exchange, ever. The
-    * coarse centroids (cells×dims rows) and PQ codebook (m·k·dims/m
-    * rows) persist beside the codes — both broadcast-small artifacts
-    * a probe batch trains nothing against.
-    *
-    * Training inherits [[kmeansModel]]/[[pqModel]]'s exact integer
-    * determinism, so a probe of the persisted layout hash-matches the
-    * in-memory [[ivfPqTopK]] on the same corpus (x137 == x135's
-    * oracle; spec-pinned). */
   /** Train the RESIDUAL-encoded IVF-PQ model — true IVFADC (Jégou et
     * al. 2011, §III.C): each vector's PQ codes quantize its residual
     * q − coarse_cq(cell) rather than the raw vector, so the codebooks
@@ -410,6 +392,24 @@ object Clustering {
       parts.map(_._2).reduce(_ unionAll _))
   }
 
+  /** Train and PERSIST an IVF-PQ index as a cell-keyed directory
+    * layout — the production fix for [[ivfPqTopK]]'s one scale defect
+    * (r10 verdict: its in-memory form joins corpus-sized codes to
+    * corpus-sized assignments on vec_id — a full corpus exchange —
+    * before the nProbe cell filter can prune). Here the codes are
+    * written WITH their coarse cell and partitioned by it
+    * (`path/codes/cell=N/…`), so the index IS the directory layout
+    * (the Similarity.writeBucketed / x42 band-index pattern): a probe
+    * reads exactly its nProbe cells' directories via a planning-time
+    * partition filter and the corpus pays NO exchange, ever. The
+    * coarse centroids (cells×dims rows) and PQ codebook (m·k·dims/m
+    * rows) persist beside the codes — both broadcast-small artifacts
+    * a probe batch trains nothing against.
+    *
+    * Training inherits [[kmeansModel]]/[[pqModel]]'s exact integer
+    * determinism, so a probe of the persisted layout hash-matches the
+    * in-memory [[ivfPqTopK]] on the same corpus (x137 == x135's
+    * oracle; spec-pinned). */
   def writeIvfPq(emb: DataFrame, path: String, dims: Int, cells: Int,
                  m: Int = 4, k: Int = 8, iters: Int = 1,
                  idCol: String = "vec_id",
@@ -834,7 +834,16 @@ object Clustering {
     * exact integer-L2 rerank reads full vectors for the survivors
     * only (`emb` is the vector source; candidates broadcast onto its
     * column-pruned scan). Same output shape as [[exactL2TopK]]:
-    * (query_id, neighbor_id, d2, rank). */
+    * (query_id, neighbor_id, d2, rank).
+    *
+    * Id contract (r11 ADVICE): a query id that EQUALS a corpus
+    * `vec_id` is treated as that corpus member probing itself and the
+    * colliding corpus vector is self-excluded from its results — the
+    * contract every recall card relies on (queries are corpus
+    * slices). OUT-OF-CORPUS callers must therefore use query ids
+    * disjoint from the corpus id space; an accidental collision
+    * silently drops one corpus vector from that query's candidates,
+    * it does not error. */
   def probeBinaryIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String, emb: DataFrame, queries: DataFrame,
                        dims: Int, rerankR: Int, topK: Int = 10,

@@ -672,9 +672,10 @@ object Similarity {
     *
     * i.e. near the query AND far from everything already picked —
     * λ is in INTEGER THOUSANDTHS and both terms are exact integer
-    * d2, so each greedy step is pure BIGINT arithmetic with NO
-    * division (λ‰·d2 ≤ 1000 · 2.6e14 keeps well inside LONG for
-    * micro-unit vectors of ≤ 4096 dims) and a total (score DESC,
+    * d2, so each greedy step is exact integer arithmetic with NO
+    * division (the score is DECIMAL(38,0)-routed: λ‰·d2 can reach
+    * ~1.6e19 for unnormalized ±1-component 4096-dim vectors, past
+    * LONG) and a total (score DESC,
     * neighbor_id ASC) order — the selection hash-matches on any
     * engine. Step 1 (nothing selected yet) is the pure-relevance
     * argmin d2. Returns (query_id, neighbor_id, d2, mmr_rank).
@@ -751,9 +752,14 @@ object Similarity {
         .agg(min("pd2").as("min_sel_d2"))
       val scoredStep = remaining
         .join(minSel, Seq("query_id", "neighbor_id"))
+        // DECIMAL(38,0)-routed (r11 ADVICE): with components near ±1
+        // across 4096 dims, d2 ≈ 1.6e16 and λ‰·d2 ≈ 1.6e19 > Long.Max
+        // — plain LONG arithmetic would wrap silently in non-ANSI
+        // Spark while the oracle's HUGEINT would not. Decimal keeps
+        // the score exact for any micro-unit vector (≤ ~9.2e21).
         .withColumn("mmr_score",
-          lit(1000L - lambdaPpt) * col("min_sel_d2")
-            - lit(lambdaPpt) * col("d2"))
+          lit(1000L - lambdaPpt).cast("decimal(38,0)") * col("min_sel_d2")
+            - lit(lambdaPpt).cast("decimal(38,0)") * col("d2"))
       val next = graft.plans.TopKPerGroup(scoredStep, Seq("query_id"),
           Seq(("mmr_score", false), ("neighbor_id", true)), 1)
         .select(col("query_id"), col("neighbor_id"), col("d2"),

@@ -1357,15 +1357,21 @@ object TextOps {
                      textCol: String = "text",
                      maxTopBigramPpm: Long = 200000L,
                      maxTopTrigramPpm: Long = 180000L): DataFrame = {
-    val t = tokens(col(textCol))
+    // NULL text coalesces to '' BEFORE tokenizing (r11 ADVICE):
+    // Spark's non-ANSI size(split(NULL)) yields -1, so n_tokens = -1
+    // and the ppm divisions go negative, while the oracle's len(NULL)
+    // stays NULL — per-engine verdict divergence. Both engines agree
+    // on the ''-degenerate (one empty token).
+    val txt = coalesce(col(textCol), lit(""))
+    val t = tokens(txt)
     val base = df.select(col(idCol),
       size(t).cast("long").as("n_tokens"),
       size(array_distinct(t)).cast("long").as("__nd"))
     def maxNgram(w: Int): DataFrame = {
-      val sh = transform(Dedup.shingleWindows(tokens(col(textCol)), w),
+      val sh = transform(Dedup.shingleWindows(tokens(txt), w),
         arr => array_join(arr, " "))
       df.select(col(idCol),
-          explode(when(size(tokens(col(textCol))) < w,
+          explode(when(size(tokens(txt)) < w,
               array().cast("array<string>"))
             .otherwise(sh)).as("sh"))
         .groupBy(col(idCol),
