@@ -926,8 +926,42 @@ object SparkEntry {
     * `thCond` restricts the threshold calibration to the base slice
     * (the [[graft.ext.Clustering.appendBinaryIndex]] frozen-model
     * contract: appended vectors encode against the BASE cuts). */
+  /** DuckDB oracle for BM25 search over a rebuild of the corpus slice
+    * `docCond` keeps — the delete/compaction contract (x156/x158):
+    * postings, df, doc lengths, corpus stats and the exact integer
+    * formula all re-derive from the REMAINING documents only. */
+  private def bm25RebuildSql(docCond: String, k: Int): String =
+    s"""WITH tok AS (SELECT doc_id,
+       |  unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM documents WHERE $docCond),
+       | tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+       | p AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok2 GROUP BY 1, 2),
+       | d AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |  FROM p GROUP BY 1),
+       | dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+       |  FROM p GROUP BY 1),
+       | st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |   CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+       | av AS (SELECT n_docs,
+       |   GREATEST(total_len // GREATEST(n_docs, 1), 1) AS avgdl
+       |  FROM st),
+       | sc AS (SELECT p.doc_id,
+       |   CAST(SUM(
+       |     (CAST((av.n_docs - d.df) * 1000000 // d.df AS HUGEINT)
+       |       * (22 * p.tf * av.avgdl))
+       |     // (10 * av.avgdl * p.tf + 3 * av.avgdl + 9 * dl.dl))
+       |    AS BIGINT) AS score_micro,
+       |   count(*) AS n_terms
+       |  FROM p JOIN d USING (term) JOIN dl USING (doc_id), av
+       |  WHERE term IN ('data', 'hash', 'batch')
+       |  GROUP BY 1)
+       |SELECT doc_id, score_micro, n_terms FROM sc
+       |ORDER BY score_micro DESC, doc_id LIMIT $k""".stripMargin
+
   private def binaryProbeSql(rerankR: Int, topK: Int,
-                             thCond: String = "TRUE"): String =
+                             thCond: String = "TRUE",
+                             corpusCond: String = "TRUE"): String =
     s"""WITH $QaCte,
        |th AS (SELECT dim, SUM(q) AS sq, COUNT(*) AS n FROM qa
        | WHERE $thCond GROUP BY dim),
@@ -941,7 +975,7 @@ object SparkEntry {
        |  CAST(bit_count(xor(q.code_lo, c.code_lo))
        |    + bit_count(xor(q.code_hi, c.code_hi)) AS BIGINT) AS hamming
        | FROM codes q JOIN codes c ON c.vec_id <> q.vec_id
-       | WHERE q.vec_id < 5),
+       | WHERE q.vec_id < 5 AND ($corpusCond)),
        |hr AS (SELECT query_id, neighbor_id FROM ham
        | QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
        |   ORDER BY hamming, neighbor_id) <= $rerankR),
@@ -8116,6 +8150,69 @@ object SparkEntry {
       },
       Some(binaryProbeSql(50, 10, thCond = "vec_id < 400"))),
 
+    QueryDef("x156_index_delete",
+      // DELETE leg of the inverted-index lifecycle (r11 verdict #2 —
+      // build/append/stream existed, nothing could retract): the full
+      // corpus indexes, every 7th doc is tombstoned (three
+      // batch-sized writes: tombstones + NEGATIVE df segments +
+      // NEGATIVE stats row), and BM25 search afterwards must equal
+      // the oracle's from-scratch rebuild on the REMAINING corpus —
+      // delete == rebuild, exactly: probes anti-join the broadcast
+      // tombstones, the df/stats sums fold the retractions. The
+      // corpus is never re-tokenized; the delete pays one postings
+      // pass keyed by the broadcast batch.
+      (s, dir) => {
+        val d = docs(s, dir)
+        TextOps.writeInvertedIndex(d, "x156_idx")
+        TextOps.deleteIndexDocs(s, "x156_idx",
+          d.where(col("doc_id") % 7 === 0).select("doc_id"))
+        TextOps.searchIndexBm25(s, "x156_idx",
+          Seq("data", "hash", "batch"), k = 20)
+      },
+      Some(bm25RebuildSql("doc_id % 7 <> 0", 20))),
+
+    QueryDef("x158_index_compaction",
+      // COMPACTION leg: after the same delete, compactInvertedIndex
+      // physically drops tombstoned postings, collapses the df/stats
+      // segment piles to canonical tables and clears the tombstones —
+      // search over the compacted layout must STILL equal the
+      // rebuild-on-remaining oracle (identical to x156's), proving
+      // the rewrite changed bytes, not answers, and that probes now
+      // pay no anti-join. One postings pass; text never re-tokenizes.
+      (s, dir) => {
+        val d = docs(s, dir)
+        TextOps.writeInvertedIndex(d, "x158_idx")
+        TextOps.deleteIndexDocs(s, "x158_idx",
+          d.where(col("doc_id") % 7 === 0).select("doc_id"))
+        TextOps.compactInvertedIndex(s, "x158_idx")
+        TextOps.searchIndexBm25(s, "x158_idx",
+          Seq("data", "hash", "batch"), k = 20)
+      },
+      Some(bm25RebuildSql("doc_id % 7 <> 0", 20))),
+
+    QueryDef("x157_binary_delete",
+      // DELETE leg for the ANN family (binary rung): tombstones land
+      // as a sidecar the probe anti-joins (broadcast-small); codes
+      // and the FROZEN sign thresholds are untouched — the FAISS
+      // remove_ids contract, so the oracle derives thresholds from
+      // the FULL corpus and candidates from the remaining one. The
+      // deleted residues (vec_id ≡ 6 mod 7) exclude the probe ids
+      // (< 5), so every query survives its own deletion wave.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val path = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"),
+          s"binidx_del_${math.abs(dir.hashCode)}").toString
+        Clustering.writeBinaryIndex(emb, path, dims = 64)
+        Clustering.deleteBinaryIndex(s, path,
+          emb.where(col("vec_id") % 7 === 6).select("vec_id"))
+        Clustering.probeBinaryIndex(s, path, emb,
+            emb.where(col("vec_id") < 5), dims = 64,
+            rerankR = 50, topK = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(binaryProbeSql(50, 10, corpusCond = "c.vec_id % 7 <> 6"))),
+
     QueryDef("q61_explode_outer",
       // generator OUTER semantics: a customer whose collected
       // order-priority array is EMPTY keeps a NULL row (plain explode
@@ -8136,6 +8233,60 @@ object SparkEntry {
              |FROM customer c LEFT JOIN orders o
              |  ON o.o_custkey = c.c_custkey
              |ORDER BY c.c_custkey, prio NULLS FIRST""".stripMargin)),
+
+    QueryDef("q62_attribution_capped",
+      // multi-touch attribution with the HOT-USER VALVE binding
+      // (r11 verdict's named scale-killer: the unvalved user join is
+      // the full conv×touch fan-out on a skewed key): each conversion
+      // keeps only its latest 3 in-window clicks — TopKPerGroup's
+      // bounded heap, map-side-combined BEFORE the credit windows —
+      // and positions/n_touches/credits are computed ON the capped
+      // set. At sf0.01 the cap binds for ~1/3 of conversions (max
+      // fan-out 10), so this query exercises the valve, not the
+      // degenerate pass-through (that case is spec-pinned instead).
+      // Oracle caps via QUALIFY row_number() DESC — the latest-N
+      // contract written in SQL.
+      (s, dir) => EventStreams.multiTouchAttribution(
+          EventStreams.readEvents(s, dir), "click", "purchase",
+          7L * 24 * 3600 * 1000, maxTouches = 3)
+        .orderBy(col("conv_id"), coalesce(col("position"), lit(0L))),
+      Some("""WITH t AS (SELECT user_id, ts, MAX(event_id) AS touch_id
+             |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+             | c AS (SELECT user_id, ts AS conv_ts, event_id AS conv_id
+             |  FROM events WHERE event_type = 'purchase'),
+             | iw0 AS (SELECT c.conv_id, c.conv_ts, t.ts AS touch_ts,
+             |   t.touch_id
+             |  FROM c JOIN t ON t.user_id = c.user_id
+             |   AND t.ts <= c.conv_ts
+             |   AND epoch_ms(c.conv_ts) - epoch_ms(t.ts) <= 604800000),
+             | iw AS (SELECT * FROM iw0
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY conv_id
+             |   ORDER BY touch_ts DESC, touch_id DESC) <= 3),
+             | p AS (SELECT *,
+             |   CAST(ROW_NUMBER() OVER (PARTITION BY conv_id
+             |     ORDER BY touch_ts, touch_id) AS BIGINT) AS position,
+             |   CAST(COUNT(*) OVER (PARTITION BY conv_id) AS BIGINT)
+             |     AS n_touches FROM iw),
+             | cr AS (SELECT *,
+             |   CAST(1000000 // n_touches + CASE WHEN position <=
+             |     1000000 % n_touches THEN 1 ELSE 0 END AS BIGINT)
+             |    AS credit_linear_ppm,
+             |   CAST(CASE WHEN n_touches = 1 THEN 1000000
+             |    WHEN n_touches = 2 THEN 500000
+             |    WHEN position = 1 OR position = n_touches THEN 400000
+             |    ELSE 200000 // (n_touches - 2) +
+             |     CASE WHEN position - 1 <= 200000 % (n_touches - 2)
+             |      THEN 1 ELSE 0 END END AS BIGINT)
+             |    AS credit_position_ppm,
+             |   CAST(CASE WHEN position = n_touches THEN 1000000
+             |    ELSE 0 END AS BIGINT) AS credit_last_ppm FROM p)
+             |SELECT c.conv_id, c.user_id, c.conv_ts, cr.touch_id,
+             | cr.touch_ts, cr.position,
+             | COALESCE(cr.n_touches, 0) AS n_touches,
+             | cr.credit_linear_ppm, cr.credit_position_ppm,
+             | cr.credit_last_ppm
+             |FROM c LEFT JOIN cr ON cr.conv_id = c.conv_id
+             |ORDER BY c.conv_id, COALESCE(cr.position, 0)""".stripMargin)),
 
     QueryDef("x153_kcenter_seeds",
       // farthest-first traversal (greedy k-center): the deterministic

@@ -98,9 +98,16 @@ object Clustering {
     * ·10⁶) can land one unit off the integer difference). `seedIds` =
     * the (vec_id, cluster) seed table; everything else is byte-
     * identical to the array-input path ([[kmeansModel]] delegates
-    * here, so every existing oracle pins the equivalence). */
+    * here, so every existing oracle pins the equivalence).
+    *
+    * `riders`: per-vector CONSTANT columns of quant0 (functionally
+    * dependent on vec_id — e.g. the coarse IVF cell) carried through
+    * to the assignment output without any extra exchange: they join
+    * the final groupBy's keys, which the vec_id hash already
+    * clusters. Training ignores them. */
   private[ext] def kmeansModelOnQuant(quant0: DataFrame, seedIds: DataFrame,
-                                      iters: Int): (DataFrame, DataFrame) = {
+                                      iters: Int, riders: Seq[String] = Nil)
+      : (DataFrame, DataFrame) = {
     val quant = quant0.localCheckpoint()
     var centroids = quant.join(broadcast(seedIds), Seq("vec_id"))
       .select(col("cluster"), col("dim"), col("q").as("cq"))
@@ -108,12 +115,13 @@ object Clustering {
 
     def assign(cents: DataFrame): DataFrame = {
       val d2 = quant.join(broadcast(cents), Seq("dim"))
-        .groupBy("vec_id", "cluster")
+        .groupBy((("vec_id" +: riders) :+ "cluster").map(col): _*)
         .agg(sum(((col("q") - col("cq")) * (col("q") - col("cq")))
           .cast("decimal(38,0)")).as("d2"))
       val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
       d2.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select(col("vec_id"), col("cluster"), col("d2").cast("long").as("d2"))
+        .select(col("vec_id") +: riders.map(col) :+
+          col("cluster") :+ col("d2").cast("long").as("d2"): _*)
     }
 
     // Codegen gate (see SparkConfs.InterpretedRows): each Lloyd
@@ -301,9 +309,12 @@ object Clustering {
     * hash-matches the composed oracle (x135).
     *
     * Scale shape: probes (queries × nProbe) and the LUT
-    * (queries × m × k) both broadcast; the corpus-side join touches
-    * codes ∪ cell assignment only (never floats) and the per-query
-    * tail rides [[graft.plans.TopKPerGroup]]. */
+    * (queries × m × k) both broadcast; the codes carry their coarse
+    * cell FROM ENCODE TIME (r11 verdict #4 — no serving-time
+    * codes ⋈ assignment corpus exchange), so the serving subtree is
+    * codes → broadcast-join(probes) → broadcast-join(LUT) → agg
+    * (ScaleSpec plan-pins it), and the per-query tail rides
+    * [[graft.plans.TopKPerGroup]]. */
   def ivfPqTopK(emb: DataFrame, queries: DataFrame, dims: Int,
                 cells: Int, nProbe: Int, m: Int = 4, k: Int = 8,
                 iters: Int = 1, topK: Int = 10,
@@ -312,7 +323,40 @@ object Clustering {
     require(nProbe >= 1 && nProbe <= cells, "ivfPqTopK: 1 <= nProbe <= cells")
     require(m > 0 && dims % m == 0, "ivfPqTopK: m must divide dims")
     val (assign, cents) = kmeansModel(emb, cells, iters, idCol, vecCol)
-    val (codes, codebook) = pqModel(emb, dims, m, k, iters, idCol, vecCol)
+    // Cell-tagged PQ encode (r11 verdict #4): the coarse cell joins
+    // the quantized corpus ONCE at encode time — where the corpus is
+    // being keyed on vec_id anyway — and rides through each subspace
+    // training as a kmeansModelOnQuant `rider`, so the serving
+    // subtree below joins broadcast(probes) DIRECTLY on the codes'
+    // own cell column. The old shape (pqModel codes ⋈ assign on
+    // vec_id at serve time) exchanged two corpus-sized tables before
+    // the nProbe prune could drop anything. Slice-of-quantized ==
+    // quantize-of-slice bit-exactly (floor(v·10⁶) per component,
+    // dims renumbered), and the seeds are the same k smallest ids,
+    // so the codes — and x135's ranking — are unchanged (the
+    // ivfPqResidualModel training path pins the same equivalence).
+    val quantCell = quantize(emb, idCol, vecCol)
+      .join(assign.select(col("vec_id"), col("cluster").as("cell")),
+        Seq("vec_id"))
+      .localCheckpoint() // feeds all m subspace trainings
+    val seedIds = emb.select(col(idCol).as("vec_id")).orderBy("vec_id")
+      .limit(k)
+      .withColumn("cluster", row_number().over(Window.orderBy("vec_id")))
+    val subW = dims / m
+    val parts = (0 until m).map { s =>
+      val slice = quantCell
+        .filter(col("dim") >= s * subW && col("dim") < (s + 1) * subW)
+        .select(col("vec_id"), (col("dim") - s * subW).as("dim"),
+          col("q"), col("cell"))
+      val (a, c) = kmeansModelOnQuant(slice, seedIds, iters,
+        riders = Seq("cell"))
+      (a.select(col("vec_id"), col("cell"), lit(s).as("subspace"),
+          col("cluster").as("code")),
+        c.select(lit(s).as("subspace"), col("cluster"), col("dim"),
+          col("cq")))
+    }
+    val codes = parts.map(_._1).reduce(_ unionAll _)
+    val codebook = parts.map(_._2).reduce(_ unionAll _)
     // nProbe nearest coarse cells per query — same distance arithmetic
     // and (d2, cluster) tie order as the corpus assignment
     val qfull = quantize(queries.select(col(idCol).as("vec_id"),
@@ -338,9 +382,7 @@ object Clustering {
       .agg(sum(((col("q") - col("cq")) * (col("q") - col("cq")))
         .cast("decimal(38,0)")).cast("long").as("adist"))
       .withColumnRenamed("cluster", "code")
-    val scored = codes.select("vec_id", "subspace", "code")
-      .join(assign.select(col("vec_id"), col("cluster").as("cell")),
-        Seq("vec_id"))
+    val scored = codes.select("vec_id", "cell", "subspace", "code")
       .join(broadcast(probes), Seq("cell"))
       .join(broadcast(lut), Seq("query_id", "subspace", "code"))
       .where(col("query_id") =!= col("vec_id"))
@@ -851,7 +893,14 @@ object Clustering {
                        vecCol: String = "embedding"): DataFrame = {
     require(rerankR >= topK, "probeBinaryIndex: rerankR >= topK")
     val th = broadcast(spark.read.parquet(s"$path/thresholds"))
-    val codes = spark.read.parquet(s"$path/codes")
+    // live tombstones ([[deleteBinaryIndex]]) anti-join the code scan
+    // — broadcast-small, so the scan stays map-only
+    val codes0 = spark.read.parquet(s"$path/codes")
+    val codes =
+      if (tombstonesExist(spark, path))
+        codes0.join(broadcast(spark.read.parquet(s"$path/tombstones")),
+          Seq("vec_id"), "left_anti")
+      else codes0
     val qCodes = packBits(
         quantize(queries, idCol, vecCol).where(col("dim") < dims), th)
       .select(col("vec_id").as("query_id"), col("code_lo").as("qlo"),
@@ -994,6 +1043,53 @@ object Clustering {
     val th = broadcast(spark.read.parquet(s"$path/thresholds"))
     packBits(quantize(batch, idCol, vecCol).where(col("dim") < dims), th)
       .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** DELETE leg of the [[writeBinaryIndex]] lifecycle (r11 verdict
+    * #2): appends `ids` to a `$path/tombstones` sidecar that
+    * [[probeBinaryIndex]] anti-joins (broadcast-small — bounded by
+    * deletes since the last [[compactBinaryIndex]]); the codes and
+    * the FROZEN thresholds are untouched, the FAISS remove_ids
+    * contract — a probe after delete equals probing an index whose
+    * codes cover only the remaining corpus UNDER THE ORIGINAL
+    * thresholds (the x157 oracle; [[appendBinaryIndex]] declares the
+    * same frozen-model semantics). Already-tombstoned ids are
+    * dropped first, so a replayed delete is a no-op (idempotent). */
+  def deleteBinaryIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, ids: DataFrame,
+                        idCol: String = "vec_id"): Unit = {
+    val fresh0 = ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+    val fresh =
+      if (tombstonesExist(spark, path))
+        fresh0.join(spark.read.parquet(s"$path/tombstones"),
+          Seq("vec_id"), "left_anti")
+      else fresh0
+    fresh.write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  /** COMPACTION leg: physically drop tombstoned code words and clear
+    * the tombstone sidecar — after it, probes stop paying the
+    * anti-join and the layout equals a frozen-threshold encode of the
+    * remaining corpus (x158's content contract for the text index,
+    * applied to the binary family). One pass over the 16-byte code
+    * words; vectors are never re-quantized. */
+  def compactBinaryIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Unit = {
+    if (!tombstonesExist(spark, path)) return
+    val tombs = broadcast(spark.read.parquet(s"$path/tombstones"))
+    val kept = spark.read.parquet(s"$path/codes")
+      .join(tombs, Seq("vec_id"), "left_anti")
+      .localCheckpoint() // the write below overwrites what it reads
+    kept.write.mode("overwrite").parquet(s"$path/codes")
+    val loc = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(loc, true)
+  }
+
+  private def tombstonesExist(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Boolean = {
+    val loc = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(loc)
   }
 
   /** Farthest-first traversal (greedy k-center, Gonzalez 1985) — the

@@ -35,8 +35,21 @@ object TemporalJoins {
     * DuckDB ASOF JOIN); pre-dedup with a `row_number` qualify when
     * determinism matters. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
-               rightPayload: Seq[String], prefix: String = "right_"): DataFrame = {
-    val leftPayload = left.columns.toSeq.filterNot(c => c == key || c == tsCol)
+               rightPayload: Seq[String], prefix: String = "right_"): DataFrame =
+    asofJoinKeys(left, right, Seq(key), tsCol, rightPayload, prefix)
+
+  /** [[asofJoin]] generalized to a COMPOSITE key — the same
+    * union-tag/running-last kernel partitioned by `keys`. The extra
+    * key columns are the hot-key valve: partitioning an attribution
+    * as-of by (user, time-bucket) instead of bare user bounds each
+    * sort partition by per-bucket activity rather than a skewed
+    * user's full lifetime (r11 verdict's named scale-killer). */
+  def asofJoinKeys(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   tsCol: String, rightPayload: Seq[String],
+                   prefix: String = "right_"): DataFrame = {
+    require(keys.nonEmpty, "asofJoinKeys: keys must be non-empty")
+    val leftPayload =
+      left.columns.toSeq.filterNot(c => keys.contains(c) || c == tsCol)
     val rp = (rightPayload :+ tsCol).distinct // matched ts rides along
     // The right payload travels as ONE struct so the running last()
     // carries whole rows atomically — per-column last(ignoreNulls)
@@ -45,23 +58,25 @@ object TemporalJoins {
     val rStructT = org.apache.spark.sql.types.StructType(
       rp.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
     val lSide = left.select(
-      Seq(col(key), col(tsCol), lit(1).as("__side")) ++
+      keys.map(col) ++ Seq(col(tsCol), lit(1).as("__side")) ++
         leftPayload.map(col) :+
         lit(null).cast(rStructT).as("__r"): _*)
     val rSide = right.select(
-      Seq(col(key), col(tsCol), lit(0).as("__side")) ++
+      keys.map(col) ++ Seq(col(tsCol), lit(0).as("__side")) ++
         leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(rp.map(col): _*).as("__r"): _*)
     // right rows sort BEFORE left rows at equal ts => inclusive match
-    val w = Window.partitionBy(key).orderBy(col(tsCol), col("__side"))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rSide.unionByName(lSide)
       .select(
-        Seq(col(key), col(tsCol), col("__side")) ++ leftPayload.map(col) :+
+        keys.map(col) ++ Seq(col(tsCol), col("__side")) ++
+          leftPayload.map(col) :+
           last(col("__r"), ignoreNulls = true).over(w).as("__r"): _*)
       .filter(col("__side") === 1)
       .select(
-        Seq(col(key), col(tsCol)) ++ leftPayload.map(col) ++
+        keys.map(col) ++ Seq(col(tsCol)) ++ leftPayload.map(col) ++
           rp.map(c => col(s"__r.$c").as(prefix + c)): _*)
   }
 

@@ -879,6 +879,110 @@ object TextOps {
     writer.start()
   }
 
+  /** DELETE leg of the [[writeInvertedIndex]] lifecycle (r11 verdict
+    * #2 — build/append/stream existed, nothing could retract): marks
+    * `ids` deleted WITHOUT rewriting the index. Three batch-sized
+    * writes make every later search equal a from-scratch rebuild on
+    * the remaining corpus (the x156 oracle):
+    *
+    *  - a `${name}_tombstones` row per id — probes anti-join it
+    *    (broadcast-small: the live tombstone set is bounded by the
+    *    delete traffic since the last [[compactInvertedIndex]]);
+    *  - NEGATIVE df segment rows — one postings pass keyed by the
+    *    broadcast delete batch prices the per-term retraction, so
+    *    the query-side `SUM(df)` stays corpus-accurate;
+    *  - a NEGATIVE stats row from the deleted docs' doclen rows
+    *    (doc_id-bucketed — the scan prunes to the batch's buckets).
+    *
+    * Idempotent by construction: already-tombstoned ids are dropped
+    * from the batch before any side effect, so a replayed delete
+    * (foreachBatch at-least-once) retracts df/stats exactly once
+    * (StreamingSpec pins double-delete == single). Deleted ids are
+    * RETIRED — re-appending one is undefined until a compaction
+    * clears its tombstone (the standard log-structured id contract).
+    */
+  def deleteIndexDocs(spark: SparkSession, name: String, ids: DataFrame,
+                      idCol: String = "doc_id"): Unit = {
+    val tombTable = s"${name}_tombstones"
+    val fresh0 = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+    val fresh = (if (spark.catalog.tableExists(tombTable))
+        fresh0.join(spark.table(tombTable), Seq("doc_id"), "left_anti")
+      else fresh0).localCheckpoint() // one evaluation serves 3 writes
+    if (fresh.isEmpty) return
+    val buckets = spark.sql(s"DESCRIBE FORMATTED ${name}_postings")
+      .filter(col("col_name") === "Num Buckets")
+      .select("data_type").head().getString(0).trim.toInt
+    // tombstones commit FIRST: the idempotence guard keys on them, so
+    // a crash strictly inside this sequence leaves the docs hidden
+    // (no ghost rows) with df/stats at most one batch stale — a
+    // score-shift, not a correctness tear, and compactInvertedIndex
+    // repairs it exactly (same declared boundary as ingestIndexBatch;
+    // closing it fully needs a transactional table format)
+    fresh.write.mode(SaveMode.Append)
+      .format("parquet").saveAsTable(tombTable)
+    // retraction segments ride the SAME bucketed layout the appends
+    // use, so the query-side SUM folds them with no extra exchange
+    spark.table(s"${name}_postings")
+      .join(broadcast(fresh), Seq("doc_id"))
+      .groupBy("term").agg((-count(lit(1))).cast("long").as("df"))
+      .write.mode(SaveMode.Append)
+      .bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(s"${name}_df")
+    spark.table(s"${name}_doclen")
+      .join(broadcast(fresh), Seq("doc_id"))
+      .agg((-count(lit(1))).cast("long").as("n_docs"),
+        (-coalesce(sum("dl"), lit(0L))).cast("long").as("total_len"))
+      .write.mode(SaveMode.Append)
+      .format("parquet").saveAsTable(s"${name}_stats")
+  }
+
+  /** Anti-join `df` against the index's live tombstones (no-op when
+    * none exist). The tombstone side broadcasts: it is bounded by
+    * deletes since the last compaction, never corpus-sized. */
+  private def dropTombstoned(spark: SparkSession, name: String,
+                             df: DataFrame): DataFrame = {
+    val tombTable = s"${name}_tombstones"
+    if (spark.catalog.tableExists(tombTable))
+      df.join(broadcast(spark.table(tombTable)), Seq("doc_id"), "left_anti")
+    else df
+  }
+
+  /** COMPACTION leg: physically drop tombstoned postings, collapse
+    * the df/stats segment piles to canonical one-row-per-key tables,
+    * and clear the tombstone table — after it, the on-disk layout is
+    * byte-equivalent in CONTENT to a fresh [[writeInvertedIndex]] of
+    * the remaining corpus (x158 hash-pins search-after-compaction ==
+    * rebuild oracle), and probes stop paying the anti-join. One
+    * corpus-postings pass: df/doclen/stats re-derive from the
+    * surviving postings (map-side-combinable aggs), so the rewrite
+    * never re-tokenizes text. */
+  def compactInvertedIndex(spark: SparkSession, name: String): Unit = {
+    val buckets = spark.sql(s"DESCRIBE FORMATTED ${name}_postings")
+      .filter(col("col_name") === "Num Buckets")
+      .select("data_type").head().getString(0).trim.toInt
+    // eager checkpoint: the rewrite below overwrites the very tables
+    // this plan reads
+    val p = dropTombstoned(spark, name, spark.table(s"${name}_postings"))
+      .localCheckpoint()
+    val dfreq = p.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    val doclen = p.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
+      .localCheckpoint()
+    val stats = doclen.agg(count(lit(1)).cast("long").as("n_docs"),
+      coalesce(sum("dl"), lit(0L)).cast("long").as("total_len"))
+    p.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(s"${name}_postings")
+    dfreq.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(s"${name}_df")
+    doclen.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(s"${name}_doclen")
+    stats.write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${name}_stats")
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_tombstones")
+  }
+
   /** Rank documents for a bag of query terms against a
     * [[writeInvertedIndex]] layout: score = Σ_term tf·10⁶ DIV df
     * (reciprocal-df weighting, x23's ranking in INTEGER micro-units —
@@ -889,8 +993,8 @@ object TextOps {
   def searchIndex(spark: SparkSession, name: String, terms: Seq[String],
                   k: Int = 10): DataFrame = {
     require(terms.nonEmpty, "searchIndex: empty term list")
-    val p = spark.table(s"${name}_postings")
-      .filter(col("term").isin(terms: _*))
+    val p = dropTombstoned(spark, name, spark.table(s"${name}_postings")
+      .filter(col("term").isin(terms: _*)))
     // SUM over segment rows ([[appendInvertedIndex]] appends one df
     // row per term per batch); term-bucketed, so the groupBy needs no
     // exchange, and a never-appended index sums one row to itself
@@ -936,8 +1040,8 @@ object TextOps {
     val nDocs = if (st.isNullAt(0)) 0L else st.getLong(0)
     val avgdl = math.max(
       if (nDocs == 0 || st.isNullAt(1)) 1L else st.getLong(1) / nDocs, 1L)
-    val p = spark.table(s"${name}_postings")
-      .filter(col("term").isin(terms: _*))
+    val p = dropTombstoned(spark, name, spark.table(s"${name}_postings")
+      .filter(col("term").isin(terms: _*)))
     val d = spark.table(s"${name}_df")
       .filter(col("term").isin(terms: _*))
       .groupBy("term").agg(sum("df").as("df"))

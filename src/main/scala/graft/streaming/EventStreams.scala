@@ -369,10 +369,27 @@ object EventStreams {
     * between SAME-timestamp rows; the collapse makes attribution
     * deterministic (and mirrors the oracle exactly).
     *
-    * Scale shape: rides [[graft.ext.TemporalJoins.asofJoin]] — ONE
-    * hash exchange on the user key, union-tag + running last(), never
-    * an inequality join (Spark would plan that as a broadcast nested
-    * loop). Returns (conv_id, user_id, conv_ts, touch_id, touch_ts,
+    * Scale shape (r11 verdict's hot-user valve): the as-of kernel is
+    * partitioned by (user, lookback-sized time bucket), NOT bare
+    * user, so a bot user's multi-year click history never lands in
+    * one sort partition — each partition holds one lookback window's
+    * activity. Bucketing is semantics-preserving because the output
+    * depends only on the latest IN-WINDOW touch (the latest touch
+    * overall, when out of window, nulls the output — and every older
+    * touch is further out), and a conversion's window spans at most
+    * its own bucket and the one before:
+    *
+    *  - same-bucket leg: [[graft.ext.TemporalJoins.asofJoinKeys]] on
+    *    (user, bucket) — any same-bucket touch at-or-before the
+    *    conversion is in-window by construction;
+    *  - previous-bucket leg: a per-(user, bucket) PRE-AGGREGATION to
+    *    its single latest touch (map-side combinable — the hot
+    *    user's touches collapse before the exchange), equi-joined at
+    *    bucket−1 and window-filtered; it only wins when the same-
+    *    bucket leg is empty, and then it IS the latest touch overall.
+    *
+    * Buckets two or more back are out of window by construction.
+    * Returns (conv_id, user_id, conv_ts, touch_id, touch_ts,
     * attributed). */
   def lastTouchAttribution(events: DataFrame, touchType: String,
                            convType: String, lookbackMs: Long,
@@ -381,22 +398,40 @@ object EventStreams {
                            tsCol: String = "ts",
                            idCol: String = "event_id"): DataFrame = {
     require(lookbackMs > 0, "lastTouchAttribution: lookbackMs must be positive")
+    // floor division (not DIV's truncation) so pre-1970 timestamps
+    // bucket consistently with their successors
+    def bkt(c: Column): Column = {
+      val m = unix_millis(c)
+      when(m % lookbackMs < 0, m.divide(lookbackMs).cast("long") - 1L)
+        .otherwise((m - (m % lookbackMs)) / lookbackMs).cast("long")
+    }
     val touches = events.filter(col(typeCol) === touchType)
       .groupBy(col(userCol), col(tsCol))
       .agg(max(col(idCol)).as("touch_id"))
+      .withColumn("__bkt", bkt(col(tsCol)))
     val convs = events.filter(col(typeCol) === convType)
       .select(col(userCol), col(tsCol), col(idCol).as("conv_id"))
-    graft.ext.TemporalJoins.asofJoin(convs, touches, userCol, tsCol,
-        Seq("touch_id"))
-      .withColumn("__in_window",
-        col("right_touch_id").isNotNull &&
-          unix_millis(col(tsCol)) - unix_millis(col(s"right_$tsCol"))
-            <= lookbackMs)
+      .withColumn("__bkt", bkt(col(tsCol)))
+    val sameBucket = graft.ext.TemporalJoins.asofJoinKeys(
+      convs, touches, Seq(userCol, "__bkt"), tsCol, Seq("touch_id"))
+    // previous bucket collapses to ONE candidate row per (user,
+    // bucket): only its latest touch can be the conversion's latest,
+    // and if that one misses the window every older touch does too
+    val prev = touches.groupBy(col(userCol), col("__bkt"))
+      .agg(max(col(tsCol)).as("__pts"),
+        max_by(col("touch_id"), col(tsCol)).as("__ptid"))
+      .withColumn("__bkt", col("__bkt") + 1L)
+    val sameOk = col("right_touch_id").isNotNull
+    val prevOk = col("__ptid").isNotNull &&
+      unix_millis(col(tsCol)) - unix_millis(col("__pts")) <= lookbackMs
+    sameBucket.join(prev, Seq(userCol, "__bkt"), "left")
       .select(col("conv_id"), col(userCol),
         col(tsCol).as("conv_ts"),
-        when(col("__in_window"), col("right_touch_id")).as("touch_id"),
-        when(col("__in_window"), col(s"right_$tsCol")).as("touch_ts"),
-        col("__in_window").as("attributed"))
+        when(sameOk, col("right_touch_id"))
+          .when(prevOk, col("__ptid")).as("touch_id"),
+        when(sameOk, col(s"right_$tsCol"))
+          .when(prevOk, col("__pts")).as("touch_ts"),
+        (sameOk || prevOk).as("attributed"))
   }
 
   /** Multi-touch attribution (r11) — [[lastTouchAttribution]]
@@ -426,15 +461,29 @@ object EventStreams {
     * join), per-conversion fan-out bounded by the lookback window's
     * touch count, and both windows partition by conv_id — bounded
     * partitions, never the table. All credit arithmetic is integer
-    * DIV/MOD, so the apportionment re-derives on any engine. */
+    * DIV/MOD, so the apportionment re-derives on any engine.
+    *
+    * `maxTouches` is the HOT-USER VALVE (r11 verdict: the unvalved
+    * user join is the full conv×touch fan-out on a skewed key — a
+    * bot user with 1e6 clicks and 1e3 purchases is 1e9 pair rows):
+    * each conversion keeps only its LATEST `maxTouches` in-window
+    * touches, enforced by [[graft.plans.TopKPerGroup]] BEFORE the
+    * credit windows — a bounded-heap partial aggregation that
+    * map-side-combines the fan-out instead of exchanging it.
+    * Positions, n_touches, and all three credit columns are computed
+    * ON the capped set (the cap redefines the touch universe, it
+    * does not re-weight the uncapped one), so capped == uncapped
+    * whenever every conversion is under the cap (spec-pinned). */
   def multiTouchAttribution(events: DataFrame, touchType: String,
                             convType: String, lookbackMs: Long,
                             userCol: String = "user_id",
                             typeCol: String = "event_type",
                             tsCol: String = "ts",
-                            idCol: String = "event_id"): DataFrame = {
+                            idCol: String = "event_id",
+                            maxTouches: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(lookbackMs > 0, "multiTouchAttribution: lookbackMs must be positive")
+    require(maxTouches >= 1, "multiTouchAttribution: maxTouches >= 1")
     val touches = events.filter(col(typeCol) === touchType)
       .groupBy(col(userCol), col(tsCol))
       .agg(max(col(idCol)).as("touch_id"))
@@ -442,10 +491,14 @@ object EventStreams {
     val convs = events.filter(col(typeCol) === convType)
       .select(col(userCol), col(tsCol).as("conv_ts"),
         col(idCol).as("conv_id"))
-    val inw = convs.join(touches, Seq(userCol))
+    val inwAll = convs.join(touches, Seq(userCol))
       .where(col("touch_ts") <= col("conv_ts") &&
         unix_millis(col("conv_ts")) - unix_millis(col("touch_ts"))
           <= lookbackMs)
+    val inw =
+      if (maxTouches == Int.MaxValue) inwAll
+      else graft.plans.TopKPerGroup(inwAll, Seq("conv_id"),
+        Seq(("touch_ts", false), ("touch_id", false)), maxTouches)
     val wOrd = Window.partitionBy("conv_id")
       .orderBy(col("touch_ts"), col("touch_id"))
     val wAll = Window.partitionBy("conv_id")

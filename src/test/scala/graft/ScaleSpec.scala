@@ -381,6 +381,30 @@ class ScaleSpec extends SparkSuite {
       "persisted-layout probe must equal the in-memory retrieval")
   }
 
+  test("ivfPqTopK: codes carry their coarse cell from encode time — no serving-time codes-assign corpus exchange (r11 verdict #4)") {
+    import graft.ext.Clustering
+    // the in-memory twin of x137's layout fix: the PQ codes come out
+    // of encode WITH their cell (kmeansModelOnQuant rider), so the
+    // serving subtree is codes → BHJ(probes) → BHJ(LUT) → agg — the
+    // old plan exchanged two corpus-sized tables (codes ⋈ assign on
+    // vec_id) before the nProbe prune could drop a row
+    val emb = (0 until 400).map(i =>
+      (i.toLong, Array.tabulate(8)(d => (math.sin(i * 7 + d) * 4).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Clustering.ivfPqTopK(emb, emb.filter(col("vec_id") < 3),
+      dims = 8, cells = 4, nProbe = 2, m = 2, k = 4, iters = 1, topK = 5)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must never shuffle-join at serve time:\n$plan")
+    assert(!"Exchange hashpartitioning\\(vec_id".r.findFirstIn(plan)
+      .isDefined,
+      s"no codes-assign exchange keyed on vec_id may survive:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"probes and LUT must both broadcast onto the code scan:\n$plan")
+  }
+
   test("probeBinaryIndex: 16-byte code scan stays map-only — query codes broadcast, no corpus exchange before the bounded tail (r11)") {
     import graft.ext.Clustering
     // the binary rung's index-is-the-layout treatment: the Hamming
