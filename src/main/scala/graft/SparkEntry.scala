@@ -8213,6 +8213,48 @@ object SparkEntry {
       },
       Some(binaryProbeSql(50, 10, corpusCond = "c.vec_id % 7 <> 6"))),
 
+    QueryDef("x159_compaction_run",
+      // the EXECUTION leg of shard compaction (r11 verdict #5 — x77
+      // planned, nothing rewrote): export the epoch-shuffled corpus
+      // partitionBy(shard), quota-bin the manifest (x77's plan), then
+      // runCompaction merges each bin's shard directories into one
+      // and re-derives the manifest FROM THE WRITTEN FILES — the
+      // oracle re-derives shard assignment, the cumulative-quota
+      // binning AND the merged row/token/checksum totals from raw
+      // documents, so the hash-match proves disk == plan through the
+      // rewrite. The (shard → bin) map is manifest-sized and
+      // broadcasts; the only corpus movement is the write itself.
+      (s, dir) => {
+        val man = Sampling.writeTrainingShards(docs(s, dir),
+          "spark-warehouse/x159_shards", "doc_id", "text",
+          epoch = 2, shards = 8)
+        val plan = Sampling.planCompaction(man, "n_tokens", target = 8000L)
+        Sampling.runCompaction(s, "spark-warehouse/x159_shards",
+            "spark-warehouse/x159_merged", plan, "doc_id", "text")
+          .orderBy("shard")
+      },
+      Some("""WITH s AS (SELECT doc_id, text,
+             |  CAST(CAST(('0x' || substr(md5('2:' ||
+             |    CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS INT)
+             |    AS shard
+             |  FROM documents),
+             | man AS (SELECT shard,
+             |   CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+             |     AS BIGINT) AS n_tokens
+             |  FROM s GROUP BY shard),
+             | b AS (SELECT shard,
+             |   COALESCE(SUM(n_tokens) OVER (ORDER BY shard
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    // 8000 AS bin FROM man)
+             |SELECT CAST(b.bin AS INT) AS shard,
+             | CAST(COUNT(*) AS BIGINT) AS n_rows,
+             | CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+             |   AS BIGINT) AS n_tokens,
+             | CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+             |   || ':' || text), 1, 12)) AS BIGINT)) AS BIGINT) AS checksum
+             |FROM s JOIN b USING (shard) GROUP BY 1 ORDER BY shard"""
+        .stripMargin)),
+
     QueryDef("q61_explode_outer",
       // generator OUTER semantics: a customer whose collected
       // order-priority array is EMPTY keeps a NULL row (plain explode

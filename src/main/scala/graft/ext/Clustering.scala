@@ -1045,6 +1045,70 @@ object Clustering {
       .write.mode("append").parquet(s"$path/codes")
   }
 
+  /** [[appendBinaryIndex]] gated for exactly-once application under
+    * foreachBatch's at-least-once replay — the ingestIndexBatch
+    * protocol for the binary rung: a filesystem marker
+    * `$path/_epochs/<epoch>` (underscore-prefixed — parquet readers
+    * skip it) short-circuits a replayed epoch before any append.
+    * When `vecDir` is set, the batch's RAW vectors append there too
+    * (under the same gate): the binary probe's exact rerank needs
+    * full vectors for every candidate the Hamming pass can surface,
+    * so the vector store must grow in lockstep with the codes. The
+    * marker commits after both appends; a crash strictly inside the
+    * sequence leaves a torn segment a rebuild repairs — the same
+    * declared boundary as ingestIndexBatch (closing it fully needs a
+    * transactional table format). */
+  def ingestBinaryBatch(spark: org.apache.spark.sql.SparkSession,
+                        path: String, batch: DataFrame, dims: Int,
+                        epoch: Long, vecDir: Option[String] = None,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_epochs/$epoch")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return // epoch already committed
+    appendBinaryIndex(spark, path, batch, dims, idCol, vecCol)
+    vecDir.foreach(d => batch
+      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .write.mode("append").parquet(d))
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+  }
+
+  /** Streaming leg for the binary index — the FIFTH application of
+    * the probe/append streaming pattern (minhash x43, embeddings
+    * x130, inverted index x138, IVF-PQ streamingIvfPq; r11 verdict
+    * #6): each micro-batch PROBES the standing layout first (so
+    * cross-epoch near-duplicates surface against everything ingested
+    * before it), writes its hits to `resultDir/epoch=N`, then folds
+    * its own codes — and raw vectors, into `vecDir` — in via the
+    * epoch-gated [[ingestBinaryBatch]]. `vecDir` seeds with the
+    * corpus the index was built from and is the probe's rerank
+    * vector source; batch ids must be disjoint from everything
+    * ingested (the append contract). Probe results are at-least-once
+    * (a replayed epoch re-probes against the newer layout and
+    * overwrites); the INDEX mutation is exactly-once. */
+  def streamingBinaryIndex(path: String, stream: DataFrame,
+                           resultDir: String, vecDir: String, dims: Int,
+                           rerankR: Int, topK: Int = 10,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       epoch: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.localCheckpoint() // probe + append both consume it
+        probeBinaryIndex(spark, path, spark.read.parquet(vecDir), b,
+            dims, rerankR, topK, idCol, vecCol)
+          .write.mode("overwrite").parquet(s"$resultDir/epoch=$epoch")
+        ingestBinaryBatch(spark, path, b, dims, epoch, Some(vecDir),
+          idCol, vecCol)
+    }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+
   /** DELETE leg of the [[writeBinaryIndex]] lifecycle (r11 verdict
     * #2): appends `ids` to a `$path/tombstones` sidecar that
     * [[probeBinaryIndex]] anti-joins (broadcast-small — bounded by

@@ -565,6 +565,31 @@ object Sampling {
         Seq(col("bin"), col("bin_weight")): _*)
   }
 
+  /** EXECUTE a [[planCompaction]] plan (r11 verdict #5 — x77 planned,
+    * nothing rewrote): reads the `partitionBy("shard")` source layout
+    * ([[writeTrainingShards]]'s), merges each plan bin's shards into
+    * ONE output shard (`shard := bin`), and re-derives the manifest
+    * FROM THE WRITTEN FILES — the x65 disk==plan contract applied to
+    * the rewrite: a lost task or partial overwrite surfaces as a
+    * checksum mismatch against the plan-side oracle, never a silent
+    * short bin. Composes with the tombstone legs: the read-side is a
+    * plain DataFrame, so a caller anti-joins deletions before
+    * handing the layout here.
+    *
+    * Scale shape: the (shard → bin) map is MANIFEST-sized and
+    * broadcasts onto the corpus scan; the only corpus movement is
+    * the partitioned write itself — which IS the compaction. */
+  def runCompaction(spark: org.apache.spark.sql.SparkSession,
+                    srcPath: String, dstPath: String, plan: DataFrame,
+                    keyCol: String, textCol: String): DataFrame = {
+    val binOf = plan.select(col("shard"), col("bin"))
+    spark.read.parquet(srcPath)
+      .join(broadcast(binOf), Seq("shard"))
+      .withColumn("shard", col("bin").cast("int")).drop("bin")
+      .write.mode("overwrite").partitionBy("shard").parquet(dstPath)
+    shardManifest(spark.read.parquet(dstPath), keyCol, textCol)
+  }
+
   /** Per-stratum deterministic downsample: keep ~`fraction(stratum)`
     * of rows, chosen by key hash (so the SAME rows survive every
     * run). Strata missing from the map are dropped. */

@@ -381,6 +381,38 @@ class ScaleSpec extends SparkSuite {
       "persisted-layout probe must equal the in-memory retrieval")
   }
 
+  test("bench top-5 plans stay lean: no shuffle joins, pinned exchange counts (r11 verdict #8)") {
+    // the five queries that dominate the bench budget (r11 medians:
+    // x142 8.6 s, g68 8.2 s, g39 8.0 s, x93 7.4 s, x155 7.1 s): a
+    // Spark upgrade or refactor that silently fattens their SERVING
+    // plans (the final subtree after the checkpointed build stages)
+    // must fail here, not in the round's one timed bench run. Pinned
+    // at today's counts as <= (slimmer plans pass); SMJ/BNLJ pinned
+    // at zero absolutely.
+    val sfDir = "/root/testdata/sf0.001"
+    val pins = Seq( // (name, max hash exchanges, min broadcast joins)
+      ("x142_ivf_pq_append", 2, 2),
+      ("g68_leiden_two_level", 2, 1),
+      ("g39_betweenness", 1, 2),
+      ("x93_mutual_knn_clusters", 2, 1),
+      ("x155_hybrid_diversified", 0, 0))
+    pins.foreach { case (name, maxEx, minBhj) =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      def c(p: String) = p.r.findAllIn(plan).length
+      assert(c("SortMergeJoin") == 0,
+        s"$name: a shuffle join appeared in the serving plan:\n$plan")
+      assert(c("BroadcastNestedLoopJoin") == 0,
+        s"$name: a nested-loop join appeared:\n$plan")
+      assert(c("Exchange hashpartitioning") <= maxEx,
+        s"$name: serving plan fattened past $maxEx exchanges:\n$plan")
+      assert(c("BroadcastHashJoin") >= minBhj,
+        s"$name: expected >= $minBhj broadcast joins:\n$plan")
+    }
+  }
+
   test("ivfPqTopK: codes carry their coarse cell from encode time — no serving-time codes-assign corpus exchange (r11 verdict #4)") {
     import graft.ext.Clustering
     // the in-memory twin of x137's layout fix: the PQ codes come out

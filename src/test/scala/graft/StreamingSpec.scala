@@ -750,6 +750,62 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(s"$idx/codes").count() == before)
   }
 
+  test("streamingBinaryIndex: per-epoch probe+append == the batch lifecycle; replay appends once (r11 verdict #6)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Clustering
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(8)(d => (math.sin(i * 3 + d) * 5).toFloat)
+    val corpus = (0 until 40).map(i => (i.toLong, vec(i)))
+    val day1 = Seq((100L, vec(1)), (101L, vec(25)))
+    val day2 = Seq((200L, vec(100)), (201L, vec(1)))
+    val idx = java.nio.file.Files.createTempDirectory("bin_s").toString
+    val vecDir = java.nio.file.Files.createTempDirectory("bin_v").toString
+    Clustering.writeBinaryIndex(corpus.toDF("vec_id", "embedding"), idx,
+      dims = 8)
+    corpus.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(vecDir)
+    val resDir = java.nio.file.Files.createTempDirectory("bin_r").toString
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = Clustering.streamingBinaryIndex(idx,
+      stream.toDF().toDF("vec_id", "embedding"), resDir, vecDir,
+      dims = 8, rerankR = 30, topK = 30)
+    try {
+      stream.addData(day1); q.processAllAvailable()
+      stream.addData(day2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(resDir)
+      .select("query_id", "neighbor_id", "d2", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    // batch lifecycle twin on a fresh copy of the layout
+    val idx2 = java.nio.file.Files.createTempDirectory("bin_s2").toString
+    Clustering.writeBinaryIndex(corpus.toDF("vec_id", "embedding"), idx2,
+      dims = 8)
+    val p1 = Clustering.probeBinaryIndex(spark, idx2,
+        corpus.toDF("vec_id", "embedding"),
+        day1.toDF("vec_id", "embedding"), dims = 8, rerankR = 30,
+        topK = 30)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    Clustering.appendBinaryIndex(spark, idx2,
+      day1.toDF("vec_id", "embedding"), dims = 8)
+    val p2 = Clustering.probeBinaryIndex(spark, idx2,
+        (corpus ++ day1).toDF("vec_id", "embedding"),
+        day2.toDF("vec_id", "embedding"), dims = 8, rerankR = 30,
+        topK = 30)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(streamed == (p1 ++ p2))
+    // cross-epoch retrieval: day 2's 201 duplicates day 1's 100 (both
+    // vec(1), d2 = 0) — visible only because epoch 1's batch was
+    // appended before epoch 2 probed
+    assert(streamed.exists { case (qid, nb, d2, _) =>
+      qid == 201L && nb == 100L && d2 == 0L })
+    // replayed epoch: the marker short-circuits before any append
+    val before = spark.read.parquet(s"$idx/codes").count()
+    Clustering.ingestBinaryBatch(spark, idx,
+      day1.toDF("vec_id", "embedding"), dims = 8, epoch = 0L)
+    assert(spark.read.parquet(s"$idx/codes").count() == before,
+      "replayed epoch must not re-append codes")
+  }
+
   test("streaming expectations gate: merged per-epoch states == one-shot card") {
     implicit val sqlCtx = spark.sqlContext
     val rules = Seq(
