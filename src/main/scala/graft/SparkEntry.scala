@@ -243,7 +243,8 @@ object SparkEntry {
     * query probes (nProbe nearest coarse cells under the same
     * (d2, cluster) tie order) + cell-restricted ADC scoring. */
   private def ivfPqSql(cells: Int, cIters: Int, m: Int, sub: Int, k: Int,
-                       iters: Int, nProbe: Int, topK: Int): String = {
+                       iters: Int, nProbe: Int, topK: Int,
+                       corpusCond: String = "TRUE"): String = {
     val coarse = kmeansCtes(cells, cIters, "_ivf")
     val parts = (0 until m)
       .map(s => kmeansCtes(k, iters, s"_s$s", s * sub, (s + 1) * sub))
@@ -284,7 +285,7 @@ object SparkEntry {
        | JOIN qprobe p ON p.cluster = asg.cluster
        | JOIN lut l ON l.query_id = p.query_id
        |   AND l.subspace = a.subspace AND l.cluster = a.code
-       | WHERE a.vec_id <> l.query_id GROUP BY 1, 2)
+       | WHERE a.vec_id <> l.query_id AND ($corpusCond) GROUP BY 1, 2)
        |SELECT query_id, neighbor_id, CAST(adc_d2 AS BIGINT) AS adc_d2,
        | CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |   ORDER BY adc_d2, neighbor_id) AS INT) AS rank
@@ -6261,6 +6262,64 @@ object SparkEntry {
              |SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.5
              |ORDER BY a, b""".stripMargin)),
 
+    QueryDef("x161_band_delete",
+      // DELETE leg for the LSH band index — the tombstone pattern's
+      // fourth landing (inverted x156, binary x157, IVF-PQ x160):
+      // 3/4 of documents index, the doc_id ≡ 2 (mod 8) slice of the
+      // INDEXED corpus tombstones (the probing batch, ≡ 0 mod 4,
+      // never collides with it), and the daily batch's probe must
+      // equal the full-rebuild pair set over the REMAINING corpus —
+      // the tombstones anti-join both the band buckets and the
+      // stored hash sets, broadcast-small. compactBandIndex then
+      // rewrites the bucketed tables minus the deleted rows and the
+      // probe re-runs unchanged (asserted in-query, the x160 rule).
+      (s, dir) => {
+        val d = docs(s, dir)
+        Dedup.writeBandIndex(d.filter(col("doc_id") % 4 =!= 0), "x161_idx")
+        Dedup.deleteBandIndex(s, "x161_idx",
+          d.filter(col("doc_id") % 8 === 2).select("doc_id"))
+        val probed = Dedup.probeBandIndex("x161_idx",
+            d.filter(col("doc_id") % 4 === 0), threshold = 0.5)
+          .orderBy("a", "b").localCheckpoint()
+        Dedup.compactBandIndex(s, "x161_idx")
+        val after = Dedup.probeBandIndex("x161_idx",
+            d.filter(col("doc_id") % 4 === 0), threshold = 0.5)
+          .orderBy("a", "b")
+        assert(probed.collect().toSeq == after.collect().toSeq,
+          "x161: compaction must not change probe results")
+        after
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |  string_split_regex(trim(text), '\s+') AS tk FROM documents
+             |  WHERE doc_id % 8 <> 2),
+             | sh AS (SELECT doc_id, list_distinct(
+             |  [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+             |   for i in generate_series(1, len(tk) - 2)]) AS s FROM toks
+             |  WHERE len(tk) >= 3),
+             | hs AS (SELECT doc_id,
+             |  [CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 2147483647
+             |   for x in s] AS h FROM sh WHERE len(s) > 0),
+             | sets AS (SELECT doc_id, list_distinct(h) AS hset FROM hs),
+             | sig AS (SELECT doc_id,
+             |  [list_min([(hv * (2*k+1) + k) % 2147483647 for hv in h])
+             |   for k in generate_series(0, 15)] AS sig FROM hs),
+             | banded AS (SELECT doc_id,
+             |  CAST(b AS VARCHAR) || ',' ||
+             |   array_to_string(sig[b*4+1 : b*4+4], ',') AS bk
+             |  FROM sig, generate_series(0, 3) AS g(b)),
+             | cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+             |  FROM banded l JOIN banded r
+             |    ON l.bk = r.bk AND l.doc_id < r.doc_id
+             |  WHERE l.doc_id % 4 = 0 OR r.doc_id % 4 = 0),
+             | verified AS (SELECT c.a, c.b,
+             |  CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
+             |   / (len(sa.hset) + len(sb.hset)
+             |      - len(list_intersect(sa.hset, sb.hset))) AS jaccard
+             |  FROM cand c JOIN sets sa ON sa.doc_id = c.a
+             |  JOIN sets sb ON sb.doc_id = c.b)
+             |SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.5
+             |ORDER BY a, b""".stripMargin)),
+
     QueryDef("x43_incremental_append",
       // The probe-then-APPEND loop: half the corpus is indexed, one
       // quarter is folded in via appendBandIndex (yesterday's batch),
@@ -8212,6 +8271,47 @@ object SparkEntry {
           .orderBy("query_id", "rank")
       },
       Some(binaryProbeSql(50, 10, corpusCond = "c.vec_id % 7 <> 6"))),
+
+    QueryDef("x160_ivfpq_delete",
+      // DELETE leg for the IVF-PQ family — the tombstone pattern's
+      // third landing (inverted x156, binary x157): codes drop via
+      // the broadcast anti-join AFTER the planning-time cell prune,
+      // the coarse centroids and PQ codebook stay FROZEN (FAISS
+      // remove_ids — the model never retrains on delete), so the
+      // oracle trains on the FULL corpus and scores only surviving
+      // code rows. Own layout (not the memoized one — delete MUTATES
+      // it, the x142 rule). compactIvfPq then rewrites the cell
+      // directories minus the tombstones and the probe re-runs
+      // UNCHANGED — compaction moves bytes, not answers, inside one
+      // query.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val path = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"),
+          s"ivfpq_del_${math.abs(dir.hashCode)}").toString
+        Clustering.writeIvfPq(emb, path, dims = 64, cells = 4, m = 4,
+          k = 8, iters = 1)
+        Clustering.deleteIvfPq(s, path,
+          emb.where(col("vec_id") % 7 === 6).select("vec_id"))
+        val probed = Clustering.probeIvfPq(s, path,
+            emb.where(col("vec_id") < 5), dims = 64, nProbe = 2, m = 4,
+            topK = 10)
+          .orderBy("query_id", "rank").localCheckpoint()
+        Clustering.compactIvfPq(s, path)
+        val after = Clustering.probeIvfPq(s, path,
+            emb.where(col("vec_id") < 5), dims = 64, nProbe = 2, m = 4,
+            topK = 10)
+          .orderBy("query_id", "rank")
+        // emit the post-compaction probe; equality with the pre-
+        // compaction one is asserted in-query (both must match the
+        // oracle anyway — this pins it even under a future oracle
+        // change)
+        assert(probed.collect().toSeq == after.collect().toSeq,
+          "x160: compaction must not change probe results")
+        after
+      },
+      Some(ivfPqSql(4, 1, 4, 16, 8, 1, 2, 10,
+        corpusCond = "a.vec_id % 7 <> 6"))),
 
     QueryDef("x159_compaction_run",
       // the EXECUTION leg of shard compaction (r11 verdict #5 — x77

@@ -516,8 +516,15 @@ object Clustering {
     // bounded collect: ≤ the layout's cell count by construction
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getInt(0))
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes0 = spark.read.parquet(s"$path/codes")
       .where(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+    // live tombstones ([[deleteIvfPq]]) anti-join AFTER the planning-
+    // time cell prune — broadcast-small, the scan stays map-only
+    val codes =
+      if (tombstonesExist(spark, path))
+        codes0.join(broadcast(spark.read.parquet(s"$path/tombstones")),
+          Seq("vec_id"), "left_anti")
+      else codes0
     val sub = dims / m
     // the ADC lookup table. Raw-vector layout: one entry per
     // (query, subspace, code). Residual layout: the query residual
@@ -1121,7 +1128,15 @@ object Clustering {
     * dropped first, so a replayed delete is a no-op (idempotent). */
   def deleteBinaryIndex(spark: org.apache.spark.sql.SparkSession,
                         path: String, ids: DataFrame,
-                        idCol: String = "vec_id"): Unit = {
+                        idCol: String = "vec_id"): Unit =
+    appendLayoutTombstones(spark, path, ids, idCol)
+
+  /** Shared tombstone append for the path-based ANN layouts (binary,
+    * IVF-PQ): dedup against the live sidecar so a replayed delete is
+    * a no-op, then append. */
+  private def appendLayoutTombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame, idCol: String): Unit = {
     val fresh0 = ids.select(col(idCol).cast("long").as("vec_id")).distinct()
     val fresh =
       if (tombstonesExist(spark, path))
@@ -1129,6 +1144,38 @@ object Clustering {
           Seq("vec_id"), "left_anti")
       else fresh0
     fresh.write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  /** DELETE leg of the [[writeIvfPq]] lifecycle — the same
+    * frozen-model contract as [[deleteBinaryIndex]]: `ids` land in a
+    * `$path/tombstones` sidecar that [[probeIvfPq]] anti-joins AFTER
+    * its planning-time cell prune (broadcast-small — bounded by
+    * deletes since the last [[compactIvfPq]]); the coarse centroids
+    * and PQ codebook are untouched (FAISS remove_ids: codes drop,
+    * the model never retrains on delete). Idempotent via the shared
+    * tombstone dedup. */
+  def deleteIvfPq(spark: org.apache.spark.sql.SparkSession,
+                  path: String, ids: DataFrame,
+                  idCol: String = "vec_id"): Unit =
+    appendLayoutTombstones(spark, path, ids, idCol)
+
+  /** COMPACTION leg for the IVF-PQ layout: rewrite the cell-
+    * partitioned codes minus the tombstoned rows (the directory
+    * layout — and every probe's planning-time prune — is preserved),
+    * clear the sidecar. One pass over the m-codes-per-vector table;
+    * vectors are never re-encoded. */
+  def compactIvfPq(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Unit = {
+    if (!tombstonesExist(spark, path)) return
+    val tombs = broadcast(spark.read.parquet(s"$path/tombstones"))
+    val kept = spark.read.parquet(s"$path/codes")
+      .join(tombs, Seq("vec_id"), "left_anti")
+      .localCheckpoint() // the write below overwrites what it reads
+    kept.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/codes")
+    val loc = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(loc, true)
   }
 
   /** COMPACTION leg: physically drop tombstoned code words and clear

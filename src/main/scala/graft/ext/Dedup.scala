@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -482,8 +482,11 @@ object Dedup {
                      idCol: String = "doc_id", textCol: String = "text",
                      auditDisjoint: Boolean = false): DataFrame = {
     val spark = batch.sparkSession
-    val idxBands = spark.table(s"${name}_bands")
-    val idxDocs = spark.table(s"${name}_docs")
+    // live tombstones ([[deleteBandIndex]]) anti-join both index sides
+    val idxBands = dropBandTombstoned(spark, name,
+      spark.table(s"${name}_bands"))
+    val idxDocs = dropBandTombstoned(spark, name,
+      spark.table(s"${name}_docs"))
     val (bBands0, bSets0) = md5BandedSets(batch, k, bands, w, idCol, textCol)
     val bBands = bBands0.localCheckpoint() // feeds corpus join + self-join
     val bSets = bSets0.localCheckpoint()   // feeds both verify sides
@@ -533,6 +536,64 @@ object Dedup {
     * compact by re-running [[writeBandIndex]] over the re-read union —
     * the index is derived state, so compaction is just a rebuild
     * scheduled at leisure, not a correctness event. */
+  /** DELETE leg of the [[writeBandIndex]] lifecycle (the x156/x157
+    * tombstone pattern's fourth landing): `ids` land in a
+    * `${name}_tombstones` table that [[probeBandIndex]] anti-joins on
+    * BOTH index sides (bands and stored hash sets) — broadcast-small,
+    * bounded by deletes since the last [[compactBandIndex]]. A probe
+    * after delete equals probing an index built without the deleted
+    * docs (x161's rebuild oracle). Idempotent: already-tombstoned
+    * ids are dropped before the append, so a replayed delete is a
+    * no-op. Deleted ids are retired until a compaction clears them. */
+  def deleteBandIndex(spark: SparkSession, name: String, ids: DataFrame,
+                      idCol: String = "doc_id"): Unit = {
+    val tombTable = s"${name}_tombstones"
+    // orphaned managed location from a previous JVM (the
+    // writeBandIndex hazard): clear it before CREATE TABLE AS
+    if (!spark.catalog.tableExists(tombTable)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), tombTable.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    val fresh0 = ids.select(col(idCol).cast("long").as("id")).distinct()
+    val fresh =
+      if (spark.catalog.tableExists(tombTable))
+        fresh0.join(spark.table(tombTable), Seq("id"), "left_anti")
+      else fresh0
+    fresh.write.mode(SaveMode.Append).format("parquet")
+      .saveAsTable(tombTable)
+  }
+
+  /** COMPACTION leg: rewrite the bucketed band/docs tables minus the
+    * tombstoned rows and clear the tombstone table — probes stop
+    * paying the anti-join, and the layout equals a fresh
+    * [[writeBandIndex]] of the remaining corpus in content. */
+  def compactBandIndex(spark: SparkSession, name: String): Unit = {
+    val buckets = spark.sql(s"DESCRIBE FORMATTED ${name}_bands")
+      .filter(col("col_name") === "Num Buckets")
+      .select("data_type").head().getString(0).trim.toInt
+    val bands = dropBandTombstoned(spark, name,
+      spark.table(s"${name}_bands")).localCheckpoint()
+    val sets = dropBandTombstoned(spark, name,
+      spark.table(s"${name}_docs")).localCheckpoint()
+    bands.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "bk").sortBy("bk")
+      .format("parquet").saveAsTable(s"${name}_bands")
+    sets.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "id").sortBy("id")
+      .format("parquet").saveAsTable(s"${name}_docs")
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_tombstones")
+  }
+
+  private def dropBandTombstoned(spark: SparkSession, name: String,
+                                 df: DataFrame): DataFrame = {
+    val tombTable = s"${name}_tombstones"
+    if (spark.catalog.tableExists(tombTable))
+      df.join(broadcast(spark.table(tombTable)), Seq("id"), "left_anti")
+    else df
+  }
+
   def appendBandIndex(name: String, batch: DataFrame, k: Int = 16,
                       bands: Int = 4, w: Int = 3, idCol: String = "doc_id",
                       textCol: String = "text"): Unit = {

@@ -904,6 +904,15 @@ object TextOps {
   def deleteIndexDocs(spark: SparkSession, name: String, ids: DataFrame,
                       idCol: String = "doc_id"): Unit = {
     val tombTable = s"${name}_tombstones"
+    // orphaned managed location from a previous JVM (the writeInverted
+    // Index hazard): the catalog forgot the table but its directory
+    // survives, and CREATE TABLE AS would refuse the location
+    if (!spark.catalog.tableExists(tombTable)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), tombTable.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     val fresh0 = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
     val fresh = (if (spark.catalog.tableExists(tombTable))
         fresh0.join(spark.table(tombTable), Seq("doc_id"), "left_anti")

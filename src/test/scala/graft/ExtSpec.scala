@@ -2188,6 +2188,74 @@ class ExtSpec extends SparkSuite {
     assert(got.find(_._4 == 1).get._2 == 0L)
   }
 
+  test("probeBinaryIndex: a query COLLIDING with a corpus id self-excludes that vector — the documented id contract (r11 advice)") {
+    val path = java.nio.file.Files
+      .createTempDirectory("extspec_bincol").toString
+    Clustering.writeBinaryIndex(recallEmb, path, dims = 4)
+    // the query reuses corpus id 0 but carries vec 1's embedding:
+    // corpus vec 0 (the true nearest) can never surface in its
+    // results — vec_id <> query_id drops it silently, which is why
+    // out-of-corpus callers must use DISJOINT ids
+    val collide = recallEmb.filter($"vec_id" === 1)
+      .select(lit(0L).as("vec_id"), $"embedding")
+    val got = Clustering.probeBinaryIndex(spark, path, recallEmb, collide,
+        dims = 4, rerankR = 5, topK = 3)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(got.nonEmpty && got.forall(_._2 != 0L))
+  }
+
+  test("deleteIvfPq: tombstoned codes never surface after the cell prune; compaction preserves the probe (r12)") {
+    val path = java.nio.file.Files
+      .createTempDirectory("extspec_ivfdel").toString
+    Clustering.writeIvfPq(recallEmb, path, dims = 4, cells = 2, m = 2,
+      k = 4, iters = 1)
+    val q = recallEmb.filter($"vec_id" < 2)
+    def probe() = Clustering.probeIvfPq(spark, path, q, dims = 4,
+        nProbe = 2, m = 2, topK = 8)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val before = probe()
+    assert(before.exists(_._2 == 5L)) // the near-twin is retrievable
+    Clustering.deleteIvfPq(spark, path, Seq(5L).toDF("vec_id"))
+    val once = probe()
+    assert(once.nonEmpty && !once.exists(_._2 == 5L),
+      "tombstoned vector must vanish from every candidate list")
+    // replayed delete is a no-op; compaction moves bytes, not answers
+    Clustering.deleteIvfPq(spark, path, Seq(5L).toDF("vec_id"))
+    assert(probe() == once)
+    Clustering.compactIvfPq(spark, path)
+    assert(probe() == once)
+    assert(!spark.read.parquet(s"$path/codes")
+      .filter($"vec_id" === 5L).head(1).nonEmpty,
+      "compaction must physically drop the tombstoned codes")
+  }
+
+  test("deleteBandIndex: probe equals rebuild-on-remaining; compaction clears the tombstones (r12)") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),
+      (3L, "one two three four five six"),
+      (4L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    Dedup.writeBandIndex(corpus, "extspec_banddel", buckets = 2)
+    // delete doc 4 (an exact twin of the batch doc): it must vanish
+    // from the probe's pair set
+    Dedup.deleteBandIndex(spark, "extspec_banddel", Seq(4L).toDF("doc_id"))
+    def pairs() = Dedup.probeBandIndex("extspec_banddel", batch,
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val once = pairs()
+    assert(once.exists(p => p._1 == 1L && p._2 == 10L))
+    assert(!once.exists(p => p._1 == 4L || p._2 == 4L),
+      "tombstoned doc must not pair with the batch")
+    Dedup.deleteBandIndex(spark, "extspec_banddel", Seq(4L).toDF("doc_id"))
+    assert(pairs() == once, "replayed delete must be a no-op")
+    Dedup.compactBandIndex(spark, "extspec_banddel")
+    assert(pairs() == once)
+    assert(!spark.catalog.tableExists("extspec_banddel_tombstones"))
+  }
+
   test("appendBinaryIndex: re-appended vectors reproduce their codes against the frozen thresholds (X2)") {
     val path = java.nio.file.Files
       .createTempDirectory("extspec_binapp").toString
