@@ -413,6 +413,58 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("searchIndexBm25 with live tombstones: the delete anti-join broadcasts — the postings scan gains no exchange (r12)") {
+    val corpus = (0 until 400).map { i =>
+      val rare = if (i < 6) " needle" else ""
+      (i.toLong, s"w$i filler token$rare")
+    }.toDF("doc_id", "text")
+    graft.ext.TextOps.writeInvertedIndex(corpus, "scalespec_bm25del",
+      buckets = 4)
+    graft.ext.TextOps.deleteIndexDocs(spark, "scalespec_bm25del",
+      Seq(2L, 4L).toDF("doc_id"))
+    val out = graft.ext.TextOps.searchIndexBm25(spark, "scalespec_bm25del",
+      Seq("needle"), k = 10)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the tombstone side must broadcast into the anti-join — a
+    // shuffled anti-join would exchange the term-pruned postings
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(plan).isDefined,
+      s"tombstones must broadcast into a LeftAnti join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no shuffle join may appear in a few-term search:\n$plan")
+    // still exactly ONE doc_id exchange (the matched-docs score agg) —
+    // the delete leg must not add one (same pin as the r10 doclen test)
+    val docIdExchanges =
+      "Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).length
+    assert(docIdExchanges == 1,
+      s"the tombstone anti-join must not add a doc_id exchange:\n$plan")
+  }
+
+  test("lastTouchAttribution: the as-of kernel partitions by (user, bucket), never bare user (r11 verdict #3)") {
+    import graft.streaming.EventStreams
+    val ev = (0 until 200).map { i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 3600L * 1000),
+        (i % 7).toLong, if (i % 3 == 0) "purchase" else "click", 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventStreams.lastTouchAttribution(ev, "click", "purchase",
+      lookbackMs = 86400000L)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the hot-key valve: no exchange may key on user_id ALONE — the
+    // as-of sort must carry the bucket (the touch collapse keys
+    // (user, ts), which splits a hot user even finer)
+    val userOnly = "Exchange hashpartitioning\\(user_id#\\d+L?, \\d+\\)"
+      .r.findAllIn(plan).toList
+    assert(userOnly.isEmpty,
+      s"an exchange keyed on bare user_id survived: $userOnly\n$plan")
+    // and the as-of window itself partitions by (user, bucket)
+    assert("windowspecdefinition\\(user_id#\\d+L?, __bkt".r
+      .findFirstIn(plan).isDefined,
+      s"the as-of window must partition by (user_id, __bkt):\n$plan")
+  }
+
   test("ivfPqTopK: codes carry their coarse cell from encode time — no serving-time codes-assign corpus exchange (r11 verdict #4)") {
     import graft.ext.Clustering
     // the in-memory twin of x137's layout fix: the PQ codes come out
