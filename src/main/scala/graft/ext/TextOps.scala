@@ -945,6 +945,29 @@ object TextOps {
       .format("parquet").saveAsTable(s"${name}_stats")
   }
 
+  /** Streaming DELETE maintenance for the inverted index — the
+    * retraction twin of [[streamingIndexIngest]], the shape a
+    * right-to-be-forgotten feed actually arrives in: each micro-batch
+    * of doc ids folds in via [[deleteIndexDocs]]. No epoch sidecar is
+    * needed: the tombstone-keyed dedup makes a fully-applied replay a
+    * no-op by construction (a replay of a TORN delete short-circuits
+    * with df/stats one batch stale — the same declared boundary as
+    * the ingest leg; compaction repairs it exactly). Search after the
+    * stream equals the rebuild on the remaining corpus
+    * (StreamingSpec pins it). */
+  def streamingIndexDeletes(name: String, stream: DataFrame,
+                            idCol: String = "doc_id",
+                            checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       _: Long) =>
+        deleteIndexDocs(batch.sparkSession, name, batch, idCol)
+    }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+
   /** Anti-join `df` against the index's live tombstones (no-op when
     * none exist). The tombstone side broadcasts: it is bounded by
     * deletes since the last compaction, never corpus-sized. */

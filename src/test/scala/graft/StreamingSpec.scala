@@ -619,6 +619,28 @@ class StreamingSpec extends SparkSuite {
     assert(res("streamspec_del") == res("streamspec_del_rb2"))
   }
 
+  test("streamingIndexDeletes: streamed retraction batches == one batch delete; search == rebuild-on-remaining (r12)") {
+    implicit val sqlCtx = spark.sqlContext
+    val all = Seq((1L, "data data hash"), (2L, "data hash hash batch"),
+      (3L, "batch batch data"), (4L, "data hash"), (5L, "data batch"))
+    graft.ext.TextOps.writeInvertedIndex(all.toDF("doc_id", "text"),
+      "streamspec_sdel", buckets = 2)
+    val stream = MemoryStream[Long]
+    val q = graft.ext.TextOps.streamingIndexDeletes("streamspec_sdel",
+      stream.toDF().toDF("doc_id"))
+    try {
+      stream.addData(2L); q.processAllAvailable()
+      stream.addData(4L, 2L); q.processAllAvailable() // 2 re-delivered
+    } finally q.stop()
+    graft.ext.TextOps.writeInvertedIndex(
+      all.filterNot(d => Set(2L, 4L)(d._1)).toDF("doc_id", "text"),
+      "streamspec_sdel_rb", buckets = 2)
+    def res(name: String) = graft.ext.TextOps.searchIndexBm25(spark, name,
+      Seq("data", "batch"), 10).as[(Long, Long, Long)].collect().toList
+    assert(res("streamspec_sdel") == res("streamspec_sdel_rb"),
+      "streamed deletes must equal the rebuild on the remaining corpus")
+  }
+
   test("deleteBinaryIndex: replay is a no-op; compaction clears tombstones with the probe unchanged (r11 verdict #2)") {
     val emb = (0 until 60).map(i =>
       (i.toLong, Array.tabulate(8)(d => (math.sin(i * 7 + d) * 4).toFloat)))
