@@ -135,13 +135,30 @@ object Bench {
     // semantics): if the driver's 60-minute kill lands mid-run, the
     // last completed pass is still fully parseable — r11 lost its
     // entire bench evidence to a kill one second before this point.
+    // The compact line is also kept in lastCompact and re-printed as
+    // the FINAL stdout act after spark.stop(): r12's run had rc 0 but
+    // "parsed": null because the budget-stop notice and sbt's
+    // [success] trailer printed after the line — the driver's parser
+    // wants the contract line last (r12 verdict #1).
+    var lastCompact: String = ""
+    // A mid-pass budget stop leaves some queries short one sample;
+    // report the sample counts actually collected, not the pass
+    // counter (r12 advice: "runs" overstated coverage after a
+    // truncated pass / the 3-sample heavy cap).
+    var truncatedPass = false
     def emit(passesDone: Int): Unit = {
       val results = defs.map(d => d.name -> median(samples(d.name)))
       val total = results.map(_._2).sum
       // Full-precision medians + raw samples -> file (survives any log
       // mangling; the spread column is the bench-trust diagnostic).
+      // runs = the LARGEST sample count any query actually collected
+      // (== completed passes for the light queries; heavy queries cap
+      // at 3 and carry their own samples arrays). passes/truncated
+      // record the loop state for after-the-fact diagnosis.
+      val runsActual = defs.map(d => samples(d.name).size)
+        .foldLeft(0)(_ max _)
       val fullJson =
-        s"""{"metric":"total","value":$total,"unit":"sec","runs":$passesDone,"queries":${
+        s"""{"metric":"total","value":$total,"unit":"sec","runs":$runsActual,"passes":$passesDone,"truncated":$truncatedPass,"queries":${
           results.map { case (k, v) =>
             val s = samples(k)
             val mn = if (s.isEmpty) 0.0 else s.min
@@ -185,14 +202,16 @@ object Bench {
       // the driver-kept output tail.
       val failedList = jstrs(defs.map(_.name).filter(failures(_).nonEmpty))
       val json =
-        s"""{"metric":"total","value":${d3(total)},"unit":"sec","n":${results.size},"runs":$passesDone,"failures":${failures.values.map(_.size).sum},"failed":$failedList,"groups":${
+        s"""{"metric":"total","value":${d3(total)},"unit":"sec","n":${results.size},"runs":$runsActual,"passes":$passesDone,"truncated":$truncatedPass,"failures":${failures.values.map(_.size).sum},"failed":$failedList,"groups":${
           jmap(fam)},"queries":${
           jmap(headline.flatMap(h => byName.get(h).map(h -> _)))},"sf":"$sfDir"}"""
+      lastCompact = json
       println(json)
       System.out.flush()
     }
     var passesDone = 0
     var stop = false
+    var defsRunThisPass = 0
     for (pass <- 1 to runs if !stop) {
       // Adaptive passes: after 3 full passes, heavy queries (running
       // median > heavySecs) already have a trustworthy median — two
@@ -203,8 +222,10 @@ object Bench {
       val passDefs =
         if (pass <= 3) defs
         else defs.filter(d => median(samples(d.name)) <= heavySecs)
+      defsRunThisPass = 0
       passDefs.foreach { d =>
         if (!stop) {
+          defsRunThisPass += 1
           val t0 = System.nanoTime()
           val n = try d.fn(spark, sfDir).count() catch {
             case e: Throwable =>
@@ -231,6 +252,7 @@ object Bench {
           if (elapsedSecs > budgetSecs) stop = true
         }
       }
+      if (stop && defsRunThisPass < passDefs.size) truncatedPass = true
       passesDone = pass
       emit(passesDone)
       // Clean stop between passes when the next full pass can't fit:
@@ -248,5 +270,14 @@ object Bench {
       }
     }
     spark.stop()
+    // FINAL stdout act: the driver's parser reads the LAST stdout
+    // line. Re-print the compact contract line after every notice
+    // (budget stop, Spark shutdown chatter) so nothing lands after it
+    // from this JVM — only sbt's own trailer can follow, which the
+    // parser is expected to skip past (r12 verdict #1).
+    if (lastCompact.nonEmpty) {
+      println(lastCompact)
+      System.out.flush()
+    }
   }
 }

@@ -5623,20 +5623,24 @@ object SparkEntry {
               |ORDER BY center_layer, center_id, context_layer, context_id""".stripMargin)),
 
     QueryDef("q36_gapfill",
-      // time-series resample: per-type daily aggregates over a
-      // generated date spine (missing days -> n=0) with the value
-      // forward-filled by an ignoreNulls window.
+      // time-series resample: per-type daily aggregates over each
+      // type's OWN [min(day), max(day)] date spine (missing days ->
+      // n=0) with the value forward-filled by an ignoreNulls window.
+      // Span-bounded grid (r12 verdict #3): the oracle derives the
+      // spine per key too, so the contract holds at any SF even when
+      // a key does not cover the global span (on the test data every
+      // event_type does, so the hash is unchanged from the dense-grid
+      // rounds).
       (s, dir) => EventStreams.gapFillDaily(EventStreams.readEvents(s, dir))
         .orderBy("event_type", "d"),
       Some("""WITH daily AS (
              |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n,
              |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
              |  FROM events GROUP BY 1, 2),
-             | bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
-             | spine AS (SELECT CAST(UNNEST(generate_series(lo, hi,
+             | bounds AS (SELECT event_type, MIN(d) AS lo, MAX(d) AS hi
+             |   FROM daily GROUP BY 1),
+             | grid AS (SELECT event_type, CAST(UNNEST(generate_series(lo, hi,
              |   INTERVAL 1 DAY)) AS DATE) AS d FROM bounds),
-             | grid AS (SELECT t.event_type, s.d FROM spine s,
-             |   (SELECT DISTINCT event_type FROM events) t),
              | j AS (SELECT g.event_type, g.d, COALESCE(dy.n, 0) AS n, dy.sum_value
              |   FROM grid g LEFT JOIN daily dy
              |     ON dy.event_type = g.event_type AND dy.d = g.d)
@@ -5675,11 +5679,10 @@ object SparkEntry {
       Some("""WITH daily AS (
              |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
              |  FROM events GROUP BY 1, 2),
-             | bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
-             | spine AS (SELECT CAST(UNNEST(generate_series(lo, hi,
+             | bounds AS (SELECT event_type, MIN(d) AS lo, MAX(d) AS hi
+             |   FROM daily GROUP BY 1),
+             | grid AS (SELECT event_type, CAST(UNNEST(generate_series(lo, hi,
              |   INTERVAL 1 DAY)) AS DATE) AS d FROM bounds),
-             | grid AS (SELECT t.event_type, s.d FROM spine s,
-             |   (SELECT DISTINCT event_type FROM events) t),
              | j AS (SELECT g.event_type, g.d, COALESCE(dy.n, 0) AS n
              |   FROM grid g LEFT JOIN daily dy
              |     ON dy.event_type = g.event_type AND dy.d = g.d),
@@ -6272,22 +6275,21 @@ object SparkEntry {
       // the tombstones anti-join both the band buckets and the
       // stored hash sets, broadcast-small. compactBandIndex then
       // rewrites the bucketed tables minus the deleted rows and the
-      // probe re-runs unchanged (asserted in-query, the x160 rule).
+      // SINGLE probe runs post-compaction, so the oracle hash-match
+      // covers the whole lifecycle in one pass. Pre-vs-post-
+      // compaction probe equality (formerly a second probe + driver
+      // collect-compare here — the bench's single most expensive
+      // line in the r12 driver run) is pinned in ExtSpec
+      // ("deleteBandIndex: ... compaction clears the tombstones").
       (s, dir) => {
         val d = docs(s, dir)
         Dedup.writeBandIndex(d.filter(col("doc_id") % 4 =!= 0), "x161_idx")
         Dedup.deleteBandIndex(s, "x161_idx",
           d.filter(col("doc_id") % 8 === 2).select("doc_id"))
-        val probed = Dedup.probeBandIndex("x161_idx",
-            d.filter(col("doc_id") % 4 === 0), threshold = 0.5)
-          .orderBy("a", "b").localCheckpoint()
         Dedup.compactBandIndex(s, "x161_idx")
-        val after = Dedup.probeBandIndex("x161_idx",
+        Dedup.probeBandIndex("x161_idx",
             d.filter(col("doc_id") % 4 === 0), threshold = 0.5)
           .orderBy("a", "b")
-        assert(probed.collect().toSeq == after.collect().toSeq,
-          "x161: compaction must not change probe results")
-        after
       },
       Some("""WITH toks AS (SELECT doc_id,
              |  string_split_regex(trim(text), '\s+') AS tk FROM documents
@@ -8281,9 +8283,13 @@ object SparkEntry {
       // oracle trains on the FULL corpus and scores only surviving
       // code rows. Own layout (not the memoized one — delete MUTATES
       // it, the x142 rule). compactIvfPq then rewrites the cell
-      // directories minus the tombstones and the probe re-runs
-      // UNCHANGED — compaction moves bytes, not answers, inside one
-      // query.
+      // directories minus the tombstones and the SINGLE probe runs
+      // post-compaction — so the oracle hash-match covers build +
+      // delete + compact + probe in one pass. The pre-vs-post-
+      // compaction probe equality (formerly a second probe + driver
+      // collect-compare here, the r12 bench's #4 cost line) is pinned
+      // in ExtSpec ("deleteIvfPq: ... compaction preserves the
+      // probe") where it times a spec corpus, not the bench.
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val path = new org.apache.hadoop.fs.Path(
@@ -8293,22 +8299,11 @@ object SparkEntry {
           k = 8, iters = 1)
         Clustering.deleteIvfPq(s, path,
           emb.where(col("vec_id") % 7 === 6).select("vec_id"))
-        val probed = Clustering.probeIvfPq(s, path,
-            emb.where(col("vec_id") < 5), dims = 64, nProbe = 2, m = 4,
-            topK = 10)
-          .orderBy("query_id", "rank").localCheckpoint()
         Clustering.compactIvfPq(s, path)
-        val after = Clustering.probeIvfPq(s, path,
+        Clustering.probeIvfPq(s, path,
             emb.where(col("vec_id") < 5), dims = 64, nProbe = 2, m = 4,
             topK = 10)
           .orderBy("query_id", "rank")
-        // emit the post-compaction probe; equality with the pre-
-        // compaction one is asserted in-query (both must match the
-        // oracle anyway — this pins it even under a future oracle
-        // change)
-        assert(probed.collect().toSeq == after.collect().toSeq,
-          "x160: compaction must not change probe results")
-        after
       },
       Some(ivfPqSql(4, 1, 4, 16, 8, 1, 2, 10,
         corpusCond = "a.vec_id % 7 <> 6"))),
@@ -8354,6 +8349,128 @@ object SparkEntry {
              |   || ':' || text), 1, 12)) AS BIGINT)) AS BIGINT) AS checksum
              |FROM s JOIN b USING (shard) GROUP BY 1 ORDER BY shard"""
         .stripMargin)),
+
+    QueryDef("x162_shard_retire",
+      // GOVERNANCE retirement of the epoch-shuffle export (r12
+      // verdict #6 — x159's disk==plan contract extended to
+      // deletion): export partitionBy(shard), retire every doc_id ≡ 3
+      // (mod 5) — ONLY the shard dirs containing them rewrite
+      // (survivor payloads untouched, emptied dirs stay gone),
+      // tombstones commit after the swap, and the manifest re-derives
+      // FROM THE WRITTEN FILES. Shard assignment is content-keyed
+      // (md5 of epoch:key), so the oracle manifest over the REMAINING
+      // corpus must hash-match — retire == rebuild-on-remaining, the
+      // x156–x161 rule applied to the curated-export family.
+      (s, dir) => {
+        val path = "spark-warehouse/x162_shards"
+        Sampling.writeTrainingShards(docs(s, dir), path, "doc_id",
+          "text", epoch = 2, shards = 8)
+        Sampling.retireFromShards(s, path,
+            docs(s, dir).where(col("doc_id") % 5 === 3).select("doc_id"),
+            "doc_id", "text")
+          .orderBy("shard")
+      },
+      Some("""WITH s AS (SELECT doc_id, text,
+             |  CAST(CAST(('0x' || substr(md5('2:' ||
+             |    CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS INT)
+             |    AS shard
+             |  FROM documents WHERE doc_id % 5 <> 3)
+             |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             | CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+             |   AS BIGINT) AS n_tokens,
+             | CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+             |   || ':' || text), 1, 12)) AS BIGINT)) AS BIGINT) AS checksum
+             |FROM s GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    QueryDef("x163_rendezvous_retire",
+      // retirement on the rendezvous-sharded layout (x69's artifact
+      // closes its lifecycle): drop an entire "source" (doc_id ≡ 2
+      // mod 7 — the retired-crawl shape) from a HRW-sharded export.
+      // Rendezvous assignment is per-key content-keyed, so survivors
+      // never move and the manifest equals a fresh export of the
+      // remaining corpus — the oracle re-derives the HRW argmax per
+      // doc and aggregates the survivors.
+      (s, dir) => {
+        val path = "spark-warehouse/x163_rdv"
+        val d = docs(s, dir)
+        d.select(col("doc_id"), col("text"),
+            Sampling.rendezvousShard(col("doc_id"), 8).as("shard"))
+          .write.mode("overwrite").partitionBy("shard").parquet(path)
+        val tomb = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+        tomb.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(tomb, true) // fresh layout invalidates old sidecars
+        Sampling.retireFromShards(s, path,
+            d.where(col("doc_id") % 7 === 2).select("doc_id"),
+            "doc_id", "text")
+          .orderBy("shard")
+      },
+      Some("""WITH w AS (SELECT doc_id, text, s.s,
+             |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+             |    || ':' || s.s), 1, 15)) AS BIGINT) AS wt
+             | FROM documents, generate_series(0, 7) AS s(s)
+             | WHERE doc_id % 7 <> 2),
+             | a AS (SELECT doc_id, text, CAST(s AS INT) AS shard FROM w
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+             |    ORDER BY wt DESC, s) = 1)
+             |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             | CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+             |   AS BIGINT) AS n_tokens,
+             | CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+             |   || ':' || text), 1, 12)) AS BIGINT)) AS BIGINT) AS checksum
+             |FROM a GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    QueryDef("x164_zorder_retire",
+      // retirement on the Z-ordered layout (x103/x144's artifact
+      // closes its lifecycle) under the FROZEN-BOUNDS contract: the
+      // quantization bounds were computed at build time and deletes
+      // never move survivors between Z-range shards (the FAISS
+      // remove_ids rule applied to a data layout), so the oracle
+      // derives bounds from the FULL corpus and aggregates only the
+      // remaining docs.
+      (s, dir) => {
+        val path = "spark-warehouse/x164_zorder"
+        val d = docs(s, dir).select(col("doc_id"), col("text"),
+          pmod(col("doc_id"), lit(1024)).cast("long").as("a"),
+          pmod(size(split(trim(col("text")), "\\s+")), lit(1024))
+            .cast("long").as("b"))
+        Sampling.zorderShards(d, "a", "b", bits = 8, shards = 16)
+          .write.mode("overwrite").partitionBy("shard").parquet(path)
+        val tomb = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+        tomb.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(tomb, true)
+        Sampling.retireFromShards(s, path,
+            d.where(col("doc_id") % 6 === 1).select("doc_id"),
+            "doc_id", "text")
+          .orderBy("shard")
+      },
+      {
+        val interleave = (0 until 8).map { i =>
+          s"(((qa >> $i) & 1) << ${2 * i + 1}) + (((qb >> $i) & 1) << ${2 * i})"
+        }.mkString(" + ")
+        Some(s"""WITH d AS (SELECT doc_id, text,
+               |  CAST(doc_id % 1024 AS BIGINT) AS a,
+               |  CAST(len(string_split_regex(trim(text), '\\s+')) % 1024
+               |    AS BIGINT) AS b FROM documents),
+               | r AS (SELECT CAST(MIN(a) AS BIGINT) AS amin,
+               |   CAST(MAX(a) AS BIGINT) AS amax,
+               |   CAST(MIN(b) AS BIGINT) AS bmin,
+               |   CAST(MAX(b) AS BIGINT) AS bmax FROM d),
+               | q AS (SELECT doc_id, text,
+               |   (a - r.amin) * 255 // GREATEST(1, r.amax - r.amin) AS qa,
+               |   (b - r.bmin) * 255 // GREATEST(1, r.bmax - r.bmin) AS qb
+               |  FROM d, r),
+               | z AS (SELECT doc_id, text, CAST($interleave AS BIGINT) AS z
+               |  FROM q),
+               | sh AS (SELECT doc_id, text, z // 4096 AS shard FROM z
+               |  WHERE doc_id % 6 <> 1)
+               |SELECT CAST(shard AS BIGINT) AS shard,
+               | CAST(COUNT(*) AS BIGINT) AS n_rows,
+               | CAST(SUM(len(string_split_regex(trim(text), '\\s+')))
+               |   AS BIGINT) AS n_tokens,
+               | CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+               |   || ':' || text), 1, 12)) AS BIGINT)) AS BIGINT) AS checksum
+               |FROM sh GROUP BY shard ORDER BY shard""".stripMargin)
+      }),
 
     QueryDef("q61_explode_outer",
       // generator OUTER semantics: a customer whose collected

@@ -1163,38 +1163,56 @@ object Clustering {
     * partitioned codes minus the tombstoned rows (the directory
     * layout — and every probe's planning-time prune — is preserved),
     * clear the sidecar. One pass over the m-codes-per-vector table;
-    * vectors are never re-encoded. */
+    * vectors are never re-encoded. Crash-safe (r12 advice): the
+    * compacted copy lands in a sibling temp directory FIRST and is
+    * renamed into place — the old overwrite-what-you-read shape
+    * (localCheckpoint blocks as the only copy) lost the whole index
+    * to a mid-write executor loss, with no lineage to recompute. */
   def compactIvfPq(spark: org.apache.spark.sql.SparkSession,
-                   path: String): Unit = {
-    if (!tombstonesExist(spark, path)) return
-    val tombs = broadcast(spark.read.parquet(s"$path/tombstones"))
-    val kept = spark.read.parquet(s"$path/codes")
-      .join(tombs, Seq("vec_id"), "left_anti")
-      .localCheckpoint() // the write below overwrites what it reads
-    kept.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/codes")
-    val loc = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(loc, true)
-  }
+                   path: String): Unit =
+    compactCodesDir(spark, path, partitionCols = Seq("cell"))
 
   /** COMPACTION leg: physically drop tombstoned code words and clear
     * the tombstone sidecar — after it, probes stop paying the
     * anti-join and the layout equals a frozen-threshold encode of the
     * remaining corpus (x158's content contract for the text index,
     * applied to the binary family). One pass over the 16-byte code
-    * words; vectors are never re-quantized. */
+    * words; vectors are never re-quantized. Crash-safe via the same
+    * temp-dir + rename swap as [[compactIvfPq]]. */
   def compactBinaryIndex(spark: org.apache.spark.sql.SparkSession,
-                         path: String): Unit = {
+                         path: String): Unit =
+    compactCodesDir(spark, path, partitionCols = Seq.empty)
+
+  /** Shared crash-safe codes rewrite for the path-based ANN layouts:
+    * write `codes` minus the tombstones to `codes_compacting`, swap
+    * it into place, then clear the sidecar. Failure windows, in
+    * order: (a) crash while writing the temp dir — the live index is
+    * untouched, a rerun cleans the leftover; (b) crash between the
+    * delete and the rename — the COMPLETE compacted copy is on disk
+    * at `codes_compacting` (recover by renaming it); (c) crash
+    * before the sidecar delete — the replayed compaction anti-joins
+    * already-compacted codes, a no-op. No window loses data the way
+    * overwrite-in-place did. */
+  private def compactCodesDir(spark: org.apache.spark.sql.SparkSession,
+                              path: String,
+                              partitionCols: Seq[String]): Unit = {
     if (!tombstonesExist(spark, path)) return
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(s"$path/codes")
+    val tmp = new Path(s"$path/codes_compacting")
+    fs.delete(tmp, true) // leftover from a crashed prior run
     val tombs = broadcast(spark.read.parquet(s"$path/tombstones"))
     val kept = spark.read.parquet(s"$path/codes")
       .join(tombs, Seq("vec_id"), "left_anti")
-      .localCheckpoint() // the write below overwrites what it reads
-    kept.write.mode("overwrite").parquet(s"$path/codes")
-    val loc = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(loc, true)
+    val w = kept.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
+    fs.delete(live, true)
+    require(fs.rename(tmp, live),
+      s"compaction swap failed: $tmp -> $live (compacted copy intact at $tmp)")
+    fs.delete(new Path(s"$path/tombstones"), true)
   }
 
   private def tombstonesExist(spark: org.apache.spark.sql.SparkSession,

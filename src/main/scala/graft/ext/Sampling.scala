@@ -353,6 +353,12 @@ object Sampling {
                           shards: Int): DataFrame = {
     val sharded = epochShuffle(df, keyCol, epoch, shards)
     sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
+    // a fresh export invalidates any retirement sidecar left by a
+    // previous layout generation (overwrite clears the directory;
+    // this pins the contract even if a future writer stops doing so)
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    tomb.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(tomb, true)
     shardManifest(df.sparkSession.read.parquet(path), keyCol, textCol)
   }
 
@@ -590,6 +596,84 @@ object Sampling {
     shardManifest(spark.read.parquet(dstPath), keyCol, textCol)
   }
 
+  /** GOVERNANCE delete for an exported shard layout (r12 verdict #6
+    * — the retirement twin of [[runCompaction]], closing the
+    * lifecycle the x159 contract started): drop `ids` (a right-to-
+    * be-forgotten batch, or every doc of a retired source) from any
+    * `partitionBy("shard")` parquet layout — [[writeTrainingShards]]'
+    * epoch shuffle, a [[rendezvousShard]] layout, a frozen-bounds
+    * Z-order layout — by rewriting ONLY the shard directories that
+    * contain them, then re-derive the manifest FROM THE WRITTEN
+    * FILES. When the shard assignment is content-keyed per row (all
+    * three families above), the post-retirement manifest equals a
+    * from-scratch export of the remaining corpus (the x162/x163
+    * oracles; Z-order keeps its BUILD-time quantization bounds, the
+    * frozen-model contract the ANN deletes declare). Survivor rows
+    * keep their original payload byte-for-byte (`pos` holes are fine
+    * — loaders consume pos as an order, not an index).
+    *
+    * Idempotent + crash-safe: retired ids land in a `_tombstones`
+    * sidecar (underscore-prefixed — invisible to partition
+    * discovery) AFTER the rewrite, so a replay of a completed batch
+    * anti-joins to empty and returns the manifest untouched, and a
+    * replay of a TORN run re-derives the still-dirty shard set from
+    * the CURRENT files (already-purged shards no longer contain the
+    * ids and are not rewritten twice). The swap follows the
+    * compactCodesDir pattern: survivors land in `_retiring` first,
+    * each affected live shard dir is deleted and its compacted twin
+    * renamed in — a crash between the two leaves the complete
+    * survivor copy on disk. Emptied shards (every row retired) have
+    * no twin and stay deleted — exactly the rebuild-on-remaining
+    * layout.
+    *
+    * Scale shape: the rewrite touches affected shards only (bounded
+    * by the batch's shard fan-out, never the corpus); the id set
+    * broadcasts twice (locate + anti-join); the affected-shard list
+    * is manifest-sized. */
+  def retireFromShards(spark: org.apache.spark.sql.SparkSession,
+                       path: String, ids: DataFrame,
+                       keyCol: String, textCol: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def manifest(): DataFrame =
+      shardManifest(spark.read.parquet(path), keyCol, textCol)
+    require(ids.columns.contains(keyCol),
+      s"retireFromShards: ids must carry the layout key column $keyCol")
+    val layout = spark.read.parquet(path)
+    val keyType = layout.schema(keyCol).dataType
+    val tomb = new Path(s"$path/_tombstones")
+    val fresh0 = ids.select(col(keyCol).cast(keyType)).distinct()
+    val fresh = (if (fs.exists(tomb))
+        fresh0.join(spark.read.parquet(tomb.toString), Seq(keyCol),
+          "left_anti")
+      else fresh0).localCheckpoint() // one evaluation, three consumers
+    if (fresh.isEmpty) return manifest() // replay of a completed batch
+    val affected = layout
+      .join(broadcast(fresh), Seq(keyCol), "left_semi")
+      .select("shard").distinct()
+      .collect().map(_.get(0).toString).sorted // shard-count-bounded
+    if (affected.nonEmpty) {
+      val tmp = new Path(s"$path/_retiring")
+      fs.delete(tmp, true) // leftover from a crashed prior run
+      layout.where(col("shard").cast("string").isin(affected: _*))
+        .join(broadcast(fresh), Seq(keyCol), "left_anti")
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(tmp.toString)
+      affected.foreach { sh =>
+        val live = new Path(s"$path/shard=$sh")
+        val twin = new Path(s"$tmp/shard=$sh")
+        fs.delete(live, true)
+        if (fs.exists(twin))
+          require(fs.rename(twin, live),
+            s"retirement swap failed: $twin -> $live (survivors intact at $twin)")
+      }
+      fs.delete(tmp, true)
+    }
+    fresh.write.mode("append").parquet(tomb.toString)
+    manifest()
+  }
+
   /** Per-stratum deterministic downsample: keep ~`fraction(stratum)`
     * of rows, chosen by key hash (so the SAME rows survive every
     * run). Strata missing from the map are dropped. */
@@ -721,8 +805,28 @@ object Sampling {
     * (one cheap pass); the summary is one map-side-combined groupBy
     * over `shards` keys. */
   def zorderPlan(df: DataFrame, aCol: String, bCol: String,
-                 bits: Int = 8, shards: Int = 16): DataFrame = {
-    require(shards >= 1, s"zorderPlan: shards must be positive, got $shards")
+                 bits: Int = 8, shards: Int = 16): DataFrame =
+    zorderShards(df, aCol, bCol, bits, shards)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(aCol)).cast("long").as("a_min"),
+        max(col(aCol)).cast("long").as("a_max"),
+        min(col(bCol)).cast("long").as("b_min"),
+        max(col(bCol)).cast("long").as("b_max"),
+        min("z").as("z_min"), max("z").as("z_max"))
+
+  /** Per-row Z-range shard assignment — the physical write-side twin
+    * of [[zorderPlan]] (same quantization, same fixed-width Z-ranges):
+    * returns the input plus (z, shard) for a `partitionBy("shard")`
+    * export. The quantization bounds come from THIS corpus and are
+    * frozen into the layout — appends and [[retireFromShards]]
+    * retirements keep them (the frozen-model contract the ANN deletes
+    * declare), so shard membership never shifts under later
+    * mutations. Map-only: two scalar aggregates for the bounds, then
+    * pure codegen'd column algebra. */
+  def zorderShards(df: DataFrame, aCol: String, bCol: String,
+                   bits: Int = 8, shards: Int = 16): DataFrame = {
+    require(shards >= 1, s"zorderShards: shards must be positive, got $shards")
     val side = 1L << bits
     val r = df.agg(min(col(aCol)).cast("long"), max(col(aCol)).cast("long"),
       min(col(bCol)).cast("long"), max(col(bCol)).cast("long")).head()
@@ -736,13 +840,6 @@ object Sampling {
     val width = math.max(1L, (side * side) / shards)
     df.withColumn("z", zorderValue(qa, qb, bits))
       .withColumn("shard", expr(s"CAST(z DIV ${width}L AS BIGINT)"))
-      .groupBy("shard")
-      .agg(count(lit(1)).as("n_rows"),
-        min(col(aCol)).cast("long").as("a_min"),
-        max(col(aCol)).cast("long").as("a_max"),
-        min(col(bCol)).cast("long").as("b_min"),
-        max(col(bCol)).cast("long").as("b_max"),
-        min("z").as("z_min"), max("z").as("z_max"))
   }
 
   /** UNIMAX budget allocation (Chung et al. 2023): split a total

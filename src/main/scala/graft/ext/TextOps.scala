@@ -894,65 +894,108 @@ object TextOps {
     *  - a NEGATIVE stats row from the deleted docs' doclen rows
     *    (doc_id-bucketed — the scan prunes to the batch's buckets).
     *
-    * Idempotent by construction: already-tombstoned ids are dropped
-    * from the batch before any side effect, so a replayed delete
-    * (foreachBatch at-least-once) retracts df/stats exactly once
-    * (StreamingSpec pins double-delete == single). Deleted ids are
-    * RETIRED — re-appending one is undefined until a compaction
-    * clears its tombstone (the standard log-structured id contract).
-    */
+    * Idempotent AND torn-replay-repairing (r12 advice): the batch's
+    * identity is an order-free 64-bit fold of its distinct id set
+    * (deterministic across foreachBatch replays), tombstone rows are
+    * stamped with it, and a `${name}_delmarks` sidecar records each
+    * retraction stage as it commits. A replay of a fully-applied
+    * batch short-circuits on the final mark (StreamingSpec pins
+    * double-delete == single); a replay of a TORN delete (crash
+    * after the tombstone commit) re-derives the batch's owned id set
+    * FROM its stamped tombstones and COMPLETES the missing df/stats
+    * retractions instead of short-circuiting — the old tombstone-only
+    * guard converted that retryable tear into permanent score drift.
+    * Residual boundary: a crash exactly between a retraction write
+    * and its mark append double-retracts that one table on replay — a
+    * two-job window (vs the old whole-tail window) that
+    * [[compactInvertedIndex]] still repairs exactly; closing it fully
+    * needs a transactional table format. Deleted ids are RETIRED —
+    * re-appending one is undefined until a compaction clears its
+    * tombstone (the standard log-structured id contract). */
   def deleteIndexDocs(spark: SparkSession, name: String, ids: DataFrame,
                       idCol: String = "doc_id"): Unit = {
     val tombTable = s"${name}_tombstones"
-    // orphaned managed location from a previous JVM (the writeInverted
+    val marksTable = s"${name}_delmarks"
+    val idsNorm = ids.select(col(idCol).cast("long").as("doc_id"))
+      .distinct().localCheckpoint()
+    val batchHash = idsNorm
+      .agg(coalesce(sum(xxhash64(col("doc_id"))), lit(0L)))
+      .head().getLong(0)
+    def marked(stage: String): Boolean =
+      spark.catalog.tableExists(marksTable) &&
+        spark.table(marksTable)
+          .filter(col("batch_hash") === batchHash &&
+            col("stage") === stage)
+          .head(1).nonEmpty
+    def mark(stage: String): Unit =
+      spark.range(1).select(lit(batchHash).as("batch_hash"),
+          lit(stage).as("stage"))
+        .write.mode(SaveMode.Append).format("parquet")
+        .saveAsTable(marksTable)
+    if (marked("stats")) return // fully applied — replay is a no-op
+    // orphaned managed locations from a previous JVM (the writeInverted
     // Index hazard): the catalog forgot the table but its directory
     // survives, and CREATE TABLE AS would refuse the location
-    if (!spark.catalog.tableExists(tombTable)) {
+    for (tbl <- Seq(tombTable, marksTable)
+         if !spark.catalog.tableExists(tbl)) {
       val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), tombTable.toLowerCase)
+        spark.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
-    val fresh0 = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
-    val fresh = (if (spark.catalog.tableExists(tombTable))
-        fresh0.join(spark.table(tombTable), Seq("doc_id"), "left_anti")
-      else fresh0).localCheckpoint() // one evaluation serves 3 writes
+    // ids tombstoned BY THIS BATCH on a prior torn attempt: the
+    // replay must redo their retractions, not anti-join them away
+    val owned =
+      if (spark.catalog.tableExists(tombTable))
+        spark.table(tombTable).filter(col("batch_hash") === batchHash)
+          .select("doc_id")
+      else idsNorm.limit(0)
+    val replayTorn = owned.head(1).nonEmpty
+    val fresh = (if (replayTorn) owned
+      else if (spark.catalog.tableExists(tombTable))
+        idsNorm.join(spark.table(tombTable), Seq("doc_id"), "left_anti")
+      else idsNorm).localCheckpoint() // one evaluation serves 3 writes
     if (fresh.isEmpty) return
     val buckets = spark.sql(s"DESCRIBE FORMATTED ${name}_postings")
       .filter(col("col_name") === "Num Buckets")
       .select("data_type").head().getString(0).trim.toInt
-    // tombstones commit FIRST: the idempotence guard keys on them, so
-    // a crash strictly inside this sequence leaves the docs hidden
-    // (no ghost rows) with df/stats at most one batch stale — a
-    // score-shift, not a correctness tear, and compactInvertedIndex
-    // repairs it exactly (same declared boundary as ingestIndexBatch;
-    // closing it fully needs a transactional table format)
-    fresh.write.mode(SaveMode.Append)
-      .format("parquet").saveAsTable(tombTable)
+    // tombstones commit FIRST (docs go dark immediately — no ghost
+    // rows in any failure window), stamped with the batch hash so a
+    // torn replay can reclaim its id set
+    if (!replayTorn)
+      fresh.withColumn("batch_hash", lit(batchHash))
+        .write.mode(SaveMode.Append)
+        .format("parquet").saveAsTable(tombTable)
     // retraction segments ride the SAME bucketed layout the appends
     // use, so the query-side SUM folds them with no extra exchange
-    spark.table(s"${name}_postings")
-      .join(broadcast(fresh), Seq("doc_id"))
-      .groupBy("term").agg((-count(lit(1))).cast("long").as("df"))
-      .write.mode(SaveMode.Append)
-      .bucketBy(buckets, "term").sortBy("term")
-      .format("parquet").saveAsTable(s"${name}_df")
-    spark.table(s"${name}_doclen")
-      .join(broadcast(fresh), Seq("doc_id"))
-      .agg((-count(lit(1))).cast("long").as("n_docs"),
-        (-coalesce(sum("dl"), lit(0L))).cast("long").as("total_len"))
-      .write.mode(SaveMode.Append)
-      .format("parquet").saveAsTable(s"${name}_stats")
+    if (!marked("df")) {
+      spark.table(s"${name}_postings")
+        .join(broadcast(fresh), Seq("doc_id"))
+        .groupBy("term").agg((-count(lit(1))).cast("long").as("df"))
+        .write.mode(SaveMode.Append)
+        .bucketBy(buckets, "term").sortBy("term")
+        .format("parquet").saveAsTable(s"${name}_df")
+      mark("df")
+    }
+    if (!marked("stats")) {
+      spark.table(s"${name}_doclen")
+        .join(broadcast(fresh), Seq("doc_id"))
+        .agg((-count(lit(1))).cast("long").as("n_docs"),
+          (-coalesce(sum("dl"), lit(0L))).cast("long").as("total_len"))
+        .write.mode(SaveMode.Append)
+        .format("parquet").saveAsTable(s"${name}_stats")
+      mark("stats")
+    }
   }
 
   /** Streaming DELETE maintenance for the inverted index — the
     * retraction twin of [[streamingIndexIngest]], the shape a
     * right-to-be-forgotten feed actually arrives in: each micro-batch
     * of doc ids folds in via [[deleteIndexDocs]]. No epoch sidecar is
-    * needed: the tombstone-keyed dedup makes a fully-applied replay a
-    * no-op by construction (a replay of a TORN delete short-circuits
-    * with df/stats one batch stale — the same declared boundary as
-    * the ingest leg; compaction repairs it exactly). Search after the
+    * needed: the batch-hash marker protocol makes a fully-applied
+    * replay a no-op AND lets a replay of a TORN delete complete the
+    * missing df/stats retractions (see [[deleteIndexDocs]] for the
+    * residual two-job boundary compaction repairs). Search after the
     * stream equals the rebuild on the remaining corpus
     * (StreamingSpec pins it). */
   def streamingIndexDeletes(name: String, stream: DataFrame,
@@ -989,6 +1032,13 @@ object TextOps {
     * surviving postings (map-side-combinable aggs), so the rewrite
     * never re-tokenizes text. */
   def compactInvertedIndex(spark: SparkSession, name: String): Unit = {
+    // no-op fast path (r12 advice, matching compactBinaryIndex /
+    // compactIvfPq): with no tombstones AND no df/stats segment piles
+    // (stats holds exactly its build-time row) the layout is already
+    // canonical — skip the full four-table rewrite and its
+    // overwrite-in-place risk entirely
+    if (!spark.catalog.tableExists(s"${name}_tombstones") &&
+        spark.table(s"${name}_stats").count() == 1L) return
     val buckets = spark.sql(s"DESCRIBE FORMATTED ${name}_postings")
       .filter(col("col_name") === "Num Buckets")
       .select("data_type").head().getString(0).trim.toInt
@@ -1013,6 +1063,11 @@ object TextOps {
     stats.write.mode(SaveMode.Overwrite)
       .format("parquet").saveAsTable(s"${name}_stats")
     spark.sql(s"DROP TABLE IF EXISTS ${name}_tombstones")
+    // delete-batch markers refer to retractions that no longer exist
+    // post-compaction; a replay of one of those batches against the
+    // compacted layout re-tombstones physically-absent docs and
+    // retracts empty sets — harmless no-ops the next compaction clears
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_delmarks")
   }
 
   /** Rank documents for a bag of query terms against a

@@ -63,13 +63,30 @@ object PropertyOps {
     g.vertices.filter(col("layer") === layer && col("nodeId") === nodeId)
       .select(prop).collect().headOption.map(_.get(0))
 
+  /** Largest vertex count [[nodeMap]] will collect to the driver.
+    * ~10M entries ≈ 1-2 GB of driver heap as a Scala Map — beyond
+    * that the facade mirror is a driver bomb, not a convenience. */
+  val NodeMapMaxVertices: Long = 10000000L
+
   /** The reference's cached `node_map` (`onionnet.py:181-198`):
     * (layer, nodeId) -> vid, collected to the driver for interactive
     * point lookups. Only sane when the vertex table is small or
-    * pre-filtered; algorithms never use this. */
-  def nodeMap(g: OnionGraph): Map[(String, String), Long] =
+    * pre-filtered; algorithms never use this. Guarded (r12 verdict
+    * #4): refuses to collect past [[NodeMapMaxVertices]] — at 100 TB
+    * the vertex table is billions of rows and this innocent-looking
+    * facade property must fail fast with a pointer to the
+    * distributed alternatives, not OOM the driver. */
+  def nodeMap(g: OnionGraph,
+              maxVertices: Long = NodeMapMaxVertices): Map[(String, String), Long] = {
+    val n = g.vertices.count()
+    require(n <= maxVertices,
+      s"nodeMap would collect $n vertices to the driver (limit " +
+        s"$maxVertices). Pre-filter the graph, or use " +
+        "getVertexProperty / viewNodeProperties (distributed point " +
+        "lookups) instead.")
     g.vertices.select("layer", "nodeId", "vid").collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+  }
 
   /** P3: point-write of one vertex property, returning a NEW graph
     * (immutable analogue of `property_manager.py:75-100`; design delta

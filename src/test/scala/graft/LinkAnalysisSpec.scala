@@ -511,10 +511,19 @@ class PipelineAnalyticsSpec extends SparkSuite {
       ("a", d(0), 1.5), ("a", d(0), 2.5), ("a", d(2), 1.0),
       ("b", d(1), 7.0)
     ).toDF("event_type", "ts", "value")
-    val got = rows(EventStreams.gapFillDaily(ev))
     def dt(day: Int) = java.sql.Date.valueOf(
       java.time.LocalDate.of(2024, 1, 1).plusDays(day))
+    // default: span-bounded grid — key "b" (active only on day 1)
+    // gets exactly its own one-day span, not the global day 0..2
+    val got = rows(EventStreams.gapFillDaily(ev))
     assert(got === Set(
+      Seq("a", dt(0), 2L, 4.0), Seq("a", dt(1), 0L, 4.0),
+      Seq("a", dt(2), 1L, 1.0),
+      Seq("b", dt(1), 1L, 7.0)))
+    // opt-in dense grid: every key covers the global span, with
+    // leading 0.0 fills and trailing forward fills
+    val dense = rows(EventStreams.gapFillDaily(ev, spanPerKey = false))
+    assert(dense === Set(
       Seq("a", dt(0), 2L, 4.0), Seq("a", dt(1), 0L, 4.0),
       Seq("a", dt(2), 1L, 1.0),
       Seq("b", dt(0), 0L, 0.0), Seq("b", dt(1), 1L, 7.0),

@@ -623,6 +623,50 @@ class SamplingSpec extends SparkSuite {
     assert(again == out)
   }
 
+  test("retireFromShards: affected-only rewrite, emptied shard stays gone, replay is a no-op (r12 verdict #6)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("sampspec_retire").toString
+    val path = s"$base/layout"
+    val docs = Seq((1L, "a b"), (2L, "c d e"), (3L, "f"),
+      (4L, "g h"), (5L, "i")).toDF("doc_id", "text")
+    // hand-assigned shards so one shard empties entirely under the
+    // retirement: shard 0 = {1,2}, shard 1 = {3,4}, shard 2 = {5}
+    docs.withColumn("shard",
+        when($"doc_id" <= 2L, 0).when($"doc_id" <= 4L, 1).otherwise(2))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    def files(sh: Int): Set[String] = {
+      val d = new java.io.File(s"$path/shard=$sh")
+      if (!d.exists) Set.empty
+      else d.listFiles.map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val shard0Before = files(0)
+    val shard2Before = files(2)
+    // retire {3,4}: shard 1 empties; shards 0 and 2 must not rewrite
+    val man = Sampling.retireFromShards(spark, path,
+        Seq(3L, 4L).toDF("doc_id"), "doc_id", "text")
+      .select("shard", "n_rows").as[(Int, Long)].collect().toMap
+    assert(man == Map(0 -> 2L, 2 -> 1L),
+      "manifest must equal rebuild-on-remaining")
+    assert(!new java.io.File(s"$path/shard=1").exists,
+      "an emptied shard's directory must be gone")
+    assert(files(0) == shard0Before && files(2) == shard2Before,
+      "unaffected shards must keep their exact files (affected-only rewrite)")
+    // replay of the completed batch: no-op, manifest unchanged
+    val replay = Sampling.retireFromShards(spark, path,
+        Seq(3L, 4L).toDF("doc_id"), "doc_id", "text")
+      .select("shard", "n_rows").as[(Int, Long)].collect().toMap
+    assert(replay == man, "replayed retirement must be a no-op")
+    assert(files(0) == shard0Before && files(2) == shard2Before,
+      "a replay must not rewrite anything")
+    // a second batch hits a PARTIALLY-retired shard: survivors keep
+    // flowing, tombstones accumulate
+    val man2 = Sampling.retireFromShards(spark, path,
+        Seq(2L, 4L).toDF("doc_id"), "doc_id", "text")
+      .select("shard", "n_rows").as[(Int, Long)].collect().toMap
+    assert(man2 == Map(0 -> 1L, 2 -> 1L))
+    assert(files(2) == shard2Before, "shard 2 still untouched")
+  }
+
   test("unimaxBudgets: hand-computed waterfill, both cap branches") {
     // sizes 10/20/100, budget 100, maxEpochs 3 — ascending sweep:
     //   10: min(30, 100/3=33) = 30  (EPOCH-capped)

@@ -135,6 +135,38 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streamingSessions: append-mode session_window closes == batch sessionAgg on the same tape (r12 verdict #5)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val sdf = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.streamingSessions(sdf, gap = "20 minutes",
+        watermark = "5 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      stream.addData(events)
+      q.processAllAvailable()
+      // sentinel events push the watermark far past every session's
+      // end (+gap); two batches because the watermark computed at the
+      // end of one batch drives the closes of the next
+      val far = Timestamp.valueOf("2026-01-01 23:00:00")
+      val far2 = Timestamp.valueOf("2026-01-01 23:30:00")
+      stream.addData(Seq((98L, far, 999L, "click", 0.0, null)))
+      q.processAllAvailable()
+      stream.addData(Seq((99L, far2, 999L, "click", 0.0, null)))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_out").where($"user_id" =!= 999L)
+        .as[(String, String, Long, Long, Double)].collect().toSet
+      val batch = EventStreams.sessionAgg(
+          events.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+          "20 minutes")
+        .as[(String, String, Long, Long, Double)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty,
+        s"append-mode closes must equal the batch sessionizer: $streamed vs $batch")
+    } finally q.stop()
+  }
+
   test("session windows collapse bursts separated by the gap") {
     val df = events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val out = EventStreams.sessionAgg(df, "20 minutes")
@@ -582,6 +614,40 @@ class StreamingSpec extends SparkSuite {
     val after = graft.ext.TextOps.searchIndexBm25(spark, "streamspec_idxr",
       Seq("batch"), 10).as[(Long, Long, Long)].collect().toList
     assert(after.map(_._1).contains(3L))
+  }
+
+  test("deleteIndexDocs: replay of a TORN delete completes the df/stats retraction (r12 advice)") {
+    import org.apache.spark.sql.functions.{col, lit, sum, xxhash64, coalesce}
+    val all = Seq((1L, "data data hash"), (2L, "data hash hash batch"),
+      (3L, "batch batch data"), (4L, "data hash"))
+    graft.ext.TextOps.writeInvertedIndex(all.toDF("doc_id", "text"),
+      "streamspec_torn", buckets = 2)
+    val dels = Seq(2L, 4L).toDF("doc_id")
+    // simulate the tear: the tombstones committed (stamped with the
+    // batch hash deleteIndexDocs will recompute), but the crash
+    // landed before either retraction write — the exact window the
+    // old tombstone-only guard turned into permanent score drift
+    val batchHash = dels
+      .agg(coalesce(sum(xxhash64(col("doc_id"))), lit(0L)))
+      .head().getLong(0)
+    dels.select(col("doc_id").cast("long").as("doc_id"))
+      .withColumn("batch_hash", lit(batchHash))
+      .write.format("parquet").saveAsTable("streamspec_torn_tombstones")
+    // docs are dark already, but df/stats still price the full corpus
+    // (the torn state); the REPLAY must repair, not short-circuit
+    graft.ext.TextOps.deleteIndexDocs(spark, "streamspec_torn", dels)
+    graft.ext.TextOps.writeInvertedIndex(
+      all.filterNot(d => Set(2L, 4L)(d._1)).toDF("doc_id", "text"),
+      "streamspec_torn_rb", buckets = 2)
+    def res(name: String) = graft.ext.TextOps.searchIndexBm25(spark, name,
+      Seq("data", "batch"), 10).as[(Long, Long, Long)].collect().toList
+    assert(res("streamspec_torn") == res("streamspec_torn_rb"),
+      "replayed torn delete must complete the df/stats retraction")
+    // and a SECOND replay of the now-complete batch is a no-op
+    val once = res("streamspec_torn")
+    graft.ext.TextOps.deleteIndexDocs(spark, "streamspec_torn", dels)
+    assert(res("streamspec_torn") == once,
+      "replay after repair must not double-retract")
   }
 
   test("deleteIndexDocs: delete == rebuild-on-remaining; replayed delete retracts exactly once (r11 verdict #2)") {

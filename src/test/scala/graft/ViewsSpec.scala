@@ -139,6 +139,17 @@ class ViewsSpec extends SparkSuite {
       PropertyOps.getVertexProperty(g3, "L1", "b", "fresh").get == null)
   }
 
+  test("nodeMap guard trips past the vertex-count threshold (r12 verdict #4)") {
+    // over-threshold: the guard must fail fast BEFORE collecting
+    val e = intercept[IllegalArgumentException] {
+      PropertyOps.nodeMap(g, maxVertices = 2)
+    }
+    assert(e.getMessage.contains("nodeMap would collect"))
+    // at/under threshold: collects normally
+    val m = PropertyOps.nodeMap(g, maxVertices = 100)
+    assert(m.contains(("L1", "a")))
+  }
+
   test("graphCard: hand-computed datasheet; isolated vertex counted") {
     val card = Exporter.graphCard(g).as[(String, Long)].collect().toMap
     // 5 vertices, 4 edges, 3 layers; relation fallback = distinct
