@@ -441,6 +441,83 @@ class ScaleSpec extends SparkSuite {
       s"the tombstone anti-join must not add a doc_id exchange:\n$plan")
   }
 
+  test("probeIvfPq with live tombstones: anti-join broadcasts AFTER the cell prune (r12 verdict #7)") {
+    import graft.ext.Clustering
+    // the x160 probe shape pinned structurally: deletes must not cost
+    // the scan its planning-time partition filter, and the tombstone
+    // side must broadcast — a shuffled anti-join would exchange the
+    // pruned code scan, turning every delete into a corpus move
+    val emb = (0 until 400).map(i =>
+      (i.toLong, Array.tabulate(8)(d => (math.sin(i * 7 + d) * 4).toFloat)))
+      .toDF("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("scalespec_ivfdel").toString
+    Clustering.writeIvfPq(emb, path, dims = 8, cells = 4, m = 2, k = 4,
+      iters = 1)
+    Clustering.deleteIvfPq(spark, path,
+      emb.filter(col("vec_id") % 7 === 6).select("vec_id"))
+    val out = Clustering.probeIvfPq(spark, path,
+      emb.filter(col("vec_id") < 3), dims = 8, nProbe = 2, m = 2, topK = 5)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("PartitionFilters: \\[[^\\]]*cell[^\\]]*".r.findFirstIn(plan)
+      .isDefined,
+      s"the cell prune must survive the delete leg:\n$plan")
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(plan).isDefined,
+      s"tombstones must broadcast into a LeftAnti join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for the tombstoned probe:\n$plan")
+  }
+
+  test("probeBandIndex with live tombstones: both index sides anti-join broadcast; index never exchanges (r12 verdict #7)") {
+    import graft.ext.Dedup
+    // the x161 probe shape pinned structurally (the r12 verdict's one
+    // weak row): bands and stored hash sets each anti-join the
+    // broadcast tombstones, the bucketed index side contributes no
+    // hash exchange, and no shuffle join appears anywhere
+    val docs = (0 until 40).map(i =>
+        (i.toLong, s"alpha beta gamma delta epsilon zeta token${i % 7}"))
+      .toDF("doc_id", "text")
+    Dedup.writeBandIndex(docs, "scalespec_banddel", buckets = 4)
+    Dedup.deleteBandIndex(spark, "scalespec_banddel",
+      Seq(3L, 9L).toDF("doc_id"))
+    val batch = (0 until 6).map(i =>
+        (1000L + i, s"alpha beta gamma delta epsilon zeta token${i % 7}"))
+      .toDF("doc_id", "text")
+    val out = Dedup.probeBandIndex("scalespec_banddel", batch,
+      threshold = 0.5)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val antiJoins = "BroadcastHashJoin.*LeftAnti".r.findAllIn(plan).length
+    assert(antiJoins >= 2,
+      s"both index sides (bands + hash sets) must broadcast-anti the " +
+        s"tombstones, found $antiJoins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no shuffle join may appear in the tombstoned probe:\n$plan")
+    // the bucketed index side arrives pre-partitioned: every hash
+    // exchange in the plan keys on batch-derived ids/pairs, never bk
+    assert(!"Exchange hashpartitioning\\(bk#".r.findFirstIn(plan).isDefined,
+      s"the index's band key must never exchange (bucketed layout):\n$plan")
+  }
+
+  test("gapFillDaily: the default grid is span-bounded — sum of per-key spans, not keys x days (r12 verdict #3)") {
+    import graft.streaming.EventStreams
+    // 50 keys, key k active only on days [k, k+1] of the 51-day
+    // global span (days 0..50): the dense grid would be 50 x 51 =
+    // 2550 rows; the span-bounded default must emit exactly
+    // sum(2) = 100
+    val ev = (0 until 50).flatMap { k =>
+      Seq((s"k$k", new java.sql.Timestamp(1700000000000L + k * 86400000L), 1.0),
+        (s"k$k", new java.sql.Timestamp(1700000000000L + (k + 1) * 86400000L), 1.0))
+    }.toDF("event_type", "ts", "value")
+    assert(EventStreams.gapFillDaily(ev).count() == 100L,
+      "span-bounded grid must be output-sized")
+    assert(EventStreams.gapFillDaily(ev, spanPerKey = false).count() == 2550L,
+      "the dense grid stays available as the opt-in")
+  }
+
   test("lastTouchAttribution: the as-of kernel partitions by (user, bucket), never bare user (r11 verdict #3)") {
     import graft.streaming.EventStreams
     val ev = (0 until 200).map { i =>
