@@ -8426,7 +8426,12 @@ object SparkEntry {
       // never move survivors between Z-range shards (the FAISS
       // remove_ids rule applied to a data layout), so the oracle
       // derives bounds from the FULL corpus and aggregates only the
-      // remaining docs.
+      // remaining docs. The retired "source" is the FIRST CRAWL
+      // (doc_id < 128): its a-dimension values cluster in the low
+      // quantization band, so only the low-qa Z-range shards rewrite
+      // — the affected-shard prune binding at the query level, which
+      // is exactly why a source drop at 100 TB is not a corpus
+      // rewrite.
       (s, dir) => {
         val path = "spark-warehouse/x164_zorder"
         val d = docs(s, dir).select(col("doc_id"), col("text"),
@@ -8439,7 +8444,7 @@ object SparkEntry {
         tomb.getFileSystem(s.sparkContext.hadoopConfiguration)
           .delete(tomb, true)
         Sampling.retireFromShards(s, path,
-            d.where(col("doc_id") % 6 === 1).select("doc_id"),
+            d.where(col("doc_id") < 128).select("doc_id"),
             "doc_id", "text")
           .orderBy("shard")
       },
@@ -8462,7 +8467,7 @@ object SparkEntry {
                | z AS (SELECT doc_id, text, CAST($interleave AS BIGINT) AS z
                |  FROM q),
                | sh AS (SELECT doc_id, text, z // 4096 AS shard FROM z
-               |  WHERE doc_id % 6 <> 1)
+               |  WHERE doc_id >= 128)
                |SELECT CAST(shard AS BIGINT) AS shard,
                | CAST(COUNT(*) AS BIGINT) AS n_rows,
                | CAST(SUM(len(string_split_regex(trim(text), '\\s+')))

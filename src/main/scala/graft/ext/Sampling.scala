@@ -636,8 +636,15 @@ object Sampling {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a retirement that empties the whole layout leaves only the
+    // sidecars — an empty manifest, not a schema-inference error
     def manifest(): DataFrame =
-      shardManifest(spark.read.parquet(path), keyCol, textCol)
+      if (!fs.listStatus(new Path(path)).exists(st =>
+          st.isDirectory && st.getPath.getName.startsWith("shard=")))
+        spark.range(0).select(col("id").cast("int").as("shard"),
+          lit(0L).as("n_rows"), lit(0L).as("n_tokens"),
+          lit(0L).as("checksum"))
+      else shardManifest(spark.read.parquet(path), keyCol, textCol)
     require(ids.columns.contains(keyCol),
       s"retireFromShards: ids must carry the layout key column $keyCol")
     val layout = spark.read.parquet(path)

@@ -918,9 +918,15 @@ object TextOps {
     val marksTable = s"${name}_delmarks"
     val idsNorm = ids.select(col(idCol).cast("long").as("doc_id"))
       .distinct().localCheckpoint()
+    // order-free fold of the id set, decimal-routed: a bare BIGINT
+    // sum of full-range xxhash64 values overflows ANSI arithmetic
+    // once the batch passes a few hundred ids (caught at sf0.1 —
+    // the sf0.01 batch's random walk happened to stay in range)
     val batchHash = idsNorm
-      .agg(coalesce(sum(xxhash64(col("doc_id"))), lit(0L)))
-      .head().getLong(0)
+      .agg(coalesce(sum(xxhash64(col("doc_id")).cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
+      .head().getDecimal(0).toBigInteger
+      .mod(java.math.BigInteger.valueOf(Long.MaxValue)).longValue()
     def marked(stage: String): Boolean =
       spark.catalog.tableExists(marksTable) &&
         spark.table(marksTable)

@@ -307,6 +307,45 @@ object InvariantProps extends Properties("GraftInvariants") {
       salted == plain && aggd == direct
     }
 
+  private val genRetire = for {
+    n <- Gen.choose(1, 22)
+    dels <- Gen.listOf(Gen.choose(0, 21))
+    shards <- Gen.choose(1, 5)
+    batches <- Gen.choose(1, 2)
+  } yield (n, dels.distinct, shards, batches)
+
+  property("retireFromShards manifest == rebuild-on-remaining (random corpora, incl. retire-all)") =
+    forAll(genRetire) { case (n, dels0, shards, batches) =>
+      import spark.implicits._
+      val docs = (0 until n).map(i => (i.toLong, s"tok$i words w${i % 3}"))
+        .toDF("doc_id", "text")
+      // content-keyed assignment: any pure function of the key works
+      def sharded(d: org.apache.spark.sql.DataFrame) =
+        d.withColumn("shard",
+          pmod(col("doc_id") * 7919L, lit(shards.toLong)).cast("int"))
+      val base = java.nio.file.Files
+        .createTempDirectory("invprop_retire").toString
+      sharded(docs).write.mode("overwrite").partitionBy("shard")
+        .parquet(s"$base/live")
+      val dels = dels0.filter(_ < n).map(_.toLong)
+      // split the retirement across 1-2 batches (accumulation path)
+      val (b1, b2) = dels.splitAt(dels.length / batches)
+      Sampling.retireFromShards(spark, s"$base/live",
+        b1.toDF("doc_id"), "doc_id", "text")
+      val man = Sampling.retireFromShards(spark, s"$base/live",
+          b2.toDF("doc_id"), "doc_id", "text")
+        .as[(Int, Long, Long, Long)].collect().toSet
+      val remaining = docs.filter(!col("doc_id").isin(dels: _*))
+      sharded(remaining).write.mode("overwrite").partitionBy("shard")
+        .parquet(s"$base/rebuild")
+      val want =
+        if (dels.size == n) Set.empty[(Int, Long, Long, Long)]
+        else Sampling.shardManifest(
+            spark.read.parquet(s"$base/rebuild"), "doc_id", "text")
+          .as[(Int, Long, Long, Long)].collect().toSet
+      man == want
+    }
+
   private val genTopK = for {
     n <- Gen.choose(0, 40)
     rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0, 5), Gen.choose(-50, 50)))

@@ -628,8 +628,10 @@ class StreamingSpec extends SparkSuite {
     // landed before either retraction write — the exact window the
     // old tombstone-only guard turned into permanent score drift
     val batchHash = dels
-      .agg(coalesce(sum(xxhash64(col("doc_id"))), lit(0L)))
-      .head().getLong(0)
+      .agg(coalesce(sum(xxhash64(col("doc_id")).cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
+      .head().getDecimal(0).toBigInteger
+      .mod(java.math.BigInteger.valueOf(Long.MaxValue)).longValue()
     // orphaned managed locations from a previous test JVM (files
     // survive, the in-memory catalog does not) block CREATE TABLE AS
     for (t <- Seq("streamspec_torn_tombstones", "streamspec_torn_delmarks")
