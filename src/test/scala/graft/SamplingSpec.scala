@@ -667,6 +667,37 @@ class SamplingSpec extends SparkSuite {
     assert(files(2) == shard2Before, "shard 2 still untouched")
   }
 
+  test("retireFromShards: a torn run (some shards purged, tombstones never committed) is repaired by the replay") {
+    // post-crash state of retiring {2, 3}: shard 0 was already
+    // rewritten without doc 2, shard 1 is still dirty (doc 3
+    // present), and the crash landed before the tombstone append —
+    // the replay must re-derive the still-dirty shard set from the
+    // CURRENT files, rewrite only shard 1, and commit the sidecar
+    val base = java.nio.file.Files
+      .createTempDirectory("sampspec_torn").toString
+    val path = s"$base/layout"
+    Seq((1L, "a b", 0), (3L, "f", 1), (4L, "g h", 1), (5L, "i", 2))
+      .toDF("doc_id", "text", "shard")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    def files(sh: Int): Set[String] = {
+      val d = new java.io.File(s"$path/shard=$sh")
+      if (!d.exists) Set.empty
+      else d.listFiles.map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val s0 = files(0); val s2 = files(2)
+    val man = Sampling.retireFromShards(spark, path,
+        Seq(2L, 3L).toDF("doc_id"), "doc_id", "text")
+      .select("shard", "n_rows").as[(Int, Long)].collect().toMap
+    assert(man == Map(0 -> 1L, 1 -> 1L, 2 -> 1L),
+      "the repaired layout must equal rebuild-on-remaining")
+    assert(files(0) == s0 && files(2) == s2,
+      "already-purged and unaffected shards must not rewrite")
+    val replay = Sampling.retireFromShards(spark, path,
+        Seq(2L, 3L).toDF("doc_id"), "doc_id", "text")
+      .select("shard", "n_rows").as[(Int, Long)].collect().toMap
+    assert(replay == man, "post-repair replay must be a no-op")
+  }
+
   test("unimaxBudgets: hand-computed waterfill, both cap branches") {
     // sizes 10/20/100, budget 100, maxEpochs 3 — ascending sweep:
     //   10: min(30, 100/3=33) = 30  (EPOCH-capped)
