@@ -903,11 +903,13 @@ object InvariantProps extends Properties("GraftInvariants") {
   property("dailyAnomalies == brute trailing-window rule on the filled grid") =
     forAll(genEventLog, Gen.choose(1, 9)) { (evs, trailing) =>
       val byKey = evs.groupBy(_._4)
-      val allDays = evs.map(_._2.toLocalDateTime.toLocalDate)
-      val (lo, hi) = (allDays.min, allDays.max)
-      val spine = Iterator.iterate(lo)(_.plusDays(1))
-        .takeWhile(!_.isAfter(hi)).toList
+      // span-bounded grid (r12 verdict #3): each key's spine covers
+      // its OWN [min, max] active days, not the global span
       val expect = byKey.keys.flatMap { k =>
+        val keyDays = byKey(k).map(_._2.toLocalDateTime.toLocalDate)
+        val (lo, hi) = (keyDays.min, keyDays.max)
+        val spine = Iterator.iterate(lo)(_.plusDays(1))
+          .takeWhile(!_.isAfter(hi)).toList
         val counts = spine.map(d =>
           byKey(k).count(_._2.toLocalDateTime.toLocalDate == d).toLong)
         spine.zipWithIndex.map { case (d, i) =>
