@@ -570,19 +570,25 @@ object Dedup {
     * paying the anti-join, and the layout equals a fresh
     * [[writeBandIndex]] of the remaining corpus in content. */
   def compactBandIndex(spark: SparkSession, name: String): Unit = {
+    if (!spark.catalog.tableExists(s"${name}_tombstones")) return
     val buckets = spark.sql(s"DESCRIBE FORMATTED ${name}_bands")
       .filter(col("col_name") === "Num Buckets")
       .select("data_type").head().getString(0).trim.toInt
     val bands = dropBandTombstoned(spark, name,
-      spark.table(s"${name}_bands")).localCheckpoint()
+      spark.table(s"${name}_bands"))
     val sets = dropBandTombstoned(spark, name,
-      spark.table(s"${name}_docs")).localCheckpoint()
-    bands.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "bk").sortBy("bk")
-      .format("parquet").saveAsTable(s"${name}_bands")
-    sets.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "id").sortBy("id")
-      .format("parquet").saveAsTable(s"${name}_docs")
+      spark.table(s"${name}_docs"))
+    // crash-safe staging swap (TableSwaps — the compactCodesDir
+    // contract): the live tables are never the input of their own
+    // overwrite; a probe between the two swaps still anti-joins the
+    // not-yet-dropped tombstones, so every mid-sequence state answers
+    // correctly
+    TableSwaps.swapInTable(spark, s"${name}_bands")(st =>
+      bands.write.bucketBy(buckets, "bk").sortBy("bk")
+        .format("parquet").saveAsTable(st))
+    TableSwaps.swapInTable(spark, s"${name}_docs")(st =>
+      sets.write.bucketBy(buckets, "id").sortBy("id")
+        .format("parquet").saveAsTable(st))
     spark.sql(s"DROP TABLE IF EXISTS ${name}_tombstones")
   }
 

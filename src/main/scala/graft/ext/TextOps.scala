@@ -1041,15 +1041,14 @@ object TextOps {
     // no-op fast path (r12 advice, matching compactBinaryIndex /
     // compactIvfPq): with no tombstones AND no df/stats segment piles
     // (stats holds exactly its build-time row) the layout is already
-    // canonical — skip the full four-table rewrite and its
-    // overwrite-in-place risk entirely
+    // canonical — skip the four-table rewrite entirely
     if (!spark.catalog.tableExists(s"${name}_tombstones") &&
         spark.table(s"${name}_stats").count() == 1L) return
     val buckets = spark.sql(s"DESCRIBE FORMATTED ${name}_postings")
       .filter(col("col_name") === "Num Buckets")
       .select("data_type").head().getString(0).trim.toInt
-    // eager checkpoint: the rewrite below overwrites the very tables
-    // this plan reads
+    // one evaluation feeds the four staged tables (efficiency only —
+    // since the staging swap below, nothing overwrites what it reads)
     val p = dropTombstoned(spark, name, spark.table(s"${name}_postings"))
       .localCheckpoint()
     val dfreq = p.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
@@ -1057,17 +1056,26 @@ object TextOps {
       .localCheckpoint()
     val stats = doclen.agg(count(lit(1)).cast("long").as("n_docs"),
       coalesce(sum("dl"), lit(0L)).cast("long").as("total_len"))
-    p.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "term").sortBy("term")
-      .format("parquet").saveAsTable(s"${name}_postings")
-    dfreq.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "term").sortBy("term")
-      .format("parquet").saveAsTable(s"${name}_df")
-    doclen.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .format("parquet").saveAsTable(s"${name}_doclen")
-    stats.write.mode(SaveMode.Overwrite)
-      .format("parquet").saveAsTable(s"${name}_stats")
+    // crash-safe swap (the compactCodesDir contract for catalog
+    // tables): each canonical table lands in a __compacting staging
+    // table FIRST, then DROP + RENAME swaps it in. Every mid-sequence
+    // state answers queries correctly: until the tombstone drop at
+    // the very end, probes still anti-join (a no-op against compacted
+    // postings) and un-swapped segment tables still SUM to the same
+    // values the canonical rewrite pins. The one recovery window is
+    // between a DROP and its RENAME — the complete staging table is
+    // on disk under ${table}__compacting.
+    TableSwaps.swapInTable(spark, s"${name}_postings")(st =>
+      p.write.bucketBy(buckets, "term").sortBy("term")
+        .format("parquet").saveAsTable(st))
+    TableSwaps.swapInTable(spark, s"${name}_df")(st =>
+      dfreq.write.bucketBy(buckets, "term").sortBy("term")
+        .format("parquet").saveAsTable(st))
+    TableSwaps.swapInTable(spark, s"${name}_doclen")(st =>
+      doclen.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .format("parquet").saveAsTable(st))
+    TableSwaps.swapInTable(spark, s"${name}_stats")(st =>
+      stats.write.format("parquet").saveAsTable(st))
     spark.sql(s"DROP TABLE IF EXISTS ${name}_tombstones")
     // delete-batch markers refer to retractions that no longer exist
     // post-compaction; a replay of one of those batches against the
