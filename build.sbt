@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as compact JSON. Two pieces of sbt framing break that: the forked
+// run's output is re-logged with an "[info] " prefix, and sbt prints a
+// "[success] Total time: ..." trailer after the program exits. Disable
+// both so the bench's bare JSON line is genuinely last.
+ThisBuild / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

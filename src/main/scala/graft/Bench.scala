@@ -149,6 +149,20 @@ object Bench {
     def emit(passesDone: Int): Unit = {
       val results = defs.map(d => d.name -> median(samples(d.name)))
       val total = results.map(_._2).sum
+      // Contention-robust companions (r13 verdict #4): a 2-pass
+      // "median" is the mean of a clean and a contended sample, so a
+      // contended host reads as a ×2 regression. min_total (sum of
+      // per-query minima) is the noise-floor statistic — compare IT
+      // round-over-round when contended=true flags that some query's
+      // median/min spread exceeded ×3 (host co-tenancy signature,
+      // never a code regression, which shifts min too).
+      val minTotal = defs.map(d => {
+        val s = samples(d.name); if (s.isEmpty) 0.0 else s.min
+      }).sum
+      val contended = defs.exists { d =>
+        val s = samples(d.name)
+        s.size >= 2 && s.min > 0 && median(s) / s.min > 3.0
+      }
       // Full-precision medians + raw samples -> file (survives any log
       // mangling; the spread column is the bench-trust diagnostic).
       // runs = the LARGEST sample count any query actually collected
@@ -158,7 +172,7 @@ object Bench {
       val runsActual = defs.map(d => samples(d.name).size)
         .foldLeft(0)(_ max _)
       val fullJson =
-        s"""{"metric":"total","value":$total,"unit":"sec","runs":$runsActual,"passes":$passesDone,"truncated":$truncatedPass,"queries":${
+        s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"contended":$contended,"runs":$runsActual,"passes":$passesDone,"truncated":$truncatedPass,"queries":${
           results.map { case (k, v) =>
             val s = samples(k)
             val mn = if (s.isEmpty) 0.0 else s.min
@@ -202,7 +216,7 @@ object Bench {
       // the driver-kept output tail.
       val failedList = jstrs(defs.map(_.name).filter(failures(_).nonEmpty))
       val json =
-        s"""{"metric":"total","value":${d3(total)},"unit":"sec","n":${results.size},"runs":$runsActual,"passes":$passesDone,"truncated":$truncatedPass,"failures":${failures.values.map(_.size).sum},"failed":$failedList,"groups":${
+        s"""{"metric":"total","value":${d3(total)},"unit":"sec","min_total":${d3(minTotal)},"contended":$contended,"n":${results.size},"runs":$runsActual,"passes":$passesDone,"truncated":$truncatedPass,"failures":${failures.values.map(_.size).sum},"failed":$failedList,"groups":${
           jmap(fam)},"queries":${
           jmap(headline.flatMap(h => byName.get(h).map(h -> _)))},"sf":"$sfDir"}"""
       lastCompact = json

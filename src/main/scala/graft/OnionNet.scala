@@ -60,6 +60,24 @@ final class OnionNet(val spark: SparkSession, val directed: Boolean = true) {
     layerSetCache = None
   }
 
+  /** Retirement twin of [[growOnion]] (r13 verdict #5): remove the
+    * given (layer, nodeId) keys with induced-subgraph semantics —
+    * see [[OnionBuilder.removeVertices]]. Mutates the pre-symmetrize
+    * base (like setVertexProperty), so a later growOnion append
+    * merges into the shrunk graph, and invalidates the same caches
+    * growOnion does. grow ∘ shrink ∘ grow == direct build
+    * (InvariantProps pins the round-trip). */
+  def shrinkOnion(keys: org.apache.spark.sql.DataFrame,
+                  opts: OnionBuilder.GrowOptions =
+                    OnionBuilder.GrowOptions()): Unit = {
+    require(grown, "graph not grown yet — call growOnion first")
+    base = OnionBuilder.removeVertices(base, keys, opts)
+    current = if (directed) base else base.symmetrize
+    nodeMapCache = None
+    inverseNodeMapCache = None
+    layerSetCache = None
+  }
+
   /** Materialize the current graph and truncate its lineage
     * (eager `localCheckpoint`). Call between appends: without it, every
     * [[growOnion]] merge EMBEDS the full prior build plan into the new

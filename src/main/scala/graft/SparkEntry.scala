@@ -518,6 +518,119 @@ object SparkEntry {
        |FROM dist QUALIFY rank <= $topK ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB oracle for [[graft.ext.Clustering.ivfPqDriftCard]] over a
+    * CHURNED layout: the x142 frozen-model composition (train the
+    * coarse + PQ chains on the BASE slice only, encode the FULL
+    * corpus against the frozen model) ∘ the x140 recall-card rollup
+    * (per swept nProbe, ADC top-k vs exact-L2 top-k in integer ppm) ∘
+    * the delete leg (`delCond` rows tombstoned: dropped from the
+    * candidate codes AND from the exact ground-truth corpus — the
+    * live set is everything minus the deletes). n_live rides every
+    * card row, matching the Spark card's layout-derived live count. */
+  private def ivfPqDriftSql(cells: Int, cIters: Int, m: Int, sub: Int,
+                            k: Int, iters: Int, topK: Int,
+                            nProbes: Seq[Int], baseCond: String,
+                            delCond: String): String = {
+    val coarse = kmeansCtes(cells, cIters, "_ivf", srcTable = "embbase")
+    val parts = (0 until m)
+      .map(s => kmeansCtes(k, iters, s"_s$s", s * sub, (s + 1) * sub,
+        srcTable = "embbase"))
+      .mkString(",\n")
+    val encodes = (0 until m).map { s =>
+      val lo = s * sub; val hi = (s + 1) * sub
+      s"""qa_s$s AS (SELECT vec_id, dim - $lo AS dim, q FROM qall
+         |  WHERE dim >= $lo AND dim < $hi),
+         |ca_s$s AS (SELECT vec_id, cluster AS code FROM (
+         |  SELECT q.vec_id, c.cluster,
+         |   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |    ORDER BY SUM((q.q - c.cq) * (q.q - c.cq)), c.cluster) AS rk
+         |  FROM qa_s$s q JOIN c${iters}_s$s c ON c.dim = q.dim
+         |  GROUP BY q.vec_id, c.cluster) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val luts = (0 until m).map { s =>
+      s"""lut_s$s AS (SELECT query_id, c.cluster,
+         |  SUM((q.q - c.cq) * (q.q - c.cq)) AS adist
+         | FROM (SELECT vec_id AS query_id, dim, q FROM qa_s$s
+         |   WHERE vec_id < 5) q
+         | JOIN c${iters}_s$s c ON c.dim = q.dim
+         | GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val codesU = (0 until m).map(s =>
+      s"SELECT vec_id, $s AS subspace, code FROM ca_s$s")
+      .mkString(" UNION ALL ")
+    val lutU = (0 until m).map(s =>
+      s"SELECT query_id, $s AS subspace, cluster, adist FROM lut_s$s")
+      .mkString(" UNION ALL ")
+    val perNp = nProbes.map { np =>
+      s"""dist_$np AS (SELECT l.query_id, a.vec_id AS neighbor_id,
+         |  SUM(l.adist) AS adc_d2
+         | FROM codes a
+         | JOIN live lv ON lv.vec_id = a.vec_id
+         | JOIN asgall asg ON asg.vec_id = a.vec_id
+         | JOIN qprobeall p ON p.cluster = asg.cluster AND p.rk <= $np
+         | JOIN lut l ON l.query_id = p.query_id
+         |   AND l.subspace = a.subspace AND l.cluster = a.code
+         | WHERE a.vec_id <> l.query_id GROUP BY 1, 2),
+         |top_$np AS (SELECT query_id, neighbor_id FROM dist_$np
+         | QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+         |   ORDER BY adc_d2, neighbor_id) <= $topK),
+         |rec_$np AS (SELECT e.query_id,
+         |  CAST(COUNT(*) AS BIGINT) AS k_exact,
+         |  CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hit
+         | FROM ex e LEFT JOIN top_$np t ON t.query_id = e.query_id
+         |   AND t.neighbor_id = e.neighbor_id
+         | GROUP BY 1),
+         |card_$np AS (SELECT $np AS n_probe,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM live) AS n_live,
+         |  CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |  CAST(SUM(1000000 * n_hit // k_exact) AS BIGINT)
+         |    AS sum_recall_ppm
+         | FROM rec_$np)""".stripMargin
+    }.mkString(",\n")
+    val cardU = nProbes.map(np => s"SELECT * FROM card_$np")
+      .mkString(" UNION ALL ")
+    s"""WITH embbase AS MATERIALIZED (SELECT * FROM embeddings
+       |  WHERE $baseCond),
+       |$coarse,
+       |$parts,
+       |qall AS MATERIALIZED (SELECT vec_id,
+       |  UNNEST(range(len(embedding))) AS dim,
+       |  CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+       | FROM embeddings),
+       |live AS MATERIALIZED (SELECT vec_id FROM embeddings
+       |  WHERE NOT ($delCond)),
+       |asgall AS MATERIALIZED (SELECT vec_id, cluster FROM (
+       |  SELECT q.vec_id, c.cluster,
+       |   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |    ORDER BY SUM((q.q - c.cq) * (q.q - c.cq)), c.cluster) AS rk
+       |  FROM qall q JOIN c${cIters}_ivf c ON c.dim = q.dim
+       |  GROUP BY q.vec_id, c.cluster) WHERE rk = 1),
+       |$encodes,
+       |$luts,
+       |codes AS ($codesU),
+       |lut AS ($lutU),
+       |qprobeall AS MATERIALIZED (SELECT query_id, cluster, rk FROM (
+       |  SELECT q.vec_id AS query_id, c.cluster,
+       |   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |    ORDER BY SUM((q.q - c.cq) * (q.q - c.cq)), c.cluster) AS rk
+       |  FROM qall q JOIN c${cIters}_ivf c ON c.dim = q.dim
+       |  WHERE q.vec_id < 5
+       |  GROUP BY q.vec_id, c.cluster)),
+       |exd AS MATERIALIZED (SELECT qq.vec_id AS query_id,
+       |  cc.vec_id AS neighbor_id, SUM((qq.q - cc.q) * (qq.q - cc.q)) AS d2
+       | FROM qall qq JOIN qall cc ON cc.dim = qq.dim
+       |   AND cc.vec_id <> qq.vec_id
+       | JOIN live lv ON lv.vec_id = cc.vec_id
+       | WHERE qq.vec_id < 5 GROUP BY 1, 2),
+       |ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM exd
+       | QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |   ORDER BY d2, neighbor_id) <= $topK),
+       |$perNp
+       |SELECT n_probe, n_live, n_queries, sum_recall_ppm,
+       | sum_recall_ppm // n_queries AS mean_recall_ppm
+       |FROM ($cardU) ORDER BY n_probe""".stripMargin
+  }
+
   /** DuckDB oracle for the RESIDUAL layout's recall card: the x139
     * chains (coarse + residual-table + per-slice codebooks), the
     * probe ranking kept unfiltered, per-(query, cell) residual LUTs
@@ -3953,6 +4066,35 @@ object SparkEntry {
           .orderBy("query_id", "rank")
       },
       Some(ivfPqAppendSql(4, 1, 4, 16, 8, 1, 2, 10, "vec_id % 7 <> 0"))),
+
+    QueryDef("x165_ivf_pq_drift_card",
+      // post-churn DRIFT card (r13 verdict #6): the layout builds on
+      // a base slice (frozen model), a held-out batch appends against
+      // the frozen codebook, a delete batch tombstones — then the
+      // card measures what the churn cost retrieval: per swept
+      // nProbe, recall@10 of the churned layout against the exact
+      // ground truth over the LIVE set, which the card derives from
+      // the layout itself (codes minus tombstones). The re-index
+      // decision reads off this hash-matched card like every other
+      // serving decision. Oracle = frozen-model encode (x142) ∘
+      // live-set filter ∘ recall rollup (x140), composed.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val path = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "x165_ivfpq_drift").toString
+        Clustering.writeIvfPq(emb.where(col("vec_id") % 7 =!= 0), path,
+          dims = 64, cells = 4, m = 4, k = 8, iters = 1)
+        Clustering.appendIvfPq(s, path,
+          emb.where(col("vec_id") % 7 === 0), dims = 64, m = 4)
+        Clustering.deleteIvfPq(s, path,
+          emb.where(col("vec_id") % 5 === 3).select("vec_id"))
+        Clustering.ivfPqDriftCard(s, path, emb,
+            emb.where(col("vec_id") < 5), dims = 64,
+            nProbes = Seq(1, 2), m = 4, topK = 10)
+          .orderBy("n_probe")
+      },
+      Some(ivfPqDriftSql(4, 1, 4, 16, 8, 1, 10, Seq(1, 2),
+        "vec_id % 7 <> 0", "vec_id % 5 = 3"))),
 
     QueryDef("x145_correlation_card",
       // pairwise Pearson card: q20's exact-moment treatment lifted to
@@ -8035,6 +8177,69 @@ object SparkEntry {
       },
       Some(weightedPagerankSql(Seq("order", "part", "supplier"), 3))),
 
+    QueryDef("g72_shrink_onion",
+      // graph-side RETIREMENT (r13 verdict #5): the delete leg of the
+      // core model's lifecycle — grow the star graph, shrinkOnion the
+      // negative-balance suppliers plus nation 0, summarize per
+      // layer/relation. The oracle rebuilds on the REMAINING rows
+      // (edges survive only when BOTH endpoints do — builder.py:219-224
+      // dangling-drop in reverse), so the hash-match IS the
+      // remove-equals-rebuild guarantee, the x162-x164 rule applied to
+      // the core model. The delete set includes a key absent from the
+      // graph (idempotence: unknown keys are ignored, like a replayed
+      // batch).
+      (s, dir) => {
+        val net = new graft.OnionNet(s)
+        val opts = graft.builder.OnionBuilder.GrowOptions(
+          nodePropCols = Seq("name", "acctbal", "price", "segment"),
+          edgePropCols = Seq("relation", "qty"),
+          dropDuplicates = false)
+        net.growOnion(StarGraph.nodesDf(s, dir),
+          StarGraph.edgesDf(s, dir), opts)
+        net.checkpoint() // shrink anti-joins probe a block, not the plan
+        val dels = t(s, dir, "supplier").where(col("s_acctbal") < 0)
+          .select(col("s_suppkey").cast("string").as("node_id"),
+            lit("supplier").as("layer"))
+          .unionAll(s.range(1).select(lit("0").as("node_id"),
+            lit("nation").as("layer")))
+          .unionAll(s.range(1).select(lit("no_such_key").as("node_id"),
+            lit("nation").as("layer")))
+        net.shrinkOnion(dels)
+        val g = net.g
+        g.vertices.groupBy(col("layer").as("grp"))
+          .agg(count(lit(1)).as("n"),
+            coalesce(dsum(col("acctbal")), lit(0.0)).as("val"))
+          .unionAll(g.edges.groupBy(col("relation").as("grp"))
+            .agg(count(lit(1)).as("n"),
+              coalesce(dsum(col("qty")), lit(0.0)).as("val")))
+          .orderBy("grp")
+      },
+      Some(s"""$W,
+              |removed AS (
+              | SELECT 'supplier' AS layer, CAST(s_suppkey AS VARCHAR) AS node_id
+              | FROM supplier WHERE s_acctbal < 0
+              | UNION ALL SELECT 'nation', '0'
+              | UNION ALL SELECT 'nation', 'no_such_key'),
+              |rv AS (
+              | SELECT * FROM vertices v WHERE NOT EXISTS (
+              |  SELECT 1 FROM removed r
+              |  WHERE r.layer = v.layer AND r.node_id = v.node_id)),
+              |re AS (
+              | SELECT * FROM edges e WHERE NOT EXISTS (
+              |  SELECT 1 FROM removed r
+              |  WHERE r.layer = e.source_layer AND r.node_id = e.source_id)
+              | AND NOT EXISTS (
+              |  SELECT 1 FROM removed r
+              |  WHERE r.layer = e.target_layer AND r.node_id = e.target_id))
+              |SELECT layer AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+              |  COALESCE(${dsumSql("acctbal")}, 0.0) AS val
+              |FROM rv GROUP BY 1
+              |UNION ALL
+              |SELECT relation, CAST(COUNT(*) AS BIGINT),
+              |  COALESCE(${dsumSql("qty")}, 0.0)
+              |FROM re GROUP BY 1
+              |ORDER BY grp""".stripMargin)),
+
     QueryDef("g70_butterflies",
       // butterfly (bipartite 4-cycle) census over the order⋈part
       // incidence — the bipartite analogue of g32's triangle count
@@ -8333,6 +8538,52 @@ object SparkEntry {
              |    CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS INT)
              |    AS shard
              |  FROM documents),
+             | man AS (SELECT shard,
+             |   CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+             |     AS BIGINT) AS n_tokens
+             |  FROM s GROUP BY shard),
+             | b AS (SELECT shard,
+             |   COALESCE(SUM(n_tokens) OVER (ORDER BY shard
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    // 8000 AS bin FROM man)
+             |SELECT CAST(b.bin AS INT) AS shard,
+             | CAST(COUNT(*) AS BIGINT) AS n_rows,
+             | CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+             |   AS BIGINT) AS n_tokens,
+             | CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+             |   || ':' || text), 1, 12)) AS BIGINT)) AS BIGINT) AS checksum
+             |FROM s JOIN b USING (shard) GROUP BY 1 ORDER BY shard"""
+        .stripMargin)),
+
+    QueryDef("x166_retire_then_compact",
+      // retire → compact COMPOSED (r13 verdict #8): after an x162
+      // retirement shrinks shards below loader-friendly size, the
+      // x159 compaction rebins them. The oracle derives the merged
+      // manifest from the REMAINING documents alone (shard assign →
+      // quota bins → merged row/token/checksum totals), so the
+      // hash-match proves the composition equals a fresh export of
+      // the remaining corpus binned the same way — disk == plan
+      // through BOTH rewrites. Affected-shards-only retirement, then
+      // a manifest-sized broadcast plan; the only corpus movement is
+      // the compaction write itself.
+      (s, dir) => {
+        Sampling.writeTrainingShards(docs(s, dir),
+          "spark-warehouse/x166_shards", "doc_id", "text",
+          epoch = 2, shards = 8)
+        val man = Sampling.retireFromShards(s,
+          "spark-warehouse/x166_shards",
+          docs(s, dir).where(col("doc_id") % 3 === 0).select("doc_id"),
+          "doc_id", "text")
+        val plan = Sampling.planCompaction(man, "n_tokens", target = 8000L)
+        Sampling.runCompaction(s, "spark-warehouse/x166_shards",
+            "spark-warehouse/x166_merged", plan, "doc_id", "text")
+          .orderBy("shard")
+      },
+      Some("""WITH s AS (SELECT doc_id, text,
+             |  CAST(CAST(('0x' || substr(md5('2:' ||
+             |    CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS INT)
+             |    AS shard
+             |  FROM documents WHERE doc_id % 3 <> 0),
              | man AS (SELECT shard,
              |   CAST(SUM(len(string_split_regex(trim(text), '\s+')))
              |     AS BIGINT) AS n_tokens

@@ -148,6 +148,39 @@ object OnionBuilder {
     OnionGraph(mergedVs, g.edges.unionByName(freshEs, allowMissingColumns = true))
   }
 
+  /** REMOVE vertices by (layer, nodeId) key — the delete leg of the
+    * core graph lifecycle (r13 verdict #5), closing the same build →
+    * append → retire cycle the persisted index families close. The
+    * retirement twin of [[merge]], with INDUCED-SUBGRAPH semantics:
+    * every edge touching a removed vertex drops — the dangling-drop
+    * contract (`builder.py:219-224`, an edge never outlives an
+    * endpoint) applied in reverse, i.e. the F6 induced-subgraph rule
+    * (`searcher.py:339`) with the predicate "not in the delete set".
+    * Keys absent from the graph are ignored, so a replayed batch is a
+    * no-op and remove-then-query equals a fresh build on the
+    * remaining rows (rebuild-on-remaining, the x156–x164 rule applied
+    * to the core model). Survivor rows keep their columns untouched.
+    *
+    * Scale shape: the delete set is batch-sized and BROADCASTS into
+    * three anti-joins (vertices once, edges on each endpoint); the
+    * graph itself never re-shuffles — same economics as merge's
+    * append probes. */
+  def removeVertices(g: OnionGraph, keys: DataFrame,
+                     opts: GrowOptions = GrowOptions()): OnionGraph = {
+    val o = opts
+    requireCols(keys, Seq(o.idCol, o.layerCol), "keys")
+    val dels = keys.select(OnionGraph.vid(
+        col(o.layerCol).cast("string"), col(o.idCol).cast("string"))
+      .as("vid")).distinct()
+    OnionGraph(
+      g.vertices.join(broadcast(dels), Seq("vid"), "left_anti"),
+      g.edges
+        .join(broadcast(dels.withColumnRenamed("vid", "src")),
+          Seq("src"), "left_anti")
+        .join(broadcast(dels.withColumnRenamed("vid", "dst")),
+          Seq("dst"), "left_anti"))
+  }
+
   /** Append-time vid collision count — BATCH-sized, not merged-set-
     * sized (the existing graph was audited when built, so N appends
     * must not cost N full-graph aggregations). Two checks in one pass:

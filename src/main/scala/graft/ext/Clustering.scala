@@ -767,6 +767,63 @@ object Clustering {
     }.reduce(_ unionAll _)
   }
 
+  /** POST-CHURN drift card (r13 verdict #6): after append + delete
+    * cycles, the frozen coarse centroids / PQ codebook / binary
+    * thresholds no longer reflect the corpus they index — appends
+    * encode against a model trained before them (the deliberate
+    * frozen-model append contract, [[appendIvfPq]]), deletes thin the
+    * cells the model was balanced on, and NOTHING else in the
+    * lifecycle measures what that costs retrieval. This card does:
+    * per swept nProbe, recall@topK of the CURRENT layout against the
+    * exact integer-L2 ground truth over the LIVE id set — which the
+    * card derives FROM THE LAYOUT (codes minus tombstone sidecar),
+    * never from a caller's guess at what survived the churn. `emb` is
+    * the vector store of record resolving live ids to vectors (the
+    * codes hold 1-byte PQ words, not vectors).
+    *
+    * The re-index decision reads off the card like every serving
+    * decision here: when mean_recall_ppm decays below the SLO,
+    * compact + re-train ([[compactIvfPq]] then [[writeIvfPq]] on the
+    * survivors). ExtSpec pins the motivating dynamics: recall decays
+    * under a synthetic distribution shift pushed through appends, and
+    * recovers after the re-write.
+    *
+    * Scale shape: the live id set is codes-ids-sized (8-byte ids,
+    * never vectors) and semi-join-prunes the vector store scan; the
+    * ground truth is ONE corpus pass (queries broadcast onto the
+    * quantized explode, partial d² map-side); each probe keeps its
+    * planning-time cell prune. Returns
+    * (n_probe, n_live, n_queries, sum_recall_ppm, mean_recall_ppm). */
+  def ivfPqDriftCard(spark: org.apache.spark.sql.SparkSession,
+                     path: String, emb: DataFrame, queries: DataFrame,
+                     dims: Int, nProbes: Seq[Int], m: Int = 4,
+                     topK: Int = 10, idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     residual: Boolean = false): DataFrame = {
+    require(nProbes.nonEmpty, "ivfPqDriftCard: nProbes must be non-empty")
+    val live0 = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id")).distinct()
+    val live = (if (tombstonesExist(spark, path))
+        live0.join(broadcast(spark.read.parquet(s"$path/tombstones")),
+          Seq("vec_id"), "left_anti")
+      else live0).withColumnRenamed("vec_id", idCol)
+    val liveEmb = emb.join(live, Seq(idCol), "left_semi")
+      .localCheckpoint() // feeds the count + the ground-truth pass
+    val nLive = liveEmb.count()
+    val exact = exactL2TopK(liveEmb, queries, topK, idCol, vecCol)
+      .localCheckpoint() // shared across the nProbe sweep
+    nProbes.map { np =>
+      val approx = probeIvfPq(spark, path, queries, dims, np, m, topK,
+        idCol, vecCol, residual)
+      graft.ext.Similarity.annRecall(exact, approx, topK)
+        .agg(count(lit(1)).as("n_queries"),
+          sum("recall_ppm").cast("long").as("sum_recall_ppm"))
+        .select(lit(np).as("n_probe"), lit(nLive).as("n_live"),
+          col("n_queries"), col("sum_recall_ppm"),
+          expr("sum_recall_ppm DIV n_queries").as("mean_recall_ppm"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Matryoshka truncation recall card — the serving decision behind
     * MRL-style embeddings (Kusupati 2022: nested prefixes of one
     * vector are themselves usable embeddings): per swept prefix
@@ -1192,17 +1249,35 @@ object Clustering {
     * at `codes_compacting` (recover by renaming it); (c) crash
     * before the sidecar delete — the replayed compaction anti-joins
     * already-compacted codes, a no-op. No window loses data the way
-    * overwrite-in-place did. */
+    * overwrite-in-place did.
+    *
+    * Replay is RECOVERY-FIRST (r13 advice): on entry, if the live
+    * codes dir is missing while the staged copy exists — exactly
+    * window (b) — the staged copy is renamed into place BEFORE any
+    * delete, so a plain re-run of the compaction heals the crash
+    * instead of destroying the only surviving copy. Only after that
+    * check may a leftover staging dir be treated as torn garbage
+    * (window (a): live still present ⇒ the staging dir is an
+    * incomplete write, safe to drop). */
   private def compactCodesDir(spark: org.apache.spark.sql.SparkSession,
                               path: String,
                               partitionCols: Seq[String]): Unit = {
-    if (!tombstonesExist(spark, path)) return
     import org.apache.hadoop.fs.Path
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new Path(s"$path/codes")
     val tmp = new Path(s"$path/codes_compacting")
-    fs.delete(tmp, true) // leftover from a crashed prior run
+    if (!fs.exists(live) && fs.exists(tmp)) {
+      // window (b) crash: the staged copy is the ONLY copy — complete
+      // by construction (it is written before the live delete starts).
+      // Finish the interrupted swap, then fall through: the sidecar
+      // still exists (it drops last), so the replay below re-runs the
+      // anti-join against the already-compacted codes — a no-op write.
+      require(fs.rename(tmp, live),
+        s"compaction recovery failed: $tmp -> $live (copy intact at $tmp)")
+    }
+    if (!tombstonesExist(spark, path)) return
+    fs.delete(tmp, true) // leftover from a crashed WRITE (live intact)
     val tombs = broadcast(spark.read.parquet(s"$path/tombstones"))
     val kept = spark.read.parquet(s"$path/codes")
       .join(tombs, Seq("vec_id"), "left_anti")

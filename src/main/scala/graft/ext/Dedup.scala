@@ -570,6 +570,10 @@ object Dedup {
     * paying the anti-join, and the layout equals a fresh
     * [[writeBandIndex]] of the remaining corpus in content. */
   def compactBandIndex(spark: SparkSession, name: String): Unit = {
+    // recovery-first (r13 advice): heal a table stranded in a crashed
+    // prior compaction's DROP→RENAME window before reading either
+    for (t <- Seq("bands", "docs"))
+      TableSwaps.recoverTable(spark, s"${name}_$t")
     if (!spark.catalog.tableExists(s"${name}_tombstones")) return
     val buckets = spark.sql(s"DESCRIBE FORMATTED ${name}_bands")
       .filter(col("col_name") === "Num Buckets")

@@ -622,9 +622,13 @@ object Sampling {
     * compactCodesDir pattern: survivors land in `_retiring` first,
     * each affected live shard dir is deleted and its compacted twin
     * renamed in — a crash between the two leaves the complete
-    * survivor copy on disk. Emptied shards (every row retired) have
-    * no twin and stay deleted — exactly the rebuild-on-remaining
-    * layout.
+    * survivor copy on disk, and a replay renames it in on ENTRY
+    * (recovery-first, r13 advice) before any staging cleanup can
+    * touch it. Emptied shards (every row retired) have no twin and
+    * stay deleted — exactly the rebuild-on-remaining layout; a
+    * retirement that empties the LAST shard leaves a sidecar-only
+    * directory that later calls handle without reading (no
+    * UNABLE_TO_INFER_SCHEMA on replay).
     *
     * Scale shape: the rewrite touches affected shards only (bounded
     * by the batch's shard fan-out, never the corpus); the id set
@@ -636,20 +640,62 @@ object Sampling {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasShardDirs: Boolean =
+      fs.listStatus(new Path(path)).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("shard="))
     // a retirement that empties the whole layout leaves only the
     // sidecars — an empty manifest, not a schema-inference error
     def manifest(): DataFrame =
-      if (!fs.listStatus(new Path(path)).exists(st =>
-          st.isDirectory && st.getPath.getName.startsWith("shard=")))
+      if (!hasShardDirs)
         spark.range(0).select(col("id").cast("int").as("shard"),
           lit(0L).as("n_rows"), lit(0L).as("n_tokens"),
           lit(0L).as("checksum"))
       else shardManifest(spark.read.parquet(path), keyCol, textCol)
     require(ids.columns.contains(keyCol),
       s"retireFromShards: ids must carry the layout key column $keyCol")
+    // RECOVERY-FIRST entry (r13 advice): a crash between a live-shard
+    // delete and its twin rename leaves that shard's survivors ONLY
+    // under `_retiring` — and the old replay re-derived dirty shards
+    // from the current files, so the missing shard was never in the
+    // affected set and its twin died in the staging cleanup. Rename
+    // any twin whose live dir is missing BEFORE reading or deleting
+    // anything: a twin with its live dir present is torn-run garbage
+    // (the live shard still holds the data and gets rewritten);
+    // emptied shards never have a twin, so this cannot resurrect one.
+    val retiring = new Path(s"$path/_retiring")
+    if (fs.exists(retiring)) {
+      fs.listStatus(retiring).iterator
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("shard="))
+        .foreach { st =>
+          val live = new Path(path, st.getPath.getName)
+          if (!fs.exists(live))
+            require(fs.rename(st.getPath, live),
+              s"retirement recovery failed: ${st.getPath} -> $live " +
+                s"(survivors intact at ${st.getPath})")
+        }
+    }
+    val tomb = new Path(s"$path/_tombstones")
+    if (!hasShardDirs) {
+      // fully-emptied layout (r13 advice): only underscore sidecars
+      // remain — spark.read.parquet(path) would throw
+      // UNABLE_TO_INFER_SCHEMA. Nothing to rewrite; still commit the
+      // batch's tombstones (idempotently, typed off the sidecar when
+      // it exists) so the governance record stays complete.
+      val keyT =
+        if (fs.exists(tomb))
+          spark.read.parquet(tomb.toString).schema(keyCol).dataType
+        else ids.schema(keyCol).dataType
+      val fresh0 = ids.select(col(keyCol).cast(keyT)).distinct()
+      val freshE = (if (fs.exists(tomb))
+          fresh0.join(spark.read.parquet(tomb.toString), Seq(keyCol),
+            "left_anti")
+        else fresh0).localCheckpoint()
+      if (!freshE.isEmpty) freshE.write.mode("append").parquet(tomb.toString)
+      return manifest()
+    }
     val layout = spark.read.parquet(path)
     val keyType = layout.schema(keyCol).dataType
-    val tomb = new Path(s"$path/_tombstones")
     val fresh0 = ids.select(col(keyCol).cast(keyType)).distinct()
     val fresh = (if (fs.exists(tomb))
         fresh0.join(spark.read.parquet(tomb.toString), Seq(keyCol),
@@ -679,6 +725,33 @@ object Sampling {
     }
     fresh.write.mode("append").parquet(tomb.toString)
     manifest()
+  }
+
+  /** Right-to-be-forgotten STREAM for shard layouts (r13 verdict #7
+    * — the sixth application of the probe/append streaming shape):
+    * each micro-batch of ids retires from the export layout via
+    * [[retireFromShards]]. Exactly-once under foreachBatch's
+    * at-least-once delivery comes from the retirement's own batch
+    * idempotence — committed ids anti-join the `_tombstones` sidecar
+    * on replay, so a re-delivered epoch rewrites nothing (the same
+    * contract [[graft.ext.TextOps.streamingIndexDeletes]] leans on,
+    * applied to the layout family x162–x164 serve) — and a batch
+    * torn mid-rewrite heals via the recovery-first replay.
+    * StreamingSpec pins streamed batches + a replayed epoch == the
+    * one-shot retirement, manifest hash-matching
+    * rebuild-on-remaining. */
+  def streamingRetire(path: String, stream: DataFrame, keyCol: String,
+                      textCol: String,
+                      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       _: Long) =>
+        retireFromShards(batch.sparkSession, path, batch,
+          keyCol, textCol): Unit
+    }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
   }
 
   /** Per-stratum deterministic downsample: keep ~`fraction(stratum)`

@@ -765,8 +765,13 @@ object TextOps {
       .agg(sum("tf").cast("long").as("dl"))
     val stats = doclen.agg(count(lit(1)).cast("long").as("n_docs"),
       sum("dl").cast("long").as("total_len"))
+    // _tombstones/_delmarks drop too: a REBUILD invalidates all prior
+    // delete state — leaving them would darken freshly-built docs
+    // (stale tombstones) and short-circuit re-issued delete batches
+    // whose retraction segments the rebuild just erased (stale marks)
     Seq(s"${name}_postings", s"${name}_df", s"${name}_doclen",
-        s"${name}_stats", s"${name}_epochs").foreach { t =>
+        s"${name}_stats", s"${name}_epochs",
+        s"${name}_tombstones", s"${name}_delmarks").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       // orphaned managed location from a previous JVM (same hazard as
       // Dedup.writeBandIndex — DROP only reaches the live catalog)
@@ -922,20 +927,31 @@ object TextOps {
     // sum of full-range xxhash64 values overflows ANSI arithmetic
     // once the batch passes a few hundred ids (caught at sf0.1 —
     // the sf0.01 batch's random walk happened to stay in range)
-    val batchHash = idsNorm
+    val aggRow = idsNorm
       .agg(coalesce(sum(xxhash64(col("doc_id")).cast("decimal(38,0)")),
-        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
-      .head().getDecimal(0).toBigInteger
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")),
+        count(lit(1)))
+      .head()
+    val batchHash = aggRow.getDecimal(0).toBigInteger
       .mod(java.math.BigInteger.valueOf(Long.MaxValue)).longValue()
+    // the batch SIZE joins the identity (r13 advice): two distinct
+    // delete batches must now collide on the 63-bit fold AND their
+    // cardinality before a replay can wrongly short-circuit
+    val batchN = aggRow.getLong(1)
     def marked(stage: String): Boolean =
-      spark.catalog.tableExists(marksTable) &&
-        spark.table(marksTable)
-          .filter(col("batch_hash") === batchHash &&
+      spark.catalog.tableExists(marksTable) && {
+        val m = spark.table(marksTable)
+        val sized = // pre-r14 marks carry no batch_n — match hash-only
+          if (m.columns.contains("batch_n"))
+            m.filter(col("batch_n") === batchN)
+          else m
+        sized.filter(col("batch_hash") === batchHash &&
             col("stage") === stage)
           .head(1).nonEmpty
+      }
     def mark(stage: String): Unit =
       spark.range(1).select(lit(batchHash).as("batch_hash"),
-          lit(stage).as("stage"))
+          lit(batchN).as("batch_n"), lit(stage).as("stage"))
         .write.mode(SaveMode.Append).format("parquet")
         .saveAsTable(marksTable)
     if (marked("stats")) return // fully applied — replay is a no-op
@@ -957,6 +973,18 @@ object TextOps {
           .select("doc_id")
       else idsNorm.limit(0)
     val replayTorn = owned.head(1).nonEmpty
+    // r13 advice: a fold collision that misattributes another batch's
+    // tombstones as "ours" is detectable here — the owned set would
+    // differ from the incoming ids. Batch-bounded symmetric diff.
+    if (replayTorn) {
+      val mismatched = owned.unionAll(idsNorm).groupBy("doc_id")
+        .agg(count(lit(1)).as("c")).filter(col("c") === 1)
+        .head(1).nonEmpty
+      if (mismatched)
+        System.err.println(s"[graft] deleteIndexDocs($name): torn-replay " +
+          s"batch $batchHash owns tombstones outside the incoming id set " +
+          "— possible batch-identity collision; completing with the OWNED set")
+    }
     val fresh = (if (replayTorn) owned
       else if (spark.catalog.tableExists(tombTable))
         idsNorm.join(spark.table(tombTable), Seq("doc_id"), "left_anti")
@@ -1038,6 +1066,12 @@ object TextOps {
     * surviving postings (map-side-combinable aggs), so the rewrite
     * never re-tokenizes text. */
   def compactInvertedIndex(spark: SparkSession, name: String): Unit = {
+    // recovery-first (r13 advice): heal any table stranded in the
+    // DROP→RENAME window of a crashed prior compaction BEFORE reading
+    // anything — this function consumes all four tables ahead of its
+    // first swap, so the per-swap recovery alone would come too late
+    for (t <- Seq("postings", "df", "doclen", "stats"))
+      TableSwaps.recoverTable(spark, s"${name}_$t")
     // no-op fast path (r12 advice, matching compactBinaryIndex /
     // compactIvfPq): with no tombstones AND no df/stats segment piles
     // (stats holds exactly its build-time row) the layout is already

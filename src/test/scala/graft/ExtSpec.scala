@@ -2229,6 +2229,89 @@ class ExtSpec extends SparkSuite {
       "compaction must physically drop the tombstoned codes")
   }
 
+  test("compactBinaryIndex: plain replay after a delete-live-then-crash heals from the staged copy (r13 recovery-first)") {
+    val path = java.nio.file.Files
+      .createTempDirectory("extspec_bincrash").toString
+    Clustering.writeBinaryIndex(recallEmb, path, dims = 4)
+    Clustering.deleteBinaryIndex(spark, path, Seq(5L).toDF("vec_id"))
+    // simulate window (b) of a crashed compaction: the compacted copy
+    // fully staged at codes_compacting, the live codes dir deleted,
+    // tombstones still on disk (they drop last) — the state where the
+    // old replay's staging cleanup destroyed the only copy and then
+    // failed reading the missing live dir
+    spark.read.parquet(s"$path/codes")
+      .join(spark.read.parquet(s"$path/tombstones"), Seq("vec_id"),
+        "left_anti")
+      .write.parquet(s"$path/codes_compacting")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes"), true)
+    // a PLAIN replay of the compaction must heal, not destroy
+    Clustering.compactBinaryIndex(spark, path)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")),
+      "the completed compaction clears the sidecar")
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$path/codes_compacting")))
+    assert(spark.read.parquet(s"$path/codes").select("vec_id")
+      .as[Long].collect().toSet == Set(0L, 1L, 2L, 3L, 4L, 6L, 7L),
+      "healed codes must equal the compacted survivor set")
+    // and the healed index still answers probes (doc 5 gone for good)
+    val hits = Clustering.probeBinaryIndex(spark, path, recallEmb,
+        recallEmb.filter($"vec_id" === 0L), dims = 4, rerankR = 7,
+        topK = 7)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(hits.nonEmpty && !hits.exists(_._2 == 5L))
+  }
+
+  test("ivfPqDriftCard: recall decays under distribution shift, recovers after re-train (r13 verdict #6)") {
+    // base: 6 near-zero vectors (the model trains HERE); shift: 8
+    // appended vectors on a far 4x4 grid — each exactly a (left,
+    // right) centroid pair under a RE-TRAINED PQ, but collapsing to
+    // 1-2 codes under the frozen near-zero codebook. Deleting all
+    // base vectors leaves a live corpus the frozen model has never
+    // seen: ADC ties mis-rank, recall drops; compact + re-train on
+    // the survivors makes ADC == exact L2 (vectors sit ON their
+    // centroid pairs), recall returns to 1e6 ppm.
+    def grid(i: Int): Array[Float] = {
+      val l = (i % 4) * 0.1f; val r = ((i + i / 4) % 4) * 0.1f
+      Array(l, l, r, r)
+    }
+    val base = (0 until 6).map(j =>
+      (100L + j, Array.fill(4)(j * 0.0001f)))
+    val shifted = (0 until 8).map(i => (i.toLong, grid(i)))
+    val all = (base ++ shifted).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("extspec_drift").toString
+    Clustering.writeIvfPq(all.filter($"vec_id" >= 100L), path,
+      dims = 4, cells = 1, m = 2, k = 4, iters = 1)
+    Clustering.appendIvfPq(spark, path, all.filter($"vec_id" < 100L),
+      dims = 4, m = 2)
+    Clustering.deleteIvfPq(spark, path,
+      all.filter($"vec_id" >= 100L).select("vec_id"))
+    val queries = all.filter($"vec_id" < 2L)
+    def card(): (Long, Long) = {
+      val r = Clustering.ivfPqDriftCard(spark, path, all, queries,
+          dims = 4, nProbes = Seq(1), m = 2, topK = 2)
+        .select("n_live", "mean_recall_ppm")
+        .as[(Long, Long)].head()
+      r
+    }
+    val (nLive, churned) = card()
+    assert(nLive == 8L, "live set must derive from the layout itself")
+    assert(churned < 1000000L,
+      s"frozen-model recall must decay under the shift (got $churned)")
+    // re-index: drop tombstoned codes, re-train on the survivors
+    Clustering.compactIvfPq(spark, path)
+    Clustering.writeIvfPq(all.filter($"vec_id" < 100L), path,
+      dims = 4, cells = 1, m = 2, k = 4, iters = 1)
+    val (nLive2, recovered) = card()
+    assert(nLive2 == 8L)
+    assert(recovered == 1000000L,
+      s"re-trained recall must recover (got $recovered)")
+    assert(recovered > churned)
+  }
+
   test("deleteBandIndex: probe equals rebuild-on-remaining; compaction clears the tombstones (r12)") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon"),

@@ -413,6 +413,48 @@ object InvariantProps extends Properties("GraftInvariants") {
   private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
     df.collect().map(_.toSeq).toSet
 
+  private val genShrink = for {
+    (n, edges) <- genGraph
+    dels <- Gen.someOf(0 until n)
+  } yield (n, edges, dels.toSet)
+
+  property("grow ∘ shrink ∘ grow == direct build (g72 round-trip)") =
+    forAll(genShrink) { case (n, edges, dels) =>
+      import spark.implicits._
+      val nodeRows = (0 until n).map(i => (i.toString, s"L${i % 2}"))
+      val edgeRows = edges.map { case (a, b) =>
+        (a.toString, s"L${a % 2}", b.toString, s"L${b % 2}") }
+      val net = new OnionNet(spark)
+      net.growOnion(nodeRows.toDF("node_id", "layer"),
+        edgeRows.toDF("source_id", "source_layer", "target_id", "target_layer"))
+      net.checkpoint()
+      net.shrinkOnion(nodeRows.zipWithIndex
+        .collect { case ((id, l), i) if dels(i) => (id, l) }
+        .toDF("node_id", "layer"))
+      // the shrunk graph == direct build on the remaining rows
+      // (rebuild-on-remaining: induced-subgraph edge semantics)
+      val remaining = build(n, edges).filterVertices(
+        !col("nodeId").isin(dels.map(_.toString).toSeq: _*))
+      val shrunkOk =
+        rows(net.g.vertices.select("vid", "layer", "nodeId")) ==
+          rows(remaining.vertices.select("vid", "layer", "nodeId")) &&
+        rows(net.g.edges.select("src", "dst")) ==
+          rows(remaining.edges.select("src", "dst"))
+      // re-grow the removed nodes with the FULL original edge list
+      // (dangling-dropped edges must be re-sent — append semantics);
+      // cross-batch dedup makes the surviving edges inert
+      net.growOnion(nodeRows.zipWithIndex
+        .collect { case ((id, l), i) if dels(i) => (id, l) }
+        .toDF("node_id", "layer"),
+        edgeRows.toDF("source_id", "source_layer", "target_id", "target_layer"))
+      val one = build(n, edges)
+      shrunkOk &&
+        rows(net.g.vertices.select("vid", "layer", "nodeId")) ==
+          rows(one.vertices.select("vid", "layer", "nodeId")) &&
+        rows(net.g.edges.select("src", "dst")) ==
+          rows(one.edges.select("src", "dst"))
+    }
+
   property("exact dedup is idempotent and canonical ids are minimal") =
     forAll(genDocs) { words =>
       import spark.implicits._

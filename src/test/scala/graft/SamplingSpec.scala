@@ -698,6 +698,68 @@ class SamplingSpec extends SparkSuite {
     assert(replay == man, "post-repair replay must be a no-op")
   }
 
+  test("retireFromShards: replay after a delete-live-then-crash heals from the _retiring twin (r13 recovery-first)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("sampspec_crash").toString
+    val path = s"$base/layout"
+    Seq((1L, "a b", 0), (2L, "c", 0), (3L, "d", 1), (4L, "e f", 1))
+      .toDF("doc_id", "text", "shard")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    // simulate the narrowest crash window of retiring {2, 3}: the
+    // survivor twins are fully staged under _retiring, live shard=0
+    // is deleted, and the crash lands before the twin renames in and
+    // before any tombstone commits — the state where the old replay
+    // re-derived dirty shards from current files, missed shard 0
+    // entirely, and destroyed its twin in the staging cleanup
+    val dels = Seq(2L, 3L).toDF("doc_id")
+    spark.read.parquet(path).where($"shard".isin(0, 1))
+      .join(dels, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$path/_retiring")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/shard=0"), true)
+    // a PLAIN replay must heal: shard 0's twin renames in (survivor
+    // doc 1 recovered), shard 1 re-derives as dirty and rewrites
+    val man = Sampling.retireFromShards(spark, path, dels,
+        "doc_id", "text")
+      .select("shard", "n_rows").as[(Int, Long)].collect().toMap
+    assert(man == Map(0 -> 1L, 1 -> 1L),
+      "replay must heal the crash window with no survivor loss")
+    assert(spark.read.parquet(path).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 4L))
+    // post-heal replay: a completed batch, no-op
+    val replay = Sampling.retireFromShards(spark, path, dels,
+        "doc_id", "text")
+      .select("shard", "n_rows").as[(Int, Long)].collect().toMap
+    assert(replay == man, "post-heal replay must be a no-op")
+  }
+
+  test("retireFromShards: retiring the last shard leaves a sidecar-only layout that replays cleanly (r13 advice)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("sampspec_empty").toString
+    val path = s"$base/layout"
+    Seq((1L, "a", 0), (2L, "b", 0)).toDF("doc_id", "text", "shard")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    val all = Seq(1L, 2L).toDF("doc_id")
+    val man = Sampling.retireFromShards(spark, path, all,
+      "doc_id", "text")
+    assert(man.head(1).isEmpty, "retire-all must yield an empty manifest")
+    assert(!new java.io.File(s"$path/shard=0").exists)
+    // the old code crashed HERE: spark.read.parquet on a directory
+    // holding only underscore sidecars throws UNABLE_TO_INFER_SCHEMA
+    val replay = Sampling.retireFromShards(spark, path, all,
+      "doc_id", "text")
+    assert(replay.head(1).isEmpty, "replay on the emptied layout must no-op")
+    // a NEW batch against the emptied layout still commits tombstones
+    val more = Sampling.retireFromShards(spark, path,
+      Seq(9L).toDF("doc_id"), "doc_id", "text")
+    assert(more.head(1).isEmpty)
+    assert(spark.read.parquet(s"$path/_tombstones").select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L, 9L),
+      "the governance record must stay complete on an emptied layout")
+  }
+
   test("unimaxBudgets: hand-computed waterfill, both cap branches") {
     // sizes 10/20/100, budget 100, maxEpochs 3 — ascending sweep:
     //   10: min(30, 100/3=33) = 30  (EPOCH-capped)

@@ -661,6 +661,46 @@ class StreamingSpec extends SparkSuite {
       "replay after repair must not double-retract")
   }
 
+  test("compactInvertedIndex: plain replay after a DROP-then-crash heals the stranded table (r13 recovery-first)") {
+    import org.apache.spark.sql.functions.col
+    val all = Seq((1L, "data data hash"), (2L, "data hash hash batch"),
+      (3L, "batch batch data"), (4L, "data hash"))
+    graft.ext.TextOps.writeInvertedIndex(all.toDF("doc_id", "text"),
+      "streamspec_swapcrash", buckets = 2)
+    graft.ext.TextOps.deleteIndexDocs(spark, "streamspec_swapcrash",
+      Seq(2L).toDF("doc_id"))
+    // simulate window (b) of the POSTINGS swap inside a crashed
+    // compaction: the canonical postings fully staged in the
+    // __compacting table, the live postings table DROPped, crash
+    // before the RENAME. Tombstones still exist (they drop last).
+    // The compaction reads postings BEFORE its first swap, so only
+    // the entry-level recovery can heal this state.
+    spark.table("streamspec_swapcrash_postings")
+      .join(spark.table("streamspec_swapcrash_tombstones")
+        .select("doc_id"), Seq("doc_id"), "left_anti")
+      .write.bucketBy(2, "term").sortBy("term").format("parquet")
+      .saveAsTable("streamspec_swapcrash_postings__compacting")
+    spark.sql("DROP TABLE streamspec_swapcrash_postings")
+    // a PLAIN replay of the compaction must heal (ALTER RENAME keeps
+    // the bucket spec) and then complete the canonical rewrite
+    graft.ext.TextOps.compactInvertedIndex(spark, "streamspec_swapcrash")
+    assert(!spark.catalog.tableExists(
+      "streamspec_swapcrash_postings__compacting"))
+    assert(!spark.catalog.tableExists("streamspec_swapcrash_tombstones"))
+    // bucket spec survived the recovery rename
+    val nb = spark.sql("DESCRIBE FORMATTED streamspec_swapcrash_postings")
+      .filter(col("col_name") === "Num Buckets")
+      .select("data_type").head().getString(0).trim.toInt
+    assert(nb == 2, "recovery must preserve the bucket spec")
+    graft.ext.TextOps.writeInvertedIndex(
+      all.filterNot(_._1 == 2L).toDF("doc_id", "text"),
+      "streamspec_swapcrash_rb", buckets = 2)
+    def res(name: String) = graft.ext.TextOps.searchIndexBm25(spark, name,
+      Seq("data", "batch"), 10).as[(Long, Long, Long)].collect().toList
+    assert(res("streamspec_swapcrash") == res("streamspec_swapcrash_rb"),
+      "healed + compacted index must equal rebuild-on-remaining")
+  }
+
   test("deleteIndexDocs: delete == rebuild-on-remaining; replayed delete retracts exactly once (r11 verdict #2)") {
     val all = Seq((1L, "data data hash"), (2L, "data hash hash batch"),
       (3L, "batch batch data"), (4L, "data hash"))
@@ -716,6 +756,41 @@ class StreamingSpec extends SparkSuite {
       Seq("data", "batch"), 10).as[(Long, Long, Long)].collect().toList
     assert(res("streamspec_sdel") == res("streamspec_sdel_rb"),
       "streamed deletes must equal the rebuild on the remaining corpus")
+  }
+
+  test("streamingRetire: streamed retirement batches + replayed epoch == one-shot retirement (r13 verdict #7)") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq((1L, "a b", 0), (2L, "c", 0), (3L, "d e f", 1),
+      (4L, "g", 1), (5L, "h i", 2))
+    val base = java.nio.file.Files
+      .createTempDirectory("streamspec_retire").toString
+    val streamed = s"$base/streamed"
+    val oneshot = s"$base/oneshot"
+    for (p <- Seq(streamed, oneshot))
+      docs.toDF("doc_id", "text", "shard")
+        .write.mode("overwrite").partitionBy("shard").parquet(p)
+    val stream = MemoryStream[Long]
+    val q = graft.ext.Sampling.streamingRetire(streamed,
+      stream.toDF().toDF("doc_id"), "doc_id", "text")
+    try {
+      stream.addData(2L); q.processAllAvailable()
+      stream.addData(4L, 2L); q.processAllAvailable() // 2 re-delivered
+      stream.addData(3L); q.processAllAvailable()     // empties shard 1
+    } finally q.stop()
+    val one = graft.ext.Sampling.retireFromShards(spark, oneshot,
+        Seq(2L, 3L, 4L).toDF("doc_id"), "doc_id", "text")
+      .select("shard", "n_rows", "n_tokens", "checksum")
+      .as[(Int, Long, Long, Long)].collect().toSet
+    val manifest = graft.ext.Sampling.retireFromShards(spark, streamed,
+        spark.range(0).select(col("id").as("doc_id")), "doc_id", "text")
+      .select("shard", "n_rows", "n_tokens", "checksum")
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(manifest == one,
+      "streamed retirement must hash-match the one-shot manifest")
+    assert(spark.read.parquet(streamed).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 5L))
+    assert(!new java.io.File(s"$streamed/shard=1").exists,
+      "a shard emptied by a streamed batch must be gone")
   }
 
   test("deleteBinaryIndex: replay is a no-op; compaction clears tombstones with the probe unchanged (r11 verdict #2)") {
