@@ -39,16 +39,75 @@ object SparkConfs {
     *
     * The conf flip is session-global for the duration — same
     * single-threaded assumption the per-session graph caches make. */
-  def maybeInterpreted[A](spark: org.apache.spark.sql.SparkSession,
-                          rows: Long)(body: => A): A = {
-    val key = "spark.sql.codegen.wholeStage"
-    if (rows < 0 || rows >= InterpretedRows) body
-    else {
-      val prev = spark.conf.get(key, "true")
-      spark.conf.set(key, "false")
-      try body finally spark.conf.set(key, prev)
+  /** Re-entrancy accounting for [[maybeInterpreted]]: concurrent
+    * gated scopes on one session (pqModel trains its m subspaces from
+    * a driver thread pool, each training gating itself) must not race
+    * the save/restore — only the scope that takes the depth 0→1 saves
+    * the previous value, and only the one returning it to 0 restores,
+    * so a nested or overlapping scope can never re-save the already-
+    * flipped "false" and strand the session. */
+  private val confScopes =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String),
+      (java.util.concurrent.atomic.AtomicInteger, Array[Map[String, String]])]
+
+  /** Depth-counted scoped conf flip shared by [[maybeInterpreted]] and
+    * [[maybeSmallLoop]]: only the scope taking depth 0→1 saves the
+    * previous values and sets the overrides; only the one returning it
+    * to 0 restores — so concurrent or nested gated scopes on one
+    * session (pqModel's thread-pooled subspace trainings each gate
+    * themselves) can never re-save an already-flipped value and strand
+    * the session. */
+  private def scopedConfs[A](spark: org.apache.spark.sql.SparkSession,
+                             tag: String, overrides: Map[String, String])
+                            (body: => A): A = {
+    confScopes.forEach((k, v) =>
+      if (k._1.sparkContext.isStopped) confScopes.remove(k, v))
+    val st = confScopes.computeIfAbsent((spark, tag),
+      _ => (new java.util.concurrent.atomic.AtomicInteger(0),
+        Array[Map[String, String]](null)))
+    st.synchronized {
+      if (st._1.getAndIncrement() == 0) {
+        st._2(0) = overrides.map { case (k, _) =>
+          k -> spark.conf.get(k, null) }
+        overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+      }
+    }
+    try body finally st.synchronized {
+      if (st._1.decrementAndGet() == 0) st._2(0).foreach {
+        case (k, null) => spark.conf.unset(k)
+        case (k, v) => spark.conf.set(k, v)
+      }
     }
   }
+
+  def maybeInterpreted[A](spark: org.apache.spark.sql.SparkSession,
+                          rows: Long)(body: => A): A =
+    if (rows < 0 || rows >= InterpretedRows) body
+    else scopedConfs(spark, "interp",
+      Map("spark.sql.codegen.wholeStage" -> "false"))(body)
+
+  /** Run `body` (a bounded-round kernel over a MEASURED-small graph)
+    * with adaptive execution off and the shuffle-partition count
+    * dropped to a handful: AQE materializes every exchange as its own
+    * query-stage JOB (a driver sync point each), and 32-partition
+    * exchanges of a few-thousand-row state cost more scheduling than
+    * compute — a 4-round kernel over a ~4k-edge projection runs ~60
+    * jobs × tens of ms of pure overhead. Callers must pair this with
+    * EXPLICIT broadcast hints on their provably-small join sides
+    * (everything AQE's runtime broadcast conversion was providing),
+    * and must gate on a measured row bound so big inputs keep the
+    * adaptive path untouched — this is the scale-adaptive partitioning
+    * rule (fewer, right-sized partitions for small state; AQE for real
+    * data volume), not a local[32] constant. */
+  def maybeSmallLoop[A](spark: org.apache.spark.sql.SparkSession,
+                        rows: Long)(body: => A): A =
+    if (rows < 0 || rows >= InterpretedRows) body
+    else scopedConfs(spark, "smallloop", Map(
+      "spark.sql.adaptive.enabled" -> "false",
+      // enough slots to keep skew harmless at the bound, few enough
+      // that a tiny exchange isn't 32 near-empty tasks
+      "spark.sql.shuffle.partitions" -> "4"))(body)
 
   /** Run `body` with Catalyst constraint propagation off. The
     * self-referential union shape of iterative pair-state loops

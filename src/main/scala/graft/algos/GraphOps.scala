@@ -265,17 +265,28 @@ object GraphOps {
         .na.fill(0L, Seq("is_seed"))
     }).localCheckpoint()
     var ranks = vbase.select(col("vid"), (col("is_seed") * Scale).as("r"))
+    // small-graph fast path (see LinkAnalysis.louvainLocalMove): ranks,
+    // out-degrees and the gathered sums are all vertex-sized — under
+    // the gate they broadcast and the rounds skip AQE's per-exchange
+    // stage jobs; big graphs keep the adaptive path
+    val nV = vbase.count()
+    val mE = e.count()
+    val small = nV + mE < graft.SparkConfs.InterpretedRows
+    def bc(df: DataFrame): DataFrame =
+      if (small) org.apache.spark.sql.functions.broadcast(df) else df
+    graft.SparkConfs.maybeSmallLoop(g.spark, nV + mE) {
     for (_ <- 1 to iters) {
-      val contrib = e.join(ranks.withColumnRenamed("vid", "src"), Seq("src"))
-        .join(out, Seq("src"))
+      val contrib = e.join(bc(ranks.withColumnRenamed("vid", "src")), Seq("src"))
+        .join(bc(out), Seq("src"))
         .select(col("dst").as("vid"), expr("r DIV odeg").as("c"))
       ranks = vbase
-        .join(contrib.groupBy("vid")
-          .agg(sum(col("c").cast("decimal(38,0)")).as("s")), Seq("vid"), "left")
+        .join(bc(contrib.groupBy("vid")
+          .agg(sum(col("c").cast("decimal(38,0)")).as("s"))), Seq("vid"), "left")
         .select(col("vid"),
           (col("is_seed") * lit(Scale * 15 / 100)
             + coalesce(expr("(85 * s) DIV 100"), lit(0L))).as("r"))
         .localCheckpoint() // bound the per-iteration plan depth
+    }
     }
     ranks.select(col("vid"), col("r").as("rank_fp"))
   }
@@ -312,19 +323,27 @@ object GraphOps {
       .localCheckpoint()
     val v = g.vertices.select("vid").localCheckpoint()
     var ranks = v.select(col("vid"), lit(Scale).as("r"))
+    // small-graph fast path — see pageRankFixedPoint
+    val nV = v.count()
+    val mE = e.count()
+    val small = nV + mE < graft.SparkConfs.InterpretedRows
+    def bc(df: DataFrame): DataFrame =
+      if (small) org.apache.spark.sql.functions.broadcast(df) else df
+    graft.SparkConfs.maybeSmallLoop(g.spark, nV + mE) {
     for (_ <- 1 to iters) {
-      val contrib = e.join(ranks.withColumnRenamed("vid", "src"), Seq("src"))
-        .join(out, Seq("src"))
+      val contrib = e.join(bc(ranks.withColumnRenamed("vid", "src")), Seq("src"))
+        .join(bc(out), Seq("src"))
         .select(col("dst").as("vid"),
           expr("CAST((CAST(r AS DECIMAL(38,0)) * w) DIV wdeg AS BIGINT)")
             .as("c"))
       ranks = v
-        .join(contrib.groupBy("vid")
-          .agg(sum(col("c").cast("decimal(38,0)")).as("s")), Seq("vid"), "left")
+        .join(bc(contrib.groupBy("vid")
+          .agg(sum(col("c").cast("decimal(38,0)")).as("s"))), Seq("vid"), "left")
         .select(col("vid"),
           (lit(Scale * 15 / 100)
             + coalesce(expr("(85 * s) DIV 100"), lit(0L))).as("r"))
         .localCheckpoint()
+    }
     }
     ranks.select(col("vid"), col("r").as("rank_fp"))
   }
@@ -557,14 +576,20 @@ object GraphOps {
     require(iters >= 1, s"hitsFixedPoint: iters >= 1, got $iters")
     val e = g.edges.select("src", "dst").localCheckpoint()
     val v = g.vertices.select("vid").localCheckpoint()
+    // small-graph fast path — see pageRankFixedPoint
+    val nV = v.count()
+    val mE = e.count()
+    val small = nV + mE < graft.SparkConfs.InterpretedRows
+    def bc(df: DataFrame): DataFrame =
+      if (small) org.apache.spark.sql.functions.broadcast(df) else df
     // one half-step: gather `from`'s score across edges keyed on
     // `joinKey`, grouped onto `gatherKey`, then max-normalize
     def halfStep(joinKey: String, gatherKey: String,
                  from: DataFrame): DataFrame = {
       val raw = v.join(
-        e.join(from.withColumnRenamed("vid", joinKey), Seq(joinKey))
+        bc(e.join(bc(from.withColumnRenamed("vid", joinKey)), Seq(joinKey))
           .groupBy(col(gatherKey).as("vid"))
-          .agg(sum(col("x").cast("decimal(38,0)")).as("s")),
+          .agg(sum(col("x").cast("decimal(38,0)")).as("s"))),
         Seq("vid"), "left")
         .select(col("vid"),
           coalesce(col("s"), lit(0).cast("decimal(38,0)")).as("s"))
@@ -577,9 +602,11 @@ object GraphOps {
     }
     var hub = v.select(col("vid"), lit(1000000L).as("x"))
     var auth = hub
+    graft.SparkConfs.maybeSmallLoop(g.spark, nV + mE) {
     for (_ <- 1 to iters) {
       auth = halfStep("src", "dst", hub)
       hub = halfStep("dst", "src", auth)
+    }
     }
     auth.select(col("vid"), col("x").as("auth_fp"))
       .join(hub.select(col("vid"), col("x").as("hub_fp")), Seq("vid"))
@@ -619,16 +646,24 @@ object GraphOps {
     val e = g.edges.select("src", "dst").localCheckpoint()
     val v = g.vertices.select("vid").localCheckpoint()
     var x = v.select(col("vid"), lit(betaMicro).as("x"))
+    // small-graph fast path — see pageRankFixedPoint
+    val nV = v.count()
+    val mE = e.count()
+    val small = nV + mE < graft.SparkConfs.InterpretedRows
+    def bc(df: DataFrame): DataFrame =
+      if (small) org.apache.spark.sql.functions.broadcast(df) else df
+    graft.SparkConfs.maybeSmallLoop(g.spark, nV + mE) {
     for (_ <- 1 to iters) {
-      val gathered = e.join(x.withColumnRenamed("vid", "src"), Seq("src"))
+      val gathered = e.join(bc(x.withColumnRenamed("vid", "src")), Seq("src"))
         .groupBy(col("dst").as("vid"))
         .agg(sum(col("x").cast("decimal(38,0)")).as("s"))
-      x = v.join(gathered, Seq("vid"), "left")
+      x = v.join(bc(gathered), Seq("vid"), "left")
         .select(col("vid"),
           (lit(betaMicro)
             + coalesce(expr(s"CAST(s DIV $alphaDen AS BIGINT)"), lit(0L)))
             .as("x"))
         .localCheckpoint()
+    }
     }
     x.select(col("vid"), col("x").as("katz_fp"))
   }

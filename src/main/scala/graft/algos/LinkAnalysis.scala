@@ -303,9 +303,18 @@ object LinkAnalysis {
     val spRows = sp.count()
     def maybeBcast(df: DataFrame): DataFrame =
       if (spRows < 2000000L) broadcast(df) else df
-    val st = sp.where(col("src") < col("node"))
+    // when both combination sides broadcast, the (s,t) stream side keeps
+    // the BFS tail's AQE-coalesced partitioning (1-2 partitions at small
+    // SF) and the n³ expansion runs single-threaded — spread it across
+    // the cluster first (a pair-table-sized round-robin, trivial next to
+    // the expansion it parallelizes; the >2M fallback path repartitions
+    // through its own shuffled joins anyway)
+    val st0 = sp.where(col("src") < col("node"))
       .select(col("src").as("s"), col("node").as("t"),
         col("dist").as("dst"), col("sigma").as("sigst"))
+    val st = if (spRows < 2000000L)
+      st0.repartition(edges.sparkSession.sparkContext.defaultParallelism)
+    else st0
     val sv = maybeBcast(sp.select(col("src").as("s"), col("node").as("v"),
       col("dist").as("dsv"), col("sigma").as("sigsv")))
     val tv = maybeBcast(sp.select(col("src").as("t"), col("node").as("v"),
@@ -544,11 +553,17 @@ object LinkAnalysis {
     def maybeBcast(df: DataFrame): DataFrame =
       if (spRows < 2000000L) broadcast(df) else df
     // (s, t) pairs restricted to pivots on BOTH ends: src always is a
-    // pivot; the semi-join pins node too
-    val st = sp.where(col("src") < col("node"))
+    // pivot; the semi-join pins node too. Spread the tiny stream side
+    // before the broadcast expansion (see betweenness — it would
+    // otherwise keep the BFS tail's coalesced 1-2 partitions and run
+    // the combination nearly single-threaded)
+    val st0 = sp.where(col("src") < col("node"))
       .join(pivots, Seq("node"), "left_semi")
       .select(col("src").as("s"), col("node").as("t"),
         col("dist").as("dst"), col("sigma").as("sigst"))
+    val st = if (spRows < 2000000L)
+      st0.repartition(edges.sparkSession.sparkContext.defaultParallelism)
+    else st0
     val sv = maybeBcast(sp.select(col("src").as("s"), col("node").as("v"),
       col("dist").as("dsv"), col("sigma").as("sigsv")))
     val tv = maybeBcast(sp.select(col("src").as("t"), col("node").as("v"),
@@ -617,14 +632,20 @@ object LinkAnalysis {
     var labels = seeds.select(col("id"), col("label"), lit(0).as("round"))
       .localCheckpoint()
     var frontier = labels.select(col("id").as("u"), col("label"))
+    // small-graph fast path (see louvainLocalMove): frontier and the
+    // label table are vertex-sized — broadcast them under the gate
+    val mE = und.count()
+    val small = 2 * mE < graft.SparkConfs.InterpretedRows
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    graft.SparkConfs.maybeSmallLoop(edges.sparkSession, 2 * mE) {
     for (t <- 1 to rounds) {
       // frontier-only neighbor counting IS all-labeled-neighbor
       // counting: a vertex still unlabeled at round t cannot neighbor
       // anything labeled before t-1 (it would have been labeled then)
-      val cand = und.join(frontier.select(col("u"), col("label")), Seq("u"))
+      val cand = und.join(bc(frontier.select(col("u"), col("label"))), Seq("u"))
         .select(col("v").as("id"), col("label"))
       val newly = cand
-        .join(labels.select("id"), Seq("id"), "left_anti")
+        .join(bc(labels.select("id")), Seq("id"), "left_anti")
         .groupBy("id", "label").agg(count(lit(1)).as("n"))
         .groupBy("id")
         .agg(max(struct(col("n"), (-col("label")).as("nl"))).as("m"))
@@ -632,6 +653,7 @@ object LinkAnalysis {
         .localCheckpoint()
       labels = labels.unionByName(newly).localCheckpoint()
       frontier = newly.select(col("id").as("u"), col("label"))
+    }
     }
     labels
   }
@@ -774,31 +796,43 @@ object LinkAnalysis {
     val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
     var assign = deg.select(col("u").as("id"), col("u").as("community"),
       col("d")).localCheckpoint()
-    for (_ <- 1 to rounds) {
-      val cand = sym
-        .join(assign.select(col("id").as("v"), col("community").as("c")), "v")
-        .groupBy("u", "c").agg(count(lit(1)).as("kuc"))
-      val tot = assign.groupBy("community").agg(sum("d").as("tot"))
-      // the stay candidate rides along at kuc=0; MAX restores the real
-      // edge count where the vertex does have intra-community edges
-      val allc = cand
-        .unionByName(assign.select(col("id").as("u"),
-          col("community").as("c"), lit(0L).as("kuc")))
-        .groupBy("u", "c").agg(max("kuc").as("kuc"))
-      val gain = allc
-        .join(assign.select(col("id").as("u"), col("community").as("cur"),
-          col("d")), "u")
-        .filter(col("c") <= col("cur"))  // monotone labels: no oscillation
-        .join(tot.select(col("community").as("c"), col("tot")), "c")
-        .withColumn("g",
-          lit(2L * mEdges) * col("kuc") - col("d") *
-            (col("tot") - when(col("cur") === col("c"), col("d"))
-              .otherwise(lit(0L))))
-      assign = graft.plans.TopKPerGroup(
-          gain.select("u", "c", "g", "d"),
-          Seq("u"), Seq(("g", false), ("c", true)), 1)
-        .select(col("u").as("id"), col("c").as("community"), col("d"))
-        .localCheckpoint()
+    // Small-graph fast path (measured: the sf0.1 co-purchase projection
+    // is ~4k edges / 20k vertices — the rounds are pure scheduling
+    // overhead under AQE's per-exchange query-stage jobs): state is
+    // vertex-sized, so when V+E sit under the gate every assignment-
+    // side join can broadcast EXPLICITLY and the loop runs without
+    // adaptive re-planning. Big graphs keep the AQE path bit-for-bit.
+    val nV = assign.count()
+    val small = nV + 2 * mEdges < graft.SparkConfs.InterpretedRows
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    graft.SparkConfs.maybeSmallLoop(e.sparkSession, nV + 2 * mEdges) {
+      for (_ <- 1 to rounds) {
+        val cand = sym
+          .join(bc(assign.select(col("id").as("v"), col("community").as("c"))),
+            "v")
+          .groupBy("u", "c").agg(count(lit(1)).as("kuc"))
+        val tot = assign.groupBy("community").agg(sum("d").as("tot"))
+        // the stay candidate rides along at kuc=0; MAX restores the real
+        // edge count where the vertex does have intra-community edges
+        val allc = cand
+          .unionByName(assign.select(col("id").as("u"),
+            col("community").as("c"), lit(0L).as("kuc")))
+          .groupBy("u", "c").agg(max("kuc").as("kuc"))
+        val gain = allc
+          .join(bc(assign.select(col("id").as("u"), col("community").as("cur"),
+            col("d"))), "u")
+          .filter(col("c") <= col("cur"))  // monotone labels: no oscillation
+          .join(bc(tot.select(col("community").as("c"), col("tot"))), "c")
+          .withColumn("g",
+            lit(2L * mEdges) * col("kuc") - col("d") *
+              (col("tot") - when(col("cur") === col("c"), col("d"))
+                .otherwise(lit(0L))))
+        assign = graft.plans.TopKPerGroup(
+            gain.select("u", "c", "g", "d"),
+            Seq("u"), Seq(("g", false), ("c", true)), 1)
+          .select(col("u").as("id"), col("c").as("community"), col("d"))
+          .localCheckpoint()
+      }
     }
     assign.select("id", "community")
   }
@@ -832,29 +866,38 @@ object LinkAnalysis {
     // kernel's join-count trick)
     var assign = deg.select(col("u").as("id"), col("u").as("community"),
       col("d")).localCheckpoint()
-    for (_ <- 1 to rounds) {
-      val cand = sym
-        .join(assign.select(col("id").as("v"), col("community").as("c")), "v")
-        .groupBy("u", "c").agg(sum("w").as("kuc"))
-      val tot = assign.groupBy("community").agg(sum("d").as("tot"))
-      val allc = cand
-        .unionByName(assign.select(col("id").as("u"),
-          col("community").as("c"), lit(0L).as("kuc")))
-        .groupBy("u", "c").agg(max("kuc").as("kuc"))
-      val gain = allc
-        .join(assign.select(col("id").as("u"), col("community").as("cur"),
-          col("d")), "u")
-        .filter(col("c") <= col("cur"))
-        .join(tot.select(col("community").as("c"), col("tot")), "c")
-        .withColumn("g",
-          lit(2L * mW) * col("kuc") - col("d") *
-            (col("tot") - when(col("cur") === col("c"), col("d"))
-              .otherwise(lit(0L))))
-      assign = graft.plans.TopKPerGroup(
-          gain.select("u", "c", "g", "d"),
-          Seq("u"), Seq(("g", false), ("c", true)), 1)
-        .select(col("u").as("id"), col("c").as("community"), col("d"))
-        .localCheckpoint()
+    // same small-graph fast path as [[louvainLocalMove]]: explicit
+    // broadcasts + no per-exchange AQE stage jobs under the gate
+    val nV = assign.count()
+    val mE = e.count()
+    val small = nV + 2 * mE < graft.SparkConfs.InterpretedRows
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    graft.SparkConfs.maybeSmallLoop(e.sparkSession, nV + 2 * mE) {
+      for (_ <- 1 to rounds) {
+        val cand = sym
+          .join(bc(assign.select(col("id").as("v"), col("community").as("c"))),
+            "v")
+          .groupBy("u", "c").agg(sum("w").as("kuc"))
+        val tot = assign.groupBy("community").agg(sum("d").as("tot"))
+        val allc = cand
+          .unionByName(assign.select(col("id").as("u"),
+            col("community").as("c"), lit(0L).as("kuc")))
+          .groupBy("u", "c").agg(max("kuc").as("kuc"))
+        val gain = allc
+          .join(bc(assign.select(col("id").as("u"), col("community").as("cur"),
+            col("d"))), "u")
+          .filter(col("c") <= col("cur"))
+          .join(bc(tot.select(col("community").as("c"), col("tot"))), "c")
+          .withColumn("g",
+            lit(2L * mW) * col("kuc") - col("d") *
+              (col("tot") - when(col("cur") === col("c"), col("d"))
+                .otherwise(lit(0L))))
+        assign = graft.plans.TopKPerGroup(
+            gain.select("u", "c", "g", "d"),
+            Seq("u"), Seq(("g", false), ("c", true)), 1)
+          .select(col("u").as("id"), col("c").as("community"), col("d"))
+          .localCheckpoint()
+      }
     }
     assign.select("id", "community")
   }
@@ -978,23 +1021,31 @@ object LinkAnalysis {
       .withColumn("p", prio(col("id")))
       .withColumn("status", lit(0)) // 0 undecided, 1 mis, 2 excluded
       .localCheckpoint()
+    // small-graph fast path (see louvainLocalMove): every per-round
+    // side is vertex-sized, so under the gate they broadcast and the
+    // loop skips AQE's per-exchange stage jobs
+    val nV = st.count()
+    val mE = e.count()
+    val small = nV + 2 * mE < graft.SparkConfs.InterpretedRows
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    graft.SparkConfs.maybeSmallLoop(e.sparkSession, nV + 2 * mE) {
     for (_ <- 1 to rounds) {
       val und = st.filter(col("status") === 0)
       val nbrMin = sym
-        .join(und.select(col("id").as("u")), Seq("u"), "left_semi")
-        .join(und.select(col("id").as("v"), col("p").as("vp")), Seq("v"))
+        .join(bc(und.select(col("id").as("u"))), Seq("u"), "left_semi")
+        .join(bc(und.select(col("id").as("v"), col("p").as("vp"))), Seq("v"))
         .groupBy("u").agg(min("vp").as("mn"))
       val winners = und
-        .join(nbrMin.select(col("u").as("id"), col("mn")), Seq("id"), "left")
+        .join(bc(nbrMin.select(col("u").as("id"), col("mn"))), Seq("id"), "left")
         .filter(col("mn").isNull || col("p") < col("mn"))
         .select("id")
       val excluded = sym
-        .join(winners.select(col("id").as("u")), Seq("u"), "left_semi")
+        .join(bc(winners.select(col("id").as("u"))), Seq("u"), "left_semi")
         .select(col("v").as("id")).distinct()
-        .join(und.select("id"), Seq("id"), "left_semi")
+        .join(bc(und.select("id")), Seq("id"), "left_semi")
       st = st
-        .join(winners.withColumn("__w", lit(true)), Seq("id"), "left")
-        .join(excluded.withColumn("__x", lit(true)), Seq("id"), "left")
+        .join(bc(winners.withColumn("__w", lit(true))), Seq("id"), "left")
+        .join(bc(excluded.withColumn("__x", lit(true))), Seq("id"), "left")
         .withColumn("status",
           when(col("status") =!= 0, col("status"))
             .when(col("__w"), lit(1))
@@ -1002,6 +1053,7 @@ object LinkAnalysis {
             .otherwise(lit(0)))
         .select("id", "p", "status")
         .localCheckpoint()
+    }
     }
     st.select(col("id"),
       when(col("status") === 1, lit("mis"))
@@ -1050,10 +1102,18 @@ object LinkAnalysis {
       .withColumn("c", col("id")).transform(ck)
     var acc = e.select(col("a"), col("b"), col("w"), lit(0).as("round"))
       .where(lit(false))
+    // small-graph fast path (see louvainLocalMove): comp/best/ptr are
+    // all component-table-sized — broadcast them under the gate and
+    // run the jump chain without AQE's per-exchange stage jobs
+    val mE = e.count()
+    val nV = comp.count()
+    val small = nV + 2 * mE < graft.SparkConfs.InterpretedRows
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    graft.SparkConfs.maybeSmallLoop(pairs.sparkSession, nV + 2 * mE) {
     for (r <- 1 to rounds) {
       val ce = e
-        .join(comp.select(col("id").as("a"), col("c").as("ca")), Seq("a"))
-        .join(comp.select(col("id").as("b"), col("c").as("cb")), Seq("b"))
+        .join(bc(comp.select(col("id").as("a"), col("c").as("ca"))), Seq("a"))
+        .join(bc(comp.select(col("id").as("b"), col("c").as("cb"))), Seq("b"))
         .where(col("ca") =!= col("cb"))
       val sym = ce.select(col("ca").as("u"), col("cb").as("v"), col("w"),
           col("a"), col("b"))
@@ -1070,7 +1130,7 @@ object LinkAnalysis {
       // pointer graph: u -> its best partner; mutual pairs root at the
       // smaller id, then pointer-jump so chains <= 2^jumps collapse
       var ptr = best.as("x")
-        .join(best.select(col("u").as("yu"), col("v").as("yv")).as("y"),
+        .join(bc(best.select(col("u").as("yu"), col("v").as("yv")).as("y")),
           col("y.yu") === col("x.v") && col("y.yv") === col("x.u"), "left")
         .select(col("x.u").as("u"),
           when(col("y.yu").isNotNull, least(col("x.u"), col("x.v")))
@@ -1081,15 +1141,16 @@ object LinkAnalysis {
       ptr = ck(ptr)
       for (_ <- 1 to jumps) {
         ptr = ck(ptr
-          .join(ptr.select(col("u").as("v"), col("v").as("vv")),
+          .join(bc(ptr.select(col("u").as("v"), col("v").as("vv"))),
             Seq("v"), "left")
           .select(col("u"), coalesce(col("vv"), col("v")).as("v")))
       }
       comp = comp
-        .join(ptr.select(col("u").as("c"), col("v").as("nc")), Seq("c"),
+        .join(bc(ptr.select(col("u").as("c"), col("v").as("nc"))), Seq("c"),
           "left")
         .select(col("id"), coalesce(col("nc"), col("c")).as("c"))
         .transform(ck)
+    }
     }
     acc
   }
@@ -1159,6 +1220,13 @@ object LinkAnalysis {
       .localCheckpoint()
     var acc = live.select(col("a"), col("b"), lit(0).as("round"))
       .where(lit(false))
+    // small-graph fast path (see louvainLocalMove): best/matched are
+    // vertex-sized, live only shrinks — broadcast them under the gate
+    // and skip AQE's per-exchange stage jobs
+    val mE = live.count()
+    val small = 3 * mE < graft.SparkConfs.InterpretedRows
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    graft.SparkConfs.maybeSmallLoop(pairs.sparkSession, 3 * mE) {
     for (r <- 1 to rounds) {
       val sym = live.select(col("a").as("u"), col("p"), col("a"), col("b"))
         .unionByName(live.select(col("b").as("u"), col("p"), col("a"),
@@ -1167,10 +1235,10 @@ object LinkAnalysis {
         .agg(min(struct(col("p"), col("a"), col("b"))).as("m"))
         .select(col("u"), col("m.a").as("ma"), col("m.b").as("mb"))
       val win = live
-        .join(best.select(col("u").as("a"), col("ma"), col("mb")), Seq("a"))
+        .join(bc(best.select(col("u").as("a"), col("ma"), col("mb"))), Seq("a"))
         .where(col("ma") === col("a") && col("mb") === col("b"))
         .drop("ma", "mb")
-        .join(best.select(col("u").as("b"), col("ma"), col("mb")), Seq("b"))
+        .join(bc(best.select(col("u").as("b"), col("ma"), col("mb"))), Seq("b"))
         .where(col("ma") === col("a") && col("mb") === col("b"))
         .select(col("a"), col("b"))
         .localCheckpoint()
@@ -1178,10 +1246,11 @@ object LinkAnalysis {
       val matched = win.select(col("a").as("id"))
         .unionByName(win.select(col("b").as("id"))).distinct()
       live = live
-        .join(matched.select(col("id").as("a")), Seq("a"), "left_anti")
-        .join(matched.select(col("id").as("b")), Seq("b"), "left_anti")
+        .join(bc(matched.select(col("id").as("a"))), Seq("a"), "left_anti")
+        .join(bc(matched.select(col("id").as("b"))), Seq("b"), "left_anti")
         .select("a", "b", "p")
         .localCheckpoint()
+    }
     }
     acc
   }
@@ -1211,25 +1280,41 @@ object LinkAnalysis {
   def corenessHIndex(edges: DataFrame, rounds: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(rounds >= 0, s"corenessHIndex: rounds >= 0, got $rounds")
+    // pre-partition the static symmetrized adjacency by the window key
+    // ONCE: every round's per-vertex window (and the groupBy("u") after
+    // it) then reuses the checkpointed HashPartitioning(u) instead of
+    // re-exchanging the edge list per round — at any scale
     val und = edges.select(col("a").as("u"), col("b").as("v"))
       .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      .repartition(col("u"))
       .localCheckpoint()
     var vals = und.groupBy(col("u").as("id"))
       .agg(count(lit(1)).cast("long").as("val"))
       .localCheckpoint()
     val w = Window.partitionBy("u").orderBy(col("nval").desc)
+    // small-graph fast path (see louvainLocalMove): the value table is
+    // vertex-sized — broadcast it into the adjacency join under the gate
+    val nV = vals.count()
+    val mE = und.count()
+    val small = nV + mE < graft.SparkConfs.InterpretedRows
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    graft.SparkConfs.maybeSmallLoop(edges.sparkSession, nV + mE) {
     for (_ <- 1 to rounds) {
       val h = und
-        .join(vals.select(col("id").as("v"), col("val").as("nval")),
+        .join(bc(vals.select(col("id").as("v"), col("val").as("nval"))),
           Seq("v"))
         .withColumn("rn", row_number().over(w).cast("long"))
         .groupBy("u").agg(max(least(col("nval"), col("rn"))).as("h"))
       vals = vals
-        .join(h.withColumnRenamed("u", "id"), Seq("id"), "left")
+        .join(bc(h.withColumnRenamed("u", "id")), Seq("id"), "left")
         .select(col("id"),
           least(col("val"), coalesce(col("h"), lit(0L))).cast("long")
             .as("val"))
         .localCheckpoint(eager = false)
+    }
+    // materialize INSIDE the gate when small: the lazy round chain
+    // otherwise compiles at the caller's action, outside this scope
+    if (small) vals = vals.localCheckpoint()
     }
     vals.select(col("id"), col("val").as("coreness"))
   }

@@ -329,12 +329,20 @@ object Traversals {
       .select(greatest(col("a"), col("b")).as("src"),
         least(col("a"), col("b")).as("dst"))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
-    var converged = e.isEmpty
+    // small-graph fast path (see LinkAnalysis.louvainLocalMove): the
+    // per-node min table is vertex-sized — broadcast it under the gate
+    // and run the contraction rounds without AQE's per-exchange stage
+    // jobs; the edge set only shrinks, so the entry count is the bound
+    val mE = e.count()
+    val small = 2 * mE < graft.SparkConfs.InterpretedRows
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    graft.SparkConfs.maybeSmallLoop(pairs.sparkSession, 2 * mE) {
+    var converged = mE == 0L
     var rounds = 0
     while (!converged) {
       rounds += 1
-      val e1 = largeStarRound(e).localCheckpoint()
-      val e2 = smallStarRound(e1).localCheckpoint()
+      val e1 = largeStarRound(e, bc).localCheckpoint()
+      val e2 = smallStarRound(e1, bc).localCheckpoint()
       // e and e2 are each duplicate-free, so |multiset union| grouped
       // by key has count==2 everywhere iff e == e2: one shuffle + one
       // isEmpty action, vs two full distinct-anti-join passes for the
@@ -343,17 +351,19 @@ object Traversals {
         .agg(count(lit(1)).as("n")).filter(col("n") =!= 2).isEmpty
       e = e2
     }
+    }
     e.select(col("src").as("id"), col("dst").as("comp"))
   }
 
   /** Large-star: per node u over the symmetrized neighborhood, hang
     * every strictly-larger neighbor on m(u) = min(Γ(u) ∪ {u}).
     * Output stays canonical (parent < child). */
-  private def largeStarRound(e: DataFrame): DataFrame = {
+  private def largeStarRound(e: DataFrame,
+                             bc: DataFrame => DataFrame): DataFrame = {
     val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
     val m = sym.groupBy("src").agg(min("dst").as("mn"))
       .select(col("src"), least(col("mn"), col("src")).as("m"))
-    sym.join(m, Seq("src"))
+    sym.join(bc(m), Seq("src"))
       .filter(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -362,9 +372,10 @@ object Traversals {
 
   /** Small-star: per child u over its (already canonical) parent set
     * P(u), hang u and every non-min parent on min(P(u)). */
-  private def smallStarRound(e: DataFrame): DataFrame = {
+  private def smallStarRound(e: DataFrame,
+                             bc: DataFrame => DataFrame): DataFrame = {
     val m = e.groupBy("src").agg(min("dst").as("m"))
-    val withM = e.join(m, Seq("src"))
+    val withM = e.join(bc(m), Seq("src"))
     withM.select(col("src"), col("m").as("dst"))
       .unionAll(withM.filter(col("dst") =!= col("m"))
         .select(col("dst").as("src"), col("m").as("dst")))
@@ -606,14 +617,25 @@ object Traversals {
       .where(col("src") =!= col("dst")).distinct().localCheckpoint()
     var lvl = vertices.select(col("vid")).distinct()
       .withColumn("level", lit(0L)).localCheckpoint()
+    // small-graph fast path (see LinkAnalysis.louvainLocalMove): the
+    // level table is vertex-sized — broadcast it under the gate
+    val mE = e.count()
+    val nV = lvl.count()
+    val small = nV + mE < graft.SparkConfs.InterpretedRows
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    graft.SparkConfs.maybeSmallLoop(edges.sparkSession, nV + mE) {
     for (_ <- 1 to rounds) {
-      val upd = e.join(lvl.withColumnRenamed("vid", "src"), Seq("src"))
+      val upd = e.join(bc(lvl.withColumnRenamed("vid", "src")), Seq("src"))
         .groupBy(col("dst").as("vid"))
         .agg(max(col("level") + 1L).as("nl"))
-      lvl = lvl.join(upd, Seq("vid"), "left")
+      lvl = lvl.join(bc(upd), Seq("vid"), "left")
         .select(col("vid"),
           greatest(col("level"), coalesce(col("nl"), lit(0L))).as("level"))
         .localCheckpoint(eager = false)
+    }
+    // materialize INSIDE the gate when small: the lazy round chain
+    // otherwise compiles at the caller's action, outside this scope
+    if (small) lvl = lvl.localCheckpoint()
     }
     lvl
   }

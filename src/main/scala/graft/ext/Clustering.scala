@@ -118,8 +118,13 @@ object Clustering {
         .groupBy((("vec_id" +: riders) :+ "cluster").map(col): _*)
         .agg(sum(((col("q") - col("cq")) * (col("q") - col("cq")))
           .cast("decimal(38,0)")).as("d2"))
-      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
-      d2.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      // per-vector argmin via the bounded-heap TopKPerGroup operator
+      // instead of a row_number window: the partial phase caps each map
+      // partition at one row per vector BEFORE the exchange and nothing
+      // sorts whole partitions — same (d2, cluster) total order, same
+      // row selected
+      graft.plans.TopKPerGroup(d2, "vec_id" +: riders,
+          Seq(("d2", true), ("cluster", true)), 1)
         .select(col("vec_id") +: riders.map(col) :+
           col("cluster") :+ col("d2").cast("long").as("d2"): _*)
     }
@@ -129,10 +134,15 @@ object Clustering {
     // time per stage per round for nothing — run them interpreted.
     // The count is cheap on the checkpointed quantized RDD.
     val quantRows = quant.count()
+    // under the small gate the assignment side of the centroid update
+    // must broadcast EXPLICITLY (AQE's runtime conversion is off there)
+    val small = quantRows >= 0 && quantRows < graft.SparkConfs.InterpretedRows
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    graft.SparkConfs.maybeSmallLoop(quant.sparkSession, quantRows) {
     graft.SparkConfs.maybeInterpreted(quant.sparkSession, quantRows) {
       for (_ <- 1 to iters) {
         val a = assign(centroids)
-        centroids = quant.join(a.select("vec_id", "cluster"), Seq("vec_id"))
+        centroids = quant.join(bc(a.select("vec_id", "cluster")), Seq("vec_id"))
           .groupBy("cluster", "dim")
           // decimal sum: exact at any cluster size (BIGINT would wrap
           // at ~9e12 members of 1e6-scale components)
@@ -143,10 +153,10 @@ object Clustering {
       // materialize the final assignment inside the gate when small —
       // returned lazily, it would otherwise compile under the caller
       val a =
-        if (quantRows < graft.SparkConfs.InterpretedRows)
-          assign(centroids).localCheckpoint()
+        if (small) assign(centroids).localCheckpoint()
         else assign(centroids)
       (a, centroids)
+    }
     }
   }
 
@@ -185,8 +195,9 @@ object Clustering {
               vecCol: String = "embedding"): (DataFrame, DataFrame) = {
     require(m > 0 && dims % m == 0, s"pqModel: m must divide dims ($dims % $m)")
     val sub = dims / m
-    val parts = (0 until m).map { s =>
-      val sliced = emb.select(col(idCol).as("vec_id"),
+    val emb0 = emb.localCheckpoint() // feeds all m slicings
+    val parts = concurrently(emb0.sparkSession, m, emb0.count() * dims) { s =>
+      val sliced = emb0.select(col(idCol).as("vec_id"),
         slice(col(vecCol), s * sub + 1, sub).as("embedding"))
       val (a, c) = kmeansModel(sliced, k, iters)
       (a.select(col("vec_id"), lit(s).as("subspace"),
@@ -196,6 +207,31 @@ object Clustering {
     (parts.map(_._1).reduce(_ unionAll _),
       parts.map(_._2).reduce(_ unionAll _))
   }
+
+  /** Run the `m` INDEPENDENT per-subspace trainings from a small
+    * driver thread pool (guide §2.6: Spark happily runs several jobs
+    * at once — actions are only sequential because the driver calls
+    * them sequentially), so one subspace's scheduling gaps and
+    * straggler tails back-fill with another's tasks. Each training is
+    * deterministic and results return in subspace order, so the
+    * outcome is byte-identical to the sequential loop. The whole block
+    * runs under ONE outer interpreted-mode gate (sized at the total
+    * quantized row count) so the inner per-training conf flips are
+    * re-entrant no-ops rather than racing save/restores. */
+  private def concurrently[A](spark: org.apache.spark.sql.SparkSession,
+                              m: Int, totalRows: Long)(train: Int => A)
+      : Seq[A] =
+    graft.SparkConfs.maybeInterpreted(spark, totalRows) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(m, 4))
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val futs = (0 until m).map(s => scala.concurrent.Future(train(s)))
+        futs.map(scala.concurrent.Await
+          .result(_, scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
+    }
 
   /** Embedding outlier flags — the embedding-quality audit next to
     * the k-NN accuracy probe: cluster the corpus with the exact
@@ -244,9 +280,9 @@ object Clustering {
       .groupBy("vec_id", "subspace", "cluster")
       .agg(sum(((col("q") - col("cq")) * (col("q") - col("cq")))
         .cast("decimal(38,0)")).as("d2"))
-    val w = Window.partitionBy("vec_id", "subspace")
-      .orderBy(col("d2"), col("cluster"))
-    d2.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+    // bounded-heap argmin, not a window sort (see kmeans assign)
+    graft.plans.TopKPerGroup(d2, Seq("vec_id", "subspace"),
+        Seq(("d2", true), ("cluster", true)), 1)
       .select(col("vec_id"), col("subspace"), col("cluster").as("code"),
         col("d2").cast("long").as("d2"))
   }
@@ -343,7 +379,7 @@ object Clustering {
       .limit(k)
       .withColumn("cluster", row_number().over(Window.orderBy("vec_id")))
     val subW = dims / m
-    val parts = (0 until m).map { s =>
+    val parts = concurrently(emb.sparkSession, m, quantCell.count()) { s =>
       val slice = quantCell
         .filter(col("dim") >= s * subW && col("dim") < (s + 1) * subW)
         .select(col("vec_id"), (col("dim") - s * subW).as("dim"),
@@ -362,13 +398,12 @@ object Clustering {
     val qfull = quantize(queries.select(col(idCol).as("vec_id"),
         col(vecCol).as("embedding")))
       .select(col("vec_id").as("query_id"), col("dim"), col("q"))
-    val wp = Window.partitionBy("query_id").orderBy(col("d2"), col("cluster"))
-    val probes = qfull.join(broadcast(cents), Seq("dim"))
-      .groupBy("query_id", "cluster")
-      .agg(sum(((col("q") - col("cq")) * (col("q") - col("cq")))
-        .cast("decimal(38,0)")).as("d2"))
-      .withColumn("rk", row_number().over(wp))
-      .filter(col("rk") <= nProbe)
+    val probes = graft.plans.TopKPerGroup(
+        qfull.join(broadcast(cents), Seq("dim"))
+          .groupBy("query_id", "cluster")
+          .agg(sum(((col("q") - col("cq")) * (col("q") - col("cq")))
+            .cast("decimal(38,0)")).as("d2")),
+        Seq("query_id"), Seq(("d2", true), ("cluster", true)), nProbe)
       .select(col("query_id"), col("cluster").as("cell"))
     val sub = dims / m
     val qq = (0 until m).map { s =>
@@ -420,7 +455,7 @@ object Clustering {
     val seedIds = emb.select(col(idCol).as("vec_id")).orderBy("vec_id")
       .limit(k)
       .withColumn("cluster", row_number().over(Window.orderBy("vec_id")))
-    val parts = (0 until m).map { s =>
+    val parts = concurrently(emb.sparkSession, m, res.count()) { s =>
       val slice = res
         .filter(col("dim") >= s * sub && col("dim") < (s + 1) * sub)
         .select(col("vec_id"), (col("dim") - s * sub).as("dim"), col("q"))
@@ -462,16 +497,31 @@ object Clustering {
       if (residual)
         ivfPqResidualModel(emb, dims, cells, m, k, iters, idCol, vecCol)
       else {
-        val (a, c) = kmeansModel(emb, cells, iters, idCol, vecCol)
-        val (cd, cb) = pqModel(emb, dims, m, k, iters, idCol, vecCol)
-        (a, c, cd.select("vec_id", "subspace", "code"), cb)
+        // the coarse quantizer and the PQ codebooks train on the same
+        // corpus but are INDEPENDENT models — overlap them (guide §2.6)
+        // rows = -1: no interpreted gate at this level — each inner
+        // training sizes its own
+        val both = concurrently(emb.sparkSession, 2, -1L) {
+          case 0 =>
+            val (a, c) = kmeansModel(emb, cells, iters, idCol, vecCol); (a, c)
+          case _ =>
+            val (cd, cb) = pqModel(emb, dims, m, k, iters, idCol, vecCol)
+            (cd, cb)
+        }
+        (both(0)._1, both(0)._2,
+          both(1)._1.select("vec_id", "subspace", "code"), both(1)._2)
       }
     // ONE corpus-sized equi-join at BUILD time (codes ⋈ assign on
     // vec_id) buys every future probe its planning-time prune — the
-    // amortization that makes 100 TB retrieval serveable
+    // amortization that makes 100 TB retrieval serveable. Cluster the
+    // write BY the partition column (guide §6): without it every write
+    // task holds rows of every cell and emits tasks×cells tiny files —
+    // the shuffle is cell-keyed so AQE sizes it, and each cell's rows
+    // land contiguously in a handful of right-sized files.
     codes.select("vec_id", "subspace", "code")
       .join(assign.select(col("vec_id"), col("cluster").as("cell")),
         Seq("vec_id"))
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/codes")
     cents.write.mode("overwrite").parquet(s"$path/centroids")
@@ -504,13 +554,12 @@ object Clustering {
         col(vecCol).as("embedding")))
       .select(col("vec_id").as("query_id"), col("dim"), col("q"))
       .localCheckpoint() // feeds probes + (residual) the per-cell LUT
-    val wp = Window.partitionBy("query_id").orderBy(col("d2"), col("cluster"))
-    val probes = qfull.join(broadcast(cents), Seq("dim"))
-      .groupBy("query_id", "cluster")
-      .agg(sum(((col("q") - col("cq")) * (col("q") - col("cq")))
-        .cast("decimal(38,0)")).as("d2"))
-      .withColumn("rk", row_number().over(wp))
-      .filter(col("rk") <= nProbe)
+    val probes = graft.plans.TopKPerGroup(
+        qfull.join(broadcast(cents), Seq("dim"))
+          .groupBy("query_id", "cluster")
+          .agg(sum(((col("q") - col("cq")) * (col("q") - col("cq")))
+            .cast("decimal(38,0)")).as("d2")),
+        Seq("query_id"), Seq(("d2", true), ("cluster", true)), nProbe)
       .select(col("query_id"), col("cluster").as("cell"))
       .localCheckpoint() // feeds the cell collect + the candidate join
     // bounded collect: ≤ the layout's cell count by construction
@@ -596,9 +645,9 @@ object Clustering {
       .groupBy("vec_id", "subspace", "cluster")
       .agg(sum(((col("q") - col("cq")) * (col("q") - col("cq")))
         .cast("decimal(38,0)")).as("d2"))
-    val w = Window.partitionBy("vec_id", "subspace")
-      .orderBy(col("d2"), col("cluster"))
-    d2.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+    // bounded-heap argmin, not a window sort (see kmeans assign)
+    graft.plans.TopKPerGroup(d2, Seq("vec_id", "subspace"),
+        Seq(("d2", true), ("cluster", true)), 1)
       .select(col("vec_id"), col("subspace"), col("cluster").as("code"))
   }
 
@@ -634,12 +683,12 @@ object Clustering {
     val cents = spark.read.parquet(s"$path/centroids")
     val codebook = spark.read.parquet(s"$path/codebook")
     val q = quantize(batch, idCol, vecCol).localCheckpoint()
-    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
-    val assign = q.join(broadcast(cents), Seq("dim"))
-      .groupBy("vec_id", "cluster")
-      .agg(sum(((col("q") - col("cq")) * (col("q") - col("cq")))
-        .cast("decimal(38,0)")).as("d2"))
-      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+    val assign = graft.plans.TopKPerGroup(
+        q.join(broadcast(cents), Seq("dim"))
+          .groupBy("vec_id", "cluster")
+          .agg(sum(((col("q") - col("cq")) * (col("q") - col("cq")))
+            .cast("decimal(38,0)")).as("d2")),
+        Seq("vec_id"), Seq(("d2", true), ("cluster", true)), 1)
       .select(col("vec_id"), col("cluster").as("cell"))
       .localCheckpoint()
     val encodeInput =
