@@ -20,6 +20,23 @@ object SparkConfs {
     * Shared by the DataFrame BFS loops and the Lloyd rounds. */
   val InterpretedRows = 20000000L
 
+  /** Rows below which an iterative kernel may take the SMALL-LOOP
+    * path: AQE off, a handful of shuffle partitions, and — the part
+    * that costs memory — EXPLICIT per-round `broadcast()` hints on its
+    * vertex-sized state tables. Deliberately much smaller than
+    * [[InterpretedRows]] (which was sized for the Janino-compile
+    * tradeoff, not broadcast memory): the gate is byte-derived, not a
+    * local[32] constant. State rows at every call site are ≤3 narrow
+    * (8-byte) columns, ≈64 B each as a built HashedRelation entry, so
+    * 4M rows ≈ 256 MB built — inside guide §3's "few hundred MB"
+    * broadcast comfort zone for an 8 GB driver and every executor
+    * that must hold the relation, an order of magnitude under the
+    * 8 GB / 512M-row hard cap, and safe to rebuild once per round.
+    * Above the bound, kernels keep the adaptive path: AQE's byte-based
+    * runtime broadcast conversion decides per join from MEASURED
+    * sizes, which is exactly what you want near the boundary. */
+  val SmallLoopRows = 4000000L
+
   /** Run `body` (an iterative operator's actions) without whole-stage
     * codegen when `rows` of per-round work sit under
     * [[InterpretedRows]]: every round's plan is structurally unique
@@ -61,24 +78,32 @@ object SparkConfs {
   private def scopedConfs[A](spark: org.apache.spark.sql.SparkSession,
                              tag: String, overrides: Map[String, String])
                             (body: => A): A = {
-    confScopes.forEach((k, v) =>
-      if (k._1.sparkContext.isStopped) confScopes.remove(k, v))
-    val st = confScopes.computeIfAbsent((spark, tag),
-      _ => (new java.util.concurrent.atomic.AtomicInteger(0),
-        Array[Map[String, String]](null)))
-    st.synchronized {
+    val key = (spark, tag)
+    // Enter and exit run INSIDE ConcurrentHashMap.compute, which is
+    // atomic per key: create+increment+save and decrement+restore are
+    // single critical sections, and the entry is REMOVED (compute
+    // returning null) when depth returns to 0 — no per-session leak,
+    // and no window where a removed-but-held entry races a fresh one.
+    confScopes.compute(key, (_, v) => {
+      val st = if (v != null) v
+        else (new java.util.concurrent.atomic.AtomicInteger(0),
+          Array[Map[String, String]](null))
       if (st._1.getAndIncrement() == 0) {
         st._2(0) = overrides.map { case (k, _) =>
           k -> spark.conf.get(k, null) }
         overrides.foreach { case (k, v) => spark.conf.set(k, v) }
       }
-    }
-    try body finally st.synchronized {
-      if (st._1.decrementAndGet() == 0) st._2(0).foreach {
-        case (k, null) => spark.conf.unset(k)
-        case (k, v) => spark.conf.set(k, v)
-      }
-    }
+      st
+    })
+    try body finally confScopes.compute(key, (_, st) => {
+      if (st._1.decrementAndGet() == 0) {
+        st._2(0).foreach {
+          case (k, null) => spark.conf.unset(k)
+          case (k, v) => spark.conf.set(k, v)
+        }
+        null // evict: depth is 0, nothing left to restore
+      } else st
+    })
   }
 
   def maybeInterpreted[A](spark: org.apache.spark.sql.SparkSession,
@@ -99,10 +124,18 @@ object SparkConfs {
     * and must gate on a measured row bound so big inputs keep the
     * adaptive path untouched — this is the scale-adaptive partitioning
     * rule (fewer, right-sized partitions for small state; AQE for real
-    * data volume), not a local[32] constant. */
+    * data volume), not a local[32] constant.
+    *
+    * The bound is [[SmallLoopRows]], NOT [[InterpretedRows]]: the
+    * explicit broadcasts this path mandates are a per-round memory
+    * commitment the codegen bound was never sized for (r14 shipped
+    * the 20M-row bound here; a 19M-row ranks table is hundreds of MB
+    * force-broadcast per iteration where AQE's byte-based conversion
+    * would have declined). Callers gate their `bc()` hints on the
+    * same constant so hint and conf scope always agree. */
   def maybeSmallLoop[A](spark: org.apache.spark.sql.SparkSession,
                         rows: Long)(body: => A): A =
-    if (rows < 0 || rows >= InterpretedRows) body
+    if (rows < 0 || rows >= SmallLoopRows) body
     else scopedConfs(spark, "smallloop", Map(
       "spark.sql.adaptive.enabled" -> "false",
       // enough slots to keep skew harmless at the bound, few enough

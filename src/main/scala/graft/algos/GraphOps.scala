@@ -271,7 +271,7 @@ object GraphOps {
     // stage jobs; big graphs keep the adaptive path
     val nV = vbase.count()
     val mE = e.count()
-    val small = nV + mE < graft.SparkConfs.InterpretedRows
+    val small = nV < graft.SparkConfs.SmallLoopRows // broadcast side is vertex-sized
     def bc(df: DataFrame): DataFrame =
       if (small) org.apache.spark.sql.functions.broadcast(df) else df
     graft.SparkConfs.maybeSmallLoop(g.spark, nV + mE) {
@@ -326,7 +326,7 @@ object GraphOps {
     // small-graph fast path — see pageRankFixedPoint
     val nV = v.count()
     val mE = e.count()
-    val small = nV + mE < graft.SparkConfs.InterpretedRows
+    val small = nV < graft.SparkConfs.SmallLoopRows // broadcast side is vertex-sized
     def bc(df: DataFrame): DataFrame =
       if (small) org.apache.spark.sql.functions.broadcast(df) else df
     graft.SparkConfs.maybeSmallLoop(g.spark, nV + mE) {
@@ -389,19 +389,31 @@ object GraphOps {
         lit(0).as("step"), col("layer"), col("nodeId").as("node_id"))
       .localCheckpoint()
     var out = frontier
+    // small-graph fast path (see pageRankFixedPoint): the frontier is
+    // walk-count-sized — broadcast it into the adjacency join
+    // explicitly under the gate (AQE's runtime conversion is off
+    // there) and skip AQE's per-round stage jobs; the adjacency table
+    // never shuffles either way
+    val nbrRows = nbrs.count()
+    val frontierRows = frontier.count()
+    val small = frontierRows < graft.SparkConfs.SmallLoopRows // broadcast side is the frontier
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    graft.SparkConfs.maybeSmallLoop(spark, nbrRows + frontierRows) {
     for (t <- 1 to walkLen) {
       val h = pmod(
         conv(substring(md5(concat_ws(":", col("start_id"), col("rep"),
           lit(t))), 1, 15), 16, 10).cast("long"),
         size(col("nbrs")).cast("long")).cast("int") + 1
-      frontier = frontier
-        .join(nbrs, frontier("layer") === nbrs("sl") &&
-          frontier("node_id") === nbrs("sid"))
+      val f = bc(frontier)
+      frontier = f
+        .join(nbrs, f("layer") === nbrs("sl") &&
+          f("node_id") === nbrs("sid"))
         .withColumn("nx", element_at(col("nbrs"), h))
         .select(col("start_id"), col("rep"), lit(t).as("step"),
           col("nx.tl").as("layer"), col("nx.tid").as("node_id"))
         .localCheckpoint()
       out = out.unionByName(frontier)
+    }
     }
     out
   }
@@ -579,7 +591,7 @@ object GraphOps {
     // small-graph fast path — see pageRankFixedPoint
     val nV = v.count()
     val mE = e.count()
-    val small = nV + mE < graft.SparkConfs.InterpretedRows
+    val small = nV < graft.SparkConfs.SmallLoopRows // broadcast side is vertex-sized
     def bc(df: DataFrame): DataFrame =
       if (small) org.apache.spark.sql.functions.broadcast(df) else df
     // one half-step: gather `from`'s score across edges keyed on
@@ -649,7 +661,7 @@ object GraphOps {
     // small-graph fast path — see pageRankFixedPoint
     val nV = v.count()
     val mE = e.count()
-    val small = nV + mE < graft.SparkConfs.InterpretedRows
+    val small = nV < graft.SparkConfs.SmallLoopRows // broadcast side is vertex-sized
     def bc(df: DataFrame): DataFrame =
       if (small) org.apache.spark.sql.functions.broadcast(df) else df
     graft.SparkConfs.maybeSmallLoop(g.spark, nV + mE) {

@@ -633,9 +633,16 @@ object LinkAnalysis {
       .localCheckpoint()
     var frontier = labels.select(col("id").as("u"), col("label"))
     // small-graph fast path (see louvainLocalMove): frontier and the
-    // label table are vertex-sized — broadcast them under the gate
+    // label table are VERTEX-sized, so the broadcast hint gates on the
+    // vertex count, not the edge count — at the sf1 decade (13.6M
+    // edges, 1.9M vertices) the ungated rounds fell to per-round
+    // sort-merge re-shuffles of the full edge table (checkpointed
+    // state has no stats and 30 MB labels exceed AQE's byte
+    // threshold): g56 ran ×13.6 the sf0.1 time. One distinct count on
+    // the checkpointed edge table, amortized over every round.
     val mE = und.count()
-    val small = 2 * mE < graft.SparkConfs.InterpretedRows
+    val nV = und.select("u").distinct().count()
+    val small = nV < graft.SparkConfs.SmallLoopRows
     def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     graft.SparkConfs.maybeSmallLoop(edges.sparkSession, 2 * mE) {
     for (t <- 1 to rounds) {
@@ -803,7 +810,7 @@ object LinkAnalysis {
     // side join can broadcast EXPLICITLY and the loop runs without
     // adaptive re-planning. Big graphs keep the AQE path bit-for-bit.
     val nV = assign.count()
-    val small = nV + 2 * mEdges < graft.SparkConfs.InterpretedRows
+    val small = nV < graft.SparkConfs.SmallLoopRows // broadcast side is vertex-sized
     def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     graft.SparkConfs.maybeSmallLoop(e.sparkSession, nV + 2 * mEdges) {
       for (_ <- 1 to rounds) {
@@ -870,7 +877,7 @@ object LinkAnalysis {
     // broadcasts + no per-exchange AQE stage jobs under the gate
     val nV = assign.count()
     val mE = e.count()
-    val small = nV + 2 * mE < graft.SparkConfs.InterpretedRows
+    val small = nV < graft.SparkConfs.SmallLoopRows // broadcast side is vertex-sized
     def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     graft.SparkConfs.maybeSmallLoop(e.sparkSession, nV + 2 * mE) {
       for (_ <- 1 to rounds) {
@@ -1026,7 +1033,7 @@ object LinkAnalysis {
     // loop skips AQE's per-exchange stage jobs
     val nV = st.count()
     val mE = e.count()
-    val small = nV + 2 * mE < graft.SparkConfs.InterpretedRows
+    val small = nV < graft.SparkConfs.SmallLoopRows // broadcast side is vertex-sized
     def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     graft.SparkConfs.maybeSmallLoop(e.sparkSession, nV + 2 * mE) {
     for (_ <- 1 to rounds) {
@@ -1107,7 +1114,7 @@ object LinkAnalysis {
     // run the jump chain without AQE's per-exchange stage jobs
     val mE = e.count()
     val nV = comp.count()
-    val small = nV + 2 * mE < graft.SparkConfs.InterpretedRows
+    val small = nV < graft.SparkConfs.SmallLoopRows // broadcast side is vertex-sized
     def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     graft.SparkConfs.maybeSmallLoop(pairs.sparkSession, nV + 2 * mE) {
     for (r <- 1 to rounds) {
@@ -1221,10 +1228,13 @@ object LinkAnalysis {
     var acc = live.select(col("a"), col("b"), lit(0).as("round"))
       .where(lit(false))
     // small-graph fast path (see louvainLocalMove): best/matched are
-    // vertex-sized, live only shrinks — broadcast them under the gate
-    // and skip AQE's per-exchange stage jobs
+    // VERTEX-sized, live only shrinks — the broadcast hint gates on
+    // the endpoint count (one distinct count on the checkpointed pair
+    // list, amortized over rounds), the conf gate on per-round work
     val mE = live.count()
-    val small = 3 * mE < graft.SparkConfs.InterpretedRows
+    val nV = live.select(col("a").as("x"))
+      .unionAll(live.select(col("b").as("x"))).distinct().count()
+    val small = nV < graft.SparkConfs.SmallLoopRows
     def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     graft.SparkConfs.maybeSmallLoop(pairs.sparkSession, 3 * mE) {
     for (r <- 1 to rounds) {
@@ -1296,7 +1306,7 @@ object LinkAnalysis {
     // vertex-sized — broadcast it into the adjacency join under the gate
     val nV = vals.count()
     val mE = und.count()
-    val small = nV + mE < graft.SparkConfs.InterpretedRows
+    val small = nV < graft.SparkConfs.SmallLoopRows // broadcast side is vertex-sized
     def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     graft.SparkConfs.maybeSmallLoop(edges.sparkSession, nV + mE) {
     for (_ <- 1 to rounds) {

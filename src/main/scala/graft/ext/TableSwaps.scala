@@ -56,25 +56,48 @@ private[ext] object TableSwaps {
     }
   }
 
-  def swapInTable(spark: SparkSession, table: String)(
+  /** Stage-only half of [[swapInTable]]: heal window (b) for THIS
+    * table, clear any torn staging leftovers, and write the canonical
+    * rows into `${table}__compacting`. The live table is untouched —
+    * so staging writes for SEVERAL tables may safely overlap (guide
+    * §2.6; compactInvertedIndex runs its four staging writes from a
+    * driver pool), while each swap itself stays a sequential
+    * [[commitSwap]] so at most ONE table ever sits in the DROP→RENAME
+    * recovery window at a time. */
+  def stageTable(spark: SparkSession, table: String)(
       write: String => Unit): Unit = {
     recoverTable(spark, table)
     val staging = s"${table}__compacting"
     val warehouse = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"))
     val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val liveLoc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
     val stagLoc = new org.apache.hadoop.fs.Path(warehouse, staging.toLowerCase)
     spark.sql(s"DROP TABLE IF EXISTS $staging")
     // orphaned managed staging location from a previous JVM (files
     // survive, the in-memory catalog does not) would refuse the CREATE
     if (fs.exists(stagLoc)) fs.delete(stagLoc, true)
     write(staging)
+  }
+
+  /** Swap half of [[swapInTable]]: DROP the live table and RENAME the
+    * complete staging copy into place (windows (b)/(c) above). */
+  def commitSwap(spark: SparkSession, table: String): Unit = {
+    val staging = s"${table}__compacting"
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val liveLoc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     // a cross-JVM-recovered `table` is external — its DROP leaves the
     // files, and an orphaned live location would collide with the
     // RENAME's directory move
     if (fs.exists(liveLoc)) fs.delete(liveLoc, true)
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+  }
+
+  def swapInTable(spark: SparkSession, table: String)(
+      write: String => Unit): Unit = {
+    stageTable(spark, table)(write)
+    commitSwap(spark, table)
   }
 }

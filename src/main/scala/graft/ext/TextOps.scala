@@ -780,17 +780,23 @@ object TextOps {
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
-    postings.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "term").sortBy("term")
-      .format("parquet").saveAsTable(s"${name}_postings")
-    dfreq.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "term").sortBy("term")
-      .format("parquet").saveAsTable(s"${name}_df")
-    doclen.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .format("parquet").saveAsTable(s"${name}_doclen")
-    stats.write.mode(SaveMode.Overwrite)
-      .format("parquet").saveAsTable(s"${name}_stats")
+    // four INDEPENDENT writes off the checkpointed postings — overlap
+    // them (guide §2.6; Par.run): a fresh build has no inter-table
+    // commit-order contract (unlike append/delete, which keep their
+    // pinned sequential recovery semantics)
+    Par.run(Seq(
+      () => postings.write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, "term").sortBy("term")
+        .format("parquet").saveAsTable(s"${name}_postings"),
+      () => dfreq.write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, "term").sortBy("term")
+        .format("parquet").saveAsTable(s"${name}_df"),
+      () => doclen.write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .format("parquet").saveAsTable(s"${name}_doclen"),
+      () => stats.write.mode(SaveMode.Overwrite)
+        .format("parquet").saveAsTable(s"${name}_stats")))
+    ()
   }
 
   /** Fold a NEW batch (ids disjoint from the indexed corpus) into a
@@ -820,17 +826,25 @@ object TextOps {
       .agg(sum("tf").cast("long").as("dl"))
     val stats = doclen.agg(count(lit(1)).cast("long").as("n_docs"),
       sum("dl").cast("long").as("total_len"))
-    postings.write.mode(SaveMode.Append)
-      .bucketBy(buckets, "term").sortBy("term")
-      .format("parquet").saveAsTable(s"${name}_postings")
-    dfreq.write.mode(SaveMode.Append)
-      .bucketBy(buckets, "term").sortBy("term")
-      .format("parquet").saveAsTable(s"${name}_df")
-    doclen.write.mode(SaveMode.Append)
-      .bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .format("parquet").saveAsTable(s"${name}_doclen")
-    stats.write.mode(SaveMode.Append)
-      .format("parquet").saveAsTable(s"${name}_stats")
+    // the four segment appends overlap (guide §2.6; Par.run): there is
+    // no inter-table commit ORDER in the append contract — a crash
+    // strictly inside the append sequence leaves a torn segment that
+    // needs a rebuild regardless of which table landed first (the
+    // boundary documented above), and the epoch marker that makes the
+    // batch durable commits strictly AFTER all four either way
+    Par.run(Seq(
+      () => postings.write.mode(SaveMode.Append)
+        .bucketBy(buckets, "term").sortBy("term")
+        .format("parquet").saveAsTable(s"${name}_postings"),
+      () => dfreq.write.mode(SaveMode.Append)
+        .bucketBy(buckets, "term").sortBy("term")
+        .format("parquet").saveAsTable(s"${name}_df"),
+      () => doclen.write.mode(SaveMode.Append)
+        .bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .format("parquet").saveAsTable(s"${name}_doclen"),
+      () => stats.write.mode(SaveMode.Append)
+        .format("parquet").saveAsTable(s"${name}_stats")))
+    ()
   }
 
   /** [[appendInvertedIndex]] gated for exactly-once application under
@@ -1099,17 +1113,25 @@ object TextOps {
     // values the canonical rewrite pins. The one recovery window is
     // between a DROP and its RENAME — the complete staging table is
     // on disk under ${table}__compacting.
-    TableSwaps.swapInTable(spark, s"${name}_postings")(st =>
-      p.write.bucketBy(buckets, "term").sortBy("term")
-        .format("parquet").saveAsTable(st))
-    TableSwaps.swapInTable(spark, s"${name}_df")(st =>
-      dfreq.write.bucketBy(buckets, "term").sortBy("term")
-        .format("parquet").saveAsTable(st))
-    TableSwaps.swapInTable(spark, s"${name}_doclen")(st =>
-      doclen.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
-        .format("parquet").saveAsTable(st))
-    TableSwaps.swapInTable(spark, s"${name}_stats")(st =>
-      stats.write.format("parquet").saveAsTable(st))
+    // The four STAGING writes are independent of one another and never
+    // touch a live table — overlap them (guide §2.6; Par.run). The
+    // swaps stay sequential so at most one table is ever in the
+    // DROP→RENAME recovery window, exactly the crash story the
+    // recovery-first preamble and its specs pin.
+    Par.run(Seq(
+      () => TableSwaps.stageTable(spark, s"${name}_postings")(st =>
+        p.write.bucketBy(buckets, "term").sortBy("term")
+          .format("parquet").saveAsTable(st)),
+      () => TableSwaps.stageTable(spark, s"${name}_df")(st =>
+        dfreq.write.bucketBy(buckets, "term").sortBy("term")
+          .format("parquet").saveAsTable(st)),
+      () => TableSwaps.stageTable(spark, s"${name}_doclen")(st =>
+        doclen.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+          .format("parquet").saveAsTable(st)),
+      () => TableSwaps.stageTable(spark, s"${name}_stats")(st =>
+        stats.write.format("parquet").saveAsTable(st))))
+    Seq("postings", "df", "doclen", "stats")
+      .foreach(t => TableSwaps.commitSwap(spark, s"${name}_$t"))
     spark.sql(s"DROP TABLE IF EXISTS ${name}_tombstones")
     // delete-batch markers refer to retractions that no longer exist
     // post-compaction; a replay of one of those batches against the
@@ -1285,21 +1307,33 @@ object TextOps {
     * vocabulary-sized. */
   private def lmWeights(train: DataFrame, idCol: String,
                         textCol: String): (DataFrame, DataFrame, DataFrame) = {
-    // materialized once: the stream feeds four count aggregations
+    // materialized once: the stream feeds ONE corpus-sized aggregation
     val ref = trigramStream(train, idCol, textCol).localCheckpoint()
     val nRef = ref.count()
     require(nRef > 0, "trigramBackoffScore: reference corpus has no trigrams")
+    // Aggregate the corpus-sized trigram stream EXACTLY ONCE (guide
+    // §2.3 aggregate-before-shuffle): k3 = xxhash64(w1,w2,w3)
+    // determines the trigram, so h12/k23/h2/h3 are functionally
+    // dependent on it (the same injectivity assumption the original
+    // first("h12") already made) and every lower-order count is a
+    // VOCABULARY-sized sum of n3 — n12 = Σ n3 by h12, n23 = Σ n3 by
+    // k23, n2 = Σ n23 by h2, n1 = Σ n3 by h3 are each exactly the
+    // row counts the previous five corpus-sized groupBys computed.
+    // 5 corpus exchanges → 1; checkpointed because three weight
+    // tables (and their writes) re-read it.
     val c3 = ref.groupBy("k3")
-      .agg(count(lit(1)).as("n3"), first("h12").as("h12"))
-    val c12 = ref.groupBy("h12").agg(count(lit(1)).as("n12"))
+      .agg(count(lit(1)).as("n3"), first("h12").as("h12"),
+        first("k23").as("k23"), first("h2").as("h2"), first("h3").as("h3"))
+      .localCheckpoint()
+    val c12 = c3.groupBy("h12").agg(sum("n3").as("n12"))
     val wTri = c3.join(c12, "h12")
       .select(col("k3"), expr("CAST(n3 * 1000000 DIV n12 AS BIGINT)").as("q_tri"))
-    val c23 = ref.groupBy("k23")
-      .agg(count(lit(1)).as("n23"), first("h2").as("h2"))
-    val c2 = ref.groupBy("h2").agg(count(lit(1)).as("n2"))
+    val c23 = c3.groupBy("k23")
+      .agg(sum("n3").as("n23"), first("h2").as("h2"))
+    val c2 = c23.groupBy("h2").agg(sum("n23").as("n2"))
     val wBi = c23.join(c2, "h2")
       .select(col("k23"), expr("CAST(n23 * 400000 DIV n2 AS BIGINT)").as("q_bi"))
-    val wUni = ref.groupBy("h3").agg(count(lit(1)).as("n1"))
+    val wUni = c3.groupBy("h3").agg(sum("n3").as("n1"))
       .select(col("h3"),
         expr(s"CAST(n1 * 160000 DIV CAST($nRef AS BIGINT) AS BIGINT)").as("q_uni"))
     (wTri, wBi, wUni)
@@ -1338,12 +1372,17 @@ object TextOps {
       if (fs.exists(loc)) fs.delete(loc, true)
     }
     val (wTri, wBi, wUni) = lmWeights(train, idCol, textCol)
-    wTri.write.mode(SaveMode.Overwrite).bucketBy(buckets, "k3")
-      .sortBy("k3").format("parquet").saveAsTable(s"${name}_tri")
-    wBi.write.mode(SaveMode.Overwrite).bucketBy(buckets, "k23")
-      .sortBy("k23").format("parquet").saveAsTable(s"${name}_bi")
-    wUni.write.mode(SaveMode.Overwrite).bucketBy(buckets, "h3")
-      .sortBy("h3").format("parquet").saveAsTable(s"${name}_uni")
+    // three INDEPENDENT writes off the checkpointed trigram counts —
+    // overlap them (guide §2.6; Par.run), same rationale as
+    // [[writeInvertedIndex]]'s build leg
+    Par.run(Seq(
+      () => wTri.write.mode(SaveMode.Overwrite).bucketBy(buckets, "k3")
+        .sortBy("k3").format("parquet").saveAsTable(s"${name}_tri"),
+      () => wBi.write.mode(SaveMode.Overwrite).bucketBy(buckets, "k23")
+        .sortBy("k23").format("parquet").saveAsTable(s"${name}_bi"),
+      () => wUni.write.mode(SaveMode.Overwrite).bucketBy(buckets, "h3")
+        .sortBy("h3").format("parquet").saveAsTable(s"${name}_uni")))
+    ()
   }
 
   /** Score a batch against a persisted [[writeLmWeights]] LM —

@@ -47,13 +47,18 @@ object TopKPerGroup {
         "orderBy(...).limit(k) — Spark plans it as TakeOrderedAndProject)")
     val spark = df.sparkSession
     // idempotently register the planner strategy + optimizer rule on
-    // whatever session the caller holds — no builder changes needed
-    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
-    if (!spark.experimental.extraOptimizations.contains(CombineTopK))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ CombineTopK
+    // whatever session the caller holds — no builder changes needed.
+    // Synchronized: apply() is reachable from concurrent driver
+    // threads (pqModel's pooled subspace trainings), and the bare
+    // check-then-append would racily duplicate or drop a registration.
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+      if (!spark.experimental.extraOptimizations.contains(CombineTopK))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ CombineTopK
+    }
     val child = df.queryExecution.analyzed
     def attr(name: String): Attribute = child.output
       .find(a => spark.sessionState.analyzer.resolver(a.name, name))

@@ -660,11 +660,51 @@ class ScaleSpec extends SparkSuite {
     val belowJoin = plan.split("BroadcastHashJoin").last
     assert(!belowJoin.contains("Exchange hashpartitioning"),
       s"code scan must not shuffle before the LUT probe:\n$plan")
-    // three exchanges total: the LUT's own build agg (|queries|*m*k
-    // rows — query-sized, never corpus-sized), the (query, neighbor)
-    // score agg, and the TopK final
+    // The invariant that matters at 100 TB is not a global exchange
+    // COUNT (r14 shipped red on a stale `== 3` pin) but that every
+    // remaining exchange is query-keyed: the LUT build agg and the
+    // TopK final partition on query_id, so their payloads are
+    // |queries|-proportional (or heap-capped at partitions×queries×k),
+    // never a reshuffle of the corpus. The historical third exchange —
+    // the (query, neighbor) score agg — disappeared when pqModel began
+    // localCheckpointing its small-path assignments: the checkpointed
+    // code scan carries its captured vec_id hash partitioning through
+    // the broadcast probe join, and hashpartitioning(vec_id) already
+    // satisfies the (query_id, vec_id) score-agg distribution.
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(exchanges == 3,
-      s"three exchanges (LUT agg + score agg + TopK final):\n$plan")
+    assert(exchanges <= 3,
+      s"at most three exchanges (LUT agg [+ score agg] + TopK final):\n$plan")
+    val nonQueryKeyed = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).filterNot(_.group(1).contains("query_id")).toList
+    assert(nonQueryKeyed.isEmpty,
+      s"every exchange must be query-keyed, got $nonQueryKeyed in:\n$plan")
+  }
+
+  test("maybeSmallLoop: engages below SmallLoopRows, DISENGAGES at the " +
+      "bound — big inputs keep the adaptive path (r15)") {
+    val aqe = "spark.sql.adaptive.enabled"
+    val parts = "spark.sql.shuffle.partitions"
+    val before = (spark.conf.get(aqe), spark.conf.get(parts))
+    graft.SparkConfs.maybeSmallLoop(spark, graft.SparkConfs.SmallLoopRows - 1) {
+      assert(spark.conf.get(aqe) == "false", "gate must disable AQE")
+      assert(spark.conf.get(parts) == "4", "gate must right-size partitions")
+      // re-entrant scope: nested gate is a no-op, exit restores nothing
+      graft.SparkConfs.maybeSmallLoop(spark, 1L) {
+        assert(spark.conf.get(aqe) == "false")
+      }
+      assert(spark.conf.get(aqe) == "false", "nested exit must not restore")
+    }
+    assert((spark.conf.get(aqe), spark.conf.get(parts)) == before,
+      "outermost exit must restore the session confs")
+    graft.SparkConfs.maybeSmallLoop(spark, graft.SparkConfs.SmallLoopRows) {
+      assert(spark.conf.get(aqe) == before._1,
+        "at/above the bound the gate must not engage (AQE stays)")
+      assert(spark.conf.get(parts) == before._2)
+    }
+    // the broadcast/small-loop bound is deliberately FAR below the
+    // codegen bound: it prices per-round explicit broadcasts (bytes),
+    // not Janino compile economics (r14 verdict #4)
+    assert(graft.SparkConfs.SmallLoopRows * 5 <=
+      graft.SparkConfs.InterpretedRows)
   }
 }
